@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided deterministic test tables
+  * (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * The `events` table is written with nanosecond-precision timestamps,
+  * which Spark's Parquet reader rejects by default
+  * (PARQUET_TYPE_ILLEGAL). We read nanos as a long
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+  * microseconds — exactly what DuckDB does on read — so both engines
+  * see identical µs-precision timestamps and the oracle comparison is
+  * bit-exact.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case _        => spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `ts` is rebuilt as a µs-precision TimestampType (UTC), truncated
+    * from the file's nanoseconds with integer division (ns epoch values
+    * exceed 2^53, so float division would corrupt them).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+}

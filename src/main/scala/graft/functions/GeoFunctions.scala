@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar geo/unit kernels from the reference's ingest processors and
+  * matchup math (SURVEY §2.6), expressed as codegen-friendly Column
+  * expressions (no UDFs — every one of these stays inside
+  * whole-stage codegen).
+  *
+  * References (semantics only, /root/reference/):
+  *  - kelvin→celsius: nexus-ingest/nexus-xd-python-modules/nexusxd/kelvintocelsius.py:11-22
+  *  - wind dir/speed ↔ U/V: nexusxd/winddirspeedtouv.py, computespeeddirfromuv.py
+  *  - longitude wrap 0..360 → −180..180: nexusxd/subtract180longitude.py:10-31
+  *  - haversine: analysis/webservice/algorithms/doms/geo.py:17-48
+  *  - cos-latitude area weight: data-access/nexustiles/model/nexusmodel.py:102-103
+  */
+object GeoFunctions {
+  val EarthRadiusKm = 6371.0
+
+  def kelvinToCelsius(k: Column): Column = k - lit(273.15)
+
+  /** Wrap a longitude in [0, 360) into (−180, 180]. */
+  def lonTo180(lon: Column): Column =
+    when(lon > 180, lon - 360).otherwise(lon)
+
+  /** Meteorological wind (speed, direction-degrees) → U (eastward) component. */
+  def windU(speed: Column, dirDeg: Column): Column =
+    speed * cos(radians(lit(90) - dirDeg))
+
+  /** Meteorological wind (speed, direction-degrees) → V (northward) component. */
+  def windV(speed: Column, dirDeg: Column): Column =
+    speed * sin(radians(lit(90) - dirDeg))
+
+  def uvToSpeed(u: Column, v: Column): Column = sqrt(u * u + v * v)
+
+  /** Inverse of windU/windV: degrees, atan2(u, v) convention. */
+  def uvToDirDeg(u: Column, v: Column): Column = degrees(atan2(u, v))
+
+  /** Great-circle distance in km between two (lat, lon) points, degrees in. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** Area weight for grid-cell statistics: cos(latitude). */
+  def cosLatWeight(latDeg: Column): Column = cos(radians(latDeg))
+
+  /** Weighted mean as a single expression: sum(v*w)/sum(w) (null-skipping). */
+  def weightedMean(v: Column, w: Column): Column = sum(v * w) / sum(w)
+}

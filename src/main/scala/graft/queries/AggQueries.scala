@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GeoFunctions._
+
+/** Aggregation kernels re-expressed over the driver testdata
+  * (SURVEY §2.4). The reference computes these as hand-rolled numpy
+  * map/combineByKey RDD kernels; here each is a declarative groupBy so
+  * Catalyst plans partial (map-side) + final hash aggregation — the
+  * scalable equivalent of the reference's combineByKey partials.
+  */
+object AggQueries extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: per-day box statistics (TimeSeriesSpark.calc_average_on_day,
+    // algorithms_spark/TimeSeriesSpark.py:493-554): min/max/count/std plus
+    // weighted mean (reference weights by cos(lat); weight column here
+    // is l_extendedprice).
+    "a1_daily_stats" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(min(col("l_quantity")), 4).as("min_q"),
+          round(max(col("l_quantity")), 4).as("max_q"),
+          round(stddev_samp(col("l_quantity")), 4).as("std_q"),
+          round(weightedMean(col("l_quantity"), col("l_extendedprice")), 4).as("wmean_q"))
+        .orderBy("day")
+    },
+
+    // A2: per-cell sum/count partials → mean (TimeAvgMapSpark.py:28-96,
+    // 181-198): grid cell ≡ (returnflag, linestatus).
+    "a2_time_avg_map" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_q"),
+          count(col("l_quantity")).as("cnt"),
+          round(sum(col("l_quantity")) / count(col("l_quantity")), 4).as("avg_q"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A3: climatology map — same partials but month-of-year windows
+    // across years (ClimMapSpark.py:29-98,176-207).
+    "a3_clim_map" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(month(col("l_shipdate")) === 7)
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_q"),
+          count(lit(1)).as("cnt"),
+          round(avg(col("l_quantity")), 4).as("avg_q"))
+        .orderBy("l_returnflag", "yr")
+    },
+
+    // A4: per-cell Pearson correlation via one-pass sums
+    // (CorrMapSpark.py:29-151,228-271); Spark's corr uses the same
+    // one-pass algebra.
+    "a4_corr_map" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // A5: daily anomaly mean+std with parallel variance merge
+    // (DailyDifferenceAverageSpark.py:263-292): anomaly = value − global
+    // climatological mean of the event type.
+    "a5_anomaly_daily" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val clim = e.groupBy(col("event_type")).agg(avg(col("value")).as("clim_mean"))
+      e.join(broadcast(clim), "event_type")
+        .withColumn("diff", col("value") - col("clim_mean"))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(round(avg(col("diff")), 4).as("mean_diff"),
+          round(stddev_samp(col("diff")), 4).as("std_diff"),
+          count(lit(1)).as("cnt"))
+        .orderBy("day", "event_type")
+    },
+
+    // A6: Hovmöller — per (time bucket, band) stats
+    // (HofMoellerSpark.py:27-102): band ≡ user_id decile.
+    "a6_hovmoller" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          (col("user_id") / 10).cast("long").as("band"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("value")), 4).as("avg_v"),
+          round(min(col("value")), 4).as("min_v"),
+          round(max(col("value")), 4).as("max_v"),
+          round(stddev_samp(col("value")), 4).as("std_v"))
+        .orderBy("day", "band")
+    },
+
+    // A8: dataset list with counts and extents (SolrProxy facets :62-135)
+    "a8_dataset_list" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          unix_micros(min(col("ts"))).as("min_ts_us"),
+          unix_micros(max(col("ts"))).as("max_ts_us"))
+        .orderBy("event_type")
+    },
+
+    // A9: distinct days in range (SolrProxy.pyx:155-184)
+    "a9_distinct_days" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .distinct()
+        .orderBy("day")
+    },
+
+    // A10: distinct bounds (SolrProxy.pyx:283-320)
+    "a10_distinct_bounds" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A13/A14: per-group linear regression + correlation map
+    // (LongitudeLatitudeMap.regression_on_tiles, TimeSeriesSpark.py:337-355)
+    "a14_regression_map" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("r"),
+          round(avg(col("l_extendedprice")), 4).as("avg_p"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("std_p"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    // F-battery (SURVEY §2.6 F1-F4, F8, F11): unit conversions, wind
+    // U/V round-trip, longitude wrap, haversine, deterministic id — all
+    // codegen'd Column expressions, no UDFs.
+    "f_scalar_battery" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val dirDeg = (col("user_id") * 37 % 360).cast("double")
+      val lon360 = when(col("value") >= 360, col("value") - 360).otherwise(col("value"))
+      val u = windU(col("value"), dirDeg)
+      val v = windV(col("value"), dirDeg)
+      e.select(
+          col("event_id"),
+          round(kelvinToCelsius(col("value")), 4).as("celsius"),
+          round(lonTo180(lon360), 4).as("lon180"),
+          round(u, 4).as("wind_u"),
+          round(v, 4).as("wind_v"),
+          round(uvToSpeed(u, v), 4).as("speed_rt"),
+          round(uvToDirDeg(u, v), 4).as("dir_rt"),
+          round(haversineKm((col("user_id") - 75).cast("double"), lonTo180(lon360),
+            lit(0.0), lit(0.0)), 4).as("hav_km"),
+          md5(concat_ws("|", col("event_id"), col("user_id"))).as("tid"))
+        .orderBy("event_id")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "a1_daily_stats" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, count(*) AS cnt,
+        |       round(min(l_quantity), 4) AS min_q, round(max(l_quantity), 4) AS max_q,
+        |       round(stddev_samp(l_quantity), 4) AS std_q,
+        |       round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice), 4) AS wmean_q
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a2_time_avg_map" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_q,
+        |       count(l_quantity) AS cnt,
+        |       round(sum(l_quantity) / count(l_quantity), 4) AS avg_q
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a3_clim_map" ->
+      """SELECT l_returnflag, year(l_shipdate) AS yr, round(sum(l_quantity), 4) AS sum_q,
+        |       count(*) AS cnt, round(avg(l_quantity), 4) AS avg_q
+        |FROM lineitem WHERE month(l_shipdate) = 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a4_corr_map" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS r,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a5_anomaly_daily" ->
+      """WITH clim AS (SELECT event_type, avg(value) AS clim_mean FROM events GROUP BY 1)
+        |SELECT strftime(e.ts, '%Y-%m-%d') AS day, e.event_type,
+        |       round(avg(e.value - c.clim_mean), 4) AS mean_diff,
+        |       round(stddev_samp(e.value - c.clim_mean), 4) AS std_diff,
+        |       count(*) AS cnt
+        |FROM events e JOIN clim c ON e.event_type = c.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a6_hovmoller" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, user_id // 10 AS band,
+        |       count(*) AS cnt, round(avg(value), 4) AS avg_v,
+        |       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+        |       round(stddev_samp(value), 4) AS std_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a8_dataset_list" ->
+      """SELECT event_type, count(*) AS cnt, epoch_us(min(ts)) AS min_ts_us,
+        |       epoch_us(max(ts)) AS max_ts_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a9_distinct_days" ->
+      """SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events ORDER BY 1""".stripMargin,
+
+    "a10_distinct_bounds" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "a14_regression_map" ->
+      """SELECT l_returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |       round(corr(l_extendedprice, l_quantity), 6) AS r,
+        |       round(avg(l_extendedprice), 4) AS avg_p,
+        |       round(stddev_samp(l_extendedprice), 4) AS std_p,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f_scalar_battery" ->
+      """SELECT event_id,
+        |       round(value - 273.15, 4) AS celsius,
+        |       round(CASE WHEN l360 > 180 THEN l360 - 360 ELSE l360 END, 4) AS lon180,
+        |       round(u, 4) AS wind_u, round(v, 4) AS wind_v,
+        |       round(sqrt(u*u + v*v), 4) AS speed_rt,
+        |       round(degrees(atan2(u, v)), 4) AS dir_rt,
+        |       round(2 * 6371.0 * asin(sqrt(
+        |         pow(sin(radians(0 - (user_id - 75)) / 2), 2) +
+        |         cos(radians(user_id - 75)) * cos(radians(0)) *
+        |         pow(sin(radians(0 - (CASE WHEN l360 > 180 THEN l360 - 360 ELSE l360 END)) / 2), 2)
+        |       )), 4) AS hav_km,
+        |       md5(concat_ws('|', event_id, user_id)) AS tid
+        |FROM (
+        |  SELECT *,
+        |         CASE WHEN value >= 360 THEN value - 360 ELSE value END AS l360,
+        |         value * cos(radians(90 - (user_id * 37 % 360))) AS u,
+        |         value * sin(radians(90 - (user_id * 37 % 360))) AS v
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin
+  )
+}

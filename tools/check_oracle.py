@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py [sf_dir] [verify_out_dir]
+
+Loads each SparkEntry query result (parquet written by graft.Verify),
+runs the matching oracle SQL in DuckDB over the same testdata tables,
+sorts columns by name, and compares row-by-row. Reports exact equality
+and (for floats) max abs diff so near-misses are visible.
+"""
+import duckdb, sys, json, glob, os
+import numpy as np
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        n_fail += 1
+        continue
+    sdf = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    try:
+        ddf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        n_fail += 1
+        continue
+    sdf = sdf[sorted(sdf.columns)]
+    ddf = ddf[sorted(ddf.columns)]
+    if list(sdf.columns) != list(ddf.columns):
+        print(f"FAIL {name}: cols {list(sdf.columns)} vs {list(ddf.columns)}")
+        n_fail += 1
+        continue
+    if len(sdf) != len(ddf):
+        print(f"FAIL {name}: rows {len(sdf)} vs {len(ddf)}")
+        n_fail += 1
+        continue
+    bad = []
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            av = a.astype(float).values
+            bv = b.astype(float).values
+            nan_ok = (np.isnan(av) == np.isnan(bv)).all()
+            m = np.nanmax(np.abs(av - bv)) if len(av) else 0.0
+            if not nan_ok or not (m == 0.0 or m < 1e-12):
+                bad.append((c, f"maxdiff={m} nan_ok={nan_ok}"))
+        else:
+            eq = a.astype(str).values == b.astype(str).values
+            if not eq.all():
+                i = int(np.argmin(eq))
+                bad.append((c, f"row {i}: {a.iloc[i]!r} vs {b.iloc[i]!r}"))
+    if bad:
+        print(f"FAIL {name}: " + "; ".join(f"{c} {m}" for c, m in bad))
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(sdf)} rows)")
+        n_pass += 1
+
+missing = [q for q in oracle if not os.path.isdir(f"{out}/{q}")]
+print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} oracles")
+sys.exit(1 if n_fail else 0)
