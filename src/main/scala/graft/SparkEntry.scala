@@ -14,7 +14,9 @@ object SparkEntry {
   /** Query modules, each covering one SURVEY §2 area. */
   private val modules: Seq[QueryModule] = Seq(
     IndexQueries,
-    AggQueries
+    AggQueries,
+    JoinQueries,
+    SeriesQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

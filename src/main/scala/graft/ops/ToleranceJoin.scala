@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tolerance (distance) join — the reference's satellite↔in-situ
+  * matchup (SURVEY J1, algorithms_spark/Matchup.py:429-592).
+  *
+  * The reference builds a KD-tree per partition and pads each
+  * partition's spatio-temporal envelope by the tolerance so border
+  * matches aren't lost (Matchup.py:523-542). The Spark-native
+  * equivalent: band the most selective join dimension into
+  * tolerance-sized buckets, explode ONE side into its bucket and both
+  * neighbors (the padding), equi-join on the bucket id — a plain
+  * shuffle-hash/sort-merge join Catalyst can plan and AQE can rebalance
+  * — then apply the exact tolerance predicates. Every candidate pair
+  * appears in exactly one bucket of the non-exploded side, so no dedup
+  * is needed.
+  *
+  * At 100 TB: the bucket id is a uniform shuffle key (time bands), so
+  * this scales as an ordinary equi-join; skewed bands fall to AQE skew
+  * splitting. Explosion factor is a constant 3.
+  */
+object ToleranceJoin {
+
+  /** Equi-join `left` and `right` on tolerance bands of a numeric key.
+    *
+    * @param leftKey  band key expression in `left` (e.g. epoch micros)
+    * @param rightKey band key expression in `right`
+    * @param tol      band width = maximum |leftKey - rightKey| allowed
+    * @param exact    exact predicate evaluated after the band join
+    *                 (must imply |leftKey-rightKey| <= tol)
+    */
+  def bandJoin(left: DataFrame, right: DataFrame,
+               leftKey: Column, rightKey: Column, tol: Long,
+               exact: Column): DataFrame = {
+    val lBanded = left.withColumn("__band",
+      explode(array(Seq(-1, 0, 1).map(i => (leftKey / tol).cast("long") + i): _*)))
+    val rBanded = right.withColumn("__band", (rightKey / tol).cast("long"))
+    lBanded.join(rBanded, "__band").where(exact).drop("__band")
+  }
+
+  /** Match-once (SURVEY J2, Matchup.py:456-473): keep, per primary key,
+    * the single match minimizing `dist` (ties broken by `tieBreak` asc).
+    */
+  def matchOnce(pairs: DataFrame, primaryKey: Column, dist: Column,
+                tieBreak: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(primaryKey).orderBy(dist.asc, tieBreak.asc)
+    pairs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{AsofJoin, ToleranceJoin}
+
+/** Join operators re-expressed over the driver testdata (SURVEY §2.3).
+  * J1–J3: the matchup family (tolerance join → match-once / match-all);
+  * J4: as-of join; J5/J6: two-dataset time alignment.
+  */
+object JoinQueries extends QueryModule {
+
+  private val TtMicros = 7200000000L // 2h time tolerance
+  private val Vtol = 5.0             // value tolerance
+
+  /** Primary side of the matchup: purchase events. */
+  private def primary(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("pts"), col("value").as("pv"))
+
+  /** Secondary side: error events. */
+  private def secondary(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).where(col("event_type") === "error")
+      .select(col("event_id").as("eid"), unix_micros(col("ts")).as("ets"),
+        col("value").as("ev"))
+
+  /** J1 pairs: |Δt| ≤ 2h AND |Δvalue| ≤ 5, banded on time. */
+  private def matchPairs(s: SparkSession, dir: String): DataFrame =
+    ToleranceJoin.bandJoin(
+      primary(s, dir), secondary(s, dir),
+      col("pts"), col("ets"), TtMicros,
+      abs(col("pts") - col("ets")) <= TtMicros && abs(col("pv") - col("ev")) <= Vtol)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1: spatio-temporal tolerance matchup join (Matchup.py:429-592)
+    "j1_tolerance_join" -> { (s, dir) =>
+      matchPairs(s, dir)
+        .select(col("pid"), col("eid"),
+          round(abs(col("pv") - col("ev")), 4).as("dv"),
+          abs(col("pts") - col("ets")).as("dt_us"))
+        .orderBy("pid", "eid")
+    },
+
+    // J2: match-once — nearest match per primary (Matchup.py:456-473)
+    "j2_match_once" -> { (s, dir) =>
+      ToleranceJoin.matchOnce(matchPairs(s, dir), col("pid"),
+          abs(col("pv") - col("ev")), col("eid"))
+        .select(col("pid"), col("eid"), round(abs(col("pv") - col("ev")), 4).as("dv"))
+        .orderBy("pid")
+    },
+
+    // J3: match-all — grouped matches per primary (Matchup.py:474-478);
+    // scalar summaries instead of collect_list so the oracle hash is
+    // order-insensitive.
+    "j3_match_all" -> { (s, dir) =>
+      matchPairs(s, dir)
+        .groupBy(col("pid"))
+        .agg(count(lit(1)).as("n_matches"), min(col("eid")).as("min_eid"),
+          max(col("eid")).as("max_eid"), round(avg(col("ev")), 4).as("avg_ev"))
+        .orderBy("pid")
+    },
+
+    // J4: as-of join — latest click at-or-before each purchase, per user
+    // (DailyDifferenceAverageSpark.py:295-374 semantics)
+    "j4_asof_join" -> { (s, dir) =>
+      val p = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts"))
+      val c = Tables.events(s, dir).where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("ceid"))
+      AsofJoin.lastEarlier(p, c, Seq("user_id"),
+          col("ts"), col("cts"), Seq("cts"), rightTie = "ceid")
+        .where(col("matched_cts").isNotNull)
+        .select(col("pid"), col("user_id"), unix_micros(col("ts")).as("pts_us"),
+          unix_micros(col("matched_cts")).as("click_ts_us"))
+        .orderBy("pid")
+    },
+
+    // J5 + A13: two-dataset time alignment + comparison stats
+    // (CorrMapSpark.py:94-145; TimeSeriesSpark.py:337-355): daily mean
+    // series of two event types, inner-joined on day, then slope/
+    // intercept/r of the paired series.
+    "j5_series_comparison" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val x = e.where(col("event_type") === "click")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(avg(col("value")).as("x"))
+      val y = e.where(col("event_type") === "purchase")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(avg(col("value")).as("y"))
+      x.join(y, "day")
+        .agg(round(regr_slope(col("y"), col("x")), 6).as("slope"),
+          round(regr_intercept(col("y"), col("x")), 6).as("icept"),
+          round(corr(col("y"), col("x")), 6).as("r"),
+          count(lit(1)).as("n"))
+    },
+
+    // J6: dates where both datasets have data (CorrelationMap.py:97-117)
+    "j6_both_present" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(when(col("event_type") === "click", 1)).as("cnt_click"),
+          count(when(col("event_type") === "purchase", 1)).as("cnt_purchase"))
+        .where(col("cnt_click") > 0 && col("cnt_purchase") > 0)
+        .orderBy("day")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "j1_tolerance_join" ->
+      """WITH p AS (SELECT event_id pid, epoch_us(ts) pts, value pv FROM events
+        |           WHERE event_type = 'purchase'),
+        |     e AS (SELECT event_id eid, epoch_us(ts) ets, value ev FROM events
+        |           WHERE event_type = 'error')
+        |SELECT pid, eid, round(abs(pv - ev), 4) AS dv, abs(pts - ets) AS dt_us
+        |FROM p JOIN e ON abs(pts - ets) <= 7200000000 AND abs(pv - ev) <= 5.0
+        |ORDER BY pid, eid""".stripMargin,
+
+    "j2_match_once" ->
+      """WITH p AS (SELECT event_id pid, epoch_us(ts) pts, value pv FROM events
+        |           WHERE event_type = 'purchase'),
+        |     e AS (SELECT event_id eid, epoch_us(ts) ets, value ev FROM events
+        |           WHERE event_type = 'error'),
+        |     pairs AS (SELECT pid, eid, abs(pv - ev) AS dv
+        |               FROM p JOIN e ON abs(pts - ets) <= 7200000000
+        |                            AND abs(pv - ev) <= 5.0)
+        |SELECT pid, eid, round(dv, 4) AS dv
+        |FROM (SELECT *, row_number() OVER (PARTITION BY pid
+        |        ORDER BY dv ASC, eid ASC) rn FROM pairs)
+        |WHERE rn = 1 ORDER BY pid""".stripMargin,
+
+    "j3_match_all" ->
+      """WITH p AS (SELECT event_id pid, epoch_us(ts) pts, value pv FROM events
+        |           WHERE event_type = 'purchase'),
+        |     e AS (SELECT event_id eid, epoch_us(ts) ets, value ev FROM events
+        |           WHERE event_type = 'error')
+        |SELECT pid, count(*) AS n_matches, min(eid) AS min_eid,
+        |       max(eid) AS max_eid, round(avg(ev), 4) AS avg_ev
+        |FROM p JOIN e ON abs(pts - ets) <= 7200000000 AND abs(pv - ev) <= 5.0
+        |GROUP BY pid ORDER BY pid""".stripMargin,
+
+    "j4_asof_join" ->
+      """WITH p AS (SELECT event_id pid, user_id, epoch_us(ts) pts_us, ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts cts FROM events WHERE event_type = 'click')
+        |SELECT pid, user_id, pts_us, epoch_us(max(cts)) AS click_ts_us
+        |FROM p JOIN c USING (user_id)
+        |WHERE c.cts <= p.ts
+        |GROUP BY pid, user_id, pts_us
+        |ORDER BY pid""".stripMargin,
+
+    "j5_series_comparison" ->
+      """WITH x AS (SELECT strftime(ts, '%Y-%m-%d') AS day, avg(value) x FROM events
+        |           WHERE event_type = 'click' GROUP BY 1),
+        |     y AS (SELECT strftime(ts, '%Y-%m-%d') AS day, avg(value) y FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT round(regr_slope(y, x), 6) AS slope,
+        |       round(regr_intercept(y, x), 6) AS icept,
+        |       round(corr(y, x), 6) AS r, count(*) AS n
+        |FROM x JOIN y USING (day)""".stripMargin,
+
+    "j6_both_present" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS cnt_click,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS cnt_purchase
+        |FROM events GROUP BY 1
+        |HAVING cnt_click > 0 AND cnt_purchase > 0
+        |ORDER BY day""".stripMargin
+  )
+}

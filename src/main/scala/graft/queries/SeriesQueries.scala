@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Series/window operators and composite aggregation patterns
+  * (SURVEY §2.5 W3/W6/W9, U1/U2; §2.4 A11/A12/A16; §2.7 streaming
+  * window semantics in batch form).
+  */
+object SeriesQueries extends QueryModule {
+
+  private def dailyByType(s: SparkSession, dir: String, typ: String): DataFrame =
+    Tables.events(s, dir).where(col("event_type") === typ)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(avg(col("value")), 4).as("avg_v"), count(lit(1)).as("cnt"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W3: global sort of an aggregated series by a measure
+    // (TimeSeriesSpark.py:488 sortByKey)
+    "w3_global_sort" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(round(avg(col("value")), 4).as("avg_v"))
+        .orderBy(col("avg_v").desc, col("day"))
+    },
+
+    // W6: seasonal-cycle removal by group de-meaning
+    // (Filtering.applySeasonalCycleFilter1d, Filtering.py:40-51):
+    // subtract the (event_type, hour-of-day) mean from each value.
+    "w6_seasonal_demean" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"), hour(col("ts")))
+      // +1e-9 nudges values off exact .00005 rounding boundaries, where
+      // the engines' different summation orders would otherwise round in
+      // opposite directions (same shift is applied in the oracle SQL).
+      Tables.events(s, dir)
+        .withColumn("deseason", col("value") - avg(col("value")).over(w))
+        .select(col("event_id"), round(col("deseason") + lit(1e-9), 4).as("deseason"))
+        .orderBy("event_id")
+    },
+
+    // W9/A15: merge per-dataset series into time-keyed rows
+    // (NexusHandler._mergeDataSeries:215-244) — a day × event_type pivot.
+    "w9_pivot_series" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(
+          round(avg(when(col("event_type") === "click", col("value"))), 4).as("click_avg"),
+          round(avg(when(col("event_type") === "view", col("value"))), 4).as("view_avg"),
+          round(avg(when(col("event_type") === "purchase", col("value"))), 4).as("purchase_avg"),
+          round(avg(when(col("event_type") === "signup", col("value"))), 4).as("signup_avg"),
+          round(avg(when(col("event_type") === "error", col("value"))), 4).as("error_avg"))
+        .orderBy("day")
+    },
+
+    // U1: union of per-dataset result series (TimeSeriesSpark.py:166-233)
+    "u1_union_series" -> { (s, dir) =>
+      dailyByType(s, dir, "click").withColumn("series", lit("click"))
+        .unionByName(dailyByType(s, dir, "purchase").withColumn("series", lit("purchase")))
+        .orderBy("series", "day")
+    },
+
+    // A11: two-level weighted average — weighted mean of group means
+    // (TimeSeriesSpark.calculate_monthly_average:261-326)
+    "a11_two_level_weighted" -> { (s, dir) =>
+      val perOrder = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(avg(col("l_quantity")).as("m"), count(lit(1)).as("c"))
+      perOrder.join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(round(sum(col("m") * col("c")) / sum(col("c")), 4).as("wavg"),
+          sum(col("c")).as("n"))
+        .orderBy("yr", "mo")
+    },
+
+    // A12/U2: aggregate pushdown — inner rows answered from summaries,
+    // border rows recomputed, combined (TimeSeriesSolr.py:284-327,
+    // TimeSeries.py:311-334). The union of disjoint partials must equal
+    // the direct aggregate (which is what the oracle computes).
+    "a12_agg_pushdown" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val inner = li.where(col("l_shipdate") < cutoff)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("c"))
+      val border = li.where(col("l_shipdate") >= cutoff)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("c"))
+      inner.unionByName(border)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("s")), 4).as("sum_q"), sum(col("c")).as("cnt"),
+          round(sum(col("s")) / sum(col("c")), 4).as("mean_q"))
+        .orderBy("l_returnflag")
+    },
+
+    // A16: approximate value at a point — row nearest to a probe
+    // coordinate per key (nexusmodel.get_approximate_value_for_lat_lon
+    // :223-250)
+    "a16_nearest_value" -> { (s, dir) =>
+      val probe = lit(1705320000000000L) // 2024-01-15 12:00 UTC in µs
+      val e = Tables.events(s, dir)
+        .withColumn("d_us", abs(unix_micros(col("ts")) - probe))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d_us").asc, col("event_id").asc)
+      e.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), round(col("value"), 4).as("value_r"),
+          col("d_us"))
+        .orderBy("user_id")
+    },
+
+    // §2.7: tumbling-window aggregation — the batch shape of the
+    // Structured Streaming ingest pipeline's windowed stats.
+    "st_window_1h" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 4).as("avg_v"))
+        .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+          col("cnt"), col("avg_v"))
+        .orderBy("w_start_us", "event_type")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "w3_global_sort" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value), 4) AS avg_v
+        |FROM events GROUP BY 1 ORDER BY avg_v DESC, day""".stripMargin,
+
+    "w6_seasonal_demean" ->
+      """SELECT event_id,
+        |       round(value - avg(value) OVER (PARTITION BY event_type, hour(ts))
+        |             + 1e-9, 4) AS deseason
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "w9_pivot_series" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS click_avg,
+        |       round(avg(CASE WHEN event_type = 'view' THEN value END), 4) AS view_avg,
+        |       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase_avg,
+        |       round(avg(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup_avg,
+        |       round(avg(CASE WHEN event_type = 'error' THEN value END), 4) AS error_avg
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "u1_union_series" ->
+      """SELECT day, avg_v, cnt, series FROM (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value), 4) avg_v,
+        |         count(*) cnt, 'click' series
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |  UNION ALL
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value), 4) avg_v,
+        |         count(*) cnt, 'purchase' series
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |ORDER BY series, day""".stripMargin,
+
+    "a11_two_level_weighted" ->
+      """WITH per_o AS (SELECT l_orderkey, avg(l_quantity) m, count(*) c
+        |               FROM lineitem GROUP BY 1)
+        |SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |       round(sum(m * c) / sum(c), 4) AS wavg, CAST(sum(c) AS BIGINT) AS n
+        |FROM per_o JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a12_agg_pushdown" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_q, count(*) AS cnt,
+        |       round(sum(l_quantity) / count(*), 4) AS mean_q
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a16_nearest_value" ->
+      """SELECT user_id, event_id, round(value, 4) AS value_r, d_us
+        |FROM (SELECT *, abs(epoch_us(ts) - 1705320000000000) AS d_us,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY abs(epoch_us(ts) - 1705320000000000) ASC,
+        |                        event_id ASC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "st_window_1h" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start_us,
+        |       event_type, count(*) AS cnt, round(avg(value), 4) AS avg_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
