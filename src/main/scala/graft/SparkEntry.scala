@@ -16,7 +16,9 @@ object SparkEntry {
     IndexQueries,
     AggQueries,
     JoinQueries,
-    SeriesQueries
+    SeriesQueries,
+    TextQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

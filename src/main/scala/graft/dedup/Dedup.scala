@@ -1,0 +1,135 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact
+  * (fingerprint group-by), MinHash+LSH near-dup, SimHash, and n-gram
+  * Jaccard verification.
+  *
+  * Everything is hash-partitioned group-bys and equi-joins — no
+  * all-pairs comparison ever materializes, so the pipeline scales to
+  * 100 TB: candidate generation is an equi-join on (band index, band
+  * hash), and exact Jaccard runs only on the candidate pairs.
+  *
+  * The MinHash here uses salted-md5 minima: h_i(doc) =
+  * min over shingles s of md5(salt_i ‖ s). Lexicographic min of a
+  * cryptographic hex digest is a uniform permutation min, so the
+  * classic MinHash estimator applies unchanged — and, unlike
+  * seeded-integer hashes, any engine reproduces it exactly.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per fingerprint with the surviving (minimum)
+    * id and the duplicate count. Single hash aggregation.
+    */
+  def exactGroups(df: DataFrame, id: Column, fingerprint: Column): DataFrame =
+    df.groupBy(fingerprint.as("fp"))
+      .agg(min(id).as("keeper"), count(lit(1)).as("cnt"))
+
+  /** MinHash signature columns h0..h{k-1} over an exploded
+    * (id, shingle) relation (one row per *distinct* shingle).
+    */
+  def minhashSignature(shingled: DataFrame, id: Column, shingle: Column,
+                       k: Int): DataFrame = {
+    val hs = (0 until k).map(i => min(md5(concat(lit(s"s$i"), shingle))).as(s"h$i"))
+    shingled.groupBy(id.as("__id")).agg(hs.head, hs.tail: _*)
+  }
+
+  /** LSH banding: pair consecutive signature hashes into band keys,
+    * explode to (id, band index, band hash).
+    */
+  def lshBands(sig: DataFrame, k: Int): DataFrame = {
+    val bands = (0 until k / 2).map(b =>
+      struct(lit(b).as("bidx"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bhash")))
+    sig.select(col("__id"), explode(array(bands: _*)).as("band"))
+      .select(col("__id"), col("band.bidx").as("bidx"), col("band.bhash").as("bhash"))
+  }
+
+  /** Candidate pairs (i < j) sharing at least one LSH band — a plain
+    * self-equi-join on (bidx, bhash), deduplicated.
+    */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("bidx"), col("bhash"), col("__id").as("i"))
+    val b = bands.select(col("bidx"), col("bhash"), col("__id").as("j"))
+    a.join(b, Seq("bidx", "bhash")).where(col("i") < col("j"))
+      .select("i", "j").distinct()
+  }
+
+  /** Exact Jaccard over distinct-shingle relations for given candidate
+    * pairs: |A∩B| via equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def jaccardOnCandidates(cands: DataFrame, shingled: DataFrame,
+                          id: Column, shingle: Column): DataFrame = {
+    val tok = shingled.select(id.as("__id"), shingle.as("__sh"))
+    val sizes = tok.groupBy("__id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(tok.select(col("__id").as("i"), col("__sh")), "i")
+      .join(tok.select(col("__id").as("j"), col("__sh").as("__sh2")), "j")
+      .where(col("__sh") === col("__sh2"))
+      .groupBy("i", "j").agg(count(lit(1)).as("m"))
+    inter
+      .join(sizes.select(col("__id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("__id").as("j"), col("n").as("nj")), "j")
+      .withColumn("jaccard",
+        col("m").cast("double") / (col("ni") + col("nj") - col("m")).cast("double"))
+      .select("i", "j", "m", "jaccard")
+  }
+
+  /** LSH cluster assignment — the scale path for mega-clusters, where
+    * pair enumeration is inherently O(cluster²): each id is labeled
+    * with the minimum id found in any of its LSH buckets (one step of
+    * min-label propagation). Pure groupBy + join; no pair blowup. Docs
+    * sharing a band land in the same cluster; `keeper == id` marks the
+    * cluster representative to keep.
+    */
+  def lshClusterAssign(bands: DataFrame): DataFrame = {
+    val bucketMin = bands.groupBy("bidx", "bhash").agg(min(col("__id")).as("bmin"))
+    bands.join(bucketMin, Seq("bidx", "bhash"))
+      .groupBy(col("__id"))
+      .agg(min(col("bmin")).as("cluster"))
+  }
+
+  /** All-pairs n-gram Jaccard via inverted index: self-equi-join the
+    * (id, shingle) relation on shingle — pairs sharing no shingle never
+    * materialize. The scalable alternative to a cross join when
+    * shingles are selective; with heavy-hitter shingles, use
+    * lshCandidates instead.
+    */
+  def jaccardPairsByIndex(shingled: DataFrame, id: Column, shingle: Column,
+                          minJaccard: Double): DataFrame = {
+    val tok = shingled.select(id.as("__id"), shingle.as("__sh")).distinct()
+    val sizes = tok.groupBy("__id").agg(count(lit(1)).as("n"))
+    val inter = tok.select(col("__id").as("i"), col("__sh"))
+      .join(tok.select(col("__id").as("j"), col("__sh")), Seq("__sh"))
+      .where(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("m"))
+    inter
+      .join(sizes.select(col("__id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("__id").as("j"), col("n").as("nj")), "j")
+      .withColumn("jaccard",
+        col("m").cast("double") / (col("ni") + col("nj") - col("m")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("i", "j", "m", "jaccard")
+  }
+
+  /** 16-bit SimHash over a (id, token) relation. Bit b of a token's
+    * hash is the high bit of hex digit b of md5(token); the SimHash bit
+    * is the sign of the (count-weighted) sum. Returned as a 16-char
+    * '0'/'1' string, assembled in bit order.
+    */
+  def simhash16(tokenRows: DataFrame, id: Column, token: Column): DataFrame = {
+    val bitRows = tokenRows
+      .select(id.as("__id"), md5(token).as("__h"))
+      .select(col("__id"), explode(sequence(lit(0), lit(15))).as("b"), col("__h"))
+      .withColumn("w",
+        when(expr("instr('89abcdef', substr(__h, b + 1, 1))") > 0, 1).otherwise(-1))
+    bitRows.groupBy("__id", "b")
+      .agg(sum(col("w")).as("s"))
+      .withColumn("bit", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+      .groupBy("__id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("b"), col("bit")))),
+        x => x.getField("bit")), "").as("simhash"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sim.Similarity
+
+/** Vector-similarity search over the `embeddings` table: brute-force
+  * cosine top-k (exact baseline), hyperplane-LSH bucketed ANN (scale
+  * path), and LSH-candidate near-duplicate pairs. The oracle replicates
+  * the identical double-precision math, including the deterministic
+  * sin-based hyperplanes, so bucket assignments match across engines.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val ProbeIds = Seq(0L, 1L, 2L)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  private def probes(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).where(col("vec_id").isin(ProbeIds: _*))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 for 3 probe vectors
+    "e_cosine_topk" -> { (s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), probes(s, dir),
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
+    // LSH-bucketed ANN top-3 (4 hyperplanes → 16 buckets)
+    "e_ann_lsh" -> { (s, dir) =>
+      Similarity.annTopK(emb(s, dir), probes(s, dir),
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+          nPlanes = 4, k = 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
+          round(col("sim"), 6).as("sim"), col("bucket"))
+        .orderBy("qid", "rank")
+    },
+
+    // Embedding near-dup pairs: LSH candidates (same bucket), exact
+    // cosine ≥ 0.45
+    "e_near_dup" -> { (s, dir) =>
+      val withSig = emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          Similarity.lshSignature(col("embedding"), 4).as("bucket"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val a = withSig.select(col("bucket"), col("vec_id").as("i"),
+        col("v").as("vi"), col("nrm").as("ni"))
+      val b = withSig.select(col("bucket"), col("vec_id").as("j"),
+        col("v").as("vj"), col("nrm").as("nj"))
+      a.join(b, "bucket").where(col("i") < col("j"))
+        .withColumn("sim",
+          Similarity.dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
+        .where(col("sim") >= 0.45)
+        .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
+        .orderBy("i", "j")
+    }
+  )
+
+  /** Shared oracle CTE: embeddings as doubles + LSH bucket signature
+    * (4 sin-hyperplanes, identical math to Similarity.lshSignature).
+    */
+  private def sigCte: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |sig AS (SELECT vec_id, v,
+      |  concat(
+      |   CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*sin((0*97+(i-1))*0.1))) > 0 THEN '1' ELSE '0' END,
+      |   CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*sin((1*97+(i-1))*0.1))) > 0 THEN '1' ELSE '0' END,
+      |   CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*sin((2*97+(i-1))*0.1))) > 0 THEN '1' ELSE '0' END,
+      |   CASE WHEN list_sum(list_transform(range(1,65), i -> v[i]*sin((3*97+(i-1))*0.1))) > 0 THEN '1' ELSE '0' END
+      |  ) bucket FROM e)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "e_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id IN (0, 1, 2)),
+        |s AS (SELECT q.qid, e.vec_id cid,
+        |   list_sum(list_transform(range(1,65), i -> e.v[i]*q.qv[i])) /
+        |   (sqrt(list_sum(list_transform(range(1,65), i -> e.v[i]*e.v[i]))) *
+        |    sqrt(list_sum(list_transform(range(1,65), i -> q.qv[i]*q.qv[i])))) sim
+        | FROM e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, cid ASC) AS rank FROM s)
+        |SELECT qid, rank, cid, round(sim, 6) AS sim FROM r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "e_ann_lsh" ->
+      s"""WITH $sigCte,
+        |q AS (SELECT vec_id qid, v qv, bucket FROM sig WHERE vec_id IN (0, 1, 2)),
+        |s AS (SELECT q.qid, c.vec_id cid, c.bucket,
+        |   list_sum(list_transform(range(1,65), i -> c.v[i]*q.qv[i])) /
+        |   (sqrt(list_sum(list_transform(range(1,65), i -> c.v[i]*c.v[i]))) *
+        |    sqrt(list_sum(list_transform(range(1,65), i -> q.qv[i]*q.qv[i])))) sim
+        | FROM sig c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, cid ASC) AS rank FROM s)
+        |SELECT qid, rank, cid, round(sim, 6) AS sim, bucket FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "e_near_dup" ->
+      s"""WITH $sigCte,
+        |p AS (SELECT a.vec_id i, b.vec_id j,
+        |   list_sum(list_transform(range(1,65), i2 -> a.v[i2]*b.v[i2])) /
+        |   (sqrt(list_sum(list_transform(range(1,65), i2 -> a.v[i2]*a.v[i2]))) *
+        |    sqrt(list_sum(list_transform(range(1,65), i2 -> b.v[i2]*b.v[i2])))) sim
+        | FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT i, j, round(sim, 6) AS sim FROM p
+        |WHERE sim >= 0.45 ORDER BY i, j""".stripMargin
+  )
+}

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextFunctions._
+
+/** Text-analysis and deduplication operators over the `documents`
+  * table — the training-data-pipeline extension set (builder brief):
+  * token/quality/lang-id/fingerprint analysis, exact dedup, MinHash+LSH
+  * near-dup, SimHash, and n-gram Jaccard. Every oracle replicates the
+  * *same* algorithm (salted-md5 MinHash etc.), so candidate sets match
+  * across engines exactly.
+  */
+object TextQueries extends QueryModule {
+
+  private val Stops = Seq("the", "a")
+
+  /** Distinct (doc_id, word) relation — the shingle unit for word-set
+    * MinHash and Jaccard.
+    */
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + vocabulary stats
+    "t_token_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+          round(avgWordLen(col("text")), 4).as("avg_word_len"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: stopword ratio, type-token ratio, length score
+    "t_quality_score" -> { (s, dir) =>
+      val lenScore = least(col("n_chars").cast("double") / 400.0, lit(1.0))
+      val eps = lit(1e-9) // off the .00005 round-tie boundary (see w6)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(stopwordRatio(col("text"), Stops) + eps, 4).as("stop_ratio"),
+          round(typeTokenRatio(col("text")) + eps, 4).as("ttr"),
+          round(lenScore + eps, 4).as("len_score"),
+          round((stopwordRatio(col("text"), Stops) + typeTokenRatio(col("text"))
+            + lenScore) / 3.0 + eps, 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: marker-token counts → rule-based label
+    "t_lang_id" -> { (s, dir) =>
+      val toks = tokens(col("text"))
+      val cntThe = size(filter(toks, w => w === "the"))
+      val cntA = size(filter(toks, w => w === "a"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), cntThe.cast("long").as("cnt_the"),
+          cntA.cast("long").as("cnt_a"),
+          when(cntThe >= 3, "en-high")
+            .when(cntThe >= 1, "en")
+            .when(cntA >= 1, "en-weak")
+            .otherwise("und").as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup on the word-set fingerprint (reordered duplicates
+    // collapse); groups with cnt>1 are the duplicate clusters.
+    "d_exact_dedup" -> { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"),
+          wordSetFingerprint(col("text")))
+        .orderBy("fp")
+    },
+
+    // MinHash(k=8, salted-md5) + LSH(4 bands of 2) near-dup
+    // *clustering*: this corpus contains a mega-cluster (~60% of docs
+    // share a near-identical word set), so pair enumeration is
+    // inherently O(cluster²); the scalable output is a cluster label
+    // per doc (min-id over its LSH buckets), not the pair list.
+    "d_minhash_lsh" -> { (s, dir) =>
+      val words = docWords(s, dir)
+      val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
+      Dedup.lshClusterAssign(Dedup.lshBands(sig, k = 8))
+        .select(col("__id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    },
+
+    // MinHash-LSH candidate pairs + exact Jaccard ≥ 0.95 verification,
+    // on a bounded slice (doc_id < 300) — the pair-level near-dup
+    // pipeline, bounded because the full corpus' mega-cluster makes
+    // the pair list itself quadratic (see d_minhash_lsh).
+    "d_minhash_pairs" -> { (s, dir) =>
+      val words = docWords(s, dir).where(col("doc_id") < 300)
+      val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
+      val cands = Dedup.lshCandidates(Dedup.lshBands(sig, k = 8))
+      Dedup.jaccardOnCandidates(cands, words, col("doc_id"), col("w"))
+        .where(col("jaccard") >= 0.95)
+        .select(col("i"), col("j"), col("m"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("i", "j")
+    },
+
+    // n-gram (3-word shingle) Jaccard via inverted index, doc_id < 80
+    "d_ngram_jaccard" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .where(col("doc_id") < 80 && tokenCount(col("text")) >= 3)
+        .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sh"))
+      Dedup.jaccardPairsByIndex(sh, col("doc_id"), col("sh"), minJaccard = 0.02)
+        .select(col("i"), col("j"), col("m"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("i", "j")
+    },
+
+    // 16-bit SimHash signatures
+    "d_simhash" -> { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      Dedup.simhash16(tok, col("doc_id"), col("w"))
+        .select(col("__id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal plumbing: opaque binary payload + typed metadata —
+    // byte length and content digest over the binary column (the
+    // decode step itself is stubbed; see graft.multimodal).
+    "m_binary_meta" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("digest"),
+          col("source"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "t_token_stats" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |       round((length(text) - (len(string_split(text, ' ')) - 1))
+        |             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('the','a')))
+        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio,
+        |  len(list_distinct(string_split(text,' ')))
+        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS ttr,
+        |  least(n_chars / 400.0, 1.0) AS len_score
+        |  FROM documents)
+        |SELECT doc_id, round(stop_ratio + 1e-9, 4) AS stop_ratio,
+        |       round(ttr + 1e-9, 4) AS ttr,
+        |       round(len_score + 1e-9, 4) AS len_score,
+        |       round((stop_ratio + ttr + len_score) / 3.0 + 1e-9, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), w -> w = 'the')) AS cnt_the,
+        |  len(list_filter(string_split(text,' '), w -> w = 'a')) AS cnt_a
+        |  FROM documents)
+        |SELECT doc_id, cnt_the, cnt_a,
+        |       CASE WHEN cnt_the >= 3 THEN 'en-high'
+        |            WHEN cnt_the >= 1 THEN 'en'
+        |            WHEN cnt_a >= 1 THEN 'en-weak'
+        |            ELSE 'und' END AS lang_guess
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "d_exact_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp,
+        |       min(doc_id) AS keeper, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "d_minhash_lsh" ->
+      """WITH dtok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+        |              FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(md5('s0'||w)) h0, min(md5('s1'||w)) h1, min(md5('s2'||w)) h2,
+        |    min(md5('s3'||w)) h3, min(md5('s4'||w)) h4, min(md5('s5'||w)) h5,
+        |    min(md5('s6'||w)) h6, min(md5('s7'||w)) h7
+        |    FROM dtok GROUP BY doc_id),
+        |bands AS (
+        |    SELECT doc_id, 0 bidx, md5(h0||h1) bhash FROM sig UNION ALL
+        |    SELECT doc_id, 1, md5(h2||h3) FROM sig UNION ALL
+        |    SELECT doc_id, 2, md5(h4||h5) FROM sig UNION ALL
+        |    SELECT doc_id, 3, md5(h6||h7) FROM sig),
+        |bmin AS (SELECT bidx, bhash, min(doc_id) bmin FROM bands GROUP BY 1, 2)
+        |SELECT doc_id, min(bmin) AS cluster
+        |FROM bands JOIN bmin USING (bidx, bhash)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_minhash_pairs" ->
+      """WITH dtok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+        |              FROM documents WHERE doc_id < 300),
+        |sig AS (SELECT doc_id,
+        |    min(md5('s0'||w)) h0, min(md5('s1'||w)) h1, min(md5('s2'||w)) h2,
+        |    min(md5('s3'||w)) h3, min(md5('s4'||w)) h4, min(md5('s5'||w)) h5,
+        |    min(md5('s6'||w)) h6, min(md5('s7'||w)) h7
+        |    FROM dtok GROUP BY doc_id),
+        |bands AS (
+        |    SELECT doc_id, 0 bidx, md5(h0||h1) bhash FROM sig UNION ALL
+        |    SELECT doc_id, 1, md5(h2||h3) FROM sig UNION ALL
+        |    SELECT doc_id, 2, md5(h4||h5) FROM sig UNION ALL
+        |    SELECT doc_id, 3, md5(h6||h7) FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bands a
+        |         JOIN bands b ON a.bidx=b.bidx AND a.bhash=b.bhash
+        |                     AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) n FROM dtok GROUP BY 1),
+        |inter AS (SELECT c.i, c.j, count(*) m FROM cand c
+        |          JOIN dtok x ON x.doc_id = c.i
+        |          JOIN dtok y ON y.doc_id = c.j AND x.w = y.w
+        |          GROUP BY 1, 2)
+        |SELECT i, j, m, round(m / (ni.n + nj.n - m), 4) AS jaccard
+        |FROM inter JOIN sizes ni ON ni.doc_id = i JOIN sizes nj ON nj.doc_id = j
+        |WHERE m / (ni.n + nj.n - m) >= 0.95 ORDER BY i, j""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents
+        |              WHERE doc_id < 80),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(t)-1),
+        |                i -> array_to_string(t[i:i+2], ' '))) s
+        |       FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id i, y.doc_id j, count(*) m FROM sh x
+        |          JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT i, j, m, round(m / (ni.n + nj.n - m), 4) AS jaccard
+        |FROM inter JOIN sizes ni ON ni.doc_id = i JOIN sizes nj ON nj.doc_id = j
+        |WHERE m / (ni.n + nj.n - m) >= 0.02 ORDER BY i, j""".stripMargin,
+
+    "d_simhash" ->
+      """WITH tok AS (SELECT doc_id, md5(unnest(string_split(text,' '))) h
+        |             FROM documents),
+        |bits AS (SELECT doc_id, b,
+        |           CASE WHEN strpos('89abcdef', substr(h, b+1, 1)) > 0
+        |                THEN 1 ELSE -1 END w
+        |         FROM tok, range(16) t(b)),
+        |sums AS (SELECT doc_id, b, sum(w) s FROM bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+        |         AS simhash
+        |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "m_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       sha256(text) AS digest, source
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,92 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity search over an embedding column
+  * (`ARRAY<FLOAT>`): brute-force cosine top-k as the exactness
+  * baseline, and hyperplane-LSH bucketing as the scale path (candidates
+  * come from an equi-join on bucket signature instead of a cross join).
+  *
+  * All math is done in double after an explicit cast (float ops differ
+  * across engines; double ops don't), with higher-order functions only
+  * — codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a left-to-right fold (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set, rank
+    * candidates per query. One pass over the corpus; the corpus side is
+    * never shuffled except by the final per-query window (k small).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     corpusId: Column, corpusVec: Column,
+                     queryId: Column, queryVec: Column, k: Int): DataFrame = {
+    // Norms are computed once per row BEFORE the join (64-element fold
+    // per vector, not per pair); each pair then costs one dot product.
+    val q = queries.select(queryId.as("qid"), queryVec.cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(corpusId.as("cid"), corpusVec.cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("cid") =!= col("qid"))
+      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane `p`,
+    * dimension `i` (0-based) → sin((p·97 + i)·0.1). Reproducible in any
+    * engine (pure double IEEE ops), uncorrelated enough for LSH.
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    sin((lit(p * 97).cast("double") + i.cast("double")) * lit(0.1))
+
+  /** Sign-of-dot-product bucket signature over `nPlanes` hyperplanes,
+    * as a '0'/'1' string. Vectors in the same bucket are ANN
+    * candidates; expected bucket count is 2^nPlanes.
+    */
+  def lshSignature(vec: Column, nPlanes: Int): Column = {
+    val v = vec.cast("array<double>")
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed ANN: equi-join queries to same-bucket candidates,
+    * then exact cosine re-rank, top-k per query. The join key is the
+    * bucket signature — a uniform shuffle key, no cross join anywhere.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame,
+              corpusId: Column, corpusVec: Column,
+              queryId: Column, queryVec: Column,
+              nPlanes: Int, k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("cid"), corpusVec.cast("array<double>").as("cv"),
+        lshSignature(corpusVec, nPlanes).as("bucket"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(queryId.as("qid"), queryVec.cast("array<double>").as("qv"),
+        lshSignature(queryVec, nPlanes).as("bucket"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.join(q, "bucket")
+      .where(col("cid") =!= col("qid"))
+      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"), col("bucket"))
+  }
+}
