@@ -18,7 +18,8 @@ object SparkEntry {
     JoinQueries,
     SeriesQueries,
     TextQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    TileQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,84 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions
+
+/** Granule → tiles ingest chunking (SURVEY §2.1 S1–S3, §2.6 F8/F9,
+  * §2.4 A7, §2.2 P11).
+  *
+  * Input is a point relation (granule, lat, lon, time, value) — the
+  * normalized form of both grid and swath reads (swaths are kept as
+  * points rather than diagonalized, the deliberate deviation noted in
+  * SURVEY §7.4). The chunker assigns each point to a fixed-size
+  * lat×lon tile cell, then assembles one row per tile with coordinate
+  * axes, row-major data array, pre-aggregated summary stats, and a
+  * deterministic tile id. All group-bys key on (granule, tile cell) —
+  * a uniform shuffle key at any scale.
+  */
+object Ingest {
+
+  /** Deterministic tile id (generate-tile-id.groovy:28 — name-UUID of
+    * granule + section spec + salt): md5 here.
+    */
+  def tileId(granule: Column, sectionSpec: Column, salt: String = ""): Column =
+    md5(concat_ws("|", granule, sectionSpec, lit(salt)))
+
+  /** Chunk points into tileLat × tileLon-degree tiles, one tile per
+    * (granule, cell, time). Points with NaN value are kept as mask
+    * cells in the array but excluded from stats; fully-masked tiles are
+    * dropped (emptytilefilter.py:16-29).
+    */
+  def pointsToTiles(points: DataFrame, tileLat: Double, tileLon: Double,
+                    dataset: String): DataFrame = {
+    val cellLat = floor(col("latitude") / tileLat)
+    val cellLon = floor(col("longitude") / tileLon)
+    val w = GeoFunctions.cosLatWeight(col("latitude"))
+    val validVal = when(isnan(col("value")), lit(null)).otherwise(col("value"))
+
+    points
+      .withColumn("cell_lat", cellLat)
+      .withColumn("cell_lon", cellLon)
+      .groupBy(col("granule"), col("cell_lat"), col("cell_lon"), col("time"))
+      .agg(
+        min(col("latitude")).as("min_lat"), max(col("latitude")).as("max_lat"),
+        min(col("longitude")).as("min_lon"), max(col("longitude")).as("max_lon"),
+        sort_array(collect_set(col("latitude"))).as("lats_d"),
+        sort_array(collect_set(col("longitude"))).as("lons_d"),
+        // row-major lat-then-lon order via (lat, lon)-sorted structs
+        sort_array(collect_list(struct(col("latitude"), col("longitude"),
+          col("value")))).as("cells"),
+        min(validVal).as("stats_min"),
+        max(validVal).as("stats_max"),
+        (sum(validVal * w) / sum(when(validVal.isNotNull, w))).as("stats_mean"),
+        count(validVal).as("stats_count"))
+      .where(col("stats_count") > 0) // P11: drop fully-masked tiles
+      .withColumn("section_spec",
+        concat_ws(",", concat(lit("lat:"), col("cell_lat")),
+          concat(lit("lon:"), col("cell_lon")), concat(lit("t:"), col("time"))))
+      .select(
+        tileId(col("granule"), col("section_spec")).as("tile_id"),
+        lit(dataset).as("dataset"),
+        col("granule"), col("section_spec"),
+        col("min_lat"), col("max_lat"), col("min_lon"), col("max_lon"),
+        col("time").as("min_time"), col("time").as("max_time"),
+        dayofyear(timestamp_seconds(col("time"))).as("day_of_year"),
+        col("stats_min"), col("stats_max"), col("stats_mean"), col("stats_count"),
+        col("lats_d").cast("array<float>").as("latitudes"),
+        col("lons_d").cast("array<float>").as("longitudes"),
+        array(col("time")).as("times"),
+        transform(col("cells"), c => coalesce(c.getField("value"), lit(Double.NaN)))
+          .cast("array<float>").as("data"),
+        map().cast("map<string,array<float>>").as("meta_data"))
+  }
+
+  /** S6 — partitioned columnar sink: `dataset` + time-bucket partition
+    * keys give partition pruning for every P-layer predicate.
+    */
+  def writeTiles(tiles: DataFrame, path: String): Unit =
+    tiles
+      .withColumn("time_bucket", (col("min_time") / 2592000L).cast("long"))
+      .write.mode("overwrite")
+      .partitionBy("dataset", "time_bucket")
+      .parquet(path)
+}

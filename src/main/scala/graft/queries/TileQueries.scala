@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.core.TileOps
+import graft.ingest.Ingest
+
+/** End-to-end tile engine spine over the driver testdata: the F6-style
+  * regrid (events → grid cells) feeds the ingest chunker (S1–S3, A7,
+  * P11), tiles explode back to points (the nexus_point_generator), and
+  * the A1 kernel computes daily cos-lat-weighted statistics — the
+  * reference's /timeSeriesSpark path (SURVEY §3.1) compressed into one
+  * verifiable plan. The oracle computes the same stats straight from
+  * the grid cells: the tile layer must be a lossless transport.
+  */
+object TileQueries extends QueryModule {
+
+  private def gridCells(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("granule"),
+        expr("user_id DIV 15").as("lat_c"),             // 10 lat rows
+        floor(col("value") / 50).cast("long").as("lon_c")) // 10 lon cols
+      .agg(avg(col("value")).as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "core_tile_pipeline" -> { (s, dir) =>
+      val cells = gridCells(s, dir)
+      // dense-ify: static 10×10 grid per granule-day, NaN for empty cells
+      val axes = s.range(10).select(col("id").as("lat_c"))
+        .crossJoin(s.range(10).select(col("id").as("lon_c")))
+      val dense = cells.select(col("granule")).distinct()
+        .crossJoin(axes)
+        .join(cells, Seq("granule", "lat_c", "lon_c"), "left")
+        .select(col("granule"),
+          col("lat_c").cast("double").as("latitude"),
+          col("lon_c").cast("double").as("longitude"),
+          to_unix_timestamp(col("granule"), lit("yyyy-MM-dd")).as("time"),
+          coalesce(col("v"), lit(Double.NaN)).as("value"))
+      val tiles = Ingest.pointsToTiles(dense, 5.0, 5.0, "events_grid")
+      val points = TileOps.toPoints(tiles)
+      TileOps.dailyStats(points)
+        .select(col("day_start"), col("cnt"),
+          round(col("mean") + 1e-9, 4).as("mean_v"),
+          round(col("min"), 4).as("min_v"),
+          round(col("max"), 4).as("max_v"),
+          round(col("std") + 1e-9, 4).as("std_v"))
+        .orderBy("day_start")
+    },
+
+    // Tile-catalog scan: P2 predicates + A8 rollup over the summary
+    // columns of the ingested tiles themselves (index-only query — the
+    // array columns are never read).
+    "core_tile_catalog" -> { (s, dir) =>
+      val cells = gridCells(s, dir)
+      val dense = cells.select(
+        col("granule"),
+        col("lat_c").cast("double").as("latitude"),
+        col("lon_c").cast("double").as("longitude"),
+        to_unix_timestamp(col("granule"), lit("yyyy-MM-dd")).as("time"),
+        col("v").as("value"))
+      val tiles = Ingest.pointsToTiles(dense, 5.0, 5.0, "events_grid")
+      tiles
+        .where(col("min_lat") <= 7 && col("max_lat") >= 3) // P2 overlap
+        .groupBy(col("min_lat"), col("min_lon"))
+        .agg(count(lit(1)).as("n_tiles"),
+          sum(col("stats_count")).as("n_cells"),
+          round(min(col("stats_min")), 4).as("lo"),
+          round(max(col("stats_max")), 4).as("hi"))
+        .orderBy("min_lat", "min_lon")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "core_tile_pipeline" ->
+      """WITH cells AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS g, user_id // 15 AS lat_c,
+        |         CAST(floor(value / 50) AS BIGINT) AS lon_c,
+        |         -- tile payloads are float32 (the reference's dtype):
+        |         -- model the same truncation the tile round-trip applies
+        |         CAST(CAST(avg(value) AS REAL) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT CAST(epoch(strptime(g, '%Y-%m-%d')) AS BIGINT) AS day_start,
+        |       count(*) AS cnt,
+        |       round(sum(v * cos(radians(lat_c))) / sum(cos(radians(lat_c)))
+        |             + 1e-9, 4) AS mean_v,
+        |       round(min(v), 4) AS min_v,
+        |       round(max(v), 4) AS max_v,
+        |       round(stddev_samp(v) + 1e-9, 4) AS std_v
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "core_tile_catalog" ->
+      """WITH cells AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS g, user_id // 15 AS lat_c,
+        |         CAST(floor(value / 50) AS BIGINT) AS lon_c, avg(value) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |tiles AS (
+        |  SELECT g, (lat_c // 5) * 5 AS tile_lat, (lon_c // 5) * 5 AS tile_lon,
+        |         CAST(min(lat_c) AS DOUBLE) AS min_lat,
+        |         CAST(min(lon_c) AS DOUBLE) AS min_lon,
+        |         CAST(max(lat_c) AS DOUBLE) AS max_lat,
+        |         count(v) AS stats_count, min(v) AS stats_min, max(v) AS stats_max
+        |  FROM cells GROUP BY 1, 2, 3)
+        |SELECT min_lat, min_lon, count(*) AS n_tiles,
+        |       CAST(sum(stats_count) AS BIGINT) AS n_cells,
+        |       round(min(stats_min), 4) AS lo, round(max(stats_max), 4) AS hi
+        |FROM tiles
+        |WHERE min_lat <= 7 AND max_lat >= 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

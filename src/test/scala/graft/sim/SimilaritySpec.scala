@@ -1,0 +1,65 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine of known vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),   // orthogonal
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),   // parallel
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0)  // opposite
+    ).toDF("a", "b", "expected")
+    df.select(Similarity.cosine($"a".cast("array<double>"),
+        $"b".cast("array<double>")).as("c"), $"expected")
+      .as[(Double, Double)].collect()
+      .foreach { case (c, e) => assert(math.abs(c - e) < 1e-9) }
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.where($"vec_id" === 0L)
+    val top = Similarity.bruteForceTopK(corpus, probes,
+        $"vec_id", $"embedding", $"vec_id", $"embedding", k = 3)
+      .orderBy("rank").select("cid").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("lshSignature buckets parallel vectors together, opposite apart") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (1L, Array.tabulate(8)(i => (i + 1) * 2.0f)),  // parallel to 0
+      (2L, Array.tabulate(8)(i => -(i + 1).toFloat)) // opposite of 0
+    ).toDF("vec_id", "embedding")
+    val sigs = df.select($"vec_id",
+        Similarity.lshSignature($"embedding", 6).as("sig"))
+      .as[(Long, String)].collect().toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(2L) === sigs(0L).map(c => if (c == '1') '0' else '1'))
+  }
+
+  test("annTopK finds same-bucket neighbors") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val corpus = Seq(
+      (0L, base),
+      (1L, base.map(_ * 1.1f)),
+      (2L, base.map(_ * 0.9f)),
+      (3L, base.map(-_))
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.where($"vec_id" === 0L)
+    val res = Similarity.annTopK(corpus, probes, $"vec_id", $"embedding",
+        $"vec_id", $"embedding", nPlanes = 4, k = 5)
+      .select("cid").as[Long].collect().toSet
+    assert(res === Set(1L, 2L)) // same bucket; opposite vector excluded
+  }
+}
