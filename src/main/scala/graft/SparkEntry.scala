@@ -19,7 +19,8 @@ object SparkEntry {
     SeriesQueries,
     TextQueries,
     SimilarityQueries,
-    TileQueries
+    TileQueries,
+    MiscQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

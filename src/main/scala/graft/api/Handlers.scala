@@ -1,0 +1,132 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.TileOps
+import graft.ops.{AsofJoin, TileIndexOps}
+
+/** The serving surface (SURVEY §2.8/§2.9): the reference's
+  * `@nexus_handler` registry (NexusHandler.py:30-38) becomes an
+  * explicit map from endpoint path → plan builder. Each handler takes
+  * parsed parameters and a `tiles` DataFrame and returns a DataFrame
+  * plan — no reflection, no per-request Spark context; the serving
+  * layer (HTTP optional) just executes the plan.
+  *
+  * Concurrency control mirrors the reference (FAIR pools + a job
+  * semaphore of `maxConcurrentJobs`, NexusHandler.py:250-294): callers
+  * acquire a slot before executing a plan and get a 503-equivalent
+  * `None` when exhausted.
+  */
+object Handlers {
+
+  /** Parsed request parameters (webmodel.py:138-341 P10). */
+  case class QueryParams(
+      dataset: String,
+      minLat: Double = -90, maxLat: Double = 90,
+      minLon: Double = -180, maxLon: Double = 180,
+      startTime: Long = Long.MinValue, endTime: Long = Long.MaxValue,
+      secondaryDataset: Option[String] = None)
+
+  type Handler = (QueryParams, DataFrame) => DataFrame
+
+  /** Index predicate shared by all handlers: dataset partition prune +
+    * bbox overlap + time-interval overlap (P2).
+    */
+  private def pruneTiles(p: QueryParams, tiles: DataFrame): DataFrame =
+    tiles.where(col("dataset") === p.dataset &&
+      TileIndexOps.overlaps(col("min_lat"), col("max_lat"), lit(p.minLat), lit(p.maxLat)) &&
+      TileIndexOps.overlaps(col("min_lon"), col("max_lon"), lit(p.minLon), lit(p.maxLon)) &&
+      TileIndexOps.overlaps(col("min_time"), col("max_time"), lit(p.startTime), lit(p.endTime)))
+
+  private def domainPoints(p: QueryParams, tiles: DataFrame): DataFrame =
+    TileOps.maskPointsToBBox(TileOps.toPoints(pruneTiles(p, tiles)),
+      p.minLat, p.maxLat, p.minLon, p.maxLon)
+      .where(col("time").between(p.startTime, p.endTime))
+
+  /** Endpoint registry (§2.9 inventory). */
+  val registry: Map[String, Handler] = Map(
+    "/timeSeriesSpark" -> ((p, tiles) =>
+      TileOps.dailyStats(domainPoints(p, tiles)).orderBy("day_start")),
+
+    "/timeAvgMapSpark" -> ((p, tiles) =>
+      TileOps.timeAvgMap(domainPoints(p, tiles))),
+
+    "/climMapSpark" -> ((p, tiles) =>
+      domainPoints(p, tiles)
+        .groupBy(month(timestamp_seconds(col("time"))).as("month"),
+          col("latitude"), col("longitude"))
+        .agg(avg(col("value")).as("mean"), count(lit(1)).as("cnt"))),
+
+    "/corrMapSpark" -> ((p, tiles) => {
+      val secondary = p.copy(dataset = p.secondaryDataset.getOrElse(
+        sys.error("corrMap requires secondaryDataset")))
+      TileOps.corrMap(domainPoints(p, tiles), domainPoints(secondary, tiles))
+    }),
+
+    "/dailydifferenceaverage_spark" -> ((p, tiles) => {
+      // anomaly vs climatology dataset via as-of join on day_of_year
+      val clim = p.copy(dataset = p.dataset + "_CLIM")
+      val data = pruneTiles(p, tiles)
+      val climTiles = tiles.where(col("dataset") === clim.dataset)
+        .select(col("min_lat"), col("min_lon"), col("day_of_year").as("clim_doy"),
+          col("stats_mean").as("clim_mean"))
+      AsofJoin.lastEarlier(
+          data, climTiles, Seq("min_lat", "min_lon"),
+          col("day_of_year").cast("long"), col("clim_doy").cast("long"),
+          Seq("clim_mean"), rightTie = "clim_doy")
+        .withColumn("diff", col("stats_mean") - col("matched_clim_mean"))
+        .groupBy(((col("min_time") / 86400L).cast("long") * 86400L).as("day_start"))
+        .agg(avg(col("diff")).as("mean_diff"), stddev_samp(col("diff")).as("std_diff"),
+          count(lit(1)).as("cnt"))
+        .orderBy("day_start")
+    }),
+
+    "/latitudeTimeHofMoellerSpark" -> ((p, tiles) =>
+      TileOps.hovmoller(domainPoints(p, tiles), "latitude")),
+
+    "/longitudeTimeHofMoellerSpark" -> ((p, tiles) =>
+      TileOps.hovmoller(domainPoints(p, tiles), "longitude")),
+
+    "/datainbounds" -> ((p, tiles) => domainPoints(p, tiles)),
+
+    "/tiles" -> ((p, tiles) => pruneTiles(p, tiles)
+      .select("tile_id", "dataset", "granule", "min_lat", "max_lat",
+        "min_lon", "max_lon", "min_time", "max_time", "stats_count")),
+
+    "/list" -> ((_, tiles) => tiles.groupBy("dataset")
+      .agg(count(lit(1)).as("tile_count"), min("min_time").as("start"),
+        max("max_time").as("end"))),
+
+    "/standarddeviationsearch" -> ((p, tiles) =>
+      domainPoints(p, tiles)
+        .groupBy(col("latitude"), col("longitude"))
+        .agg(stddev_samp(col("value")).as("std"), count(lit(1)).as("cnt")))
+  )
+
+  /** Reference concurrency gate: 10 concurrent Spark jobs, then 503
+    * (NexusHandler.py:250-294, algorithms.ini:4-5).
+    */
+  final class JobGate(maxConcurrentJobs: Int = 10) {
+    private val slots = new java.util.concurrent.Semaphore(maxConcurrentJobs)
+    /** Run `body` in a slot, or None (≡ HTTP 503) when exhausted. */
+    def tryRun[T](spark: SparkSession, pool: String = "default")(body: => T): Option[T] =
+      if (!slots.tryAcquire()) None
+      else try {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+        Some(body)
+      } finally {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        slots.release()
+      }
+  }
+
+  /** W5 — result-size limit gate (Matchup.py:269-274): small counts
+    * return Right(rows); oversized results return Left(count) (≡ HTTP
+    * 202 + async path). The count itself is a cheap aggregate, not a
+    * collect.
+    */
+  def sizeGated(df: DataFrame, limit: Long): Either[Long, Array[org.apache.spark.sql.Row]] = {
+    val n = df.count()
+    if (n > limit) Left(n) else Right(df.collect())
+  }
+}

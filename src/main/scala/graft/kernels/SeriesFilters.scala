@@ -1,0 +1,46 @@
+package graft.kernels
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-aggregation series filters (SURVEY §2.5 W6/W7). These operate
+  * on *result* series (one row per time step — thousands of rows at
+  * most), mirroring the reference's driver-side filtering of collected
+  * time series (Filtering.py).
+  */
+object SeriesFilters {
+
+  /** W6 — seasonal de-cycling: subtract the month-of-year mean
+    * (Filtering.applySeasonalCycleFilter1d, Filtering.py:40-51), as a
+    * window aggregate (stays distributed, unlike the reference).
+    */
+  def deseasonalize(series: DataFrame, timeCol: Column, valueCol: Column): DataFrame =
+    series.withColumn("deseasoned",
+      valueCol - avg(valueCol).over(
+        Window.partitionBy(month(timeCol))))
+
+  /** W7 — zero-phase low-pass filter (Filtering.py:87-97 applies scipy
+    * Butterworth `filtfilt`). Implemented as an order-`n` forward +
+    * backward moving-average cascade — zero-phase, monotone frequency
+    * response; runs as window aggregates so it needs no collect. The
+    * reference applies this only to final (small) series; here it works
+    * at any scale, partitioned by `seriesKeys`.
+    */
+  def lowPass(series: DataFrame, seriesKeys: Seq[String], timeCol: String,
+              valueCol: String, windowSize: Int, passes: Int = 2): DataFrame = {
+    require(windowSize >= 1 && passes >= 1)
+    val keys = seriesKeys.map(col)
+    def smooth(df: DataFrame, c: String, out: String, reverse: Boolean): DataFrame = {
+      val ord = if (reverse) col(timeCol).desc else col(timeCol).asc
+      val w = Window.partitionBy(keys: _*).orderBy(ord)
+        .rowsBetween(-(windowSize - 1), 0)
+      df.withColumn(out, avg(col(c)).over(w))
+    }
+    (1 to passes).foldLeft(series.withColumn("lowpass", col(valueCol))) {
+      (df, _) =>
+        val f = smooth(df, "lowpass", "__f", reverse = false)
+        smooth(f, "__f", "lowpass", reverse = true).drop("__f")
+    }
+  }
+}

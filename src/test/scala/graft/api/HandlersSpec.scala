@@ -1,0 +1,93 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.ingest.Ingest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class HandlersSpec extends SparkSpec {
+
+  /** Two-dataset tile fixture: a 4×4 grid granule per day for 3 days,
+    * plus a _CLIM dataset keyed by day_of_year.
+    */
+  private lazy val tiles: DataFrame = {
+    import spark.implicits._
+    val day = 86400L
+    val pts = for {
+      d <- 0 until 3
+      li <- 0 until 4; lo <- 0 until 4
+    } yield (s"g$d.nc", li + 0.5, lo + 0.5, d * day, (li * 4 + lo).toDouble + d)
+    val data = Ingest.pointsToTiles(
+      pts.toDF("granule", "latitude", "longitude", "time", "value"), 2.0, 2.0, "sst")
+    val clim = Ingest.pointsToTiles(
+      (for { li <- 0 until 4; lo <- 0 until 4 }
+        yield ("clim.nc", li + 0.5, lo + 0.5, 0L, 5.0))
+        .toDF("granule", "latitude", "longitude", "time", "value"),
+      2.0, 2.0, "sst_CLIM")
+    data.unionByName(clim)
+  }
+
+  private val p = Handlers.QueryParams(dataset = "sst")
+
+  test("/list reports datasets with tile counts") {
+    val rows = Handlers.registry("/list")(p, tiles).collect()
+      .map(r => r.getAs[String]("dataset") -> r.getAs[Long]("tile_count")).toMap
+    assert(rows === Map("sst" -> 12L, "sst_CLIM" -> 4L))
+  }
+
+  test("/timeSeriesSpark returns one row per day over the pruned domain") {
+    val rows = Handlers.registry("/timeSeriesSpark")(p, tiles).collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[Long]("cnt")).toSeq === Seq(16L, 16L, 16L))
+    // day 1 values are day-0 values + 1 ⇒ mean shifts by exactly 1
+    val means = rows.map(_.getAs[Double]("mean"))
+    assert(math.abs((means(1) - means(0)) - 1.0) < 1e-6)
+  }
+
+  test("/timeSeriesSpark bbox pruning restricts the domain") {
+    val small = p.copy(minLat = 0, maxLat = 1.9, minLon = 0, maxLon = 1.9)
+    val rows = Handlers.registry("/timeSeriesSpark")(small, tiles).collect()
+    assert(rows.map(_.getAs[Long]("cnt")).toSeq === Seq(4L, 4L, 4L))
+  }
+
+  test("/timeAvgMapSpark averages each pixel across days") {
+    val rows = Handlers.registry("/timeAvgMapSpark")(p, tiles).collect()
+    assert(rows.length === 16)
+    val at00 = rows.find(r => r.getAs[Double]("latitude") == 0.5 &&
+      r.getAs[Double]("longitude") == 0.5).get
+    assert(math.abs(at00.getAs[Double]("mean") - 1.0) < 1e-6) // (0+1+2)/3
+  }
+
+  test("/corrMapSpark correlates co-located datasets") {
+    val p2 = p.copy(secondaryDataset = Some("sst"))
+    val rows = Handlers.registry("/corrMapSpark")(p2, tiles).collect()
+    assert(rows.length === 16)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("r") - 1.0) < 1e-9))
+  }
+
+  test("/tiles is index-only and prunes by time") {
+    val narrowed = p.copy(startTime = 86400L, endTime = 86400L)
+    val rows = Handlers.registry("/tiles")(narrowed, tiles).collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getAs[Long]("min_time") === 86400L))
+  }
+
+  test("JobGate limits concurrency like the reference's 503 gate") {
+    val gate = new Handlers.JobGate(maxConcurrentJobs = 1)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      gate.tryRun(spark) { started.countDown(); latch.await(); 1 }
+    })
+    t.start(); started.await()
+    assert(gate.tryRun(spark) { 2 } === None) // slot exhausted → 503
+    latch.countDown(); t.join()
+    assert(gate.tryRun(spark) { 3 } === Some(3))
+  }
+
+  test("sizeGated returns Left(count) beyond the limit (W5)") {
+    val df = Handlers.registry("/datainbounds")(p, tiles)
+    assert(Handlers.sizeGated(df, limit = 10).isLeft)
+    assert(Handlers.sizeGated(df, limit = 1000).isRight)
+  }
+}
