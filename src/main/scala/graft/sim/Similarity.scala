@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a left-to-right fold (deterministic order). */
+  /** Σ aᵢ·bᵢ — native codegen expression (deterministic left-to-right
+    * order, same result as an interpreted fold).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
