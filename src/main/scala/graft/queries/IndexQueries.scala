@@ -103,6 +103,20 @@ object IndexQueries extends QueryModule {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // P3: polygon filter — bbox prefilter (pushdown-friendly range
+    // conjunction, the reference's geo:[..TO..] trick) + exact
+    // point-in-polygon test (find_tiles_in_polygon, SolrProxy.pyx:219-281)
+    "p3_polygon_filter" -> { (s, dir) =>
+      val wkt = "POLYGON ((10.005 20.005, 450.005 60.005, 200.005 140.005, 10.005 20.005))"
+      val x = col("value")
+      val y = col("user_id").cast("double")
+      Tables.events(s, dir)
+        .where(x.between(10.005, 450.005) && y.between(20.005, 140.005) &&
+          graft.functions.Wkt.containsCol(wkt, x, y))
+        .select(col("event_id"), round(col("value"), 4).as("value_r"), col("user_id"))
+        .orderBy("event_id")
+    },
+
     // S10: delete-by-query semantics (tools/deletebyquery) = the surviving set
     "s10_delete_by_query" -> { (s, dir) =>
       Tables.customer(s, dir)
@@ -167,6 +181,18 @@ object IndexQueries extends QueryModule {
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
         |  AND l_partkey < 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p3_polygon_filter" ->
+      // triangle A(10.005,20.005) B(450.005,60.005) C(200.005,140.005),
+      // CCW: interior = positive cross product against each edge
+      """SELECT event_id, round(value, 4) AS value_r, user_id
+        |FROM events
+        |WHERE value BETWEEN 10.005 AND 450.005
+        |  AND user_id BETWEEN 20.005 AND 140.005
+        |  AND 440*(user_id - 20.005) - 40*(value - 10.005) > 0
+        |  AND -250*(user_id - 60.005) - 80*(value - 450.005) > 0
+        |  AND -190*(user_id - 140.005) + 120*(value - 200.005) > 0
+        |ORDER BY event_id""".stripMargin,
 
     "s10_delete_by_query" ->
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 4) AS bal

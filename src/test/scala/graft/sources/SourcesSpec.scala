@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.functions.Wkt
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  test("Wkt parses polygons and ray-casts containment") {
+    val sq = Wkt.parsePolygon("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(sq.length === 5)
+    assert(Wkt.contains(sq, 5, 5))
+    assert(!Wkt.contains(sq, 15, 5))
+    assert(!Wkt.contains(sq, -1, -1))
+    // concave polygon (notch): point inside the notch is outside
+    val notch = Wkt.parsePolygon("POLYGON ((0 0, 10 0, 10 10, 5 5, 0 10, 0 0))")
+    assert(!Wkt.contains(notch, 5, 8))
+    assert(Wkt.contains(notch, 2, 2))
+    assert(Wkt.bbox(sq) === ((0.0, 10.0, 0.0, 10.0)))
+  }
+
+  test("containsCol filters a DataFrame by polygon") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0, 5.0), (2L, 15.0, 5.0)).toDF("id", "x", "y")
+    val in = df.where(Wkt.containsCol("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+      $"x", $"y")).select("id").as[Long].collect()
+    assert(in.toSeq === Seq(1L))
+  }
+
+  test("ResultsStore writes/reads execution-partitioned results") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_results").toString
+    ResultsStore.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), path, "exec1")
+    ResultsStore.write(Seq((3, "c")).toDF("k", "v"), path, "exec2")
+    assert(ResultsStore.read(spark, path, "exec1").count() === 2)
+    assert(ResultsStore.read(spark, path, "exec2").count() === 1)
+    assert(ResultsStore.listExecutions(spark, path).count() === 2)
+  }
+
+  test("Encoders emit JSON lines and CSV") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val json = Encoders.toJsonLines(df).as[String].collect().sorted
+    assert(json(0) === """{"k":1,"v":"x"}""")
+    val path = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Encoders.writeCsv(df, path)
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.count() === 2)
+    assert(back.columns.toSeq === Seq("k", "v"))
+  }
+}
