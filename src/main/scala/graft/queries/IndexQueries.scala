@@ -103,16 +103,17 @@ object IndexQueries extends QueryModule {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // P3: polygon filter — bbox prefilter (pushdown-friendly range
-    // conjunction, the reference's geo:[..TO..] trick) + exact
-    // point-in-polygon test (find_tiles_in_polygon, SolrProxy.pyx:219-281)
+    // P3: polygon filter — native PolygonContains expression; the
+    // PolygonBBoxPushdown optimizer rule injects the bbox range
+    // conjunction automatically, which Catalyst pushes to the scan
+    // (find_tiles_in_polygon, SolrProxy.pyx:219-281; the reference's
+    // geo:[..TO..] trick as a Rule[LogicalPlan])
     "p3_polygon_filter" -> { (s, dir) =>
+      graft.plans.GraftExtensions.enable(s)
       val wkt = "POLYGON ((10.005 20.005, 450.005 60.005, 200.005 140.005, 10.005 20.005))"
-      val x = col("value")
-      val y = col("user_id").cast("double")
       Tables.events(s, dir)
-        .where(x.between(10.005, 450.005) && y.between(20.005, 140.005) &&
-          graft.functions.Wkt.containsCol(wkt, x, y))
+        .where(graft.plans.GraftExtensions.polygonContains(
+          wkt, col("value"), col("user_id").cast("double")))
         .select(col("event_id"), round(col("value"), 4).as("value_r"), col("user_id"))
         .orderBy("event_id")
     },
