@@ -23,10 +23,10 @@ object AggQueries extends QueryModule {
         .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
         .agg(
           count(lit(1)).as("cnt"),
-          round(min(col("l_quantity")), 4).as("min_q"),
-          round(max(col("l_quantity")), 4).as("max_q"),
-          round(stddev_samp(col("l_quantity")), 4).as("std_q"),
-          round(weightedMean(col("l_quantity"), col("l_extendedprice")), 4).as("wmean_q"))
+          round(min(col("l_quantity")) + lit(1e-9), 4).as("min_q"),
+          round(max(col("l_quantity")) + lit(1e-9), 4).as("max_q"),
+          round(stddev_samp(col("l_quantity")) + lit(1e-9), 4).as("std_q"),
+          round(weightedMean(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 4).as("wmean_q"))
         .orderBy("day")
     },
 
@@ -36,9 +36,9 @@ object AggQueries extends QueryModule {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 4).as("sum_q"),
+          round(sum(col("l_quantity")) + lit(1e-9), 4).as("sum_q"),
           count(col("l_quantity")).as("cnt"),
-          round(sum(col("l_quantity")) / count(col("l_quantity")), 4).as("avg_q"))
+          round(sum(col("l_quantity")) / count(col("l_quantity")) + lit(1e-9), 4).as("avg_q"))
         .orderBy("l_returnflag", "l_linestatus")
     },
 
@@ -48,9 +48,9 @@ object AggQueries extends QueryModule {
       Tables.lineitem(s, dir)
         .where(month(col("l_shipdate")) === 7)
         .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
-        .agg(round(sum(col("l_quantity")), 4).as("sum_q"),
+        .agg(round(sum(col("l_quantity")) + lit(1e-9), 4).as("sum_q"),
           count(lit(1)).as("cnt"),
-          round(avg(col("l_quantity")), 4).as("avg_q"))
+          round(avg(col("l_quantity")) + lit(1e-9), 4).as("avg_q"))
         .orderBy("l_returnflag", "yr")
     },
 
@@ -60,7 +60,7 @@ object AggQueries extends QueryModule {
     "a4_corr_map" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 6).as("r"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },
@@ -74,8 +74,8 @@ object AggQueries extends QueryModule {
       e.join(broadcast(clim), "event_type")
         .withColumn("diff", col("value") - col("clim_mean"))
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
-        .agg(round(avg(col("diff")), 4).as("mean_diff"),
-          round(stddev_samp(col("diff")), 4).as("std_diff"),
+        .agg(round(avg(col("diff")) + lit(1e-9), 4).as("mean_diff"),
+          round(stddev_samp(col("diff")) + lit(1e-9), 4).as("std_diff"),
           count(lit(1)).as("cnt"))
         .orderBy("day", "event_type")
     },
@@ -87,10 +87,10 @@ object AggQueries extends QueryModule {
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
           (col("user_id") / 10).cast("long").as("band"))
         .agg(count(lit(1)).as("cnt"),
-          round(avg(col("value")), 4).as("avg_v"),
-          round(min(col("value")), 4).as("min_v"),
-          round(max(col("value")), 4).as("max_v"),
-          round(stddev_samp(col("value")), 4).as("std_v"))
+          round(avg(col("value")) + lit(1e-9), 4).as("avg_v"),
+          round(min(col("value")) + lit(1e-9), 4).as("min_v"),
+          round(max(col("value")) + lit(1e-9), 4).as("max_v"),
+          round(stddev_samp(col("value")) + lit(1e-9), 4).as("std_v"))
         .orderBy("day", "band")
     },
 
@@ -126,11 +126,11 @@ object AggQueries extends QueryModule {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
-          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
-          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("r"),
-          round(avg(col("l_extendedprice")), 4).as("avg_p"),
-          round(stddev_samp(col("l_extendedprice")), 4).as("std_p"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 4).as("icept"),
+          round(corr(col("l_extendedprice"), col("l_quantity")) + lit(1e-9), 6).as("r"),
+          round(avg(col("l_extendedprice")) + lit(1e-9), 4).as("avg_p"),
+          round(stddev_samp(col("l_extendedprice")) + lit(1e-9), 4).as("std_p"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
     },
@@ -146,14 +146,17 @@ object AggQueries extends QueryModule {
       val v = windV(col("value"), dirDeg)
       e.select(
           col("event_id"),
-          round(kelvinToCelsius(col("value")), 4).as("celsius"),
-          round(lonTo180(lon360), 4).as("lon180"),
-          round(u, 4).as("wind_u"),
-          round(v, 4).as("wind_v"),
-          round(uvToSpeed(u, v), 4).as("speed_rt"),
-          round(uvToDirDeg(u, v), 4).as("dir_rt"),
+          round(kelvinToCelsius(col("value")) + lit(1e-9), 4).as("celsius"),
+          round(lonTo180(lon360) + lit(1e-9), 4).as("lon180"),
+          round(u + lit(1e-9), 4).as("wind_u"),
+          round(v + lit(1e-9), 4).as("wind_v"),
+          round(uvToSpeed(u, v) + lit(1e-9), 4).as("speed_rt"),
+          // speed 0 ⇒ direction undefined; signed-zero atan2 conventions
+          // differ across engines, so pin it to 0
+          round(when(col("value") === 0, lit(0.0))
+            .otherwise(uvToDirDeg(u, v)) + lit(1e-9), 4).as("dir_rt"),
           round(haversineKm((col("user_id") - 75).cast("double"), lonTo180(lon360),
-            lit(0.0), lit(0.0)), 4).as("hav_km"),
+            lit(0.0), lit(0.0)) + lit(1e-9), 4).as("hav_km"),
           md5(concat_ws("|", col("event_id"), col("user_id"))).as("tid"))
         .orderBy("event_id")
     }
@@ -162,42 +165,42 @@ object AggQueries extends QueryModule {
   def oracle: Map[String, String] = Map(
     "a1_daily_stats" ->
       """SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, count(*) AS cnt,
-        |       round(min(l_quantity), 4) AS min_q, round(max(l_quantity), 4) AS max_q,
-        |       round(stddev_samp(l_quantity), 4) AS std_q,
-        |       round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice), 4) AS wmean_q
+        |       round(min(l_quantity) + 1e-9, 4) AS min_q, round(max(l_quantity) + 1e-9, 4) AS max_q,
+        |       round(stddev_samp(l_quantity) + 1e-9, 4) AS std_q,
+        |       round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice) + 1e-9, 4) AS wmean_q
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a2_time_avg_map" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_q,
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity) + 1e-9, 4) AS sum_q,
         |       count(l_quantity) AS cnt,
-        |       round(sum(l_quantity) / count(l_quantity), 4) AS avg_q
+        |       round(sum(l_quantity) / count(l_quantity) + 1e-9, 4) AS avg_q
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a3_clim_map" ->
-      """SELECT l_returnflag, year(l_shipdate) AS yr, round(sum(l_quantity), 4) AS sum_q,
-        |       count(*) AS cnt, round(avg(l_quantity), 4) AS avg_q
+      """SELECT l_returnflag, year(l_shipdate) AS yr, round(sum(l_quantity) + 1e-9, 4) AS sum_q,
+        |       count(*) AS cnt, round(avg(l_quantity) + 1e-9, 4) AS avg_q
         |FROM lineitem WHERE month(l_shipdate) = 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a4_corr_map" ->
-      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS r,
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS r,
         |       count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a5_anomaly_daily" ->
       """WITH clim AS (SELECT event_type, avg(value) AS clim_mean FROM events GROUP BY 1)
         |SELECT strftime(e.ts, '%Y-%m-%d') AS day, e.event_type,
-        |       round(avg(e.value - c.clim_mean), 4) AS mean_diff,
-        |       round(stddev_samp(e.value - c.clim_mean), 4) AS std_diff,
+        |       round(avg(e.value - c.clim_mean) + 1e-9, 4) AS mean_diff,
+        |       round(stddev_samp(e.value - c.clim_mean) + 1e-9, 4) AS std_diff,
         |       count(*) AS cnt
         |FROM events e JOIN clim c ON e.event_type = c.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a6_hovmoller" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, user_id // 10 AS band,
-        |       count(*) AS cnt, round(avg(value), 4) AS avg_v,
-        |       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
-        |       round(stddev_samp(value), 4) AS std_v
+        |       count(*) AS cnt, round(avg(value) + 1e-9, 4) AS avg_v,
+        |       round(min(value) + 1e-9, 4) AS min_v, round(max(value) + 1e-9, 4) AS max_v,
+        |       round(stddev_samp(value) + 1e-9, 4) AS std_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a8_dataset_list" ->
@@ -213,26 +216,27 @@ object AggQueries extends QueryModule {
 
     "a14_regression_map" ->
       """SELECT l_returnflag,
-        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
-        |       round(corr(l_extendedprice, l_quantity), 6) AS r,
-        |       round(avg(l_extendedprice), 4) AS avg_p,
-        |       round(stddev_samp(l_extendedprice), 4) AS std_p,
+        |       round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS icept,
+        |       round(corr(l_extendedprice, l_quantity) + 1e-9, 6) AS r,
+        |       round(avg(l_extendedprice) + 1e-9, 4) AS avg_p,
+        |       round(stddev_samp(l_extendedprice) + 1e-9, 4) AS std_p,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f_scalar_battery" ->
       """SELECT event_id,
-        |       round(value - 273.15, 4) AS celsius,
-        |       round(CASE WHEN l360 > 180 THEN l360 - 360 ELSE l360 END, 4) AS lon180,
-        |       round(u, 4) AS wind_u, round(v, 4) AS wind_v,
-        |       round(sqrt(u*u + v*v), 4) AS speed_rt,
-        |       round(degrees(atan2(u, v)), 4) AS dir_rt,
+        |       round(value - 273.15 + 1e-9, 4) AS celsius,
+        |       round(CASE WHEN l360 > 180 THEN l360 - 360 ELSE l360 END + 1e-9, 4) AS lon180,
+        |       round(u + 1e-9, 4) AS wind_u, round(v + 1e-9, 4) AS wind_v,
+        |       round(sqrt(u*u + v*v) + 1e-9, 4) AS speed_rt,
+        |       round(CASE WHEN value = 0 THEN 0.0
+        |                  ELSE degrees(atan2(u, v)) END + 1e-9, 4) AS dir_rt,
         |       round(2 * 6371.0 * asin(sqrt(
         |         pow(sin(radians(0 - (user_id - 75)) / 2), 2) +
         |         cos(radians(user_id - 75)) * cos(radians(0)) *
         |         pow(sin(radians(0 - (CASE WHEN l360 > 180 THEN l360 - 360 ELSE l360 END)) / 2), 2)
-        |       )), 4) AS hav_km,
+        |       )) + 1e-9, 4) AS hav_km,
         |       md5(concat_ws('|', event_id, user_id)) AS tid
         |FROM (
         |  SELECT *,

@@ -45,7 +45,7 @@ object IndexQueries extends QueryModule {
           TileIndexOps.containsPoint(lit("2024-01-05").cast("timestamp"),
             lit("2024-01-10").cast("timestamp"), col("ts")))
         .select(col("event_id"), col("user_id"), col("event_type"),
-          round(col("value"), 4).as("value_r"),
+          round(col("value") + lit(1e-9), 4).as("value_r"),
           unix_micros(col("ts")).as("ts_us"))
         .orderBy("event_id")
     },
@@ -57,7 +57,7 @@ object IndexQueries extends QueryModule {
       e.where(TileIndexOps.within(col("user_id"), col("user_id"), lit(20L), lit(80L)) &&
           col("value").between(50.0, 250.0))
         .select(col("event_id"), col("user_id"),
-          round(col("value") * col("user_id").cast("double"), 4).as("prod"))
+          round(col("value") * col("user_id").cast("double") + lit(1e-9), 4).as("prod"))
         .orderBy("event_id")
     },
 
@@ -90,7 +90,7 @@ object IndexQueries extends QueryModule {
     "w4_paging" -> { (s, dir) =>
       TileIndexOps.page(Tables.orders(s, dir),
           Seq(col("o_totalprice").desc, col("o_orderkey").asc), start = 10, rows = 20)
-        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
+        .select(col("o_orderkey"), round(col("o_totalprice") + lit(1e-9), 4).as("price"))
     },
 
     // S4+scan pruning: projection + pushed filters reach the parquet reader
@@ -99,7 +99,7 @@ object IndexQueries extends QueryModule {
         .where(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
           lit("1996-03-31").cast("timestamp")) && col("l_partkey") < 500)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          round(col("l_quantity"), 4).as("qty"))
+          round(col("l_quantity") + lit(1e-9), 4).as("qty"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 
@@ -114,7 +114,7 @@ object IndexQueries extends QueryModule {
       Tables.events(s, dir)
         .where(graft.plans.GraftExtensions.polygonContains(
           wkt, col("value"), col("user_id").cast("double")))
-        .select(col("event_id"), round(col("value"), 4).as("value_r"), col("user_id"))
+        .select(col("event_id"), round(col("value") + lit(1e-9), 4).as("value_r"), col("user_id"))
         .orderBy("event_id")
     },
 
@@ -122,7 +122,7 @@ object IndexQueries extends QueryModule {
     "s10_delete_by_query" -> { (s, dir) =>
       Tables.customer(s, dir)
         .where(!(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 0))
-        .select(col("c_custkey"), col("c_mktsegment"), round(col("c_acctbal"), 4).as("bal"))
+        .select(col("c_custkey"), col("c_mktsegment"), round(col("c_acctbal") + lit(1e-9), 4).as("bal"))
         .orderBy("c_custkey")
     }
   )
@@ -142,7 +142,7 @@ object IndexQueries extends QueryModule {
         |ORDER BY o_custkey""".stripMargin,
 
     "p5_box_at_time" ->
-      """SELECT event_id, user_id, event_type, round(value, 4) AS value_r,
+      """SELECT event_id, user_id, event_type, round(value + 1e-9, 4) AS value_r,
         |       epoch_us(ts) AS ts_us
         |FROM events
         |WHERE value BETWEEN 100.0 AND 200.0
@@ -150,7 +150,7 @@ object IndexQueries extends QueryModule {
         |ORDER BY event_id""".stripMargin,
 
     "p6_within_product" ->
-      """SELECT event_id, user_id, round(value * user_id, 4) AS prod
+      """SELECT event_id, user_id, round(value * user_id + 1e-9, 4) AS prod
         |FROM events
         |WHERE user_id BETWEEN 20 AND 80 AND value BETWEEN 50.0 AND 250.0
         |ORDER BY event_id""".stripMargin,
@@ -173,11 +173,11 @@ object IndexQueries extends QueryModule {
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
     "w4_paging" ->
-      """SELECT o_orderkey, round(o_totalprice, 4) AS price FROM orders
+      """SELECT o_orderkey, round(o_totalprice + 1e-9, 4) AS price FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin,
 
     "s4_scan_pruned" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity, 4) AS qty
+      """SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity + 1e-9, 4) AS qty
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
         |  AND l_partkey < 500
@@ -186,7 +186,7 @@ object IndexQueries extends QueryModule {
     "p3_polygon_filter" ->
       // triangle A(10.005,20.005) B(450.005,60.005) C(200.005,140.005),
       // CCW: interior = positive cross product against each edge
-      """SELECT event_id, round(value, 4) AS value_r, user_id
+      """SELECT event_id, round(value + 1e-9, 4) AS value_r, user_id
         |FROM events
         |WHERE value BETWEEN 10.005 AND 450.005
         |  AND user_id BETWEEN 20.005 AND 140.005
@@ -196,7 +196,7 @@ object IndexQueries extends QueryModule {
         |ORDER BY event_id""".stripMargin,
 
     "s10_delete_by_query" ->
-      """SELECT c_custkey, c_mktsegment, round(c_acctbal, 4) AS bal
+      """SELECT c_custkey, c_mktsegment, round(c_acctbal + 1e-9, 4) AS bal
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
         |ORDER BY c_custkey""".stripMargin

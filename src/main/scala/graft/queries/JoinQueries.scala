@@ -38,7 +38,7 @@ object JoinQueries extends QueryModule {
     "j1_tolerance_join" -> { (s, dir) =>
       matchPairs(s, dir)
         .select(col("pid"), col("eid"),
-          round(abs(col("pv") - col("ev")), 4).as("dv"),
+          round(abs(col("pv") - col("ev")) + lit(1e-9), 4).as("dv"),
           abs(col("pts") - col("ets")).as("dt_us"))
         .orderBy("pid", "eid")
     },
@@ -47,7 +47,7 @@ object JoinQueries extends QueryModule {
     "j2_match_once" -> { (s, dir) =>
       ToleranceJoin.matchOnce(matchPairs(s, dir), col("pid"),
           abs(col("pv") - col("ev")), col("eid"))
-        .select(col("pid"), col("eid"), round(abs(col("pv") - col("ev")), 4).as("dv"))
+        .select(col("pid"), col("eid"), round(abs(col("pv") - col("ev")) + lit(1e-9), 4).as("dv"))
         .orderBy("pid")
     },
 
@@ -58,7 +58,7 @@ object JoinQueries extends QueryModule {
       matchPairs(s, dir)
         .groupBy(col("pid"))
         .agg(count(lit(1)).as("n_matches"), min(col("eid")).as("min_eid"),
-          max(col("eid")).as("max_eid"), round(avg(col("ev")), 4).as("avg_ev"))
+          max(col("eid")).as("max_eid"), round(avg(col("ev")) + lit(1e-9), 4).as("avg_ev"))
         .orderBy("pid")
     },
 
@@ -90,9 +90,9 @@ object JoinQueries extends QueryModule {
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(avg(col("value")).as("y"))
       x.join(y, "day")
-        .agg(round(regr_slope(col("y"), col("x")), 6).as("slope"),
-          round(regr_intercept(col("y"), col("x")), 6).as("icept"),
-          round(corr(col("y"), col("x")), 6).as("r"),
+        .agg(round(regr_slope(col("y"), col("x")) + lit(1e-9), 6).as("slope"),
+          round(regr_intercept(col("y"), col("x")) + lit(1e-9), 6).as("icept"),
+          round(corr(col("y"), col("x")) + lit(1e-9), 6).as("r"),
           count(lit(1)).as("n"))
     },
 
@@ -113,7 +113,7 @@ object JoinQueries extends QueryModule {
         |           WHERE event_type = 'purchase'),
         |     e AS (SELECT event_id eid, epoch_us(ts) ets, value ev FROM events
         |           WHERE event_type = 'error')
-        |SELECT pid, eid, round(abs(pv - ev), 4) AS dv, abs(pts - ets) AS dt_us
+        |SELECT pid, eid, round(abs(pv - ev) + 1e-9, 4) AS dv, abs(pts - ets) AS dt_us
         |FROM p JOIN e ON abs(pts - ets) <= 7200000000 AND abs(pv - ev) <= 5.0
         |ORDER BY pid, eid""".stripMargin,
 
@@ -125,7 +125,7 @@ object JoinQueries extends QueryModule {
         |     pairs AS (SELECT pid, eid, abs(pv - ev) AS dv
         |               FROM p JOIN e ON abs(pts - ets) <= 7200000000
         |                            AND abs(pv - ev) <= 5.0)
-        |SELECT pid, eid, round(dv, 4) AS dv
+        |SELECT pid, eid, round(dv + 1e-9, 4) AS dv
         |FROM (SELECT *, row_number() OVER (PARTITION BY pid
         |        ORDER BY dv ASC, eid ASC) rn FROM pairs)
         |WHERE rn = 1 ORDER BY pid""".stripMargin,
@@ -136,7 +136,7 @@ object JoinQueries extends QueryModule {
         |     e AS (SELECT event_id eid, epoch_us(ts) ets, value ev FROM events
         |           WHERE event_type = 'error')
         |SELECT pid, count(*) AS n_matches, min(eid) AS min_eid,
-        |       max(eid) AS max_eid, round(avg(ev), 4) AS avg_ev
+        |       max(eid) AS max_eid, round(avg(ev) + 1e-9, 4) AS avg_ev
         |FROM p JOIN e ON abs(pts - ets) <= 7200000000 AND abs(pv - ev) <= 5.0
         |GROUP BY pid ORDER BY pid""".stripMargin,
 
@@ -155,9 +155,9 @@ object JoinQueries extends QueryModule {
         |           WHERE event_type = 'click' GROUP BY 1),
         |     y AS (SELECT strftime(ts, '%Y-%m-%d') AS day, avg(value) y FROM events
         |           WHERE event_type = 'purchase' GROUP BY 1)
-        |SELECT round(regr_slope(y, x), 6) AS slope,
-        |       round(regr_intercept(y, x), 6) AS icept,
-        |       round(corr(y, x), 6) AS r, count(*) AS n
+        |SELECT round(regr_slope(y, x) + 1e-9, 6) AS slope,
+        |       round(regr_intercept(y, x) + 1e-9, 6) AS icept,
+        |       round(corr(y, x) + 1e-9, 6) AS r, count(*) AS n
         |FROM x JOIN y USING (day)""".stripMargin,
 
     "j6_both_present" ->

@@ -18,7 +18,7 @@ object MiscQueries extends QueryModule {
       Tables.events(s, dir)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"),
-          round(col("value"), 4).as("value_r"))
+          round(col("value") + lit(1e-9), 4).as("value_r"))
         .where(col("k").between(10, 50))
         .orderBy("event_id")
     },
@@ -41,7 +41,7 @@ object MiscQueries extends QueryModule {
   def oracle: Map[String, String] = Map(
     "s7_insitu_json" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-        |       round(value, 4) AS value_r
+        |       round(value + 1e-9, 4) AS value_r
         |FROM events
         |WHERE CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 10 AND 50
         |ORDER BY event_id""".stripMargin,

@@ -14,7 +14,7 @@ object SeriesQueries extends QueryModule {
   private def dailyByType(s: SparkSession, dir: String, typ: String): DataFrame =
     Tables.events(s, dir).where(col("event_type") === typ)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(round(avg(col("value")), 4).as("avg_v"), count(lit(1)).as("cnt"))
+      .agg(round(avg(col("value")) + lit(1e-9), 4).as("avg_v"), count(lit(1)).as("cnt"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W3: global sort of an aggregated series by a measure
@@ -22,7 +22,7 @@ object SeriesQueries extends QueryModule {
     "w3_global_sort" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(round(avg(col("value")), 4).as("avg_v"))
+        .agg(round(avg(col("value")) + lit(1e-9), 4).as("avg_v"))
         .orderBy(col("avg_v").desc, col("day"))
     },
 
@@ -46,11 +46,11 @@ object SeriesQueries extends QueryModule {
       val e = Tables.events(s, dir)
       e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(
-          round(avg(when(col("event_type") === "click", col("value"))), 4).as("click_avg"),
-          round(avg(when(col("event_type") === "view", col("value"))), 4).as("view_avg"),
-          round(avg(when(col("event_type") === "purchase", col("value"))), 4).as("purchase_avg"),
-          round(avg(when(col("event_type") === "signup", col("value"))), 4).as("signup_avg"),
-          round(avg(when(col("event_type") === "error", col("value"))), 4).as("error_avg"))
+          round(avg(when(col("event_type") === "click", col("value"))) + lit(1e-9), 4).as("click_avg"),
+          round(avg(when(col("event_type") === "view", col("value"))) + lit(1e-9), 4).as("view_avg"),
+          round(avg(when(col("event_type") === "purchase", col("value"))) + lit(1e-9), 4).as("purchase_avg"),
+          round(avg(when(col("event_type") === "signup", col("value"))) + lit(1e-9), 4).as("signup_avg"),
+          round(avg(when(col("event_type") === "error", col("value"))) + lit(1e-9), 4).as("error_avg"))
         .orderBy("day")
     },
 
@@ -71,7 +71,7 @@ object SeriesQueries extends QueryModule {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
           month(col("o_orderdate")).cast("long").as("mo"))
-        .agg(round(sum(col("m") * col("c")) / sum(col("c")), 4).as("wavg"),
+        .agg(round(sum(col("m") * col("c")) / sum(col("c")) + lit(1e-9), 4).as("wavg"),
           sum(col("c")).as("n"))
         .orderBy("yr", "mo")
     },
@@ -91,8 +91,8 @@ object SeriesQueries extends QueryModule {
         .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("c"))
       inner.unionByName(border)
         .groupBy(col("l_returnflag"))
-        .agg(round(sum(col("s")), 4).as("sum_q"), sum(col("c")).as("cnt"),
-          round(sum(col("s")) / sum(col("c")), 4).as("mean_q"))
+        .agg(round(sum(col("s")) + lit(1e-9), 4).as("sum_q"), sum(col("c")).as("cnt"),
+          round(sum(col("s")) / sum(col("c")) + lit(1e-9), 4).as("mean_q"))
         .orderBy("l_returnflag")
     },
 
@@ -105,7 +105,7 @@ object SeriesQueries extends QueryModule {
         .withColumn("d_us", abs(unix_micros(col("ts")) - probe))
       val w = Window.partitionBy(col("user_id")).orderBy(col("d_us").asc, col("event_id").asc)
       e.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("user_id"), col("event_id"), round(col("value"), 4).as("value_r"),
+        .select(col("user_id"), col("event_id"), round(col("value") + lit(1e-9), 4).as("value_r"),
           col("d_us"))
         .orderBy("user_id")
     },
@@ -115,7 +115,7 @@ object SeriesQueries extends QueryModule {
     "st_window_1h" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 4).as("avg_v"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")) + lit(1e-9), 4).as("avg_v"))
         .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
           col("cnt"), col("avg_v"))
         .orderBy("w_start_us", "event_type")
@@ -124,7 +124,7 @@ object SeriesQueries extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     "w3_global_sort" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value), 4) AS avg_v
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value) + 1e-9, 4) AS avg_v
         |FROM events GROUP BY 1 ORDER BY avg_v DESC, day""".stripMargin,
 
     "w6_seasonal_demean" ->
@@ -135,20 +135,20 @@ object SeriesQueries extends QueryModule {
 
     "w9_pivot_series" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
-        |       round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS click_avg,
-        |       round(avg(CASE WHEN event_type = 'view' THEN value END), 4) AS view_avg,
-        |       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase_avg,
-        |       round(avg(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup_avg,
-        |       round(avg(CASE WHEN event_type = 'error' THEN value END), 4) AS error_avg
+        |       round(avg(CASE WHEN event_type = 'click' THEN value END) + 1e-9, 4) AS click_avg,
+        |       round(avg(CASE WHEN event_type = 'view' THEN value END) + 1e-9, 4) AS view_avg,
+        |       round(avg(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 4) AS purchase_avg,
+        |       round(avg(CASE WHEN event_type = 'signup' THEN value END) + 1e-9, 4) AS signup_avg,
+        |       round(avg(CASE WHEN event_type = 'error' THEN value END) + 1e-9, 4) AS error_avg
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "u1_union_series" ->
       """SELECT day, avg_v, cnt, series FROM (
-        |  SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value), 4) avg_v,
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value) + 1e-9, 4) avg_v,
         |         count(*) cnt, 'click' series
         |  FROM events WHERE event_type = 'click' GROUP BY 1
         |  UNION ALL
-        |  SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value), 4) avg_v,
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value) + 1e-9, 4) avg_v,
         |         count(*) cnt, 'purchase' series
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
         |ORDER BY series, day""".stripMargin,
@@ -157,17 +157,17 @@ object SeriesQueries extends QueryModule {
       """WITH per_o AS (SELECT l_orderkey, avg(l_quantity) m, count(*) c
         |               FROM lineitem GROUP BY 1)
         |SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-        |       round(sum(m * c) / sum(c), 4) AS wavg, CAST(sum(c) AS BIGINT) AS n
+        |       round(sum(m * c) / sum(c) + 1e-9, 4) AS wavg, CAST(sum(c) AS BIGINT) AS n
         |FROM per_o JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "a12_agg_pushdown" ->
-      """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_q, count(*) AS cnt,
-        |       round(sum(l_quantity) / count(*), 4) AS mean_q
+      """SELECT l_returnflag, round(sum(l_quantity) + 1e-9, 4) AS sum_q, count(*) AS cnt,
+        |       round(sum(l_quantity) / count(*) + 1e-9, 4) AS mean_q
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a16_nearest_value" ->
-      """SELECT user_id, event_id, round(value, 4) AS value_r, d_us
+      """SELECT user_id, event_id, round(value + 1e-9, 4) AS value_r, d_us
         |FROM (SELECT *, abs(epoch_us(ts) - 1705320000000000) AS d_us,
         |             row_number() OVER (PARTITION BY user_id
         |               ORDER BY abs(epoch_us(ts) - 1705320000000000) ASC,
@@ -177,7 +177,7 @@ object SeriesQueries extends QueryModule {
 
     "st_window_1h" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start_us,
-        |       event_type, count(*) AS cnt, round(avg(value), 4) AS avg_v
+        |       event_type, count(*) AS cnt, round(avg(value) + 1e-9, 4) AS avg_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

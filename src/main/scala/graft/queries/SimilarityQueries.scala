@@ -27,7 +27,7 @@ object SimilarityQueries extends QueryModule {
       Similarity.bruteForceTopK(emb(s, dir), probes(s, dir),
           col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
-          round(col("sim"), 6).as("sim"))
+          round(col("sim") + lit(1e-9), 6).as("sim"))
         .orderBy("qid", "rank")
     },
 
@@ -37,7 +37,7 @@ object SimilarityQueries extends QueryModule {
           col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
           nPlanes = 4, k = 3)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
-          round(col("sim"), 6).as("sim"), col("bucket"))
+          round(col("sim") + lit(1e-9), 6).as("sim"), col("bucket"))
         .orderBy("qid", "rank")
     },
 
@@ -56,7 +56,7 @@ object SimilarityQueries extends QueryModule {
         .withColumn("sim",
           Similarity.dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
         .where(col("sim") >= 0.45)
-        .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
+        .select(col("i"), col("j"), round(col("sim") + lit(1e-9), 6).as("sim"))
         .orderBy("i", "j")
     }
   )
@@ -85,7 +85,7 @@ object SimilarityQueries extends QueryModule {
         | FROM e, q WHERE e.vec_id <> q.qid),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY sim DESC, cid ASC) AS rank FROM s)
-        |SELECT qid, rank, cid, round(sim, 6) AS sim FROM r
+        |SELECT qid, rank, cid, round(sim + 1e-9, 6) AS sim FROM r
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "e_ann_lsh" ->
@@ -98,7 +98,7 @@ object SimilarityQueries extends QueryModule {
         | FROM sig c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.qid),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY sim DESC, cid ASC) AS rank FROM s)
-        |SELECT qid, rank, cid, round(sim, 6) AS sim, bucket FROM r
+        |SELECT qid, rank, cid, round(sim + 1e-9, 6) AS sim, bucket FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "e_near_dup" ->
@@ -108,7 +108,7 @@ object SimilarityQueries extends QueryModule {
         |   (sqrt(list_sum(list_transform(range(1,65), i2 -> a.v[i2]*a.v[i2]))) *
         |    sqrt(list_sum(list_transform(range(1,65), i2 -> b.v[i2]*b.v[i2])))) sim
         | FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |SELECT i, j, round(sim, 6) AS sim FROM p
+        |SELECT i, j, round(sim + 1e-9, 6) AS sim FROM p
         |WHERE sim >= 0.45 ORDER BY i, j""".stripMargin
   )
 }

@@ -32,7 +32,7 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"),
           tokenCount(col("text")).cast("long").as("n_tokens"),
           distinctTokenCount(col("text")).cast("long").as("n_distinct"),
-          round(avgWordLen(col("text")), 4).as("avg_word_len"))
+          round(avgWordLen(col("text")) + lit(1e-9), 4).as("avg_word_len"))
         .orderBy("doc_id")
     },
 
@@ -96,7 +96,7 @@ object TextQueries extends QueryModule {
       val cands = Dedup.lshCandidates(Dedup.lshBands(sig, k = 8))
       Dedup.jaccardOnCandidates(cands, words, col("doc_id"), col("w"))
         .where(col("jaccard") >= 0.95)
-        .select(col("i"), col("j"), col("m"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("i"), col("j"), col("m"), round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
         .orderBy("i", "j")
     },
 
@@ -106,7 +106,7 @@ object TextQueries extends QueryModule {
         .where(col("doc_id") < 80 && tokenCount(col("text")) >= 3)
         .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sh"))
       Dedup.jaccardPairsByIndex(sh, col("doc_id"), col("sh"), minJaccard = 0.02)
-        .select(col("i"), col("j"), col("m"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("i"), col("j"), col("m"), round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
         .orderBy("i", "j")
     },
 
@@ -139,7 +139,7 @@ object TextQueries extends QueryModule {
         |       len(string_split(text, ' ')) AS n_tokens,
         |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
         |       round((length(text) - (len(string_split(text, ' ')) - 1))
-        |             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_word_len
+        |             / CAST(len(string_split(text, ' ')) AS DOUBLE) + 1e-9, 4) AS avg_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_quality_score" ->
@@ -212,7 +212,7 @@ object TextQueries extends QueryModule {
         |          JOIN dtok x ON x.doc_id = c.i
         |          JOIN dtok y ON y.doc_id = c.j AND x.w = y.w
         |          GROUP BY 1, 2)
-        |SELECT i, j, m, round(m / (ni.n + nj.n - m), 4) AS jaccard
+        |SELECT i, j, m, round(m / (ni.n + nj.n - m) + 1e-9, 4) AS jaccard
         |FROM inter JOIN sizes ni ON ni.doc_id = i JOIN sizes nj ON nj.doc_id = j
         |WHERE m / (ni.n + nj.n - m) >= 0.95 ORDER BY i, j""".stripMargin,
 
@@ -226,7 +226,7 @@ object TextQueries extends QueryModule {
         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         |inter AS (SELECT x.doc_id i, y.doc_id j, count(*) m FROM sh x
         |          JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
-        |SELECT i, j, m, round(m / (ni.n + nj.n - m), 4) AS jaccard
+        |SELECT i, j, m, round(m / (ni.n + nj.n - m) + 1e-9, 4) AS jaccard
         |FROM inter JOIN sizes ni ON ni.doc_id = i JOIN sizes nj ON nj.doc_id = j
         |WHERE m / (ni.n + nj.n - m) >= 0.02 ORDER BY i, j""".stripMargin,
 

@@ -20,8 +20,9 @@ object TileQueries extends QueryModule {
     Tables.events(s, dir)
       .groupBy(
         date_format(col("ts"), "yyyy-MM-dd").as("granule"),
-        expr("user_id DIV 15").as("lat_c"),             // 10 lat rows
-        floor(col("value") / 50).cast("long").as("lon_c")) // 10 lon cols
+        // clamp to a fixed 10×10 grid: id/value ranges grow with sf
+        least(expr("user_id DIV 15"), lit(9L)).as("lat_c"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("lon_c"))
       .agg(avg(col("value")).as("v"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -43,8 +44,8 @@ object TileQueries extends QueryModule {
       TileOps.dailyStats(points)
         .select(col("day_start"), col("cnt"),
           round(col("mean") + 1e-9, 4).as("mean_v"),
-          round(col("min"), 4).as("min_v"),
-          round(col("max"), 4).as("max_v"),
+          round(col("min") + lit(1e-9), 4).as("min_v"),
+          round(col("max") + lit(1e-9), 4).as("max_v"),
           round(col("std") + 1e-9, 4).as("std_v"))
         .orderBy("day_start")
     },
@@ -66,8 +67,8 @@ object TileQueries extends QueryModule {
         .groupBy(col("min_lat"), col("min_lon"))
         .agg(count(lit(1)).as("n_tiles"),
           sum(col("stats_count")).as("n_cells"),
-          round(min(col("stats_min")), 4).as("lo"),
-          round(max(col("stats_max")), 4).as("hi"))
+          round(min(col("stats_min")) + lit(1e-9), 4).as("lo"),
+          round(max(col("stats_max")) + lit(1e-9), 4).as("hi"))
         .orderBy("min_lat", "min_lon")
     }
   )
@@ -75,8 +76,8 @@ object TileQueries extends QueryModule {
   def oracle: Map[String, String] = Map(
     "core_tile_pipeline" ->
       """WITH cells AS (
-        |  SELECT strftime(ts, '%Y-%m-%d') AS g, user_id // 15 AS lat_c,
-        |         CAST(floor(value / 50) AS BIGINT) AS lon_c,
+        |  SELECT strftime(ts, '%Y-%m-%d') AS g, least(user_id // 15, 9) AS lat_c,
+        |         least(CAST(floor(value / 50) AS BIGINT), 9) AS lon_c,
         |         -- tile payloads are float32 (the reference's dtype):
         |         -- model the same truncation the tile round-trip applies
         |         CAST(CAST(avg(value) AS REAL) AS DOUBLE) AS v
@@ -85,15 +86,15 @@ object TileQueries extends QueryModule {
         |       count(*) AS cnt,
         |       round(sum(v * cos(radians(lat_c))) / sum(cos(radians(lat_c)))
         |             + 1e-9, 4) AS mean_v,
-        |       round(min(v), 4) AS min_v,
-        |       round(max(v), 4) AS max_v,
+        |       round(min(v) + 1e-9, 4) AS min_v,
+        |       round(max(v) + 1e-9, 4) AS max_v,
         |       round(stddev_samp(v) + 1e-9, 4) AS std_v
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "core_tile_catalog" ->
       """WITH cells AS (
-        |  SELECT strftime(ts, '%Y-%m-%d') AS g, user_id // 15 AS lat_c,
-        |         CAST(floor(value / 50) AS BIGINT) AS lon_c, avg(value) AS v
+        |  SELECT strftime(ts, '%Y-%m-%d') AS g, least(user_id // 15, 9) AS lat_c,
+        |         least(CAST(floor(value / 50) AS BIGINT), 9) AS lon_c, avg(value) AS v
         |  FROM events GROUP BY 1, 2, 3),
         |tiles AS (
         |  SELECT g, (lat_c // 5) * 5 AS tile_lat, (lon_c // 5) * 5 AS tile_lon,
@@ -104,7 +105,7 @@ object TileQueries extends QueryModule {
         |  FROM cells GROUP BY 1, 2, 3)
         |SELECT min_lat, min_lon, count(*) AS n_tiles,
         |       CAST(sum(stats_count) AS BIGINT) AS n_cells,
-        |       round(min(stats_min), 4) AS lo, round(max(stats_max), 4) AS hi
+        |       round(min(stats_min) + 1e-9, 4) AS lo, round(max(stats_max) + 1e-9, 4) AS hi
         |FROM tiles
         |WHERE min_lat <= 7 AND max_lat >= 3
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -52,10 +52,12 @@ for name in sorted(oracle):
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             av = a.astype(float).values
             bv = b.astype(float).values
-            nan_ok = (np.isnan(av) == np.isnan(bv)).all()
-            m = np.nanmax(np.abs(av - bv)) if len(av) else 0.0
-            if not nan_ok or not (m == 0.0 or m < 1e-12):
-                bad.append((c, f"maxdiff={m} nan_ok={nan_ok}"))
+            # exact bit equality (emulates the driver's hash compare)
+            with np.errstate(invalid="ignore"):
+                eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            if not eq.all():
+                m = np.nanmax(np.abs(av - bv))
+                bad.append((c, f"{(~eq).sum()} cells differ, maxdiff={m}"))
         else:
             eq = a.astype(str).values == b.astype(str).values
             if not eq.all():
