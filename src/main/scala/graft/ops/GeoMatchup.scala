@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full spatio-temporal matchup join (SURVEY J1/J7: Matchup.py:429-592,
+  * doms/MatchupQuery.py:157-346): satellite points × in-situ points
+  * within `rt` meters (great-circle) and `tt` seconds.
+  *
+  * Grid strategy replacing the reference's per-partition KD-trees:
+  * both sides land on a (latCell, lonCell, timeCell) grid sized so any
+  * admissible pair is at most one cell apart on every axis; the primary
+  * side explodes into its 3×3×3 neighborhood (constant 27×, and in
+  * practice pruned to 27 distinct keys), the secondary maps to exactly
+  * one key, and the join is a plain equi-join on the cell key with the
+  * exact haversine+time predicate applied afterwards.
+  *
+  * Longitude cells are sized at the *widest* latitude in play
+  * (cos(maxAbsLat)), so the one-cell-apart guarantee holds everywhere
+  * in the domain; poleward domains should be matched in latitude bands.
+  * Cell keys are uniform shuffle keys; skewed cells fall to AQE.
+  */
+object GeoMatchup {
+
+  private val MetersPerDegLat = 111320.0
+
+  /** @param primary   (idCols..., lat, lon, time-seconds) — exploded ×27
+    * @param secondary same shape, single cell key
+    * @param rtMeters  great-circle radius tolerance
+    * @param ttSeconds time tolerance
+    * @param maxAbsLat widest |latitude| in the domain (degrees),
+    *                  bounds the longitude cell width
+    * @return pairs with all columns of both sides + `dist_km`, `dt_s`
+    */
+  def matchup(primary: DataFrame, secondary: DataFrame,
+              pLat: Column, pLon: Column, pTime: Column,
+              sLat: Column, sLon: Column, sTime: Column,
+              rtMeters: Double, ttSeconds: Long,
+              maxAbsLat: Double = 66.0): DataFrame = {
+    require(maxAbsLat < 89.0, "use latitude-banded matchup near the poles")
+    val latStep = rtMeters / MetersPerDegLat
+    val lonStep = rtMeters / (MetersPerDegLat *
+      math.max(math.cos(math.toRadians(maxAbsLat)), 1e-6))
+
+    def cell(c: Column, step: Double): Column = floor(c / step).cast("long")
+
+    val neighbors = Seq(-1, 0, 1)
+    val pCells = explode(array((for {
+      dLat <- neighbors; dLon <- neighbors; dT <- neighbors
+    } yield struct(
+      (cell(pLat, latStep) + dLat).as("la"),
+      (cell(pLon, lonStep) + dLon).as("lo"),
+      (cell(pTime, ttSeconds.toDouble) + dT).as("t"))): _*))
+
+    val p = primary.withColumn("__cell", pCells)
+    val s = secondary.withColumn("__cell", struct(
+      cell(sLat, latStep).as("la"),
+      cell(sLon, lonStep).as("lo"),
+      cell(sTime, ttSeconds.toDouble).as("t")))
+
+    p.join(s, "__cell")
+      .withColumn("dist_km", GeoFunctions.haversineKm(pLat, pLon, sLat, sLon))
+      .withColumn("dt_s", abs(pTime - sTime))
+      .where(col("dist_km") * 1000.0 <= rtMeters && col("dt_s") <= ttSeconds)
+      .drop("__cell")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsofJoin, ToleranceJoin}
+import graft.ops.{AsofJoin, GeoMatchup, ToleranceJoin}
 
 /** Join operators re-expressed over the driver testdata (SURVEY §2.3).
   * J1–J3: the matchup family (tolerance join → match-once / match-all);
@@ -60,6 +60,26 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("n_matches"), min(col("eid")).as("min_eid"),
           max(col("eid")).as("max_eid"), round(avg(col("ev")) + lit(1e-9), 4).as("avg_ev"))
         .orderBy("pid")
+    },
+
+    // J7/J1 full geo form: lat/lon/time matchup via the 3×3×3 grid
+    // neighborhood join (GeoMatchup), lat/lon synthesized from event
+    // columns; oracle is the naive haversine theta-join.
+    "j7_geo_matchup" -> { (s, dir) =>
+      def side(typ: String, idAs: String, pfx: String) =
+        Tables.events(s, dir).where(col("event_type") === typ)
+          .select(col("event_id").as(idAs),
+            ((col("user_id") % 120) - 60 + 0.005).as(s"${pfx}lat"),
+            (col("value") / 4 - 90 + 0.005).as(s"${pfx}lon"),
+            expr("unix_micros(ts) DIV 1000000").as(s"${pfx}t"))
+      GeoMatchup.matchup(
+          side("purchase", "pid", "p"), side("error", "sid", "s"),
+          col("plat"), col("plon"), col("pt"),
+          col("slat"), col("slon"), col("st"),
+          rtMeters = 300000, ttSeconds = 14400, maxAbsLat = 61.0)
+        .select(col("pid"), col("sid"),
+          round(col("dist_km") + lit(1e-9), 4).as("dist_km"), col("dt_s"))
+        .orderBy("pid", "sid")
     },
 
     // J4: as-of join — latest click at-or-before each purchase, per user
@@ -139,6 +159,26 @@ object JoinQueries extends QueryModule {
         |       max(eid) AS max_eid, round(avg(ev) + 1e-9, 4) AS avg_ev
         |FROM p JOIN e ON abs(pts - ets) <= 7200000000 AND abs(pv - ev) <= 5.0
         |GROUP BY pid ORDER BY pid""".stripMargin,
+
+    "j7_geo_matchup" ->
+      """WITH p AS (SELECT event_id pid, (user_id % 120) - 60 + 0.005 plat,
+        |                  value/4 - 90 + 0.005 plon,
+        |                  epoch_us(ts) // 1000000 pt
+        |           FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT event_id sid, (user_id % 120) - 60 + 0.005 slat,
+        |                  value/4 - 90 + 0.005 slon,
+        |                  epoch_us(ts) // 1000000 st
+        |           FROM events WHERE event_type = 'error')
+        |SELECT pid, sid,
+        |       round(2*6371*asin(sqrt(pow(sin(radians(slat - plat)/2), 2) +
+        |         cos(radians(plat))*cos(radians(slat)) *
+        |         pow(sin(radians(slon - plon)/2), 2))) + 1e-9, 4) AS dist_km,
+        |       abs(pt - st) AS dt_s
+        |FROM p JOIN e ON abs(pt - st) <= 14400
+        |  AND 2*6371*asin(sqrt(pow(sin(radians(slat - plat)/2), 2) +
+        |      cos(radians(plat))*cos(radians(slat)) *
+        |      pow(sin(radians(slon - plon)/2), 2))) * 1000.0 <= 300000
+        |ORDER BY pid, sid""".stripMargin,
 
     "j4_asof_join" ->
       """WITH p AS (SELECT event_id pid, user_id, epoch_us(ts) pts_us, ts

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GeoMatchupSpec extends SparkSpec {
+
+  /** Reference tolerance cases (Matchup_test.py:16-125 / FIXTURES §2),
+    * plus a high-latitude case where naive flat lon-bucketing loses
+    * matches.
+    */
+  test("geo matchup reproduces reference tolerance semantics") {
+    import spark.implicits._
+    val primary = Seq((1L, 2.0, 1.0, 1000L)).toDF("pid", "plat", "plon", "pt")
+    val secondary = Seq(
+      (10L, 2.0, 1.0, 1000L),    // exact
+      (11L, 3.0, 1.0, 1000L),    // ~111 km north
+      (12L, 2.0, 1.001, 1000L),  // ~111 m east
+      (13L, 4.0, 1.0, 1000L),    // ~222 km north
+      (14L, 2.0, 1.0, 90000L)    // exact location, out of time window
+    ).toDF("sid", "slat", "slon", "st")
+
+    def ids(rt: Double, tt: Long) = GeoMatchup.matchup(
+      primary, secondary, $"plat", $"plon", $"pt", $"slat", $"slon", $"st",
+      rt, tt).select("sid").as[Long].collect().toSet
+
+    assert(ids(150000, 86400) === Set(10L, 11L, 12L))
+    assert(ids(200, 86400) === Set(10L, 12L))
+    assert(ids(100, 86400) === Set(10L))
+    assert(ids(150000, 60) === Set(10L, 11L, 12L)) // 14 excluded by time
+  }
+
+  test("matches survive at high latitude (lon cells shrink with cos)") {
+    import spark.implicits._
+    // at 60°N, 1° of longitude ≈ 55.7 km — two points 0.5° apart ≈ 28 km
+    val primary = Seq((1L, 60.0, 10.0, 0L)).toDF("pid", "plat", "plon", "pt")
+    val secondary = Seq((2L, 60.0, 10.5, 0L)).toDF("sid", "slat", "slon", "st")
+    val m = GeoMatchup.matchup(primary, secondary,
+      $"plat", $"plon", $"pt", $"slat", $"slon", $"st",
+      rtMeters = 30000, ttSeconds = 3600)
+    assert(m.count() === 1)
+    val d = m.select("dist_km").as[Double].collect()(0)
+    assert(d > 25 && d < 30)
+  }
+
+  test("time tolerance bounds matches") {
+    import spark.implicits._
+    val primary = Seq((1L, 0.0, 0.0, 0L)).toDF("pid", "plat", "plon", "pt")
+    val secondary = Seq(
+      (2L, 0.0, 0.0, 3599L), (3L, 0.0, 0.0, 3601L)
+    ).toDF("sid", "slat", "slon", "st")
+    val ids = GeoMatchup.matchup(primary, secondary,
+        $"plat", $"plon", $"pt", $"slat", $"slon", $"st", 1000, 3600)
+      .select("sid").as[Long].collect().toSet
+    assert(ids === Set(2L))
+  }
+}
