@@ -37,6 +37,17 @@ object IndexQueries extends QueryModule {
         .orderBy("o_custkey")
     },
 
+    // P4: exact-bounds identity lookup (find_tiles_by_exact_bounds,
+    // SolrProxy.pyx:322-355): equality on the interval endpoints.
+    "p4_exact_bounds" -> { (s, dir) =>
+      val iv = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      iv.where(col("lo") === lit("1995-01-01").cast("timestamp"))
+        .select(col("o_custkey"), date_format(col("hi"), "yyyy-MM-dd").as("hi_day"))
+        .orderBy("o_custkey")
+    },
+
     // P5: box + point-in-interval (find_all_tiles_in_box_at_time,
     // SolrProxy.pyx:357-378): value-range box at a time instant window.
     "p5_box_at_time" -> { (s, dir) =>
@@ -139,6 +150,13 @@ object IndexQueries extends QueryModule {
         |       strftime(hi, '%Y-%m-%d') AS hi_day
         |FROM iv
         |WHERE lo <= TIMESTAMP '1997-06-30' AND hi >= TIMESTAMP '1997-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "p4_exact_bounds" ->
+      """WITH iv AS (SELECT o_custkey, min(o_orderdate) lo, max(o_orderdate) hi
+        |            FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, strftime(hi, '%Y-%m-%d') AS hi_day
+        |FROM iv WHERE lo = TIMESTAMP '1995-01-01'
         |ORDER BY o_custkey""".stripMargin,
 
     "p5_box_at_time" ->

@@ -36,6 +36,18 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Regex token classification (the "BPE-ish regex" counting path):
+    // per-doc counts of alphabetic / long / short token classes.
+    "t_token_classes" -> { (s, dir) =>
+      val toks = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(filter(toks, w => w.rlike("^[a-z]+$"))).cast("long").as("alpha"),
+          size(filter(toks, w => length(w) >= 6)).cast("long").as("long_w"),
+          size(filter(toks, w => length(w) <= 2)).cast("long").as("short_w"))
+        .orderBy("doc_id")
+    },
+
     // Quality scoring: stopword ratio, type-token ratio, length score
     "t_quality_score" -> { (s, dir) =>
       val lenScore = least(col("n_chars").cast("double") / 400.0, lit(1.0))
@@ -140,6 +152,14 @@ object TextQueries extends QueryModule {
         |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
         |       round((length(text) - (len(string_split(text, ' ')) - 1))
         |             / CAST(len(string_split(text, ' ')) AS DOUBLE) + 1e-9, 4) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_token_classes" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text,' '),
+        |      w -> regexp_matches(w, '^[a-z]+$'))) AS alpha,
+        |  len(list_filter(string_split(text,' '), w -> length(w) >= 6)) AS long_w,
+        |  len(list_filter(string_split(text,' '), w -> length(w) <= 2)) AS short_w
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_quality_score" ->
