@@ -103,6 +103,32 @@ object Handlers {
         .agg(stddev_samp(col("value")).as("std"), count(lit(1)).as("cnt")))
   )
 
+  /** /match_spark (Matchup.py:41-120): satellite tile points × in-situ
+    * points within (rt meters, tt seconds); `matchOnce` keeps only the
+    * nearest match per primary point (the `matchOnce` request flag).
+    * Primary side comes from the pruned tile domain; secondary is any
+    * point table with (id, latitude, longitude, time) columns.
+    */
+  def matchSpark(p: QueryParams, tiles: DataFrame, insitu: DataFrame,
+                 rtMeters: Double, ttSeconds: Long,
+                 matchOnce: Boolean): DataFrame = {
+    val primary = domainPoints(p, tiles)
+      .select(col("tile_id"), col("latitude").as("plat"),
+        col("longitude").as("plon"), col("time").as("pt"),
+        col("value").as("pv"))
+    val secondary = insitu.select(col("id").as("sid"),
+      col("latitude").as("slat"), col("longitude").as("slon"),
+      col("time").as("st"))
+    val pairs = graft.ops.GeoMatchup.matchup(primary, secondary,
+      col("plat"), col("plon"), col("pt"), col("slat"), col("slon"), col("st"),
+      rtMeters, ttSeconds,
+      maxAbsLat = math.max(math.abs(p.minLat), math.abs(p.maxLat)).min(88.0).max(1.0))
+    if (matchOnce)
+      graft.ops.ToleranceJoin.matchOnce(pairs,
+        struct(col("plat"), col("plon"), col("pt")), col("dist_km"), col("sid"))
+    else pairs
+  }
+
   /** Reference concurrency gate: 10 concurrent Spark jobs, then 503
     * (NexusHandler.py:250-294, algorithms.ini:4-5).
     */

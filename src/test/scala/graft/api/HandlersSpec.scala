@@ -72,6 +72,30 @@ class HandlersSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("min_time") === 86400L))
   }
 
+  test("/match_spark matches tile points to in-situ points") {
+    import spark.implicits._
+    // in-situ points: one at grid point (0.5, 0.5) same day, one far away
+    val insitu = Seq(
+      (100L, 0.5, 0.5, 10L),
+      (101L, 40.0, 40.0, 10L)
+    ).toDF("id", "latitude", "longitude", "time")
+    val all = Handlers.matchSpark(p, tiles, insitu,
+      rtMeters = 200000, ttSeconds = 86400, matchOnce = false)
+    // matches points of day 0 within 200 km of (0.5, 0.5); 101 never matches
+    assert(all.where($"sid" === 101L).count() === 0)
+    assert(all.where($"sid" === 100L).count() > 0)
+    val once = Handlers.matchSpark(p, tiles, insitu,
+      rtMeters = 200000, ttSeconds = 86400, matchOnce = true)
+    // match-once: each primary point keeps exactly one match
+    val perPoint = once.groupBy("plat", "plon", "pt").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(perPoint === 1L)
+    // nearest match for the (0.5, 0.5) point is distance 0
+    val d0 = once.where($"plat" === 0.5 && $"plon" === 0.5 && $"pt" === 0L)
+      .select("dist_km").as[Double].collect()(0)
+    assert(d0 === 0.0)
+  }
+
   test("JobGate limits concurrency like the reference's 503 gate") {
     val gate = new Handlers.JobGate(maxConcurrentJobs = 1)
     val latch = new java.util.concurrent.CountDownLatch(1)
