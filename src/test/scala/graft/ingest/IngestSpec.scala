@@ -47,6 +47,25 @@ class IngestSpec extends SparkSpec {
     assert(tiles.count() === 3) // cell (0,0) all-NaN → dropped
   }
 
+  test("writeTiles partitions by dataset+time_bucket and prunes at read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tiles").toString
+    val tiles = Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "ds_a")
+      .unionByName(Ingest.pointsToTiles(
+        gridPoints.withColumn("time", org.apache.spark.sql.functions.lit(2592000L)),
+        2.0, 2.0, "ds_b"))
+    Ingest.writeTiles(tiles, out)
+    // partition directories exist for both datasets
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("dataset="))
+    assert(dirs.toSet === Set("dataset=ds_a", "dataset=ds_b"))
+    // a dataset+time predicate becomes PartitionFilters (pruned scan)
+    val read = spark.read.parquet(out)
+      .where(col("dataset") === "ds_a" && col("time_bucket") === 0L)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("ds_a"), plan) // the partition predicate itself
+    assert(read.count() === 4)
+  }
+
   test("tiles round-trip through toPoints") {
     val tiles = Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "test_ds")
     val points = TileOps.toPoints(tiles)

@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.AsofJoin
+import org.apache.spark.sql.functions._
+
+class AsofJoinPhysicalSpec extends SparkSpec {
+
+  test("custom strategy plans AsofJoinExec and matches expected semantics") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
+      .toDF("k", "t", "pid")
+    val right = Seq((1L, 90L, "r1"), (1L, 100L, "r2"), (1L, 110L, "r3"),
+      (2L, 20L, "r4")).toDF("k", "t", "rid")
+    val out = AsofJoinPhysical.lastEarlierMerge(left, right, Seq("k"), "t", "t")
+    assert(out.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      out.queryExecution.executedPlan.toString)
+    val m = out.select("pid", "r_rid").as[(String, String)].collect().toMap
+    assert(m("p1") === "r2") // at-or-before includes equal time
+    assert(m("p2") === null)
+    assert(m("p3") === null)
+  }
+
+  test("merge exec agrees with the window implementation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(500)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = Seq.tabulate(500)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, (i + 10000).toLong))
+      .toDF("k", "t", "rid")
+
+    val merge = AsofJoinPhysical.lastEarlierMerge(left, right, Seq("k"), "t", "t")
+      .select($"lid", $"r_t".as("matched_t"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val window = AsofJoin.lastEarlier(left,
+        right.select($"k", $"t".as("rt2"), $"rid"),
+        Seq("k"), col("t"), col("rt2"), Seq("rt2"), rightTie = "rid")
+      .select($"lid", $"matched_rt2")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(merge.size === 500 && window.size === 500)
+    assert(merge === window)
+  }
+
+  test("exec handles empty right side and left-only keys") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (9L, 20L, "b")).toDF("k", "t", "pid")
+    val right = Seq.empty[(Long, Long, String)].toDF("k", "t", "rid")
+    val out = AsofJoinPhysical.lastEarlierMerge(left, right, Seq("k"), "t", "t")
+    assert(out.count() === 2)
+    assert(out.where(col("r_rid").isNotNull).count() === 0)
+  }
+}
