@@ -97,6 +97,23 @@ object JoinQueries extends QueryModule {
         .orderBy("pid")
     },
 
+    // J4 via the custom physical operator (plans.AsofJoinPhysical):
+    // identical semantics and oracle as j4_asof_join, but planned
+    // through AsofJoinNode -> AsofJoinStrategy -> sort-merge
+    // AsofJoinExec — the driver gate thereby verifies the custom exec.
+    "j4b_asof_merge_exec" -> { (s, dir) =>
+      val p = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts"))
+      val c = Tables.events(s, dir).where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.plans.AsofJoinPhysical.lastEarlierMerge(p, c,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts")
+        .where(col("r_ts").isNotNull)
+        .select(col("pid"), col("user_id"), unix_micros(col("ts")).as("pts_us"),
+          unix_micros(col("r_ts")).as("click_ts_us"))
+        .orderBy("pid")
+    },
+
     // J5 + A13: two-dataset time alignment + comparison stats
     // (CorrMapSpark.py:94-145; TimeSeriesSpark.py:337-355): daily mean
     // series of two event types, inner-joined on day, then slope/
@@ -181,6 +198,16 @@ object JoinQueries extends QueryModule {
         |ORDER BY pid, sid""".stripMargin,
 
     "j4_asof_join" ->
+      """WITH p AS (SELECT event_id pid, user_id, epoch_us(ts) pts_us, ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts cts FROM events WHERE event_type = 'click')
+        |SELECT pid, user_id, pts_us, epoch_us(max(cts)) AS click_ts_us
+        |FROM p JOIN c USING (user_id)
+        |WHERE c.cts <= p.ts
+        |GROUP BY pid, user_id, pts_us
+        |ORDER BY pid""".stripMargin,
+
+    "j4b_asof_merge_exec" ->
       """WITH p AS (SELECT event_id pid, user_id, epoch_us(ts) pts_us, ts
         |           FROM events WHERE event_type = 'purchase'),
         |     c AS (SELECT user_id, ts cts FROM events WHERE event_type = 'click')
