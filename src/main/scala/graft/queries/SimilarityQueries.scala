@@ -41,6 +41,23 @@ object SimilarityQueries extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // Embedding aggregation by key — per-label centroids (the class-
+    // centroid / cluster-statistics staple of training pipelines):
+    // element-wise mean via posexplode + two-level aggregation.
+    "e_label_centroid" -> { (s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("i0", "x")))
+        .groupBy(col("label"), (col("i0") + 1).as("i"))
+        .agg(avg(col("x")).as("c"), count(lit(1)).as("cnt"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_dims"),
+          max(col("cnt")).as("n_vecs"),
+          round(sqrt(sum(col("c") * col("c"))) + lit(1e-9), 6).as("centroid_norm"),
+          round(sum(col("c")) + lit(1e-9), 6).as("dim_sum"))
+        .orderBy("label")
+    },
+
     // Embedding near-dup pairs: LSH candidates (same bucket), exact
     // cosine ≥ 0.45
     "e_near_dup" -> { (s, dir) =>
@@ -100,6 +117,15 @@ object SimilarityQueries extends QueryModule {
         |        ORDER BY sim DESC, cid ASC) AS rank FROM s)
         |SELECT qid, rank, cid, round(sim + 1e-9, 6) AS sim, bucket FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "e_label_centroid" ->
+      """WITH dims AS (
+        |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) c, count(*) cnt
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_dims, max(cnt) AS n_vecs,
+        |       round(sqrt(sum(c*c)) + 1e-9, 6) AS centroid_norm,
+        |       round(sum(c) + 1e-9, 6) AS dim_sum
+        |FROM dims GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e_near_dup" ->
       s"""WITH $sigCte,

@@ -1,0 +1,60 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+
+  /** Three well-separated clusters in 4-d. */
+  private def corpus = {
+    import spark.implicits._
+    val protos = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    (0 until 30).map { i =>
+      val p = protos(i % 3)
+      (i.toLong, p.map(x => x + (i / 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("train produces nlist centroids near the cluster prototypes") {
+    val cents = IvfIndex.train(corpus, col("vec_id"), col("embedding"),
+      nlist = 3, iters = 5)
+    assert(cents.count() === 3)
+    val arr = cents.collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")))
+    // each centroid should be dominated by exactly one axis near 10
+    assert(arr.forall(c => c.count(_ > 5.0) == 1))
+  }
+
+  test("search finds same-cluster neighbors and respects k") {
+    import spark.implicits._
+    val base = corpus.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = IvfIndex.train(corpus, col("vec_id"), col("embedding"), 3, 5)
+    val index = IvfIndex.assign(base, cents)
+    val probes = corpus.where(col("vec_id") === 0L)
+    val res = IvfIndex.search(index, cents, probes,
+      col("vec_id"), col("embedding"), nprobe = 1, k = 4)
+    val ids = res.orderBy("rank").select("vid").as[Long].collect()
+    assert(ids.length === 4)
+    // all results come from cluster 0 (ids ≡ 0 mod 3)
+    assert(ids.forall(_ % 3 == 0))
+  }
+
+  test("IVF with nprobe=nlist matches brute force exactly") {
+    import spark.implicits._
+    val base = corpus.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = IvfIndex.train(corpus, col("vec_id"), col("embedding"), 3, 3)
+    val index = IvfIndex.assign(base, cents)
+    val probes = corpus.where(col("vec_id") < 2L)
+    val ivf = IvfIndex.search(index, cents, probes,
+        col("vec_id"), col("embedding"), nprobe = 3, k = 5)
+      .select("qid", "rank", "vid").as[(Long, Long, Long)]
+      .collect().map { case (q, r, v) => (q, r) -> v }.toMap
+    val bf = Similarity.bruteForceTopK(corpus, probes,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+      .select("qid", "rank", "cid").as[(Long, Long, Long)]
+      .collect().map { case (q, r, v) => (q, r) -> v }.toMap
+    assert(ivf === bf)
+  }
+}
