@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * (cos(maxAbsLat)), so the one-cell-apart guarantee holds everywhere
   * in the domain; poleward domains should be matched in latitude bands.
   * Cell keys are uniform shuffle keys; skewed cells fall to AQE.
+  *
+  * Longitudes are treated as linear: a domain crossing the
+  * antimeridian must be pre-rotated (shift lon by a constant) or
+  * matched a second time with a ±360°-shifted copy of the boundary
+  * strip — the same caveat as the reference's flat azimuthal
+  * projection per partition (Matchup.py:536-578).
   */
 object GeoMatchup {
 
