@@ -33,6 +33,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows group activity bursts with a gap timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // two bursts for 'click' separated by > 5 min, one 'view' event
+    mem.addData(
+      Ev(t(0), "click", 1.0, 1), Ev(t(60), "click", 2.0, 2),
+      Ev(t(1000), "click", 3.0, 3), Ev(t(30), "view", 4.0, 4))
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp($"w.start").as("start"), $"event_type", $"cnt")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows === Set((0L, "click", 2L), (1000L, "click", 1L),
+        (30L, "view", 1L)))
+    } finally q.stop()
+  }
+
   test("dedupedStream drops duplicate ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
