@@ -29,6 +29,21 @@ object StreamingIngest {
         col("avg_v"), col("min_v"), col("max_v"))
   }
 
+  /** Session-window statistics: activity bursts separated by more than
+    * `gap` become separate sessions (stateful aggregation bounded by
+    * the watermark) — the sessionized counterpart of windowedStats for
+    * burst-shaped sources.
+    */
+  def sessionStats(events: DataFrame, gap: String, watermark: String): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(session_window(col("ts"), gap).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avg(col("value")).as("avg_v"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("cnt"), col("avg_v"))
+  }
+
   /** Idempotent dedup on tile/event id within the watermark horizon —
     * replaces the reference's UUID5 upsert idempotency.
     */

@@ -41,11 +41,8 @@ class StreamingSpec extends SparkSpec {
     mem.addData(
       Ev(t(0), "click", 1.0, 1), Ev(t(60), "click", 2.0, 2),
       Ev(t(1000), "click", 3.0, 3), Ev(t(30), "view", 4.0, 4))
-    val q = mem.toDF()
-      .withWatermark("ts", "10 minutes")
-      .groupBy(session_window($"ts", "5 minutes").as("w"), $"event_type")
-      .agg(count(lit(1)).as("cnt"))
-      .select(unix_timestamp($"w.start").as("start"), $"event_type", $"cnt")
+    val q = StreamingIngest.sessionStats(mem.toDF(), "5 minutes", "10 minutes")
+      .select(unix_timestamp($"w_start").as("start"), $"event_type", $"cnt")
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("complete").start()
     try {
