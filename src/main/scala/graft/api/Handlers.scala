@@ -119,10 +119,18 @@ object Handlers {
     val secondary = insitu.select(col("id").as("sid"),
       col("latitude").as("slat"), col("longitude").as("slon"),
       col("time").as("st"))
+    // widest participating latitude: the bbox extreme PLUS the rt
+    // tolerance (in-situ points up to rt poleward of the bbox still
+    // match); capping high is conservative — a larger assumed latitude
+    // only widens lon cells (more candidates, never lost matches).
+    // Points poleward of ~88.9° need banded/polar matchup (GeoMatchup
+    // precondition).
+    val padDeg = rtMeters / 111000.0
+    val widestLat = (math.max(math.abs(p.minLat), math.abs(p.maxLat)) + padDeg)
+      .min(88.9).max(1.0)
     val pairs = graft.ops.GeoMatchup.matchup(primary, secondary,
       col("plat"), col("plon"), col("pt"), col("slat"), col("slon"), col("st"),
-      rtMeters, ttSeconds,
-      maxAbsLat = math.max(math.abs(p.minLat), math.abs(p.maxLat)).min(88.0).max(1.0))
+      rtMeters, ttSeconds, maxAbsLat = widestLat)
     if (matchOnce)
       graft.ops.ToleranceJoin.matchOnce(pairs,
         struct(col("plat"), col("plon"), col("pt")), col("dist_km"), col("sid"))
@@ -146,13 +154,14 @@ object Handlers {
       }
   }
 
-  /** W5 — result-size limit gate (Matchup.py:269-274): small counts
-    * return Right(rows); oversized results return Left(count) (≡ HTTP
-    * 202 + async path). The count itself is a cheap aggregate, not a
-    * collect.
+  /** W5 — result-size limit gate (Matchup.py:269-274): results within
+    * the limit return Right(rows); oversized results return Left(limit
+    * exceeded) (≡ HTTP 202 + async path). Single execution: collects
+    * limit+1 rows and checks for the sentinel extra row, instead of a
+    * separate count() job that would run the whole plan twice.
     */
-  def sizeGated(df: DataFrame, limit: Long): Either[Long, Array[org.apache.spark.sql.Row]] = {
-    val n = df.count()
-    if (n > limit) Left(n) else Right(df.collect())
+  def sizeGated(df: DataFrame, limit: Int): Either[Long, Array[org.apache.spark.sql.Row]] = {
+    val rows = df.limit(limit + 1).collect()
+    if (rows.length > limit) Left(limit + 1L) else Right(rows)
   }
 }

@@ -34,8 +34,16 @@ object GeoFunctions {
 
   def uvToSpeed(u: Column, v: Column): Column = sqrt(u * u + v * v)
 
-  /** Inverse of windU/windV: degrees, atan2(u, v) convention. */
-  def uvToDirDeg(u: Column, v: Column): Column = degrees(atan2(u, v))
+  /** Meteorological FROM-direction in [0, 360) — the reference kernel's
+    * convention (computespeeddirfromuv.py: degrees(atan2(−u, −v)) mod
+    * 360). Note windU/windV build the TOWARD vector, so a round trip
+    * returns the original direction + 180° (mod 360), exactly as the
+    * reference pair does.
+    */
+  def uvToDirDeg(u: Column, v: Column): Column = {
+    val d = degrees(atan2(-u, -v))
+    when(d < 0, d + 360).otherwise(d)
+  }
 
   /** Great-circle distance in km between two (lat, lon) points, degrees in. */
   def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {

@@ -56,6 +56,18 @@ object Ingest {
       .withColumn("section_spec",
         concat_ws(",", concat(lit("lat:"), col("cell_lat")),
           concat(lit("lon:"), col("cell_lon")), concat(lit("t:"), col("time"))))
+      // the row-major data layout requires a COMPLETE distinct-lats ×
+      // distinct-lons grid per cell (readers emit NaN for missing
+      // cells); a sparse or duplicated grid would silently scramble
+      // toPoints' index arithmetic, so fail loudly instead
+      .withColumn("__expected", size(col("lats_d")) * size(col("lons_d")))
+      .withColumn("cells",
+        when(size(col("cells")) === col("__expected"), col("cells"))
+          .otherwise(raise_error(concat(lit("pointsToTiles: non-dense grid for granule "),
+            col("granule"), lit(" cell ("), col("cell_lat"), lit(","), col("cell_lon"),
+            lit("): "), size(col("cells")).cast("string"), lit(" points vs "),
+            col("__expected").cast("string"), lit(" grid slots — densify or "),
+            lit("use TypedTileOps.swathToPoints for sparse observations")))))
       .select(
         tileId(col("granule"), col("section_spec")).as("tile_id"),
         lit(dataset).as("dataset"),

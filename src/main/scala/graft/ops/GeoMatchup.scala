@@ -29,7 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object GeoMatchup {
 
-  private val MetersPerDegLat = 111320.0
+  /** Meters per degree of latitude ON THE HAVERSINE SPHERE (π·R/180 ≈
+    * 111194.93) — the cell math must use the same Earth radius as the
+    * exact predicate, or a meridional pair at exactly `rt` spans two
+    * cells and is lost. Steps get a further 2% widening margin for the
+    * small-angle approximation in the longitude bound (wider cells are
+    * always safe — they only admit more candidates).
+    */
+  private[ops] val MetersPerDegLat = math.Pi * GeoFunctions.EarthRadiusKm * 1000 / 180
+  private val StepMargin = 1.02
 
   /** @param primary   (idCols..., lat, lon, time-seconds) — exploded ×27
     * @param secondary same shape, single cell key
@@ -45,9 +53,9 @@ object GeoMatchup {
               rtMeters: Double, ttSeconds: Long,
               maxAbsLat: Double = 66.0): DataFrame = {
     require(maxAbsLat < 89.0, "use latitude-banded matchup near the poles")
-    val latStep = rtMeters / MetersPerDegLat
+    val latStep = rtMeters / MetersPerDegLat * StepMargin
     val lonStep = rtMeters / (MetersPerDegLat *
-      math.max(math.cos(math.toRadians(maxAbsLat)), 1e-6))
+      math.max(math.cos(math.toRadians(maxAbsLat)), 1e-6)) * StepMargin
 
     def cell(c: Column, step: Double): Column = floor(c / step).cast("long")
 

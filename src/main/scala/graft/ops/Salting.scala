@@ -10,18 +10,24 @@ import org.apache.spark.sql.functions._
   * covers joins; this covers the groupBy path when one key dominates
   * (e.g. the dedup mega-cluster, a global hot pixel).
   *
-  * The salt is deterministic (hash of all columns mod buckets), so
-  * results are reproducible run to run.
+  * The salt mixes a per-row id into the hash so byte-identical rows —
+  * precisely the dedup-mega-cluster hot-key case — still spread across
+  * buckets. The aggregate RESULT is salt-invariant (sum/count/min/max
+  * partials recombine identically whatever the bucket assignment), so
+  * reproducibility is unaffected.
   */
 object Salting {
+
+  private def rowSalt(df: DataFrame, buckets: Int): org.apache.spark.sql.Column =
+    pmod(hash((df.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
+      lit(buckets))
 
   /** Salted sum/count/min/max (algebraic partials) per key. Output
     * columns: sum_<v>, cnt_<v>, min_<v>, max_<v>, mean_<v>.
     */
   def saltedStats(df: DataFrame, keys: Seq[String], valueCol: String,
                   buckets: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+    val salted = df.withColumn("__salt", rowSalt(df, buckets))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(
@@ -45,8 +51,7 @@ object Salting {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int): DataFrame = {
-    val bigSalted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+    val bigSalted = big.withColumn("__salt", rowSalt(big, buckets))
     val smallReplicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     bigSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")

@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions.col
 case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -35,8 +36,8 @@ case class AsofJoinNode(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, tie) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
     case _ => Nil
   }
 }
@@ -50,7 +51,8 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -59,9 +61,13 @@ case class AsofJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
+  // right side additionally ordered by the tie-break column, so rows
+  // tied on (key, time) are consumed in a deterministic order and the
+  // carried match is always the one with the LARGEST tie value —
+  // matching ops.AsofJoin.lastEarlier's rightTie semantics
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+    (rightKeys :+ rightTime :+ rightTie).map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
@@ -133,7 +139,8 @@ object AsofJoinPhysical {
         spark.experimental.extraStrategies :+ AsofJoinStrategy
 
   def lastEarlierMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
-                       leftTime: String, rightTime: String): DataFrame = {
+                       leftTime: String, rightTime: String,
+                       rightTie: String): DataFrame = {
     val spark = left.sparkSession
     enable(spark)
     // fresh attribute ids on the right side (self-join safety) + r_ prefix
@@ -146,7 +153,8 @@ object AsofJoinPhysical {
     val node = AsofJoinNode(
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"r_$k")),
-      attr(lPlan, leftTime), attr(rPlan, s"r_$rightTime"))
+      attr(lPlan, leftTime), attr(rPlan, s"r_$rightTime"),
+      attr(rPlan, s"r_$rightTie"))
     GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -231,7 +231,9 @@ object AggQueries extends QueryModule {
         |       round(u + 1e-9, 4) AS wind_u, round(v + 1e-9, 4) AS wind_v,
         |       round(sqrt(u*u + v*v) + 1e-9, 4) AS speed_rt,
         |       round(CASE WHEN value = 0 THEN 0.0
-        |                  ELSE degrees(atan2(u, v)) END + 1e-9, 4) AS dir_rt,
+        |                  WHEN degrees(atan2(-u, -v)) < 0
+        |                    THEN degrees(atan2(-u, -v)) + 360
+        |                  ELSE degrees(atan2(-u, -v)) END + 1e-9, 4) AS dir_rt,
         |       round(2 * 6371.0 * asin(sqrt(
         |         pow(sin(radians(0 - (user_id - 75)) / 2), 2) +
         |         cos(radians(user_id - 75)) * cos(radians(0)) *

@@ -107,7 +107,8 @@ object JoinQueries extends QueryModule {
       val c = Tables.events(s, dir).where(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
       graft.plans.AsofJoinPhysical.lastEarlierMerge(p, c,
-          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts")
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightTie = "event_id")
         .where(col("r_ts").isNotNull)
         .select(col("pid"), col("user_id"), unix_micros(col("ts")).as("pts_us"),
           unix_micros(col("r_ts")).as("click_ts_us"))

@@ -28,14 +28,20 @@ object IvfIndex {
       .select(col("list_id"), col("v").as("centroid"))
     (1 to iters).foreach { _ =>
       val assigned = assign(base, centroids)
-      centroids = assigned
+      val updated = assigned
         .select(col("list_id"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("list_id", "i")
         .agg(avg(col("x")).as("c"))
         .groupBy("list_id")
         .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("pairs"))
         .select(col("list_id"),
-          transform(col("pairs"), p => p.getField("c")).as("centroid"))
+          transform(col("pairs"), p => p.getField("c")).as("next"))
+      // a list that received no vectors this iteration keeps its old
+      // centroid — otherwise it would silently vanish and the index
+      // would end up with fewer than nlist lists
+      centroids = centroids
+        .join(updated, Seq("list_id"), "left")
+        .select(col("list_id"), coalesce(col("next"), col("centroid")).as("centroid"))
     }
     centroids
   }

@@ -14,14 +14,18 @@ import org.apache.spark.sql.Row
   */
 object StreamingIngest {
 
+  /** Watermark only applies to streaming relations; batch callers run
+    * the identical plan without one.
+    */
+  private def withEventTimeWatermark(events: DataFrame, watermark: String): DataFrame =
+    if (events.isStreaming) events.withWatermark("ts", watermark) else events
+
   /** Windowed per-source statistics with late-data handling — the
     * streaming form of the engine's A1 kernel. Works on any streaming
     * or batch point/event relation with (ts, event_type, value).
     */
   def windowedStats(events: DataFrame, window_ : String, watermark: String): DataFrame = {
-    val withWm =
-      if (events.isStreaming) events.withWatermark("ts", watermark) else events
-    withWm
+    withEventTimeWatermark(events, watermark)
       .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), avg(col("value")).as("avg_v"),
         min(col("value")).as("min_v"), max(col("value")).as("max_v"))
@@ -35,9 +39,7 @@ object StreamingIngest {
     * burst-shaped sources.
     */
   def sessionStats(events: DataFrame, gap: String, watermark: String): DataFrame = {
-    val withWm =
-      if (events.isStreaming) events.withWatermark("ts", watermark) else events
-    withWm
+    withEventTimeWatermark(events, watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), avg(col("value")).as("avg_v"))
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
@@ -45,12 +47,15 @@ object StreamingIngest {
   }
 
   /** Idempotent dedup on tile/event id within the watermark horizon —
-    * replaces the reference's UUID5 upsert idempotency.
+    * replaces the reference's UUID5 upsert idempotency. Streaming uses
+    * `dropDuplicatesWithinWatermark` so dedup state is EVICTED as the
+    * watermark advances (plain `dropDuplicates(id)` would hold every id
+    * ever seen and grow state without bound).
     */
   def dedupedStream(events: DataFrame, idCol: String, watermark: String): DataFrame = {
-    val withWm =
-      if (events.isStreaming) events.withWatermark("ts", watermark) else events
-    withWm.dropDuplicates(idCol)
+    val withWm = withEventTimeWatermark(events, watermark)
+    if (events.isStreaming) withWm.dropDuplicatesWithinWatermark(idCol)
+    else withWm.dropDuplicates(idCol)
   }
 
   /** File-watch ingest pipeline: parquet directory source → transform →

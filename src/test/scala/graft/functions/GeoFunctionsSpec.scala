@@ -19,14 +19,20 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(d(2) === 0.0)
   }
 
-  test("wind U/V round-trips speed") {
+  test("wind U/V round-trips speed; direction returns FROM convention") {
     import spark.implicits._
     val df = Seq((10.0, 45.0), (3.5, 200.0), (0.5, 359.0)).toDF("speed", "dir")
     val u = GeoFunctions.windU($"speed", $"dir")
     val v = GeoFunctions.windV($"speed", $"dir")
-    val rt = df.select(GeoFunctions.uvToSpeed(u, v).as("s")).as[Double].collect()
-    df.select($"speed").as[Double].collect().zip(rt).foreach { case (a, b) =>
-      assert(math.abs(a - b) < 1e-9)
+    val rt = df.select(GeoFunctions.uvToSpeed(u, v).as("s"),
+      GeoFunctions.uvToDirDeg(u, v).as("d")).as[(Double, Double)].collect()
+    df.select($"speed", $"dir").as[(Double, Double)].collect().zip(rt).foreach {
+      case ((s, d), (s2, d2)) =>
+        assert(math.abs(s - s2) < 1e-9)
+        // windU/windV build the TOWARD vector; uvToDirDeg reports the
+        // FROM direction (reference convention) = dir + 180 mod 360
+        assert(math.abs((d + 180) % 360 - d2) < 1e-9)
+        assert(d2 >= 0 && d2 < 360)
     }
   }
 

@@ -66,6 +66,20 @@ class IngestSpec extends SparkSpec {
     assert(read.count() === 4)
   }
 
+  test("non-dense grids fail loudly instead of scrambling coordinates") {
+    import spark.implicits._
+    // two points on a diagonal: 2 distinct lats × 2 distinct lons but
+    // only 2 of 4 grid slots present
+    val sparse = Seq(
+      ("g.nc", 0.5, 0.5, 0L, 1.0),
+      ("g.nc", 1.5, 1.5, 0L, 2.0)
+    ).toDF("granule", "latitude", "longitude", "time", "value")
+    val e = intercept[Exception] {
+      Ingest.pointsToTiles(sparse, 2.0, 2.0, "ds").collect()
+    }
+    assert(e.getMessage.contains("non-dense grid"))
+  }
+
   test("tiles round-trip through toPoints") {
     val tiles = Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "test_ds")
     val points = TileOps.toPoints(tiles)

@@ -12,7 +12,7 @@ class AsofJoinPhysicalSpec extends SparkSpec {
       .toDF("k", "t", "pid")
     val right = Seq((1L, 90L, "r1"), (1L, 100L, "r2"), (1L, 110L, "r3"),
       (2L, 20L, "r4")).toDF("k", "t", "rid")
-    val out = AsofJoinPhysical.lastEarlierMerge(left, right, Seq("k"), "t", "t")
+    val out = AsofJoinPhysical.lastEarlierMerge(left, right, Seq("k"), "t", "t", rightTie = "rid")
     assert(out.queryExecution.executedPlan.toString.contains("AsofJoin"),
       out.queryExecution.executedPlan.toString)
     val m = out.select("pid", "r_rid").as[(String, String)].collect().toMap
@@ -31,7 +31,7 @@ class AsofJoinPhysicalSpec extends SparkSpec {
       (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, (i + 10000).toLong))
       .toDF("k", "t", "rid")
 
-    val merge = AsofJoinPhysical.lastEarlierMerge(left, right, Seq("k"), "t", "t")
+    val merge = AsofJoinPhysical.lastEarlierMerge(left, right, Seq("k"), "t", "t", rightTie = "rid")
       .select($"lid", $"r_t".as("matched_t"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
 
@@ -49,7 +49,7 @@ class AsofJoinPhysicalSpec extends SparkSpec {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (9L, 20L, "b")).toDF("k", "t", "pid")
     val right = Seq.empty[(Long, Long, String)].toDF("k", "t", "rid")
-    val out = AsofJoinPhysical.lastEarlierMerge(left, right, Seq("k"), "t", "t")
+    val out = AsofJoinPhysical.lastEarlierMerge(left, right, Seq("k"), "t", "t", rightTie = "rid")
     assert(out.count() === 2)
     assert(out.where(col("r_rid").isNotNull).count() === 0)
   }
