@@ -122,6 +122,29 @@ object TextQueries extends QueryModule {
         .orderBy("i", "j")
     },
 
+    // Composite multimodal pipeline: MinHash-LSH text clusters joined
+    // to the embedding table (doc_id = vec_id for the first 500 docs),
+    // then per-cluster membership counts and embedding-centroid norm —
+    // the "text near-dup cluster, embedding sanity-check" shape of a
+    // real training-data dedup audit.
+    "d_cluster_embeddings" -> { (s, dir) =>
+      val words = docWords(s, dir)
+      val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
+      val clusters = Dedup.lshClusterAssign(Dedup.lshBands(sig, k = 8))
+        .select(col("__id").as("doc_id"), col("cluster"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val dims = clusters.join(emb, "doc_id")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("i0", "x")))
+        .groupBy(col("cluster"), col("i0"))
+        .agg(avg(col("x")).as("c"), count(lit(1)).as("cnt"))
+      dims.groupBy(col("cluster"))
+        .agg(max(col("cnt")).as("n_docs"),
+          round(sqrt(sum(col("c") * col("c"))) + lit(1e-9), 6).as("centroid_norm"))
+        .orderBy("cluster")
+    },
+
     // 16-bit SimHash signatures
     "d_simhash" -> { (s, dir) =>
       val tok = Tables.documents(s, dir)
@@ -249,6 +272,31 @@ object TextQueries extends QueryModule {
         |SELECT i, j, m, round(m / (ni.n + nj.n - m) + 1e-9, 4) AS jaccard
         |FROM inter JOIN sizes ni ON ni.doc_id = i JOIN sizes nj ON nj.doc_id = j
         |WHERE m / (ni.n + nj.n - m) >= 0.02 ORDER BY i, j""".stripMargin,
+
+    "d_cluster_embeddings" ->
+      """WITH dtok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+        |              FROM documents),
+        |sig AS (SELECT doc_id,
+        |    min(md5('s0'||w)) h0, min(md5('s1'||w)) h1, min(md5('s2'||w)) h2,
+        |    min(md5('s3'||w)) h3, min(md5('s4'||w)) h4, min(md5('s5'||w)) h5,
+        |    min(md5('s6'||w)) h6, min(md5('s7'||w)) h7
+        |    FROM dtok GROUP BY doc_id),
+        |bands AS (
+        |    SELECT doc_id, 0 bidx, md5(h0||h1) bhash FROM sig UNION ALL
+        |    SELECT doc_id, 1, md5(h2||h3) FROM sig UNION ALL
+        |    SELECT doc_id, 2, md5(h4||h5) FROM sig UNION ALL
+        |    SELECT doc_id, 3, md5(h6||h7) FROM sig),
+        |bmin AS (SELECT bidx, bhash, min(doc_id) bmin FROM bands GROUP BY 1, 2),
+        |clusters AS (SELECT doc_id, min(bmin) AS cluster
+        |             FROM bands JOIN bmin USING (bidx, bhash) GROUP BY doc_id),
+        |dims AS (
+        |  SELECT c.cluster, i, avg(CAST(e.embedding[i] AS DOUBLE)) cd, count(*) cnt
+        |  FROM clusters c JOIN embeddings e ON e.vec_id = c.doc_id,
+        |       range(1, 65) t(i)
+        |  GROUP BY 1, 2)
+        |SELECT cluster, max(cnt) AS n_docs,
+        |       round(sqrt(sum(cd*cd)) + 1e-9, 6) AS centroid_norm
+        |FROM dims GROUP BY 1 ORDER BY cluster""".stripMargin,
 
     "d_simhash" ->
       """WITH tok AS (SELECT doc_id, md5(unnest(string_split(text,' '))) h
