@@ -75,7 +75,7 @@ object Handlers {
           col("day_of_year").cast("long"), col("clim_doy").cast("long"),
           Seq("clim_mean"), rightTie = "clim_doy")
         .withColumn("diff", col("stats_mean") - col("matched_clim_mean"))
-        .groupBy(((col("min_time") / 86400L).cast("long") * 86400L).as("day_start"))
+        .groupBy((floor(col("min_time") / 86400L).cast("long") * 86400L).as("day_start"))
         .agg(avg(col("diff")).as("mean_diff"), stddev_samp(col("diff")).as("std_diff"),
           count(lit(1)).as("cnt"))
         .orderBy("day_start")
@@ -121,13 +121,14 @@ object Handlers {
       col("time").as("st"))
     // widest participating latitude: the bbox extreme PLUS the rt
     // tolerance (in-situ points up to rt poleward of the bbox still
-    // match); capping high is conservative — a larger assumed latitude
-    // only widens lon cells (more candidates, never lost matches).
-    // Points poleward of ~88.9° need banded/polar matchup (GeoMatchup
-    // precondition).
+    // match). Polar domains are REJECTED loudly — silently clamping
+    // would drop valid matches near the pole; callers must band by
+    // latitude there (GeoMatchup precondition).
     val padDeg = rtMeters / 111000.0
-    val widestLat = (math.max(math.abs(p.minLat), math.abs(p.maxLat)) + padDeg)
-      .min(88.9).max(1.0)
+    val widestLat = (math.max(math.abs(p.minLat), math.abs(p.maxLat)) + padDeg).max(1.0)
+    require(widestLat < 89.0,
+      s"query bbox + $rtMeters m tolerance reaches latitude $widestLat°: " +
+        "polar matchup requires latitude-banded requests")
     val pairs = graft.ops.GeoMatchup.matchup(primary, secondary,
       col("plat"), col("plon"), col("pt"), col("slat"), col("slon"), col("st"),
       rtMeters, ttSeconds, maxAbsLat = widestLat)

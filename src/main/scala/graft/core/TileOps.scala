@@ -73,7 +73,7 @@ object TileOps {
   def dailyStats(points: DataFrame): DataFrame = {
     val w = GeoFunctions.cosLatWeight(col("latitude"))
     points
-      .groupBy(((col("time") / 86400L).cast("long") * 86400L).as("day_start"))
+      .groupBy((floor(col("time") / 86400L).cast("long") * 86400L).as("day_start"))
       .agg(
         (sum(col("value") * w) / sum(w)).as("mean"),
         min(col("value")).as("min"),

@@ -41,6 +41,7 @@ object Dedup {
     * explode to (id, band index, band hash).
     */
   def lshBands(sig: DataFrame, k: Int): DataFrame = {
+    require(k % 2 == 0, s"lshBands pairs signature columns; k=$k must be even")
     val bands = (0 until k / 2).map(b =>
       struct(lit(b).as("bidx"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bhash")))
     sig.select(col("__id"), explode(array(bands: _*)).as("band"))

@@ -48,6 +48,7 @@ object Ingest {
         // row-major lat-then-lon order via (lat, lon)-sorted structs
         sort_array(collect_list(struct(col("latitude"), col("longitude"),
           col("value")))).as("cells"),
+        countDistinct(struct(col("latitude"), col("longitude"))).as("n_coords"),
         min(validVal).as("stats_min"),
         max(validVal).as("stats_max"),
         (sum(validVal * w) / sum(when(validVal.isNotNull, w))).as("stats_mean"),
@@ -57,12 +58,16 @@ object Ingest {
         concat_ws(",", concat(lit("lat:"), col("cell_lat")),
           concat(lit("lon:"), col("cell_lon")), concat(lit("t:"), col("time"))))
       // the row-major data layout requires a COMPLETE distinct-lats ×
-      // distinct-lons grid per cell (readers emit NaN for missing
-      // cells); a sparse or duplicated grid would silently scramble
-      // toPoints' index arithmetic, so fail loudly instead
+      // distinct-lons grid per cell with one point per coordinate
+      // (readers emit NaN for missing cells); a sparse or duplicated
+      // grid would silently scramble toPoints' index arithmetic, so
+      // fail loudly instead. Both counts are checked: a duplicate point
+      // compensating for a missing slot keeps size==expected but
+      // lowers the distinct-coordinate count.
       .withColumn("__expected", size(col("lats_d")) * size(col("lons_d")))
       .withColumn("cells",
-        when(size(col("cells")) === col("__expected"), col("cells"))
+        when(size(col("cells")) === col("__expected") &&
+            col("n_coords") === col("__expected"), col("cells"))
           .otherwise(raise_error(concat(lit("pointsToTiles: non-dense grid for granule "),
             col("granule"), lit(" cell ("), col("cell_lat"), lit(","), col("cell_lon"),
             lit("): "), size(col("cells")).cast("string"), lit(" points vs "),

@@ -30,19 +30,24 @@ object AsofJoin {
   def lastEarlier(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftTime: Column, rightTime: Column,
                   rightVals: Seq[String], rightTie: String): DataFrame = {
+    // the carried values ride in ONE struct, so the match is always a
+    // single actual right row — carrying columns independently would
+    // stitch fields from different rows whenever the latest row holds
+    // a NULL field
     val r2 = right.select(
       keys.map(col) ++
-        Seq(rightTime.as("__t"), lit(0).as("__tag"), col(rightTie).as("__tie")) ++
-        rightVals.map(c => col(c).as(s"matched_$c")): _*)
+        Seq(rightTime.as("__t"), lit(0).as("__tag"), col(rightTie).as("__tie"),
+          struct(rightVals.map(col): _*).as("__rvals")): _*)
     val l2 = left.withColumn("__t", leftTime).withColumn("__tag", lit(1))
     val u = l2.unionByName(r2, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__tag").asc, col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightVals.foldLeft(u) { (df, c) =>
-        df.withColumn(s"matched_$c", last(col(s"matched_$c"), ignoreNulls = true).over(w))
-      }
+    val matched = u.withColumn("__m", last(col("__rvals"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
-      .drop("__t", "__tag", "__tie")
+    rightVals.foldLeft(matched) { (df, c) =>
+        df.withColumn(s"matched_$c", col("__m").getField(c))
+      }
+      .drop("__t", "__tag", "__tie", "__rvals", "__m")
   }
 }

@@ -29,15 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object GeoMatchup {
 
-  /** Meters per degree of latitude ON THE HAVERSINE SPHERE (π·R/180 ≈
-    * 111194.93) — the cell math must use the same Earth radius as the
-    * exact predicate, or a meridional pair at exactly `rt` spans two
-    * cells and is lost. Steps get a further 2% widening margin for the
-    * small-angle approximation in the longitude bound (wider cells are
-    * always safe — they only admit more candidates).
+  /** Cell sizing uses EXACT spherical bounds on the same Earth radius
+    * as the haversine predicate (a flat-Earth approximation under-sizes
+    * lon cells near the poles and silently drops admissible pairs):
+    * meridional: max Δlat for distance rt is exactly rt/R;
+    * zonal at |lat| ≤ θ: max Δlon is 2·asin(sin(rt/2R)/cos θ)
+    * (attained by a same-latitude pair at θ). A 0.1% widening margin
+    * absorbs floating-point rounding — wider cells only admit more
+    * candidates, never lose pairs.
     */
-  private[ops] val MetersPerDegLat = math.Pi * GeoFunctions.EarthRadiusKm * 1000 / 180
-  private val StepMargin = 1.02
+  private[ops] val EarthRadiusM = GeoFunctions.EarthRadiusKm * 1000
+  private val StepMargin = 1.001
 
   /** @param primary   (idCols..., lat, lon, time-seconds) — exploded ×27
     * @param secondary same shape, single cell key
@@ -53,9 +55,12 @@ object GeoMatchup {
               rtMeters: Double, ttSeconds: Long,
               maxAbsLat: Double = 66.0): DataFrame = {
     require(maxAbsLat < 89.0, "use latitude-banded matchup near the poles")
-    val latStep = rtMeters / MetersPerDegLat * StepMargin
-    val lonStep = rtMeters / (MetersPerDegLat *
-      math.max(math.cos(math.toRadians(maxAbsLat)), 1e-6)) * StepMargin
+    val latStep = math.toDegrees(rtMeters / EarthRadiusM) * StepMargin
+    val sinHalf = math.sin(rtMeters / (2 * EarthRadiusM)) /
+      math.cos(math.toRadians(maxAbsLat))
+    require(sinHalf < 1.0,
+      s"tolerance $rtMeters m wraps the $maxAbsLat° parallel — band by latitude")
+    val lonStep = math.toDegrees(2 * math.asin(sinHalf)) * StepMargin
 
     def cell(c: Column, step: Double): Column = floor(c / step).cast("long")
 

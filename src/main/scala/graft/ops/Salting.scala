@@ -10,24 +10,23 @@ import org.apache.spark.sql.functions._
   * covers joins; this covers the groupBy path when one key dominates
   * (e.g. the dedup mega-cluster, a global hot pixel).
   *
-  * The salt mixes a per-row id into the hash so byte-identical rows —
-  * precisely the dedup-mega-cluster hot-key case — still spread across
-  * buckets. The aggregate RESULT is salt-invariant (sum/count/min/max
-  * partials recombine identically whatever the bucket assignment), so
-  * reproducibility is unaffected.
+  * The salt hashes a caller-supplied UNIQUE row id: deterministic
+  * across retries (unlike monotonically_increasing_id, which is
+  * partition-layout dependent) and spreads byte-identical payload rows
+  * (unlike hashing row content). Every table in this engine carries
+  * such an id (tile_id, event_id, doc_id, …).
   */
 object Salting {
 
-  private def rowSalt(df: DataFrame, buckets: Int): org.apache.spark.sql.Column =
-    pmod(hash((df.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
-      lit(buckets))
+  private def salt(rowId: Column, buckets: Int): Column =
+    pmod(hash(rowId), lit(buckets))
 
   /** Salted sum/count/min/max (algebraic partials) per key. Output
     * columns: sum_<v>, cnt_<v>, min_<v>, max_<v>, mean_<v>.
     */
   def saltedStats(df: DataFrame, keys: Seq[String], valueCol: String,
-                  buckets: Int): DataFrame = {
-    val salted = df.withColumn("__salt", rowSalt(df, buckets))
+                  rowId: Column, buckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt", salt(rowId, buckets))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(
@@ -46,12 +45,12 @@ object Salting {
   }
 
   /** Salt one side of a join on a skewed key: replicate the small side
-    * `buckets` times, salt the big side deterministically, join on
+    * `buckets` times, salt the big side by its row id, join on
     * (key, salt). Equivalent rows, balanced partitions.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 buckets: Int): DataFrame = {
-    val bigSalted = big.withColumn("__salt", rowSalt(big, buckets))
+                 bigRowId: Column, buckets: Int): DataFrame = {
+    val bigSalted = big.withColumn("__salt", salt(bigRowId, buckets))
     val smallReplicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     bigSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")

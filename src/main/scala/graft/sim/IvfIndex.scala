@@ -39,9 +39,13 @@ object IvfIndex {
       // a list that received no vectors this iteration keeps its old
       // centroid — otherwise it would silently vanish and the index
       // would end up with fewer than nlist lists
+      // localCheckpoint truncates the lineage — without it the plan
+      // embeds the previous iteration's subtree twice and grows
+      // exponentially in iters
       centroids = centroids
         .join(updated, Seq("list_id"), "left")
         .select(col("list_id"), coalesce(col("next"), col("centroid")).as("centroid"))
+        .localCheckpoint(true)
     }
     centroids
   }

@@ -74,17 +74,19 @@ class HandlersSpec extends SparkSpec {
 
   test("/match_spark matches tile points to in-situ points") {
     import spark.implicits._
+    // bounded request bbox: polar (unbounded-lat) matchups are rejected
+    val pm = p.copy(minLat = -10, maxLat = 10, minLon = -10, maxLon = 10)
     // in-situ points: one at grid point (0.5, 0.5) same day, one far away
     val insitu = Seq(
       (100L, 0.5, 0.5, 10L),
       (101L, 40.0, 40.0, 10L)
     ).toDF("id", "latitude", "longitude", "time")
-    val all = Handlers.matchSpark(p, tiles, insitu,
+    val all = Handlers.matchSpark(pm, tiles, insitu,
       rtMeters = 200000, ttSeconds = 86400, matchOnce = false)
     // matches points of day 0 within 200 km of (0.5, 0.5); 101 never matches
     assert(all.where($"sid" === 101L).count() === 0)
     assert(all.where($"sid" === 100L).count() > 0)
-    val once = Handlers.matchSpark(p, tiles, insitu,
+    val once = Handlers.matchSpark(pm, tiles, insitu,
       rtMeters = 200000, ttSeconds = 86400, matchOnce = true)
     // match-once: each primary point keeps exactly one match
     val perPoint = once.groupBy("plat", "plon", "pt").count()
@@ -94,6 +96,11 @@ class HandlersSpec extends SparkSpec {
     val d0 = once.where($"plat" === 0.5 && $"plon" === 0.5 && $"pt" === 0L)
       .select("dist_km").as[Double].collect()(0)
     assert(d0 === 0.0)
+    // polar/unbounded request → loud rejection, not silent match loss
+    val e = intercept[IllegalArgumentException] {
+      Handlers.matchSpark(p, tiles, insitu, 200000, 86400, matchOnce = false)
+    }
+    assert(e.getMessage.contains("latitude-banded"))
   }
 
   test("JobGate limits concurrency like the reference's 503 gate") {

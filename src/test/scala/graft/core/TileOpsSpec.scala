@@ -75,6 +75,18 @@ class TileOpsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("cnt") === 1L)
   }
 
+  test("dailyStats floor-buckets pre-1970 times into the correct day") {
+    import spark.implicits._
+    val pts = Seq(
+      ("t", "ds", 0.0, 0.0, -1L, 1.0),      // 1969-12-31 23:59:59
+      ("t", "ds", 0.0, 0.0, -86400L, 2.0),  // 1969-12-31 00:00:00
+      ("t", "ds", 0.0, 0.0, 1L, 3.0)        // 1970-01-01
+    ).toDF("tile_id", "dataset", "latitude", "longitude", "time", "value")
+    val days = TileOps.dailyStats(pts).select("day_start").as[Long]
+      .collect().sorted
+    assert(days.toSeq === Seq(-86400L, 0L)) // both 1969 points share a day
+  }
+
   test("approxValueAt picks the nearest grid point") {
     import spark.implicits._
     val points = TileOps.toPoints(Seq(fixtureTile(denseData)).toDF())

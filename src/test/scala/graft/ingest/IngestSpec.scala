@@ -80,6 +80,20 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage.contains("non-dense grid"))
   }
 
+  test("duplicate coordinates fail loudly even when counts balance") {
+    import spark.implicits._
+    // 4 points, 2x2 distinct lats/lons, but (0.5,0.5) duplicated and
+    // (1.5,0.5) missing: size==expected yet the grid is wrong
+    val dup = Seq(
+      ("g.nc", 0.5, 0.5, 0L, 1.0), ("g.nc", 0.5, 0.5, 0L, 2.0),
+      ("g.nc", 0.5, 1.5, 0L, 3.0), ("g.nc", 1.5, 1.5, 0L, 4.0)
+    ).toDF("granule", "latitude", "longitude", "time", "value")
+    val e = intercept[Exception] {
+      Ingest.pointsToTiles(dup, 2.0, 2.0, "ds").collect()
+    }
+    assert(e.getMessage.contains("non-dense grid"))
+  }
+
   test("tiles round-trip through toPoints") {
     val tiles = Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "test_ds")
     val points = TileOps.toPoints(tiles)

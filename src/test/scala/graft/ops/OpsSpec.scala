@@ -51,6 +51,20 @@ class OpsSpec extends SparkSpec {
     assert(m("p3") === null) // right row is later
   }
 
+  test("lastEarlier carries the whole matched row, not stitched fields") {
+    import spark.implicits._
+    val left = Seq((1L, 25L, "p")).toDF("k", "t", "pid")
+    val right = Seq((1L, 10L, Option("a1"), "b1"), (1L, 20L, None, "b2"))
+      .toDF("k", "rt", "a", "b")
+    val out = AsofJoin.lastEarlier(left, right, Seq("k"), col("t"), col("rt"),
+      Seq("a", "b"), rightTie = "rt")
+    val r = out.select("matched_a", "matched_b").collect()(0)
+    // latest row is (NULL, b2): fields must come from THAT row, not a
+    // per-column last-non-null mix like ("a1", "b2")
+    assert(r.isNullAt(0))
+    assert(r.getString(1) === "b2")
+  }
+
   /** Matchup tolerance cases from the reference test suite
     * (FIXTURES.md §2 / Matchup_test.py:16-125), via haversine + band
     * join on a degenerate single-dim key.

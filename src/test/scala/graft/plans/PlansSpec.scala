@@ -58,11 +58,11 @@ class PlansSpec extends SparkSpec {
 
   test("saltedStats equals direct aggregation") {
     import spark.implicits._
-    val df = (1 to 1000).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val df = (1 to 1000).map(i => (i.toLong, i % 3, i.toDouble)).toDF("rid", "k", "v")
     val direct = df.groupBy("k").agg(sum("v"), count("v"), min("v"), max("v"))
       .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))).toMap
-    val salted = Salting.saltedStats(df, Seq("k"), "v", buckets = 8)
+    val salted = Salting.saltedStats(df, Seq("k"), "v", col("rid"), buckets = 8)
       .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))).toMap
     assert(salted === direct)
@@ -70,10 +70,10 @@ class PlansSpec extends SparkSpec {
 
   test("saltedJoin equals plain join") {
     import spark.implicits._
-    val big = (1 to 500).map(i => (i % 2, i)).toDF("k", "v")
+    val big = (1 to 500).map(i => (i.toLong, i % 2, i)).toDF("rid", "k", "v")
     val small = Seq((0, "even"), (1, "odd")).toDF("k", "name")
     val plain = big.join(small, "k").count()
-    val salted = Salting.saltedJoin(big, small, "k", buckets = 4).count()
+    val salted = Salting.saltedJoin(big, small, "k", col("rid"), buckets = 4).count()
     assert(salted === plain)
   }
 }
