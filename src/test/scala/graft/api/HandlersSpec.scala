@@ -72,6 +72,17 @@ class HandlersSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("min_time") === 86400L))
   }
 
+  test("/dailydifferenceaverage_spark computes anomaly vs the _CLIM dataset") {
+    val rows = Handlers.registry("/dailydifferenceaverage_spark")(p, tiles)
+      .collect()
+    assert(rows.length === 3) // one anomaly row per day
+    // clim mean is 5.0 everywhere; day d tile means grow by exactly 1/day,
+    // so the anomaly mean shifts by 1 between consecutive days
+    val means = rows.map(_.getAs[Double]("mean_diff"))
+    assert(math.abs((means(1) - means(0)) - 1.0) < 1e-6)
+    assert(rows.forall(_.getAs[Long]("cnt") === 4L)) // 4 tiles per day
+  }
+
   test("/match_spark matches tile points to in-situ points") {
     import spark.implicits._
     // bounded request bbox: polar (unbounded-lat) matchups are rejected
