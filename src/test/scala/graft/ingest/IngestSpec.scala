@@ -94,6 +94,26 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage.contains("non-dense grid"))
   }
 
+  test("bucketed tables join without a shuffle") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 200).map(i => (i.toLong, i * 1.0)).toDF("k", "va")
+      val b = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+      Ingest.writeBucketedTable(a, "graft_bucket_a", "k", numBuckets = 4)
+      Ingest.writeBucketedTable(b, "graft_bucket_b", "k", numBuckets = 4)
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === 200)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("tiles round-trip through toPoints") {
     val tiles = Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "test_ds")
     val points = TileOps.toPoints(tiles)
