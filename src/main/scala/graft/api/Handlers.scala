@@ -75,7 +75,7 @@ object Handlers {
           col("day_of_year").cast("long"), col("clim_doy").cast("long"),
           Seq("clim_mean"), rightTie = "clim_doy")
         .withColumn("diff", col("stats_mean") - col("matched_clim_mean"))
-        .groupBy((floor(col("min_time") / 86400L).cast("long") * 86400L).as("day_start"))
+        .groupBy(TileOps.dayStart(col("min_time")).as("day_start"))
         .agg(avg(col("diff")).as("mean_diff"), stddev_samp(col("diff")).as("std_diff"),
           count(lit(1)).as("cnt"))
         .orderBy("day_start")

@@ -17,6 +17,14 @@ import graft.functions.GeoFunctions
   */
 object TileOps {
 
+  /** Epoch-seconds → day-bucket start (floor division, so pre-1970
+    * times land in the correct day). THE one place this expression
+    * lives — two independent truncate-toward-zero bugs came from
+    * hand-writing it.
+    */
+  def dayStart(timeSec: Column): Column =
+    floor(timeSec / 86400L).cast("long") * 86400L
+
   /** Explode tiles to non-masked points (nexus_point_generator,
     * nexusmodel.py:69-86). Index arithmetic over the row-major
     * time × lat × lon layout; NaN cells are dropped (mask semantics).
@@ -73,7 +81,7 @@ object TileOps {
   def dailyStats(points: DataFrame): DataFrame = {
     val w = GeoFunctions.cosLatWeight(col("latitude"))
     points
-      .groupBy((floor(col("time") / 86400L).cast("long") * 86400L).as("day_start"))
+      .groupBy(dayStart(col("time")).as("day_start"))
       .agg(
         (sum(col("value") * w) / sum(w)).as("mean"),
         min(col("value")).as("min"),

@@ -39,23 +39,33 @@ object SummaryPushdown {
       TileIndexOps.overlaps(col("min_lat"), col("max_lat"), lit(minLat), lit(maxLat)) &&
         TileIndexOps.overlaps(col("min_lon"), col("max_lon"), lit(minLon), lit(maxLon)))
 
+    // fast path only for tiles that are (a) fully inside the bbox and
+    // (b) single-day — a multi-day tile's summary count cannot be
+    // attributed to one day, so it routes to the explode path
     val isInner =
       TileIndexOps.within(col("min_lat"), col("max_lat"), lit(minLat), lit(maxLat)) &&
-        TileIndexOps.within(col("min_lon"), col("max_lon"), lit(minLon), lit(maxLon))
+        TileIndexOps.within(col("min_lon"), col("max_lon"), lit(minLon), lit(maxLon)) &&
+        TileOps.dayStart(col("min_time")) === TileOps.dayStart(col("max_time"))
 
     // interior tiles: index columns only — no array column in the plan
     val innerPartials = overlapping.where(isInner)
-      .select((floor(col("min_time") / 86400L).cast("long") * 86400L).as("day_start"),
+      .select(TileOps.dayStart(col("min_time")).as("day_start"),
         (col("stats_mean") * col("stats_count")).as("sum_v"),
         col("stats_count").as("cnt"))
 
-    // boundary tiles: explode, mask to the domain, recompute
+    // boundary tiles: explode, mask to the domain, recompute with the
+    // SAME per-tile semantics as the summaries (cos-lat-weighted tile
+    // mean × count), so a tile flipping inner↔border as the bbox moves
+    // never changes the combined value discontinuously
     val borderPoints = TileOps.maskPointsToBBox(
       TileOps.toPoints(overlapping.where(!isInner)),
       minLat, maxLat, minLon, maxLon)
+    val w = GeoFunctions.cosLatWeight(col("latitude"))
     val borderPartials = borderPoints
-      .select((floor(col("time") / 86400L).cast("long") * 86400L).as("day_start"),
-        col("value").as("sum_v"), lit(1L).as("cnt"))
+      .groupBy(col("tile_id"), TileOps.dayStart(col("time")).as("day_start"))
+      .agg(((sum(col("value") * w) / sum(w)) * count(lit(1))).as("sum_v"),
+        count(lit(1)).as("cnt"))
+      .select("day_start", "sum_v", "cnt")
 
     innerPartials.unionByName(borderPartials)
       .groupBy("day_start")

@@ -48,7 +48,6 @@ object Ingest {
         // row-major lat-then-lon order via (lat, lon)-sorted structs
         sort_array(collect_list(struct(col("latitude"), col("longitude"),
           col("value")))).as("cells"),
-        countDistinct(struct(col("latitude"), col("longitude"))).as("n_coords"),
         min(validVal).as("stats_min"),
         max(validVal).as("stats_max"),
         (sum(validVal * w) / sum(when(validVal.isNotNull, w))).as("stats_mean"),
@@ -65,6 +64,11 @@ object Ingest {
       // compensating for a missing slot keeps size==expected but
       // lowers the distinct-coordinate count.
       .withColumn("__expected", size(col("lats_d")) * size(col("lons_d")))
+      // distinct coordinate count derived post-agg from the sorted
+      // cells array (a countDistinct in the hot groupBy would force the
+      // planner's extra one-distinct aggregate stages)
+      .withColumn("n_coords", size(array_distinct(transform(col("cells"),
+        c => struct(c.getField("latitude"), c.getField("longitude"))))))
       .withColumn("cells",
         when(size(col("cells")) === col("__expected") &&
             col("n_coords") === col("__expected"), col("cells"))

@@ -47,8 +47,9 @@ object ScaleProbe {
     replicate("documents", Seq("doc_id"), None)
     replicate("lineitem", Seq("l_orderkey"), None)
     replicate("orders", Seq("o_orderkey", "o_custkey"), None)
+    replicate("customer", Seq("c_custkey"), None) // keeps orders→customer FK
     // small dims copied as-is
-    Seq("customer", "supplier", "part", "nation", "region", "embeddings").foreach { n =>
+    Seq("supplier", "part", "nation", "region", "embeddings").foreach { n =>
       spark.read.parquet(s"$src/$n.parquet").write.mode(SaveMode.Overwrite)
         .parquet(s"$out/$n.parquet")
       println(s"[scale] $n copied")

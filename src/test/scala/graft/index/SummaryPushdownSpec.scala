@@ -32,15 +32,36 @@ class SummaryPushdownSpec extends SparkSpec {
     assert(math.abs(fast.getAs[Double]("mean") - exact) < 0.01)
   }
 
-  test("boundary tiles are recomputed and clipped to the bbox") {
+  test("boundary tiles are recomputed, clipped, and weighted like summaries") {
     // bbox [0,3]×[0,3]: tile (0,0) inner; tiles straddling lat/lon=2..4
     // are boundary and must contribute only their in-bbox points
     val fast = SummaryPushdown.dailyMeanFromSummaries(tiles, 0, 3, 0, 3).collect()(0)
-    val expect = TileOps.maskPointsToBBox(TileOps.toPoints(tiles), 0, 3, 0, 3)
-      .agg(sum("value"), count(lit(1))).collect()(0)
-    // 3×3 grid points fall inside ⇒ 9 points
-    assert(fast.getAs[Long]("cnt") === expect.getLong(1))
-    assert(fast.getAs[Long]("cnt") === 9L)
+    // expected = count-weighted combine of per-tile cos-lat-weighted
+    // means over the MASKED domain — identical semantics for inner and
+    // border streams
+    val masked = TileOps.maskPointsToBBox(TileOps.toPoints(tiles), 0, 3, 0, 3)
+    val expect = TileOps.tileSummaries(masked)
+      .agg((sum(col("stats_mean") * col("stats_count")) / sum(col("stats_count")))
+        .as("mean"), sum("stats_count").as("cnt")).collect()(0)
+    assert(fast.getAs[Long]("cnt") === expect.getAs[Long]("cnt"))
+    assert(fast.getAs[Long]("cnt") === 9L) // 3×3 grid points inside
+    assert(math.abs(fast.getAs[Double]("mean") - expect.getAs[Double]("mean")) < 1e-9)
+  }
+
+  test("multi-day tiles route to the explode path, not the summary path") {
+    import spark.implicits._
+    import graft.core.Tile
+    // one tile spanning two days: 1×1×2 layout, values 10 (day 0) and
+    // 20 (day 1); the summary path would credit both points to day 0
+    val t = Tile("mt", "ds", "g", "s", 0, 0, 0, 0, 0L, 86400L, 1,
+      10, 20, 15, 2, Array(0f), Array(0f), Array(0L, 86400L),
+      Array(10f, 20f), Map.empty)
+    val out = SummaryPushdown.dailyMeanFromSummaries(Seq(t).toDS().toDF(),
+        -1, 1, -1, 1)
+      .orderBy("day_start").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Double]("mean") === 10.0)
+    assert(out(1).getAs[Double]("mean") === 20.0)
   }
 
   test("inner path never touches the array columns") {
