@@ -23,7 +23,10 @@ object TileQueries extends QueryModule {
         // clamp to a fixed 10×10 grid: id/value ranges grow with sf
         least(expr("user_id DIV 15"), lit(9L)).as("lat_c"),
         least(floor(col("value") / 50).cast("long"), lit(9L)).as("lon_c"))
-      .agg(avg(col("value")).as("v"))
+      // cell value quantized to 6 decimals: engines' avg() differs by
+      // ulps, and an ulp landing on a float32 rounding boundary would
+      // amplify to 2e-5 when tiles store the value as ARRAY<FLOAT>
+      .agg(round(avg(col("value")) + lit(1e-9), 6).as("v"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "core_tile_pipeline" -> { (s, dir) =>
@@ -47,6 +50,34 @@ object TileQueries extends QueryModule {
           round(col("min") + lit(1e-9), 4).as("min_v"),
           round(col("max") + lit(1e-9), 4).as("max_v"),
           round(col("std") + 1e-9, 4).as("std_v"))
+        .orderBy("day_start")
+    },
+
+    // A12 via the SummaryPushdown operator: a bbox that makes tile
+    // (0,0) interior (answered from summary columns only) and the
+    // edge tiles boundary (exploded, masked, recomputed) — the
+    // driver gate verifies the fast path against a full relational
+    // recomputation of the same two-stream semantics.
+    "a12b_summary_pushdown" -> { (s, dir) =>
+      val cells = gridCells(s, dir)
+      val axes = s.range(10).select(col("id").as("lat_c"))
+        .crossJoin(s.range(10).select(col("id").as("lon_c")))
+      val dense = cells.select(col("granule")).distinct()
+        .crossJoin(axes)
+        .join(cells, Seq("granule", "lat_c", "lon_c"), "left")
+        .select(col("granule"),
+          col("lat_c").cast("double").as("latitude"),
+          col("lon_c").cast("double").as("longitude"),
+          to_unix_timestamp(col("granule"), lit("yyyy-MM-dd")).as("time"),
+          coalesce(col("v"), lit(Double.NaN)).as("value"))
+      val tiles = Ingest.pointsToTiles(dense, 5.0, 5.0, "events_grid")
+      graft.index.SummaryPushdown
+        .dailyMeanFromSummaries(tiles, 0, 7.5, 0, 7.5)
+        .select(col("day_start"), col("cnt"),
+          // 1e-7 nudge (vs the usual 1e-9): the two-stream combine
+          // stacks enough cross-engine ulps that one sf0.1 value landed
+          // within 1e-12 of the shifted tie boundary
+          round(col("mean") + lit(1e-7), 4).as("mean_v"))
         .orderBy("day_start")
     },
 
@@ -79,8 +110,9 @@ object TileQueries extends QueryModule {
         |  SELECT strftime(ts, '%Y-%m-%d') AS g, least(user_id // 15, 9) AS lat_c,
         |         least(CAST(floor(value / 50) AS BIGINT), 9) AS lon_c,
         |         -- tile payloads are float32 (the reference's dtype):
-        |         -- model the same truncation the tile round-trip applies
-        |         CAST(CAST(avg(value) AS REAL) AS DOUBLE) AS v
+        |         -- model the same truncation the tile round-trip applies;
+        |         -- quantize first so engines cast identical doubles
+        |         CAST(CAST(round(avg(value) + 1e-9, 6) AS REAL) AS DOUBLE) AS v
         |  FROM events GROUP BY 1, 2, 3)
         |SELECT CAST(epoch(strptime(g, '%Y-%m-%d')) AS BIGINT) AS day_start,
         |       count(*) AS cnt,
@@ -91,10 +123,47 @@ object TileQueries extends QueryModule {
         |       round(stddev_samp(v) + 1e-9, 4) AS std_v
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "a12b_summary_pushdown" ->
+      // inner blocks: summary semantics over DOUBLE cell means;
+      // border blocks: masked recompute over the float32 tile payload
+      """WITH cells AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS g, least(user_id // 15, 9) AS lat_c,
+        |         least(CAST(floor(value / 50) AS BIGINT), 9) AS lon_c,
+        |         round(avg(value) + 1e-9, 6) AS vd,
+        |         CAST(CAST(round(avg(value) + 1e-9, 6) AS REAL) AS DOUBLE) AS vf
+        |  FROM events GROUP BY 1, 2, 3),
+        |-- Spark's tiles come from the DENSE 10x10 grid, so every block
+        |-- spans its full 5x5 extent regardless of which cells hold data:
+        |-- with bbox [0,7.5] the classification is structural — block
+        |-- (0,0) is interior, all others are boundary
+        |inner_part AS (
+        |  SELECT g,
+        |         sum(vd * cos(radians(lat_c))) / sum(cos(radians(lat_c)))
+        |           * count(*) AS sum_v,
+        |         count(*) AS cnt
+        |  FROM cells
+        |  WHERE lat_c // 5 = 0 AND lon_c // 5 = 0
+        |  GROUP BY g),
+        |border_part AS (
+        |  SELECT g,
+        |         sum(vf * cos(radians(lat_c))) / sum(cos(radians(lat_c)))
+        |           * count(*) AS sum_v,
+        |         count(*) AS cnt
+        |  FROM cells
+        |  WHERE NOT (lat_c // 5 = 0 AND lon_c // 5 = 0)
+        |    AND lat_c <= 7.5 AND lon_c <= 7.5
+        |  GROUP BY g, lat_c // 5, lon_c // 5)
+        |SELECT CAST(epoch(strptime(g, '%Y-%m-%d')) AS BIGINT) AS day_start,
+        |       CAST(sum(cnt) AS BIGINT) AS cnt,
+        |       round(sum(sum_v) / sum(cnt) + 1e-7, 4) AS mean_v
+        |FROM (SELECT * FROM inner_part UNION ALL SELECT * FROM border_part)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "core_tile_catalog" ->
       """WITH cells AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS g, least(user_id // 15, 9) AS lat_c,
-        |         least(CAST(floor(value / 50) AS BIGINT), 9) AS lon_c, avg(value) AS v
+        |         least(CAST(floor(value / 50) AS BIGINT), 9) AS lon_c,
+        |         round(avg(value) + 1e-9, 6) AS v
         |  FROM events GROUP BY 1, 2, 3),
         |tiles AS (
         |  SELECT g, (lat_c // 5) * 5 AS tile_lat, (lon_c // 5) * 5 AS tile_lon,
