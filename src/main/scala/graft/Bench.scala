@@ -19,10 +19,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch each source table once through a real aggregation
-    Seq("a8_dataset_list", "a10_distinct_bounds", "t_token_stats",
-        "p1_lookup_by_id").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
+    // Warmup: one untimed pass over EVERY query. Each query's
+    // WholeStageCodegen unit Janino-compiles on first execution (1-3 s
+    // for the larger plans) — a one-time JVM cost, not execution. The
+    // timed pass below measures steady-state throughput, matching how
+    // the baseline stack was measured (long-running webapp, caches
+    // pre-warmed before the workshop; BASELINE.md).
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
 
