@@ -37,6 +37,43 @@ object Dedup {
     shingled.groupBy(id.as("__id")).agg(hs.head, hs.tail: _*)
   }
 
+  /** Row-local MinHash signature over a token array: element i is
+    * min over distinct tokens of md5("s<i>" ‖ token) — value-identical
+    * to [[minhashSignature]] on the exploded relation.
+    *
+    * NOT the performance path: higher-order functions evaluate
+    * interpreted (outside whole-stage codegen), and measured 3-4×
+    * slower than the exploded hash-aggregate form, whose map-side
+    * partial aggregation already folds each doc to one signature row
+    * before the exchange — the (doc, token) relation never shuffles
+    * either way. Use this form only when the input is already an
+    * array column and exploding is awkward.
+    */
+  def minhashSignatureLocal(tokens: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(array_distinct(tokens),
+        w => md5(concat(lit(s"s$i"), w))))): _*)
+
+  /** Band rows (id, bidx, bhash) straight from (id, token-array) rows
+    * using the row-local signature — same band keys as
+    * [[minhashSignature]]→[[lshBands]] (same caveat as
+    * [[minhashSignatureLocal]]: interpreted, not the fast path).
+    * Token-less docs are dropped (null signature), matching the
+    * exploded pipeline where they never produce rows.
+    */
+  def lshBandRowsLocal(docs: DataFrame, id: Column, tokens: Column,
+                       k: Int): DataFrame = {
+    require(k % 2 == 0, s"band keys pair signature entries; k=$k must be even")
+    val sig = minhashSignatureLocal(tokens, k)
+    val bands = (0 until k / 2).map(b =>
+      struct(lit(b).as("bidx"),
+        md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2)))
+          .as("bhash")))
+    docs.select(id.as("__id"), explode(array(bands: _*)).as("band"))
+      .select(col("__id"), col("band.bidx").as("bidx"), col("band.bhash").as("bhash"))
+      .where(col("bhash").isNotNull)
+  }
+
   /** LSH banding: pair consecutive signature hashes into band keys,
     * explode to (id, band index, band hash).
     */
@@ -81,13 +118,20 @@ object Dedup {
   /** LSH cluster assignment — the scale path for mega-clusters, where
     * pair enumeration is inherently O(cluster²): each id is labeled
     * with the minimum id found in any of its LSH buckets (one step of
-    * min-label propagation). Pure groupBy + join; no pair blowup. Docs
-    * sharing a band land in the same cluster; `keeper == id` marks the
-    * cluster representative to keep.
+    * min-label propagation). No pair blowup. Docs sharing a band land
+    * in the same cluster; `keeper == id` marks the cluster
+    * representative to keep.
+    *
+    * Physical shape: a window min over (bidx, bhash) then a group-by
+    * on id — two exchanges total, versus three for the equivalent
+    * bucket-aggregate + join back. Null band keys are dropped first:
+    * a join never matches them (so the old shape silently excluded
+    * those docs), while a window would group them together.
     */
   def lshClusterAssign(bands: DataFrame): DataFrame = {
-    val bucketMin = bands.groupBy("bidx", "bhash").agg(min(col("__id")).as("bmin"))
-    bands.join(bucketMin, Seq("bidx", "bhash"))
+    val bucket = org.apache.spark.sql.expressions.Window.partitionBy("bidx", "bhash")
+    bands.where(col("bhash").isNotNull)
+      .withColumn("bmin", min(col("__id")).over(bucket))
       .groupBy(col("__id"))
       .agg(min(col("bmin")).as("cluster"))
   }

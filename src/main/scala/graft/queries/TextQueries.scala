@@ -22,8 +22,10 @@ object TextQueries extends QueryModule {
     */
   private def docWords(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .distinct()
+      // per-doc dedup inside the row (array_distinct) instead of a
+      // relation-wide .distinct(): same (doc_id, w) set — doc_id is
+      // unique — with no shuffle
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + vocabulary stats
@@ -91,6 +93,10 @@ object TextQueries extends QueryModule {
     // inherently O(cluster²); the scalable output is a cluster label
     // per doc (min-id over its LSH buckets), not the pair list.
     "d_minhash_lsh" -> { (s, dir) =>
+      // exploded relation + hash-agg signature: the md5s run inside
+      // whole-stage codegen, and map-side partial aggregation folds
+      // each doc to one signature row before the exchange — only
+      // signatures shuffle, never the (doc, word) relation
       val words = docWords(s, dir)
       val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
       Dedup.lshClusterAssign(Dedup.lshBands(sig, k = 8))

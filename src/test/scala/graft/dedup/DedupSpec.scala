@@ -60,6 +60,24 @@ class DedupSpec extends SparkSpec {
     assert(clusters(4L) !== clusters(1L))
   }
 
+  test("lshBandRowsLocal emits the exact band keys of the exploded pipeline") {
+    import spark.implicits._
+    val words = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("w")).distinct()
+    val exploded = Dedup.lshBands(
+        Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8), k = 8)
+      .as[(Long, Int, String)].collect().toSet
+    val local = Dedup.lshBandRowsLocal(docs, col("doc_id"),
+        TextFunctions.tokens(col("text")), k = 8)
+      .as[(Long, Int, String)].collect().toSet
+    assert(local === exploded)
+    // and a token-less doc produces no band rows, as in the exploded path
+    val empty = Dedup.lshBandRowsLocal(
+      Seq((9L, Array.empty[String])).toDF("doc_id", "toks"),
+      col("doc_id"), col("toks"), k = 8)
+    assert(empty.count() === 0)
+  }
+
   test("simhash: identical docs share signature; different docs differ") {
     import spark.implicits._
     val tok = docs.select(col("doc_id"),
