@@ -47,13 +47,22 @@ object GeoMatchup {
     * @param ttSeconds time tolerance
     * @param maxAbsLat widest |latitude| in the domain (degrees),
     *                  bounds the longitude cell width
+    * @param broadcastSecondary replicate the secondary to every task
+    *                  (right when it's the small in-situ side: the
+    *                  ×27-exploded primary then never shuffles at all).
+    *                  When false, a shuffle-hash hint still pins the
+    *                  build side to the secondary — the optimizer's
+    *                  size estimate does not account for the ×27
+    *                  explode and would otherwise happily broadcast
+    *                  the big side.
     * @return pairs with all columns of both sides + `dist_km`, `dt_s`
     */
   def matchup(primary: DataFrame, secondary: DataFrame,
               pLat: Column, pLon: Column, pTime: Column,
               sLat: Column, sLon: Column, sTime: Column,
               rtMeters: Double, ttSeconds: Long,
-              maxAbsLat: Double = 66.0): DataFrame = {
+              maxAbsLat: Double = 66.0,
+              broadcastSecondary: Boolean = false): DataFrame = {
     require(maxAbsLat < 89.0, "use latitude-banded matchup near the poles")
     val latStep = math.toDegrees(rtMeters / EarthRadiusM) * StepMargin
     val sinHalf = math.sin(rtMeters / (2 * EarthRadiusM)) /
@@ -73,10 +82,12 @@ object GeoMatchup {
       (cell(pTime, ttSeconds.toDouble) + dT).as("t"))): _*))
 
     val p = primary.withColumn("__cell", pCells)
-    val s = secondary.withColumn("__cell", struct(
+    val sKeyed = secondary.withColumn("__cell", struct(
       cell(sLat, latStep).as("la"),
       cell(sLon, lonStep).as("lo"),
       cell(sTime, ttSeconds.toDouble).as("t")))
+    val s = if (broadcastSecondary) broadcast(sKeyed)
+            else sKeyed.hint("shuffle_hash")
 
     p.join(s, "__cell")
       .withColumn("dist_km", GeoFunctions.haversineKm(pLat, pLon, sLat, sLon))

@@ -76,7 +76,8 @@ object JoinQueries extends QueryModule {
           side("purchase", "pid", "p"), side("error", "sid", "s"),
           col("plat"), col("plon"), col("pt"),
           col("slat"), col("slon"), col("st"),
-          rtMeters = 300000, ttSeconds = 14400, maxAbsLat = 61.0)
+          rtMeters = 300000, ttSeconds = 14400, maxAbsLat = 61.0,
+          broadcastSecondary = true)
         .select(col("pid"), col("sid"),
           round(col("dist_km") + lit(1e-9), 4).as("dist_km"), col("dt_s"))
         .orderBy("pid", "sid")
