@@ -58,6 +58,14 @@ object TileQueries extends QueryModule {
     // edge tiles boundary (exploded, masked, recomputed) — the
     // driver gate verifies the fast path against a full relational
     // recomputation of the same two-stream semantics.
+    //
+    // The pushdown runs against a MATERIALIZED tile store (ingest →
+    // writeTiles → parquet scan), not the in-flight ingest plan: that
+    // is the reference architecture (queries hit the tile store, not
+    // re-tiled raw data), it runs the ingest once instead of once per
+    // branch, and it makes the inner branch's column pruning physical
+    // — its parquet scan reads only the scalar summary columns, never
+    // the array payloads.
     "a12b_summary_pushdown" -> { (s, dir) =>
       val cells = gridCells(s, dir)
       val axes = s.range(10).select(col("id").as("lat_c"))
@@ -70,9 +78,11 @@ object TileQueries extends QueryModule {
           col("lon_c").cast("double").as("longitude"),
           to_unix_timestamp(col("granule"), lit("yyyy-MM-dd")).as("time"),
           coalesce(col("v"), lit(Double.NaN)).as("value"))
-      val tiles = Ingest.pointsToTiles(dense, 5.0, 5.0, "events_grid")
+      val store = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_a12b_tile_store").getPath
+      Ingest.writeTiles(Ingest.pointsToTiles(dense, 5.0, 5.0, "events_grid"), store)
       graft.index.SummaryPushdown
-        .dailyMeanFromSummaries(tiles, 0, 7.5, 0, 7.5)
+        .dailyMeanFromSummaries(s.read.parquet(store), 0, 7.5, 0, 7.5)
         .select(col("day_start"), col("cnt"),
           // 1e-7 nudge (vs the usual 1e-9): the two-stream combine
           // stacks enough cross-engine ulps that one sf0.1 value landed
