@@ -40,6 +40,20 @@ object SeriesQueries extends QueryModule {
         .orderBy("event_id")
     },
 
+    // W7: zero-phase low-pass over daily series (Filtering.py:87-97's
+    // filtfilt role) — order-5 forward+backward moving-average cascade,
+    // two passes, partitioned per series so it runs distributed.
+    "w7_lowpass" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(avg(col("value")).as("v"))
+      graft.kernels.SeriesFilters
+        .lowPass(daily, Seq("event_type"), "day", "v", windowSize = 5, passes = 2)
+        .select(col("event_type"), col("day"),
+          round(col("lowpass") + lit(1e-9), 4).as("smooth_v"))
+        .orderBy("event_type", "day")
+    },
+
     // W9/A15: merge per-dataset series into time-keyed rows
     // (NexusHandler._mergeDataSeries:215-244) — a day × event_type pivot.
     "w9_pivot_series" -> { (s, dir) =>
@@ -132,6 +146,25 @@ object SeriesQueries extends QueryModule {
         |       round(value - avg(value) OVER (PARTITION BY event_type, hour(ts))
         |             + 1e-9, 4) AS deseason
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "w7_lowpass" ->
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |                      avg(value) v
+        |               FROM events GROUP BY 1, 2),
+        |p1f AS (SELECT event_type, day, avg(v) OVER (PARTITION BY event_type
+        |          ORDER BY day ASC ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) f
+        |        FROM daily),
+        |p1b AS (SELECT event_type, day, avg(f) OVER (PARTITION BY event_type
+        |          ORDER BY day DESC ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) lp
+        |        FROM p1f),
+        |p2f AS (SELECT event_type, day, avg(lp) OVER (PARTITION BY event_type
+        |          ORDER BY day ASC ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) f
+        |        FROM p1b),
+        |p2b AS (SELECT event_type, day, avg(f) OVER (PARTITION BY event_type
+        |          ORDER BY day DESC ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) lp
+        |        FROM p2f)
+        |SELECT event_type, day, round(lp + 1e-9, 4) AS smooth_v
+        |FROM p2b ORDER BY event_type, day""".stripMargin,
 
     "w9_pivot_series" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.sim.Similarity
+import graft.sim.{IvfIndex, Similarity}
 
 /** Vector-similarity search over the `embeddings` table: brute-force
   * cosine top-k (exact baseline), hyperplane-LSH bucketed ANN (scale
@@ -56,6 +56,27 @@ object SimilarityQueries extends QueryModule {
           round(sqrt(sum(col("c") * col("c"))) + lit(1e-9), 6).as("centroid_norm"),
           round(sum(col("c")) + lit(1e-9), 6).as("dim_sum"))
         .orderBy("label")
+    },
+
+    // IVF-Flat ANN: coarse quantizer = the 8 lowest-id vectors
+    // (train with iters=0 — externally-supplied centroids, the shape a
+    // 100 TB pipeline uses anyway since coarse centroids come from
+    // offline sampled k-means; also the only hash-exact-reproducible
+    // form, as Lloyd's averaging is summation-order sensitive). Every
+    // vector is assigned to its nearest list; probes search the 3
+    // nearest lists and re-rank exactly.
+    "e_ivf_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val centroids = IvfIndex.train(e, col("vec_id"), col("embedding"),
+        nlist = 8, iters = 0)
+      val index = IvfIndex.assign(
+        e.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("v")), centroids)
+      IvfIndex.search(index, centroids, probes(s, dir),
+          col("vec_id"), col("embedding"), nprobe = 3, k = 4)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"),
+          round(col("sim") + lit(1e-9), 6).as("sim"), col("list_id"))
+        .orderBy("qid", "rank")
     },
 
     // Embedding near-dup pairs: LSH candidates (same bucket), exact
@@ -126,6 +147,32 @@ object SimilarityQueries extends QueryModule {
         |       round(sqrt(sum(c*c)) + 1e-9, 6) AS centroid_norm,
         |       round(sum(c) + 1e-9, 6) AS dim_sum
         |FROM dims GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS cv
+        |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        |asg AS (SELECT vid, v, list_id FROM (
+        |  SELECT e.vec_id vid, e.v, c.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_sum(list_transform(range(1,65),
+        |             i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.list_id ASC) rn
+        |  FROM e, cent c) WHERE rn = 1),
+        |probed AS (SELECT qid, qv, list_id FROM (
+        |  SELECT q.vec_id qid, q.v qv, c.list_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_sum(list_transform(range(1,65),
+        |             i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) ASC, c.list_id ASC) rn
+        |  FROM e q, cent c WHERE q.vec_id IN (0, 1, 2)) WHERE rn <= 3),
+        |scored AS (SELECT p.qid, a.vid, a.list_id,
+        |   list_sum(list_transform(range(1,65), i -> a.v[i]*p.qv[i])) /
+        |   (sqrt(list_sum(list_transform(range(1,65), i -> a.v[i]*a.v[i]))) *
+        |    sqrt(list_sum(list_transform(range(1,65), i -> p.qv[i]*p.qv[i])))) sim
+        | FROM probed p JOIN asg a ON a.list_id = p.list_id AND a.vid <> p.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, vid ASC) AS rank FROM scored)
+        |SELECT qid, rank, vid, round(sim + 1e-9, 6) AS sim, list_id FROM r
+        |WHERE rank <= 4 ORDER BY qid, rank""".stripMargin,
 
     "e_near_dup" ->
       s"""WITH $sigCte,
