@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registered query at
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A short warmup (one
-  * cheap query per source table) runs first so timings measure
-  * steady-state execution, not JVM/codegen warmup of the first query.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A full untimed pass
+  * over every query runs first, so the timed pass measures
+  * steady-state execution rather than each plan's one-time
+  * codegen/JIT compilation (this warmup roughly doubles wall time).
   */
 object Bench {
   def main(args: Array[String]): Unit = {

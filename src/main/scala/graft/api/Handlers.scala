@@ -129,9 +129,13 @@ object Handlers {
     require(widestLat < 89.0,
       s"query bbox + $rtMeters m tolerance reaches latitude $widestLat°: " +
         "polar matchup requires latitude-banded requests")
+    // the secondary is the in-situ side: request-bounded in space and
+    // time (the reference pages it from EDGE per request), so it is
+    // broadcast-sized by construction and the ×27-exploded primary
+    // never shuffles
     val pairs = graft.ops.GeoMatchup.matchup(primary, secondary,
       col("plat"), col("plon"), col("pt"), col("slat"), col("slon"), col("st"),
-      rtMeters, ttSeconds, maxAbsLat = widestLat)
+      rtMeters, ttSeconds, maxAbsLat = widestLat, broadcastSecondary = true)
     if (matchOnce)
       graft.ops.ToleranceJoin.matchOnce(pairs,
         struct(col("plat"), col("plon"), col("pt")), col("dist_km"), col("sid"))

@@ -50,16 +50,18 @@ object Dedup {
     * array column and exploding is awkward.
     */
   def minhashSignatureLocal(tokens: Column, k: Int): Column =
+    // no array_distinct: min over duplicates equals min over the set
     array((0 until k).map(i =>
-      array_min(transform(array_distinct(tokens),
-        w => md5(concat(lit(s"s$i"), w))))): _*)
+      array_min(transform(tokens, w => md5(concat(lit(s"s$i"), w))))): _*)
 
   /** Band rows (id, bidx, bhash) straight from (id, token-array) rows
     * using the row-local signature — same band keys as
     * [[minhashSignature]]→[[lshBands]] (same caveat as
     * [[minhashSignatureLocal]]: interpreted, not the fast path).
-    * Token-less docs are dropped (null signature), matching the
-    * exploded pipeline where they never produce rows.
+    * Docs with no (or all-null) tokens are dropped here via the null
+    * band key; the exploded pipeline emits such rows from lshBands,
+    * but every downstream consumer (candidate join, cluster assign)
+    * discards null keys, so end-to-end results agree.
     */
   def lshBandRowsLocal(docs: DataFrame, id: Column, tokens: Column,
                        k: Int): DataFrame = {
@@ -122,16 +124,19 @@ object Dedup {
     * in the same cluster; `keeper == id` marks the cluster
     * representative to keep.
     *
-    * Physical shape: a window min over (bidx, bhash) then a group-by
-    * on id — two exchanges total, versus three for the equivalent
-    * bucket-aggregate + join back. Null band keys are dropped first:
-    * a join never matches them (so the old shape silently excluded
-    * those docs), while a window would group them together.
+    * Physical shape: bucket-aggregate + join back, NOT a window min
+    * over (bidx, bhash). A window looks one exchange cheaper but
+    * requires every row of a bucket co-located and sorted in a single
+    * task — and near-dup corpora have mega-buckets by construction
+    * (this corpus puts ~60% of docs in one), which AQE cannot split
+    * inside a window. The aggregate partial-combines map-side to one
+    * row per bucket, and the join back is AQE-skew-splittable. Null
+    * band keys never match in the join, so token-less docs drop out,
+    * matching the exploded pipeline.
     */
   def lshClusterAssign(bands: DataFrame): DataFrame = {
-    val bucket = org.apache.spark.sql.expressions.Window.partitionBy("bidx", "bhash")
-    bands.where(col("bhash").isNotNull)
-      .withColumn("bmin", min(col("__id")).over(bucket))
+    val bucketMin = bands.groupBy("bidx", "bhash").agg(min(col("__id")).as("bmin"))
+    bands.join(bucketMin, Seq("bidx", "bhash"))
       .groupBy(col("__id"))
       .agg(min(col("bmin")).as("cluster"))
   }

@@ -75,7 +75,9 @@ object SimilarityQueries extends QueryModule {
       IvfIndex.search(index, centroids, probes(s, dir),
           col("vec_id"), col("embedding"), nprobe = 3, k = 4)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"),
-          round(col("sim") + lit(1e-9), 6).as("sim"), col("list_id"))
+          round(col("sim") + lit(1e-9), 6).as("sim"),
+          // row_number-derived: INT in Spark, BIGINT in DuckDB — align
+          col("list_id").cast("long").as("list_id"))
         .orderBy("qid", "rank")
     },
 

@@ -78,8 +78,14 @@ object TileQueries extends QueryModule {
           col("lon_c").cast("double").as("longitude"),
           to_unix_timestamp(col("granule"), lit("yyyy-MM-dd")).as("time"),
           coalesce(col("v"), lit(Double.NaN)).as("value"))
-      val store = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_a12b_tile_store").getPath
+      // per-SF and per-process path: concurrent JVMs (or interleaved
+      // SFs) must not overwrite each other's store between the eager
+      // write and the lazy read-back
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_a12b_tile_store_${tag}_${ProcessHandle.current.pid}").getPath
       Ingest.writeTiles(Ingest.pointsToTiles(dense, 5.0, 5.0, "events_grid"), store)
       graft.index.SummaryPushdown
         .dailyMeanFromSummaries(s.read.parquet(store), 0, 7.5, 0, 7.5)
