@@ -133,6 +133,23 @@ object SeriesQueries extends QueryModule {
         .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
           col("cnt"), col("avg_v"))
         .orderBy("w_start_us", "event_type")
+    },
+
+    // Session windows (the other half of §2.7's stateful streaming
+    // surface, in batch form): per-type activity sessions split on
+    // 5-minute silence. Spark merges event windows [ts, ts+gap);
+    // the oracle reproduces that with gaps-and-islands (new session
+    // iff ts - prev >= gap; session end = last ts + gap).
+    "st_session_gap" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(col("value")) + lit(1e-9), 4).as("avg_v"))
+        .select(col("event_type"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          unix_micros(col("session_window.end")).as("sess_end_us"),
+          col("n_events"), col("avg_v"))
+        .orderBy("event_type", "sess_start_us")
     }
   )
 
@@ -211,6 +228,20 @@ object SeriesQueries extends QueryModule {
     "st_window_1h" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start_us,
         |       event_type, count(*) AS cnt, round(avg(value) + 1e-9, 4) AS avg_v
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st_session_gap" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) us, value FROM events),
+        |x AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                       OR us - lag(us) OVER w >= 300000000
+        |                     THEN 1 ELSE 0 END new_s
+        |      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY event_type ORDER BY us
+        |                  ROWS UNBOUNDED PRECEDING) sid
+        |      FROM x)
+        |SELECT event_type, min(us) AS sess_start_us,
+        |       max(us) + 300000000 AS sess_end_us,
+        |       count(*) AS n_events, round(avg(value) + 1e-9, 4) AS avg_v
+        |FROM g GROUP BY event_type, sid ORDER BY event_type, sess_start_us""".stripMargin
   )
 }
