@@ -26,12 +26,16 @@ object JoinQueries extends QueryModule {
       .select(col("event_id").as("eid"), unix_micros(col("ts")).as("ets"),
         col("value").as("ev"))
 
-  /** J1 pairs: |Δt| ≤ 2h AND |Δvalue| ≤ 5, banded on time. */
+  /** J1 pairs: |Δt| ≤ 2h AND |Δvalue| ≤ 5, banded on time × value —
+    * the 2-D cells cut candidates ~12× vs time-only banding.
+    */
   private def matchPairs(s: SparkSession, dir: String): DataFrame =
-    ToleranceJoin.bandJoin(
+    ToleranceJoin.bandJoin2(
       primary(s, dir), secondary(s, dir),
       col("pts"), col("ets"), TtMicros,
-      abs(col("pts") - col("ets")) <= TtMicros && abs(col("pv") - col("ev")) <= Vtol)
+      col("pv"), col("ev"), Vtol,
+      abs(col("pts") - col("ets")) <= TtMicros && abs(col("pv") - col("ev")) <= Vtol,
+      broadcastRight = true) // error events: the small in-situ side
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: spatio-temporal tolerance matchup join (Matchup.py:429-592)

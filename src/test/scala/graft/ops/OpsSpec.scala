@@ -92,6 +92,26 @@ class OpsSpec extends SparkSpec {
     assert(matches(100) === Set(10L))              // 100 m: only exact
   }
 
+  test("bandJoin2 returns exactly bandJoin's pairs on a 2-D tolerance") {
+    import spark.implicits._
+    // randomized-ish grid straddling cell boundaries, negative keys too
+    val l = (0 until 60).map(i =>
+      (i.toLong, (i * 37 % 200 - 100).toLong, (i * 13 % 40 - 20) / 3.0))
+      .toDF("lid", "lt", "lv")
+    val r = (0 until 60).map(i =>
+      (1000L + i, (i * 53 % 200 - 100).toLong, (i * 29 % 40 - 20) / 3.0))
+      .toDF("rid", "rt", "rv")
+    val exact = abs(col("lt") - col("rt")) <= 10L &&
+      abs(col("lv") - col("rv")) <= 2.0
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("lid", "rid").as[(Long, Long)].collect().toSet
+    val oneD = pairs(ToleranceJoin.bandJoin(l, r, col("lt"), col("rt"), 10L, exact))
+    val twoD = pairs(ToleranceJoin.bandJoin2(l, r, col("lt"), col("rt"), 10L,
+      col("lv"), col("rv"), 2.0, exact))
+    assert(twoD === oneD)
+    assert(oneD.nonEmpty)
+  }
+
   test("matchOnce keeps the nearest match per primary") {
     import spark.implicits._
     val pairs = Seq((1L, 10L, 5.0), (1L, 11L, 2.0), (1L, 12L, 9.0),
