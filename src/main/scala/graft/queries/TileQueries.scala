@@ -16,7 +16,7 @@ import graft.ingest.Ingest
   */
 object TileQueries extends QueryModule {
 
-  private def gridCells(s: SparkSession, dir: String): DataFrame =
+  private[queries] def gridCells(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(
         date_format(col("ts"), "yyyy-MM-dd").as("granule"),
