@@ -136,7 +136,38 @@ object JoinQueries extends QueryModule {
         .agg(round(regr_slope(col("y"), col("x")) + lit(1e-9), 6).as("slope"),
           round(regr_intercept(col("y"), col("x")) + lit(1e-9), 6).as("icept"),
           round(corr(col("y"), col("x")) + lit(1e-9), 6).as("r"),
+          count(lit(1)).as("n"),
+          // slope standard error: √(SSres/(n−2)/Sxx) with
+          // SSres = Syy − slope·Sxy (linregress's std_err)
+          round(sqrt((regr_syy(col("y"), col("x"))
+              - regr_slope(col("y"), col("x")) * regr_sxy(col("y"), col("x")))
+            / (count(lit(1)) - 2) / regr_sxx(col("y"), col("x")))
+            + lit(1e-9), 6).as("err"))
+    },
+
+    // A13 completion: the full linregress tuple including the two-sided
+    // p-value of the slope (TimeSeriesSpark.py:346-353). The t-CDF has
+    // no DuckDB equivalent, so this query carries no oracle — the
+    // driver records the weaker rows-only check; StudentTSpec verifies
+    // the math against closed forms and published critical values.
+    "j5b_regression_pvalue" -> { (s, dir) =>
+      import graft.functions.StudentT
+      val e = Tables.events(s, dir)
+      val x = e.where(col("event_type") === "click")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(avg(col("value")).as("x"))
+      val y = e.where(col("event_type") === "purchase")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(avg(col("value")).as("y"))
+      val p = udf((r: Double, n: Long) =>
+        StudentT.twoSidedP(StudentT.corrT(r, n), (n - 2).toDouble))
+      x.join(y, "day")
+        .agg(round(regr_slope(col("y"), col("x")) + lit(1e-9), 6).as("slope"),
+          round(corr(col("y"), col("x")) + lit(1e-9), 6).as("r"),
+          corr(col("y"), col("x")).as("r_raw"),
           count(lit(1)).as("n"))
+        .withColumn("p", round(p(col("r_raw"), col("n")) + lit(1e-9), 6))
+        .drop("r_raw")
     },
 
     // J6: dates where both datasets have data (CorrelationMap.py:97-117)
@@ -230,7 +261,9 @@ object JoinQueries extends QueryModule {
         |           WHERE event_type = 'purchase' GROUP BY 1)
         |SELECT round(regr_slope(y, x) + 1e-9, 6) AS slope,
         |       round(regr_intercept(y, x) + 1e-9, 6) AS icept,
-        |       round(corr(y, x) + 1e-9, 6) AS r, count(*) AS n
+        |       round(corr(y, x) + 1e-9, 6) AS r, count(*) AS n,
+        |       round(sqrt((regr_syy(y, x) - regr_slope(y, x) * regr_sxy(y, x))
+        |             / (count(*) - 2) / regr_sxx(y, x)) + 1e-9, 6) AS err
         |FROM x JOIN y USING (day)""".stripMargin,
 
     "j6_both_present" ->
