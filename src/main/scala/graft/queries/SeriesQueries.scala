@@ -140,6 +140,14 @@ object SeriesQueries extends QueryModule {
     // 5-minute silence. Spark merges event windows [ts, ts+gap);
     // the oracle reproduces that with gaps-and-islands (new session
     // iff ts - prev >= gap; session end = last ts + gap).
+    // Custom-state stream processing (flatMapGroupsWithState), batch
+    // form: run-length encoding of the value signal around a 100.0
+    // threshold — run boundaries depend on neighbor VALUES, which no
+    // built-in window can express. Oracle = gaps-and-islands.
+    "st_state_rle" -> { (s, dir) =>
+      graft.streaming.StateTracker.highLowRuns(s, Tables.events(s, dir), 100.0)
+    },
+
     "st_session_gap" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"), session_window(col("ts"), "5 minutes"))
@@ -229,6 +237,23 @@ object SeriesQueries extends QueryModule {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start_us,
         |       event_type, count(*) AS cnt, round(avg(value) + 1e-9, 4) AS avg_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st_state_rle" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) us, event_id, value,
+        |                  CASE WHEN value >= 100.0 THEN 1 ELSE 0 END b
+        |           FROM events),
+        |x AS (SELECT *, CASE WHEN lag(b) OVER w IS NULL
+        |                       OR lag(b) OVER w <> b
+        |                     THEN 1 ELSE 0 END new_r
+        |      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)),
+        |g AS (SELECT *, sum(new_r) OVER (PARTITION BY event_type ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING) rid
+        |      FROM x)
+        |SELECT event_type, CAST(min(b) AS BIGINT) AS bucket,
+        |       min(us) AS start_us, max(us) AS end_us,
+        |       count(*) AS n_events, round(avg(value) + 1e-9, 4) AS avg_v
+        |FROM g GROUP BY event_type, rid
+        |ORDER BY event_type, start_us""".stripMargin,
 
     "st_session_gap" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) us, value FROM events),

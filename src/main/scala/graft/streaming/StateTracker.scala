@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Inputs to the run tracker: one point of the per-type value signal.
+  * `us` is the event time in epoch-µs (the engine's canonical time
+  * representation); `ts` carries the same instant as a native timestamp
+  * only because streaming watermarks must reference a TimestampType
+  * column.
+  */
+case class SignalEvent(event_type: String, us: Long, event_id: Long,
+                       value: Double, ts: java.sql.Timestamp)
+
+/** The open run carried between micro-batches: which side of the
+  * threshold the signal is on, when the run started, the last event
+  * seen, and the running (count, sum) for the final average.
+  */
+case class RunState(bucket: Long, startUs: Long, lastUs: Long,
+                    n: Long, sum: Double)
+
+/** One completed run: a maximal stretch of consecutive events (per
+  * event_type, event-time order) on the same side of the threshold.
+  */
+case class RunOut(event_type: String, bucket: Long, start_us: Long,
+                  end_us: Long, n_events: Long, avg_v: Double)
+
+/** Custom-state stream processing via `flatMapGroupsWithState`
+  * (SURVEY §2.7): run-length encoding of a thresholded signal — the
+  * state-machine shape (reference `processorchain.py`'s per-granule
+  * chained handlers hold exactly this kind of running state between
+  * callbacks) that neither tumbling nor session windows can express,
+  * because a run's boundary depends on the VALUES of neighboring
+  * events, not their spacing.
+  *
+  * The same state function serves both execution modes:
+  *  - batch: one invocation per key with the full group; every run is
+  *    final, so all are emitted and no state survives (`runsBatch` —
+  *    this is the driver-gated form, oracle = gaps-and-islands SQL);
+  *  - streaming: invoked per key per micro-batch; the trailing run
+  *    stays open in `GroupState` (more events may extend it) until the
+  *    event-time timeout — watermark passing `lastUs + gap` — proves
+  *    no earlier event can arrive, then it is emitted and the state
+  *    evicted (`runsStream`). State is O(1) per key: two longs, a
+  *    count and a sum — nothing grows with stream length.
+  */
+object StateTracker {
+
+  /** Fold a (sorted) slice of events into the state machine, emitting
+    * every run CLOSED by a threshold crossing inside the slice.
+    * Returns the completed runs plus the still-open trailing run (None
+    * only when `events` is empty and there was no prior state).
+    */
+  private def advance(key: String, events: Array[SignalEvent],
+                      prior: Option[RunState], threshold: Double
+                     ): (Vector[RunOut], Option[RunState]) = {
+    var out = Vector.empty[RunOut]
+    var cur = prior.orNull
+    for (e <- events) {
+      val b = if (e.value >= threshold) 1L else 0L
+      if (cur == null) cur = RunState(b, e.us, e.us, 1L, e.value)
+      else if (cur.bucket == b)
+        cur = RunState(b, cur.startUs, e.us, cur.n + 1, cur.sum + e.value)
+      else {
+        out = out :+ closed(key, cur)
+        cur = RunState(b, e.us, e.us, 1L, e.value)
+      }
+    }
+    (out, Option(cur))
+  }
+
+  /** Deterministic double: events fold in (us, event_id) order, so the
+    * sum — and therefore the rounded average — is reproducible; the
+    * +1e-9 keeps round-half ties off the boundary vs the oracle.
+    */
+  private def closed(key: String, r: RunState): RunOut =
+    RunOut(key, r.bucket, r.startUs, r.lastUs, r.n,
+      BigDecimal(r.sum / r.n + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** Project any relation with (event_type, ts, event_id, value) to the
+    * tracker's typed input. Event-time order is (us, event_id): µs
+    * ties broken by the unique id, so the fold order is total.
+    */
+  def signals(df: DataFrame): Dataset[SignalEvent] = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"), col("ts"))
+      .as[SignalEvent]
+  }
+
+  /** Batch form (driver-gated): group iterators carry the whole key in
+    * arbitrary order, so each group sorts once in memory before the
+    * fold. Scale note: a GROUP here is one event_type — if a single
+    * key's history outgrows an executor, the caller splits the key by
+    * coarse time range first (runs only merge across adjacent splits,
+    * a driver-side O(#splits) stitch), same as any holistic
+    * per-key operator.
+    */
+  def runsBatch(events: Dataset[SignalEvent], threshold: Double): Dataset[RunOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RunState, RunOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+          val (closedRuns, open) = advance(key, evs, state.getOption, threshold)
+          // batch = complete history: the trailing run cannot be
+          // extended, so it is final too
+          (closedRuns ++ open.map(closed(key, _))).iterator
+      }
+  }
+
+  /** Streaming form: same fold, but the trailing run stays in
+    * `GroupState` until the watermark passes `lastUs + gap` (event-time
+    * timeout), at which point it is emitted and evicted. Requires
+    * `events` to carry a watermark on `ts`.
+    */
+  def runsStream(events: Dataset[SignalEvent], threshold: Double,
+                 gapUs: Long): Dataset[RunOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RunState, RunOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state) =>
+          if (state.hasTimedOut) {
+            val fin = state.getOption.map(closed(key, _))
+            state.remove()
+            fin.iterator
+          } else {
+            val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+            val (closedRuns, open) = advance(key, evs, state.getOption, threshold)
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp((o.lastUs + gapUs) / 1000L)
+            }
+            closedRuns.iterator
+          }
+      }
+  }
+
+  /** Untyped convenience: batch RLE over the events table, ordered
+    * output for the driver gate.
+    */
+  def highLowRuns(spark: SparkSession, events: DataFrame, threshold: Double): DataFrame =
+    runsBatch(signals(events), threshold)
+      .toDF()
+      .select(col("event_type"), col("bucket"), col("start_us"),
+        col("end_us"), col("n_events"), col("avg_v"))
+      .orderBy("event_type", "start_us")
+}

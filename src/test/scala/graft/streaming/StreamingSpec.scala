@@ -70,6 +70,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def sig(tyvIds: (Long, String, Double, Long)*): Seq[SignalEvent] =
+    tyvIds.map { case (us, ty, v, id) =>
+      SignalEvent(ty, us, id, v, new Timestamp(us / 1000))
+    }
+
+  test("StateTracker.runsBatch RLE-encodes threshold runs per key") {
+    import spark.implicits._
+    // x: high high low low high  |  y: low
+    val evs = sig(
+      (1000000L, "x", 150.0, 1), (2000000L, "x", 120.0, 2),
+      (3000000L, "x", 10.0, 3), (4000000L, "x", 20.0, 4),
+      (5000000L, "x", 200.0, 5),
+      (1000000L, "y", 5.0, 6)).toDS()
+    val runs = StateTracker.runsBatch(evs, 100.0).collect()
+      .sortBy(r => (r.event_type, r.start_us))
+    assert(runs.map(r => (r.event_type, r.bucket, r.start_us, r.end_us, r.n_events)).toSeq ===
+      Seq(("x", 1L, 1000000L, 2000000L, 2L), ("x", 0L, 3000000L, 4000000L, 2L),
+        ("x", 1L, 5000000L, 5000000L, 1L), ("y", 0L, 1000000L, 1000000L, 1L)))
+    assert(runs.head.avg_v === 135.0)
+  }
+
+  test("StateTracker.runsBatch sorts unordered group input by event time") {
+    import spark.implicits._
+    // same runs as above, rows arrive scrambled
+    val evs = sig(
+      (5000000L, "x", 200.0, 5), (1000000L, "x", 150.0, 1),
+      (4000000L, "x", 20.0, 4), (2000000L, "x", 120.0, 2),
+      (3000000L, "x", 10.0, 3)).toDS().repartition(3)
+    val runs = StateTracker.runsBatch(evs, 100.0).collect().sortBy(_.start_us)
+    assert(runs.map(r => (r.bucket, r.n_events)).toSeq ===
+      Seq((1L, 2L), (0L, 2L), (1L, 1L)))
+  }
+
+  test("StateTracker.runsStream carries open runs across batches and " +
+    "emits them on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SignalEvent]
+    val src = StateTracker.runsStream(
+      mem.toDS().withWatermark("ts", "0 seconds"), 100.0, gapUs = 1000000L)
+    val q = src.writeStream.format("memory").queryName("rle_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: high,high,low for x — the high run closes at the
+      // crossing; the low run stays open in state
+      mem.addData(sig(
+        (1000000L, "x", 150.0, 1), (2000000L, "x", 130.0, 2),
+        (3000000L, "x", 10.0, 3)): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("rle_out").as[RunOut].collect()
+      assert(afterB1.map(r => (r.event_type, r.bucket, r.n_events)).toSeq ===
+        Seq(("x", 1L, 2L)))
+      // batch 2: far-future event on another key advances the
+      // watermark past x's (lastUs + gap) → the no-data timeout batch
+      // emits x's open low run and evicts its state
+      mem.addData(sig((3600000000L, "y", 50.0, 9)): _*)
+      q.processAllAvailable()
+      val afterB2 = spark.table("rle_out").as[RunOut].collect()
+        .sortBy(_.start_us)
+      assert(afterB2.map(r => (r.event_type, r.bucket, r.start_us, r.n_events)).toSeq ===
+        Seq(("x", 1L, 1000000L, 2L), ("x", 0L, 3000000L, 1L)))
+    } finally q.stop()
+  }
+
   test("filePipeline ingests a directory incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
