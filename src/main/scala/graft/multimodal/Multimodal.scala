@@ -57,6 +57,21 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: keep every `factor`-th byte of the payload — the
+    * deterministic stand-in for an image/audio downsample. A real
+    * implementation decodes, rescales, and re-encodes per partition;
+    * the engine-side contract is identical: binary in, smaller binary
+    * out, metadata preserved, no shuffle.
+    */
+  def stubResize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor > 0, s"resize factor must be positive: $factor")
+    media.map { r =>
+      val n = (r.payload.length + factor - 1) / factor
+      r.copy(payload = Array.tabulate(n)(i => r.payload(i * factor)))
+    }
+  }
+
   /** Frame/segment sampling plumbing: split a payload into fixed-size
     * segments (stand-in for video frame extraction) — generator, no
     * shuffle; each segment row carries (media_id, seg_idx, seg_bytes).

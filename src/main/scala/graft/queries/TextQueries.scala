@@ -171,6 +171,33 @@ object TextQueries extends QueryModule {
           sha2(col("payload"), 256).as("digest"),
           col("source"))
         .orderBy("doc_id")
+    },
+
+    // Multimodal transform pipeline: frame-sample (fixed-size
+    // segmentation — boundary correctness proven by count + lossless
+    // byte total) and resize (every-4th-byte downsample, digest-checked
+    // byte-for-byte). Documents are pure ASCII, so the oracle models
+    // the byte operations as character operations exactly.
+    "m_media_pipeline" -> { (s, dir) =>
+      import graft.multimodal.Multimodal
+      val media = Multimodal.asMediaTable(
+        Tables.documents(s, dir), "doc_id", "text", "text/plain")
+      val segs = Multimodal.segmentPayload(media, segBytes = 64)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(octet_length(col("seg_bytes"))).cast("long").as("seg_bytes_total"))
+      import s.implicits._
+      val resized = Multimodal.stubResize(media.as[Multimodal.MediaRow], factor = 4)
+        .toDF()
+        .select(col("media_id"),
+          octet_length(col("payload")).cast("long").as("res_bytes"),
+          sha2(col("payload"), 256).as("res_digest"))
+      media.select(col("media_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"))
+        .join(segs, "media_id").join(resized, "media_id")
+        .select(col("media_id").as("doc_id"), col("n_bytes"), col("n_segs"),
+          col("seg_bytes_total"), col("res_bytes"), col("res_digest"))
+        .orderBy("doc_id")
     }
   )
 
@@ -320,6 +347,18 @@ object TextQueries extends QueryModule {
     "m_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       sha256(text) AS digest, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m_media_pipeline" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_segs,
+        |  octet_length(encode(text)) AS seg_bytes_total,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS res_bytes,
+        |  sha256(array_to_string(
+        |    list_transform(range(0, CAST(ceil(length(text) / 4.0) AS BIGINT)),
+        |                   i -> substr(text, CAST(1 + i * 4 AS INT), 1)),
+        |    '')) AS res_digest
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -30,6 +30,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(2).n_bytes === 0)
   }
 
+  test("stubResize keeps every k-th byte and preserves metadata") {
+    import spark.implicits._
+    val ds = Multimodal.asMediaTable(media, "id", "body", "text/plain")
+      .as[Multimodal.MediaRow]
+    val r = Multimodal.stubResize(ds, factor = 4).collect()
+      .map(m => m.media_id -> m).toMap
+    // "hello world payload" → indices 0,4,8,12,16 → "horpo"
+    assert(new String(r(1L).payload, "UTF-8") === "horpo")
+    assert(new String(r(2L).payload, "UTF-8") === "t")
+    assert(r(3L).payload.length === 0)
+    assert(r(1L).meta.mime === "text/plain")
+  }
+
   test("segmentPayload splits payloads into fixed-size segments") {
     val segs = Multimodal.segmentPayload(
       Multimodal.asMediaTable(media, "id", "body", "text/plain"), segBytes = 8)
