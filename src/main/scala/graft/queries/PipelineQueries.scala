@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Corpus-curation operators for large-scale training-data pipelines
+  * (builder brief, beyond the reference surface): deterministic
+  * train/val/test splitting, stratified sampling, benchmark
+  * decontamination via n-gram overlap, vocabulary/document-frequency
+  * tables, and per-stratum length quantiles.
+  *
+  * Everything is expressed as hash/expression algebra over columns —
+  * no RNG, no UDFs — so (a) results are reproducible run-to-run and
+  * engine-to-engine (the DuckDB oracle replicates each query exactly),
+  * and (b) at 100 TB every operator stays embarrassingly parallel:
+  * splits and samples are stateless per-row md5 predicates (no global
+  * coordination, no sampled pass), decontamination is an inverted-
+  * index equi-join on the shingle key, and the quantile scan reduces
+  * to one shuffle keyed by the (low-cardinality) stratum.
+  */
+object PipelineQueries extends QueryModule {
+
+  /** First hex nibble of the salted row hash — a uniform 16-bucket
+    * lattice: '0'-'b' ↦ 75%, 'c'-'d' ↦ 12.5%, 'e'-'f' ↦ 12.5%.
+    */
+  private def hashNibble(id: org.apache.spark.sql.Column, salt: String) =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 1)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic train/val/test split: the assignment is a pure
+    // function of doc_id, so it is stable under corpus growth,
+    // re-shards, and re-runs — the property a 100 TB pipeline needs
+    // (rand()-based splits reshuffle docs whenever partitioning
+    // changes). No shuffle for the assignment itself; only the audit
+    // rollup below aggregates.
+    "d_hash_split" -> { (s, dir) =>
+      val nib = hashNibble(col("doc_id"), "")
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(nib.between("0", "b"), "train")
+            .when(nib.isin("c", "d"), "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(avg(col("n_chars")) + lit(1e-9), 4).as("avg_chars"))
+        .orderBy("split")
+    },
+
+    // Stratified sampling with per-stratum rates (quality-weighted
+    // corpus mixing): keep a doc iff its salted hash nibble clears the
+    // stratum's threshold — en downsampled to 25%, zh to 50%, the rest
+    // kept at 75%. Same statelessness argument as d_hash_split; the
+    // audit reports achieved rates per stratum.
+    "d_stratified_sample" -> { (s, dir) =>
+      val nib = hashNibble(col("doc_id"), "smp")
+      val kept = when(col("lang") === "en", nib < "4")
+        .when(col("lang") === "zh", nib < "8")
+        .otherwise(nib < "c")
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(kept, 1)).as("n_kept"),
+          round(count(when(kept, 1)) / count(lit(1)).cast("double")
+            + lit(1e-9), 4).as("rate"))
+        .orderBy("lang")
+    },
+
+    // Benchmark decontamination: test docs (odd doc_id) sharing any
+    // 5-gram with any train doc (even doc_id). The join key is the
+    // shingle itself (an inverted index): at 100 TB the test side is
+    // tiny relative to train, so its shingle set broadcasts and the
+    // train scan filters map-side — no shuffle of the train corpus.
+    "t_decontaminate" -> { (s, dir) =>
+      // parity filter BEFORE shingling: each branch tokenizes only its
+      // own half of the corpus (the self-join re-evaluates the subtree,
+      // so pre-filtering halves the shingle work twice over)
+      def sh(parity: Int) = Tables.documents(s, dir)
+        .where(col("doc_id") % 2 === parity && tokenCount(col("text")) >= 5)
+        .select(col("doc_id"),
+          explode(array_distinct(wordShingles(col("text"), 5))).as("s"))
+      val train = sh(0).select(col("s"), col("doc_id").as("train_id"))
+      val test = sh(1)
+      test.join(train, "s")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("s")).as("n_shared"),
+          countDistinct(col("train_id")).as("n_train_docs"),
+          min(col("train_id")).as("first_train"))
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary / document-frequency table (the IDF side of
+    // tokenizer + filter construction): one exploded pass, hash-agg on
+    // the word. Map-side partial aggregation folds each partition's
+    // token stream before the exchange, so only per-word partials
+    // shuffle — the classic scalable word-count shape.
+    "t_vocab_idf" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .crossJoin(n)
+        .select(col("w"), col("tf"), col("df"),
+          round(log((col("n_docs") + 1).cast("double") / (col("df") + 1))
+            + lit(1e-9), 6).as("idf"))
+        .orderBy("w")
+    },
+
+    // Per-language length quantiles (exact interpolated percentiles) —
+    // the length-filter calibration step of corpus curation. Exact
+    // percentile needs the stratum sorted, but the stratum key is
+    // low-cardinality, so at scale this is one shuffle of (lang,
+    // n_chars) pairs; for streaming/huge strata the approx_percentile
+    // sketch is the drop-in (t-digest, mergeable partials).
+    "t_length_quantiles" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("n_chars"), lit(0.25)).as("q25_raw"),
+          percentile(col("n_chars"), lit(0.5)).as("q50_raw"),
+          percentile(col("n_chars"), lit(0.9)).as("q90_raw"))
+        .select(col("lang"), col("n_docs"),
+          round(col("q25_raw") + lit(1e-9), 4).as("p25"),
+          round(col("q50_raw") + lit(1e-9), 4).as("p50"),
+          round(col("q90_raw") + lit(1e-9), 4).as("p90"))
+        .orderBy("lang")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "d_hash_split" ->
+      """WITH t AS (SELECT *,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) BETWEEN '0' AND 'b'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('c','d')
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |       count(DISTINCT lang) AS n_langs,
+        |       round(avg(n_chars) + 1e-9, 4) AS avg_chars
+        |FROM t GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "d_stratified_sample" ->
+      """WITH t AS (SELECT lang,
+        |  CASE WHEN lang = 'en' THEN substr(md5('smp' || CAST(doc_id AS VARCHAR)),1,1) < '4'
+        |       WHEN lang = 'zh' THEN substr(md5('smp' || CAST(doc_id AS VARCHAR)),1,1) < '8'
+        |       ELSE substr(md5('smp' || CAST(doc_id AS VARCHAR)),1,1) < 'c'
+        |  END AS kept
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        |       count(CASE WHEN kept THEN 1 END) AS n_kept,
+        |       round(count(CASE WHEN kept THEN 1 END)
+        |             / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS rate
+        |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "t_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(t)-3),
+        |                i -> array_to_string(t[i:i+4], ' '))) s
+        |       FROM toks WHERE len(t) >= 5)
+        |SELECT te.doc_id AS doc_id, count(DISTINCT te.s) AS n_shared,
+        |       count(DISTINCT tr.doc_id) AS n_train_docs,
+        |       min(tr.doc_id) AS first_train
+        |FROM sh te JOIN sh tr ON te.s = tr.s
+        |WHERE te.doc_id % 2 = 1 AND tr.doc_id % 2 = 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "t_vocab_idf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |             FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT w, count(*) AS tf, count(DISTINCT doc_id) AS df,
+        |       round(ln((n.n_docs + 1) / CAST(count(DISTINCT doc_id) + 1 AS DOUBLE))
+        |             + 1e-9, 6) AS idf
+        |FROM tok, n GROUP BY w, n.n_docs ORDER BY w""".stripMargin,
+
+    "t_length_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(quantile_cont(n_chars, 0.25) + 1e-9, 4) AS p25,
+        |       round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS p50,
+        |       round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+  )
+}

@@ -81,6 +81,32 @@ object SimilarityQueries extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // Semantic dedup keeper assignment: every vector maps to the
+    // lowest-id bucket-mate within cosine ≥ 0.45 (itself if none) —
+    // the doc-level "which row survives" output a dedup pipeline
+    // actually writes, as opposed to the pair list. One LSH-bucketed
+    // self-join + a min-agg; survivors are `keeper = vec_id` rows.
+    "e_semantic_dedup" -> { (s, dir) =>
+      val withSig = emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          Similarity.lshSignature(col("embedding"), 4).as("bucket"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val later = withSig.select(col("bucket"), col("vec_id").as("i"),
+        col("v").as("vi"), col("nrm").as("ni"))
+      val earlier = withSig.select(col("bucket"), col("vec_id").as("j"),
+        col("v").as("vj"), col("nrm").as("nj"))
+      val matches = later.join(earlier, "bucket").where(col("j") < col("i"))
+        .where(Similarity.dot(col("vi"), col("vj"))
+          / (col("ni") * col("nj")) >= 0.45)
+        .groupBy(col("i")).agg(min(col("j")).as("dup_of"))
+      withSig.select(col("vec_id")).join(matches,
+          col("vec_id") === col("i"), "left")
+        .select(col("vec_id"),
+          coalesce(col("dup_of"), col("vec_id")).as("keeper"),
+          (col("dup_of").isNotNull).as("is_dup"))
+        .orderBy("vec_id")
+    },
+
     // Embedding near-dup pairs: LSH candidates (same bucket), exact
     // cosine ≥ 0.45
     "e_near_dup" -> { (s, dir) =>
@@ -175,6 +201,18 @@ object SimilarityQueries extends QueryModule {
         |        ORDER BY sim DESC, vid ASC) AS rank FROM scored)
         |SELECT qid, rank, vid, round(sim + 1e-9, 6) AS sim, list_id FROM r
         |WHERE rank <= 4 ORDER BY qid, rank""".stripMargin,
+
+    "e_semantic_dedup" ->
+      s"""WITH $sigCte,
+        |m AS (SELECT a.vec_id i, min(b.vec_id) dup_of
+        |      FROM sig a JOIN sig b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+        |      WHERE list_sum(list_transform(range(1,65), i2 -> a.v[i2]*b.v[i2])) /
+        |        (sqrt(list_sum(list_transform(range(1,65), i2 -> a.v[i2]*a.v[i2]))) *
+        |         sqrt(list_sum(list_transform(range(1,65), i2 -> b.v[i2]*b.v[i2])))) >= 0.45
+        |      GROUP BY 1)
+        |SELECT e.vec_id, coalesce(m.dup_of, e.vec_id) AS keeper,
+        |       m.dup_of IS NOT NULL AS is_dup
+        |FROM e LEFT JOIN m ON m.i = e.vec_id ORDER BY e.vec_id""".stripMargin,
 
     "e_near_dup" ->
       s"""WITH $sigCte,
