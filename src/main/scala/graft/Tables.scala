@@ -31,6 +31,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Documents spread across all cores. The testdata parquet is one
+    * row group, so a plain scan is one task — and every downstream
+    * per-row text kernel (tokenize, shingle, md5) would run on one
+    * core. A round-robin repartition costs one tiny shuffle of the
+    * raw docs and buys full-width execution for the explode-heavy
+    * stage above it. On a real 100 TB corpus the source has thousands
+    * of splits and this is a no-op to remove.
+    */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** `ts` is rebuilt as a µs-precision TimestampType (UTC), truncated
     * from the file's nanoseconds with integer division (ns epoch values
     * exceed 2^53, so float division would corrupt them).

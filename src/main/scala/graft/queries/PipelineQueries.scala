@@ -78,13 +78,17 @@ object PipelineQueries extends QueryModule {
       // parity filter BEFORE shingling: each branch tokenizes only its
       // own half of the corpus (the self-join re-evaluates the subtree,
       // so pre-filtering halves the shingle work twice over)
-      def sh(parity: Int) = Tables.documents(s, dir)
+      def sh(parity: Int) = Tables.documentsSpread(s, dir)
         .where(col("doc_id") % 2 === parity && tokenCount(col("text")) >= 5)
         .select(col("doc_id"),
           explode(array_distinct(wordShingles(col("text"), 5))).as("s"))
       val train = sh(0).select(col("s"), col("doc_id").as("train_id"))
       val test = sh(1)
-      test.join(train, "s")
+      // shuffle-hash, not broadcast: both sides are already spread, and
+      // a broadcast would serialize the whole train shingle relation
+      // through one driver thread. (At real scale the *test* side is
+      // the broadcast candidate; here both halves are corpus-sized.)
+      test.join(train.hint("shuffle_hash"), "s")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("s")).as("n_shared"),
           countDistinct(col("train_id")).as("n_train_docs"),

@@ -21,7 +21,7 @@ object TextQueries extends QueryModule {
     * MinHash and Jaccard.
     */
   private def docWords(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       // per-doc dedup inside the row (array_distinct) instead of a
       // relation-wide .distinct(): same (doc_id, w) set — doc_id is
       // unique — with no shuffle
@@ -153,7 +153,7 @@ object TextQueries extends QueryModule {
 
     // 16-bit SimHash signatures
     "d_simhash" -> { (s, dir) =>
-      val tok = Tables.documents(s, dir)
+      val tok = Tables.documentsSpread(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       Dedup.simhash16(tok, col("doc_id"), col("w"))
         .select(col("__id").as("doc_id"), col("simhash"))
