@@ -43,6 +43,14 @@ object Tables {
     documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
 
+  /** Embeddings spread across all cores (same single-row-group
+    * rationale as [[documentsSpread]] — dimension explodes and
+    * per-row vector math otherwise run in one task).
+    */
+  def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** `ts` is rebuilt as a µs-precision TimestampType (UTC), truncated
     * from the file's nanoseconds with integer division (ns epoch values
     * exceed 2^53, so float division would corrupt them).

@@ -138,7 +138,7 @@ object TextQueries extends QueryModule {
       val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
       val clusters = Dedup.lshClusterAssign(Dedup.lshBands(sig, k = 8))
         .select(col("__id").as("doc_id"), col("cluster"))
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
         .select(col("vec_id").as("doc_id"),
           col("embedding").cast("array<double>").as("v"))
       val dims = clusters.join(emb, "doc_id")
