@@ -148,6 +148,26 @@ object SeriesQueries extends QueryModule {
       graft.streaming.StateTracker.highLowRuns(s, Tables.events(s, dir), 100.0)
     },
 
+    // Stream-stream interval join (batch shape): each purchase paired
+    // with the same user's clicks in the 4 hours before it — the
+    // watermarked two-stream join of §2.7's streaming surface
+    // (StreamingSpec drives the same operator on MemoryStreams with
+    // cross-batch arrival and watermark eviction).
+    "st_stream_join" -> { (s, dir) =>
+      val p = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("p_user"),
+          col("ts"))
+      val c = Tables.events(s, dir).where(col("event_type") === "click")
+        .select(col("event_id").as("ceid"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+      graft.streaming.StreamingIngest.intervalJoin(
+          p, "ts", c, "cts", col("p_user") === col("c_user"),
+          lookbackSeconds = 14400, watermark = "2 hours")
+        .select(col("pid"), col("ceid"), col("p_user").as("user_id"),
+          (unix_micros(col("ts")) - unix_micros(col("cts"))).as("gap_us"))
+        .orderBy("pid", "ceid")
+    },
+
     "st_session_gap" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"), session_window(col("ts"), "5 minutes"))
@@ -254,6 +274,16 @@ object SeriesQueries extends QueryModule {
         |       count(*) AS n_events, round(avg(value) + 1e-9, 4) AS avg_v
         |FROM g GROUP BY event_type, rid
         |ORDER BY event_type, start_us""".stripMargin,
+
+    "st_stream_join" ->
+      """WITH p AS (SELECT event_id pid, user_id, epoch_us(ts) pts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id ceid, user_id, epoch_us(ts) cts FROM events
+        |           WHERE event_type = 'click')
+        |SELECT pid, ceid, user_id, pts - cts AS gap_us
+        |FROM p JOIN c USING (user_id)
+        |WHERE cts BETWEEN pts - 14400000000 AND pts
+        |ORDER BY pid, ceid""".stripMargin,
 
     "st_session_gap" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) us, value FROM events),

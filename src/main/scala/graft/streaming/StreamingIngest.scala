@@ -58,6 +58,28 @@ object StreamingIngest {
     else withWm.dropDuplicates(idCol)
   }
 
+  /** Stream-stream interval join (append mode): pairs each left row
+    * with the right rows of matching key whose event time falls in
+    * `[leftTs − lookbackSeconds, leftTs]`. Both sides carry the
+    * watermark, so the join state is BOUNDED: a buffered right row is
+    * evicted once the watermark passes `rightTs + lookback` (no future
+    * left row can reach back to it), and a left row once the watermark
+    * passes its own time — the condition Spark needs to run this in
+    * append mode with finite state on an unbounded stream. Batch
+    * callers run the identical plan as a plain range join.
+    */
+  def intervalJoin(left: DataFrame, leftTsCol: String,
+                   right: DataFrame, rightTsCol: String,
+                   keyCond: org.apache.spark.sql.Column,
+                   lookbackSeconds: Long,
+                   watermark: String): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTsCol, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTsCol, watermark) else right
+    l.join(r, keyCond &&
+      col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+      col(rightTsCol) <= col(leftTsCol))
+  }
+
   /** File-watch ingest pipeline: parquet directory source → transform →
     * partitioned parquet sink (the XD `--pattern=*.nc --fixedDelay=60`
     * chain). Caller starts/stops the returned writer.

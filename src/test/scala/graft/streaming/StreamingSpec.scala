@@ -134,6 +134,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Px(pts: Timestamp, p_user: Long, pid: Long)
+  case class Cx(cts: Timestamp, c_user: Long, cid: Long)
+
+  test("intervalJoin pairs two streams within the lookback window " +
+    "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[Px]
+    val cm = MemoryStream[Cx]
+    val joined = StreamingIngest.intervalJoin(
+      pm.toDF(), "pts", cm.toDF(), "cts",
+      col("p_user") === col("c_user"), lookbackSeconds = 100,
+      watermark = "10 seconds")
+      .select($"pid", $"cid")
+    val q = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: click at t=50 buffers; purchase at t=100 matches it
+      // (within 100s lookback); click at t=300 for another user buffers
+      cm.addData(Cx(t(50), 1L, 10L), Cx(t(300), 2L, 11L))
+      pm.addData(Px(t(100), 1L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("sj_out").as[(Long, Long)].collect().toSet ===
+        Set((1L, 10L)))
+      // batch 2: purchase at t=320 for user 2 reaches BACK to the
+      // buffered click from batch 1 — cross-batch state join; a click
+      // AFTER the purchase (t=400 > 350) must not match
+      pm.addData(Px(t(320), 2L, 2L))
+      cm.addData(Cx(t(400), 3L, 12L))
+      pm.addData(Px(t(350), 3L, 3L))
+      q.processAllAvailable()
+      assert(spark.table("sj_out").as[(Long, Long)].collect().toSet ===
+        Set((1L, 10L), (2L, 11L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin batch shape equals the naive range join") {
+    import spark.implicits._
+    val p = Seq((t(100), 1L, 1L), (t(320), 2L, 2L))
+      .toDF("pts", "p_user", "pid")
+    val c = Seq((t(50), 1L, 10L), (t(300), 2L, 11L), (t(150), 1L, 12L))
+      .toDF("cts", "c_user", "cid")
+    val out = StreamingIngest.intervalJoin(p, "pts", c, "cts",
+      col("p_user") === col("c_user"), 100, "10 seconds")
+      .select($"pid", $"cid").as[(Long, Long)].collect().toSet
+    // pid 1 @100: only cid 10 @50 (cid 12 @150 is after the purchase)
+    assert(out === Set((1L, 10L), (2L, 11L)))
+  }
+
   test("filePipeline ingests a directory incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
