@@ -20,6 +20,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Materialize the query's OWN physical plan (every output row, in
+    // output order) rather than df.count(): under a count-aggregate
+    // Catalyst legitimately deletes final sorts, prunes every column,
+    // and eliminates cardinality-preserving outer joins — so count()
+    // would time a *different, emptier* plan than the one the
+    // correctness gate runs.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.count()
+
     // Warmup: one untimed pass over EVERY query. Each query's
     // WholeStageCodegen unit Janino-compiles on first execution (1-3 s
     // for the larger plans) — a one-time JVM cost, not execution. The
@@ -27,13 +36,13 @@ object Bench {
     // the baseline stack was measured (long-running webapp, caches
     // pre-warmed before the workshop; BASELINE.md).
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count()
+      try run(fn(spark, sfDir))
       catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -43,6 +43,14 @@ object Tables {
     documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
 
+  /** Events spread across all cores (same single-row-group rationale
+    * as [[documentsSpread]]) for queries whose per-row kernel work
+    * dominates the scan.
+    */
+  def eventsSpread(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Embeddings spread across all cores (same single-row-group
     * rationale as [[documentsSpread]] — dimension explodes and
     * per-row vector math otherwise run in one task).

@@ -135,11 +135,38 @@ object AggQueries extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // A17 (beyond the reference — SURVEY §2.4 note "our engine gets
+    // approx_count_distinct for free"): the sketch scale path. Exact
+    // distinct/percentile need the full value set per group; the HLL++
+    // and t-digest sketches are fixed-size mergeable partials, the
+    // form that survives 100 TB and streaming. The gate is rows-only
+    // (DuckDB's approx algorithms differ); SketchSpec bounds the
+    // error against the exact values.
+    "a17_approx_sketch" -> { (s, dir) =>
+      // two aggregate passes joined on the (tiny) group key: mixing a
+      // DISTINCT aggregate with percentile aggregates in one Aggregate
+      // forces an Expand (row multiplication) and a sort-agg fallback
+      // for every path; split, each pass keeps map-side partials
+      val e = Tables.eventsSpread(s, dir)
+      val distincts = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("cnt"))
+      val pcts = e.groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)) + lit(1e-9), 4).as("exact_p50"),
+          round(percentile_approx(col("value"), lit(0.5), lit(10000))
+            + lit(1e-9), 4).as("approx_p50"))
+      distincts.join(pcts, "event_type")
+        .select(col("event_type"), col("exact_users"), col("approx_users"),
+          col("exact_p50"), col("approx_p50"), col("cnt"))
+        .orderBy("event_type")
+    },
+
     // F-battery (SURVEY §2.6 F1-F4, F8, F11): unit conversions, wind
     // U/V round-trip, longitude wrap, haversine, deterministic id — all
     // codegen'd Column expressions, no UDFs.
     "f_scalar_battery" -> { (s, dir) =>
-      val e = Tables.events(s, dir)
+      val e = Tables.eventsSpread(s, dir)
       val dirDeg = (col("user_id") * 37 % 360).cast("double")
       val lon360 = when(col("value") >= 360, col("value") - 360).otherwise(col("value"))
       val u = windU(col("value"), dirDeg)

@@ -70,8 +70,12 @@ object JoinQueries extends QueryModule {
     // neighborhood join (GeoMatchup), lat/lon synthesized from event
     // columns; oracle is the naive haversine theta-join.
     "j7_geo_matchup" -> { (s, dir) =>
+      // primary spreads (it explodes into the 3×3×3 cell neighborhood
+      // — the per-row-heavy side); the broadcast secondary must NOT
+      // (a repartition before a broadcast collect is pure overhead)
       def side(typ: String, idAs: String, pfx: String) =
-        Tables.events(s, dir).where(col("event_type") === typ)
+        (if (typ == "purchase") Tables.eventsSpread(s, dir)
+         else Tables.events(s, dir)).where(col("event_type") === typ)
           .select(col("event_id").as(idAs),
             ((col("user_id") % 120) - 60 + 0.005).as(s"${pfx}lat"),
             (col("value") / 4 - 90 + 0.005).as(s"${pfx}lon"),

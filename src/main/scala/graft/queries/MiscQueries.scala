@@ -23,7 +23,7 @@ object MiscQueries extends QueryModule {
     // (Matchup.query_edge:639-691; the JSON paging becomes a JSON
     // column parse).
     "s7_insitu_json" -> { (s, dir) =>
-      Tables.events(s, dir)
+      Tables.eventsSpread(s, dir)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"),
           round(col("value") + lit(1e-9), 4).as("value_r"))

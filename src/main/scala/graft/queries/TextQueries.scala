@@ -30,7 +30,7 @@ object TextQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + vocabulary stats
     "t_token_stats" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"),
           tokenCount(col("text")).cast("long").as("n_tokens"),
           distinctTokenCount(col("text")).cast("long").as("n_distinct"),
@@ -42,7 +42,7 @@ object TextQueries extends QueryModule {
     // per-doc counts of alphabetic / long / short token classes.
     "t_token_classes" -> { (s, dir) =>
       val toks = tokens(col("text"))
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"),
           size(filter(toks, w => w.rlike("^[a-z]+$"))).cast("long").as("alpha"),
           size(filter(toks, w => length(w) >= 6)).cast("long").as("long_w"),
@@ -54,7 +54,7 @@ object TextQueries extends QueryModule {
     "t_quality_score" -> { (s, dir) =>
       val lenScore = least(col("n_chars").cast("double") / 400.0, lit(1.0))
       val eps = lit(1e-9) // off the .00005 round-tie boundary (see w6)
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"),
           round(stopwordRatio(col("text"), Stops) + eps, 4).as("stop_ratio"),
           round(typeTokenRatio(col("text")) + eps, 4).as("ttr"),
@@ -69,7 +69,7 @@ object TextQueries extends QueryModule {
       val toks = tokens(col("text"))
       val cntThe = size(filter(toks, w => w === "the"))
       val cntA = size(filter(toks, w => w === "a"))
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), cntThe.cast("long").as("cnt_the"),
           cntA.cast("long").as("cnt_a"),
           when(cntThe >= 3, "en-high")
@@ -82,7 +82,7 @@ object TextQueries extends QueryModule {
     // Exact dedup on the word-set fingerprint (reordered duplicates
     // collapse); groups with cnt>1 are the duplicate clusters.
     "d_exact_dedup" -> { (s, dir) =>
-      Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"),
+      Dedup.exactGroups(Tables.documentsSpread(s, dir), col("doc_id"),
           wordSetFingerprint(col("text")))
         .orderBy("fp")
     },
@@ -109,7 +109,12 @@ object TextQueries extends QueryModule {
     // pipeline, bounded because the full corpus' mega-cluster makes
     // the pair list itself quadratic (see d_minhash_lsh).
     "d_minhash_pairs" -> { (s, dir) =>
-      val words = docWords(s, dir).where(col("doc_id") < 300)
+      // filter BEFORE the spread/explode: the bound must reach the
+      // parquet scan (predicate pushdown), not sit above a shuffle of
+      // the full corpus
+      val words = Tables.documents(s, dir).where(col("doc_id") < 300)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
       val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
       val cands = Dedup.lshCandidates(Dedup.lshBands(sig, k = 8))
       Dedup.jaccardOnCandidates(cands, words, col("doc_id"), col("w"))
@@ -164,7 +169,7 @@ object TextQueries extends QueryModule {
     // byte length and content digest over the binary column (the
     // decode step itself is stubbed; see graft.multimodal).
     "m_binary_meta" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .withColumn("payload", col("text").cast("binary"))
         .select(col("doc_id"),
           octet_length(col("payload")).cast("long").as("n_bytes"),
@@ -181,7 +186,7 @@ object TextQueries extends QueryModule {
     "m_media_pipeline" -> { (s, dir) =>
       import graft.multimodal.Multimodal
       val media = Multimodal.asMediaTable(
-        Tables.documents(s, dir), "doc_id", "text", "text/plain")
+        Tables.documentsSpread(s, dir), "doc_id", "text", "text/plain")
       val segs = Multimodal.segmentPayload(media, segBytes = 64)
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_segs"),

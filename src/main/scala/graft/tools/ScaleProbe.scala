@@ -48,8 +48,10 @@ object ScaleProbe {
     replicate("lineitem", Seq("l_orderkey"), None)
     replicate("orders", Seq("o_orderkey", "o_custkey"), None)
     replicate("customer", Seq("c_custkey"), None) // keeps orders→customer FK
+    // same offset as documents.doc_id keeps the doc↔vec 1:1 join intact
+    replicate("embeddings", Seq("vec_id"), None)
     // small dims copied as-is
-    Seq("supplier", "part", "nation", "region", "embeddings").foreach { n =>
+    Seq("supplier", "part", "nation", "region").foreach { n =>
       spark.read.parquet(s"$src/$n.parquet").write.mode(SaveMode.Overwrite)
         .parquet(s"$out/$n.parquet")
       println(s"[scale] $n copied")
