@@ -143,22 +143,18 @@ object AggQueries extends QueryModule {
     // (DuckDB's approx algorithms differ); SketchSpec bounds the
     // error against the exact values.
     "a17_approx_sketch" -> { (s, dir) =>
-      // two aggregate passes joined on the (tiny) group key: mixing a
-      // DISTINCT aggregate with percentile aggregates in one Aggregate
-      // forces an Expand (row multiplication) and a sort-agg fallback
-      // for every path; split, each pass keeps map-side partials
-      val e = Tables.eventsSpread(s, dir)
-      val distincts = e.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("cnt"))
-      val pcts = e.groupBy(col("event_type"))
-        .agg(round(percentile(col("value"), lit(0.5)) + lit(1e-9), 4).as("exact_p50"),
+      // sketches ONLY: HLL++ and t-digest partials are fixed-size and
+      // merge map-side, so this scales like a plain aggregate. The
+      // exact forms (countDistinct's per-key shuffle, percentile's
+      // full value buffer per group) are exactly what does NOT survive
+      // 100 TB — SketchSpec computes them at gate scale and bounds the
+      // sketch error against them.
+      Tables.eventsSpread(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           round(percentile_approx(col("value"), lit(0.5), lit(10000))
-            + lit(1e-9), 4).as("approx_p50"))
-      distincts.join(pcts, "event_type")
-        .select(col("event_type"), col("exact_users"), col("approx_users"),
-          col("exact_p50"), col("approx_p50"), col("cnt"))
+            + lit(1e-9), 4).as("approx_p50"),
+          count(lit(1)).as("cnt"))
         .orderBy("event_type")
     },
 

@@ -78,19 +78,25 @@ object PipelineQueries extends QueryModule {
       // parity filter BEFORE shingling: each branch tokenizes only its
       // own half of the corpus (the self-join re-evaluates the subtree,
       // so pre-filtering halves the shingle work twice over)
+      // the join key is the 64-bit shingle hash, not the shingle
+      // string: the train side then shuffles 16 bytes/row instead of
+      // ~40, and per-test-doc distinct counts stay exact over the
+      // hashed key (a cross-shingle collision is ~n²/2⁶⁵; the 3-SF
+      // strict gate would surface one)
       def sh(parity: Int) = Tables.documentsSpread(s, dir)
         .where(col("doc_id") % 2 === parity && tokenCount(col("text")) >= 5)
         .select(col("doc_id"),
           explode(array_distinct(wordShingles(col("text"), 5))).as("s"))
-      val train = sh(0).select(col("s"), col("doc_id").as("train_id"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val train = sh(0).select(col("h"), col("doc_id").as("train_id"))
       val test = sh(1)
       // shuffle-hash, not broadcast: both sides are already spread, and
       // a broadcast would serialize the whole train shingle relation
       // through one driver thread. (At real scale the *test* side is
       // the broadcast candidate; here both halves are corpus-sized.)
-      test.join(train.hint("shuffle_hash"), "s")
+      test.join(train.hint("shuffle_hash"), "h")
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("s")).as("n_shared"),
+        .agg(countDistinct(col("h")).as("n_shared"),
           countDistinct(col("train_id")).as("n_train_docs"),
           min(col("train_id")).as("first_train"))
         .orderBy("doc_id")

@@ -12,24 +12,39 @@ class SketchSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
+  private lazy val approxRows =
+    AggQueries.queries("a17_approx_sketch")(spark, dir).collect()
+
+  private lazy val exactRows = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        percentile(col("value"), lit(0.5)).as("exact_p50"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("exact_users").toDouble, r.getAs[Double]("exact_p50")))
+      .toMap
+  }
+
   test("approx_count_distinct tracks exact distinct within 5%") {
-    val rows = AggQueries.queries("a17_approx_sketch")(spark, dir).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_users").toDouble
+    assert(approxRows.nonEmpty)
+    approxRows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val exact = exactRows(ty)._1
       val approx = r.getAs[Long]("approx_users").toDouble
       assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getAs[String]("event_type")}: exact=$exact approx=$approx")
+        s"$ty: exact=$exact approx=$approx")
     }
   }
 
   test("approx median tracks exact median within 1%") {
-    val rows = AggQueries.queries("a17_approx_sketch")(spark, dir).collect()
-    rows.foreach { r =>
-      val exact = r.getAs[Double]("exact_p50")
+    approxRows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val exact = exactRows(ty)._2
       val approx = r.getAs[Double]("approx_p50")
       assert(math.abs(approx - exact) / math.max(math.abs(exact), 1e-9) <= 0.01,
-        s"${r.getAs[String]("event_type")}: exact=$exact approx=$approx")
+        s"$ty: exact=$exact approx=$approx")
     }
   }
 }
