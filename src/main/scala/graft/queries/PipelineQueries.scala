@@ -120,6 +120,41 @@ object PipelineQueries extends QueryModule {
         .orderBy("w")
     },
 
+    // Intra-document repetition ratio (the Gopher-style "repeated
+    // n-gram fraction" quality signal): 1 − distinct/total 3-gram
+    // shingles, entirely row-local (no shuffle, no explode — array
+    // algebra inside codegen), plus the duplicate-line proxy of
+    // repeated single tokens.
+    "t_repetition" -> { (s, dir) =>
+      val sh3 = wordShingles(col("text"), 3)
+      val toks = tokens(col("text"))
+      Tables.documentsSpread(s, dir)
+        .where(tokenCount(col("text")) >= 3)
+        .select(col("doc_id"),
+          size(sh3).cast("long").as("n_grams"),
+          size(array_distinct(sh3)).cast("long").as("n_distinct_grams"),
+          round(lit(1.0) - size(array_distinct(sh3)) / size(sh3).cast("double")
+            + lit(1e-9), 4).as("rep3"),
+          round(lit(1.0) - size(array_distinct(toks)) / size(toks).cast("double")
+            + lit(1e-9), 4).as("rep1"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-source duplicate overlap (provenance audit): word-set
+    // fingerprint groups spanning >1 source — which sources feed each
+    // other's duplicates. One fingerprint aggregate + one rollup.
+    "d_source_overlap" -> { (s, dir) =>
+      val fp = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), col("source"), wordSetFingerprint(col("text")).as("fp"))
+      fp.groupBy(col("fp"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          min(col("source")).as("first_source"),
+          max(col("source")).as("last_source"))
+        .where(col("n_sources") > 1)
+        .orderBy("fp")
+    },
+
     // Per-language length quantiles (exact interpolated percentiles) —
     // the length-filter calibration step of corpus curation. Exact
     // percentile needs the stratum sorted, but the stratum key is
@@ -189,6 +224,29 @@ object PipelineQueries extends QueryModule {
         |       round(ln((n.n_docs + 1) / CAST(count(DISTINCT doc_id) + 1 AS DOUBLE))
         |             + 1e-9, 6) AS idf
         |FROM tok, n GROUP BY w, n.n_docs ORDER BY w""".stripMargin,
+
+    "t_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') tk FROM documents),
+        |g AS (SELECT doc_id, tk,
+        |         list_transform(range(1, len(tk)-1),
+        |                        i -> array_to_string(tk[i:i+2], ' ')) sh
+        |      FROM t WHERE len(tk) >= 3)
+        |SELECT doc_id, len(sh) AS n_grams,
+        |       len(list_distinct(sh)) AS n_distinct_grams,
+        |       round(1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE)
+        |             + 1e-9, 4) AS rep3,
+        |       round(1.0 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+        |             + 1e-9, 4) AS rep1
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "d_source_overlap" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT fp, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+        |       min(source) AS first_source, max(source) AS last_source
+        |FROM fp GROUP BY 1 HAVING count(DISTINCT source) > 1
+        |ORDER BY fp""".stripMargin,
 
     "t_length_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
