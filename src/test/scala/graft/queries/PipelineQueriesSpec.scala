@@ -78,6 +78,29 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("decontamination plan: shuffle-hash join on the hashed key, " +
+    "no broadcast of the train corpus") {
+    val plan = PipelineQueries.queries("t_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), "train corpus must not broadcast")
+    assert(plan.contains("xxhash64"), "join key must be the 64-bit shingle hash")
+  }
+
+  test("minhash-pairs bound reaches the parquet scan as a pushed filter") {
+    val plan = TextQueries.queries("d_minhash_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300)]"),
+      s"doc_id bound not pushed:\n$plan")
+  }
+
+  test("sketch aggregate plans without Expand or sort-agg value buffers") {
+    val plan = AggQueries.queries("a17_approx_sketch")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"sketch aggregate must not multiply rows through Expand:\n$plan")
+  }
+
   test("semantic dedup: keeper is idempotent-min and survivors self-map") {
     val out = SimilarityQueries.queries("e_semantic_dedup")(spark, dir).collect()
     out.foreach { r =>
