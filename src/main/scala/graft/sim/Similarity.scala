@@ -54,6 +54,23 @@ object Similarity {
   private def planeComponent(p: Int, i: Column): Column =
     sin((lit(p * 97).cast("double") + i.cast("double")) * lit(0.1))
 
+  /** Plane count for a target mean bucket occupancy: buckets must GROW
+    * with the corpus (⌈log₂(n / targetBucket)⌉) or same-bucket
+    * candidate pairs grow quadratically — measured on the 10× probe:
+    * 10× vectors into a FIXED 16 buckets cost ~100× pairs (SCALING.md).
+    * With nPlanes from this function, expected per-bucket occupancy —
+    * and so per-bucket pair cost — stays flat as the corpus scales;
+    * recall is then tuned by multi-probe or band count, not occupancy.
+    * (The driver gates pin nPlanes=4 so the DuckDB oracle can replicate
+    * the signature literally; production callers should pass this.)
+    */
+  def autoPlanes(corpusSize: Long, targetBucket: Int = 256): Int = {
+    require(corpusSize > 0 && targetBucket > 0)
+    val planes = math.ceil(
+      math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt
+    math.min(math.max(planes, 1), 30)
+  }
+
   /** Sign-of-dot-product bucket signature over `nPlanes` hyperplanes,
     * as a '0'/'1' string. Vectors in the same bucket are ANN
     * candidates; expected bucket count is 2^nPlanes.

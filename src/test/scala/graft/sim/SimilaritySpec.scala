@@ -62,4 +62,18 @@ class SimilaritySpec extends SparkSpec {
       .select("cid").as[Long].collect().toSet
     assert(res === Set(1L, 2L)) // same bucket; opposite vector excluded
   }
+
+  test("autoPlanes keeps expected bucket occupancy flat as corpus grows") {
+    // occupancy = n / 2^planes stays within [target/2, target] for n
+    // spanning 6 orders of magnitude
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val planes = Similarity.autoPlanes(n, targetBucket = 256)
+      val occupancy = n.toDouble / math.pow(2, planes)
+      assert(occupancy <= 256.0 + 1e-9, s"n=$n planes=$planes occ=$occupancy")
+      assert(occupancy > 64.0, s"n=$n planes=$planes occ=$occupancy")
+    }
+    // degenerate inputs clamp instead of exploding
+    assert(Similarity.autoPlanes(1L) === 1)
+    assert(Similarity.autoPlanes(Long.MaxValue) === 30)
+  }
 }
