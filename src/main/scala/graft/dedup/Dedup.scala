@@ -141,6 +141,61 @@ object Dedup {
       .agg(min(col("bmin")).as("cluster"))
   }
 
+  /** True connected components over an undirected edge list —
+    * iterative min-label propagation to a fixpoint. One-hop
+    * [[lshClusterAssign]] labels by the min id in a doc's OWN buckets;
+    * transitive near-dup chains (A~B~C where A,C share no bucket) need
+    * the full component, which is this operator.
+    *
+    * Each round is one message shuffle + one min-aggregate, converging
+    * in O(component diameter) rounds — with star edges (doc →
+    * bucket-min) diameters are tiny. `localCheckpoint` truncates the
+    * growing plan lineage each round (an iterative-algorithm
+    * necessity: without it round N replans rounds 1..N−1). The
+    * convergence check is one count per round; at 100 TB that action
+    * is the cheap part of the loop, and maxIter bounds the worst case.
+    *
+    * `nodes` must list every id (isolated nodes have no edge rows but
+    * still form singleton components).
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = nodes.select(col("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = msgs.unionByName(labels.select("id", "label"))
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val improved = next.join(
+          labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") < col("old")).count()
+      labels = next
+      converged = improved == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Star edges for [[connectedComponents]] from LSH band rows: each
+    * id links to its bucket's minimum id. Linear in band rows — the
+    * co-bucket clique never materializes — and component-equivalent to
+    * the full doc~doc co-bucket graph (all bucket members connect
+    * through the min).
+    */
+  def bucketStarEdges(bands: DataFrame): DataFrame = {
+    val bucketMin = bands.groupBy("bidx", "bhash").agg(min(col("__id")).as("bmin"))
+    bands.join(bucketMin, Seq("bidx", "bhash"))
+      .where(col("bmin") =!= col("__id"))
+      .select(col("__id").as("src"), col("bmin").as("dst"))
+      .distinct()
+  }
+
   /** All-pairs n-gram Jaccard via inverted index: self-equi-join the
     * (id, shingle) relation on shingle — pairs sharing no shingle never
     * materialize. The scalable alternative to a cross join when

@@ -123,6 +123,24 @@ object TextQueries extends QueryModule {
         .orderBy("i", "j")
     },
 
+    // True connected components over the LSH bucket graph (bounded
+    // slice, as d_minhash_pairs): star edges (doc → bucket-min) keep
+    // the edge list linear, then iterative min-label propagation to
+    // the fixpoint — the transitive closure one-hop lshClusterAssign
+    // does not compute. Oracle: recursive CTE reaching the same
+    // fixpoint.
+    "d_connected_components" -> { (s, dir) =>
+      val words = Tables.documents(s, dir).where(col("doc_id") < 300)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
+      val bands = Dedup.lshBands(
+        Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8), k = 8)
+      val nodes = bands.select(col("__id").as("id"))
+      Dedup.connectedComponents(Dedup.bucketStarEdges(bands), nodes)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+
     // n-gram (3-word shingle) Jaccard via inverted index, doc_id < 80
     "d_ngram_jaccard" -> { (s, dir) =>
       val sh = Tables.documents(s, dir)
@@ -296,6 +314,32 @@ object TextQueries extends QueryModule {
         |SELECT i, j, m, round(m / (ni.n + nj.n - m) + 1e-9, 4) AS jaccard
         |FROM inter JOIN sizes ni ON ni.doc_id = i JOIN sizes nj ON nj.doc_id = j
         |WHERE m / (ni.n + nj.n - m) >= 0.95 ORDER BY i, j""".stripMargin,
+
+    "d_connected_components" ->
+      """WITH RECURSIVE dtok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+        |              FROM documents WHERE doc_id < 300),
+        |sig AS (SELECT doc_id,
+        |    min(md5('s0'||w)) h0, min(md5('s1'||w)) h1, min(md5('s2'||w)) h2,
+        |    min(md5('s3'||w)) h3, min(md5('s4'||w)) h4, min(md5('s5'||w)) h5,
+        |    min(md5('s6'||w)) h6, min(md5('s7'||w)) h7
+        |    FROM dtok GROUP BY doc_id),
+        |bands AS (
+        |    SELECT doc_id, 0 bidx, md5(h0||h1) bhash FROM sig UNION ALL
+        |    SELECT doc_id, 1, md5(h2||h3) FROM sig UNION ALL
+        |    SELECT doc_id, 2, md5(h4||h5) FROM sig UNION ALL
+        |    SELECT doc_id, 3, md5(h6||h7) FROM sig),
+        |bmin AS (SELECT bidx, bhash, min(doc_id) bmin FROM bands GROUP BY 1, 2),
+        |star AS (SELECT DISTINCT b.doc_id s, m.bmin d
+        |         FROM bands b JOIN bmin m USING (bidx, bhash)
+        |         WHERE m.bmin <> b.doc_id),
+        |edges AS (SELECT s, d FROM star UNION ALL SELECT d, s FROM star),
+        |cc AS (
+        |    SELECT doc_id AS id, doc_id AS label FROM sig
+        |    UNION
+        |    SELECT e.d, c.label FROM cc c JOIN edges e ON e.s = c.id
+        |    WHERE c.label < e.d)
+        |SELECT id AS doc_id, min(label) AS component
+        |FROM cc GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "d_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents

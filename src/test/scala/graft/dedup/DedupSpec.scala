@@ -98,4 +98,43 @@ class DedupSpec extends SparkSpec {
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L))) // only the exact dup shares all 3-grams
   }
+
+  test("connectedComponents finds transitive components star edges miss " +
+    "one-hop") {
+    import spark.implicits._
+    // component {1,3,4,5}: 5-3, 4-3, 4-2? no — edges: 5→3, 4→3, 4→2? use
+    // the downward-propagation counterexample: A(5)~3, B(4)~3, B(4)~2.
+    // One-hop min for 5 is 3; the true component min is 2, reachable
+    // only through 4. Node 9 is isolated.
+    val edges = Seq((5L, 3L), (4L, 3L), (4L, 2L)).toDF("src", "dst")
+    val nodes = Seq(2L, 3L, 4L, 5L, 9L).toDF("id")
+    val cc = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 9L -> 9L))
+  }
+
+  test("connectedComponents on a chain converges within diameter rounds") {
+    import spark.implicits._
+    // path 0-1-2-...-7: worst-case diameter for min propagation
+    val edges = (0L until 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L to 7L).toDF("id")
+    val cc = Dedup.connectedComponents(edges, nodes, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet === Set(0L))
+  }
+
+  test("bucketStarEdges links every band member to the band minimum") {
+    import spark.implicits._
+    val bands = Seq((10L, 0, "x"), (11L, 0, "x"), (12L, 0, "x"),
+      (12L, 1, "y"), (13L, 1, "y")).toDF("__id", "bidx", "bhash")
+    val e = Dedup.bucketStarEdges(bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e === Set((11L, 10L), (12L, 10L), (13L, 12L)))
+    // components across the shared doc 12: all one component
+    val cc = Dedup.connectedComponents(
+      Dedup.bucketStarEdges(bands),
+      bands.select(col("__id").as("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet === Set(10L))
+  }
 }
