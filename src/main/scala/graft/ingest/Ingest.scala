@@ -103,6 +103,42 @@ object Ingest {
       .partitionBy("dataset", "time_bucket")
       .parquet(path)
 
+  /** Small-file compaction for a partitioned tile store. Streaming
+    * micro-batch ingest (§2.7) appends a file per batch per partition;
+    * after months of 1-minute batches a partition holds thousands of
+    * KB-sized files and scan planning, not IO, dominates queries — the
+    * classic small-files failure at 100 TB. Rewrites each partition
+    * into ⌈bytes / targetBytes⌉ files, sorted by (min_lat, min_lon) so
+    * parquet row-group min/max stats align with bbox predicates
+    * (spatial locality ⇒ row-group skipping for the P-layer).
+    * Rewrite-then-swap keeps the store readable throughout.
+    */
+  def compactTiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    // partition columns lead the sort: the dynamic-partition writer
+    // requires rows ordered by them and would otherwise inject its own
+    // sort on JUST those columns, destroying the spatial order
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .sortWithinPartitions("dataset", "time_bucket", "min_lat", "min_lon")
+      .write.mode("overwrite")
+      .partitionBy("dataset", "time_bucket")
+      .parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(src, bak)) sys.error(s"compactTiles: cannot displace $src")
+    if (!fs.rename(tmp, src)) { // roll back, never leave the store missing
+      fs.rename(bak, src)
+      sys.error(s"compactTiles: cannot install $tmp")
+    }
+    fs.delete(bak, true)
+  }
+
   /** Bucketed sink for co-located joins: two tables bucketed the same
     * way on the join key (e.g. tiles and a climatology keyed by the
     * tile cell) join WITHOUT any shuffle — the planner proves

@@ -121,4 +121,36 @@ class IngestSpec extends SparkSpec {
     val total = points.agg(sum("value")).collect()(0).getDouble(0)
     assert(total === (0 until 16).sum.toDouble)
   }
+
+  test("compactTiles merges small files, preserves rows, keeps store readable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/tiles"
+    // simulate micro-batch appends: 8 tiny files in one partition
+    val rows = (1 to 200).map(i =>
+      (i.toLong, "ds1", (i % 10).toDouble, (i % 7).toDouble, i * 86400L))
+    rows.grouped(25).foreach { g =>
+      g.toDF("tile_id", "dataset", "min_lat", "min_lon", "min_time")
+        .withColumn("time_bucket", lit(0L))
+        .write.mode("append").partitionBy("dataset", "time_bucket").parquet(dir)
+    }
+    def dataFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = dataFiles.length
+    assert(before >= 8)
+    val expected = spark.read.parquet(dir).orderBy("tile_id").collect().toSeq
+    Ingest.compactTiles(spark, dir, targetBytes = 1L << 30)
+    assert(dataFiles.length < before)
+    val after = spark.read.parquet(dir).orderBy("tile_id").collect().toSeq
+    assert(after === expected)
+    // spatial sort within the compacted files: min_lat non-decreasing
+    // per file (row-group min/max stats then align with bbox filters)
+    dataFiles.foreach { f =>
+      val lats = spark.read.parquet(f.getPath).select("min_lat")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(lats === lats.sorted, s"unsorted compacted file $f")
+    }
+  }
 }
