@@ -158,6 +158,21 @@ object AggQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // A18 (beyond the reference): multi-dimensional CUBE rollup — all
+    // 2^d grouping sets in ONE pass (Expand + single hash aggregate),
+    // vs d separate scans+aggregations. The reference computes its
+    // facet rollups (A8-A10) one at a time; CUBE is the engine-native
+    // generalization.
+    "a18_cube_rollup" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang_g"),
+          coalesce(col("source"), lit("ALL")).as("src_g"),
+          col("n"), col("sum_chars"))
+        .orderBy("lang_g", "src_g")
+    },
+
     // F-battery (SURVEY §2.6 F1-F4, F8, F11): unit conversions, wind
     // U/V round-trip, longitude wrap, haversine, deterministic id — all
     // codegen'd Column expressions, no UDFs.
@@ -186,6 +201,12 @@ object AggQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "a18_cube_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS src_g,
+        |       count(*) AS n, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang_g, src_g""".stripMargin,
+
     "a1_daily_stats" ->
       """SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, count(*) AS cnt,
         |       round(min(l_quantity) + 1e-9, 4) AS min_q, round(max(l_quantity) + 1e-9, 4) AS max_q,

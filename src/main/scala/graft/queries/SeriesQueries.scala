@@ -124,6 +124,22 @@ object SeriesQueries extends QueryModule {
         .orderBy("user_id")
     },
 
+    // W10 (beyond the reference): event-time RANGE-frame rolling mean —
+    // trailing 7 days per type over the daily series. RANGE frames are
+    // gap-correct (a missing day still bounds the window by time, not
+    // row count), which ROWS frames get wrong on sparse series.
+    "w10_rolling_range" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("d"))
+        .agg(avg(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rangeBetween(-518400, 0) // 6 days back + current = 7-day window
+      daily.select(col("event_type"), col("d"),
+          round(avg(col("v")).over(w) + lit(1e-9), 4).as("roll7"))
+        .orderBy("event_type", "d")
+    },
+
     // §2.7: tumbling-window aggregation — the batch shape of the
     // Structured Streaming ingest pipeline's windowed stats.
     "st_window_1h" -> { (s, dir) =>
@@ -252,6 +268,17 @@ object SeriesQueries extends QueryModule {
         |                        event_id ASC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "w10_rolling_range" ->
+      """WITH daily AS (SELECT event_type,
+        |                      CAST(epoch(date_trunc('day', ts)) AS BIGINT) d,
+        |                      avg(value) v
+        |               FROM events GROUP BY 1, 2)
+        |SELECT event_type, d,
+        |       round(avg(v) OVER (PARTITION BY event_type ORDER BY d
+        |             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) + 1e-9, 4)
+        |         AS roll7
+        |FROM daily ORDER BY event_type, d""".stripMargin,
 
     "st_window_1h" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start_us,
