@@ -44,7 +44,9 @@ object Handlers {
       .where(col("time").between(p.startTime, p.endTime))
 
   /** Endpoint registry (§2.9 inventory). */
-  val registry: Map[String, Handler] = Map(
+  val registry: Map[String, Handler] = core ++ trivial
+
+  private def core: Map[String, Handler] = Map(
     "/timeSeriesSpark" -> ((p, tiles) =>
       TileOps.dailyStats(domainPoints(p, tiles)).orderBy("day_start")),
 
@@ -101,6 +103,29 @@ object Handlers {
       domainPoints(p, tiles)
         .groupBy(col("latitude"), col("longitude"))
         .agg(stddev_samp(col("value")).as("std"), count(lit(1)).as("cnt")))
+  )
+
+  /** The reference's diagnostic endpoints (§2.9: /capabilities,
+    * /heartbeat, /version — Capabilities.py, Heartbeat.py,
+    * webapp.py:232-237): static single-purpose responses, expressed as
+    * plans over the session so the serving layer stays uniform.
+    */
+  private def trivial: Map[String, Handler] = Map(
+    "/capabilities" -> ((_, tiles) => {
+      val s = tiles.sparkSession
+      import s.implicits._
+      registry.keys.toSeq.sorted.toDF("path")
+    }),
+    "/heartbeat" -> ((_, tiles) => {
+      val s = tiles.sparkSession
+      import s.implicits._
+      Seq(true).toDF("ok")
+    }),
+    "/version" -> ((_, tiles) => {
+      val s = tiles.sparkSession
+      import s.implicits._
+      Seq(("nexusspark", "0.1.0", s.version)).toDF("name", "version", "spark")
+    })
   )
 
   /** /match_spark (Matchup.py:41-120): satellite tile points × in-situ

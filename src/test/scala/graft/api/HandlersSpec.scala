@@ -132,4 +132,16 @@ class HandlersSpec extends SparkSpec {
     assert(Handlers.sizeGated(df, limit = 10).isLeft)
     assert(Handlers.sizeGated(df, limit = 1000).isRight)
   }
+
+  test("diagnostic endpoints: capabilities lists the registry, heartbeat and version answer") {
+    import spark.implicits._
+    val tiles = Seq((1L, "ds")).toDF("tile_id", "dataset")
+    val p = Handlers.QueryParams(dataset = "ds")
+    val paths = Handlers.registry("/capabilities")(p, tiles)
+      .as[String].collect().toSet
+    assert(paths.contains("/timeSeriesSpark") && paths.contains("/heartbeat"))
+    assert(Handlers.registry("/heartbeat")(p, tiles).collect()(0).getBoolean(0))
+    val v = Handlers.registry("/version")(p, tiles).collect()(0)
+    assert(v.getString(0) === "nexusspark" && v.getString(2).nonEmpty)
+  }
 }

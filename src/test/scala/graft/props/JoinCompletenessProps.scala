@@ -68,3 +68,41 @@ object JoinCompletenessProps extends Properties("graft.join.completeness") {
       grid == naive
     }
 }
+
+/** connectedComponents must equal brute-force union-find on random
+  * graphs: same partition of nodes into components, min-id labels.
+  */
+object ConnectedComponentsProps extends Properties("graft.dedup.cc") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  property("connectedComponents ≡ union-find on random graphs") =
+    Prop.forAll(
+      Gen.choose(2, 24),
+      Gen.listOfN(30, Gen.zip(Gen.choose(0L, 23L), Gen.choose(0L, 23L)))) { (n, rawEdges) =>
+      val edges = rawEdges.map { case (a, b) => (a % n, b % n) }
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges)
+      val edgeDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else edges.toDF("src", "dst")
+      val got = graft.dedup.Dedup.connectedComponents(
+          edgeDf, (0L until n.toLong).toDF("id"), maxIter = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(got == expected) :| s"n=$n edges=$edges got=$got want=$expected"
+    }
+}
