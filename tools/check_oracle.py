@@ -18,7 +18,20 @@ out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata = single files; ScaleProbe output = spark dirs
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+    # ScaleProbe re-writes events.ts as BIGINT nanos (Spark cannot
+    # write TIMESTAMP(NANOS)); normalize back to a µs timestamp so the
+    # oracles' strftime/epoch_us work identically on probe data
+    if name == "events":
+        (t,) = [r[1] for r in con.execute("DESCRIBE events").fetchall()
+                if r[0] == "ts"] or [None]
+        if t == "BIGINT":
+            con.execute("DROP VIEW events")
+            con.execute(
+                f"CREATE VIEW events AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 n_pass = n_fail = 0
