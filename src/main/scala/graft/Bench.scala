@@ -29,18 +29,24 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.count()
 
+    // dev-only probe filter (unset in driver runs → all queries):
+    // lets scale probes exclude the oracle-pinned quadratic gates
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected = SparkEntry.queries.filter { case (k, _) => !skip(k) }
+
     // Warmup: one untimed pass over EVERY query. Each query's
     // WholeStageCodegen unit Janino-compiles on first execution (1-3 s
     // for the larger plans) — a one-time JVM cost, not execution. The
     // timed pass below measures steady-state throughput, matching how
     // the baseline stack was measured (long-running webapp, caches
     // pre-warmed before the workshop; BASELINE.md).
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try run(fn(spark, sfDir))
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
