@@ -35,7 +35,11 @@ object JoinQueries extends QueryModule {
       col("pts"), col("ets"), TtMicros,
       col("pv"), col("ev"), Vtol,
       abs(col("pts") - col("ets")) <= TtMicros && abs(col("pv") - col("ev")) <= Vtol,
-      broadcastRight = true) // error events: the small in-situ side
+      // shuffle-hash build on the secondary, NOT broadcast: the
+      // "small in-situ side" assumption died at the 100× probe (a
+      // 1M-row broadcast serializes through the driver — 143 s);
+      // the shuffle-hash form is within noise at 1× and scales
+      broadcastRight = false)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: spatio-temporal tolerance matchup join (Matchup.py:429-592)
@@ -85,7 +89,7 @@ object JoinQueries extends QueryModule {
           col("plat"), col("plon"), col("pt"),
           col("slat"), col("slon"), col("st"),
           rtMeters = 300000, ttSeconds = 14400, maxAbsLat = 61.0,
-          broadcastSecondary = true)
+          broadcastSecondary = false) // see matchPairs: broadcast died at 100×
         .select(col("pid"), col("sid"),
           round(col("dist_km") + lit(1e-9), 4).as("dist_km"), col("dt_s"))
         .orderBy("pid", "sid")
