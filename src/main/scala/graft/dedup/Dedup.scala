@@ -169,13 +169,17 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val msgs = und.join(labels, und("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = msgs.unionByName(labels.select("id", "label"))
-        .groupBy("id").agg(min("label").as("label"))
+      // fold the convergence signal into the round's aggregate: carry
+      // the previous label alongside and count improvements in the
+      // same pass, instead of a separate join+count job per round
+      val next = msgs.withColumn("old", lit(null).cast("long"))
+        .unionByName(labels.select(col("id"), col("label"),
+          col("label").as("old")))
+        .groupBy("id")
+        .agg(min("label").as("label"), min("old").as("old"))
         .localCheckpoint()
-      val improved = next.join(
-          labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("label") < col("old")).count()
-      labels = next
+      val improved = next.where(col("label") < col("old")).count()
+      labels = next.select("id", "label")
       converged = improved == 0
       iter += 1
     }

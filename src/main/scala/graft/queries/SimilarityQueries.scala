@@ -107,6 +107,26 @@ object SimilarityQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // IVF with TRAINED centroids (distributed Lloyd's, iters=2) — the
+    // production path where coarse centroids come from k-means rather
+    // than seed vectors. Rows-only gate: Lloyd's averaging is
+    // double-summation-order sensitive, so no engine-independent
+    // oracle exists; IvfIndexSpec proves recall and the
+    // nprobe=nlist ≡ exact equivalence.
+    "e_ivf_trained" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val centroids = IvfIndex.train(e, col("vec_id"), col("embedding"),
+        nlist = 8, iters = 2)
+      val index = IvfIndex.assign(
+        e.select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("v")), centroids)
+      IvfIndex.search(index, centroids, probes(s, dir),
+          col("vec_id"), col("embedding"), nprobe = 3, k = 4)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"),
+          round(col("sim") + lit(1e-9), 6).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Embedding near-dup pairs: LSH candidates (same bucket), exact
     // cosine ≥ 0.45
     "e_near_dup" -> { (s, dir) =>
