@@ -103,18 +103,45 @@ object Ingest {
       .partitionBy("dataset", "time_bucket")
       .parquet(path)
 
+  /** Z-order (Morton) value for two dimensions: each coordinate is
+    * normalized to a `bits`-bit integer over [lo, hi] and the bits are
+    * interleaved, so rows close on the curve are close in BOTH
+    * dimensions. Sorting a tile store by this value keeps every row
+    * group's (min_lat, max_lat, min_lon, max_lon) ranges tight
+    * simultaneously — a lexicographic (lat, lon) sort only bounds lat,
+    * and a bbox predicate then reads every row group of a matching lat
+    * band. Pure Column bit algebra (whole-stage codegen, no UDF).
+    */
+  def zorder2(x: Column, xLo: Column, xHi: Column,
+              y: Column, yLo: Column, yHi: Column, bits: Int = 16): Column = {
+    val maxCell = (1L << bits) - 1
+    def quant(c: Column, lo: Column, hi: Column): Column =
+      least(lit(maxCell), greatest(lit(0L),
+        floor((c - lo) / greatest(hi - lo, lit(1e-30)) * (maxCell + 1))
+          .cast("long")))
+    val qx = quant(x, xLo, xHi)
+    val qy = quant(y, yLo, yHi)
+    (0 until bits).map { i =>
+      (shiftleft(qx.bitwiseAND(1L << i), i) +
+        shiftleft(qy.bitwiseAND(1L << i), i + 1)).cast("long")
+    }.reduce(_ + _)
+  }
+
   /** Small-file compaction for a partitioned tile store. Streaming
     * micro-batch ingest (§2.7) appends a file per batch per partition;
     * after months of 1-minute batches a partition holds thousands of
     * KB-sized files and scan planning, not IO, dominates queries — the
     * classic small-files failure at 100 TB. Rewrites each partition
-    * into ⌈bytes / targetBytes⌉ files, sorted by (min_lat, min_lon) so
-    * parquet row-group min/max stats align with bbox predicates
-    * (spatial locality ⇒ row-group skipping for the P-layer).
+    * into ⌈bytes / targetBytes⌉ files, sorted spatially so parquet
+    * row-group min/max stats align with bbox predicates (row-group
+    * skipping for the P-layer): Z-order over (min_lat, min_lon) by
+    * default (tight row-group ranges in both dimensions), or the
+    * simpler lexicographic sort with `zorder = false`.
     * Rewrite-then-swap keeps the store readable throughout.
     */
   def compactTiles(spark: org.apache.spark.sql.SparkSession, path: String,
-                   targetBytes: Long = 128L * 1024 * 1024): Unit = {
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   zorder: Boolean = true): Unit = {
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(src).getLength
@@ -123,9 +150,24 @@ object Ingest {
     // partition columns lead the sort: the dynamic-partition writer
     // requires rows ordered by them and would otherwise inject its own
     // sort on JUST those columns, destroying the spatial order
-    spark.read.parquet(path)
-      .repartition(nFiles)
-      .sortWithinPartitions("dataset", "time_bucket", "min_lat", "min_lon")
+    val tiles = spark.read.parquet(path)
+    // global lat/lon extent for Z-order normalization: one tiny agg
+    // over the summary columns (min/max only — no array reads)
+    val ext = tiles.agg(min("min_lat").as("lat_lo"), max("min_lat").as("lat_hi"),
+      min("min_lon").as("lon_lo"), max("min_lon").as("lon_hi")).head()
+    val sortKey: Column =
+      if (zorder)
+        zorder2(col("min_lat"), lit(ext.getDouble(0)), lit(ext.getDouble(1)),
+          col("min_lon"), lit(ext.getDouble(2)), lit(ext.getDouble(3)))
+      else col("min_lat")
+    tiles
+      // range partition on the same key the files are sorted by: the
+      // clustering is then GLOBAL (file-level min/max prune whole
+      // files, row-group stats prune within), unlike a round-robin
+      // repartition where every file spans the whole space
+      .repartitionByRange(nFiles, col("dataset"), col("time_bucket"), sortKey)
+      .sortWithinPartitions(col("dataset"), col("time_bucket"), sortKey,
+        col("min_lon"))
       .write.mode("overwrite")
       .partitionBy("dataset", "time_bucket")
       .parquet(tmp.toString)

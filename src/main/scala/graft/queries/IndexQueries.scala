@@ -135,6 +135,25 @@ object IndexQueries extends QueryModule {
         .where(!(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 0))
         .select(col("c_custkey"), col("c_mktsegment"), round(col("c_acctbal") + lit(1e-9), 4).as("bal"))
         .orderBy("c_custkey")
+    },
+
+    // S11: MERGE-style upsert — a changes batch (repriced keys ≡ 7 mod
+    // 100 + brand-new keys above the snapshot range) applied to the
+    // orders snapshot in one full-outer join (sources.Merge.upsert).
+    // The `op` audit column plus sum-preserving price math make any
+    // matched/unmatched misclassification visible in the hash.
+    "s11_merge_upsert" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+      val upd = base.where(col("k") % 100 === 7)
+        .select(col("k"), (col("price") * 1.1).as("price"), lit("R").as("status"))
+      val ins = base.where(col("k") % 100 === 13)
+        .select((col("k") + 100000000L).as("k"), col("price"), lit("N").as("status"))
+      graft.sources.Merge.upsert(base, upd.unionByName(ins), "k")
+        .select(col("k"), round(col("price") + lit(1e-9), 4).as("price"),
+          col("status"), col("op"))
+        .orderBy("k")
     }
   )
 
@@ -217,6 +236,22 @@ object IndexQueries extends QueryModule {
       """SELECT c_custkey, c_mktsegment, round(c_acctbal + 1e-9, 4) AS bal
         |FROM customer
         |WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "s11_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey k, o_totalprice price,
+        |                     o_orderstatus status FROM orders),
+        |upd AS (SELECT k, price * 1.1 AS price, 'R' AS status FROM base
+        |        WHERE k % 100 = 7
+        |        UNION ALL
+        |        SELECT k + 100000000, price, 'N' FROM base WHERE k % 100 = 13)
+        |SELECT coalesce(u.k, b.k) AS k,
+        |       round(coalesce(u.price, b.price) + 1e-9, 4) AS price,
+        |       coalesce(u.status, b.status) AS status,
+        |       CASE WHEN b.k IS NULL THEN 'insert'
+        |            WHEN u.k IS NULL THEN 'keep'
+        |            ELSE 'update' END AS op
+        |FROM base b FULL OUTER JOIN upd u ON b.k = u.k
+        |ORDER BY k""".stripMargin
   )
 }

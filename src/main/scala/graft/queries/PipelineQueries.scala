@@ -155,6 +155,42 @@ object PipelineQueries extends QueryModule {
         .orderBy("fp")
     },
 
+    // TF-IDF sparse cosine similarity (similarity search WITHOUT
+    // embeddings): tf·idf term weights, per-doc norms, then the pair
+    // dot products via a self-join on the term — an inverted-index
+    // join, never a cross join. At 100 TB the scale knob is a df cap:
+    // terms appearing in a large fraction of docs carry idf ≈ 0 weight
+    // and dominate the index's posting lists, so production pipelines
+    // drop them before the join (bounded slice + all terms here, for
+    // oracle exactness).
+    "t_tfidf_cosine" -> { (s, dir) =>
+      val tf = Tables.documentsSpread(s, dir)
+        .where(col("doc_id") < 120)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = broadcast(tf.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs")))
+      val wts = tf.join(df, "w").crossJoin(n)
+        .select(col("doc_id"), col("w"),
+          (col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+            .as("wt"))
+      val norms = wts.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+      val a = wts.select(col("w"), col("doc_id").as("i"), col("wt").as("wi"))
+      val b = wts.select(col("w"), col("doc_id").as("j"), col("wt").as("wj"))
+      a.join(b, "w").where(col("i") < col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("wi") * col("wj")).as("dot"), count(lit(1)).as("n_shared"))
+        .join(norms.select(col("doc_id").as("i"), col("nrm").as("ni")), "i")
+        .join(norms.select(col("doc_id").as("j"), col("nrm").as("nj")), "j")
+        .where(col("dot") / (col("ni") * col("nj")) >= 0.5)
+        .select(col("i"), col("j"), col("n_shared"),
+          round(col("dot") / (col("ni") * col("nj")) + lit(1e-9), 4).as("cos"))
+        .orderBy("i", "j")
+    },
+
     // Per-language length quantiles (exact interpolated percentiles) —
     // the length-filter calibration step of corpus curation. Exact
     // percentile needs the stratum sorted, but the stratum key is
@@ -247,6 +283,25 @@ object PipelineQueries extends QueryModule {
         |       min(source) AS first_source, max(source) AS last_source
         |FROM fp GROUP BY 1 HAVING count(DISTINCT source) > 1
         |ORDER BY fp""".stripMargin,
+
+    "t_tfidf_cosine" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |             FROM documents WHERE doc_id < 120),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |wts AS (SELECT doc_id, tf.w,
+        |          tf * ln((n.n_docs + 1) / CAST(df + 1 AS DOUBLE)) AS wt
+        |        FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+        |norms AS (SELECT doc_id, sqrt(sum(wt*wt)) AS nrm FROM wts GROUP BY 1),
+        |dots AS (SELECT a.doc_id i, b.doc_id j, sum(a.wt*b.wt) AS dot,
+        |                count(*) AS n_shared
+        |         FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT i, j, n_shared,
+        |       round(dot / (ni.nrm * nj.nrm) + 1e-9, 4) AS cos
+        |FROM dots JOIN norms ni ON ni.doc_id = i JOIN norms nj ON nj.doc_id = j
+        |WHERE dot / (ni.nrm * nj.nrm) >= 0.5 ORDER BY i, j""".stripMargin,
 
     "t_length_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

@@ -184,6 +184,35 @@ object SeriesQueries extends QueryModule {
         .orderBy("pid", "ceid")
     },
 
+    // Event funnel (view → click → purchase): per user, the first view,
+    // the first click AT OR AFTER that view, and the first purchase at
+    // or after that click — the step-ordered conversion analysis of an
+    // event pipeline. Each step is one min-aggregate keyed by user
+    // (high-cardinality uniform key at scale); steps chain by joining
+    // the previous step's result back to the filtered event stream, so
+    // nothing ever materializes per-pair state.
+    "st_funnel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      def firstAfter(df: DataFrame, typ: String, prev: DataFrame,
+                     prevCol: String, outCol: String): DataFrame =
+        df.where(col("event_type") === typ)
+          .join(prev, "user_id")
+          .where(col("us") >= col(prevCol))
+          .groupBy(prev.columns.map(col): _*)
+          .agg(min(col("us")).as(outCol))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+      val c = firstAfter(ev, "click", v, "view_us", "click_us")
+      val p = firstAfter(ev, "purchase", c, "click_us", "purchase_us")
+      v.join(c.select(col("user_id"), col("click_us")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("purchase_us")), Seq("user_id"), "left")
+        .select(col("user_id"), col("view_us"), col("click_us"),
+          col("purchase_us"),
+          (col("purchase_us") - col("view_us")).as("funnel_us"))
+        .orderBy("user_id")
+    },
+
     "st_session_gap" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"), session_window(col("ts"), "5 minutes"))
@@ -311,6 +340,24 @@ object SeriesQueries extends QueryModule {
         |FROM p JOIN c USING (user_id)
         |WHERE cts BETWEEN pts - 14400000000 AND pts
         |ORDER BY pid, ceid""".stripMargin,
+
+    "st_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, v.view_us, min(e.us) AS click_us
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.us >= v.view_us
+        |      GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, min(e.us) AS purchase_us
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us >= c.click_us
+        |      GROUP BY 1)
+        |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+        |       p.purchase_us - v.view_us AS funnel_us
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
 
     "st_session_gap" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) us, value FROM events),

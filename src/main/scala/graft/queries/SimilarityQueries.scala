@@ -127,6 +127,30 @@ object SimilarityQueries extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // Symmetric per-vector int8 quantization (the storage/shuffle
+    // compression step of a 100 TB vector pipeline — 4× fewer bytes
+    // than float32 on every scan and exchange): scale = max|x|/127,
+    // codes = floor(x/scale + 0.5). Entirely row-local array algebra —
+    // zero shuffles before the output sort. qsum (integer code sum) is
+    // exact across engines; the reconstruction errors are deterministic
+    // element-wise double ops summed in list order.
+    "e_quantize_int8" -> { (s, dir) =>
+      val v = col("embedding").cast("array<double>")
+      val amax = array_max(transform(v, x => abs(x)))
+      val scale = greatest(amax, lit(1e-30)) / 127.0
+      val codes = transform(v, x => floor(x / scale + 0.5))
+      val errs = transform(v, x => abs(x - floor(x / scale + 0.5) * scale))
+      Tables.embeddingsSpread(s, dir)
+        .select(col("vec_id"),
+          round(scale + lit(1e-9), 6).as("scale"),
+          aggregate(codes, lit(0.0), (acc, x) => acc + x)
+            .cast("long").as("qsum"),
+          round(array_max(errs) + lit(1e-9), 6).as("max_err"),
+          round(sqrt(aggregate(errs, lit(0.0), (acc, x) => acc + x * x)
+            / size(v)) + lit(1e-9), 6).as("rmse"))
+        .orderBy("vec_id")
+    },
+
     // Embedding near-dup pairs: LSH candidates (same bucket), exact
     // cosine ≥ 0.45
     "e_near_dup" -> { (s, dir) =>
@@ -233,6 +257,22 @@ object SimilarityQueries extends QueryModule {
         |SELECT e.vec_id, coalesce(m.dup_of, e.vec_id) AS keeper,
         |       m.dup_of IS NOT NULL AS is_dup
         |FROM e LEFT JOIN m ON m.i = e.vec_id ORDER BY e.vec_id""".stripMargin,
+
+    "e_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127
+        |          AS scale
+        |      FROM e)
+        |SELECT vec_id, round(scale + 1e-9, 6) AS scale,
+        |  CAST(list_sum(list_transform(v, x -> floor(x / scale + 0.5)))
+        |       AS BIGINT) AS qsum,
+        |  round(list_max(list_transform(v,
+        |    x -> abs(x - floor(x / scale + 0.5) * scale))) + 1e-9, 6) AS max_err,
+        |  round(sqrt(list_sum(list_transform(v,
+        |    x -> pow(abs(x - floor(x / scale + 0.5) * scale), 2))) / len(v))
+        |    + 1e-9, 6) AS rmse
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "e_near_dup" ->
       s"""WITH $sigCte,

@@ -79,6 +79,32 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // PII extraction / redaction census (the scrubbing pass of a
+    // training-data pipeline): regex extraction of email and IPv4
+    // patterns plus global redaction, entirely row-local (codegen'd
+    // regex, no shuffle until the rollup sort). The corpus is synthetic
+    // word-salad with no organic PII, so the patterns are injected
+    // deterministically from doc_id in-query — the extraction and
+    // masking operators run on real mixed text either way.
+    "t_pii_scrub" -> { (s, dir) =>
+      val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val ipRe = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7"))
+      Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+            .cast("long").as("n_ips"),
+          regexp_extract(col("aug"), emailRe, 0).as("first_email"),
+          length(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>")).cast("long").as("masked_len"))
+        .orderBy("doc_id")
+    },
+
     // Exact dedup on the word-set fingerprint (reordered duplicates
     // collapse); groups with cnt>1 are the duplicate clusters.
     "d_exact_dedup" -> { (s, dir) =>
@@ -265,6 +291,21 @@ object TextQueries extends QueryModule {
         |            WHEN cnt_the >= 1 THEN 'en'
         |            WHEN cnt_a >= 1 THEN 'en-weak'
         |            ELSE 'und' END AS lang_guess
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com from 10.0.'
+        |       || CAST(doc_id % 256 AS VARCHAR) || '.7' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS n_emails,
+        |  len(regexp_extract_all(aug, '\d+\.\d+\.\d+\.\d+')) AS n_ips,
+        |  regexp_extract(aug, '[a-z0-9]+@[a-z0-9]+\.[a-z]+') AS first_email,
+        |  length(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g')) AS masked_len
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "d_exact_dedup" ->

@@ -141,7 +141,7 @@ class IngestSpec extends SparkSpec {
     val before = dataFiles.length
     assert(before >= 8)
     val expected = spark.read.parquet(dir).orderBy("tile_id").collect().toSeq
-    Ingest.compactTiles(spark, dir, targetBytes = 1L << 30)
+    Ingest.compactTiles(spark, dir, targetBytes = 1L << 30, zorder = false)
     assert(dataFiles.length < before)
     val after = spark.read.parquet(dir).orderBy("tile_id").collect().toSeq
     assert(after === expected)
@@ -152,5 +152,66 @@ class IngestSpec extends SparkSpec {
         .collect().map(_.getDouble(0)).toSeq
       assert(lats === lats.sorted, s"unsorted compacted file $f")
     }
+  }
+
+  test("zorder2 interleaves and orders 2-D neighbors together") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0))
+      .toDF("x", "y")
+    val z = df.select(Ingest.zorder2(col("x"), lit(0.0), lit(1.0),
+        col("y"), lit(0.0), lit(1.0), bits = 1).as("z"))
+      .as[Long].collect().toSeq
+    // 1-bit quantization: (0,0)→0, (1,0)→1, (0,1)→2, (1,1)→3
+    assert(z === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("Z-order compaction prunes more files than a lat-sorted layout") {
+    import spark.implicits._
+    // 32×32 grid of tiles, written unordered
+    def freshStore(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_z").toString + "/tiles"
+      val rows = scala.util.Random.shuffle(
+        (for (la <- 0 until 32; lo <- 0 until 32)
+          yield (la * 32L + lo, "ds1", la.toDouble, lo.toDouble, 0L)).toSeq)
+      rows.toDF("tile_id", "dataset", "min_lat", "min_lon", "min_time")
+        .withColumn("time_bucket", lit(0L))
+        .write.mode("overwrite").partitionBy("dataset", "time_bucket").parquet(dir)
+      dir
+    }
+    def filesTouched(dir: String, lonLo: Double, lonHi: Double): (Int, Int) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val files = walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+      val touched = files.count { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("min_lon"), max("min_lon")).head()
+        r.getDouble(0) <= lonHi && r.getDouble(1) >= lonLo
+      }
+      (touched, files.length)
+    }
+    // force ~16 files: store is tiny, so target a fraction of its size
+    def sized(dir: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }
+    val linDir = freshStore()
+    Ingest.compactTiles(spark, linDir, targetBytes = sized(linDir) / 16, zorder = false)
+    val zDir = freshStore()
+    Ingest.compactTiles(spark, zDir, targetBytes = sized(zDir) / 16, zorder = true)
+    // narrow-lon, full-lat query: the worst case for a lat-leading
+    // sort (every lat band intersects), the case Z-order exists for
+    val (linTouched, linTotal) = filesTouched(linDir, 10.0, 13.0)
+    val (zTouched, zTotal) = filesTouched(zDir, 10.0, 13.0)
+    assert(linTotal >= 8 && zTotal >= 8)
+    assert(linTouched === linTotal, "lat-sort should touch every file here")
+    assert(zTouched * 2 <= zTotal,
+      s"z-order should prune at least half the files, touched $zTouched/$zTotal")
+    // and the z-ordered store still answers the query identically
+    val zRows = spark.read.parquet(zDir)
+      .where(col("min_lon").between(10.0, 13.0)).count()
+    assert(zRows === 32L * 4)
   }
 }

@@ -37,6 +37,27 @@ class SourcesSpec extends SparkSpec {
     assert(ResultsStore.listExecutions(spark, path).count() === 2)
   }
 
+  test("Merge.upsert classifies insert/update/keep and survives NULL values") {
+    import spark.implicits._
+    val base = Seq((1L, Some(10.0), "a"), (2L, None, "b"), (3L, Some(30.0), "c"))
+      .toDF("k", "price", "status")
+    val upd = Seq((2L, Some(22.0), "b2"), (4L, None, "d"))
+      .toDF("k", "price", "status")
+    val out = Merge.upsert(base, upd, "k").orderBy("k")
+      .as[(Long, Option[Double], String, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, Some(10.0), "a", "keep"),
+      (2L, Some(22.0), "b2", "update"), // base price NULL, still "update"
+      (3L, Some(30.0), "c", "keep"),
+      (4L, None, "d", "insert")))      // inserted row with NULL value
+    // idempotency: re-applying the same batch changes nothing but op
+    val again = Merge.upsert(
+      Merge.upsert(base, upd, "k").drop("op"), upd, "k")
+      .orderBy("k").drop("op")
+      .as[(Long, Option[Double], String)].collect().toSeq
+    assert(again === out.map(t => (t._1, t._2, t._3)))
+  }
+
   test("Encoders emit JSON lines and CSV") {
     import spark.implicits._
     val df = Seq((1, "x"), (2, "y")).toDF("k", "v")
