@@ -184,6 +184,44 @@ object SeriesQueries extends QueryModule {
         .orderBy("pid", "ceid")
     },
 
+    // Series resampling with linear gap-fill: a sparse per-type daily
+    // series (every-37th event) projected onto the full day grid, with
+    // missing days linearly interpolated between the surrounding known
+    // points. The known-point lookup is two ignore-nulls running
+    // windows per type (low-cardinality partitions of bounded length —
+    // a day grid, not the event stream, so the single-task-per-type
+    // window is bounded at any corpus scale).
+    "w11_resample_interp" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sampled = Tables.events(s, dir)
+        .where(col("event_id") % 37 === 0)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(avg(col("value")).as("v"))
+      val ext = sampled.groupBy(col("event_type"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val grid = ext.select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+      val wPrev = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+      grid.join(sampled, Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("d"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+          last(when(col("v").isNotNull, col("d")), ignoreNulls = true)
+            .over(wPrev).as("pd"),
+          first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+          first(when(col("v").isNotNull, col("d")), ignoreNulls = true)
+            .over(wNext).as("nd"))
+        .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("v").isNotNull.as("is_known"),
+          round(when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * datediff(col("d"), col("pd"))
+              / datediff(col("nd"), col("pd"))) + lit(1e-9), 4).as("v_fill"))
+        .orderBy("event_type", "day")
+    },
+
     // Event funnel (view → click → purchase): per user, the first view,
     // the first click AT OR AFTER that view, and the first purchase at
     // or after that click — the step-ordered conversion analysis of an
@@ -340,6 +378,35 @@ object SeriesQueries extends QueryModule {
         |FROM p JOIN c USING (user_id)
         |WHERE cts BETWEEN pts - 14400000000 AND pts
         |ORDER BY pid, ceid""".stripMargin,
+
+    "w11_resample_interp" ->
+      """WITH s AS (SELECT event_type, CAST(ts AS DATE) d, avg(value) v
+        |           FROM events WHERE event_id % 37 = 0 GROUP BY 1, 2),
+        |ext AS (SELECT event_type, min(d) d0, max(d) d1 FROM s GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) d
+        |         FROM ext),
+        |j AS (SELECT g.event_type, g.d, s.v
+        |      FROM grid g LEFT JOIN s ON s.event_type = g.event_type AND s.d = g.d),
+        |g2 AS (SELECT *,
+        |        count(v) OVER (PARTITION BY event_type ORDER BY d) gp,
+        |        count(v) OVER (PARTITION BY event_type ORDER BY d DESC) gn
+        |       FROM j),
+        |f AS (SELECT *,
+        |        max(v) OVER (PARTITION BY event_type, gp) pv,
+        |        max(CASE WHEN v IS NOT NULL THEN d END)
+        |          OVER (PARTITION BY event_type, gp) pd,
+        |        max(v) OVER (PARTITION BY event_type, gn) nv,
+        |        min(CASE WHEN v IS NOT NULL THEN d END)
+        |          OVER (PARTITION BY event_type, gn) nd
+        |      FROM g2)
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+        |       v IS NOT NULL AS is_known,
+        |       round(CASE WHEN v IS NOT NULL THEN v
+        |             ELSE pv + (nv - pv) * date_diff('day', pd, d)
+        |                  / CAST(date_diff('day', pd, nd) AS DOUBLE) END
+        |             + 1e-9, 4) AS v_fill
+        |FROM f ORDER BY event_type, day""".stripMargin,
 
     "st_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) us FROM events),

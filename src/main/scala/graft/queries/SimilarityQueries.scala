@@ -151,6 +151,43 @@ object SimilarityQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // Distributed covariance matrix over the embedding dimensions (the
+    // reduce step of PCA / whitening / drift monitoring): two passes —
+    // dimension means (a d-sized broadcast), then each row emits its
+    // centered upper-triangle outer product ROW-LOCALLY and the
+    // partials hash-aggregate into d(d+1)/2 groups. Centering first
+    // keeps the algebra numerically stable (no avg(xy) − avg(x)avg(y)
+    // cancellation). No self-join, no n·d shuffle: total exchange =
+    // the fixed-size group set, linear in n — the 100 TB shape. (The
+    // outer product runs in interpreted HOF lambdas; the trade is
+    // deliberate — d² local multiplies against shipping n·d rows
+    // through a join.) Gate restricts to the first 16 dims (136 pairs)
+    // to keep the oracle cheap; the operator is dimension-generic.
+    "e_embed_covariance" -> { (s, dir) =>
+      val d = 16
+      val ex = Tables.embeddingsSpread(s, dir)
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, d).as("v"))
+      val meansArr = ex
+        .select(posexplode(col("v")).as(Seq("i0", "x")))
+        .groupBy(col("i0")).agg(avg(col("x")).as("m"))
+        .agg(transform(array_sort(collect_list(struct(col("i0"), col("m")))),
+          s => s.getField("m")).as("marr"))
+      val pairs = ex.crossJoin(broadcast(meansArr))
+        .select(explode(flatten(transform(sequence(lit(1), lit(d)), i =>
+          transform(sequence(i, lit(d)), j =>
+            struct(i.as("i"), j.as("j"),
+              ((element_at(col("v"), i) - element_at(col("marr"), i))
+                * (element_at(col("v"), j) - element_at(col("marr"), j)))
+                .as("xy")))))).as("p"))
+      // sequence() yields INT; the oracle's range() yields BIGINT — align
+      pairs.groupBy(col("p.i").cast("long").as("i"),
+          col("p.j").cast("long").as("j"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("p.xy")) + lit(1e-9), 6).as("cov"))
+        .orderBy("i", "j")
+    },
+
     // Embedding near-dup pairs: LSH candidates (same bucket), exact
     // cosine ≥ 0.45
     "e_near_dup" -> { (s, dir) =>
@@ -257,6 +294,19 @@ object SimilarityQueries extends QueryModule {
         |SELECT e.vec_id, coalesce(m.dup_of, e.vec_id) AS keeper,
         |       m.dup_of IS NOT NULL AS is_dup
         |FROM e LEFT JOIN m ON m.i = e.vec_id ORDER BY e.vec_id""".stripMargin,
+
+    "e_embed_covariance" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |idx AS (SELECT t.i, u.j FROM range(1, 17) t(i), range(1, 17) u(j)
+        |        WHERE u.j >= t.i),
+        |means AS (SELECT i, avg(v[i]) m FROM e, range(1, 17) t(i) GROUP BY 1)
+        |SELECT idx.i, idx.j, count(*) AS n,
+        |       round(avg((e.v[idx.i] - mi.m) * (e.v[idx.j] - mj.m)) + 1e-9, 6)
+        |         AS cov
+        |FROM e CROSS JOIN idx
+        |JOIN means mi ON mi.i = idx.i
+        |JOIN means mj ON mj.i = idx.j
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -79,6 +79,27 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Unigram language-model scoring (the perplexity-style quality
+    // filter of a training-data pipeline): corpus unigram probabilities
+    // from one word-count pass, then each doc scored by its mean token
+    // log-probability. The vocabulary is corpus-derived but tiny
+    // relative to the corpus (Zipf), so it broadcasts and the scoring
+    // join never shuffles the token stream.
+    "t_unigram_logprob" -> { (s, dir) =>
+      val tok = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      val total = vocab.agg(sum(col("tf")).as("total"))
+      val probs = broadcast(vocab.crossJoin(broadcast(total))
+        .select(col("w"), log(col("tf") / col("total").cast("double")).as("logp")))
+      tok.join(probs, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("logp")) + lit(1e-9), 4).as("mean_logp"),
+          round(min(col("logp")) + lit(1e-9), 4).as("min_logp"))
+        .orderBy("doc_id")
+    },
+
     // PII extraction / redaction census (the scrubbing pass of a
     // training-data pipeline): regex extraction of email and IPv4
     // patterns plus global redaction, entirely row-local (codegen'd
@@ -292,6 +313,19 @@ object TextQueries extends QueryModule {
         |            WHEN cnt_a >= 1 THEN 'en-weak'
         |            ELSE 'und' END AS lang_guess
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |             FROM documents),
+        |vocab AS (SELECT w, count(*) AS tf FROM tok GROUP BY 1),
+        |total AS (SELECT sum(tf) AS total FROM vocab),
+        |probs AS (SELECT w, ln(tf / CAST(total AS DOUBLE)) AS logp
+        |          FROM vocab CROSS JOIN total)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(logp) + 1e-9, 4) AS mean_logp,
+        |       round(min(logp) + 1e-9, 4) AS min_logp
+        |FROM tok JOIN probs USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t_pii_scrub" ->
       """WITH t AS (SELECT doc_id,
