@@ -188,6 +188,26 @@ object SimilarityQueries extends QueryModule {
         .orderBy("i", "j")
     },
 
+    // PCA projection (sim.Pca): fit on the first 16 dims (distributed
+    // means + covariance, driver-side d×d eigen — d is model-sized),
+    // then project every vector onto the top-2 components with
+    // unrolled codegen'd arithmetic (PcaSpec proves the projection
+    // plan is shuffle-free). Rows-only gate: no engine-independent
+    // oracle exists for an eigendecomposition (sign/order conventions
+    // and iterative solvers differ); PcaSpec pins the math instead
+    // (known dominant direction, eigenvalue⇔projection variance,
+    // orthonormality).
+    "e_pca_project" -> { (s, dir) =>
+      import graft.sim.Pca
+      val e = Tables.embeddingsSpread(s, dir)
+      val model = Pca.fit(e, col("embedding"), d = 16, k = 2)
+      Pca.project(e, col("embedding"), model)
+        .select(col("vec_id"), col("label"),
+          round(element_at(col("pc"), 1) + lit(1e-9), 4).as("pc1"),
+          round(element_at(col("pc"), 2) + lit(1e-9), 4).as("pc2"))
+        .orderBy("vec_id")
+    },
+
     // Embedding near-dup pairs: LSH candidates (same bucket), exact
     // cosine ≥ 0.45
     "e_near_dup" -> { (s, dir) =>

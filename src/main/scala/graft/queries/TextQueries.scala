@@ -79,6 +79,26 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Per-group top-k frequent terms (the vocabulary-audit / corpus-mix
+    // dashboard staple): word counts per source, then rank-and-filter
+    // with a deterministic tie-break. The window partitions by source —
+    // low-cardinality, but its input is the already-aggregated word
+    // count relation (vocab × sources), never the token stream, so the
+    // single-task-per-source window is bounded by vocabulary size at
+    // any corpus scale.
+    "t_top_terms" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documentsSpread(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val wnd = Window.partitionBy("source")
+        .orderBy(col("tf").desc, col("w").asc)
+      counts.withColumn("rank", row_number().over(wnd).cast("long"))
+        .where(col("rank") <= 5)
+        .orderBy("source", "rank")
+    },
+
     // Unigram language-model scoring (the perplexity-style quality
     // filter of a training-data pipeline): corpus unigram probabilities
     // from one word-count pass, then each doc scored by its mean token
@@ -313,6 +333,15 @@ object TextQueries extends QueryModule {
         |            WHEN cnt_a >= 1 THEN 'en-weak'
         |            ELSE 'und' END AS lang_guess
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t_top_terms" ->
+      """WITH counts AS (
+        |  SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
+        |tf AS (SELECT source, w, count(*) AS tf FROM counts GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY tf DESC, w ASC) AS rank FROM tf)
+        |SELECT source, w, tf, rank FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
 
     "t_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
