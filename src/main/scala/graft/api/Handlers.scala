@@ -44,7 +44,7 @@ object Handlers {
       .where(col("time").between(p.startTime, p.endTime))
 
   /** Endpoint registry (§2.9 inventory). */
-  val registry: Map[String, Handler] = core ++ trivial
+  val registry: Map[String, Handler] = core ++ legacyAliases ++ trivial
 
   private def core: Map[String, Handler] = Map(
     "/timeSeriesSpark" -> ((p, tiles) =>
@@ -102,7 +102,37 @@ object Handlers {
     "/standarddeviationsearch" -> ((p, tiles) =>
       domainPoints(p, tiles)
         .groupBy(col("latitude"), col("longitude"))
-        .agg(stddev_samp(col("value")).as("std"), count(lit(1)).as("cnt")))
+        .agg(stddev_samp(col("value")).as("std"), count(lit(1)).as("cnt"))),
+
+    // /longitudeLatitudeMap (LongitudeLatitudeMap.py:20-24, kernel
+    // :186-244 A14): per-pixel linear trend + stats over the domain.
+    "/longitudeLatitudeMap" -> ((p, tiles) =>
+      domainPoints(p, tiles)
+        .groupBy(col("latitude"), col("longitude"))
+        .agg(expr("regr_slope(value, time)").as("slope"),
+          expr("regr_intercept(value, time)").as("intercept"),
+          corr(col("value"), col("time").cast("double")).as("r"),
+          avg(col("value")).as("mean"), max(col("value")).as("max"),
+          min(col("value")).as("min"), stddev_samp(col("value")).as("std"),
+          count(lit(1)).as("cnt")))
+  )
+
+  /** The reference keeps non-Spark twins of several endpoints
+    * (/stats, /timeAvgMap, /correlationMap, /dailydifferenceaverage,
+    * /latitudeTimeHofMoeller, /longitudeTimeHofMoeller — §2.9): same
+    * semantics, hand-rolled single-process kernels. In a declarative
+    * engine the distinction dissolves — both names build the SAME plan
+    * and Spark picks the execution; the aliases exist so every §2.9
+    * path resolves.
+    */
+  private def legacyAliases: Map[String, Handler] = Map(
+    "/stats" -> core("/timeSeriesSpark"),
+    "/statsSolr" -> core("/timeSeriesSpark"),
+    "/timeAvgMap" -> core("/timeAvgMapSpark"),
+    "/correlationMap" -> core("/corrMapSpark"),
+    "/dailydifferenceaverage" -> core("/dailydifferenceaverage_spark"),
+    "/latitudeTimeHofMoeller" -> core("/latitudeTimeHofMoellerSpark"),
+    "/longitudeTimeHofMoeller" -> core("/longitudeTimeHofMoellerSpark")
   )
 
   /** The reference's diagnostic endpoints (§2.9: /capabilities,

@@ -133,6 +133,27 @@ class HandlersSpec extends SparkSpec {
     assert(Handlers.sizeGated(df, limit = 1000).isRight)
   }
 
+  test("legacy non-Spark aliases resolve to the same plan as their Spark twins") {
+    Seq("/stats" -> "/timeSeriesSpark", "/timeAvgMap" -> "/timeAvgMapSpark",
+      "/latitudeTimeHofMoeller" -> "/latitudeTimeHofMoellerSpark")
+      .foreach { case (alias, target) =>
+        val a = Handlers.registry(alias)(p, tiles)
+        val b = Handlers.registry(target)(p, tiles)
+        assert(a.queryExecution.optimizedPlan.sameResult(
+          b.queryExecution.optimizedPlan), s"$alias != $target")
+      }
+  }
+
+  test("/longitudeLatitudeMap computes per-pixel regression + stats (A14)") {
+    val rows = Handlers.registry("/longitudeLatitudeMap")(p, tiles).collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    assert(r.schema.fieldNames.toSet ===
+      Set("latitude", "longitude", "slope", "intercept", "r", "mean",
+        "max", "min", "std", "cnt"))
+    assert(r.getAs[Long]("cnt") > 0)
+  }
+
   test("diagnostic endpoints: capabilities lists the registry, heartbeat and version answer") {
     import spark.implicits._
     val tiles = Seq((1L, "ds")).toDF("tile_id", "dataset")
