@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("vecDot matches the interpreted fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0)),
+      (Array(-1.5, 2.5), Array(2.0, -4.0))
+    ).toDF("a", "b")
+    val out = df.select(
+        VectorExpressions.vecDot($"a", $"b").as("fast"),
+        aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("ref"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (f, r) => assert(math.abs(f - r) < 1e-12) }
+  }
+
+  test("quantizeStats matches the HOF reference form, including edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)(Array.fill(64)(rnd.nextGaussian() * 3)) ++ Seq(
+      Array.fill(8)(0.0),              // all-zero vector (scale guard)
+      Array(127.0),                    // exact code boundary
+      Array(-1e-25, 1e-25),            // denormal-adjacent values
+      Array(5.0)                       // single element
+    )
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    // reference: the interpreted HOF algebra the expression replaced
+    val vv = $"v".cast("array<double>")
+    val amax = array_max(transform(vv, x => abs(x)))
+    val scale = greatest(amax, lit(1e-30)) / 127.0
+    val codes = transform(vv, x => floor(x / scale + 0.5))
+    val errs = transform(vv, x => abs(x - floor(x / scale + 0.5) * scale))
+    val out = df.select(
+        VectorExpressions.quantizeStats($"v").as("q"),
+        scale.as("r_scale"),
+        aggregate(codes, lit(0.0), (acc, x) => acc + x).cast("long").as("r_qsum"),
+        array_max(errs).as("r_maxe"),
+        sqrt(aggregate(errs, lit(0.0), (acc, x) => acc + x * x) / size(vv))
+          .as("r_rmse"))
+      .select($"q.scale", $"q.qsum", $"q.max_err", $"q.rmse",
+        $"r_scale", $"r_qsum", $"r_maxe", $"r_rmse")
+      .as[(Double, Long, Double, Double, Double, Long, Double, Double)]
+      .collect()
+    out.foreach { case (s1, q1, m1, r1, s2, q2, m2, r2) =>
+      assert(s1 === s2)
+      assert(q1 === q2)
+      assert(m1 === m2)
+      assert(math.abs(r1 - r2) < 1e-15)
+    }
+  }
+
+  test("quantization bounds: every code fits int8, max_err ≤ scale/2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(100)(Array.fill(32)(rnd.nextGaussian() * 10))
+      .map(Tuple1(_)).toDF("v")
+    val bad = df.select(VectorExpressions.quantizeStats($"v").as("q"), $"v")
+      .select($"q.scale", $"q.max_err",
+        array_max(transform($"v".cast("array<double>"),
+          x => abs(floor(x / $"q.scale" + 0.5)))).as("max_code"))
+      .where($"max_code" > 127 || $"q.max_err" > $"q.scale" / 2 + lit(1e-15))
+      .count()
+    assert(bad === 0L)
+  }
+}
