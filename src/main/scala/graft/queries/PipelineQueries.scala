@@ -172,10 +172,17 @@ object PipelineQueries extends QueryModule {
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val n = broadcast(tf.select(col("doc_id")).distinct()
         .agg(count(lit(1)).as("n_docs")))
+      // the weight relation feeds FOUR consumers (self-join a/b + two
+      // norm joins); without materialization Spark re-derives the
+      // tf/df/corpus-scan subtree once per consumer. Lazy local
+      // checkpoint = one corpus pass per execution (still timed by the
+      // bench — each run builds a fresh plan); at cluster scale this is
+      // the "persist the weights table" step of a TF-IDF pipeline.
       val wts = tf.join(df, "w").crossJoin(n)
         .select(col("doc_id"), col("w"),
           (col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
             .as("wt"))
+        .localCheckpoint(false)
       val norms = wts.groupBy(col("doc_id"))
         .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
       val a = wts.select(col("w"), col("doc_id").as("i"), col("wt").as("wi"))

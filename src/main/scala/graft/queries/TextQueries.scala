@@ -99,6 +99,28 @@ object TextQueries extends QueryModule {
         .orderBy("source", "rank")
     },
 
+    // Heavy hitters via a mergeable Misra-Gries sketch (typed
+    // Aggregator, fixed k=256 summary) + exact recount of the candidate
+    // set — the two-pass pattern for top items when the key space
+    // (URLs, n-grams, user-ids) no longer fits in any single hash
+    // aggregate. Oracle-able BECAUSE of the sketch guarantee: no item
+    // with freq > n/256 can be missing, and the 1% threshold is always
+    // above that bound, so the output equals the exact SQL answer at
+    // every scale factor.
+    "t_heavy_hitters" -> { (s, dir) =>
+      val tok = Tables.documentsSpread(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+      val total = broadcast(tok.agg(count(lit(1)).as("n_tokens")))
+      graft.text.HeavyHitters.exactHeavyHitters(tok, col("w"),
+          k = 256, minFreq = 1L)
+        .crossJoin(total)
+        .where(col("freq") >= col("n_tokens") * 0.01)
+        .select(col("item").as("w"), col("freq"),
+          round(col("freq") / col("n_tokens").cast("double") + lit(1e-9), 6)
+            .as("frac"))
+        .orderBy("w")
+    },
+
     // Unigram language-model scoring (the perplexity-style quality
     // filter of a training-data pipeline): corpus unigram probabilities
     // from one word-count pass, then each doc scored by its mean token
@@ -342,6 +364,16 @@ object TextQueries extends QueryModule {
         |        ORDER BY tf DESC, w ASC) AS rank FROM tf)
         |SELECT source, w, tf, rank FROM r WHERE rank <= 5
         |ORDER BY source, rank""".stripMargin,
+
+    "t_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |n AS (SELECT count(*) AS n_tokens FROM tok)
+        |SELECT w, count(*) AS freq,
+        |       round(count(*) / CAST(n.n_tokens AS DOUBLE) + 1e-9, 6) AS frac
+        |FROM tok CROSS JOIN n
+        |GROUP BY w, n.n_tokens
+        |HAVING count(*) >= n.n_tokens * 0.01
+        |ORDER BY w""".stripMargin,
 
     "t_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
