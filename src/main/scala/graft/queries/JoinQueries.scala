@@ -186,6 +186,47 @@ object JoinQueries extends QueryModule {
           count(when(col("event_type") === "purchase", 1)).as("cnt_purchase"))
         .where(col("cnt_click") > 0 && col("cnt_purchase") > 0)
         .orderBy("day")
+    },
+
+    // J8 (beyond ref): NEAREST as-of join — each purchase pairs with
+    // the same user's closest click in time, either direction (pandas
+    // merge_asof direction='nearest'; the reference's as-of ops are
+    // backward-only). Candidates come from the user equi-join (per-user
+    // event counts are bounded), then one min_by(struct) aggregate
+    // picks the winner — no window over the event stream.
+    "j8_asof_nearest" -> { (s, dir) =>
+      val p = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          unix_micros(col("ts")).as("pts"))
+      val c = Tables.events(s, dir).where(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"),
+          unix_micros(col("ts")).as("cts"))
+      p.join(c, "user_id")
+        .groupBy(col("pid"))
+        .agg(min(struct(abs(col("pts") - col("cts")).as("gap_us"),
+          col("cid"))).as("best"))
+        .select(col("pid"), col("best.cid").as("cid"),
+          col("best.gap_us").as("gap_us"))
+        .orderBy("pid")
+    },
+
+    // A19 (beyond ref): equi-depth histogram — value deciles via ntile
+    // with a total tie-break, then per-bucket extent and mass. The
+    // global sort is the one unavoidable exchange (rank needs a total
+    // order); everything after is a 10-group aggregate.
+    "a19_equidepth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .select(col("event_id"), col("value"))
+        .withColumn("bucket",
+          ntile(10).over(Window.orderBy(col("value"), col("event_id")))
+            .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")) + lit(1e-9), 4).as("lo"),
+          round(max(col("value")) + lit(1e-9), 4).as("hi"),
+          round(avg(col("value")) + lit(1e-9), 4).as("mean"))
+        .orderBy("bucket")
     }
   )
 
@@ -280,6 +321,27 @@ object JoinQueries extends QueryModule {
         |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS cnt_purchase
         |FROM events GROUP BY 1
         |HAVING cnt_click > 0 AND cnt_purchase > 0
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    "j8_asof_nearest" ->
+      """WITH p AS (SELECT event_id pid, user_id, epoch_us(ts) pts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id cid, user_id, epoch_us(ts) cts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT pid, cid, abs(pts - cts) gap_us,
+        |        row_number() OVER (PARTITION BY pid
+        |          ORDER BY abs(pts - cts), cid) rn
+        |      FROM p JOIN c USING (user_id))
+        |SELECT pid, cid, gap_us FROM r WHERE rn = 1 ORDER BY pid""".stripMargin,
+
+    "a19_equidepth" ->
+      """WITH b AS (SELECT value,
+        |             ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        |           FROM events)
+        |SELECT bucket, count(*) AS n,
+        |       round(min(value) + 1e-9, 4) AS lo,
+        |       round(max(value) + 1e-9, 4) AS hi,
+        |       round(avg(value) + 1e-9, 4) AS mean
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
