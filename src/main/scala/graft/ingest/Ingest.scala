@@ -181,6 +181,55 @@ object Ingest {
     fs.delete(bak, true)
   }
 
+  /** S10 physical side — delete-by-query against the tile store (the
+    * reference's tools/deletebyquery.py dropped tiles from Solr and
+    * Cassandra; here it is a partition-scoped rewrite). Only
+    * partitions that CONTAIN matches are read and rewritten —
+    * everything else is untouched on disk, so a delete bounded to one
+    * dataset/month costs one partition's IO regardless of store size.
+    * Each affected partition is rewritten without its matching rows
+    * and swapped in (same rewrite-then-swap as compaction); partitions
+    * left empty are removed. Returns the number of rows deleted.
+    */
+  def deleteTiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                  predicate: Column): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val affected = spark.read.parquet(path).where(predicate)
+      .groupBy(col("dataset"), col("time_bucket"))
+      .agg(count(lit(1)).as("n_matches"))
+      .collect()
+    var deleted = 0L
+    affected.foreach { r =>
+      val partDir = new org.apache.hadoop.fs.Path(
+        s"$path/dataset=${r.get(0)}/time_bucket=${r.get(1)}")
+      deleted += r.getLong(2)
+      // basePath keeps the partition columns visible to the predicate
+      val survivors = spark.read.option("basePath", path)
+        .parquet(partDir.toString)
+        .where(!predicate)
+        .drop("dataset", "time_bucket") // constant within the partition
+      if (survivors.isEmpty) {
+        fs.delete(partDir, true)
+        // prune the dataset= parent too once its last bucket is gone
+        val parent = partDir.getParent
+        if (fs.listStatus(parent).isEmpty) fs.delete(parent, true)
+      } else {
+        val tmp = new org.apache.hadoop.fs.Path(partDir.toString + "__delete_tmp")
+        survivors.write.mode("overwrite").parquet(tmp.toString)
+        val bak = new org.apache.hadoop.fs.Path(partDir.toString + "__delete_old")
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (!fs.rename(partDir, bak)) sys.error(s"deleteTiles: cannot displace $partDir")
+        if (!fs.rename(tmp, partDir)) {
+          fs.rename(bak, partDir)
+          sys.error(s"deleteTiles: cannot install $tmp")
+        }
+        fs.delete(bak, true)
+      }
+    }
+    deleted
+  }
+
   /** Bucketed sink for co-located joins: two tables bucketed the same
     * way on the join key (e.g. tiles and a climatology keyed by the
     * tile cell) join WITHOUT any shuffle — the planner proves

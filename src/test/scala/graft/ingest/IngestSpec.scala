@@ -154,6 +154,33 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("deleteTiles rewrites only affected partitions and counts deletions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString + "/tiles"
+    val rows = (1 to 100).map(i =>
+      (i.toLong, if (i <= 50) "ds1" else "ds2", (i % 10).toDouble, i * 86400L))
+    rows.toDF("tile_id", "dataset", "min_lat", "min_time")
+      .withColumn("time_bucket", lit(0L))
+      .write.partitionBy("dataset", "time_bucket").parquet(dir)
+    def filesIn(ds: String) =
+      new java.io.File(s"$dir/dataset=$ds/time_bucket=0").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    val ds2Before = filesIn("ds2")
+    // predicate matches only ds1 rows
+    val n = Ingest.deleteTiles(spark, dir,
+      col("dataset") === "ds1" && col("min_lat") < 5.0)
+    assert(n === 25)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 75)
+    assert(back.where(col("dataset") === "ds1" && col("min_lat") < 5.0).count() === 0)
+    // untouched partition: same files, same mtimes
+    assert(filesIn("ds2") === ds2Before)
+    // deleting everything in a partition removes its directory
+    Ingest.deleteTiles(spark, dir, col("dataset") === "ds2")
+    assert(!new java.io.File(s"$dir/dataset=ds2").exists())
+    assert(spark.read.parquet(dir).count() === 25)
+  }
+
   test("zorder2 interleaves and orders 2-D neighbors together") {
     import spark.implicits._
     val df = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0))
