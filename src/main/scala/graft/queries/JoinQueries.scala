@@ -210,17 +210,23 @@ object JoinQueries extends QueryModule {
         .orderBy("pid")
     },
 
-    // A19 (beyond ref): equi-depth histogram — value deciles via ntile
-    // with a total tie-break, then per-bucket extent and mass. The
-    // global sort is the one unavoidable exchange (rank needs a total
-    // order); everything after is a 10-group aggregate.
+    // A19 (beyond ref): equi-depth histogram — decile BOUNDARIES from
+    // one percentile aggregate (broadcast back), then every row buckets
+    // itself by comparison. First shipped as ntile over an
+    // UNPARTITIONED window: 28.7 s at the 100× probe because a global
+    // window funnels every row into one task ("windows don't shard" —
+    // SCALING.md); the boundary form is two shardable aggregates. At
+    // true scale the exact percentile swaps for the approx_percentile
+    // sketch (same argument as t_length_quantiles).
     "a19_equidepth" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.events(s, dir)
-        .select(col("event_id"), col("value"))
-        .withColumn("bucket",
-          ntile(10).over(Window.orderBy(col("value"), col("event_id")))
-            .cast("long"))
+      val qs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+      val bounds = broadcast(Tables.events(s, dir)
+        .agg(percentile(col("value"), qs).as("bs")))
+      Tables.eventsSpread(s, dir)
+        .select(col("value")).crossJoin(bounds)
+        .select(col("value"),
+          (size(filter(col("bs"), b => col("value") > b)) + 1)
+            .cast("long").as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           round(min(col("value")) + lit(1e-9), 4).as("lo"),
@@ -335,9 +341,12 @@ object JoinQueries extends QueryModule {
         |SELECT pid, cid, gap_us FROM r WHERE rn = 1 ORDER BY pid""".stripMargin,
 
     "a19_equidepth" ->
-      """WITH b AS (SELECT value,
-        |             ntile(10) OVER (ORDER BY value, event_id) AS bucket
-        |           FROM events)
+      """WITH bounds AS (
+        |  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) bs
+        |  FROM events),
+        |b AS (SELECT value,
+        |        len(list_filter(bs, x -> value > x)) + 1 AS bucket
+        |      FROM events CROSS JOIN bounds)
         |SELECT bucket, count(*) AS n,
         |       round(min(value) + 1e-9, 4) AS lo,
         |       round(max(value) + 1e-9, 4) AS hi,
