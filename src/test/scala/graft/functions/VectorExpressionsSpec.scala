@@ -55,6 +55,31 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("repStats matches the HOF shingle algebra") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b c a b c a b",          // repeated shingles
+      "x y z",                    // exactly one shingle
+      "one two three four five",  // all distinct
+      "w w w w w w",              // single repeated token
+      "a  b c"                    // double space → empty token, like split(' ')
+    ).map(Tuple1(_)).toDF("text")
+    val sh3 = graft.text.TextFunctions.wordShingles($"text", 3)
+    val toks = graft.text.TextFunctions.tokens($"text")
+    val out = docs.select(
+        TextExpressions.repStatsCol($"text").as("r"),
+        size(toks).cast("long").as("e_tokens"),
+        size(array_distinct(toks)).cast("long").as("e_dtokens"),
+        size(sh3).cast("long").as("e_grams"),
+        size(array_distinct(sh3)).cast("long").as("e_dgrams"))
+      .select($"r.n_tokens", $"r.n_distinct_tokens", $"r.n_grams",
+        $"r.n_distinct_grams", $"e_tokens", $"e_dtokens", $"e_grams", $"e_dgrams")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    out.foreach { case (t, dt, g, dg, et, edt, eg, edg) =>
+      assert((t, dt, g, dg) === ((et, edt, eg, edg)))
+    }
+  }
+
   test("quantization bounds: every code fits int8, max_err ≤ scale/2") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
