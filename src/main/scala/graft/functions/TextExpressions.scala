@@ -37,7 +37,66 @@ case class RepStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for the 16-bit SimHash signature over a
+  * token ARRAY: one md5 per token and 16 counters per row. The
+  * relational form ([[graft.dedup.Dedup.simhash16]]) explodes every
+  * token row ×16 bit positions through two hash aggregates — 24B
+  * intermediate rows at the 100× probe; this computes the identical
+  * signature (same md5-hex nibble test, same >0 sign rule) with zero
+  * shuffles.
+  */
+case class SimHash16Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(a: Any): Any =
+    TextExpressions.simhash16(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextExpressions.simhash16($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** 16-bit SimHash over a token array (called from codegen). Bit b
+    * weights +1 when hex digit b of the token's md5 has its high bit
+    * set (nibble ≥ 8) — exactly the relational form's
+    * `instr('89abcdef', substr(md5, b+1, 1))` test.
+    */
+  def simhash16(tokens: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val counts = new Array[Int](16)
+    val md = md5Local.get()
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      md.reset()
+      val d = md.digest(tokens.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 16) {
+        val nib = if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf else d(b >> 1) & 0xf
+        counts(b) += (if (nib >= 8) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var b = 0
+    while (b < 16) { sb.append(if (counts(b) > 0) '1' else '0'); b += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Codegen'd 16-bit SimHash signature over an ARRAY<STRING> column. */
+  def simhash16Col(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash16Expr(GraftSqlBridge.expression(tokens)))
 
   /** Single-pass token/shingle census (called from codegen). */
   def repStats(text: UTF8String): GenericInternalRow = {

@@ -80,6 +80,25 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash16 expression matches the relational explode form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha alpha"),  // repeated tokens weight multiply
+      (3L, "x"),
+      (4L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val viaExpr = docs.select($"doc_id",
+        TextExpressions.simhash16Col(split($"text", " ")).as("simhash"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val tok = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+    val viaRel = graft.dedup.Dedup.simhash16(tok, $"doc_id", $"w")
+      .select($"__id".as("doc_id"), $"simhash")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(viaExpr === viaRel)
+    assert(viaExpr.forall(_._2.length == 16))
+  }
+
   test("quantization bounds: every code fits int8, max_err ≤ scale/2") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
