@@ -61,6 +61,32 @@ case class SimHash16Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native k-wide MinHash signature over a token ARRAY: element i is
+  * the minimum over tokens of md5("s<i>" ‖ token), hex-encoded —
+  * value-identical to the exploded relational form
+  * ([[graft.dedup.Dedup.minhashSignature]]) and the interpreted HOF
+  * form, but one compiled pass per row: k digests per token, min kept
+  * by unsigned byte comparison (hex encoding is order-preserving, so
+  * byte order ≡ the relational form's string order).
+  */
+case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    TextExpressions.minhashSig(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextExpressions.minhashSig($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   private val md5Local =
@@ -97,6 +123,71 @@ object TextExpressions {
   /** Codegen'd 16-bit SimHash signature over an ARRAY<STRING> column. */
   def simhash16Col(tokens: Column): Column =
     GraftSqlBridge.column(SimHash16Expr(GraftSqlBridge.expression(tokens)))
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** k-wide MinHash signature over a token array (called from codegen).
+    * Duplicate tokens are skipped through a per-row hash set BEFORE
+    * hashing — a duplicate can't move any min, and k digests per
+    * duplicate is where the time goes (word-salad corpora repeat most
+    * tokens). Empty arrays yield an empty signature array (the
+    * relational form emits no row at all; callers filter either way).
+    */
+  def minhashSig(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+                 k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = tokens.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val salts = Array.tabulate(k)(s =>
+      ("s" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = md5Local.get()
+    val mins = Array.fill(k)(null: Array[Byte])
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      val u = tokens.getUTF8String(i)
+      if (seen.add(u)) {
+        val tok = u.getBytes
+        var s = 0
+        while (s < k) {
+          md.reset()
+          md.update(salts(s))
+          md.update(tok)
+          val d = md.digest()
+          if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(d => UTF8String.fromString(hex(d)): Any))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(HexChars((d(i) >> 4) & 0xf)).append(HexChars(d(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Codegen'd k-wide MinHash signature over an ARRAY<STRING> column. */
+  def minhashSigCol(tokens: Column, k: Int): Column =
+    GraftSqlBridge.column(MinHashExpr(GraftSqlBridge.expression(tokens), k))
 
   /** Single-pass token/shingle census (called from codegen). */
   def repStats(text: UTF8String): GenericInternalRow = {

@@ -182,12 +182,12 @@ object TextQueries extends QueryModule {
     // inherently O(cluster²); the scalable output is a cluster label
     // per doc (min-id over its LSH buckets), not the pair list.
     "d_minhash_lsh" -> { (s, dir) =>
-      // exploded relation + hash-agg signature: the md5s run inside
-      // whole-stage codegen, and map-side partial aggregation folds
-      // each doc to one signature row before the exchange — only
-      // signatures shuffle, never the (doc, word) relation
-      val words = docWords(s, dir)
-      val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
+      // native one-pass signature (MinHashExpr): the 8 salted md5s per
+      // token run in one compiled loop per document — no exploded
+      // relation, no aggregate; only signatures ever exist. (Duplicates
+      // don't move a min, so no array_distinct either.)
+      val sig = Dedup.minhashSignatureNative(Tables.documentsSpread(s, dir),
+        col("doc_id"), tokens(col("text")), k = 8)
       Dedup.lshClusterAssign(Dedup.lshBands(sig, k = 8))
         .select(col("__id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
@@ -246,8 +246,8 @@ object TextQueries extends QueryModule {
     // the "text near-dup cluster, embedding sanity-check" shape of a
     // real training-data dedup audit.
     "d_cluster_embeddings" -> { (s, dir) =>
-      val words = docWords(s, dir)
-      val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
+      val sig = Dedup.minhashSignatureNative(Tables.documentsSpread(s, dir),
+        col("doc_id"), tokens(col("text")), k = 8)
       val clusters = Dedup.lshClusterAssign(Dedup.lshBands(sig, k = 8))
         .select(col("__id").as("doc_id"), col("cluster"))
       val emb = Tables.embeddingsSpread(s, dir)

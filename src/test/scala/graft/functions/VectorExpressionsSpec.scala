@@ -99,6 +99,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(viaExpr.forall(_._2.length == 16))
   }
 
+  test("minhash expression matches the exploded relational signature") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha alpha beta"),      // duplicates don't move the min
+      (3L, "z"),
+      (4L, "the quick brown fox the quick")
+    ).toDF("doc_id", "text")
+    val viaExpr = graft.dedup.Dedup.minhashSignatureNative(
+        docs, $"doc_id", split($"text", " "), k = 8)
+      .orderBy("__id").collect().map(_.toSeq).toSeq
+    val tok = docs.select($"doc_id",
+      explode(array_distinct(split($"text", " "))).as("w"))
+    val viaRel = graft.dedup.Dedup.minhashSignature(tok, $"doc_id", $"w", k = 8)
+      .orderBy("__id").collect().map(_.toSeq).toSeq
+    assert(viaExpr === viaRel)
+  }
+
   test("quantization bounds: every code fits int8, max_err ≤ scale/2") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
