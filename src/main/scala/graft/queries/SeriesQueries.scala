@@ -164,6 +164,18 @@ object SeriesQueries extends QueryModule {
       graft.streaming.StateTracker.highLowRuns(s, Tables.events(s, dir), 100.0)
     },
 
+    // Same RLE, sharded: per-(key, day) gaps-and-islands in parallel,
+    // then a boundary-stitching second pass over the compressed run
+    // relation — the scale path when one key's history outgrows a
+    // single task (the flatMapGroupsWithState form above scans each
+    // key sequentially). Identical oracle: splitting an ordered
+    // sequence and re-merging adjacent same-bucket runs IS the global
+    // RLE.
+    "st_rle_sharded" -> { (s, dir) =>
+      graft.streaming.StateTracker.highLowRunsSharded(
+        Tables.eventsSpread(s, dir), 100.0)
+    },
+
     // Stream-stream interval join (batch shape): each purchase paired
     // with the same user's clicks in the 4 hours before it — the
     // watermarked two-stream join of §2.7's streaming surface
@@ -352,8 +364,15 @@ object SeriesQueries extends QueryModule {
         |       event_type, count(*) AS cnt, round(avg(value) + 1e-9, 4) AS avg_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "st_state_rle" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) us, event_id, value,
+    "st_rle_sharded" -> RleOracle,
+    "st_state_rle" -> RleOracle
+  ) ++ oracleRest
+
+  /** One oracle, two implementations (stateful scan vs sharded
+    * two-pass) — the differential is the point.
+    */
+  private val RleOracle =
+    """WITH e AS (SELECT event_type, epoch_us(ts) us, event_id, value,
         |                  CASE WHEN value >= 100.0 THEN 1 ELSE 0 END b
         |           FROM events),
         |x AS (SELECT *, CASE WHEN lag(b) OVER w IS NULL
@@ -367,8 +386,9 @@ object SeriesQueries extends QueryModule {
         |       min(us) AS start_us, max(us) AS end_us,
         |       count(*) AS n_events, round(avg(value) + 1e-9, 4) AS avg_v
         |FROM g GROUP BY event_type, rid
-        |ORDER BY event_type, start_us""".stripMargin,
+        |ORDER BY event_type, start_us""".stripMargin
 
+  private def oracleRest: Map[String, String] = Map(
     "st_stream_join" ->
       """WITH p AS (SELECT event_id pid, user_id, epoch_us(ts) pts FROM events
         |           WHERE event_type = 'purchase'),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -153,4 +153,50 @@ object StateTracker {
       .select(col("event_type"), col("bucket"), col("start_us"),
         col("end_us"), col("n_events"), col("avg_v"))
       .orderBy("event_type", "start_us")
+
+  /** Sharded batch RLE — the scale path for long per-key histories.
+    * [[runsBatch]] (and any gaps-and-islands window) scans each key in
+    * ONE task; here the scan shards by a coarse time chunk (day):
+    * pass 1 runs gaps-and-islands inside each (key, chunk) partition in
+    * parallel, pass 2 re-runs it over the RUN relation (compressed by
+    * the average run length — worst case, an oscillating signal, it
+    * degenerates to the one-task form) merging runs that touch across
+    * chunk boundaries. Splitting an ordered sequence and re-merging
+    * adjacent same-bucket runs reproduces the global RLE exactly, so
+    * the same gaps-and-islands oracle gates both forms.
+    */
+  def highLowRunsSharded(events: DataFrame, threshold: Double,
+                         chunkUs: Long = 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .withColumn("bucket", when(col("value") >= threshold, 1L).otherwise(0L))
+      .withColumn("chunk", (col("us") / chunkUs).cast("long"))
+    def runs(df: DataFrame, part: Seq[String], order: Column,
+             start: Column, end: Column, n: Column, sum_ : Column,
+             okey: Column): DataFrame = {
+      val w = Window.partitionBy(part.map(col): _*).orderBy(order)
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      df.withColumn("__new", when(lag(col("bucket"), 1).over(w).isNull
+          || lag(col("bucket"), 1).over(w) =!= col("bucket"), 1).otherwise(0))
+        .withColumn("__rid", sum(col("__new")).over(cum))
+        .groupBy((part :+ "__rid").map(col) :+ col("bucket"): _*)
+        .agg(min(start).as("start_us"), max(end).as("end_us"),
+          sum(n).as("n_events"), sum(sum_).as("sum_v"),
+          min(okey).as("okey"))
+    }
+    val local = runs(base, Seq("event_type", "chunk"),
+      struct(col("us"), col("event_id")),
+      col("us"), col("us"), lit(1L), col("value"),
+      struct(col("us"), col("event_id")))
+    runs(local, Seq("event_type"), col("okey"),
+        col("start_us"), col("end_us"), col("n_events"), col("sum_v"),
+        col("okey"))
+      .select(col("event_type"), col("bucket"), col("start_us"),
+        col("end_us"), col("n_events"),
+        round(col("sum_v") / col("n_events") + lit(1e-9), 4).as("avg_v"))
+      .orderBy("event_type", "start_us")
+  }
 }
