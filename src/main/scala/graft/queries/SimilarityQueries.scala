@@ -187,6 +187,22 @@ object SimilarityQueries extends QueryModule {
         .orderBy("i", "j")
     },
 
+    // Quantized ANN: the int8 codes of e_quantize_int8 made
+    // operational — the full-corpus scan ranks by QUANTIZED cosine
+    // (1 byte/dim of bandwidth at scale), exact float re-rank touches
+    // only the 10-deep shortlist. Integer code dots are exact in
+    // double, so shortlist order — and therefore the result — is
+    // engine-reproducible and fully oracled.
+    "e_quantized_ann" -> { (s, dir) =>
+      Similarity.quantizedTopK(emb(s, dir), probes(s, dir),
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+          k = 4, shortlist = 10)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),
+          round(col("sim") + lit(1e-9), 6).as("sim"),
+          round(col("qsim") + lit(1e-9), 6).as("qsim"))
+        .orderBy("qid", "rank")
+    },
+
     // PCA projection (sim.Pca): fit on the first 16 dims (distributed
     // means + covariance, driver-side d×d eigen — d is model-sized),
     // then project every vector onto the top-2 components with
@@ -313,6 +329,37 @@ object SimilarityQueries extends QueryModule {
         |SELECT e.vec_id, coalesce(m.dup_of, e.vec_id) AS keeper,
         |       m.dup_of IS NOT NULL AS is_dup
         |FROM e LEFT JOIN m ON m.i = e.vec_id ORDER BY e.vec_id""".stripMargin,
+
+    "e_quantized_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |qz AS (SELECT vec_id, v,
+        |         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127
+        |           AS s
+        |       FROM e),
+        |qc AS (SELECT vec_id, v, s,
+        |         list_transform(v, x -> floor(x / s + 0.5)) AS q
+        |       FROM qz),
+        |qn AS (SELECT vec_id, v, s, q,
+        |         sqrt(list_sum(list_transform(q, x -> x*x))) * s AS qnrm,
+        |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+        |       FROM qc),
+        |p AS (SELECT vec_id qid, v qv, s qs, q qq, qnrm q_qn, nrm q_n
+        |      FROM qn WHERE vec_id IN (0, 1, 2)),
+        |scored AS (SELECT p.qid, c.vec_id cid, c.v cv, p.qv, c.nrm c_n, p.q_n,
+        |    list_sum(list_transform(range(1,65), i -> c.q[i]*p.qq[i]))
+        |      * c.s * p.qs / (c.qnrm * p.q_qn) AS qsim
+        |  FROM qn c CROSS JOIN p WHERE c.vec_id <> p.qid),
+        |short AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |            ORDER BY qsim DESC, cid ASC) AS srank FROM scored),
+        |exact AS (SELECT qid, cid, qsim,
+        |    list_sum(list_transform(range(1,65), i -> cv[i]*qv[i]))
+        |      / (c_n * q_n) AS sim
+        |  FROM short WHERE srank <= 10),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, cid ASC) AS rank FROM exact)
+        |SELECT qid, rank, cid, round(sim + 1e-9, 6) AS sim,
+        |       round(qsim + 1e-9, 6) AS qsim
+        |FROM r WHERE rank <= 4 ORDER BY qid, rank""".stripMargin,
 
     "e_embed_covariance" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),

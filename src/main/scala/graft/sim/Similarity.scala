@@ -47,6 +47,52 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
   }
 
+  /** Quantized top-k: the int8-code scan powering the shortlist, exact
+    * re-rank after. Both sides quantize symmetrically (scale =
+    * max|x|/127, codes = floor(x/scale + 0.5)); the shortlist is
+    * ranked by the QUANTIZED cosine — integer code dot products are
+    * exact in double, so the ordering is engine-reproducible — and
+    * only the `shortlist` winners per query get the exact float dot.
+    * At scale this is the memory story of `e_quantize_int8` made
+    * operational: the scan that touches every corpus row reads 1 byte
+    * per dimension instead of 4, and full-precision vectors are only
+    * fetched for shortlist×queries rows.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    corpusId: Column, corpusVec: Column,
+                    queryId: Column, queryVec: Column,
+                    k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k)
+    def quantize(df: DataFrame, id: Column, vec: Column, idAs: String,
+                 pfx: String): DataFrame = {
+      val v = vec.cast("array<double>")
+      val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-30)) / 127.0
+      df.select(id.as(idAs), v.as(s"${pfx}v"),
+          transform(v, x => floor(x / scale + 0.5)).as(s"${pfx}q"),
+          scale.as(s"${pfx}s"))
+        .withColumn(s"${pfx}qn", sqrt(dot(col(s"${pfx}q"), col(s"${pfx}q")))
+          * col(s"${pfx}s"))
+        .withColumn(s"${pfx}n", norm(col(s"${pfx}v")))
+    }
+    val q = quantize(queries, queryId, queryVec, "qid", "q_")
+    val c = quantize(corpus, corpusId, corpusVec, "cid", "c_")
+    val qsim = dot(col("c_q"), col("q_q")) * col("c_s") * col("q_s") /
+      (col("c_qn") * col("q_qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("cid") =!= col("qid"))
+      .withColumn("qsim", qsim)
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("qsim").desc, col("cid").asc)
+    val short = scored.withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlist)
+      .withColumn("sim", dot(col("c_v"), col("q_v")) / (col("c_n") * col("q_n")))
+    val wFinal = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    short.withColumn("rank", row_number().over(wFinal))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim"), col("qsim"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane `p`,
     * dimension `i` (0-based) → sin((p·97 + i)·0.1). Reproducible in any
     * engine (pure double IEEE ops), uncorrelated enough for LSH.

@@ -63,6 +63,25 @@ class SimilaritySpec extends SparkSpec {
     assert(res === Set(1L, 2L)) // same bucket; opposite vector excluded
   }
 
+  test("quantizedTopK recovers the brute-force ranking through the int8 shortlist") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val corpus = (0L until 200L).map(i =>
+      (i, Array.fill(32)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val probes = corpus.where($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(corpus, probes, $"vec_id",
+        $"embedding", $"vec_id", $"embedding", k = 3)
+      .select($"qid", $"rank", $"cid").as[(Long, Int, Long)].collect().toSet
+    // a 20-deep shortlist over int8 sims comfortably contains the true
+    // top-3 (max quantization error per cosine is ~1%), so the exact
+    // re-rank reproduces brute force
+    val viaQ = Similarity.quantizedTopK(corpus, probes, $"vec_id",
+        $"embedding", $"vec_id", $"embedding", k = 3, shortlist = 20)
+      .select($"qid", $"rank", $"cid").as[(Long, Int, Long)].collect().toSet
+    assert(viaQ === exact)
+  }
+
   test("autoPlanes keeps expected bucket occupancy flat as corpus grows") {
     // occupancy = n / 2^planes stays within [target/2, target] for n
     // spanning 6 orders of magnitude
