@@ -69,6 +69,25 @@ object PipelineQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // Fixed-size per-stratum sample (the "n examples per language"
+    // eval-set builder; complements d_stratified_sample's per-RATE
+    // keep): rank docs inside each stratum by salted hash — a
+    // deterministic shuffle — and keep the first 5. Stable under
+    // corpus growth ONLY in distribution (a new doc can displace a
+    // sampled one: fixed-n is a competition, unlike the stateless
+    // rate filter); the window runs per stratum over (id, hash) pairs.
+    "d_topn_per_stratum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(concat(lit("topn"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("pick", row_number().over(w).cast("long"))
+        .where(col("pick") <= 5)
+        .select(col("lang"), col("pick"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "pick")
+    },
+
     // Benchmark decontamination: test docs (odd doc_id) sharing any
     // 5-gram with any train doc (even doc_id). The join key is the
     // shingle itself (an inverted index): at 100 TB the test side is
@@ -251,6 +270,14 @@ object PipelineQueries extends QueryModule {
         |       round(count(CASE WHEN kept THEN 1 END)
         |             / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS rate
         |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "d_topn_per_stratum" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('topn' || CAST(doc_id AS VARCHAR)), doc_id) AS pick
+        |  FROM documents)
+        |SELECT lang, pick, doc_id, n_chars FROM r
+        |WHERE pick <= 5 ORDER BY lang, pick""".stripMargin,
 
     "t_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),

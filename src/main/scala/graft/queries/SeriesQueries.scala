@@ -196,6 +196,29 @@ object SeriesQueries extends QueryModule {
         .orderBy("pid", "ceid")
     },
 
+    // Time-weighted (trapezoidal) average over an IRREGULAR series —
+    // the correct mean when observations are unevenly spaced (a plain
+    // avg over-weights bursts; satellite passes and buoy reports are
+    // exactly this shape). Per (user, type): Σ (v_i + v_{i+1})/2 · Δt_i
+    // / Σ Δt_i via one lead() window over high-cardinality keys.
+    "w12_time_weighted" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("us", "event_id")
+      val segs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+        .withColumn("nus", lead(col("us"), 1).over(w))
+        .withColumn("nv", lead(col("value"), 1).over(w))
+        .where(col("nus").isNotNull)
+      segs.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_segs"),
+          round(sum((col("value") + col("nv")) / 2.0 * (col("nus") - col("us")))
+            / sum(col("nus") - col("us")) + lit(1e-9), 4).as("tw_avg"),
+          round(avg(col("value")) + lit(1e-9), 4).as("plain_avg"))
+        .orderBy("user_id", "event_type")
+    },
+
     // Series resampling with linear gap-fill: a sparse per-type daily
     // series (every-37th event) projected onto the full day grid, with
     // missing days linearly interpolated between the surrounding known
@@ -398,6 +421,20 @@ object SeriesQueries extends QueryModule {
         |FROM p JOIN c USING (user_id)
         |WHERE cts BETWEEN pts - 14400000000 AND pts
         |ORDER BY pid, ceid""".stripMargin,
+
+    "w12_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) us, event_id, value
+        |           FROM events),
+        |segs AS (SELECT *,
+        |    lead(us) OVER w AS nus, lead(value) OVER w AS nv
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |                      ORDER BY us, event_id))
+        |SELECT user_id, event_type, count(*) AS n_segs,
+        |       round(sum((value + nv) / 2.0 * (nus - us))
+        |             / sum(nus - us) + 1e-9, 4) AS tw_avg,
+        |       round(avg(value) + 1e-9, 4) AS plain_avg
+        |FROM segs WHERE nus IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "w11_resample_interp" ->
       """WITH s AS (SELECT event_type, CAST(ts AS DATE) d, avg(value) v
