@@ -86,4 +86,27 @@ object IvfIndex {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vid"), col("sim"), col("list_id"))
   }
+
+  /** Persist a trained index as two parquet tables: centroids (tiny)
+    * and the assignment lists, partitioned BY list_id — a probe then
+    * reads only its `nprobe` partitions (partition pruning does the
+    * inverted-file part of IVF at the storage layer). Train once
+    * offline, serve many queries: the shape a production ANN service
+    * actually runs.
+    */
+  def save(index: DataFrame, centroids: DataFrame, path: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/lists")
+  }
+
+  /** Load a persisted index: (index, centroids). Searching the loaded
+    * frames plans partition filters on `list_id` for the probed lists.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): (DataFrame, DataFrame) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val index = spark.read.parquet(s"$path/lists")
+    (index, centroids)
+  }
 }

@@ -40,6 +40,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(ids.forall(_ % 3 == 0))
   }
 
+  test("persisted index round-trips and lays lists out as partitions") {
+    import spark.implicits._
+    val base = corpus.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = IvfIndex.train(corpus, col("vec_id"), col("embedding"), 3, 2)
+    val index = IvfIndex.assign(base, cents)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.save(index, cents, path)
+    // list_id partition directories exist — a probe of one list reads
+    // one directory
+    val listDirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(_.getName).sorted
+    assert(listDirs.length === 3)
+    val (loadedIdx, loadedCents) = IvfIndex.load(spark, path)
+    val probes = corpus.where(col("vec_id") < 2L)
+    def run(idx: org.apache.spark.sql.DataFrame,
+            cs: org.apache.spark.sql.DataFrame) =
+      IvfIndex.search(idx, cs, probes, col("vec_id"), col("embedding"),
+          nprobe = 2, k = 4)
+        .select("qid", "rank", "vid").as[(Long, Long, Long)]
+        .collect().toSet
+    assert(run(loadedIdx, loadedCents) === run(index, cents))
+  }
+
   test("IVF with nprobe=nlist matches brute force exactly") {
     import spark.implicits._
     val base = corpus.select(col("vec_id").as("vid"),
