@@ -187,6 +187,27 @@ object SimilarityQueries extends QueryModule {
         .orderBy("i", "j")
     },
 
+    // Per-label embedding spread (the cluster-quality audit beside the
+    // centroid gate): intra-class variance per label = mean squared
+    // distance of members to their centroid, computed dimension-wise —
+    // var(label) = Σ_dims var(x_i | label) — so it's the same two-level
+    // posexplode aggregate as the centroid, never a member×member or
+    // member×centroid join. High intra-variance labels are mislabeled /
+    // noisy classes in a training-data audit.
+    "e_label_spread" -> { (s, dir) =>
+      Tables.embeddingsSpread(s, dir)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("i0", "x")))
+        .groupBy(col("label"), col("i0"))
+        .agg(count(lit(1)).as("n"), avg(col("x")).as("m"),
+          var_pop(col("x")).as("v"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          round(sum(col("v")) + lit(1e-9), 6).as("intra_var"),
+          round(sqrt(sum(col("m") * col("m"))) + lit(1e-9), 6).as("centroid_norm"))
+        .orderBy("label")
+    },
+
     // Quantized ANN: the int8 codes of e_quantize_int8 made
     // operational — the full-corpus scan ranks by QUANTIZED cosine
     // (1 byte/dim of bandwidth at scale), exact float re-rank touches
@@ -329,6 +350,16 @@ object SimilarityQueries extends QueryModule {
         |SELECT e.vec_id, coalesce(m.dup_of, e.vec_id) AS keeper,
         |       m.dup_of IS NOT NULL AS is_dup
         |FROM e LEFT JOIN m ON m.i = e.vec_id ORDER BY e.vec_id""".stripMargin,
+
+    "e_label_spread" ->
+      """WITH dims AS (
+        |  SELECT label, i, count(*) n, avg(CAST(embedding[i] AS DOUBLE)) m,
+        |         var_pop(CAST(embedding[i] AS DOUBLE)) v
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2)
+        |SELECT label, max(n) AS n_vecs,
+        |       round(sum(v) + 1e-9, 6) AS intra_var,
+        |       round(sqrt(sum(m*m)) + 1e-9, 6) AS centroid_norm
+        |FROM dims GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e_quantized_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -230,6 +230,32 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Edit-distance near-dup verification (the character-level check
+    // the token-level MinHash/Jaccard family can't do — catches
+    // reorderings and small in-word edits): LSH-style candidates from
+    // the word-set fingerprint's first hex char (16 buckets) on a
+    // bounded slice, then exact Levenshtein on candidate pairs.
+    // Levenshtein is O(len²) per pair — at scale the candidate
+    // generator (LSH buckets, length bands) bounds the pair set, never
+    // the verifier.
+    "d_edit_distance" -> { (s, dir) =>
+      val docs = Tables.documentsSpread(s, dir)
+        .where(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"),
+          substring(wordSetFingerprint(col("text")), 1, 1).as("bkt"))
+      val a = docs.select(col("bkt"), col("doc_id").as("i"), col("text").as("ti"))
+      val b = docs.select(col("bkt"), col("doc_id").as("j"), col("text").as("tj"))
+      a.join(b, "bkt").where(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          levenshtein(col("ti"), col("tj")).cast("long").as("edit_dist"),
+          greatest(length(col("ti")), length(col("tj"))).cast("long").as("max_len"))
+        .withColumn("sim_ratio",
+          round(lit(1.0) - col("edit_dist") / col("max_len").cast("double")
+            + lit(1e-9), 4))
+        .where(col("sim_ratio") >= 0.3)
+        .orderBy("i", "j")
+    },
+
     // n-gram (3-word shingle) Jaccard via inverted index, doc_id < 80
     "d_ngram_jaccard" -> { (s, dir) =>
       val sh = Tables.documents(s, dir)
@@ -479,6 +505,22 @@ object TextQueries extends QueryModule {
         |    WHERE c.label < e.d)
         |SELECT id AS doc_id, min(label) AS component
         |FROM cc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    substr(md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text,' '))), ' ')), 1, 1) AS bkt
+        |  FROM documents WHERE doc_id < 60),
+        |p AS (SELECT a.doc_id i, b.doc_id j,
+        |        levenshtein(a.text, b.text) AS edit_dist,
+        |        greatest(length(a.text), length(b.text)) AS max_len
+        |      FROM d a JOIN d b ON a.bkt = b.bkt AND a.doc_id < b.doc_id)
+        |SELECT i, j, edit_dist, max_len,
+        |       round(1.0 - edit_dist / CAST(max_len AS DOUBLE) + 1e-9, 4)
+        |         AS sim_ratio
+        |FROM p
+        |WHERE 1.0 - edit_dist / CAST(max_len AS DOUBLE) >= 0.3
+        |ORDER BY i, j""".stripMargin,
 
     "d_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents
