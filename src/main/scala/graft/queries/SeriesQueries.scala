@@ -196,6 +196,29 @@ object SeriesQueries extends QueryModule {
         .orderBy("pid", "ceid")
     },
 
+    // Rolling 7-day distinct users per event type (the DAU/WAU pair of
+    // event analytics). Sliding DISTINCT has no window form — distinct
+    // doesn't decompose over overlapping frames — so the scalable
+    // shape is: dedup to (type, day, user) grain first (the big
+    // aggregate, linear), then a small banded self-join over the DAY
+    // relation only. The sketch drop-in at extreme scale is a
+    // per-day HLL merged across the frame (a17's family).
+    "w13_rolling_dau" -> { (s, dir) =>
+      val grain = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+        .distinct()
+      val dau = grain.groupBy(col("event_type"), col("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val win = grain.select(col("event_type"), col("d").as("md"), col("user_id"))
+      dau.join(win, dau("event_type") === win("event_type")
+          && win("md").between(date_sub(dau("d"), 6), dau("d")))
+        .groupBy(dau("event_type"), col("d"), col("dau"))
+        .agg(countDistinct(col("user_id")).as("wau7"))
+        .select(dau("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau7"))
+        .orderBy("event_type", "day")
+    },
+
     // Time-weighted (trapezoidal) average over an IRREGULAR series —
     // the correct mean when observations are unevenly spaced (a plain
     // avg over-weights bursts; satellite passes and buoy reports are
@@ -421,6 +444,18 @@ object SeriesQueries extends QueryModule {
         |FROM p JOIN c USING (user_id)
         |WHERE cts BETWEEN pts - 14400000000 AND pts
         |ORDER BY pid, ceid""".stripMargin,
+
+    "w13_rolling_dau" ->
+      """WITH grain AS (SELECT DISTINCT event_type, CAST(ts AS DATE) d, user_id
+        |               FROM events),
+        |dau AS (SELECT event_type, d, count(DISTINCT user_id) AS dau
+        |        FROM grain GROUP BY 1, 2)
+        |SELECT dau.event_type, strftime(dau.d, '%Y-%m-%d') AS day, dau.dau,
+        |       count(DISTINCT g.user_id) AS wau7
+        |FROM dau JOIN grain g
+        |  ON g.event_type = dau.event_type
+        | AND g.d BETWEEN dau.d - INTERVAL 6 DAY AND dau.d
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
 
     "w12_time_weighted" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) us, event_id, value
