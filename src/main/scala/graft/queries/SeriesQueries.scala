@@ -196,6 +196,23 @@ object SeriesQueries extends QueryModule {
         .orderBy("pid", "ceid")
     },
 
+    // Retention cohorts: users grouped by first-seen week, counted in
+    // each later activity week — the cohort-retention triangle of
+    // event analytics. Two linear aggregates (first-seen per user;
+    // distinct user-week grain) and one equi-join on user_id; no
+    // window, no per-pair state.
+    "st_retention_cohort" -> { (s, dir) =>
+      val wk = (unix_micros(col("ts")) / lit(604800000000L)).cast("long")
+      val activity = Tables.events(s, dir)
+        .select(col("user_id"), wk.as("w")).distinct()
+      val cohort = activity.groupBy(col("user_id"))
+        .agg(min(col("w")).as("cohort_w"))
+      activity.join(cohort, "user_id")
+        .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_w", "week_n")
+    },
+
     // Rolling 7-day distinct users per event type (the DAU/WAU pair of
     // event analytics). Sliding DISTINCT has no window form — distinct
     // doesn't decompose over overlapping frames — so the scalable
@@ -444,6 +461,16 @@ object SeriesQueries extends QueryModule {
         |FROM p JOIN c USING (user_id)
         |WHERE cts BETWEEN pts - 14400000000 AND pts
         |ORDER BY pid, ceid""".stripMargin,
+
+    "st_retention_cohort" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               epoch_us(ts) // 604800000000 AS w
+        |             FROM events),
+        |coh AS (SELECT user_id, min(w) AS cohort_w FROM act GROUP BY 1)
+        |SELECT coh.cohort_w, act.w - coh.cohort_w AS week_n,
+        |       count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "w13_rolling_dau" ->
       """WITH grain AS (SELECT DISTINCT event_type, CAST(ts AS DATE) d, user_id
