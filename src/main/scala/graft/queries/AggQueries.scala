@@ -47,7 +47,7 @@ object AggQueries extends QueryModule {
     "a3_clim_map" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .where(month(col("l_shipdate")) === 7)
-        .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("yr"))
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).cast("long").as("yr"))
         .agg(round(sum(col("l_quantity")) + lit(1e-9), 4).as("sum_q"),
           count(lit(1)).as("cnt"),
           round(avg(col("l_quantity")) + lit(1e-9), 4).as("avg_q"))
@@ -203,7 +203,7 @@ object AggQueries extends QueryModule {
   def oracle: Map[String, String] = Map(
     "a18_cube_rollup" ->
       """SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS src_g,
-        |       count(*) AS n, sum(n_chars) AS sum_chars
+        |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY lang_g, src_g""".stripMargin,
 

@@ -253,7 +253,7 @@ object PipelineQueries extends QueryModule {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |  FROM documents)
-        |SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       count(DISTINCT lang) AS n_langs,
         |       round(avg(n_chars) + 1e-9, 4) AS avg_chars
         |FROM t GROUP BY 1 ORDER BY split""".stripMargin,

@@ -183,7 +183,10 @@ object SimilarityQueries extends QueryModule {
       pairs.groupBy(col("p.i").cast("long").as("i"),
           col("p.j").cast("long").as("j"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("p.xy")) + lit(1e-9), 6).as("cov"))
+          // + 0.0 after the round: IEEE -0.0 + 0.0 = 0.0, so a
+          // near-zero covariance that rounds to signed zero hashes
+          // identically on both engines
+          (round(avg(col("p.xy")) + lit(1e-9), 6) + lit(0.0)).as("cov"))
         .orderBy("i", "j")
     },
 
@@ -399,7 +402,7 @@ object SimilarityQueries extends QueryModule {
         |means AS (SELECT i, avg(v[i]) m FROM e, range(1, 17) t(i) GROUP BY 1)
         |SELECT idx.i, idx.j, count(*) AS n,
         |       round(avg((e.v[idx.i] - mi.m) * (e.v[idx.j] - mj.m)) + 1e-9, 6)
-        |         AS cov
+        |         + 0.0 AS cov
         |FROM e CROSS JOIN idx
         |JOIN means mi ON mi.i = idx.i
         |JOIN means mj ON mj.i = idx.j

@@ -10,13 +10,38 @@ import org.apache.spark.sql.functions._
   * `nprobe` nearest lists and re-rank exactly inside them.
   *
   * Training is Lloyd's iterations expressed as DataFrame aggregations:
-  * assignment = argmin centroid distance (a small broadcast cross join
-  * + window top-1), update = element-wise mean via posexplode — both
-  * distributed, no driver-side vectors beyond the centroid set itself
-  * (nlist × dim doubles, intentionally broadcast-sized). Deterministic:
-  * init picks the vectors with the lowest ids.
+  * assignment = ROW-LOCAL argmin against a broadcast centroid array
+  * (no join row explosion, no window — a map-only stage), update =
+  * element-wise mean via posexplode — both distributed, no driver-side
+  * vectors beyond the centroid set itself (nlist × dim doubles,
+  * intentionally broadcast-sized). Deterministic: init picks the
+  * vectors with the lowest ids; ties in distance break on list_id.
   */
 object IvfIndex {
+
+  /** Squared L2 distance between two array<double> columns. */
+  private def l2(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** One-row frame: `cents` = array of (list_id, centroid) structs
+    * sorted by list_id. Broadcast-joined so every corpus/query row can
+    * rank all centroids locally — the whole point of IVF is that nlist
+    * is small enough to broadcast (even nlist=65536 × d=1024 doubles is
+    * ~0.5 GB; typical is far less).
+    */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(array_sort(
+      collect_list(struct(col("list_id"), col("centroid")))).as("cents"))
+
+  /** Per-element (d2, list_id) structs for a vector column `v` against
+    * the broadcast `cents` array — struct comparison orders by
+    * (d2 ASC, list_id ASC), the deterministic tiebreak the oracle uses.
+    */
+  private def scoredLists(v: Column): Column =
+    transform(col("cents"), c =>
+      struct(l2(v, c.getField("centroid")).as("d2"),
+        c.getField("list_id").as("list_id")))
 
   /** (listId → centroid) as a DataFrame: `list_id`, `centroid`. */
   def train(corpus: DataFrame, id: Column, vec: Column,
@@ -50,41 +75,45 @@ object IvfIndex {
     centroids
   }
 
-  /** Assign each corpus vector to its nearest centroid (L2). */
+  /** Assign each corpus vector to its nearest centroid (L2).
+    *
+    * Shape: a broadcast of ONE aggregated centroid-array row + a
+    * row-local `array_min` — the assignment stage is map-only, no
+    * shuffle of the corpus at all. (The previous form cross-joined to
+    * n×nlist rows and ranked them with
+    * `row_number().over(Window.partitionBy(vid))`, which shuffles and
+    * sorts every candidate row per key — at 100 TB × nlist=1024 that
+    * window exchange is the wall; see SCALING.md's match-once lesson.)
+    */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val base = corpus.select(col("vid"), col("v"))
-    val d2 = aggregate(zip_with(col("v"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(col("vid")).orderBy(col("d2").asc, col("list_id").asc)
-    base.crossJoin(broadcast(centroids))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vid"), col("v"), col("list_id"))
+    corpus.select(col("vid"), col("v"))
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("vid"), col("v"),
+        array_min(scoredLists(col("v"))).getField("list_id").as("list_id"))
   }
 
   /** Probe: exact cosine top-k within the `nprobe` nearest lists of
-    * each query. The corpus side is touched only on the probed lists —
-    * an equi-join on list_id, never a cross join.
+    * each query. List selection is row-local on the broadcast centroid
+    * array (sort the (d2, list_id) structs, slice nprobe); the corpus
+    * side is touched only on the probed lists — an equi-join on
+    * list_id, never a cross join. The final per-query top-k is a
+    * bounded TopKAggregator (fixed-size map-side partials), not a
+    * window, so candidate rows never concentrate on #queries tasks.
     */
   def search(index: DataFrame, centroids: DataFrame, queries: DataFrame,
              queryId: Column, queryVec: Column, nprobe: Int, k: Int): DataFrame = {
     val q = queries.select(queryId.as("qid"), queryVec.cast("array<double>").as("qv"))
-    val qd2 = aggregate(zip_with(col("qv"), col("centroid"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, x) => acc + x)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("list_id").asc)
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("qd2", qd2)
-      .withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("list_id"))
+    val probed = q.crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("qid"), col("qv"),
+        explode(slice(array_sort(scoredLists(col("qv"))), 1, nprobe)).as("pl"))
+      .select(col("qid"), col("qv"), col("pl.list_id").as("list_id"))
     val scored = probed.join(index, "list_id")
       .where(col("vid") =!= col("qid"))
       .withColumn("sim", Similarity.cosine(col("v"), col("qv")))
-    val wk = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid").asc)
-    scored.withColumn("rank", row_number().over(wk))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vid"), col("sim"), col("list_id"))
+    TopK.perKey(scored, col("qid"), k, col("sim"), col("vid"),
+        array(col("list_id").cast("double")))
+      .select(col("key").as("qid"), col("rank"), col("cid").as("vid"),
+        col("sim"), element_at(col("aux"), 1).cast("int").as("list_id"))
   }
 
   /** Persist a trained index as two parquet tables: centroids (tiny)

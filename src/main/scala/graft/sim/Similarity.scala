@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity search over an embedding column
@@ -26,8 +25,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: broadcast the (small) query set, rank
-    * candidates per query. One pass over the corpus; the corpus side is
-    * never shuffled except by the final per-query window (k small).
+    * candidates per query. One pass over the corpus, map-only scoring;
+    * the per-query ranking is a bounded TopKAggregator (≤2k-row
+    * partials per map partition), NOT a window — the window form would
+    * concentrate every scored candidate on #queries tasks, which is
+    * the brute-force path's scale wall.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      corpusId: Column, corpusVec: Column,
@@ -41,10 +43,8 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("cid") =!= col("qid"))
       .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), col("sim"))
+    TopK.perKey(scored, col("qid"), k, col("sim"), col("cid"))
+      .select(col("key").as("qid"), col("rank"), col("cid"), col("sim"))
   }
 
   /** Quantized top-k: the int8-code scan powering the shortlist, exact
@@ -81,16 +81,23 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("cid") =!= col("qid"))
       .withColumn("qsim", qsim)
-    val wShort = Window.partitionBy(col("qid"))
-      .orderBy(col("qsim").desc, col("cid").asc)
-    val short = scored.withColumn("srank", row_number().over(wShort))
-      .where(col("srank") <= shortlist)
+    // Shortlist by quantized score with a bounded aggregator (not a
+    // window: the quantized scan touches every corpus row, and those
+    // rows must not funnel through #queries tasks). The full-precision
+    // vector rides along in `aux` so the exact re-rank needs no
+    // join-back to the corpus — only to the tiny broadcast query side.
+    val short = TopK.perKey(scored, col("qid"), shortlist, col("qsim"),
+        col("cid"), concat(array(col("c_n")), col("c_v")))
+      .select(col("key").as("qid"), col("cid"), col("sim").as("qsim"),
+        element_at(col("aux"), 1).as("c_n"),
+        slice(col("aux"), lit(2), size(col("aux")) - 1).as("c_v"))
+    val exact = short
+      .join(broadcast(q.select(col("qid"), col("q_v"), col("q_n"))), "qid")
       .withColumn("sim", dot(col("c_v"), col("q_v")) / (col("c_n") * col("q_n")))
-    val wFinal = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid").asc)
-    short.withColumn("rank", row_number().over(wFinal))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), col("sim"), col("qsim"))
+    TopK.perKey(exact, col("qid"), k, col("sim"), col("cid"),
+        array(col("qsim")))
+      .select(col("key").as("qid"), col("rank"), col("cid"), col("sim"),
+        element_at(col("aux"), 1).as("qsim"))
   }
 
   /** Deterministic pseudo-random hyperplane component: plane `p`,
@@ -149,9 +156,12 @@ object Similarity {
     val scored = c.join(q, "bucket")
       .where(col("cid") =!= col("qid"))
       .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // bounded top-k (no per-query window); every candidate of a query
+    // shares the query's own bucket (it was the equi-join key), so the
+    // bucket column re-attaches from the tiny query side, not the scan
+    TopK.perKey(scored, col("qid"), k, col("sim"), col("cid"))
+      .select(col("key").as("qid"), col("rank"), col("cid"), col("sim"))
+      .join(broadcast(q.select(col("qid"), col("bucket"))), "qid")
       .select(col("qid"), col("rank"), col("cid"), col("sim"), col("bucket"))
   }
 }
