@@ -106,15 +106,29 @@ object Handlers {
 
     // /longitudeLatitudeMap (LongitudeLatitudeMap.py:20-24, kernel
     // :186-244 A14): per-pixel linear trend + stats over the domain.
-    "/longitudeLatitudeMap" -> ((p, tiles) =>
-      domainPoints(p, tiles)
+    // Parity notes vs the reference kernel: np.nanstd is POPULATION
+    // std (ddof=0) ⇒ stddev_pop, and the regression runs against the
+    // time-STEP index (np.arange over the sorted distinct times), not
+    // epoch seconds — slope is per-step. dense_rank over time
+    // reproduces the index distributively.
+    "/longitudeLatitudeMap" -> ((p, tiles) => {
+      val pts = domainPoints(p, tiles)
+      // rank only the DISTINCT times (bounded by the dataset's step
+      // count) and broadcast back — never a global window over points
+      val steps = pts.select(col("time")).distinct()
+        .withColumn("t_step",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("time"))) - 1).cast("double"))
+      val stepped = pts.join(broadcast(steps), "time")
+      stepped
         .groupBy(col("latitude"), col("longitude"))
-        .agg(expr("regr_slope(value, time)").as("slope"),
-          expr("regr_intercept(value, time)").as("intercept"),
-          corr(col("value"), col("time").cast("double")).as("r"),
+        .agg(expr("regr_slope(value, t_step)").as("slope"),
+          expr("regr_intercept(value, t_step)").as("intercept"),
+          corr(col("value"), col("t_step")).as("r"),
           avg(col("value")).as("mean"), max(col("value")).as("max"),
-          min(col("value")).as("min"), stddev_samp(col("value")).as("std"),
-          count(lit(1)).as("cnt")))
+          min(col("value")).as("min"), stddev_pop(col("value")).as("std"),
+          count(lit(1)).as("cnt"))
+    })
   )
 
   /** The reference keeps non-Spark twins of several endpoints

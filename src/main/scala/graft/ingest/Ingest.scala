@@ -156,7 +156,9 @@ object Ingest {
     val ext = tiles.agg(min("min_lat").as("lat_lo"), max("min_lat").as("lat_hi"),
       min("min_lon").as("lon_lo"), max("min_lon").as("lon_hi")).head()
     val sortKey: Column =
-      if (zorder)
+      // empty store ⇒ the extent row is all-NULL; fall back to the
+      // lexicographic key instead of NPE-ing on getDouble
+      if (zorder && !ext.isNullAt(0))
         zorder2(col("min_lat"), lit(ext.getDouble(0)), lit(ext.getDouble(1)),
           col("min_lon"), lit(ext.getDouble(2)), lit(ext.getDouble(3)))
       else col("min_lat")
@@ -201,13 +203,22 @@ object Ingest {
       .collect()
     var deleted = 0L
     affected.foreach { r =>
+      // escape partition values the same way Spark's writer does (it
+      // URL-escapes space/':'/'%' etc. in dir names) — raw
+      // interpolation would point at a nonexistent path for such
+      // values and abort mid-loop after some partitions were rewritten
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       val partDir = new org.apache.hadoop.fs.Path(
-        s"$path/dataset=${r.get(0)}/time_bucket=${r.get(1)}")
+        s"$path/${esc.getPartitionPathString("dataset", String.valueOf(r.get(0)))}/" +
+          esc.getPartitionPathString("time_bucket", String.valueOf(r.get(1))))
       deleted += r.getLong(2)
-      // basePath keeps the partition columns visible to the predicate
+      // basePath keeps the partition columns visible to the predicate.
+      // NULL-predicate rows must SURVIVE: where(!predicate) alone drops
+      // them (NULL is not true), silently deleting rows the query never
+      // matched (they are also absent from n_matches above).
       val survivors = spark.read.option("basePath", path)
         .parquet(partDir.toString)
-        .where(!predicate)
+        .where(!coalesce(predicate, lit(false)))
         .drop("dataset", "time_bucket") // constant within the partition
       if (survivors.isEmpty) {
         fs.delete(partDir, true)

@@ -111,6 +111,9 @@ object TextQueries extends QueryModule {
       val tok = Tables.documentsSpread(s, dir)
         .select(explode(tokens(col("text"))).as("w"))
       val total = broadcast(tok.agg(count(lit(1)).as("n_tokens")))
+      // completeness here comes from the LATER 1% filter (0.01 > 1/256,
+      // the strict MG bound), NOT from minFreq=1 — see the
+      // exactHeavyHitters precondition doc
       graft.text.HeavyHitters.exactHeavyHitters(tok, col("w"),
           k = 256, minFreq = 1L)
         .crossJoin(total)

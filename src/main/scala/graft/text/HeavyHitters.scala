@@ -67,12 +67,28 @@ object HeavyHitters {
   }
 
   /** Exact heavy hitters: every `item` whose frequency ≥ `minFreq`,
-    * with its exact count. Two passes — MG candidates (superset of all
-    * items with freq > n/k; choose k ≥ n/minFreq) then an exact
+    * with its exact count. Two passes — MG candidates, then an exact
     * recount restricted to the candidate set.
+    *
+    * Completeness precondition: the MG guarantee is STRICT — the
+    * summary retains every item with freq > n/k, so the candidate set
+    * is complete only when k > n/minFreq (strictly). At k = n/minFreq
+    * an item with frequency exactly minFreq can be evicted. The `n`
+    * checked here is `df.count()` at call time; callers filtering the
+    * result further (e.g. the t_heavy_hitters gate's 1% threshold:
+    * 0.01 > 1/256 makes k=256 sufficient regardless of minFreq) may
+    * rely on their own threshold instead and skip the check by passing
+    * `requireComplete = false`.
     */
   def exactHeavyHitters(df: DataFrame, item: Column, k: Int,
-                        minFreq: Long): DataFrame = {
+                        minFreq: Long,
+                        requireComplete: Boolean = false): DataFrame = {
+    if (requireComplete) {
+      val n = df.count()
+      require(k.toLong > n / math.max(minFreq, 1L),
+        s"exactHeavyHitters: k=$k must exceed n/minFreq=${n / math.max(minFreq, 1L)} " +
+          "(strict MG guarantee) for a complete result")
+    }
     val cands = candidates(df, item, k)
     df.select(item.cast("string").as("item"))
       .join(broadcast(cands), Seq("item"), "left_semi")

@@ -181,6 +181,27 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 25)
   }
 
+  test("deleteTiles keeps NULL-predicate rows and handles special chars in partition values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_deln").toString + "/tiles"
+    // dataset value with a space and colon: Spark URL-escapes these in
+    // the partition dir name; min_lat NULL on some rows makes the
+    // delete predicate evaluate to NULL there
+    val rows = Seq(
+      (1L, "sst v2:final", Some(1.0), 86400L),
+      (2L, "sst v2:final", Some(9.0), 86400L),
+      (3L, "sst v2:final", None, 86400L))
+    rows.toDF("tile_id", "dataset", "min_lat", "min_time")
+      .withColumn("time_bucket", lit(0L))
+      .write.partitionBy("dataset", "time_bucket").parquet(dir)
+    val n = Ingest.deleteTiles(spark, dir, col("min_lat") < 5.0)
+    assert(n === 1)
+    val back = spark.read.parquet(dir)
+    // the NULL-stat row SURVIVES: the predicate never matched it
+    assert(back.count() === 2)
+    assert(back.select("tile_id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
   test("zorder2 interleaves and orders 2-D neighbors together") {
     import spark.implicits._
     val df = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0))
