@@ -156,21 +156,20 @@ object SeriesQueries extends QueryModule {
     // 5-minute silence. Spark merges event windows [ts, ts+gap);
     // the oracle reproduces that with gaps-and-islands (new session
     // iff ts - prev >= gap; session end = last ts + gap).
-    // Custom-state stream processing (flatMapGroupsWithState), batch
-    // form: run-length encoding of the value signal around a 100.0
+    // Run-length encoding of the value signal around a 100.0
     // threshold — run boundaries depend on neighbor VALUES, which no
-    // built-in window can express. Oracle = gaps-and-islands.
+    // built-in window can express. Oracle = gaps-and-islands. The batch
+    // entrypoint routes to the SHARDED plan (per-(key, day) RLE +
+    // boundary stitch) — the flatMapGroupsWithState fold remains the
+    // streaming form (runsStream) and is spec-covered; its batch twin
+    // is ≤#keys-way parallel and is no longer the default.
     "st_state_rle" -> { (s, dir) =>
       graft.streaming.StateTracker.highLowRuns(s, Tables.events(s, dir), 100.0)
     },
 
-    // Same RLE, sharded: per-(key, day) gaps-and-islands in parallel,
-    // then a boundary-stitching second pass over the compressed run
-    // relation — the scale path when one key's history outgrows a
-    // single task (the flatMapGroupsWithState form above scans each
-    // key sequentially). Identical oracle: splitting an ordered
-    // sequence and re-merging adjacent same-bucket runs IS the global
-    // RLE.
+    // Same RLE over the round-robin-spread input (the single-row-group
+    // testdata otherwise scans in one task) — kept as a separate gate
+    // so both the raw and spread scan shapes stay oracled.
     "st_rle_sharded" -> { (s, dir) =>
       graft.streaming.StateTracker.highLowRunsSharded(
         Tables.eventsSpread(s, dir), 100.0)

@@ -144,10 +144,24 @@ object StateTracker {
       }
   }
 
-  /** Untyped convenience: batch RLE over the events table, ordered
-    * output for the driver gate.
+  /** Batch entrypoint: delegates to [[highLowRunsSharded]] — the
+    * sharded two-pass form whose parallelism scales with (key × day)
+    * chunks rather than being capped at the key count. The stateful
+    * [[runsBatch]]/[[highLowRunsStateful]] form stays for streaming
+    * parity (it IS `runsStream`'s fold, minus the open tail), but on a
+    * 100 TB batch history a ≤#keys-way `flatMapGroupsWithState` scan is
+    * the wall the sharded plan removes (measured 16.4 s → 9.8 s at
+    * 100×, SCALING.md).
     */
   def highLowRuns(spark: SparkSession, events: DataFrame, threshold: Double): DataFrame =
+    highLowRunsSharded(events, threshold)
+
+  /** Stateful batch form (one task per key — parallelism bounded by
+    * key count; prefer [[highLowRuns]] for batch work). Kept as the
+    * batch twin of [[runsStream]] so the state-machine fold itself is
+    * testable without a streaming harness.
+    */
+  def highLowRunsStateful(spark: SparkSession, events: DataFrame, threshold: Double): DataFrame =
     runsBatch(signals(events), threshold)
       .toDF()
       .select(col("event_type"), col("bucket"), col("start_us"),

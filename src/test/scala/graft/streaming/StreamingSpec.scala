@@ -91,6 +91,24 @@ class StreamingSpec extends SparkSpec {
     assert(runs.head.avg_v === 135.0)
   }
 
+  test("highLowRuns (sharded batch default) matches the stateful fold exactly") {
+    import spark.implicits._
+    // runs crossing the chunk (day) boundary, plus a key with one run
+    val evs = sig(
+      (86399000000L, "x", 150.0, 1), (86400500000L, "x", 120.0, 2),
+      (86401000000L, "x", 10.0, 3), (172800000000L, "x", 20.0, 4),
+      (172900000000L, "x", 200.0, 5),
+      (1000000L, "y", 5.0, 6), (86400000001L, "y", 6.0, 7)).toDS()
+    val df = evs.toDF().select(col("event_type"), col("event_id"),
+      col("value"), col("ts"))
+    val sharded = StateTracker.highLowRuns(spark, df, 100.0).collect()
+    val stateful = StateTracker.highLowRunsStateful(spark, df, 100.0).collect()
+    assert(sharded.map(_.toSeq).toSeq === stateful.map(_.toSeq).toSeq)
+    // x: high×2 / low×2 / high×1, y: one low run merged across the
+    // day boundary = 4 runs total
+    assert(sharded.length === 4)
+  }
+
   test("StateTracker.runsBatch sorts unordered group input by event time") {
     import spark.implicits._
     // same runs as above, rows arrive scrambled
