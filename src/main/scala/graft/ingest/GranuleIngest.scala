@@ -1,0 +1,132 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.NetcdfClassic
+import graft.sources.NetcdfClassic.{NcFile, NcVar}
+
+/** One observation point decoded from a granule. Top-level case class:
+  * Spark derives its Encoder reflectively.
+  */
+case class GranulePoint(granule: String, time: Long, latitude: Double,
+                        longitude: Double, value: Double)
+
+/** S1/S2 — direct NetCDF granule ingest
+  * (`tilereadingprocessor.py:130-190`: `read_grid_data` for
+  * (time, lat, lon) grids, `read_swath_data` for 2-D swaths).
+  *
+  * Scale shape: granules load through Spark's `binaryFile` source, so
+  * each file parses IN AN EXECUTOR TASK — a 100 TB archive of MB-scale
+  * granules fans out across the cluster with no driver involvement and
+  * no shuffle before tiling (the only shuffle in the whole ingest is
+  * `pointsToTiles`' group-by-cell). Per-file memory is one granule's
+  * decoded doubles — the same bound the reference's per-granule reader
+  * process has. CF unpacking (_FillValue → NaN, scale/offset) happens
+  * at decode, so masked pixels flow as NaN mask cells exactly like the
+  * normalized-point path.
+  */
+object GranuleIngest {
+
+  /** Points of a gridded granule: `valueVar` spans (time, lat, lon) —
+    * or (lat, lon) with a scalar/absent time — with 1-D coordinate
+    * variables. Row-major decode: index = (t·nLat + i)·nLon + j.
+    */
+  def gridPointsOf(nc: NcFile, granule: String, valueVar: String,
+                   latVar: String = "lat", lonVar: String = "lon",
+                   timeVar: String = "time"): Iterator[GranulePoint] = {
+    val v = nc.variable(valueVar).getOrElse(
+      sys.error(s"granule $granule: no variable $valueVar"))
+    val lats = coord(nc, latVar, granule)
+    val lons = coord(nc, lonVar, granule)
+    val times: Array[Double] = nc.variable(timeVar) match {
+      case Some(t) => t.unpacked
+      case None => Array(0.0)
+    }
+    val (nT, nLat, nLon) = (times.length, lats.length, lons.length)
+    val data = v.unpacked
+    require(data.length == nT * nLat * nLon,
+      s"granule $granule: $valueVar has ${data.length} cells, " +
+        s"grid wants ${nT * nLat * nLon} (time=$nT lat=$nLat lon=$nLon)")
+    for {
+      t <- Iterator.range(0, nT)
+      i <- Iterator.range(0, nLat)
+      j <- Iterator.range(0, nLon)
+    } yield GranulePoint(granule, times(t).toLong, lats(i), lons(j),
+      data((t * nLat + i) * nLon + j))
+  }
+
+  /** Points of a swath granule: lat/lon/value are parallel 2-D (scan,
+    * pixel) arrays; `timeVar` may span (scan) — per-scan-line time, the
+    * common L2 layout — or (scan, pixel), or be absent (0). Swaths stay
+    * POINTS (SURVEY §7.4): no diagonalization, the tiler's cell
+    * group-by does the spatial binning.
+    */
+  def swathPointsOf(nc: NcFile, granule: String, valueVar: String,
+                    latVar: String = "lat", lonVar: String = "lon",
+                    timeVar: String = "time"): Iterator[GranulePoint] = {
+    val v = nc.variable(valueVar).getOrElse(
+      sys.error(s"granule $granule: no variable $valueVar"))
+    val lat = nc.variable(latVar).getOrElse(
+      sys.error(s"granule $granule: no variable $latVar"))
+    val lon = nc.variable(lonVar).getOrElse(
+      sys.error(s"granule $granule: no variable $lonVar"))
+    val data = v.unpacked
+    val lats = lat.unpacked
+    val lons = lon.unpacked
+    require(lats.length == data.length && lons.length == data.length,
+      s"granule $granule: swath arrays disagree " +
+        s"(value=${data.length} lat=${lats.length} lon=${lons.length})")
+    val nPixel = nc.shape(v).lastOption.getOrElse(data.length)
+    val timeAt: Int => Long = nc.variable(timeVar) match {
+      case Some(t) if t.data.length == data.length =>
+        val ts = t.unpacked; k => ts(k).toLong
+      case Some(t) if t.data.length > 0 =>
+        val ts = t.unpacked; k => ts(k / nPixel.max(1)).toLong // per scan line
+      case _ => _ => 0L
+    }
+    Iterator.range(0, data.length).map(k =>
+      GranulePoint(granule, timeAt(k), lats(k), lons(k), data(k)))
+  }
+
+  private def coord(nc: NcFile, name: String, granule: String): Array[Double] = {
+    val v = nc.variable(name).getOrElse(
+      sys.error(s"granule $granule: no coordinate variable $name"))
+    require(v.dims.length <= 1,
+      s"granule $granule: $name is ${v.dims.length}-D; gridPoints wants 1-D " +
+        "coordinates (use swathPoints for 2-D geolocation)")
+    v.unpacked
+  }
+
+  /** Distributed granule scan: every file matching `glob` parses in an
+    * executor task; `swath = true` switches the (lat, lon) decode from
+    * 1-D grid axes to 2-D per-pixel geolocation.
+    */
+  def readGranules(spark: SparkSession, glob: String, valueVar: String,
+                   latVar: String = "lat", lonVar: String = "lon",
+                   timeVar: String = "time", swath: Boolean = false): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val nc = NetcdfClassic.read(bytes)
+        val granule = path.substring(path.lastIndexOf('/') + 1)
+        if (swath) swathPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
+        else gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
+      }
+      .toDF()
+  }
+
+  /** End-to-end S1→S3: granule files → points → tiles (the
+    * `pointsToTiles` chunker). Grid granules only — swath points are
+    * sparse and go through the typed swath path instead.
+    */
+  def ingestGridGranules(spark: SparkSession, glob: String, valueVar: String,
+                         dataset: String, tileLat: Double, tileLon: Double,
+                         latVar: String = "lat", lonVar: String = "lon",
+                         timeVar: String = "time"): DataFrame =
+    Ingest.pointsToTiles(
+      readGranules(spark, glob, valueVar, latVar, lonVar, timeVar),
+      tileLat, tileLon, dataset)
+}

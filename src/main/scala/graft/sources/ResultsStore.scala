@@ -55,9 +55,17 @@ object Merge {
   }
 }
 
-/** S9 — output encoders: the engine keeps JSON/CSV (webmodel.py:425-431,
-  * BaseDomsHandler.py:87-242); NetCDF/PNG are presentation-layer
-  * renderings out of engine scope (SURVEY §7.3).
+/** S9 — output encoders: JSON/CSV (webmodel.py:425-431,
+  * BaseDomsHandler.py:87-242), NetCDF via the classic codec
+  * (BaseDomsHandler.py:243-334 emits matchup results as NetCDF), and
+  * ZIP bundling for subset downloads (subsetter.py:203-232). PNG map
+  * rendering stays presentation-scope (SURVEY §7.3).
+  *
+  * NetCDF/ZIP encode COLLECTED results on the driver — these are the
+  * reference's result-download formats, produced after the distributed
+  * query has already reduced to a result table (the same place the
+  * reference's handlers call the netCDF library on an in-memory
+  * array). Distributed writes stay parquet/JSON/CSV.
   */
 object Encoders {
 
@@ -69,4 +77,67 @@ object Encoders {
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Encode a result frame as a classic NetCDF file: one `row`
+    * dimension, one variable per numeric column (doubles; integral
+    * columns as NC_INT when they fit), string columns skipped (CDF
+    * classic has no 1-D string type short of a char matrix — they go
+    * in the JSON/CSV renditions). Column order is preserved.
+    */
+  def toNetcdf(df: DataFrame): Array[Byte] = {
+    import NetcdfClassic._
+    val rows = df.collect()
+    val dim = NcDim("row", rows.length)
+    val schema = df.schema
+    val vars = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          Some(NcVar(f.name, Seq("row"), NC_DOUBLE, Nil,
+            rows.map(r => if (r.isNullAt(i)) Double.NaN
+              else r.get(i).asInstanceOf[Number].doubleValue())))
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType =>
+          val vs = rows.map(r => if (r.isNullAt(i)) Double.NaN
+            else r.get(i).asInstanceOf[Number].doubleValue())
+          val t = if (vs.forall(v => v.isNaN ||
+            (v >= Int.MinValue && v <= Int.MaxValue))) NC_INT else NC_DOUBLE
+          Some(NcVar(f.name, Seq("row"), t, Nil, vs))
+        case _ => None // strings/arrays: JSON/CSV renditions carry them
+      }
+    }
+    NetcdfClassic.write(NcFile(Seq(dim),
+      Seq(NcAttr("source", NC_CHAR, text = "graft")), vars.toSeq))
+  }
+
+  /** Bundle named byte entries into one ZIP (java.util.zip — the
+    * `/domssubset` download format, subsetter.py:203-232).
+    */
+  def toZip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, bytes) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(bytes)
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  /** CSV bytes of a collected result (driver-side, for ZIP entries). */
+  def toCsvBytes(df: DataFrame): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(df.columns.mkString(",")).append('\n')
+    df.collect().foreach { r =>
+      sb.append((0 until r.length).map { i =>
+        val v = if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
+        if (v.contains(",") || v.contains("\"") || v.contains("\n"))
+          "\"" + v.replace("\"", "\"\"") + "\""
+        else v
+      }.mkString(",")).append('\n')
+    }
+    sb.toString.getBytes("UTF-8")
+  }
 }

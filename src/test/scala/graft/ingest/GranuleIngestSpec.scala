@@ -1,0 +1,87 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.NetcdfClassic
+import graft.sources.NetcdfClassic._
+
+class GranuleIngestSpec extends SparkSpec {
+
+  private def gridGranule(t0: Int, bias: Double): Array[Byte] =
+    NetcdfClassic.write(NcFile(
+      dims = Seq(NcDim("time", 2), NcDim("lat", 2), NcDim("lon", 2)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("time", Seq("time"), NC_INT, Nil,
+          Array(t0.toDouble, t0 + 3600.0)),
+        NcVar("lat", Seq("lat"), NC_FLOAT, Nil, Array(10.0, 20.0)),
+        NcVar("lon", Seq("lon"), NC_FLOAT, Nil, Array(-40.0, -35.0)),
+        NcVar("sst", Seq("time", "lat", "lon"), NC_DOUBLE,
+          Seq(NcAttr("_FillValue", NC_DOUBLE, nums = Seq(-999.0))),
+          Array(1 + bias, 2 + bias, 3 + bias, -999.0,
+            5 + bias, 6 + bias, 7 + bias, 8 + bias)))))
+
+  test("grid granules ingest end-to-end into dense tiles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nc").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir, "g1.nc").toPath, gridGranule(86400, 0.0))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "g2.nc").toPath, gridGranule(172800, 10.0))
+
+    val pts = GranuleIngest.readGranules(spark, dir.getAbsolutePath + "/*.nc", "sst")
+    assert(pts.count() === 16) // 2 granules x 2 times x 2x2 grid
+    // fill pixel decoded to NaN, coordinates in row-major order
+    val p0 = pts.where(col("granule") === "g1.nc" && col("time") === 86400)
+      .orderBy(col("latitude"), col("longitude"))
+      .collect()
+    assert(p0.map(_.getDouble(4)).take(3).toSeq === Seq(1.0, 2.0, 3.0))
+    assert(p0.last.getDouble(4).isNaN)
+
+    val tiles = GranuleIngest.ingestGridGranules(spark,
+      dir.getAbsolutePath + "/*.nc", "sst", "sst_dataset", 30.0, 30.0)
+    val rows = tiles.orderBy("granule", "min_time").collect()
+    assert(rows.length === 4) // one 30-degree cell per granule per time
+    val first = rows.head
+    assert(first.getAs[String]("dataset") === "sst_dataset")
+    assert(first.getAs[Long]("stats_count") === 3) // fill cell masked
+    assert(first.getAs[Double]("stats_min") === 1.0)
+    assert(first.getAs[Seq[Float]]("latitudes") === Seq(10.0f, 20.0f))
+    // NaN mask cell survives in the data array at its grid slot
+    assert(first.getAs[Seq[Float]]("data").count(_.isNaN) === 1)
+  }
+
+  test("swath granules decode per-pixel geolocation and per-scan time") {
+    val nc = NcFile(
+      dims = Seq(NcDim("y", 2), NcDim("x", 3)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("time", Seq("y"), NC_INT, Nil, Array(100.0, 200.0)),
+        NcVar("lat", Seq("y", "x"), NC_FLOAT, Nil,
+          Array(1.0, 1.1, 1.2, 2.0, 2.1, 2.2)),
+        NcVar("lon", Seq("y", "x"), NC_FLOAT, Nil,
+          Array(30.0, 30.1, 30.2, 31.0, 31.1, 31.2)),
+        NcVar("wind", Seq("y", "x"), NC_FLOAT, Nil,
+          Array(5.0, 6.0, 7.0, 8.0, 9.0, 10.0))))
+    val pts = GranuleIngest.swathPointsOf(nc, "s.nc", "wind").toSeq
+    assert(pts.length === 6)
+    assert(pts.count(_.time == 100L) === 3) // first scan line
+    assert(pts.count(_.time == 200L) === 3)
+    val p = pts.find(_.value == 9.0).get
+    assert(p.latitude === 2.1 && p.time === 200L)
+  }
+
+  test("grid reader refuses 2-D coordinates (directs to swath path)") {
+    val nc = NcFile(
+      dims = Seq(NcDim("y", 1), NcDim("x", 1)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("lat", Seq("y", "x"), NC_FLOAT, Nil, Array(0.0)),
+        NcVar("lon", Seq("y", "x"), NC_FLOAT, Nil, Array(0.0)),
+        NcVar("v", Seq("y", "x"), NC_FLOAT, Nil, Array(1.0))))
+    val e = intercept[IllegalArgumentException] {
+      GranuleIngest.gridPointsOf(nc, "bad.nc", "v").toSeq
+    }
+    assert(e.getMessage.contains("swathPoints"))
+  }
+}

@@ -69,4 +69,34 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() === 2)
     assert(back.columns.toSeq === Seq("k", "v"))
   }
+
+  test("Encoders.toNetcdf round-trips numeric result columns") {
+    import spark.implicits._
+    val df = Seq((1L, 1.5, "a"), (2L, Double.NaN, "b"), (3L, -0.25, "c"))
+      .toDF("id", "score", "label")
+    val nc = NetcdfClassic.read(Encoders.toNetcdf(df))
+    assert(nc.dim("row").get.length === 3)
+    assert(nc.variable("id").get.ncType === NetcdfClassic.NC_INT)
+    assert(nc.variable("id").get.data.toSeq === Seq(1.0, 2.0, 3.0))
+    val sc = nc.variable("score").get.data
+    assert(sc(0) === 1.5 && sc(1).isNaN && sc(2) === -0.25)
+    assert(nc.variable("label").isEmpty) // strings go to JSON/CSV
+  }
+
+  test("Encoders.toZip bundles readable entries") {
+    import spark.implicits._
+    val df = Seq((1, "x,with comma")).toDF("k", "v")
+    val zip = Encoders.toZip(Seq(
+      "data.csv" -> Encoders.toCsvBytes(df),
+      "data.nc" -> Encoders.toNetcdf(df)))
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(zip))
+    val entries = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null)
+      .map(e => e.getName -> new String(zin.readAllBytes(), "UTF-8"))
+      .toMap
+    assert(entries.keySet === Set("data.csv", "data.nc"))
+    assert(entries("data.csv") === "k,v\n1,\"x,with comma\"\n")
+    assert(entries("data.nc").startsWith("CDF"))
+  }
 }
