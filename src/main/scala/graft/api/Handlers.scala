@@ -25,7 +25,47 @@ object Handlers {
       minLat: Double = -90, maxLat: Double = 90,
       minLon: Double = -180, maxLon: Double = 180,
       startTime: Long = Long.MinValue, endTime: Long = Long.MaxValue,
-      secondaryDataset: Option[String] = None)
+      secondaryDataset: Option[String] = None,
+      // matchup / DOMS parameters (Matchup.py:41-120, MatchupQuery.py)
+      rtMeters: Double = 50000.0, ttSeconds: Long = 86400L,
+      matchOnce: Boolean = false, executionId: Option[String] = None)
+
+  object QueryParams {
+    /** P10 request parsing (webmodel.py:138-341): `ds` dataset, `b` =
+      * `minLon,minLat,maxLon,maxLat` bbox (the reference's order),
+      * `startTime`/`endTime` as epoch seconds or ISO-8601 Z, matchup
+      * tolerances `rt` (meters) / `tt` (seconds), `matchOnce`,
+      * `executionId`. Unknown keys are ignored (the reference does the
+      * same); a missing `ds` throws — every data endpoint needs one.
+      */
+    def fromQuery(q: Map[String, String]): QueryParams = {
+      def time(key: String): Option[Long] = q.get(key).map { v =>
+        if (v.forall(c => c.isDigit || c == '-')) v.toLong
+        else java.time.Instant.parse(v).getEpochSecond
+      }
+      val bbox = q.get("b").map(_.split(",").map(_.trim.toDouble)) match {
+        case Some(Array(minLon, minLat, maxLon, maxLat)) =>
+          Some((minLat, maxLat, minLon, maxLon))
+        case Some(other) =>
+          sys.error(s"bad bbox 'b=${q("b")}': want minLon,minLat,maxLon,maxLat")
+        case None => None
+      }
+      QueryParams(
+        dataset = q.getOrElse("ds",
+          q.getOrElse("dataset", sys.error("missing required parameter 'ds'"))),
+        minLat = bbox.map(_._1).getOrElse(-90),
+        maxLat = bbox.map(_._2).getOrElse(90),
+        minLon = bbox.map(_._3).getOrElse(-180),
+        maxLon = bbox.map(_._4).getOrElse(180),
+        startTime = time("startTime").getOrElse(Long.MinValue),
+        endTime = time("endTime").getOrElse(Long.MaxValue),
+        secondaryDataset = q.get("ds2"),
+        rtMeters = q.get("rt").map(_.toDouble).getOrElse(50000.0),
+        ttSeconds = q.get("tt").map(_.toLong).getOrElse(86400L),
+        matchOnce = q.get("matchOnce").exists(_.toBoolean),
+        executionId = q.get("executionId"))
+    }
+  }
 
   type Handler = (QueryParams, DataFrame) => DataFrame
 
@@ -209,6 +249,62 @@ object Handlers {
       graft.ops.ToleranceJoin.matchOnce(pairs,
         struct(col("plat"), col("plon"), col("pt")), col("dist_km"), col("sid"))
     else pairs
+  }
+
+  /** DOMS endpoint registry (the reference's `algorithms/doms` tree):
+    * the matchup
+    * execute-store-retrieve loop plus the subset endpoints. Handlers
+    * close over the in-situ table and the results-store path, so the
+    * serving layer keeps the uniform (params, tiles) → plan signature.
+    *
+    *  - `/domsmatchup` (MatchupQuery.py:22): run the tolerance matchup,
+    *    persist under an execution id, return the one-row receipt —
+    *    exactly the reference's execute-then-poll contract.
+    *  - `/domsresults` (ResultsRetrieval.py:12): fetch a stored
+    *    execution (partition-pruned read).
+    *  - `/domslist` (DomsInitialization.py / StatsQuery.py): stored
+    *    executions with pair counts.
+    *  - `/domsvalues` + `/domsinsitusubset` (ValuesQuery.py,
+    *    insitusubset.py): the in-situ points of the request domain.
+    *  - `/domssubset` (subsetter.py:203-232): the satellite points of
+    *    the request domain; ZIP/NetCDF encoding happens in the serving
+    *    layer via `output=`.
+    */
+  def domsRegistry(insitu: DataFrame, resultsPath: String): Map[String, Handler] = {
+    val insituDomain: Handler = (p, _) =>
+      insitu.where(col("latitude").between(p.minLat, p.maxLat) &&
+        col("longitude").between(p.minLon, p.maxLon) &&
+        col("time").between(p.startTime, p.endTime))
+    Map(
+      "/domsmatchup" -> ((p, tiles) => {
+        val execId = p.executionId.getOrElse(
+          java.util.UUID.randomUUID().toString)
+        val pairs = matchSpark(p, tiles, insitu, p.rtMeters, p.ttSeconds,
+          p.matchOnce)
+        graft.sources.ResultsStore.write(pairs, resultsPath, execId)
+        val s = tiles.sparkSession
+        import s.implicits._
+        val n = graft.sources.ResultsStore.read(s, resultsPath, execId).count()
+        Seq((execId, n)).toDF("execution_id", "n_pairs")
+      }),
+      "/domsresults" -> ((p, tiles) =>
+        graft.sources.ResultsStore.read(tiles.sparkSession, resultsPath,
+          p.executionId.getOrElse(sys.error(
+            "/domsresults requires executionId")))),
+      "/domslist" -> ((_, tiles) => {
+        val s = tiles.sparkSession
+        try s.read.parquet(resultsPath)
+          .groupBy("execution_id").agg(count(lit(1)).as("n_pairs"))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => // no executions yet
+            import s.implicits._
+            Seq.empty[(String, Long)].toDF("execution_id", "n_pairs")
+        }
+      }),
+      "/domsvalues" -> insituDomain,
+      "/domsinsitusubset" -> insituDomain,
+      "/domssubset" -> ((p, tiles) => domainPoints(p, tiles))
+    )
   }
 
   /** Reference concurrency gate: 10 concurrent Spark jobs, then 503

@@ -1,0 +1,170 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Encoders
+
+/** The HTTP serving layer over [[Handlers.registry]] — the reference's
+  * `webapp.py:44-136` Tornado application, on the JDK's built-in
+  * `com.sun.net.httpserver` (no new dependencies). Request flow per
+  * GET: parse query params (P10, `QueryParams.fromQuery`) → resolve
+  * the path's plan builder → execute under the [[Handlers.JobGate]]
+  * (503 when the slot pool is exhausted, NexusHandler.py:250-294) →
+  * size-gate the result (W5) → encode per `output=` (JSON default,
+  * CSV, NETCDF, ZIP — S9).
+  *
+  * The server holds ONE SparkSession and one registry for its
+  * lifetime; per-request cost is plan construction + execution, never
+  * session startup — the reference's architecture exactly
+  * (webapp.py builds its Spark context once at boot).
+  */
+final class HttpServer(spark: SparkSession, tiles: DataFrame,
+                       registry: Map[String, Handlers.Handler],
+                       port: Int = 0, maxConcurrentJobs: Int = 10,
+                       resultLimit: Int = 100000) {
+
+  private val gate = new Handlers.JobGate(maxConcurrentJobs)
+  private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
+
+  // /capabilities must list THIS server's paths (incl. DOMS when
+  // mounted), not the static core registry
+  private val reg: Map[String, Handlers.Handler] =
+    registry.updated("/capabilities", (_: Handlers.QueryParams, t: DataFrame) => {
+      val s = t.sparkSession
+      import s.implicits._
+      registry.keys.toSeq.sorted.toDF("path")
+    })
+
+  /** Bound port (useful with port = 0: ephemeral for tests). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def queryMap(ex: HttpExchange): Map[String, String] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k) => Some(java.net.URLDecoder.decode(k, "UTF-8") -> "")
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def respond(ex: HttpExchange, status: Int, contentType: String,
+                      body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, body.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(body) finally os.close()
+  }
+
+  private def jsonError(ex: HttpExchange, status: Int, msg: String): Unit =
+    respond(ex, status, "application/json",
+      s"""{"error":${jsonString(msg)}}""".getBytes(UTF_8))
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Execute a handler's plan and encode it. `output`: JSON (default,
+    * an array of row objects — webmodel.py:425-431's JSON rendition),
+    * CSV, NETCDF, or ZIP (CSV + NetCDF bundle, the subsetter's
+    * download format).
+    */
+  private def run(ex: HttpExchange, path: String,
+                  handler: Handlers.Handler): Unit = {
+    val q = queryMap(ex)
+    val params =
+      // diagnostics don't need a dataset param
+      if (Set("/capabilities", "/heartbeat", "/version", "/list",
+        "/domslist", "/domsresults").contains(path) && !q.contains("ds"))
+        Handlers.QueryParams(dataset = q.getOrElse("ds", ""),
+          executionId = q.get("executionId"))
+      else Handlers.QueryParams.fromQuery(q)
+    gate.tryRun(spark) {
+      val plan = handler(params, tiles)
+      Handlers.sizeGated(plan,
+        q.get("limit").map(_.toInt).getOrElse(resultLimit)) match {
+        case Left(l) => Left(l)
+        case Right(rows) => Right((rows, plan.schema))
+      }
+    } match {
+      case None =>
+        jsonError(ex, 503, s"max concurrent jobs ($maxConcurrentJobs) in flight")
+      case Some(Left(limit)) =>
+        jsonError(ex, 413, s"result exceeds $limit rows; narrow the query " +
+          "or raise limit=")
+      case Some(Right((rows, schema))) =>
+        // re-wrap the collected rows as a LOCAL relation for the
+        // encoders — their collect() runs no cluster job, so this
+        // happens outside the gate
+        val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        q.getOrElse("output", "JSON").toUpperCase match {
+          case "CSV" =>
+            respond(ex, 200, "text/csv", Encoders.toCsvBytes(df))
+          case "NETCDF" =>
+            respond(ex, 200, "application/x-netcdf", Encoders.toNetcdf(df))
+          case "ZIP" =>
+            respond(ex, 200, "application/zip", Encoders.toZip(Seq(
+              "data.csv" -> Encoders.toCsvBytes(df),
+              "data.nc" -> Encoders.toNetcdf(df))))
+          case _ =>
+            val body = "[" + df.toJSON.collect().mkString(",") + "]"
+            respond(ex, 200, "application/json", body.getBytes(UTF_8))
+        }
+    }
+  }
+
+  def start(): HttpServer = {
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        val path = ex.getRequestURI.getPath
+        reg.get(path) match {
+          case _ if ex.getRequestMethod != "GET" =>
+            jsonError(ex, 405, "GET only")
+          case Some(h) => run(ex, path, h)
+          case None =>
+            jsonError(ex, 404, s"unknown path $path; see /capabilities")
+        }
+      } catch {
+        case e: Throwable =>
+          jsonError(ex, 400, Option(e.getMessage).getOrElse(e.getClass.getName))
+      } finally ex.close()
+    })
+    // a small pool: the JobGate does the real concurrency limiting
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, maxConcurrentJobs)))
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+}
+
+object HttpServer {
+  /** Boot with the full registry: core + legacy + diagnostics + DOMS
+    * (when an in-situ table and results path are supplied).
+    */
+  def apply(spark: SparkSession, tiles: DataFrame,
+            insitu: Option[DataFrame] = None,
+            resultsPath: Option[String] = None,
+            port: Int = 0): HttpServer = {
+    val doms = (insitu, resultsPath) match {
+      case (Some(i), Some(p)) => Handlers.domsRegistry(i, p)
+      case _ => Map.empty[String, Handlers.Handler]
+    }
+    new HttpServer(spark, tiles, Handlers.registry ++ doms, port).start()
+  }
+}

@@ -1,0 +1,135 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.Ingest
+
+/** Request→JSON round-trips through the HTTP layer — the serving
+  * contract the reference exposes via webapp.py. Every response here is
+  * produced by a real socket GET against an ephemeral-port server.
+  */
+class HttpServerSpec extends SparkSpec {
+
+  private lazy val tiles: DataFrame = {
+    import spark.implicits._
+    val day = 86400L
+    val pts = for {
+      d <- 0 until 3
+      li <- 0 until 4; lo <- 0 until 4
+    } yield (s"g$d.nc", li + 0.5, lo + 0.5, d * day, (li * 4 + lo).toDouble + d)
+    Ingest.pointsToTiles(
+      pts.toDF("granule", "latitude", "longitude", "time", "value"),
+      2.0, 2.0, "sst")
+  }
+
+  private lazy val insitu: DataFrame = {
+    import spark.implicits._
+    // in-situ observations near grid points, within tolerance
+    Seq((100L, 0.51, 0.52, 1000L), (101L, 2.5, 2.5, 86400L + 500L))
+      .toDF("id", "latitude", "longitude", "time")
+  }
+
+  private lazy val resultsDir =
+    java.nio.file.Files.createTempDirectory("graft_http_results").toString + "/store"
+
+  private lazy val server: HttpServer =
+    HttpServer(spark, tiles, Some(insitu), Some(resultsDir))
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(pathAndQuery: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def getBytes(pathAndQuery: String): HttpResponse[Array[Byte]] =
+    client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  override def afterAll(): Unit = {
+    server.stop()
+    super.afterAll()
+  }
+
+  test("/timeSeriesSpark over HTTP returns the gate-identical JSON") {
+    val r = get("/timeSeriesSpark?ds=sst")
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("Content-Type").get.startsWith("application/json"))
+    val direct = Handlers.registry("/timeSeriesSpark")(
+      Handlers.QueryParams("sst"), tiles)
+    val expected = "[" + direct.toJSON.collect().mkString(",") + "]"
+    assert(r.body() === expected)
+    assert(r.body().contains("\"cnt\":16"))
+  }
+
+  test("bbox + time params prune over HTTP (b= is minLon,minLat,maxLon,maxLat)") {
+    val r = get("/timeSeriesSpark?ds=sst&b=0,0,1.9,1.9&startTime=0&endTime=0")
+    assert(r.statusCode() === 200)
+    assert(r.body().contains("\"cnt\":4"))
+    assert(!r.body().contains("\"cnt\":16"))
+  }
+
+  test("diagnostics: /heartbeat, /version, /capabilities (incl. DOMS paths)") {
+    assert(get("/heartbeat").body() === """[{"ok":true}]""")
+    assert(get("/version").body().contains("nexusspark"))
+    val caps = get("/capabilities").body()
+    assert(caps.contains("/domsmatchup") && caps.contains("/timeSeriesSpark"))
+  }
+
+  test("unknown path → 404, missing ds → 400, bad method → 405") {
+    assert(get("/nope").statusCode() === 404)
+    val bad = get("/timeSeriesSpark")
+    assert(bad.statusCode() === 400)
+    assert(bad.body().contains("ds"))
+    val post = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}/heartbeat"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(post.statusCode() === 405)
+  }
+
+  test("result-size gate returns 413 with limit=") {
+    val r = get("/datainbounds?ds=sst&limit=5")
+    assert(r.statusCode() === 413)
+    assert(r.body().contains("narrow the query"))
+  }
+
+  test("DOMS execute-store-retrieve loop over HTTP") {
+    // matchup with a pinned execution id; rt 5 km, tt 1 hour
+    val exec = get("/domsmatchup?ds=sst&b=0,0,4,4&rt=5000&tt=3600&matchOnce=true" +
+      "&executionId=test-exec-1")
+    assert(exec.statusCode() === 200)
+    assert(exec.body().contains("\"execution_id\":\"test-exec-1\""))
+    // the in-situ point at (0.51, 0.52, t=1000) matches grid point (0.5, 0.5)
+    val results = get("/domsresults?executionId=test-exec-1")
+    assert(results.statusCode() === 200)
+    assert(results.body().contains("\"sid\":100"))
+    val list = get("/domslist")
+    assert(list.statusCode() === 200)
+    assert(list.body().contains("test-exec-1"))
+    // in-situ subset endpoints see both points
+    val values = get("/domsvalues?ds=sst")
+    assert(values.body().contains("\"id\":100") && values.body().contains("\"id\":101"))
+  }
+
+  test("output=CSV, NETCDF and ZIP encodings") {
+    val csv = get("/timeSeriesSpark?ds=sst&output=CSV")
+    assert(csv.headers().firstValue("Content-Type").get === "text/csv")
+    assert(csv.body().linesIterator.next().split(",").contains("cnt"))
+    val nc = getBytes("/timeSeriesSpark?ds=sst&output=NETCDF")
+    assert(nc.headers().firstValue("Content-Type").get === "application/x-netcdf")
+    assert(new String(nc.body().take(3), "UTF-8") === "CDF")
+    val zip = getBytes("/domssubset?ds=sst&output=ZIP")
+    assert(zip.headers().firstValue("Content-Type").get === "application/zip")
+    assert(zip.body()(0) === 'P'.toByte && zip.body()(1) === 'K'.toByte)
+  }
+}
