@@ -242,9 +242,13 @@ object Handlers {
     // time (the reference pages it from EDGE per request), so it is
     // broadcast-sized by construction and the ×27-exploded primary
     // never shuffles
+    // geodesic = reference parity: Matchup.py measures match distance
+    // on the WGS84 ellipsoid, and boundary pairs flip membership if the
+    // engine measures spherically instead
     val pairs = graft.ops.GeoMatchup.matchup(primary, secondary,
       col("plat"), col("plon"), col("pt"), col("slat"), col("slon"), col("st"),
-      rtMeters, ttSeconds, maxAbsLat = widestLat, broadcastSecondary = true)
+      rtMeters, ttSeconds, maxAbsLat = widestLat, broadcastSecondary = true,
+      geodesic = true)
     if (matchOnce)
       graft.ops.ToleranceJoin.matchOnce(pairs,
         struct(col("plat"), col("plon"), col("pt")), col("dist_km"), col("sid"))

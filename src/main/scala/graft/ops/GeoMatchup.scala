@@ -57,19 +57,28 @@ object GeoMatchup {
     *                  the big side.
     * @return pairs with all columns of both sides + `dist_km`, `dt_s`
     */
+  /** Extra cell widening when the admission predicate is WGS84
+    * geodesic: ellipsoidal distances differ from the spherical bound by
+    * under 0.6% anywhere on Earth, so 1% wider cells keep the
+    * one-cell-apart guarantee (wider cells only admit more candidates).
+    */
+  private val GeodesicMargin = 1.01
+
   def matchup(primary: DataFrame, secondary: DataFrame,
               pLat: Column, pLon: Column, pTime: Column,
               sLat: Column, sLon: Column, sTime: Column,
               rtMeters: Double, ttSeconds: Long,
               maxAbsLat: Double = 66.0,
-              broadcastSecondary: Boolean = false): DataFrame = {
+              broadcastSecondary: Boolean = false,
+              geodesic: Boolean = false): DataFrame = {
     require(maxAbsLat < 89.0, "use latitude-banded matchup near the poles")
-    val latStep = math.toDegrees(rtMeters / EarthRadiusM) * StepMargin
+    val margin = StepMargin * (if (geodesic) GeodesicMargin else 1.0)
+    val latStep = math.toDegrees(rtMeters / EarthRadiusM) * margin
     val sinHalf = math.sin(rtMeters / (2 * EarthRadiusM)) /
       math.cos(math.toRadians(maxAbsLat))
     require(sinHalf < 1.0,
       s"tolerance $rtMeters m wraps the $maxAbsLat° parallel — band by latitude")
-    val lonStep = math.toDegrees(2 * math.asin(sinHalf)) * StepMargin
+    val lonStep = math.toDegrees(2 * math.asin(sinHalf)) * margin
 
     def cell(c: Column, step: Double): Column = floor(c / step).cast("long")
 
@@ -89,8 +98,14 @@ object GeoMatchup {
     val s = if (broadcastSecondary) broadcast(sKeyed)
             else sKeyed.hint("shuffle_hash")
 
+    // haversine (spherical) is the oracle-reproducible default; the
+    // geodesic option matches the reference's WGS84 measurement
+    // (Matchup.py:464-468) at the tolerance boundary
+    val dist =
+      if (geodesic) graft.functions.GeoDistance.geodesicKm(pLat, pLon, sLat, sLon)
+      else GeoFunctions.haversineKm(pLat, pLon, sLat, sLon)
     p.join(s, "__cell")
-      .withColumn("dist_km", GeoFunctions.haversineKm(pLat, pLon, sLat, sLon))
+      .withColumn("dist_km", dist)
       .withColumn("dt_s", abs(pTime - sTime))
       .where(col("dist_km") * 1000.0 <= rtMeters && col("dt_s") <= ttSeconds)
       .drop("__cell")

@@ -45,6 +45,31 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(r(1) === ((26.850000000000023, -10.0)))
   }
 
+  test("geodesic (Vincenty/WGS84) matches known arc lengths") {
+    // equator, 1° of longitude: exactly a·π/180 = 111.3195 km
+    assert(math.abs(GeoDistance.vincentyM(0, 0, 0, 1) / 1000 - 111.3195) < 0.001)
+    // meridian, equator → 1°N: 110.5743 km on WGS84 (vs 111.195 spherical)
+    assert(math.abs(GeoDistance.vincentyM(0, 0, 1, 0) / 1000 - 110.5743) < 0.001)
+    // coincident and near-antipodal (haversine fallback) stay finite
+    assert(GeoDistance.vincentyM(10, 20, 10, 20) === 0.0)
+    val anti = GeoDistance.vincentyM(0, 0, 0.0, 179.99999) / 1000
+    assert(anti > 19000 && anti < 20100)
+    // symmetric
+    assert(GeoDistance.vincentyM(35, -120, 40, -70) ===
+      GeoDistance.vincentyM(40, -70, 35, -120))
+  }
+
+  test("geodesicKm Column expression evaluates under codegen") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 0.0))
+      .toDF("a", "b", "c", "d")
+    val got = df.select(
+      GeoDistance.geodesicKm($"a", $"b", $"c", $"d").as("km"))
+      .as[Double].collect()
+    assert(math.abs(got(0) - 111.3195) < 0.001)
+    assert(math.abs(got(1) - 110.5743) < 0.001)
+  }
+
   test("weightedMean weights by cos(lat)") {
     import spark.implicits._
     val df = Seq((10.0, 0.0), (20.0, 60.0)).toDF("v", "lat")

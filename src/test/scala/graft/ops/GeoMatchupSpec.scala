@@ -54,4 +54,23 @@ class GeoMatchupSpec extends SparkSpec {
       .select("sid").as[Long].collect().toSet
     assert(ids === Set(2L))
   }
+
+  /** F11b: WGS84 vs sphere flips membership at the tolerance boundary.
+    * A 0.9° meridian pair at the equator measures ≈100.07 km on the
+    * R=6371 sphere but ≈99.52 km on the ellipsoid (meridian degrees are
+    * SHORT near the equator) — at rt = 99.8 km only the geodesic
+    * predicate admits the pair, which is the reference's measurement
+    * (Matchup.py:464-468).
+    */
+  test("geodesic option admits boundary pairs haversine rejects") {
+    import spark.implicits._
+    val primary = Seq((1L, 0.0, 10.0, 0L)).toDF("pid", "plat", "plon", "pt")
+    val secondary = Seq((2L, 0.9, 10.0, 0L)).toDF("sid", "slat", "slon", "st")
+    def ids(geodesic: Boolean) = GeoMatchup.matchup(
+        primary, secondary, $"plat", $"plon", $"pt", $"slat", $"slon", $"st",
+        rtMeters = 99800, ttSeconds = 60, geodesic = geodesic)
+      .select("sid").as[Long].collect().toSet
+    assert(ids(geodesic = false) === Set.empty[Long])
+    assert(ids(geodesic = true) === Set(2L))
+  }
 }
