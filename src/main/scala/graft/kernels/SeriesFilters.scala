@@ -21,7 +21,10 @@ object SeriesFilters {
         Window.partitionBy(month(timeCol))))
 
   /** W7 — zero-phase low-pass filter (Filtering.py:87-97 applies scipy
-    * Butterworth `filtfilt`). Implemented as an order-`n` forward +
+    * Butterworth `filtfilt`). This is the DISTRIBUTED path; for exact
+    * reference parity on a collected series use
+    * [[Butterworth.lowpassDriver]] (identical coefficients + filtfilt
+    * padding to scipy's). Implemented as an order-`n` forward +
     * backward moving-average cascade — zero-phase, monotone frequency
     * response; runs as window aggregates so it needs no collect. The
     * reference applies this only to final (small) series; here it works
