@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Canonical fingerprint of a gate result for pinned-fixture
+  * regression checks (the 4 rows-only gates have no DuckDB oracle —
+  * engine-specific sketch/eigen/t-CDF algorithms — so the driver can
+  * only count their rows; these fingerprints let the spec suite catch
+  * VALUE regressions).
+  *
+  * Canon: columns sorted by name; doubles rounded to 6 decimals with
+  * the +1e-9 half-tie nudge the oracles use (absorbs summation-order
+  * jitter across partitionings while pinning 6 significant decimal
+  * places); rows joined in the query's own ORDER BY; md5 over the
+  * whole text.
+  */
+object FixturePin {
+
+  def canonical(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    proj.collect().map { r =>
+      cols.indices.map { i =>
+        r.get(i) match {
+          case null => "null"
+          case d: java.lang.Double =>
+            if (d.isNaN) "NaN"
+            else BigDecimal(d + 1e-9)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+          case f: java.lang.Float =>
+            BigDecimal(f.toDouble + 1e-9)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+          case a: scala.collection.Seq[_] => a.mkString("[", ";", "]")
+          case v => String.valueOf(v)
+        }
+      }.mkString("|")
+    }.mkString("\n")
+  }
+
+  def fingerprint(df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(canonical(df).getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Dev tool: print the fingerprints to pin.
+    * Usage: runMain graft.tools.FixturePin <sfDir> <gate> [gate ...]
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    // env overrides let the pin be checked under DIFFERENT parallelism
+    // (the 6-decimal canon must absorb partitioning-order jitter)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("FIXPIN_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("FIXPIN_PARTITIONS", "32").toInt)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.tail.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      println(s"PIN $name rows=${df.count()} md5=${fingerprint(df)}")
+    }
+    spark.stop()
+  }
+}
