@@ -15,7 +15,7 @@ import graft.sources.Encoders
   * the path's plan builder → execute under the [[Handlers.JobGate]]
   * (503 when the slot pool is exhausted, NexusHandler.py:250-294) →
   * size-gate the result (W5) → encode per `output=` (JSON default,
-  * CSV, NETCDF, ZIP — S9).
+  * CSV, NETCDF, ZIP, PNG — S9).
   *
   * The server holds ONE SparkSession and one registry for its
   * lifetime; per-request cost is plan construction + execution, never
@@ -120,6 +120,11 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
             respond(ex, 200, "application/zip", Encoders.toZip(Seq(
               "data.csv" -> Encoders.toCsvBytes(df),
               "data.nc" -> Encoders.toNetcdf(df))))
+          case "PNG" =>
+            respond(ex, 200, "image/png", Encoders.toPngAuto(df,
+              xCol = q.get("pngx"), yCol = q.get("pngy"),
+              valueCol = q.get("pngv"),
+              scale = q.get("pngscale").map(_.toInt).getOrElse(8)))
           case _ =>
             val body = "[" + df.toJSON.collect().mkString(",") + "]"
             respond(ex, 200, "application/json", body.getBytes(UTF_8))

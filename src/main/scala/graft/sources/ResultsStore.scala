@@ -126,6 +126,98 @@ object Encoders {
     bos.toByteArray
   }
 
+  /** Render a gridded result as a color-mapped PNG heatmap — the
+    * reference's map images (plotting.py:40-220 `pcolormesh`/`imshow`
+    * with `cm.jet`, served by TimeSeriesSpark.py:364-474-style
+    * `toImage`). Pure JDK: `BufferedImage` + `javax.imageio` — no
+    * imaging dependency.
+    *
+    * The raster is defined by the DISTINCT sorted values of `xCol`
+    * (ascending, left→right) and `yCol` (ascending, bottom→top, map
+    * convention — row 0 of the image is the max y). Values normalize
+    * min→max onto a jet colormap; cells with no row or a NULL/NaN
+    * value are fully transparent (matplotlib's masked-array behavior).
+    * `scale` upsamples each cell to a scale×scale pixel block so
+    * coarse grids remain legible.
+    *
+    * Driver-side on a collected result, like toNetcdf — maps are
+    * result-shaped (one row per grid cell), never data-shaped.
+    */
+  def toPng(df: DataFrame, xCol: String, yCol: String, valueCol: String,
+            scale: Int = 8): Array[Byte] = {
+    val rows = df.select(xCol, yCol, valueCol).collect()
+    val cell = rows.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else {
+        val v = if (r.isNullAt(2)) Double.NaN
+          else r.get(2).asInstanceOf[Number].doubleValue()
+        Some((r.get(0).asInstanceOf[Number].doubleValue(),
+          r.get(1).asInstanceOf[Number].doubleValue()) -> v)
+      }
+    }.toMap
+    val xs = cell.keys.map(_._1).toArray.distinct.sorted
+    val ys = cell.keys.map(_._2).toArray.distinct.sorted
+    require(xs.nonEmpty && ys.nonEmpty, s"no plottable rows in ($xCol,$yCol)")
+    val finite = cell.values.filter(v => !v.isNaN && !v.isInfinite)
+    val (lo, hi) =
+      if (finite.isEmpty) (0.0, 1.0) else (finite.min, finite.max)
+    val span = if (hi > lo) hi - lo else 1.0
+    val img = new java.awt.image.BufferedImage(
+      xs.length * scale, ys.length * scale,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (xi <- xs.indices; yi <- ys.indices) {
+      val argb = cell.get((xs(xi), ys(yi))) match {
+        case Some(v) if !v.isNaN && !v.isInfinite =>
+          jetArgb((v - lo) / span)
+        case _ => 0 // transparent: missing cell or NaN value
+      }
+      val py0 = (ys.length - 1 - yi) * scale // max y at the top
+      for (dx <- 0 until scale; dy <- 0 until scale)
+        img.setRGB(xi * scale + dx, py0 + dy, argb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Matplotlib-jet approximation: piecewise-linear blue→cyan→green→
+    * yellow→red over t ∈ [0,1], opaque alpha.
+    */
+  def jetArgb(t: Double): Int = {
+    val tc = math.max(0.0, math.min(1.0, t))
+    def ch(c: Double) =
+      math.round(math.max(0.0, math.min(1.0, c)) * 255.0).toInt
+    val r = ch(1.5 - math.abs(4.0 * tc - 3.0))
+    val g = ch(1.5 - math.abs(4.0 * tc - 2.0))
+    val b = ch(1.5 - math.abs(4.0 * tc - 1.0))
+    (0xff << 24) | (r << 16) | (g << 8) | b
+  }
+
+  /** PNG with map defaults: x=lon, y=lat when present (falling back
+    * to the first two numeric columns), value = the first numeric
+    * column that isn't a coordinate — the shape every map endpoint
+    * result has (`/latitudeTimeHofMoellerSpark` etc. pass their own
+    * axes explicitly via pngx=/pngy=/pngv= on the HTTP layer).
+    */
+  def toPngAuto(df: DataFrame, xCol: Option[String] = None,
+                yCol: Option[String] = None, valueCol: Option[String] = None,
+                scale: Int = 8): Array[Byte] = {
+    val numeric = df.schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }).map(_.name)
+    def pick(want: Option[String], defaults: Seq[String], taken: Set[String]) =
+      want.getOrElse(
+        defaults.find(numeric.contains).getOrElse(
+          numeric.filterNot(taken).headOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"no numeric column for PNG axis (have: ${df.columns.mkString(",")})"))))
+    val x = pick(xCol, Seq("lon", "longitude"), Set.empty)
+    val y = pick(yCol, Seq("lat", "latitude"), Set(x))
+    val v = pick(valueCol, Seq("mean", "value"), Set(x, y))
+    toPng(df, x, y, v, scale)
+  }
+
   /** CSV bytes of a collected result (driver-side, for ZIP entries). */
   def toCsvBytes(df: DataFrame): Array[Byte] = {
     val sb = new StringBuilder

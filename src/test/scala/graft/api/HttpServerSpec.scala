@@ -132,4 +132,17 @@ class HttpServerSpec extends SparkSpec {
     assert(zip.headers().firstValue("Content-Type").get === "application/zip")
     assert(zip.body()(0) === 'P'.toByte && zip.body()(1) === 'K'.toByte)
   }
+
+  test("output=PNG renders the time-average map as a heatmap") {
+    val r = getBytes("/timeAvgMapSpark?ds=sst&output=PNG&pngscale=1")
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("Content-Type").get === "image/png")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.body()))
+    // the fixture grid is 4 lats × 4 lons; value mean = li*4 + lo + 1
+    assert(img.getWidth === 4 && img.getHeight === 4)
+    // min at (lat .5, lon .5) → bottom-left; max at (3.5, 3.5) → top-right
+    assert(img.getRGB(0, 3) === graft.sources.Encoders.jetArgb(0.0))
+    assert(img.getRGB(3, 0) === graft.sources.Encoders.jetArgb(1.0))
+  }
 }

@@ -99,4 +99,41 @@ class SourcesSpec extends SparkSpec {
     assert(entries("data.csv") === "k,v\n1,\"x,with comma\"\n")
     assert(entries("data.nc").startsWith("CDF"))
   }
+
+  test("Encoders.toPng renders a grid with jet colormap, NaN transparent") {
+    import spark.implicits._
+    // 3 lons × 2 lats; (2,20) has a NaN value; (1,10) is ABSENT
+    val df = Seq(
+      (0.0, 10.0, 0.0), (1.0, 10.0, 5.0), (2.0, 10.0, 2.5),
+      (0.0, 20.0, 1.0), (2.0, 20.0, Double.NaN))
+      .toDF("lon", "lat", "mean")
+    val png = Encoders.toPng(df, "lon", "lat", "mean", scale = 1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 3 && img.getHeight === 2)
+    // lat=10 is the BOTTOM row (y=1): min value 0.0 → jet(0) = deep blue
+    assert(img.getRGB(0, 1) === 0xff000080)
+    // max value 5.0 → jet(1) = deep red
+    assert(img.getRGB(1, 1) === 0xff800000)
+    // mid value 2.5 → jet(0.5) = r 0.5·? : exact from the formula
+    assert(img.getRGB(2, 1) === Encoders.jetArgb(0.5))
+    // NaN cell and missing cell are fully transparent
+    assert((img.getRGB(2, 0) >>> 24) === 0)
+    assert((img.getRGB(1, 0) >>> 24) === 0)
+    // scale=4 blows each cell up to a 4×4 block
+    val big = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Encoders.toPng(df, "lon", "lat", "mean", scale = 4)))
+    assert(big.getWidth === 12 && big.getHeight === 8)
+    assert(big.getRGB(3, 7) === 0xff000080) // same cell, corner pixel
+  }
+
+  test("Encoders.toPngAuto picks latitude/longitude/mean columns") {
+    import spark.implicits._
+    val df = Seq((10.0, 0.0, 7L, 3.25), (10.0, 1.0, 7L, 4.25))
+      .toDF("latitude", "longitude", "cnt", "mean")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Encoders.toPngAuto(df, scale = 1)))
+    assert(img.getWidth === 2 && img.getHeight === 1)
+    assert(img.getRGB(0, 0) === Encoders.jetArgb(0.0)) // mean, not cnt
+    assert(img.getRGB(1, 0) === Encoders.jetArgb(1.0))
+  }
 }
