@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** Drives EdgeSource against a local paged endpoint that mimics the
+  * EDGE contract (fetchedgeimpl.py): totalResults/itemsPerPage/
+  * startIndex envelope, server-forced page size, flaky pages that
+  * need the retry loop.
+  */
+class EdgeSourceSpec extends SparkSpec {
+
+  private val total = 23
+  private val forcedPageSize = 7 // server caps whatever the client asks
+  private val failures = new ConcurrentHashMap[String, Integer]()
+
+  private def record(i: Int): String =
+    s"""{"id":$i,"x":${i * 0.5},"y":${i * -0.25},"time":${1000L + i},""" +
+      s""""platform":"buoy","source":"edge-test","value":${i * 1.5}}"""
+
+  private var server: JdkHttpServer = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = JdkHttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/insitu", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").filter(_.nonEmpty)
+        .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+      val start = q.getOrElse("startIndex", "0").toInt
+      val asked = q.getOrElse("itemsPerPage", "10").toInt
+      // page startIndex=7 fails on its first attempt — retry must save it
+      val body: Array[Byte] =
+        if (start == 7 && failures.putIfAbsent("p7", 1) == null) {
+          ex.sendResponseHeaders(500, -1)
+          ex.close()
+          null
+        } else {
+          val n = math.min(asked, forcedPageSize)
+          val items = (start until math.min(start + n, total)).map(record)
+          (s"""{"totalResults":$total,"startIndex":$start,""" +
+            s""""itemsPerPage":$n,"results":[${items.mkString(",")}]}""")
+            .getBytes(UTF_8)
+        }
+      if (body != null) {
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    server.createContext("/empty", (ex: HttpExchange) => {
+      val body = """{"totalResults":0,"startIndex":0,"itemsPerPage":0,"results":[]}"""
+        .getBytes(UTF_8)
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    super.afterAll()
+  }
+
+  private def base(path: String) =
+    s"http://127.0.0.1:${server.getAddress.getPort}$path"
+
+  test("paged fetch returns every record exactly once despite a flaky page") {
+    import spark.implicits._
+    val df = EdgeSource.read(spark, base("/insitu"),
+      params = Map("startTime" -> "0", "endTime" -> "9999"),
+      itemsPerPage = 100) // asks 100; server forces 7 → 4 pages
+    val rows = df.select("id", "x", "y", "time", "platform", "source", "value")
+      .as[(Long, Double, Double, Long, String, String, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.length === total)
+    assert(rows.map(_._1).toSeq === (0 until total).map(_.toLong))
+    assert(rows(4) === ((4L, 2.0, -1.0, 1004L, "buoy", "edge-test", 6.0)))
+    // absent fields (depth, device) surface as NULLs, not errors
+    assert(df.where(col("depth").isNull).count() === total)
+    assert(failures.containsKey("p7")) // the retry path actually ran
+  }
+
+  test("zero-result query yields an empty frame with the full schema") {
+    val df = EdgeSource.read(spark, base("/empty"))
+    assert(df.count() === 0)
+    assert(df.schema === EdgeSource.insituSchema)
+  }
+}
