@@ -241,6 +241,77 @@ object PipelineQueries extends QueryModule {
           round(col("q50_raw") + lit(1e-9), 4).as("p50"),
           round(col("q90_raw") + lit(1e-9), 4).as("p90"))
         .orderBy("lang")
+    },
+
+    // Sequence packing (concat-and-chunk): documents are concatenated
+    // in deterministic order and split at exact token boundaries into
+    // fixed-budget context windows — the GPT-style pretraining batch
+    // builder, where a document may span adjacent packs. Each doc's
+    // pack span is pure arithmetic on a running token sum, so the
+    // whole operator is ONE window sum per shard: the corpus is
+    // hash-sharded (16 shards here; a wider hash prefix at 100 TB)
+    // and every shard packs independently in parallel — no global
+    // sort, no sequential scan. Token counts use a deterministic
+    // chars/4 proxy (no tokenizer in either engine). Integer-only
+    // output ⇒ hash-exact across engines.
+    "d_pack_sequences" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .withColumn("shard",
+          substring(md5(concat(lit("pack"), col("doc_id").cast("string"))), 1, 1))
+        .withColumn("tokens", expr("n_chars DIV 4 + 1"))
+        .withColumn("start_tok",
+          coalesce(sum(col("tokens")).over(w), lit(0L)))
+        .withColumn("first_pack", expr("start_tok DIV 2048"))
+        .withColumn("last_pack", expr("(start_tok + tokens - 1) DIV 2048"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("total_tokens"),
+          count(when(col("last_pack") > col("first_pack"), 1)).as("n_spanning"),
+          max(col("last_pack") - col("first_pack") + lit(1L)).as("max_span"))
+        .select(col("shard"), col("n_docs"), col("total_tokens"),
+          expr("(total_tokens + 2047) DIV 2048").as("n_packs"),
+          col("n_spanning"), col("max_span"))
+        .orderBy("shard")
+    },
+
+    // Mixture resampling to target source proportions: sources fall
+    // into 3 mixture groups; each group's keep-probability is scaled
+    // so achieved token shares hit the 0.5/0.3/0.2 target, with the
+    // scarcest group kept whole (T = min tokens_g/w_g — the largest
+    // total the targets allow). The keep decision is a stateless
+    // salted-hash threshold (no RNG: reproducible and re-shard-proof
+    // like d_hash_split); the group rates come from a 3-row aggregate
+    // BROADCAST back, so at 100 TB this is one tiny dim join plus a
+    // map-side filter — the corpus never shuffles.
+    "d_mixture_resample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("grp", expr("CAST(CAST(substr(source, 4) AS INT) % 3 AS BIGINT)"))
+        .withColumn("tokens", expr("n_chars DIV 4 + 1"))
+      val target = when(col("grp") === 0, lit(0.5))
+        .when(col("grp") === 1, lit(0.3)).otherwise(lit(0.2))
+      val grpStats = docs.groupBy(col("grp"))
+        .agg(sum(col("tokens")).cast("double").as("grp_tokens"))
+        .withColumn("w", target)
+      val tMax = grpStats.agg(min(col("grp_tokens") / col("w")).as("t_max"))
+      val withP = grpStats.crossJoin(broadcast(tMax))
+        .withColumn("p", col("w") * col("t_max") / col("grp_tokens"))
+        .select(col("grp"), col("w"), col("p"))
+      val thresh = lpad(lower(hex(floor(col("p") * lit(65536.0) + lit(1e-9))
+        .cast("long"))), 4, "0")
+      val kept = (col("p") >= lit(1.0) - lit(1e-9)) ||
+        (substring(md5(concat(lit("mix"), col("doc_id").cast("string"))), 1, 4)
+          < thresh)
+      docs.join(broadcast(withP), "grp")
+        .groupBy(col("grp"), col("w"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(kept, 1)).as("n_kept"),
+          sum(when(kept, col("tokens")).otherwise(lit(0L))).as("kept_tokens"),
+          round(count(when(kept, 1)) / count(lit(1)).cast("double")
+            + lit(1e-9), 4).as("rate"))
+        .orderBy("grp")
     }
   )
 
@@ -348,6 +419,50 @@ object PipelineQueries extends QueryModule {
         |       round(quantile_cont(n_chars, 0.25) + 1e-9, 4) AS p25,
         |       round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS p50,
         |       round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90
-        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "d_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |    substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |    n_chars // 4 + 1 AS tokens FROM documents),
+        |p AS (SELECT shard, tokens,
+        |    CAST(COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_tok
+        |  FROM d),
+        |q AS (SELECT shard, tokens, start_tok // 2048 AS first_pack,
+        |    (start_tok + tokens - 1) // 2048 AS last_pack FROM p)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |       CAST((sum(tokens) + 2047) // 2048 AS BIGINT) AS n_packs,
+        |       count(CASE WHEN last_pack > first_pack THEN 1 END) AS n_spanning,
+        |       CAST(max(last_pack - first_pack + 1) AS BIGINT) AS max_span
+        |FROM q GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "d_mixture_resample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(CAST(substr(source, 4) AS INT) % 3 AS BIGINT) AS grp,
+        |    n_chars // 4 + 1 AS tokens FROM documents),
+        |g AS (SELECT grp,
+        |    CASE grp WHEN 0 THEN CAST(0.5 AS DOUBLE)
+        |             WHEN 1 THEN CAST(0.3 AS DOUBLE)
+        |             ELSE CAST(0.2 AS DOUBLE) END AS w,
+        |    CAST(sum(tokens) AS DOUBLE) AS grp_tokens
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT min(grp_tokens / w) AS t_max FROM g),
+        |p AS (SELECT grp, w, w * t_max / grp_tokens AS p FROM g CROSS JOIN t),
+        |k AS (SELECT d.grp, p.w, d.tokens,
+        |    (p.p >= 1.0 - 1e-9 OR
+        |     substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
+        |       lpad(lower(to_hex(CAST(floor(p.p * 65536.0 + 1e-9) AS BIGINT))),
+        |            4, '0')) AS kept
+        |  FROM d JOIN p ON d.grp = p.grp)
+        |SELECT grp, w, count(*) AS n_total,
+        |       count(CASE WHEN kept THEN 1 END) AS n_kept,
+        |       CAST(sum(CASE WHEN kept THEN tokens ELSE 0 END) AS BIGINT)
+        |         AS kept_tokens,
+        |       round(count(CASE WHEN kept THEN 1 END)
+        |             / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS rate
+        |FROM k GROUP BY 1, 2 ORDER BY grp""".stripMargin
   )
 }

@@ -112,4 +112,44 @@ class PipelineQueriesSpec extends SparkSpec {
     // at least the probe vectors exist; total rows = table rows
     assert(out.length === graft.Tables.embeddings(spark, dir).count())
   }
+
+  test("sequence packing conserves tokens and packs within budget") {
+    val out = PipelineQueries.queries("d_pack_sequences")(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir)
+    // token conservation: shard totals sum to the direct per-doc sum
+    val direct = docs.select(expr("sum(n_chars DIV 4 + 1)")).first.getLong(0)
+    assert(out.map(_.getAs[Long]("total_tokens")).sum === direct)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    out.foreach { r =>
+      val (tot, nPacks) = (r.getAs[Long]("total_tokens"), r.getAs[Long]("n_packs"))
+      assert(nPacks === (tot + 2047) / 2048) // exact chunk count
+      assert(r.getAs[Long]("n_spanning") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("max_span") >= 1)
+      // a doc of ≤2048 tokens can span at most 2 packs only by straddling
+      // a boundary; max span is bounded by ceil(max_tokens/2048)+1
+      assert(r.getAs[Long]("max_span") <= 3)
+    }
+  }
+
+  test("mixture resample keeps the scarcest group whole, rates in (0,1]") {
+    val out = PipelineQueries.queries("d_mixture_resample")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("grp")).toSeq === Seq(0L, 1L, 2L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    // the binding (scarcest-relative-to-target) group is kept at 100%
+    assert(out.exists(_.getAs[Double]("rate") === 1.0))
+    // achieved token shares approximate the 0.5/0.3/0.2 targets: the
+    // hash threshold has 1/65536 granularity, the corpus is small, so
+    // allow a loose band — the DuckDB oracle pins exactness anyway
+    val keptTok = out.map(r => r.getAs[Long]("grp") -> r.getAs[Long]("kept_tokens")).toMap
+    val total = keptTok.values.sum.toDouble
+    val targets = Map(0L -> 0.5, 1L -> 0.3, 2L -> 0.2)
+    targets.foreach { case (g, w) =>
+      assert(math.abs(keptTok(g) / total - w) < 0.1,
+        s"group $g share ${keptTok(g) / total} far from target $w")
+    }
+  }
 }
