@@ -277,6 +277,35 @@ object PipelineQueries extends QueryModule {
         .orderBy("shard")
     },
 
+    // Incremental dedup: a new crawl batch (25% of docs by salted
+    // hash, standing in for "today's crawl") deduped against the
+    // existing corpus AND within itself — the daily-ingest shape of
+    // exact dedup. Everything joins on the text fingerprint, never
+    // the text: the corpus side reduces to distinct fps (one shuffle,
+    // map-side combinable) and at 100 TB that fingerprint set is the
+    // only state the incremental pipeline carries forward.
+    "d_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("is_batch", hashNibble(col("doc_id"), "inc") >= "c")
+      val corpusFps = docs.where(!col("is_batch"))
+        .select(col("fp")).distinct()
+        .withColumn("in_corpus", lit(true))
+      val firstInBatch = docs.where(col("is_batch"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
+      docs.where(col("is_batch"))
+        .join(corpusFps, Seq("fp"), "left")
+        .join(firstInBatch, Seq("fp"))
+        .withColumn("dup_corpus", coalesce(col("in_corpus"), lit(false)))
+        .withColumn("dup_batch", !col("dup_corpus") && col("doc_id") > col("first_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_batch"),
+          count(when(col("dup_corpus"), 1)).as("n_dup_corpus"),
+          count(when(col("dup_batch"), 1)).as("n_dup_batch"),
+          count(when(!col("dup_corpus") && !col("dup_batch"), 1)).as("n_kept"))
+        .orderBy("lang")
+    },
+
     // Mixture resampling to target source proportions: sources fall
     // into 3 mixture groups; each group's keep-probability is scaled
     // so achieved token shares hit the 0.5/0.3/0.2 target, with the
@@ -438,6 +467,25 @@ object PipelineQueries extends QueryModule {
         |       count(CASE WHEN last_pack > first_pack THEN 1 END) AS n_spanning,
         |       CAST(max(last_pack - first_pack + 1) AS BIGINT) AS max_span
         |FROM q GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "d_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, lang, md5(text) AS fp,
+        |    substr(md5('inc' || CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_batch
+        |  FROM documents),
+        |c AS (SELECT DISTINCT fp FROM d WHERE NOT is_batch),
+        |f AS (SELECT fp, min(doc_id) AS first_id FROM d WHERE is_batch GROUP BY 1),
+        |b AS (SELECT d.lang, d.doc_id,
+        |    (c.fp IS NOT NULL) AS dup_corpus,
+        |    (c.fp IS NULL AND d.doc_id > f.first_id) AS dup_batch
+        |  FROM d JOIN f ON d.fp = f.fp
+        |  LEFT JOIN c ON d.fp = c.fp
+        |  WHERE d.is_batch)
+        |SELECT lang, count(*) AS n_batch,
+        |       count(CASE WHEN dup_corpus THEN 1 END) AS n_dup_corpus,
+        |       count(CASE WHEN dup_batch THEN 1 END) AS n_dup_batch,
+        |       count(CASE WHEN NOT dup_corpus AND NOT dup_batch THEN 1 END)
+        |         AS n_kept
+        |FROM b GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "d_mixture_resample" ->
       """WITH d AS (SELECT doc_id,

@@ -131,6 +131,23 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup partitions the batch into corpus-dup/batch-dup/kept") {
+    val out = PipelineQueries.queries("d_incremental_dedup")(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir)
+    val nBatch = docs.where(
+      substring(md5(concat(lit("inc"), col("doc_id").cast("string"))), 1, 1) >= "c")
+      .count()
+    assert(out.map(_.getAs[Long]("n_batch")).sum === nBatch)
+    out.foreach { r =>
+      // the three outcomes are exhaustive and disjoint
+      assert(r.getAs[Long]("n_dup_corpus") + r.getAs[Long]("n_dup_batch") +
+        r.getAs[Long]("n_kept") === r.getAs[Long]("n_batch"))
+    }
+    // kept docs are genuinely novel: re-running keeps them again
+    val again = PipelineQueries.queries("d_incremental_dedup")(spark, dir).collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("mixture resample keeps the scarcest group whole, rates in (0,1]") {
     val out = PipelineQueries.queries("d_mixture_resample")(spark, dir).collect()
     assert(out.map(_.getAs[Long]("grp")).toSeq === Seq(0L, 1L, 2L))
