@@ -277,6 +277,33 @@ object PipelineQueries extends QueryModule {
         .orderBy("shard")
     },
 
+    // Span-level dedup audit (boilerplate detection): for every doc,
+    // the fraction of its distinct 8-word spans that also occur in
+    // some OTHER doc — the sub-document granularity that catches
+    // shared boilerplate exact-dedup misses (full-doc fingerprints
+    // differ) and pairwise near-dup never enumerates (this is
+    // corpus-wide span frequency, not doc×doc similarity). Spans
+    // travel as 64-bit hashes: the heavy joins shuffle 8-byte keys,
+    // never span text (same inverted-index shape as t_decontaminate).
+    "d_span_dedup" -> { (s, dir) =>
+      import graft.text.TextFunctions.wordShingles
+      val sh = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(wordShingles(col("text"), 8))).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val spanDocs = sh.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      sh.join(spanDocs, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("ndocs") >= 2, 1)).as("n_dup_spans"))
+        .where(col("n_dup_spans") > 0)
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          round(col("n_dup_spans") / col("n_spans").cast("double")
+            + lit(1e-9), 4).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // Incremental dedup: a new crawl batch (25% of docs by salted
     // hash, standing in for "today's crawl") deduped against the
     // existing corpus AND within itself — the daily-ingest shape of
@@ -467,6 +494,21 @@ object PipelineQueries extends QueryModule {
         |       count(CASE WHEN last_pack > first_pack THEN 1 END) AS n_spanning,
         |       CAST(max(last_pack - first_pack + 1) AS BIGINT) AS max_span
         |FROM q GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "d_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(t)-6),
+        |                i -> array_to_string(t[i:i+7], ' '))) s
+        |       FROM toks WHERE len(t) >= 8),
+        |sd AS (SELECT s, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY 1)
+        |SELECT sh.doc_id AS doc_id, count(*) AS n_spans,
+        |       count(CASE WHEN sd.ndocs >= 2 THEN 1 END) AS n_dup_spans,
+        |       round(count(CASE WHEN sd.ndocs >= 2 THEN 1 END)
+        |             / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS dup_frac
+        |FROM sh JOIN sd ON sh.s = sd.s
+        |GROUP BY 1 HAVING count(CASE WHEN sd.ndocs >= 2 THEN 1 END) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "d_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, lang, md5(text) AS fp,

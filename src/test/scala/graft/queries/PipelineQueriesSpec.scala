@@ -131,6 +131,29 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("span dedup: flagged docs share spans symmetrically; fracs in (0,1]") {
+    val out = PipelineQueries.queries("d_span_dedup")(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup_spans") > 0)
+      assert(r.getAs[Long]("n_dup_spans") <= r.getAs[Long]("n_spans"))
+      val f = r.getAs[Double]("dup_frac")
+      assert(f > 0.0 && f <= 1.0)
+    }
+    // span sharing is symmetric: a flagged doc implies >= 2 flagged docs
+    assert(out.isEmpty || out.length >= 2)
+    // exact duplicates (same text) must both be flagged with dup_frac 1.0
+    val docs = graft.Tables.documents(spark, dir)
+    val dupIds = docs.where(size(split(col("text"), " ")) >= 8)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val flagged = out.map(_.getAs[Long]("doc_id")).toSet
+    val fullDup = out.filter(r => dupIds.contains(r.getAs[Long]("doc_id")))
+    assert(dupIds.subsetOf(flagged))
+    fullDup.foreach(r => assert(r.getAs[Double]("dup_frac") === 1.0))
+  }
+
   test("incremental dedup partitions the batch into corpus-dup/batch-dup/kept") {
     val out = PipelineQueries.queries("d_incremental_dedup")(spark, dir).collect()
     val docs = graft.Tables.documents(spark, dir)
