@@ -65,19 +65,78 @@ object PolygonBBoxPushdown extends Rule[LogicalPlan] {
 }
 
 /** Session wiring: `spark.sql.extensions=graft.plans.GraftExtensions`
-  * or `GraftExtensions.enable(spark)` on a live session.
+  * or `GraftExtensions.enable(spark)` on a live session. Injects the
+  * polygon-bbox optimizer rule AND registers every native expression
+  * as a SQL function, so `spark.sql` users get the same surface as
+  * the Column API (`SELECT geodesic_km(y1,x1,y2,x2) ...`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PolygonBBoxPushdown)
+    GraftExtensions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+  }
 }
 
 object GraftExtensions {
-  /** Attach the rule to an already-running session. */
-  def enable(spark: SparkSession): Unit =
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+  import graft.functions.{DotProductExpr, GeodesicKmExpr, MinHashExpr,
+    QuantizeStatsExpr, RepStatsExpr, SimHash16Expr}
+
+  private def d(e: Expression) = Cast(e, DoubleType)
+  private def vd(e: Expression) = Cast(e, ArrayType(DoubleType))
+
+  /** SQL-callable builders for the library's native expressions. */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "polygon_contains" -> { args: Seq[Expression] =>
+      require(args.length == 3, "polygon_contains(wkt, x, y)")
+      PolygonContains(args(0), d(args(1)), d(args(2)))
+    },
+    "geodesic_km" -> { args: Seq[Expression] =>
+      require(args.length == 4, "geodesic_km(lat1, lon1, lat2, lon2)")
+      GeodesicKmExpr(d(args(0)), d(args(1)), d(args(2)), d(args(3)))
+    },
+    "vec_dot" -> { args: Seq[Expression] =>
+      require(args.length == 2, "vec_dot(a, b)")
+      DotProductExpr(vd(args(0)), vd(args(1)))
+    },
+    "quantize_stats" -> { args: Seq[Expression] =>
+      require(args.length == 1, "quantize_stats(vec)")
+      QuantizeStatsExpr(vd(args(0)))
+    },
+    "rep_stats" -> { args: Seq[Expression] =>
+      require(args.length == 1, "rep_stats(text)")
+      RepStatsExpr(args(0))
+    },
+    "simhash16" -> { args: Seq[Expression] =>
+      require(args.length == 1, "simhash16(tokens)")
+      SimHash16Expr(args(0))
+    },
+    "minhash_sig" -> { args: Seq[Expression] =>
+      require(args.length == 2, "minhash_sig(tokens, k)")
+      args(1) match {
+        case Literal(k: Int, IntegerType) => MinHashExpr(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig k must be an integer literal, got $other")
+      }
+    })
+
+  /** Attach the rule + SQL functions to an already-running session. */
+  def enable(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(PolygonBBoxPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PolygonBBoxPushdown
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder)
+    }
+  }
 
   /** Column-level constructor for the native expression. */
   def polygonContains(wkt: String, x: Column, y: Column): Column =

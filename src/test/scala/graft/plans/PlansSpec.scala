@@ -76,4 +76,42 @@ class PlansSpec extends SparkSpec {
     val salted = Salting.saltedJoin(big, small, "k", col("rid"), buckets = 4).count()
     assert(salted === plain)
   }
+
+  test("SQL function registration exposes every native expression") {
+    import spark.implicits._
+    GraftExtensions.enable(spark)
+    Seq((1L, 40.0, -75.0, 41.0, -74.0,
+      Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0),
+      "the the the quick fox", Array("a", "b", "a")))
+      .toDF("id", "lat1", "lon1", "lat2", "lon2", "va", "vb", "txt", "toks")
+      .createOrReplaceTempView("fx")
+
+    // each SQL call must agree with its Column-API twin
+    val sql = spark.sql(
+      """SELECT geodesic_km(lat1, lon1, lat2, lon2) AS gd,
+        |       vec_dot(va, vb) AS dot,
+        |       quantize_stats(va).rmse AS qr,
+        |       rep_stats(txt).n_distinct_tokens AS rf,
+        |       simhash16(toks) AS sh,
+        |       minhash_sig(toks, 4) AS mh,
+        |       polygon_contains('POLYGON ((0 0, -80 0, -80 45, 0 45, 0 0))',
+        |                        lon1, lat1) AS pc
+        |FROM fx""".stripMargin).collect()(0)
+    val api = spark.table("fx").select(
+      graft.functions.GeoDistance.geodesicKm($"lat1", $"lon1", $"lat2", $"lon2"),
+      graft.functions.VectorExpressions.vecDot($"va", $"vb"),
+      graft.functions.VectorExpressions.quantizeStats($"va").getField("rmse"),
+      graft.functions.TextExpressions.repStatsCol($"txt").getField("n_distinct_tokens"),
+      graft.functions.TextExpressions.simhash16Col($"toks"),
+      graft.functions.TextExpressions.minhashSigCol($"toks", 4),
+      GraftExtensions.polygonContains(
+        "POLYGON ((0 0, -80 0, -80 45, 0 45, 0 0))", $"lon1", $"lat1")).collect()(0)
+    assert(sql.getDouble(0) === api.getDouble(0))
+    assert(sql.getDouble(1) === api.getDouble(1) && sql.getDouble(1) === 32.0)
+    assert(sql.getDouble(2) === api.getDouble(2))
+    assert(sql.getLong(3) === api.getLong(3) && sql.getLong(3) === 3L)
+    assert(sql.getString(4) === api.getString(4))
+    assert(sql.getSeq[String](5) === api.getSeq[String](5))
+    assert(sql.getBoolean(6) === api.getBoolean(6) && sql.getBoolean(6))
+  }
 }
