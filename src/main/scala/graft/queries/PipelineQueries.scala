@@ -333,6 +333,27 @@ object PipelineQueries extends QueryModule {
         .orderBy("lang")
     },
 
+    // Balanced shard writer (size-aware output sharding): split the
+    // corpus into 8 shards whose TOKEN totals are near-equal, so every
+    // downstream reader gets the same work — serpentine assignment
+    // over the (tokens DESC, doc_id) rank, imbalance bounded by one
+    // document. The rank is computed WITHOUT a single-partition window
+    // (percentile-boundary buckets + local rank + broadcast prefix
+    // offsets — ops.BalancedShards); the oracle's global row_number() is
+    // plan-equivalent but only the distributed form survives 100 TB.
+    // Integer-only output ⇒ hash-exact across engines.
+    "d_balanced_shards" -> { (s, dir) =>
+      import graft.ops.BalancedShards
+      val docs = Tables.documents(s, dir)
+        .withColumn("tokens", expr("n_chars DIV 4 + 1"))
+      BalancedShards.assign(docs, col("doc_id"), col("tokens"), 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("total_tokens"),
+          max(col("tokens")).as("max_doc_tokens"))
+        .orderBy("shard")
+    },
+
     // Mixture resampling to target source proportions: sources fall
     // into 3 mixture groups; each group's keep-probability is scaled
     // so achieved token shares hit the 0.5/0.3/0.2 target, with the
@@ -528,6 +549,18 @@ object PipelineQueries extends QueryModule {
         |       count(CASE WHEN NOT dup_corpus AND NOT dup_batch THEN 1 END)
         |         AS n_kept
         |FROM b GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "d_balanced_shards" ->
+      """WITH d AS (SELECT doc_id, n_chars // 4 + 1 AS tokens FROM documents),
+        |r AS (SELECT doc_id, tokens,
+        |    row_number() OVER (ORDER BY tokens DESC, doc_id) - 1 AS rn FROM d),
+        |a AS (SELECT tokens,
+        |    CAST(CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+        |              ELSE 7 - rn % 8 END AS BIGINT) AS shard FROM r)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |       CAST(max(tokens) AS BIGINT) AS max_doc_tokens
+        |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "d_mixture_resample" ->
       """WITH d AS (SELECT doc_id,
