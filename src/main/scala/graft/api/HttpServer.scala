@@ -121,10 +121,22 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
               "data.csv" -> Encoders.toCsvBytes(df),
               "data.nc" -> Encoders.toNetcdf(df))))
           case "PNG" =>
-            respond(ex, 200, "image/png", Encoders.toPngAuto(df,
-              xCol = q.get("pngx"), yCol = q.get("pngy"),
-              valueCol = q.get("pngv"),
-              scale = q.get("pngscale").map(_.toInt).getOrElse(8)))
+            // time-series endpoints render LINE plots (the reference's
+            // TimeSeriesSpark.py:364-474 matplotlib chart); map-shaped
+            // endpoints render heatmaps. pngplot= overrides either way.
+            val plot = q.getOrElse("pngplot",
+              if (HttpServer.seriesPngPaths.contains(path)) "series" else "map")
+            if (plot == "series")
+              respond(ex, 200, "image/png", Encoders.toPngSeriesAuto(df,
+                xCol = q.get("pngx"),
+                yCols = q.get("pngy").map(_.split(',').toSeq),
+                width = q.get("pngw").map(_.toInt).getOrElse(800),
+                height = q.get("pngh").map(_.toInt).getOrElse(400)))
+            else
+              respond(ex, 200, "image/png", Encoders.toPngAuto(df,
+                xCol = q.get("pngx"), yCol = q.get("pngy"),
+                valueCol = q.get("pngv"),
+                scale = q.get("pngscale").map(_.toInt).getOrElse(8)))
           case _ =>
             val body = "[" + df.toJSON.collect().mkString(",") + "]"
             respond(ex, 200, "application/json", body.getBytes(UTF_8))
@@ -159,6 +171,13 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
 }
 
 object HttpServer {
+  /** Endpoints whose results are 1-D series — output=PNG defaults to
+    * the line plot for these (heatmap everywhere else).
+    */
+  val seriesPngPaths: Set[String] = Set(
+    "/timeSeriesSpark", "/stats", "/statsSolr",
+    "/dailydifferenceaverage_spark", "/dailydifferenceaverage")
+
   /** Boot with the full registry: core + legacy + diagnostics + DOMS
     * (when an in-situ table and results path are supplied).
     */

@@ -180,6 +180,93 @@ object Encoders {
     bos.toByteArray
   }
 
+  /** Line-series palette (matplotlib tab10 front four), exposed so
+    * specs can pixel-assert exact colors.
+    */
+  val seriesColors: Array[Int] = Array(
+    0xff1f77b4, 0xffff7f0e, 0xff2ca02c, 0xffd62728)
+
+  /** Render 1-D series as a line-plot PNG — the reference's
+    * time-series images (TimeSeriesSpark.py:364-474: matplotlib line
+    * plot, time on x, one line per series, grid + legend). Pure JDK
+    * Graphics2D, no antialiasing so colors are pixel-exact.
+    *
+    * Rows sort ascending by `xCol`; each of `yCols` draws one polyline
+    * in `seriesColors` order. A NULL/NaN y breaks the line at that x
+    * (matplotlib's masked-gap behavior). Plot area has a white
+    * background, black frame, light-gray grid at 5 ticks per axis with
+    * numeric labels, and a legend line per series. Driver-side on a
+    * collected result, like toPng — series are result-shaped.
+    */
+  def toPngSeries(df: DataFrame, xCol: String, yCols: Seq[String],
+                  width: Int = 800, height: Int = 400): Array[Byte] = {
+    require(yCols.nonEmpty, "toPngSeries needs at least one y column")
+    val rows = df.select((xCol +: yCols).map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.get(0).asInstanceOf[Number].doubleValue(),
+        yCols.indices.map(i => if (r.isNullAt(i + 1)) Double.NaN
+          else r.get(i + 1).asInstanceOf[Number].doubleValue())))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no plottable rows for x=$xCol")
+    val xs = rows.map(_._1)
+    val finite = rows.flatMap(_._2).filter(v => !v.isNaN && !v.isInfinite)
+    val (ylo, yhi) = if (finite.isEmpty) (0.0, 1.0) else (finite.min, finite.max)
+    val ypad = if (yhi > ylo) (yhi - ylo) * 0.05 else 0.5
+    val (y0, y1) = (ylo - ypad, yhi + ypad)
+    val (x0, x1) = (xs.min, if (xs.max > xs.min) xs.max else xs.min + 1.0)
+    val (ml, mr, mt, mb) = (70, 15, 12, 35) // margins: left/right/top/bottom
+    val (pw, ph) = (width - ml - mr, height - mt - mb)
+    def px(x: Double) = ml + ((x - x0) / (x1 - x0) * pw).round.toInt
+    def py(y: Double) = mt + ((y1 - y) / (y1 - y0) * ph).round.toInt
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, width, height)
+      // grid + tick labels at 5 even divisions per axis
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, 0, 10))
+      for (i <- 0 to 5) {
+        val gx = ml + pw * i / 5
+        val gy = mt + ph * i / 5
+        g.setColor(new java.awt.Color(0xdd, 0xdd, 0xdd))
+        g.drawLine(gx, mt, gx, mt + ph)
+        g.drawLine(ml, gy, ml + pw, gy)
+        g.setColor(java.awt.Color.BLACK)
+        val xv = x0 + (x1 - x0) * i / 5
+        val yv = y1 - (y1 - y0) * i / 5
+        g.drawString(f"$xv%.6g".replaceAll("0+$", "0"), gx - 15, mt + ph + 14)
+        g.drawString(f"$yv%.6g".replaceAll("0+$", "0"), 4, gy + 4)
+      }
+      // series polylines; NaN breaks the segment chain
+      for ((name, si) <- yCols.zipWithIndex) {
+        g.setColor(new java.awt.Color(seriesColors(si % seriesColors.length), true))
+        var prev: Option[(Int, Int)] = None
+        for ((x, vs) <- rows) {
+          val v = vs(si)
+          if (v.isNaN || v.isInfinite) prev = None
+          else {
+            val p = (px(x), py(v))
+            prev.foreach(q => g.drawLine(q._1, q._2, p._1, p._2))
+            prev = Some(p)
+          }
+        }
+        // legend: color swatch + name, stacked top-left inside the frame
+        val ly = mt + 14 + si * 14
+        g.drawLine(ml + 8, ly - 4, ml + 28, ly - 4)
+        g.setColor(java.awt.Color.BLACK)
+        g.drawString(name, ml + 33, ly)
+      }
+      // frame last so it stays crisp over grid/series edges
+      g.setColor(java.awt.Color.BLACK)
+      g.drawRect(ml, mt, pw, ph)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Matplotlib-jet approximation: piecewise-linear blue→cyan→green→
     * yellow→red over t ∈ [0,1], opaque alpha.
     */
@@ -191,6 +278,26 @@ object Encoders {
     val g = ch(1.5 - math.abs(4.0 * tc - 2.0))
     val b = ch(1.5 - math.abs(4.0 * tc - 1.0))
     (0xff << 24) | (r << 16) | (g << 8) | b
+  }
+
+  /** Line-plot PNG with series defaults: x = the first time-like
+    * numeric column, y = every other numeric column (first 4) — the
+    * shape every time-series endpoint result has.
+    */
+  def toPngSeriesAuto(df: DataFrame, xCol: Option[String] = None,
+                      yCols: Option[Seq[String]] = None,
+                      width: Int = 800, height: Int = 400): Array[Byte] = {
+    val numeric = df.schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }).map(_.name)
+    val x = xCol.getOrElse(
+      Seq("time", "day", "date", "ts", "week", "t").find(numeric.contains)
+        .orElse(numeric.headOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no numeric x column for series PNG (have: ${df.columns.mkString(",")})")))
+    val ys = yCols.getOrElse(numeric.filterNot(_ == x).take(4).toSeq)
+    toPngSeries(df, x, ys, width, height)
   }
 
   /** PNG with map defaults: x=lon, y=lat when present (falling back

@@ -133,6 +133,25 @@ class HttpServerSpec extends SparkSpec {
     assert(zip.body()(0) === 'P'.toByte && zip.body()(1) === 'K'.toByte)
   }
 
+  test("output=PNG on /timeSeriesSpark renders a line plot") {
+    val r = getBytes("/timeSeriesSpark?ds=sst&output=PNG&pngw=400&pngh=200")
+    assert(r.statusCode() === 200, new String(r.body(), "UTF-8"))
+    assert(r.headers().firstValue("Content-Type").get === "image/png")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.body()))
+    assert(img.getWidth === 400 && img.getHeight === 200)
+    // white chart background + at least one polyline in series color 0
+    assert(img.getRGB(0, 0) === 0xffffffff)
+    val c0 = graft.sources.Encoders.seriesColors(0)
+    val n = (for (x <- 0 until 400; y <- 0 until 200
+                  if img.getRGB(x, y) == c0) yield 1).sum
+    assert(n > 40, "expected a plotted series line")
+    // pngplot=map still forces the heatmap branch on the same endpoint
+    val m = getBytes("/timeSeriesSpark?ds=sst&output=PNG&pngplot=map" +
+      "&pngx=day_start&pngy=mean&pngv=cnt&pngscale=1")
+    assert(m.statusCode() === 200, new String(m.body(), "UTF-8"))
+  }
+
   test("output=PNG renders the time-average map as a heatmap") {
     val r = getBytes("/timeAvgMapSpark?ds=sst&output=PNG&pngscale=1")
     assert(r.statusCode() === 200)

@@ -136,4 +136,54 @@ class SourcesSpec extends SparkSpec {
     assert(img.getRGB(0, 0) === Encoders.jetArgb(0.0)) // mean, not cnt
     assert(img.getRGB(1, 0) === Encoders.jetArgb(1.0))
   }
+
+  test("Encoders.toPngSeries draws polylines, breaks at NaN, labels axes") {
+    import spark.implicits._
+    // series a: flat line at 5 with a NaN gap at t=2; series b: ramp
+    val df = Seq(
+      (0.0, Some(5.0), 0.0), (1.0, Some(5.0), 2.0),
+      (2.0, None, 4.0), (3.0, Some(5.0), 6.0), (4.0, Some(5.0), 8.0))
+      .toDF("time", "a", "b")
+    val png = Encoders.toPngSeries(df, "time", Seq("a", "b"),
+      width = 400, height = 200)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 400 && img.getHeight === 200)
+    def countColor(argb: Int): Int =
+      (for (x <- 0 until img.getWidth; y <- 0 until img.getHeight
+            if img.getRGB(x, y) == argb) yield 1).sum
+    val Array(ca, cb) = Encoders.seriesColors.take(2)
+    // both series drew something (legend swatch alone is ~20 px)
+    assert(countColor(ca) > 40, "series a line missing")
+    assert(countColor(cb) > 40, "series b line missing")
+    // background stays white and the frame is black
+    assert(img.getRGB(0, 0) === 0xffffffff)
+    // series a is flat at y=5: its non-legend pixels share ONE y row;
+    // the NaN gap leaves the t∈(1,3) interior of that row unpainted
+    val aPix = for (x <- 0 until img.getWidth; y <- 0 until img.getHeight
+                    if img.getRGB(x, y) == ca) yield (x, y)
+    val lineRow = aPix.groupBy(_._2).maxBy(_._2.size)._1
+    val rowXs = aPix.filter(_._2 == lineRow).map(_._1)
+    // gap: no series-a pixels strictly between the x of t=1 and t=3
+    // (margins: ml=70, pw=315, x domain 0..4)
+    def pxOf(t: Double) = 70 + ((t / 4.0) * 315).round.toInt
+    assert(!rowXs.exists(x => x > pxOf(1.2) && x < pxOf(2.8)),
+      "NaN gap was painted over")
+    // the flat segments on both sides of the gap exist
+    assert(rowXs.exists(_ < pxOf(0.9)) && rowXs.exists(_ > pxOf(3.1)))
+  }
+
+  test("Encoders.toPngSeriesAuto prefers the time-like x column") {
+    import spark.implicits._
+    val df = Seq((0.0, 1.0, 10.0), (1.0, 2.0, 20.0), (2.0, 3.0, 30.0))
+      .toDF("mean", "time", "cnt")
+    // must pick x=time (not first column "mean") and plot the others
+    val png = Encoders.toPngSeriesAuto(df, width = 300, height = 150)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 300 && img.getHeight === 150)
+    val present = Encoders.seriesColors.take(2).map { c =>
+      (for (x <- 0 until img.getWidth; y <- 0 until img.getHeight
+            if img.getRGB(x, y) == c) yield 1).sum
+    }
+    assert(present.forall(_ > 20), "expected two plotted series")
+  }
 }
