@@ -3,7 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.NetcdfClassic
+import graft.sources.{H5Lite, NetcdfClassic}
 import graft.sources.NetcdfClassic.{NcFile, NcVar}
 
 /** One observation point decoded from a granule. Top-level case class:
@@ -27,6 +27,13 @@ case class GranulePoint(granule: String, time: Long, latitude: Double,
   * normalized-point path.
   */
 object GranuleIngest {
+
+  /** Format sniff: NetCDF classic (`CDF\x01/\x02`) or NetCDF-4/HDF5
+    * (`\x89HDF`) — the same dual dispatch libnetcdf performs.
+    */
+  def decode(bytes: Array[Byte]): NcFile =
+    if (H5Lite.isHdf5(bytes)) H5Lite.read(bytes)
+    else NetcdfClassic.read(bytes)
 
   /** Points of a gridded granule: `valueVar` spans (time, lat, lon) —
     * or (lat, lon) with a scalar/absent time — with 1-D coordinate
@@ -110,7 +117,7 @@ object GranuleIngest {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val nc = NetcdfClassic.read(bytes)
+        val nc = decode(bytes)
         val granule = path.substring(path.lastIndexOf('/') + 1)
         if (swath) swathPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
         else gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)

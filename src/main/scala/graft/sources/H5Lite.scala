@@ -1,0 +1,993 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+import NetcdfClassic.{NcAttr, NcDim, NcFile, NcVar}
+import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
+
+/** Pure-JVM codec for a documented subset of the HDF5 file format —
+  * the container behind NetCDF-4 granules — implemented from the
+  * public specification
+  * (https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html). This closes
+  * the reference's NetCDF-4 ingest path (S1/S2: the reference's
+  * `tilereadingprocessor.py:130-190` reads both classic and
+  * HDF5-backed granules through libnetcdf; the sandbox has no HDF5
+  * library, so the subset a gridded granule actually exercises is
+  * implemented directly).
+  *
+  * READ subset — the layout default libnetcdf/libhdf5 produce:
+  *  - superblock v0/v1 (symbol-table root) and v2/v3 (direct root
+  *    object header; trailing checksums are not verified)
+  *  - object headers v1 (with continuation blocks) and v2 (`OHDR`)
+  *  - groups via symbol-table message (B-tree v1 + SNOD + local heap)
+  *    or compact link messages; nested groups flatten to `g/var` names
+  *  - datatypes: fixed-point (1/2/4/8-byte, signed/unsigned, LE/BE),
+  *    IEEE float (4/8-byte, LE/BE), fixed strings (attributes)
+  *  - dataspaces v1/v2 (simple, any rank)
+  *  - data layout v3: compact, contiguous, and chunked (B-tree v1
+  *    chunk index) with the deflate (java.util.zip), shuffle and
+  *    fletcher32 (stripped, not verified) filters
+  *  - attribute messages v1/v2/v3 (numeric and fixed-string values)
+  *
+  * WRITE subset (fixture synthesis + round-trip proof): superblock v0,
+  * v1 object headers, one symbol-table root group, contiguous or
+  * chunked+shuffle+deflate datasets, v1 attributes — each structure
+  * emitted exactly as the spec draws it, so the files are valid for
+  * any real HDF5 reader, not just this one.
+  *
+  * Decoded variables map onto the [[NetcdfClassic.NcFile]] model (data
+  * as doubles, CF unpacking via `NcVar.unpacked`), so the granule
+  * ingest path is format-agnostic. Variable dims get synthetic
+  * per-variable names (`<var>_d<i>`) — the ingest derives grid shape
+  * from coordinate variables, not dim identity. Out of scope:
+  * fractal-heap "dense" groups, vlen/compound/reference types (NetCDF-4
+  * DIMENSION_LIST attrs decode as empty), szip.
+  */
+object H5Lite {
+
+  private val SIG: Array[Byte] =
+    Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte)
+  private val UNDEF = -1L
+
+  def isHdf5(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == SIG(i))
+
+  // datatype classes
+  private val C_FIXED = 0
+  private val C_FLOAT = 1
+  private val C_STRING = 3
+
+  private case class Dtype(clazz: Int, size: Int, le: Boolean, signed: Boolean)
+  private case class Layout(clazz: Int, addr: Long = UNDEF, size: Long = 0,
+                            chunkDims: Seq[Int] = Nil, compactPos: Long = UNDEF)
+  private case class Filter(id: Int, clientValues: Seq[Long])
+  private case class Dataset(name: String, dims: Seq[Long], dtype: Dtype,
+                             layout: Layout, filters: Seq[Filter],
+                             attrs: Seq[NcAttr])
+
+  // ------------------------------------------------------------------ read
+
+  private class R(val bytes: Array[Byte]) {
+    val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def at(pos: Long): Unit = buf.position(pos.toInt)
+    def pos: Long = buf.position().toLong
+    def u8(): Int = buf.get() & 0xff
+    def u16(): Int = buf.getShort() & 0xffff
+    def u32(): Long = buf.getInt() & 0xffffffffL
+    def u64(): Long = buf.getLong()
+    def skip(n: Int): Unit = buf.position(buf.position() + n)
+    def take(n: Int): Array[Byte] = { val b = new Array[Byte](n); buf.get(b); b }
+    def sig4(pos: Long, s: String): Boolean =
+      pos >= 0 && pos + 4 <= bytes.length &&
+        s.zipWithIndex.forall { case (c, i) => bytes(pos.toInt + i) == c.toByte }
+    def cstring(pos: Long): String = {
+      var e = pos.toInt
+      while (e < bytes.length && bytes(e) != 0) e += 1
+      new String(bytes, pos.toInt, e - pos.toInt, "UTF-8")
+    }
+  }
+
+  /** Parse HDF5 bytes into the engine's NcFile model. */
+  def read(bytes: Array[Byte]): NcFile = {
+    require(isHdf5(bytes), "h5: not an HDF5 file (signature mismatch)")
+    val r = new R(bytes)
+    r.at(8)
+    val sbVersion = r.u8()
+    val rootOh: Long = sbVersion match {
+      case 0 | 1 =>
+        r.skip(3) // freespace/root-group versions + reserved
+        r.skip(1) // shared header message version
+        val soff = r.u8(); val slen = r.u8()
+        require(soff == 8 && slen == 8,
+          s"h5: unsupported offset/length sizes $soff/$slen (8/8 only)")
+        r.skip(1) // reserved
+        r.u16(); r.u16() // group leaf/internal k
+        if (sbVersion == 1) { r.u16(); r.u16() } // indexed-storage k + reserved
+        r.u32() // consistency flags
+        r.skip(32) // base, free-space, EOF, driver-info addresses
+        // root group symbol table entry
+        r.u64() // link name offset
+        r.u64() // object header address
+      case 2 | 3 =>
+        val soff = r.u8(); val slen = r.u8()
+        require(soff == 8 && slen == 8,
+          s"h5: unsupported offset/length sizes $soff/$slen (8/8 only)")
+        r.u8() // consistency flags
+        r.u64() // base address
+        r.u64() // superblock extension
+        r.u64() // EOF
+        r.u64() // root object header address (checksum follows, unverified)
+      case v => sys.error(s"h5: unsupported superblock version $v")
+    }
+    val sets = ArrayBuffer.empty[Dataset]
+    val rootAttrs = ArrayBuffer.empty[NcAttr]
+    walkObject(r, rootOh, "", sets, rootAttrs, isRoot = true)
+
+    val dims = ArrayBuffer.empty[NcDim]
+    val vars = sets.map { d =>
+      val dimNames = d.dims.zipWithIndex.map { case (len, i) =>
+        val nm = s"${d.name}_d$i"
+        dims += NcDim(nm, len.toInt)
+        nm
+      }
+      NcVar(d.name, dimNames.toSeq, ncTypeOf(d.dtype), d.attrs,
+        readData(r, d))
+    }
+    NcFile(dims.toSeq, rootAttrs.toSeq, vars.toSeq)
+  }
+
+  /** Messages of one object header, following continuations. Returns
+    * (type, bodyPos, bodySize) triples.
+    */
+  private def headerMessages(r: R, addr: Long): Seq[(Int, Long, Int)] = {
+    val out = ArrayBuffer.empty[(Int, Long, Int)]
+    if (r.sig4(addr, "OHDR")) { // version 2
+      r.at(addr + 4)
+      val ver = r.u8()
+      require(ver == 2, s"h5: bad OHDR version $ver")
+      val flags = r.u8()
+      if ((flags & 0x20) != 0) r.skip(16) // times
+      if ((flags & 0x10) != 0) r.skip(4) // max-compact / min-dense
+      val sizeBytes = 1 << (flags & 0x3)
+      def chunkSize(): Long = sizeBytes match {
+        case 1 => r.u8().toLong
+        case 2 => r.u16().toLong
+        case 4 => r.u32()
+        case _ => r.u64()
+      }
+      val creationTracked = (flags & 0x4) != 0
+      var blocks = List((r.pos, chunkSize()))
+      while (blocks.nonEmpty) {
+        val (start, len) = blocks.head
+        blocks = blocks.tail
+        r.at(start)
+        val end = start + len - 4 // gap + checksum tail
+        while (r.pos + 4 <= end) {
+          val t = r.u8()
+          val sz = r.u16()
+          r.u8() // message flags
+          if (creationTracked) r.skip(2)
+          val body = r.pos
+          if (t == 0x10) {
+            r.at(body)
+            val off = r.u64(); val clen = r.u64()
+            // continuation block: OCHK signature + messages + checksum
+            blocks = (off + 4, clen - 4) :: blocks
+          } else if (t != 0) out += ((t, body, sz))
+          r.at(body + sz)
+        }
+      }
+    } else { // version 1
+      r.at(addr)
+      val ver = r.u8()
+      require(ver == 1, s"h5: bad object header version $ver at $addr")
+      r.skip(1)
+      var remaining = r.u16() // total message count
+      r.u32() // reference count
+      val hdrSize = r.u32()
+      r.skip(4) // pad to 8
+      var blocks = List((addr + 16, hdrSize))
+      while (blocks.nonEmpty && remaining > 0) {
+        val (start, len) = blocks.head
+        blocks = blocks.tail
+        r.at(start)
+        val end = start + len
+        while (remaining > 0 && r.pos + 8 <= end) {
+          val t = r.u16()
+          val sz = r.u16()
+          r.u8(); r.skip(3)
+          val body = r.pos
+          remaining -= 1
+          if (t == 0x10) {
+            r.at(body)
+            val off = r.u64(); val clen = r.u64()
+            blocks = (off, clen) :: blocks
+          } else if (t != 0) out += ((t, body, sz))
+          r.at(body + sz)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Recursively collect datasets under an object (group or dataset). */
+  private def walkObject(r: R, addr: Long, prefix: String,
+                         sets: ArrayBuffer[Dataset], rootAttrs: ArrayBuffer[NcAttr],
+                         isRoot: Boolean): Unit = {
+    val msgs = headerMessages(r, addr)
+    val byType = msgs.groupBy(_._1)
+    val isDataset = byType.contains(0x08)
+    if (isDataset) {
+      val (_, dsPos, _) = byType(0x01).head
+      r.at(dsPos); val dims = parseDataspace(r)
+      val (_, dtPos, _) = byType(0x03).head
+      r.at(dtPos); val dt = parseDatatype(r)
+      val (_, loPos, _) = byType(0x08).head
+      r.at(loPos); val layout = parseLayout(r)
+      val filters = byType.get(0x0B).map { m =>
+        r.at(m.head._2); parseFilters(r)
+      }.getOrElse(Nil)
+      val attrs = byType.getOrElse(0x0C, Nil).map { case (_, p, _) =>
+        r.at(p); parseAttr(r)
+      }
+      sets += Dataset(prefix.stripPrefix("/"), dims, dt, layout, filters, attrs)
+    } else {
+      // group: children from a symbol-table message and/or link messages
+      if (isRoot) byType.getOrElse(0x0C, Nil).foreach { case (_, p, _) =>
+        r.at(p); rootAttrs += parseAttr(r)
+      }
+      val children = ArrayBuffer.empty[(String, Long)]
+      byType.get(0x11).foreach { m =>
+        r.at(m.head._2)
+        val btree = r.u64(); val heap = r.u64()
+        children ++= symbolTableChildren(r, btree, heap)
+      }
+      byType.getOrElse(0x06, Nil).foreach { case (_, p, _) =>
+        r.at(p)
+        parseLink(r).foreach(children += _)
+      }
+      children.foreach { case (nm, a) =>
+        walkObject(r, a, s"$prefix/$nm".stripPrefix("/"), sets, rootAttrs,
+          isRoot = false)
+      }
+    }
+  }
+
+  private def symbolTableChildren(r: R, btree: Long, heap: Long): Seq[(String, Long)] = {
+    require(r.sig4(heap, "HEAP"), s"h5: bad local heap at $heap")
+    r.at(heap + 8)
+    r.u64() // data segment size
+    r.u64() // free-list head
+    val heapData = r.u64()
+    val out = ArrayBuffer.empty[(String, Long)]
+    def walkNode(addr: Long): Unit = {
+      require(r.sig4(addr, "TREE"), s"h5: bad group B-tree node at $addr")
+      r.at(addr + 4)
+      val nodeType = r.u8(); val level = r.u8(); val used = r.u16()
+      require(nodeType == 0, s"h5: group B-tree has node type $nodeType")
+      r.u64(); r.u64() // siblings
+      // interleaved key0 child0 key1 ... — keys are heap offsets
+      val children = (0 until used).map { _ => r.u64(); r.u64() }
+      r.u64() // final key
+      children.foreach { c =>
+        if (level > 0) walkNode(c)
+        else { // SNOD leaf
+          require(r.sig4(c, "SNOD"), s"h5: bad symbol node at $c")
+          r.at(c + 4)
+          r.u8(); r.u8()
+          val n = r.u16()
+          val entries = (0 until n).map { _ =>
+            val nameOff = r.u64(); val oh = r.u64()
+            r.u32(); r.u32(); r.skip(16)
+            (nameOff, oh)
+          }
+          entries.foreach { case (off, oh) =>
+            out += ((r.cstring(heapData + off), oh))
+          }
+        }
+      }
+    }
+    walkNode(btree)
+    out.toSeq
+  }
+
+  /** Hard-link message → (name, object header address); None for
+    * soft/external links.
+    */
+  private def parseLink(r: R): Option[(String, Long)] = {
+    val ver = r.u8()
+    require(ver == 1, s"h5: bad link message version $ver")
+    val flags = r.u8()
+    val linkType = if ((flags & 0x08) != 0) r.u8() else 0
+    if ((flags & 0x04) != 0) r.skip(8) // creation order
+    if ((flags & 0x10) != 0) r.skip(1) // charset
+    val nameLen = (flags & 0x3) match {
+      case 0 => r.u8().toLong
+      case 1 => r.u16().toLong
+      case 2 => r.u32()
+      case _ => r.u64()
+    }
+    val name = new String(r.take(nameLen.toInt), "UTF-8")
+    if (linkType == 0) Some((name, r.u64())) else None
+  }
+
+  private def parseDataspace(r: R): Seq[Long] = {
+    val ver = r.u8()
+    val rank = r.u8()
+    ver match {
+      case 1 => r.u8(); r.skip(5) // flags + reserved
+      case 2 => r.u8(); r.u8() // flags + type
+      case v => sys.error(s"h5: unsupported dataspace version $v")
+    }
+    (0 until rank).map(_ => r.u64())
+  }
+
+  private def parseDatatype(r: R): Dtype = {
+    val b0 = r.u8()
+    val clazz = b0 & 0xf
+    val bits0 = r.u8(); r.u8(); r.u8()
+    val size = r.u32().toInt
+    clazz match {
+      case C_FIXED => Dtype(clazz, size, le = (bits0 & 1) == 0,
+        signed = (bits0 & 8) != 0)
+      case C_FLOAT => Dtype(clazz, size, le = (bits0 & 1) == 0, signed = true)
+      case C_STRING => Dtype(clazz, size, le = true, signed = false)
+      case c => sys.error(s"h5: unsupported datatype class $c " +
+        "(fixed/float/string only — vlen/compound out of subset)")
+    }
+  }
+
+  private def parseLayout(r: R): Layout = {
+    val ver = r.u8()
+    require(ver == 3, s"h5: unsupported data layout version $ver (v3 only)")
+    r.u8() match {
+      case 0 => // compact
+        val n = r.u16()
+        Layout(0, size = n, compactPos = r.pos)
+      case 1 =>
+        Layout(1, addr = r.u64(), size = r.u64())
+      case 2 =>
+        val nd = r.u8()
+        val btree = r.u64()
+        val dims = (0 until nd).map(_ => r.u32().toInt)
+        Layout(2, addr = btree, chunkDims = dims) // last dim = element size
+      case c => sys.error(s"h5: unknown layout class $c")
+    }
+  }
+
+  private def parseFilters(r: R): Seq[Filter] = {
+    val ver = r.u8()
+    val n = r.u8()
+    if (ver == 1) r.skip(6)
+    (0 until n).map { _ =>
+      val id = r.u16()
+      val nameLen = if (ver == 1 || id >= 256) r.u16() else 0
+      r.u16() // flags
+      val ncv = r.u16()
+      if (nameLen > 0) {
+        val padded = if (ver == 1) (nameLen + 7) / 8 * 8 else nameLen
+        r.skip(padded)
+      }
+      val cvs = (0 until ncv).map(_ => r.u32())
+      if (ver == 1 && ncv % 2 == 1) r.skip(4)
+      Filter(id, cvs)
+    }
+  }
+
+  private def parseAttr(r: R): NcAttr = {
+    val ver = r.u8()
+    require(ver >= 1 && ver <= 3, s"h5: unsupported attribute version $ver")
+    if (ver == 1) r.skip(1) else r.u8() // reserved / flags (shared dt unsupported)
+    val nameSize = r.u16()
+    val dtSize = r.u16()
+    val dsSize = r.u16()
+    if (ver == 3) r.skip(1) // name character-set encoding
+    def padded(n: Int): Int = if (ver == 1) (n + 7) / 8 * 8 else n
+    val namePos = r.pos
+    val name = r.cstring(namePos)
+    r.at(namePos + padded(nameSize))
+    val dtPos = r.pos
+    val dt = parseDatatype(r)
+    r.at(dtPos + padded(dtSize))
+    val dsPos = r.pos
+    val dims = parseDataspace(r)
+    r.at(dsPos + padded(dsSize))
+    val count = dims.product.max(1).toInt
+    dt.clazz match {
+      case C_STRING =>
+        val raw = r.take(dt.size * count)
+        NcAttr(name, NC_CHAR, text = new String(raw.takeWhile(_ != 0), "UTF-8"))
+      case _ =>
+        val vals = decode(r.take(dt.size * count), dt, count)
+        NcAttr(name, ncTypeOf(dt), nums = vals.toSeq)
+    }
+  }
+
+  private def ncTypeOf(dt: Dtype): Int = dt.clazz match {
+    case C_FLOAT => if (dt.size == 8) NC_DOUBLE else NC_FLOAT
+    case C_STRING => NC_CHAR
+    case _ => dt.size match {
+      case 1 => NC_BYTE
+      case 2 => NC_SHORT
+      case 4 => NC_INT
+      case _ => NC_DOUBLE // int64: engine's numeric plane is double anyway
+    }
+  }
+
+  /** Decode `count` raw elements to doubles. */
+  private def decode(raw: Array[Byte], dt: Dtype, count: Int): Array[Double] = {
+    val b = ByteBuffer.wrap(raw)
+      .order(if (dt.le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val out = new Array[Double](count)
+    var i = 0
+    while (i < count) {
+      out(i) = (dt.clazz, dt.size) match {
+        case (C_FLOAT, 4) => b.getFloat().toDouble
+        case (C_FLOAT, 8) => b.getDouble()
+        case (C_FIXED, 1) => if (dt.signed) b.get().toDouble else (b.get() & 0xff).toDouble
+        case (C_FIXED, 2) => if (dt.signed) b.getShort().toDouble else (b.getShort() & 0xffff).toDouble
+        case (C_FIXED, 4) => if (dt.signed) b.getInt().toDouble else (b.getInt() & 0xffffffffL).toDouble
+        case (C_FIXED, 8) => b.getLong().toDouble
+        case (c, s) => sys.error(s"h5: cannot decode datatype class $c size $s")
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def readData(r: R, d: Dataset): Array[Double] = {
+    val n = d.dims.product.max(1).toInt
+    d.layout.clazz match {
+      case 0 =>
+        r.at(d.layout.compactPos)
+        decode(r.take(d.layout.size.toInt), d.dtype, n)
+      case 1 =>
+        if (d.layout.addr == UNDEF) Array.fill(n)(Double.NaN)
+        else {
+          r.at(d.layout.addr)
+          decode(r.take(n * d.dtype.size), d.dtype, n)
+        }
+      case 2 => readChunked(r, d, n)
+      case c => sys.error(s"h5: layout class $c unsupported")
+    }
+  }
+
+  private def readChunked(r: R, d: Dataset, n: Int): Array[Double] = {
+    val out = Array.fill(n)(Double.NaN)
+    val rank = d.dims.length
+    val chunkDims = d.layout.chunkDims.dropRight(1) // trailing entry = elem size
+    require(chunkDims.length == rank,
+      s"h5: chunk rank ${chunkDims.length} != dataset rank $rank")
+    val dimProd = d.dims.scanRight(1L)(_ * _).tail // row-major strides
+    def walkNode(addr: Long): Unit = {
+      require(r.sig4(addr, "TREE"), s"h5: bad chunk B-tree node at $addr")
+      r.at(addr + 4)
+      val nodeType = r.u8(); val level = r.u8(); val used = r.u16()
+      require(nodeType == 1, s"h5: chunk B-tree has node type $nodeType")
+      r.u64(); r.u64() // siblings
+      val entries = (0 until used).map { _ =>
+        val sz = r.u32(); r.u32() // chunk byte size, filter mask
+        val offs = (0 to rank).map(_ => r.u64()) // + element-size dim
+        val child = r.u64()
+        (sz, offs.dropRight(1), child)
+      }
+      entries.foreach { case (sz, offs, child) =>
+        if (level > 0) walkNode(child)
+        else {
+          r.at(child)
+          var raw = r.take(sz.toInt)
+          // reverse filter pipeline: fletcher32 strip → inflate → unshuffle
+          d.filters.reverse.foreach { f =>
+            f.id match {
+              case 1 => raw = inflate(raw)
+              case 2 => raw = unshuffle(raw, f.clientValues.headOption
+                .map(_.toInt).getOrElse(d.dtype.size))
+              case 3 => raw = raw.dropRight(4)
+              case id => sys.error(s"h5: unsupported filter id $id")
+            }
+          }
+          val vals = decode(raw, d.dtype, raw.length / d.dtype.size)
+          // copy the chunk into place, clipping edge chunks
+          val cProd = chunkDims.scanRight(1)(_ * _).tail
+          val cn = chunkDims.product
+          var k = 0
+          while (k < cn) {
+            var rem = k; var target = 0L; var inside = true
+            var dim = 0
+            while (dim < rank && inside) {
+              val ci = rem / cProd(dim); rem %= cProd(dim)
+              val gi = offs(dim) + ci
+              if (gi >= d.dims(dim)) inside = false
+              else target += gi * dimProd(dim)
+              dim += 1
+            }
+            if (inside && k < vals.length) out(target.toInt) = vals(k)
+            k += 1
+          }
+        }
+      }
+    }
+    if (d.layout.addr != UNDEF) walkNode(d.layout.addr)
+    out
+  }
+
+  private def inflate(raw: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(raw)
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) sys.error("h5: truncated deflate stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def unshuffle(raw: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) raw
+    else {
+      val n = raw.length / elemSize
+      val out = new Array[Byte](raw.length)
+      var j = 0
+      while (j < elemSize) {
+        var i = 0
+        while (i < n) {
+          out(i * elemSize + j) = raw(j * n + i)
+          i += 1
+        }
+        j += 1
+      }
+      // bytes past n*elemSize (none in conforming chunks) pass through
+      var k = n * elemSize
+      while (k < raw.length) { out(k) = raw(k); k += 1 }
+      out
+    }
+  }
+
+  private def shuffle(raw: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) raw
+    else {
+      val n = raw.length / elemSize
+      val out = new Array[Byte](raw.length)
+      var j = 0
+      while (j < elemSize) {
+        var i = 0
+        while (i < n) {
+          out(j * n + i) = raw(i * elemSize + j)
+          i += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
+  private def deflate(raw: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------- write
+
+  /** Chunked-storage request for one variable: `dims` per data
+    * dimension (need not divide the shape — edge chunks pad with 0 and
+    * clip on read), deflate level 0 disables compression.
+    */
+  case class Chunking(dims: Seq[Int], deflateLevel: Int = 6, shuffle: Boolean = true)
+
+  private val GROUP_K = 4 // B-tree entries per node = 2k
+
+  private class W {
+    val out = new java.io.ByteArrayOutputStream()
+    private val scratch = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    def pos: Long = out.size().toLong
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { scratch.clear(); scratch.putShort(v.toShort); out.write(scratch.array(), 0, 2) }
+    def u32(v: Long): Unit = { scratch.clear(); scratch.putInt(v.toInt); out.write(scratch.array(), 0, 4) }
+    def u64(v: Long): Unit = { scratch.clear(); scratch.putLong(v); out.write(scratch.array(), 0, 8) }
+    def raw(b: Array[Byte]): Unit = out.write(b)
+    def zero(n: Long): Unit = (0L until n).foreach(_ => out.write(0))
+    def padTo8(): Unit = if (pos % 8 != 0) zero(8 - pos % 8)
+  }
+
+  private def dtypeFor(ncType: Int): Dtype = ncType match {
+    case NC_BYTE => Dtype(C_FIXED, 1, le = true, signed = true)
+    case NC_SHORT => Dtype(C_FIXED, 2, le = true, signed = true)
+    case NC_INT => Dtype(C_FIXED, 4, le = true, signed = true)
+    case NC_FLOAT => Dtype(C_FLOAT, 4, le = true, signed = true)
+    case NC_DOUBLE => Dtype(C_FLOAT, 8, le = true, signed = true)
+    case t => sys.error(s"h5 write: no datatype for nc_type $t")
+  }
+
+  private def encode(vals: Array[Double], dt: Dtype): Array[Byte] = {
+    val b = ByteBuffer.allocate(vals.length * dt.size)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach { v =>
+      (dt.clazz, dt.size) match {
+        case (C_FLOAT, 4) => b.putFloat(v.toFloat)
+        case (C_FLOAT, 8) => b.putDouble(v)
+        case (C_FIXED, 1) => b.put(v.toByte)
+        case (C_FIXED, 2) => b.putShort(v.toShort)
+        case (C_FIXED, 4) => b.putInt(v.toInt)
+        case (c, s) => sys.error(s"h5 write: cannot encode class $c size $s")
+      }
+    }
+    b.array()
+  }
+
+  private def datatypeBody(dt: Dtype): Array[Byte] = {
+    val b = ByteBuffer.allocate(if (dt.clazz == C_FLOAT) 20 else 12)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(((1 << 4) | dt.clazz).toByte) // version 1 + class
+    if (dt.clazz == C_FLOAT) {
+      // bit field: LE order, implied-msb mantissa normalization (0x20),
+      // sign bit location in byte 1
+      b.put(0x20.toByte).put((dt.size * 8 - 1).toByte).put(0.toByte)
+    } else {
+      b.put((if (dt.signed) 8 else 0).toByte).put(0.toByte).put(0.toByte)
+    }
+    b.putInt(dt.size)
+    b.putShort(0.toShort).putShort((dt.size * 8).toShort) // bit offset/precision
+    if (dt.clazz == C_FLOAT) {
+      // IEEE properties: exp location/size, mantissa location/size, bias
+      if (dt.size == 4) {
+        b.put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte)
+        b.putInt(127)
+      } else {
+        b.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+        b.putInt(1023)
+      }
+    }
+    b.array()
+  }
+
+  private def stringTypeBody(len: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(((1 << 4) | C_STRING).toByte)
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // NUL-terminated, ASCII
+    b.putInt(len)
+    b.array()
+  }
+
+  private def dataspaceBody(dims: Seq[Int]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 8 * dims.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put(dims.length.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(0)
+    dims.foreach(d => b.putLong(d.toLong))
+    b.array()
+  }
+
+  private def attrBody(a: NcAttr): Array[Byte] = {
+    def pad8(n: Int) = (n + 7) / 8 * 8
+    val nameB = a.name.getBytes("UTF-8") :+ 0.toByte
+    val (dtB, dsB, dataB) =
+      if (a.ncType == NC_CHAR) {
+        val t = a.text.getBytes("UTF-8") :+ 0.toByte
+        (stringTypeBody(t.length), dataspaceBody(Nil), t)
+      } else {
+        val dt = dtypeFor(a.ncType)
+        (datatypeBody(dt), dataspaceBody(Seq(a.nums.length)),
+          encode(a.nums.toArray, dt))
+      }
+    val b = ByteBuffer.allocate(8 + pad8(nameB.length) + pad8(dtB.length) +
+      pad8(dsB.length) + dataB.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put(0.toByte)
+    b.putShort(nameB.length.toShort)
+    b.putShort(dtB.length.toShort)
+    b.putShort(dsB.length.toShort)
+    b.put(nameB); b.position(b.position() + pad8(nameB.length) - nameB.length)
+    b.put(dtB); b.position(b.position() + pad8(dtB.length) - dtB.length)
+    b.put(dsB); b.position(b.position() + pad8(dsB.length) - dsB.length)
+    b.put(dataB)
+    b.array()
+  }
+
+  /** Serialize the NcFile model as a v0-superblock HDF5 file. Record
+    * dims are not supported (same restriction as the classic writer).
+    */
+  def write(f: NcFile, chunking: Map[String, Chunking] = Map.empty): Array[Byte] = {
+    require(!f.dims.exists(_.isRecord), "h5 write: record dim unsupported")
+    case class Msg(tpe: Int, body: Array[Byte])
+    def pad8(n: Int) = (n + 7) / 8 * 8
+    def ohSize(msgs: Seq[Msg]): Long =
+      16L + msgs.map(m => 8L + pad8(m.body.length)).sum
+
+    val vars = f.vars.sortBy(_.name)
+    val shapes = vars.map(v => v.dims.map(d => f.dim(d).get.length))
+
+    // ---- plan addresses: superblock, root OH, btree, SNODs, heap, var OHs, data
+    val sbEnd = 96L
+    val rootMsgs0 = // symbol table message placeholder (addresses patched in)
+      Msg(0x11, new Array[Byte](16)) +: f.attrs.map(a => Msg(0x0C, attrBody(a)))
+    val rootOhAddr = sbEnd
+    val btreeAddr = rootOhAddr + ohSize(rootMsgs0)
+    val btreeSize = 24L + (2 * GROUP_K + 1) * 8 + 2 * GROUP_K * 8
+    val snodCap = 2 * GROUP_K
+    val snodCount = math.max(1, (vars.length + snodCap - 1) / snodCap)
+    val snodSize = 8L + snodCap * 40L
+    val snodAddr = btreeAddr + btreeSize
+    val heapHdrAddr = snodAddr + snodCount * snodSize
+    // heap data: 8 reserved bytes (offset 0 = empty root name), then names
+    val nameOffsets = ArrayBuffer.empty[Long]
+    var heapCursor = 8L
+    vars.foreach { v =>
+      nameOffsets += heapCursor
+      heapCursor += pad8(v.name.getBytes("UTF-8").length + 1)
+    }
+    val heapDataSize = math.max(heapCursor, 16L)
+    val heapDataAddr = heapHdrAddr + 32L
+
+    // ---- per-variable messages + data placement
+    var cursor = heapDataAddr + heapDataSize
+    case class VarPlan(ohAddr: Long, msgs: Seq[Msg],
+                       dataAddr: Long, dataBytes: Array[Byte],
+                       chunks: Seq[(Array[Byte], Seq[Long])], btAddr: Long,
+                       btRoot: Long, chunkRank: Int)
+    val plans = vars.zip(shapes).map { case (v, shape) =>
+      val dt = dtypeFor(v.ncType)
+      val n = shape.product.max(1)
+      require(v.data.length == n,
+        s"h5 write: var ${v.name} has ${v.data.length} values, shape wants $n")
+      val attrMsgs = v.attrs.map(a => Msg(0x0C, attrBody(a)))
+      val base = Seq(Msg(0x01, dataspaceBody(shape)),
+        Msg(0x03, datatypeBody(dt)))
+      chunking.get(v.name) match {
+        case None =>
+          val layout = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+          layout.put(3.toByte).put(1.toByte) // v3 contiguous
+          // address + size patched at emit time
+          val msgs = base ++ Seq(Msg(0x08, layout.array())) ++ attrMsgs
+          val ohAddr = cursor
+          cursor += ohSize(msgs)
+          val dataAddr = cursor
+          val bytes = encode(v.data, dt)
+          cursor += pad8(bytes.length)
+          VarPlan(ohAddr, msgs, dataAddr, bytes, Nil, UNDEF, UNDEF, 0)
+        case Some(ck) =>
+          require(ck.dims.length == shape.length,
+            s"h5 write: chunk rank for ${v.name} must be ${shape.length}")
+          val rank = shape.length
+          // enumerate chunks row-major; edge chunks padded with 0
+          val counts = shape.zip(ck.dims).map { case (d, c) => (d + c - 1) / c }
+          val dimProd = shape.scanRight(1)(_ * _).tail
+          val cProd = ck.dims.scanRight(1)(_ * _).tail
+          val chunkIdx = (0 until counts.product.max(1)).map { ci =>
+            var rem = ci
+            counts.indices.map { d =>
+              val q = rem / counts.drop(d + 1).product.max(1)
+              rem %= counts.drop(d + 1).product.max(1)
+              q.toLong * ck.dims(d)
+            }
+          }
+          val chunks = chunkIdx.map { offs =>
+            val cn = ck.dims.product
+            val vals = new Array[Double](cn)
+            var k = 0
+            while (k < cn) {
+              var rem = k; var src = 0L; var inside = true
+              var d = 0
+              while (d < rank && inside) {
+                val ci = rem / cProd(d); rem %= cProd(d)
+                val gi = offs(d) + ci
+                if (gi >= shape(d)) inside = false else src += gi * dimProd(d)
+                d += 1
+              }
+              vals(k) = if (inside) v.data(src.toInt) else 0.0
+              k += 1
+            }
+            var bytes = encode(vals, dt)
+            if (ck.shuffle) bytes = shuffle(bytes, dt.size)
+            if (ck.deflateLevel > 0) bytes = deflate(bytes, ck.deflateLevel)
+            (bytes, offs)
+          }
+          val filterMsg: Option[Msg] = {
+            val fs = (if (ck.shuffle) Seq((2, Seq(dt.size.toLong))) else Nil) ++
+              (if (ck.deflateLevel > 0) Seq((1, Seq(ck.deflateLevel.toLong))) else Nil)
+            if (fs.isEmpty) None
+            else {
+              val sz = 8 + fs.map(f => 8 + f._2.length * 4 +
+                (if (f._2.length % 2 == 1) 4 else 0)).sum
+              val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+              b.put(1.toByte).put(fs.length.toByte)
+              b.put(new Array[Byte](6))
+              fs.foreach { case (id, cvs) =>
+                b.putShort(id.toShort).putShort(0.toShort)
+                b.putShort(0.toShort).putShort(cvs.length.toShort)
+                cvs.foreach(c => b.putInt(c.toInt))
+                if (cvs.length % 2 == 1) b.putInt(0)
+              }
+              Some(Msg(0x0B, b.array()))
+            }
+          }
+          val layout = ByteBuffer.allocate(pad8(2 + 1 + 8 + 4 * (rank + 1)))
+            .order(ByteOrder.LITTLE_ENDIAN)
+          layout.put(3.toByte).put(2.toByte).put((rank + 1).toByte)
+          // btree address patched at emit; chunk dims + element size now
+          layout.putLong(0L)
+          ck.dims.foreach(d => layout.putInt(d))
+          layout.putInt(dt.size)
+          val msgs = base ++ filterMsg.toSeq ++
+            Seq(Msg(0x08, layout.array())) ++ attrMsgs
+          val ohAddr = cursor
+          cursor += ohSize(msgs)
+          // chunk B-tree: layers laid out LEAF-FIRST (leaves hold ≤2k
+          // chunks each, parents hold ≤2k child nodes, up to a single
+          // root) — the root lands last and its address goes in the
+          // layout message
+          val keySize = 8L + 8L * (rank + 1)
+          val nodeSize = 24L + (2 * GROUP_K + 1) * keySize + 2 * GROUP_K * 8
+          def levelNodes(c: Int): Int = math.max(1, (c + snodCap - 1) / snodCap)
+          var levels = List(levelNodes(chunks.length)) // leaf-first
+          while (levels.last > 1) levels = levels :+ levelNodes(levels.last)
+          val totalNodes = levels.sum
+          val btAddr = cursor
+          val btRoot = btAddr + (totalNodes - 1) * nodeSize
+          cursor += totalNodes * nodeSize
+          val dataAddr = cursor
+          chunks.foreach { case (bytes, _) => cursor += pad8(bytes.length) }
+          VarPlan(ohAddr, msgs, dataAddr, Array.emptyByteArray, chunks, btAddr,
+            btRoot, rank)
+      }
+    }
+    val eof = cursor
+
+    // ---- emit
+    val w = new W
+    // superblock v0
+    w.raw(SIG)
+    w.u8(0); w.u8(0); w.u8(0); w.u8(0) // sb/freespace/root versions + reserved
+    w.u8(0); w.u8(8); w.u8(8); w.u8(0) // shared-msg ver, offsets, lengths, reserved
+    w.u16(GROUP_K); w.u16(GROUP_K) // leaf k, internal k
+    w.u32(0) // consistency flags
+    w.u64(0); w.u64(UNDEF); w.u64(eof); w.u64(UNDEF)
+    // root symbol table entry
+    w.u64(0); w.u64(rootOhAddr); w.u32(1); w.u32(0)
+    w.u64(btreeAddr); w.u64(heapHdrAddr)
+
+    def emitOh(msgs: Seq[Msg]): Unit = {
+      w.u8(1); w.u8(0)
+      w.u16(msgs.length)
+      w.u32(1) // reference count
+      w.u32(msgs.map(m => 8L + pad8(m.body.length)).sum)
+      w.u32(0) // pad to 8
+      msgs.foreach { m =>
+        w.u16(m.tpe); w.u16(pad8(m.body.length))
+        w.u8(0); w.u8(0); w.u16(0)
+        w.raw(m.body)
+        w.zero(pad8(m.body.length) - m.body.length)
+      }
+    }
+
+    // root OH with patched symbol-table message
+    val stBody = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    stBody.putLong(btreeAddr).putLong(heapHdrAddr)
+    emitOh(Msg(0x11, stBody.array()) +: rootMsgs0.tail)
+
+    // group B-tree: level 0, one child per SNOD
+    assert(w.pos == btreeAddr)
+    w.raw("TREE".getBytes("ASCII"))
+    w.u8(0); w.u8(0); w.u16(snodCount)
+    w.u64(UNDEF); w.u64(UNDEF)
+    val snodFirst = (0 until snodCount).map(i => i * snodCap)
+    (0 until snodCount).foreach { i =>
+      w.u64(nameOffsets.lift(snodFirst(i)).getOrElse(0L)) // key i
+      w.u64(snodAddr + i * snodSize) // child i
+    }
+    w.u64(nameOffsets.lastOption.getOrElse(0L)) // final key
+    w.zero(btreeAddr + btreeSize - w.pos)
+
+    // SNODs
+    (0 until snodCount).foreach { i =>
+      assert(w.pos == snodAddr + i * snodSize)
+      w.raw("SNOD".getBytes("ASCII"))
+      w.u8(1); w.u8(0)
+      val here = vars.indices.slice(i * snodCap, (i + 1) * snodCap)
+      w.u16(here.length)
+      here.foreach { vi =>
+        w.u64(nameOffsets(vi)); w.u64(plans(vi).ohAddr)
+        w.u32(0); w.u32(0); w.zero(16)
+      }
+      w.zero(snodAddr + (i + 1) * snodSize - w.pos)
+    }
+
+    // local heap
+    assert(w.pos == heapHdrAddr)
+    w.raw("HEAP".getBytes("ASCII"))
+    w.u8(0); w.u8(0); w.u16(0)
+    w.u64(heapDataSize); w.u64(UNDEF); w.u64(heapDataAddr)
+    w.zero(8) // heap offset 0: empty name for the root entry
+    vars.zipWithIndex.foreach { case (v, i) =>
+      assert(w.pos == heapDataAddr + nameOffsets(i))
+      val b = v.name.getBytes("UTF-8")
+      w.raw(b); w.zero(pad8(b.length + 1) - b.length)
+    }
+    w.zero(heapDataAddr + heapDataSize - w.pos)
+
+    // variable object headers + data
+    plans.zip(vars).foreach { case (p, v) =>
+      assert(w.pos == p.ohAddr, s"h5 write: OH drift for ${v.name}")
+      val patched = p.msgs.map { m =>
+        if (m.tpe != 0x08) m
+        else {
+          val b = ByteBuffer.wrap(m.body.clone()).order(ByteOrder.LITTLE_ENDIAN)
+          if (p.chunks.isEmpty) { // contiguous: address + size
+            b.position(2); b.putLong(p.dataAddr)
+            b.putLong(p.dataBytes.length.toLong)
+          } else { // chunked: B-tree ROOT address
+            b.position(3); b.putLong(p.btRoot)
+          }
+          Msg(0x08, b.array())
+        }
+      }
+      emitOh(patched)
+      if (p.chunks.isEmpty) {
+        w.raw(p.dataBytes)
+        w.zero(pad8(p.dataBytes.length) - p.dataBytes.length)
+      } else {
+        val rank = p.chunkRank
+        val keySize = 8L + 8L * (rank + 1)
+        val nodeSize = 24L + (2 * GROUP_K + 1) * keySize + 2 * GROUP_K * 8
+        val chunkAddrs = ArrayBuffer.empty[Long]
+        var ca = p.dataAddr
+        p.chunks.foreach { case (bytes, _) =>
+          chunkAddrs += ca; ca += pad8(bytes.length)
+        }
+        val shape = vars.zip(shapes).find(_._1.name == v.name).get._2
+        // leaf-first layers, written sequentially; parents reference the
+        // node addresses of the layer just written, root lands at btRoot
+        case class Entry(size: Long, offs: Seq[Long], addr: Long)
+        var layerEntries: Seq[Entry] =
+          p.chunks.zip(chunkAddrs).map { case ((bytes, offs), a) =>
+            Entry(bytes.length.toLong, offs, a)
+          }.toSeq
+        var level = 0
+        var layerAddr = p.btAddr
+        var done = false
+        while (!done) {
+          val nNodes = math.max(1, (layerEntries.length + snodCap - 1) / snodCap)
+          val parentEntries = ArrayBuffer.empty[Entry]
+          (0 until nNodes).foreach { ni =>
+            val nodeAddr = layerAddr + ni * nodeSize
+            val mine = layerEntries.slice(ni * snodCap, (ni + 1) * snodCap)
+            assert(w.pos == nodeAddr, s"h5 write: B-tree drift for ${v.name}")
+            w.raw("TREE".getBytes("ASCII"))
+            w.u8(1); w.u8(level); w.u16(mine.length)
+            w.u64(UNDEF); w.u64(UNDEF)
+            mine.foreach { e =>
+              w.u32(e.size); w.u32(0)
+              e.offs.foreach(o => w.u64(o)); w.u64(0L)
+              w.u64(e.addr)
+            }
+            // final key: one past the last chunk (dataset dims)
+            w.u32(0); w.u32(0)
+            shape.foreach(d => w.u64(d.toLong)); w.u64(0L)
+            w.zero(nodeAddr + nodeSize - w.pos)
+            parentEntries += Entry(nodeSize, mine.head.offs, nodeAddr)
+          }
+          layerAddr += nNodes * nodeSize
+          if (nNodes == 1) {
+            assert(layerAddr - nodeSize == p.btRoot,
+              s"h5 write: root drift for ${v.name}")
+            done = true
+          } else layerEntries = parentEntries.toSeq
+          level += 1
+        }
+        assert(w.pos == p.dataAddr)
+        p.chunks.foreach { case (bytes, _) =>
+          w.raw(bytes); w.zero(pad8(bytes.length) - bytes.length)
+        }
+      }
+    }
+    assert(w.pos == eof, s"h5 write: EOF drift (${w.pos} vs $eof)")
+    w.out.toByteArray
+  }
+}

@@ -16,9 +16,9 @@ import scala.collection.mutable.ArrayBuffer
   * read granules through a netCDF library): the sandbox has no such
   * library, so the classic subset is implemented from the spec. Data is
   * decoded to doubles (the engine's numeric plane); CHAR variables are
-  * exposed as text attributes only. HDF5-backed NetCDF-4 granules are
-  * out of scope (the container format is far larger than the classic
-  * header spec and needs a real HDF5 library).
+  * exposed as text attributes only. HDF5-backed NetCDF-4 granules go
+  * through the sibling [[H5Lite]] codec (same NcFile model);
+  * `GranuleIngest.decode` sniffs the magic and dispatches.
   *
   * The same codec WRITES classic files, which serves two roles: test
   * granule synthesis for the ingest specs, and the S9 NetCDF output

@@ -1,0 +1,173 @@
+package graft.sources
+
+import graft.SparkSpec
+import NetcdfClassic.{NcAttr, NcDim, NcFile, NcVar}
+import NetcdfClassic.{NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
+
+/** HDF5 subset codec: byte-level structure pins against the public
+  * format spec, write→read round-trips across layouts and filters, and
+  * the NetCDF-4 granule ingest path end-to-end.
+  */
+class H5LiteSpec extends SparkSpec {
+
+  private def grid2x3(name: String = "sst") = NcFile(
+    dims = Seq(NcDim("lat", 2), NcDim("lon", 3)),
+    attrs = Seq(NcAttr("title", NC_CHAR, text = "h5lite test"),
+      NcAttr("version", NC_INT, nums = Seq(3.0))),
+    vars = Seq(
+      NcVar("lat", Seq("lat"), NC_DOUBLE, Nil, Array(-0.5, 0.5)),
+      NcVar("lon", Seq("lon"), NC_DOUBLE, Nil, Array(10.0, 11.0, 12.0)),
+      NcVar(name, Seq("lat", "lon"), NC_FLOAT,
+        Seq(NcAttr("scale_factor", NC_DOUBLE, nums = Seq(0.5)),
+          NcAttr("add_offset", NC_DOUBLE, nums = Seq(100.0)),
+          NcAttr("_FillValue", NC_FLOAT, nums = Seq(-9999.0))),
+        Array(1.0, 2.0, -9999.0, 4.0, 5.0, 6.0))))
+
+  test("superblock and signature bytes match the public spec") {
+    val bytes = H5Lite.write(grid2x3())
+    // \x89 H D F \r \n \x1a \n
+    assert(bytes.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, '\r'.toInt, '\n'.toInt, 0x1a, '\n'.toInt))
+    assert(bytes(8) === 0) // superblock version 0
+    assert(bytes(13) === 8 && bytes(14) === 8) // offset/length sizes
+    assert(H5Lite.isHdf5(bytes))
+    // EOF address at offset 40 equals the file length
+    val eof = java.nio.ByteBuffer.wrap(bytes, 40, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    assert(eof === bytes.length.toLong)
+    // structural signatures present: group B-tree, symbol node, heap
+    val s = new String(bytes.map(b => if (b >= 32 && b < 127) b.toChar else '.'))
+    assert(s.contains("TREE") && s.contains("SNOD") && s.contains("HEAP"))
+  }
+
+  test("contiguous write → read round-trips dims, attrs, data, CF unpack") {
+    val f = H5Lite.read(H5Lite.write(grid2x3()))
+    assert(f.vars.map(_.name).sorted === Seq("lat", "lon", "sst"))
+    val sst = f.variable("sst").get
+    assert(f.shape(sst) === Seq(2, 3))
+    assert(sst.data.toSeq === Seq(1.0, 2.0, -9999.0, 4.0, 5.0, 6.0))
+    // CF unpacking through the shared NcVar model
+    val un = sst.unpacked
+    assert(un(0) === 100.5 && un(2).isNaN && un(5) === 103.0)
+    assert(f.variable("lat").get.data.toSeq === Seq(-0.5, 0.5))
+    assert(f.attrs.find(_.name == "title").get.text === "h5lite test")
+    assert(f.attrs.find(_.name == "version").get.first === Some(3.0))
+    assert(sst.attr("scale_factor").get.first === Some(0.5))
+  }
+
+  test("integer and short datatypes round-trip") {
+    val f0 = NcFile(Seq(NcDim("n", 4)), Nil, Seq(
+      NcVar("i", Seq("n"), NC_INT, Nil, Array(-2.0, -1.0, 0.0, 2147483647.0)),
+      NcVar("s", Seq("n"), NC_SHORT, Nil, Array(-32768.0, -1.0, 0.0, 32767.0))))
+    val f = H5Lite.read(H5Lite.write(f0))
+    assert(f.variable("i").get.data.toSeq === Seq(-2.0, -1.0, 0.0, 2147483647.0))
+    assert(f.variable("s").get.data.toSeq === Seq(-32768.0, -1.0, 0.0, 32767.0))
+  }
+
+  test("chunked + shuffle + deflate round-trips, including edge chunks") {
+    val n = 7 * 13 // chunk 4×5 does NOT divide 7×13 — edge chunks clip
+    val data = Array.tabulate(n)(i => math.sin(i * 0.7) * 50)
+    val f0 = NcFile(Seq(NcDim("y", 7), NcDim("x", 13)), Nil,
+      Seq(NcVar("v", Seq("y", "x"), NC_DOUBLE, Nil, data)))
+    val bytes = H5Lite.write(f0,
+      chunking = Map("v" -> H5Lite.Chunking(Seq(4, 5))))
+    val f = H5Lite.read(bytes)
+    assert(f.variable("v").get.data.toSeq === data.toSeq)
+    // deflate actually engaged: on a large compressible grid the
+    // chunked file undercuts the contiguous one despite B-tree overhead
+    val big = NcFile(Seq(NcDim("y", 40), NcDim("x", 50)), Nil,
+      Seq(NcVar("v", Seq("y", "x"), NC_DOUBLE, Nil,
+        Array.fill(2000)(7.25))))
+    val bigChunked = H5Lite.write(big,
+      chunking = Map("v" -> H5Lite.Chunking(Seq(8, 10))))
+    val bigRaw = H5Lite.write(big).length
+    assert(bigChunked.length < bigRaw,
+      s"chunked+deflate ${bigChunked.length} not below contiguous $bigRaw")
+    assert(H5Lite.read(bigChunked).variable("v").get.data.forall(_ === 7.25))
+  }
+
+  test("many chunks exercise a multi-level chunk B-tree") {
+    // 32 chunks of 2 elements > 2k=8 per node → 4 leaves + 1 root
+    val data = Array.tabulate(64)(_.toDouble * 1.5)
+    val f0 = NcFile(Seq(NcDim("n", 64)), Nil,
+      Seq(NcVar("v", Seq("n"), NC_FLOAT, Nil, data)))
+    val bytes = H5Lite.write(f0,
+      chunking = Map("v" -> H5Lite.Chunking(Seq(2), deflateLevel = 0,
+        shuffle = false)))
+    assert(H5Lite.read(bytes).variable("v").get.data.toSeq === data.toSeq)
+    // shuffle-only variant (no deflate) also round-trips
+    val b2 = H5Lite.write(f0,
+      chunking = Map("v" -> H5Lite.Chunking(Seq(16), deflateLevel = 0)))
+    assert(H5Lite.read(b2).variable("v").get.data.toSeq === data.toSeq)
+  }
+
+  test("3-D (time, lat, lon) chunked granule round-trips") {
+    val (nt, nlat, nlon) = (3, 4, 5)
+    val data = Array.tabulate(nt * nlat * nlon)(_.toDouble)
+    val f0 = NcFile(
+      Seq(NcDim("time", nt), NcDim("lat", nlat), NcDim("lon", nlon)), Nil,
+      Seq(NcVar("time", Seq("time"), NC_DOUBLE, Nil, Array(0.0, 3600.0, 7200.0)),
+        NcVar("lat", Seq("lat"), NC_DOUBLE, Nil, Array(-1.5, -0.5, 0.5, 1.5)),
+        NcVar("lon", Seq("lon"), NC_DOUBLE, Nil, Array(1.0, 2.0, 3.0, 4.0, 5.0)),
+        NcVar("analysed_sst", Seq("time", "lat", "lon"), NC_FLOAT, Nil, data)))
+    val bytes = H5Lite.write(f0, chunking =
+      Map("analysed_sst" -> H5Lite.Chunking(Seq(1, 4, 5))))
+    val f = H5Lite.read(bytes)
+    assert(f.shape(f.variable("analysed_sst").get) === Seq(nt, nlat, nlon))
+    assert(f.variable("analysed_sst").get.data.toSeq === data.toSeq)
+  }
+
+  test("rejects truncated and non-HDF5 bytes") {
+    assertThrows[IllegalArgumentException] {
+      H5Lite.read(Array[Byte](1, 2, 3))
+    }
+    assert(!H5Lite.isHdf5("CDFjunk".getBytes("ASCII")))
+    val good = H5Lite.write(grid2x3())
+    assertThrows[Exception] { H5Lite.read(good.take(64)) }
+  }
+
+  test("GranuleIngest dispatches HDF5 vs classic on magic, same points") {
+    val f0 = grid2x3()
+    val h5 = GranuleTestIo.points(H5Lite.write(f0))
+    val classic = GranuleTestIo.points(NetcdfClassic.write(f0))
+    assert(h5.nonEmpty && h5 === classic)
+  }
+
+  test("HDF5 granules ingest end-to-end through binaryFile into tiles") {
+    import graft.ingest.GranuleIngest
+    val dir = java.nio.file.Files.createTempDirectory("h5granules")
+    val (nlat, nlon) = (4, 4)
+    (0 until 2).foreach { d =>
+      val data = Array.tabulate(nlat * nlon)(i => (i + d).toDouble)
+      val f = NcFile(
+        Seq(NcDim("time", 1), NcDim("lat", nlat), NcDim("lon", nlon)), Nil,
+        Seq(NcVar("time", Seq("time"), NC_DOUBLE, Nil, Array(d * 86400.0)),
+          NcVar("lat", Seq("lat"), NC_DOUBLE, Nil,
+            Array.tabulate(nlat)(_ + 0.5)),
+          NcVar("lon", Seq("lon"), NC_DOUBLE, Nil,
+            Array.tabulate(nlon)(_ + 0.5)),
+          NcVar("sst", Seq("time", "lat", "lon"), NC_FLOAT, Nil, data)))
+      java.nio.file.Files.write(dir.resolve(s"g$d.nc"),
+        H5Lite.write(f, chunking = Map("sst" -> H5Lite.Chunking(Seq(1, 2, nlon)))))
+    }
+    val tiles = GranuleIngest.ingestGridGranules(spark, dir.toString + "/*.nc",
+      "sst", "sst_h5", tileLat = 2.0, tileLon = 2.0)
+    assert(tiles.count() > 0)
+    import org.apache.spark.sql.functions._
+    val total = tiles.agg(sum("stats_count")).head.getLong(0)
+    assert(total === 2L * nlat * nlon)
+    val means = tiles.agg(min("stats_min"), max("stats_max")).head
+    assert(means.getDouble(0) === 0.0 && means.getDouble(1) === 16.0)
+  }
+}
+
+/** Shared helper: decode granule bytes → sorted point tuples. */
+object GranuleTestIo {
+  def points(bytes: Array[Byte]): Seq[(Long, Double, Double, String)] = {
+    val nc = graft.ingest.GranuleIngest.decode(bytes)
+    graft.ingest.GranuleIngest.gridPointsOf(nc, "t.nc", "sst")
+      // values as strings so NaN compares equal to NaN
+      .map(p => (p.time, p.latitude, p.longitude, p.value.toString))
+      .toSeq.sortBy(p => (p._1, p._2, p._3))
+  }
+}
