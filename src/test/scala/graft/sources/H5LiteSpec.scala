@@ -117,6 +117,25 @@ class H5LiteSpec extends SparkSpec {
     assert(f.variable("analysed_sst").get.data.toSeq === data.toSeq)
   }
 
+  test("decodes spec-derived fixtures from an independent implementation") {
+    // bytes hand-assembled from the HDF5 spec by tools/make_h5_fixture.py
+    // (python, written independently of the Scala writer) — breaks the
+    // writer↔reader round-trip circularity
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/h5/$name")
+      assert(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val f1 = H5Lite.read(res("hand_contiguous.h5"))
+    val temp = f1.variable("temp").get
+    assert(f1.shape(temp) === Seq(2, 3))
+    assert(temp.data.toSeq === Seq(273.15, 274.0, 275.5, 280.25, 281.0, 282.75))
+    assert(temp.attr("units").get.text === "K")
+    val f2 = H5Lite.read(res("hand_chunked.h5"))
+    assert(f2.variable("v").get.data.toSeq ===
+      Seq(1.5, -2.5, 3.5, -4.5, 5.5, -6.5))
+  }
+
   test("rejects truncated and non-HDF5 bytes") {
     assertThrows[IllegalArgumentException] {
       H5Lite.read(Array[Byte](1, 2, 3))

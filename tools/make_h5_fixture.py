@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Hand-built HDF5 fixtures straight from the public format spec
+(https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html) — an independent
+second implementation (vs the Scala writer) so the reader is validated
+against spec-derived bytes, not its own sibling.
+
+File 1 (hand_contiguous.h5): superblock v0, root group with one
+symbol-table entry, dataset "temp" float64[2,3] contiguous, one
+attribute units="K".
+File 2 (hand_chunked.h5): dataset "v" float32[6] chunked [2] with
+deflate, 3 chunks via one B-tree v1 node.
+"""
+import struct, zlib
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+def u8(v): return struct.pack('<B', v)
+def u16(v): return struct.pack('<H', v)
+def u32(v): return struct.pack('<I', v)
+def u64(v): return struct.pack('<Q', v)
+def pad8(b): return b + b'\0' * ((8 - len(b) % 8) % 8)
+
+SIG = bytes([0x89, ord('H'), ord('D'), ord('F'), 0x0d, 0x0a, 0x1a, 0x0a])
+
+def superblock(root_oh, eof, btree, heap):
+    b = SIG
+    b += u8(0)*4            # sb ver, freespace ver, root group ver, reserved
+    b += u8(0)+u8(8)+u8(8)+u8(0)  # shared msg ver, sizeof offsets/lengths, reserved
+    b += u16(4)+u16(4)      # leaf k, internal k
+    b += u32(0)             # consistency flags
+    b += u64(0)+u64(UNDEF)+u64(eof)+u64(UNDEF)
+    # root symbol table entry
+    b += u64(0)+u64(root_oh)+u32(1)+u32(0)+u64(btree)+u64(heap)
+    assert len(b) == 96
+    return b
+
+def message(tpe, body):
+    body = pad8(body)
+    return u16(tpe)+u16(len(body))+u8(0)+b'\0'*3+body
+
+def object_header(msgs):
+    data = b''.join(message(t, m) for t, m in msgs)
+    return u8(1)+u8(0)+u16(len(msgs))+u32(1)+u32(len(data))+u32(0)+data
+
+def dataspace(dims):
+    return u8(1)+u8(len(dims))+u8(0)+u8(0)+u32(0)+b''.join(u64(d) for d in dims)
+
+def dt_f64():
+    # class 1 float, v1; LE, implied-msb norm, sign bit 63
+    return u8((1<<4)|1)+u8(0x20)+u8(63)+u8(0)+u32(8)+u16(0)+u16(64)+u8(52)+u8(11)+u8(0)+u8(52)+u32(1023)
+
+def dt_f32():
+    return u8((1<<4)|1)+u8(0x20)+u8(31)+u8(0)+u32(4)+u16(0)+u16(32)+u8(23)+u8(8)+u8(0)+u8(23)+u32(127)
+
+def dt_str(n):
+    return u8((1<<4)|3)+u8(0)+u8(0)+u8(0)+u32(n)
+
+def attr_v1(name, dt, ds, data):
+    nb = name.encode()+b'\0'
+    return (u8(1)+u8(0)+u16(len(nb))+u16(len(dt))+u16(len(ds))
+            + pad8(nb)+pad8(dt)+pad8(ds)+data)
+
+def layout_contiguous(addr, size):
+    return u8(3)+u8(1)+u64(addr)+u64(size)
+
+def layout_chunked(btree, chunk_dims, elem):
+    return u8(3)+u8(2)+u8(len(chunk_dims)+1)+u64(btree)+b''.join(u32(d) for d in chunk_dims)+u32(elem)
+
+def filters_deflate(level):
+    return u8(1)+u8(1)+b'\0'*6 + u16(1)+u16(0)+u16(0)+u16(1)+u32(level)+u32(0)
+
+def snod(entries):
+    b = b'SNOD'+u8(1)+u8(0)+u16(len(entries))
+    for name_off, oh in entries:
+        b += u64(name_off)+u64(oh)+u32(0)+u32(0)+b'\0'*16
+    return b
+
+def group_btree(keys, children, final_key):
+    b = b'TREE'+u8(0)+u8(0)+u16(len(children))+u64(UNDEF)+u64(UNDEF)
+    for k, c in zip(keys, children):
+        b += u64(k)+u64(c)
+    b += u64(final_key)
+    return b
+
+def heap(data_addr, data):
+    return b'HEAP'+u8(0)+b'\0'*3+u64(len(data))+u64(UNDEF)+u64(data_addr), data
+
+# ---------------- file 1: contiguous float64[2,3] with units attr
+def build_contiguous():
+    vals = [273.15, 274.0, 275.5, 280.25, 281.0, 282.75]
+    data_bytes = b''.join(struct.pack('<d', v) for v in vals)
+    heap_data = pad8(b'\0'*8 + b'temp\0')
+    name_off = 8
+    # layout plan: sb(96) rootOH btree snod heapHdr heapData dsOH data
+    root_oh = 96
+    root_oh_bytes_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_oh_bytes_probe)
+    btree_bytes = group_btree([name_off], [0], name_off)  # child patched below
+    snod_addr = btree_addr + len(pad8(btree_bytes))
+    snod_bytes_probe = snod([(name_off, 0)])
+    heap_hdr_addr = snod_addr + len(pad8(snod_bytes_probe))
+    heap_data_addr = heap_hdr_addr + 32
+    ds_oh_addr = heap_data_addr + len(heap_data)
+    attr = attr_v1('units', dt_str(2), dataspace([]), b'K\0')
+    ds_msgs_probe = [(0x01, dataspace([2,3])), (0x03, dt_f64()),
+                     (0x08, layout_contiguous(0, 0)), (0x0C, attr)]
+    ds_oh_probe = object_header(ds_msgs_probe)
+    data_addr = ds_oh_addr + len(ds_oh_probe)
+    eof = data_addr + len(data_bytes)
+
+    ds_msgs = [(0x01, dataspace([2,3])), (0x03, dt_f64()),
+               (0x08, layout_contiguous(data_addr, len(data_bytes))), (0x0C, attr)]
+    ds_oh = object_header(ds_msgs)
+    assert len(ds_oh) == len(ds_oh_probe)
+    root = object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    assert len(root) == len(root_oh_bytes_probe)
+    bt = pad8(group_btree([name_off], [snod_addr], name_off))
+    sn = pad8(snod([(name_off, ds_oh_addr)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += root + bt + sn + hh + hd + ds_oh + data_bytes
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+# ---------------- file 2: chunked float32[6], chunk [2], deflate
+def build_chunked():
+    vals = [1.5, -2.5, 3.5, -4.5, 5.5, -6.5]
+    chunks = []
+    for ci in range(3):
+        raw = b''.join(struct.pack('<f', v) for v in vals[ci*2:(ci+1)*2])
+        chunks.append(zlib.compress(raw, 6))
+    heap_data = pad8(b'\0'*8 + b'v\0')
+    name_off = 8
+    root_oh = 96
+    root_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_probe)
+    bt_probe = pad8(group_btree([name_off], [0], name_off))
+    snod_addr = btree_addr + len(bt_probe)
+    sn_probe = pad8(snod([(name_off, 0)]))
+    heap_hdr_addr = snod_addr + len(sn_probe)
+    heap_data_addr = heap_hdr_addr + 32
+    ds_oh_addr = heap_data_addr + len(heap_data)
+    ds_msgs_probe = [(0x01, dataspace([6])), (0x03, dt_f32()),
+                     (0x0B, filters_deflate(6)),
+                     (0x08, layout_chunked(0, [2], 4))]
+    ds_oh_probe = object_header(ds_msgs_probe)
+    chunk_bt_addr = ds_oh_addr + len(ds_oh_probe)
+    # chunk B-tree node type 1: key = size,u32 mask, offsets (rank+1 u64s)
+    def chunk_key(size, off):
+        return u32(size)+u32(0)+u64(off)+u64(0)
+    node = b'TREE'+u8(1)+u8(0)+u16(3)+u64(UNDEF)+u64(UNDEF)
+    # addresses of chunk data follow the node
+    node_len_probe = len(node) + 3*(len(chunk_key(0,0))+8) + len(chunk_key(0,0))
+    node_len = (node_len_probe + 7)//8*8
+    data_addr = chunk_bt_addr + node_len
+    addrs = []
+    a = data_addr
+    for c in chunks:
+        addrs.append(a); a += (len(c)+7)//8*8
+    eof = a
+    for ci, (c, ad) in enumerate(zip(chunks, addrs)):
+        node += chunk_key(len(c), ci*2)+u64(ad)
+    node += chunk_key(0, 6)  # final key: one past the end
+    node = node + b'\0'*(node_len - len(node))
+    ds_msgs = [(0x01, dataspace([6])), (0x03, dt_f32()),
+               (0x0B, filters_deflate(6)),
+               (0x08, layout_chunked(chunk_bt_addr, [2], 4))]
+    ds_oh = object_header(ds_msgs)
+    assert len(ds_oh) == len(ds_oh_probe)
+    root = object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    bt = pad8(group_btree([name_off], [snod_addr], name_off))
+    sn = pad8(snod([(name_off, ds_oh_addr)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += root + bt + sn + hh + hd + ds_oh + node
+    for c in chunks:
+        out += c + b'\0'*(((len(c)+7)//8*8) - len(c))
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_contiguous.h5','wb').write(build_contiguous())
+open('/root/repo/src/test/resources/h5/hand_chunked.h5','wb').write(build_chunked())
+print("fixtures written",
+      len(build_contiguous()), len(build_chunked()))
