@@ -136,6 +136,30 @@ class H5LiteSpec extends SparkSpec {
       Seq(1.5, -2.5, 3.5, -4.5, 5.5, -6.5))
   }
 
+  test("2-D swath granules decode through the HDF5 path") {
+    // parallel (scan, pixel) lat/lon/value arrays + per-scan time
+    val (nScan, nPix) = (3, 4)
+    val n = nScan * nPix
+    val f0 = NcFile(
+      Seq(NcDim("scan", nScan), NcDim("pixel", nPix)), Nil,
+      Seq(NcVar("lat", Seq("scan", "pixel"), NC_DOUBLE, Nil,
+        Array.tabulate(n)(i => i * 0.1)),
+        NcVar("lon", Seq("scan", "pixel"), NC_DOUBLE, Nil,
+          Array.tabulate(n)(i => 100.0 + i * 0.1)),
+        NcVar("time", Seq("scan"), NC_DOUBLE, Nil,
+          Array(1000.0, 2000.0, 3000.0)),
+        NcVar("sst", Seq("scan", "pixel"), NC_FLOAT, Nil,
+          Array.tabulate(n)(_ * 2.0))))
+    val nc = graft.ingest.GranuleIngest.decode(H5Lite.write(f0))
+    val pts = graft.ingest.GranuleIngest
+      .swathPointsOf(nc, "s.nc", "sst").toSeq
+    assert(pts.length === n)
+    // per-scan-line time broadcast across the pixel dim
+    assert(pts.map(_.time).distinct.sorted === Seq(1000L, 2000L, 3000L))
+    assert(pts.count(_.time == 1000L) === nPix)
+    assert(pts.map(_.value).sorted.last === (n - 1) * 2.0)
+  }
+
   test("rejects truncated and non-HDF5 bytes") {
     assertThrows[IllegalArgumentException] {
       H5Lite.read(Array[Byte](1, 2, 3))
