@@ -33,6 +33,15 @@ import org.apache.spark.sql.functions._
   * subtrees. Boundaries only steer balance, never correctness — the
   * rank is exact for ANY boundary placement because ties on size stay
   * in one bucket and the within-bucket sort is total (id tiebreak).
+  *
+  * Skew limit: ties on `size` cannot split across buckets, so a corpus
+  * dominated by one size value (every doc truncated to the same token
+  * budget) degrades that bucket's rank window toward a single
+  * partition — still exact (spec-pinned), but serial. If that is the
+  * expected shape, rank on a pre-jittered size key
+  * (`size * 4096 + pmod(xxhash64(id), 4096)`) and accept hash order
+  * among equals — serpentine balance only needs SOME deterministic
+  * total order, not id order specifically.
   */
 object BalancedShards {
 

@@ -55,6 +55,43 @@ class BalancedShardsSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("all-equal sizes (total tie) still rank as a permutation") {
+    // every percentile boundary collapses to the same value → all rows
+    // share ONE bucket; correctness must survive (the within-bucket
+    // window carries the whole corpus — the documented skew worst-case,
+    // hit when e.g. every doc is truncated to the same token budget)
+    val df = (1 to 1000).map(i => (i.toLong, 2048L)).toDF("doc_id", "tokens")
+    val ranked = BalancedShards.globalRankBySize(df, col("doc_id"), col("tokens"))
+    assert(ranked.select("_rank").distinct().count() === 1000)
+    assert(ranked.agg(min("_rank"), max("_rank")).head ===
+      org.apache.spark.sql.Row(0L, 999L))
+    // ties order by id: rank 0 = lowest id
+    assert(ranked.where(col("_rank") === 0).head.getAs[Long]("doc_id") === 1L)
+    val assigned = BalancedShards.assign(df, col("doc_id"), col("tokens"), 4)
+    val tots = assigned.groupBy("shard").agg(sum("tokens").as("t"))
+      .collect().map(_.getAs[Long]("t"))
+    assert(tots.max === tots.min) // equal sizes → perfectly equal shards
+  }
+
+  test("heavy-tailed and few-distinct-size corpora stay exact (property)") {
+    val rnd = new scala.util.Random(42)
+    Seq(
+      (1 to 800).map(i => (i.toLong, (rnd.nextInt(5) + 1) * 512L)), // 5 distinct sizes
+      (1 to 500).map(i => (i.toLong, math.abs(rnd.nextGaussian() * 1e6).toLong + 1))
+    ).foreach { rows =>
+      val df = rows.toDF("doc_id", "tokens").repartition(6)
+      val n = rows.length
+      val ranked = BalancedShards.globalRankBySize(df, col("doc_id"), col("tokens"))
+      assert(ranked.select("_rank").distinct().count() === n.toLong)
+      assert(ranked.agg(max("_rank")).head.getLong(0) === (n - 1).toLong)
+      val maxDoc = rows.map(_._2).max
+      val tots = BalancedShards.assign(df, col("doc_id"), col("tokens"), 7)
+        .groupBy("shard").agg(sum("tokens").as("t"))
+        .collect().map(_.getAs[Long]("t"))
+      assert(tots.length === 7 && tots.max - tots.min <= maxDoc)
+    }
+  }
+
   test("write produces one directory per shard and round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("bshards").toString
     BalancedShards.write(corpus(400), col("doc_id"), col("tokens"), 4, dir)
