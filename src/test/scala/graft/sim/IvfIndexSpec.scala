@@ -62,6 +62,14 @@ class IvfIndexSpec extends SparkSpec {
         .select("qid", "rank", "vid").as[(Long, Long, Long)]
         .collect().toSet
     assert(run(loadedIdx, loadedCents) === run(index, cents))
+    // partition pruning is the storage-layer inverted file: a probe of
+    // one list plans a PartitionFilter on list_id (the scan never
+    // touches other lists' directories)
+    val prunedPlan = loadedIdx.where(col("list_id") === 1)
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") &&
+      prunedPlan.matches("(?s).*PartitionFilters: \\[[^\\]]*list_id[^\\]]*=\\s*1.*"),
+      s"no list_id partition filter in scan:\n$prunedPlan")
   }
 
   test("IVF with nprobe=nlist matches brute force exactly") {
