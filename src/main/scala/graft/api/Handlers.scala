@@ -28,7 +28,9 @@ object Handlers {
       secondaryDataset: Option[String] = None,
       // matchup / DOMS parameters (Matchup.py:41-120, MatchupQuery.py)
       rtMeters: Double = 50000.0, ttSeconds: Long = 86400L,
-      matchOnce: Boolean = false, executionId: Option[String] = None)
+      matchOnce: Boolean = false, executionId: Option[String] = None,
+      // time-series smoothing flags (TimeSeriesSpark.py:75-88)
+      seasonalFilter: Boolean = false, lowPassFilter: Boolean = false)
 
   object QueryParams {
     /** P10 request parsing (webmodel.py:138-341): `ds` dataset, `b` =
@@ -63,7 +65,9 @@ object Handlers {
         rtMeters = q.get("rt").map(_.toDouble).getOrElse(50000.0),
         ttSeconds = q.get("tt").map(_.toLong).getOrElse(86400L),
         matchOnce = q.get("matchOnce").exists(_.toBoolean),
-        executionId = q.get("executionId"))
+        executionId = q.get("executionId"),
+        seasonalFilter = q.get("seasonalFilter").exists(_.toBoolean),
+        lowPassFilter = q.get("lowPassFilter").exists(_.toBoolean))
     }
   }
 
@@ -87,8 +91,30 @@ object Handlers {
   val registry: Map[String, Handler] = core ++ legacyAliases ++ trivial
 
   private def core: Map[String, Handler] = Map(
-    "/timeSeriesSpark" -> ((p, tiles) =>
-      TileOps.dailyStats(domainPoints(p, tiles)).orderBy("day_start")),
+    // seasonalFilter= subtracts the series' own monthly climatology
+    // (TimeSeriesSpark.py:75-88 applySeasonalCycleFilter); lowPassFilter=
+    // appends the zero-phase MA-cascade smoothing (the distributed W7
+    // form — exact scipy-parity Butterworth lives in kernels.Butterworth
+    // for collected series). Both windows run over the RESULT series
+    // (one row per day), never the point data.
+    "/timeSeriesSpark" -> ((p, tiles) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = TileOps.dailyStats(domainPoints(p, tiles))
+      val seasonal =
+        if (!p.seasonalFilter) base
+        else {
+          val m = Window.partitionBy(
+            month(to_date(from_unixtime(col("day_start")))))
+          base.withColumn("mean_seasonal",
+            col("mean") - avg(col("mean")).over(m))
+        }
+      val smoothed =
+        if (!p.lowPassFilter) seasonal
+        else graft.kernels.SeriesFilters
+          .lowPass(seasonal, Nil, "day_start", "mean", windowSize = 5)
+          .withColumnRenamed("lowpass", "mean_lowpass")
+      smoothed.orderBy("day_start")
+    }),
 
     "/timeAvgMapSpark" -> ((p, tiles) =>
       TileOps.timeAvgMap(domainPoints(p, tiles))),

@@ -44,6 +44,23 @@ class HandlersSpec extends SparkSpec {
     assert(math.abs((means(1) - means(0)) - 1.0) < 1e-6)
   }
 
+  test("/timeSeriesSpark seasonalFilter and lowPassFilter append columns") {
+    val rows = Handlers.registry("/timeSeriesSpark")(
+      p.copy(seasonalFilter = true, lowPassFilter = true), tiles).collect()
+    assert(rows.length === 3)
+    // all 3 days share a month ⇒ de-meaned seasonal column sums to ~0
+    val seasonal = rows.map(_.getAs[Double]("mean_seasonal"))
+    assert(math.abs(seasonal.sum) < 1e-9)
+    // smoothing stays within the raw series' range and preserves order
+    val mean = rows.map(_.getAs[Double]("mean"))
+    val lp = rows.map(_.getAs[Double]("mean_lowpass"))
+    assert(lp.forall(v => v >= mean.min - 1e-9 && v <= mean.max + 1e-9))
+    // flags off ⇒ plain schema (no smoothing columns)
+    val plain = Handlers.registry("/timeSeriesSpark")(p, tiles)
+    assert(!plain.columns.contains("mean_seasonal") &&
+      !plain.columns.contains("mean_lowpass"))
+  }
+
   test("/timeSeriesSpark bbox pruning restricts the domain") {
     val small = p.copy(minLat = 0, maxLat = 1.9, minLon = 0, maxLon = 1.9)
     val rows = Handlers.registry("/timeSeriesSpark")(small, tiles).collect()
