@@ -73,11 +73,18 @@ object Handlers {
 
   type Handler = (QueryParams, DataFrame) => DataFrame
 
+  /** Datasets of a request: `ds` accepts a comma-separated list (the
+    * reference's multi-dataset time series, TimeSeries.py `ds` param).
+    */
+  private def datasetsOf(p: QueryParams): Seq[String] =
+    p.dataset.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Index predicate shared by all handlers: dataset partition prune +
-    * bbox overlap + time-interval overlap (P2).
+    * bbox overlap + time-interval overlap (P2). `isin` keeps the
+    * partition filter for single and multi dataset alike.
     */
   private def pruneTiles(p: QueryParams, tiles: DataFrame): DataFrame =
-    tiles.where(col("dataset") === p.dataset &&
+    tiles.where(col("dataset").isin(datasetsOf(p): _*) &&
       TileIndexOps.overlaps(col("min_lat"), col("max_lat"), lit(p.minLat), lit(p.maxLat)) &&
       TileIndexOps.overlaps(col("min_lon"), col("max_lon"), lit(p.minLon), lit(p.maxLon)) &&
       TileIndexOps.overlaps(col("min_time"), col("max_time"), lit(p.startTime), lit(p.endTime)))
@@ -99,21 +106,26 @@ object Handlers {
     // (one row per day), never the point data.
     "/timeSeriesSpark" -> ((p, tiles) => {
       import org.apache.spark.sql.expressions.Window
-      val base = TileOps.dailyStats(domainPoints(p, tiles))
+      // ds=a,b requests one series per dataset (extra `dataset` column,
+      // reference's multi-dataset time series); smoothing windows then
+      // partition per series
+      val multi = datasetsOf(p).length > 1
+      val keys = if (multi) Seq("dataset") else Nil
+      val base = TileOps.dailyStats(domainPoints(p, tiles), keys)
       val seasonal =
         if (!p.seasonalFilter) base
         else {
-          val m = Window.partitionBy(
-            month(to_date(from_unixtime(col("day_start")))))
+          val m = Window.partitionBy(keys.map(col) :+
+            month(to_date(from_unixtime(col("day_start")))): _*)
           base.withColumn("mean_seasonal",
             col("mean") - avg(col("mean")).over(m))
         }
       val smoothed =
         if (!p.lowPassFilter) seasonal
         else graft.kernels.SeriesFilters
-          .lowPass(seasonal, Nil, "day_start", "mean", windowSize = 5)
+          .lowPass(seasonal, keys, "day_start", "mean", windowSize = 5)
           .withColumnRenamed("lowpass", "mean_lowpass")
-      smoothed.orderBy("day_start")
+      smoothed.orderBy(keys :+ "day_start" map col: _*)
     }),
 
     "/timeAvgMapSpark" -> ((p, tiles) =>

@@ -77,11 +77,13 @@ object TileOps {
   /** A1 — per-day domain statistics (TimeSeriesSpark.calc_average_on_day
     * :493-554): cos-lat-weighted mean; min/max/std unweighted, exactly
     * as the reference kernel does (TimeSeriesSpark.py:536-541).
+    * `extraKeys` adds grouping columns (e.g. `dataset` for the
+    * multi-dataset time-series request — one series per dataset).
     */
-  def dailyStats(points: DataFrame): DataFrame = {
+  def dailyStats(points: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
     val w = GeoFunctions.cosLatWeight(col("latitude"))
     points
-      .groupBy(dayStart(col("time")).as("day_start"))
+      .groupBy(extraKeys.map(col) :+ dayStart(col("time")).as("day_start"): _*)
       .agg(
         (sum(col("value") * w) / sum(w)).as("mean"),
         min(col("value")).as("min"),

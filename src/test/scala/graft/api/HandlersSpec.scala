@@ -61,6 +61,19 @@ class HandlersSpec extends SparkSpec {
       !plain.columns.contains("mean_lowpass"))
   }
 
+  test("/timeSeriesSpark ds=a,b returns one series per dataset") {
+    val rows = Handlers.registry("/timeSeriesSpark")(
+      p.copy(dataset = "sst,sst_CLIM"), tiles).collect()
+    val byDs = rows.groupBy(_.getAs[String]("dataset"))
+    assert(byDs.keySet === Set("sst", "sst_CLIM"))
+    assert(byDs("sst").length === 3) // 3 days
+    assert(byDs("sst_CLIM").length === 1) // single epoch
+    assert(byDs("sst_CLIM").head.getAs[Double]("mean") === 5.0)
+    // single-ds request keeps the original schema (no dataset column)
+    val single = Handlers.registry("/timeSeriesSpark")(p, tiles)
+    assert(!single.columns.contains("dataset"))
+  }
+
   test("/timeSeriesSpark bbox pruning restricts the domain") {
     val small = p.copy(minLat = 0, maxLat = 1.9, minLon = 0, maxLon = 1.9)
     val rows = Handlers.registry("/timeSeriesSpark")(small, tiles).collect()
