@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, first}
 
 import graft.sources.Encoders
 
@@ -126,12 +127,22 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
             // endpoints render heatmaps. pngplot= overrides either way.
             val plot = q.getOrElse("pngplot",
               if (HttpServer.seriesPngPaths.contains(path)) "series" else "map")
-            if (plot == "series")
-              respond(ex, 200, "image/png", Encoders.toPngSeriesAuto(df,
+            if (plot == "series") {
+              // multi-dataset series (ds=a,b): one line per dataset —
+              // pivot mean by dataset before plotting, like the
+              // reference's per-dataset chart lines
+              val plotDf =
+                if (df.columns.contains("dataset") && q.get("pngy").isEmpty
+                    && df.columns.contains("mean"))
+                  df.groupBy(col("day_start")).pivot("dataset")
+                    .agg(first(col("mean")))
+                else df
+              respond(ex, 200, "image/png", Encoders.toPngSeriesAuto(plotDf,
                 xCol = q.get("pngx"),
                 yCols = q.get("pngy").map(_.split(',').toSeq),
                 width = q.get("pngw").map(_.toInt).getOrElse(800),
                 height = q.get("pngh").map(_.toInt).getOrElse(400)))
+            }
             else
               respond(ex, 200, "image/png", Encoders.toPngAuto(df,
                 xCol = q.get("pngx"), yCol = q.get("pngy"),

@@ -22,9 +22,16 @@ class HttpServerSpec extends SparkSpec {
       d <- 0 until 3
       li <- 0 until 4; lo <- 0 until 4
     } yield (s"g$d.nc", li + 0.5, lo + 0.5, d * day, (li * 4 + lo).toDouble + d)
-    Ingest.pointsToTiles(
+    val sst = Ingest.pointsToTiles(
       pts.toDF("granule", "latitude", "longitude", "time", "value"),
       2.0, 2.0, "sst")
+    // second dataset (one day) for multi-dataset requests
+    val clim = Ingest.pointsToTiles(
+      (for { li <- 0 until 4; lo <- 0 until 4 }
+        yield ("c.nc", li + 0.5, lo + 0.5, 0L, 3.0))
+        .toDF("granule", "latitude", "longitude", "time", "value"),
+      2.0, 2.0, "sst_CLIM")
+    sst.unionByName(clim)
   }
 
   private lazy val insitu: DataFrame = {
@@ -150,6 +157,29 @@ class HttpServerSpec extends SparkSpec {
     val m = getBytes("/timeSeriesSpark?ds=sst&output=PNG&pngplot=map" +
       "&pngx=day_start&pngy=mean&pngv=cnt&pngscale=1")
     assert(m.statusCode() === 200, new String(m.body(), "UTF-8"))
+  }
+
+  test("multi-dataset PNG pivots to one line per dataset") {
+    val r = getBytes("/timeSeriesSpark?ds=sst&output=PNG&pngw=300&pngh=150" +
+      "&pngy=mean") // explicit y: single line
+    assert(r.statusCode() === 200, new String(r.body(), "UTF-8"))
+    val img1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.body()))
+    def count(img: java.awt.image.BufferedImage, argb: Int): Int =
+      (for (x <- 0 until img.getWidth; y <- 0 until img.getHeight
+            if img.getRGB(x, y) == argb) yield 1).sum
+    assert(count(img1, graft.sources.Encoders.seriesColors(1)) === 0,
+      "single requested series must not draw a second color")
+    // two datasets → two series colors present
+    val m = getBytes("/timeSeriesSpark?ds=sst,sst_CLIM&output=PNG" +
+      "&pngw=300&pngh=150")
+    assert(m.statusCode() === 200, new String(m.body(), "UTF-8"))
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.body()))
+    assert(count(img2, graft.sources.Encoders.seriesColors(0)) > 20)
+    // second dataset has ONE day (a point, possibly a single pixel) —
+    // its legend swatch line alone guarantees >5 pixels of color 1
+    assert(count(img2, graft.sources.Encoders.seriesColors(1)) > 5)
   }
 
   test("output=PNG renders the time-average map as a heatmap") {
