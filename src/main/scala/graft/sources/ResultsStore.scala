@@ -292,7 +292,7 @@ object Encoders {
       case _ => false
     }).map(_.name)
     val x = xCol.getOrElse(
-      Seq("time", "day", "date", "ts", "week", "t").find(numeric.contains)
+      Seq("time", "day_start", "day", "date", "ts", "week", "t").find(numeric.contains)
         .orElse(numeric.headOption)
         .getOrElse(throw new IllegalArgumentException(
           s"no numeric x column for series PNG (have: ${df.columns.mkString(",")})")))
