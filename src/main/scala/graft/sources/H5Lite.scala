@@ -378,7 +378,12 @@ object H5Lite {
   private def parseAttr(r: R): NcAttr = {
     val ver = r.u8()
     require(ver >= 1 && ver <= 3, s"h5: unsupported attribute version $ver")
-    if (ver == 1) r.skip(1) else r.u8() // reserved / flags (shared dt unsupported)
+    if (ver == 1) r.skip(1)
+    else {
+      val flags = r.u8()
+      require((flags & 0x3) == 0,
+        "h5: shared attribute datatype/dataspace not in subset")
+    }
     val nameSize = r.u16()
     val dtSize = r.u16()
     val dsSize = r.u16()
