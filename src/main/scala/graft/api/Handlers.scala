@@ -83,14 +83,36 @@ object Handlers {
     * bbox overlap + time-interval overlap (P2). `isin` keeps the
     * partition filter for single and multi dataset alike.
     */
-  private def pruneTiles(p: QueryParams, tiles: DataFrame): DataFrame =
-    tiles.where(col("dataset").isin(datasetsOf(p): _*) &&
+  private def pruneTilesFor(dss: Seq[String], p: QueryParams,
+                            tiles: DataFrame): DataFrame =
+    tiles.where(col("dataset").isin(dss: _*) &&
       TileIndexOps.overlaps(col("min_lat"), col("max_lat"), lit(p.minLat), lit(p.maxLat)) &&
       TileIndexOps.overlaps(col("min_lon"), col("max_lon"), lit(p.minLon), lit(p.maxLon)) &&
       TileIndexOps.overlaps(col("min_time"), col("max_time"), lit(p.startTime), lit(p.endTime)))
 
+  /** Single-dataset prune: endpoints whose aggregation has no dataset
+    * key must REJECT a ds list — silently blending two datasets into
+    * one statistic is worse than a 400.
+    */
+  private def pruneTiles(p: QueryParams, tiles: DataFrame): DataFrame = {
+    val dss = datasetsOf(p)
+    if (dss.length > 1)
+      sys.error(s"this endpoint accepts a single ds= (got '${p.dataset}'); " +
+        "multi-dataset lists are supported on /timeSeriesSpark")
+    pruneTilesFor(dss, p, tiles)
+  }
+
   private def domainPoints(p: QueryParams, tiles: DataFrame): DataFrame =
-    TileOps.maskPointsToBBox(TileOps.toPoints(pruneTiles(p, tiles)),
+    domainPointsOf(pruneTiles(p, tiles), p)
+
+  /** Multi-dataset variant (the time-series endpoint groups per
+    * dataset, so a list is well-defined there).
+    */
+  private def domainPointsMulti(p: QueryParams, tiles: DataFrame): DataFrame =
+    domainPointsOf(pruneTilesFor(datasetsOf(p), p, tiles), p)
+
+  private def domainPointsOf(pruned: DataFrame, p: QueryParams): DataFrame =
+    TileOps.maskPointsToBBox(TileOps.toPoints(pruned),
       p.minLat, p.maxLat, p.minLon, p.maxLon)
       .where(col("time").between(p.startTime, p.endTime))
 
@@ -105,21 +127,17 @@ object Handlers {
     // for collected series). Both windows run over the RESULT series
     // (one row per day), never the point data.
     "/timeSeriesSpark" -> ((p, tiles) => {
-      import org.apache.spark.sql.expressions.Window
       // ds=a,b requests one series per dataset (extra `dataset` column,
       // reference's multi-dataset time series); smoothing windows then
       // partition per series
       val multi = datasetsOf(p).length > 1
       val keys = if (multi) Seq("dataset") else Nil
-      val base = TileOps.dailyStats(domainPoints(p, tiles), keys)
+      val base = TileOps.dailyStats(domainPointsMulti(p, tiles), keys)
       val seasonal =
         if (!p.seasonalFilter) base
-        else {
-          val m = Window.partitionBy(keys.map(col) :+
-            month(to_date(from_unixtime(col("day_start")))): _*)
-          base.withColumn("mean_seasonal",
-            col("mean") - avg(col("mean")).over(m))
-        }
+        else graft.kernels.SeriesFilters.deseasonalize(base,
+          to_date(from_unixtime(col("day_start"))), col("mean"),
+          seriesKeys = keys, out = "mean_seasonal")
       val smoothed =
         if (!p.lowPassFilter) seasonal
         else graft.kernels.SeriesFilters

@@ -14,11 +14,15 @@ object SeriesFilters {
   /** W6 — seasonal de-cycling: subtract the month-of-year mean
     * (Filtering.applySeasonalCycleFilter1d, Filtering.py:40-51), as a
     * window aggregate (stays distributed, unlike the reference).
+    * `seriesKeys` partitions the cycle per series (multi-dataset time
+    * series); `out` names the result column.
     */
-  def deseasonalize(series: DataFrame, timeCol: Column, valueCol: Column): DataFrame =
-    series.withColumn("deseasoned",
+  def deseasonalize(series: DataFrame, timeCol: Column, valueCol: Column,
+                    seriesKeys: Seq[String] = Nil,
+                    out: String = "deseasoned"): DataFrame =
+    series.withColumn(out,
       valueCol - avg(valueCol).over(
-        Window.partitionBy(month(timeCol))))
+        Window.partitionBy(seriesKeys.map(col) :+ month(timeCol): _*)))
 
   /** W7 — zero-phase low-pass filter (Filtering.py:87-97 applies scipy
     * Butterworth `filtfilt`). This is the DISTRIBUTED path; for exact

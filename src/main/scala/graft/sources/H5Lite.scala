@@ -392,20 +392,31 @@ object H5Lite {
     val namePos = r.pos
     val name = r.cstring(namePos)
     r.at(namePos + padded(nameSize))
-    val dtPos = r.pos
-    val dt = parseDatatype(r)
-    r.at(dtPos + padded(dtSize))
-    val dsPos = r.pos
-    val dims = parseDataspace(r)
-    r.at(dsPos + padded(dsSize))
-    val count = dims.product.max(1).toInt
-    dt.clazz match {
-      case C_STRING =>
-        val raw = r.take(dt.size * count)
-        NcAttr(name, NC_CHAR, text = new String(raw.takeWhile(_ != 0), "UTF-8"))
-      case _ =>
-        val vals = decode(r.take(dt.size * count), dt, count)
-        NcAttr(name, ncTypeOf(dt), nums = vals.toSeq)
+    // netCDF-4 decorates variables with vlen/compound/reference attrs
+    // (DIMENSION_LIST, REFERENCE_LIST, _Netcdf4Coordinates) the subset
+    // doesn't model — those decode as EMPTY attrs rather than aborting
+    // the granule (the ingest derives grid shape from coordinate
+    // variables, never from these)
+    try {
+      val dtPos = r.pos
+      val dt = parseDatatype(r)
+      r.at(dtPos + padded(dtSize))
+      val dsPos = r.pos
+      val dims = parseDataspace(r)
+      r.at(dsPos + padded(dsSize))
+      val count = dims.product.max(1).toInt
+      dt.clazz match {
+        case C_STRING =>
+          val raw = r.take(dt.size * count)
+          NcAttr(name, NC_CHAR, text = new String(raw.takeWhile(_ != 0), "UTF-8"))
+        case _ =>
+          val vals = decode(r.take(dt.size * count), dt, count)
+          NcAttr(name, ncTypeOf(dt), nums = vals.toSeq)
+      }
+    } catch {
+      case e: RuntimeException if Option(e.getMessage)
+        .exists(_.startsWith("h5: unsupported datatype class")) =>
+        NcAttr(name, NC_CHAR, text = "")
     }
   }
 
@@ -433,7 +444,10 @@ object H5Lite {
         case (C_FIXED, 1) => if (dt.signed) b.get().toDouble else (b.get() & 0xff).toDouble
         case (C_FIXED, 2) => if (dt.signed) b.getShort().toDouble else (b.getShort() & 0xffff).toDouble
         case (C_FIXED, 4) => if (dt.signed) b.getInt().toDouble else (b.getInt() & 0xffffffffL).toDouble
-        case (C_FIXED, 8) => b.getLong().toDouble
+        case (C_FIXED, 8) =>
+          val l = b.getLong()
+          if (dt.signed || l >= 0) l.toDouble
+          else l.toDouble + 1.8446744073709552e19 // uint64 above Long.MaxValue
         case (c, s) => sys.error(s"h5: cannot decode datatype class $c size $s")
       }
       i += 1
@@ -472,19 +486,22 @@ object H5Lite {
       require(nodeType == 1, s"h5: chunk B-tree has node type $nodeType")
       r.u64(); r.u64() // siblings
       val entries = (0 until used).map { _ =>
-        val sz = r.u32(); r.u32() // chunk byte size, filter mask
+        val sz = r.u32(); val mask = r.u32() // chunk byte size, filter mask
         val offs = (0 to rank).map(_ => r.u64()) // + element-size dim
         val child = r.u64()
-        (sz, offs.dropRight(1), child)
+        (sz, mask, offs.dropRight(1), child)
       }
-      entries.foreach { case (sz, offs, child) =>
+      entries.foreach { case (sz, mask, offs, child) =>
         if (level > 0) walkNode(child)
         else {
           r.at(child)
           var raw = r.take(sz.toInt)
-          // reverse filter pipeline: fletcher32 strip → inflate → unshuffle
-          d.filters.reverse.foreach { f =>
-            f.id match {
+          // reverse filter pipeline: fletcher32 strip → inflate →
+          // unshuffle. Mask bit i set = pipeline filter i was SKIPPED
+          // for this chunk (libhdf5 stores incompressible chunks raw
+          // with the deflate bit set)
+          d.filters.zipWithIndex.reverse.foreach { case (f, fi) =>
+            if ((mask & (1L << fi)) == 0) f.id match {
               case 1 => raw = inflate(raw)
               case 2 => raw = unshuffle(raw, f.clientValues.headOption
                 .map(_.toInt).getOrElse(d.dtype.size))

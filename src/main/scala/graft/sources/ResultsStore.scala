@@ -217,8 +217,11 @@ object Encoders {
     val (x0, x1) = (xs.min, if (xs.max > xs.min) xs.max else xs.min + 1.0)
     val (ml, mr, mt, mb) = (70, 15, 12, 35) // margins: left/right/top/bottom
     val (pw, ph) = (width - ml - mr, height - mt - mb)
-    def px(x: Double) = ml + ((x - x0) / (x1 - x0) * pw).round.toInt
-    def py(y: Double) = mt + ((y1 - y) / (y1 - y0) * ph).round.toInt
+    // inset the data area one pixel inside the frame so extreme values
+    // (including a lone point at the axis minimum) aren't overdrawn by
+    // the black border
+    def px(x: Double) = ml + 1 + ((x - x0) / (x1 - x0) * (pw - 2)).round.toInt
+    def py(y: Double) = mt + 1 + ((y1 - y) / (y1 - y0) * (ph - 2)).round.toInt
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_ARGB)
     val g = img.createGraphics()
@@ -236,8 +239,17 @@ object Encoders {
         g.setColor(java.awt.Color.BLACK)
         val xv = x0 + (x1 - x0) * i / 5
         val yv = y1 - (y1 - y0) * i / 5
-        g.drawString(f"$xv%.6g".replaceAll("0+$", "0"), gx - 15, mt + ph + 14)
-        g.drawString(f"$yv%.6g".replaceAll("0+$", "0"), 4, gy + 4)
+        // trim trailing zeros only after a decimal point — %.6g of a
+        // round integer (e.g. 120000) has none, and stripping ITS zeros
+        // would corrupt the label
+        def lbl(v: Double): String = {
+          val s = f"$v%.6g"
+          if (s.contains('.') && !s.exists(c => c == 'e' || c == 'E'))
+            s.replaceAll("0+$", "").stripSuffix(".")
+          else s
+        }
+        g.drawString(lbl(xv), gx - 15, mt + ph + 14)
+        g.drawString(lbl(yv), 4, gy + 4)
       }
       // series polylines; NaN breaks the segment chain
       for ((name, si) <- yCols.zipWithIndex) {
@@ -249,6 +261,9 @@ object Encoders {
           else {
             val p = (px(x), py(v))
             prev.foreach(q => g.drawLine(q._1, q._2, p._1, p._2))
+            // paint the point itself too — an isolated point (single-row
+            // series, or one flanked by NaN gaps) has no segments
+            g.drawLine(p._1, p._2, p._1, p._2)
             prev = Some(p)
           }
         }
@@ -284,9 +299,13 @@ object Encoders {
     * numeric column, y = every other numeric column (first 4) — the
     * shape every time-series endpoint result has.
     */
-  def toPngSeriesAuto(df: DataFrame, xCol: Option[String] = None,
-                      yCols: Option[Seq[String]] = None,
-                      width: Int = 800, height: Int = 400): Array[Byte] = {
+  /** Axis choice for the auto series plot: x = the first time-like
+    * numeric column; y = up to 4 others, preferring the headline +
+    * derived series (mean_seasonal/mean_lowpass from the smoothing
+    * flags) over min/max/std/cnt, so a filtered request actually plots
+    * the series it asked for.
+    */
+  def seriesAxes(df: DataFrame, xCol: Option[String] = None): (String, Seq[String]) = {
     val numeric = df.schema.fields.filter(f => f.dataType match {
       case _: org.apache.spark.sql.types.NumericType => true
       case _ => false
@@ -296,8 +315,17 @@ object Encoders {
         .orElse(numeric.headOption)
         .getOrElse(throw new IllegalArgumentException(
           s"no numeric x column for series PNG (have: ${df.columns.mkString(",")})")))
-    val ys = yCols.getOrElse(numeric.filterNot(_ == x).take(4).toSeq)
-    toPngSeries(df, x, ys, width, height)
+    val candidates = numeric.filterNot(_ == x).toSeq
+    val preferred = Seq("mean", "mean_seasonal", "mean_lowpass", "value")
+      .filter(candidates.contains)
+    (x, (preferred ++ candidates.filterNot(preferred.contains)).take(4))
+  }
+
+  def toPngSeriesAuto(df: DataFrame, xCol: Option[String] = None,
+                      yCols: Option[Seq[String]] = None,
+                      width: Int = 800, height: Int = 400): Array[Byte] = {
+    val (x, autoYs) = seriesAxes(df, xCol)
+    toPngSeries(df, x, yCols.getOrElse(autoYs), width, height)
   }
 
   /** PNG with map defaults: x=lon, y=lat when present (falling back

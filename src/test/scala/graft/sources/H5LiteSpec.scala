@@ -134,6 +134,14 @@ class H5LiteSpec extends SparkSpec {
     val f2 = H5Lite.read(res("hand_chunked.h5"))
     assert(f2.variable("v").get.data.toSeq ===
       Seq(1.5, -2.5, 3.5, -4.5, 5.5, -6.5))
+    // netCDF-4 decorations: a vlen-class DIMENSION_LIST attribute must
+    // decode as an EMPTY attr (not abort), and a chunk stored RAW with
+    // the deflate bit set in its B-tree filter mask must skip inflate
+    val f3 = H5Lite.read(res("hand_nc4_decorated.h5"))
+    val v3 = f3.variable("v").get
+    assert(v3.data.toSeq === Seq(10.5, 11.5, 12.5, 13.5, 14.5, 15.5))
+    assert(v3.attr("DIMENSION_LIST").exists(_.text === ""))
+    assert(v3.attr("units").get.text === "K")
   }
 
   test("2-D swath granules decode through the HDF5 path") {

@@ -172,6 +172,28 @@ class SourcesSpec extends SparkSpec {
     assert(rowXs.exists(_ < pxOf(0.9)) && rowXs.exists(_ > pxOf(3.1)))
   }
 
+  test("seriesAxes prefers derived mean columns over min/max/std") {
+    import spark.implicits._
+    val df = Seq((0L, 1.0, 0.5, 2.0, 0.1, 5L, 0.9, 1.1))
+      .toDF("day_start", "mean", "min", "max", "std", "cnt",
+        "mean_seasonal", "mean_lowpass")
+    val (x, ys) = Encoders.seriesAxes(df)
+    assert(x === "day_start")
+    assert(ys === Seq("mean", "mean_seasonal", "mean_lowpass", "min"))
+  }
+
+  test("a single-point series still paints its point") {
+    import spark.implicits._
+    val df = Seq((0.0, 7.0)).toDF("time", "v")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Encoders.toPngSeries(df, "time", Seq("v"), width = 200, height = 100)))
+    val c0 = Encoders.seriesColors(0)
+    val pix = for (x <- 0 until 200; y <- 0 until 100
+                   if img.getRGB(x, y) == c0) yield (x, y)
+    // legend swatch row (y = mt+10) plus the data point itself
+    assert(pix.exists(_._2 > 30), s"no data point painted: $pix")
+  }
+
   test("Encoders.toPngSeriesAuto prefers the time-like x column") {
     import spark.implicits._
     val df = Seq((0.0, 1.0, 10.0), (1.0, 2.0, 20.0), (2.0, 3.0, 30.0))

@@ -182,3 +182,76 @@ open('/root/repo/src/test/resources/h5/hand_contiguous.h5','wb').write(build_con
 open('/root/repo/src/test/resources/h5/hand_chunked.h5','wb').write(build_chunked())
 print("fixtures written",
       len(build_contiguous()), len(build_chunked()))
+
+# ---------------- file 3: netCDF-4-style decorations the subset skips:
+# a vlen-class attribute (DIMENSION_LIST role) that must decode as an
+# EMPTY attr, and a chunked dataset where chunk 1 is stored RAW with
+# the deflate bit set in the B-tree key filter mask (libhdf5's
+# incompressible-chunk behavior)
+def dt_vlen():
+    # class 9 vlen of f64 — reader must skip, not abort
+    return u8((1<<4)|9)+u8(0)+u8(0)+u8(0)+u32(16)+dt_f64()
+
+def build_nc4_decorated():
+    vals = [10.5, 11.5, 12.5, 13.5, 14.5, 15.5]
+    chunks = []
+    for ci in range(3):
+        raw = b''.join(struct.pack('<f', v) for v in vals[ci*2:(ci+1)*2])
+        # chunk 1 "incompressible": stored raw, deflate bit set in mask
+        chunks.append((zlib.compress(raw, 6), 0) if ci != 1 else (raw, 1))
+    heap_data = pad8(b'\0'*8 + b'v\0')
+    name_off = 8
+    root_oh = 96
+    root_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_probe)
+    bt_probe = pad8(group_btree([name_off], [0], name_off))
+    snod_addr = btree_addr + len(bt_probe)
+    sn_probe = pad8(snod([(name_off, 0)]))
+    heap_hdr_addr = snod_addr + len(sn_probe)
+    heap_data_addr = heap_hdr_addr + 32
+    ds_oh_addr = heap_data_addr + len(heap_data)
+    dimlist = attr_v1('DIMENSION_LIST', dt_vlen(), dataspace([1]),
+                      b'\0'*16)  # payload bytes are opaque to the subset
+    units = attr_v1('units', dt_str(2), dataspace([]), b'K\0')
+    ds_msgs_probe = [(0x01, dataspace([6])), (0x03, dt_f32()),
+                     (0x0B, filters_deflate(6)),
+                     (0x08, layout_chunked(0, [2], 4)),
+                     (0x0C, dimlist), (0x0C, units)]
+    ds_oh_probe = object_header(ds_msgs_probe)
+    chunk_bt_addr = ds_oh_addr + len(ds_oh_probe)
+    def chunk_key(size, off):
+        return u32(size)+u32(0)+u64(off)+u64(0)
+    def chunk_key_m(size, mask, off):
+        return u32(size)+u32(mask)+u64(off)+u64(0)
+    node = b'TREE'+u8(1)+u8(0)+u16(3)+u64(UNDEF)+u64(UNDEF)
+    node_len_probe = len(node) + 3*(len(chunk_key(0,0))+8) + len(chunk_key(0,0))
+    node_len = (node_len_probe + 7)//8*8
+    data_addr = chunk_bt_addr + node_len
+    addrs = []
+    a = data_addr
+    for c, _ in chunks:
+        addrs.append(a); a += (len(c)+7)//8*8
+    eof = a
+    for ci, ((c, mask), ad) in enumerate(zip(chunks, addrs)):
+        node += chunk_key_m(len(c), mask, ci*2)+u64(ad)
+    node += chunk_key(0, 6)
+    node = node + b'\0'*(node_len - len(node))
+    ds_msgs = [(0x01, dataspace([6])), (0x03, dt_f32()),
+               (0x0B, filters_deflate(6)),
+               (0x08, layout_chunked(chunk_bt_addr, [2], 4)),
+               (0x0C, dimlist), (0x0C, units)]
+    ds_oh = object_header(ds_msgs)
+    assert len(ds_oh) == len(ds_oh_probe)
+    root = object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    bt = pad8(group_btree([name_off], [snod_addr], name_off))
+    sn = pad8(snod([(name_off, ds_oh_addr)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += root + bt + sn + hh + hd + ds_oh + node
+    for c, _ in chunks:
+        out += c + b'\0'*(((len(c)+7)//8*8) - len(c))
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_nc4_decorated.h5','wb').write(build_nc4_decorated())
+print("nc4-decorated fixture written", len(build_nc4_decorated()))
