@@ -25,6 +25,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(arr.forall(c => c.count(_ > 5.0) == 1))
   }
 
+  test("assignment is a map-only plan: no Window, no corpus Exchange") {
+    // the VERDICT-r2 scale fix: argmin-centroid must NOT be a per-key
+    // window over the corpus×centroid relation — it is a row-local
+    // array_min against ONE broadcast centroid row
+    val base = corpus.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = IvfIndex.train(corpus, col("vec_id"), col("embedding"), 3, 1)
+    val plan = IvfIndex.assign(base, cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"assignment plans a window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"assignment should broadcast the centroid row:\n$plan")
+  }
+
   test("search finds same-cluster neighbors and respects k") {
     import spark.implicits._
     val base = corpus.select(col("vec_id").as("vid"),
