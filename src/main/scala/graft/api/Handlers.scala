@@ -90,16 +90,23 @@ object Handlers {
       TileIndexOps.overlaps(col("min_lon"), col("max_lon"), lit(p.minLon), lit(p.maxLon)) &&
       TileIndexOps.overlaps(col("min_time"), col("max_time"), lit(p.startTime), lit(p.endTime)))
 
-  /** Single-dataset prune: endpoints whose aggregation has no dataset
-    * key must REJECT a ds list — silently blending two datasets into
-    * one statistic is worse than a 400.
+  /** Shared prune — multi-dataset lists pass through (each row keeps
+    * its `dataset` tag, so row-returning endpoints like /tiles,
+    * /datainbounds, /domssubset are well-defined for lists).
     */
-  private def pruneTiles(p: QueryParams, tiles: DataFrame): DataFrame = {
-    val dss = datasetsOf(p)
-    if (dss.length > 1)
+  private def pruneTiles(p: QueryParams, tiles: DataFrame): DataFrame =
+    pruneTilesFor(datasetsOf(p), p, tiles)
+
+  /** Endpoints whose aggregation has NO dataset key must REJECT a ds
+    * list — silently blending two datasets into one statistic is worse
+    * than a 400. Wrap their handlers with this.
+    */
+  private def singleDs(h: Handler): Handler = (p, tiles) => {
+    if (datasetsOf(p).length > 1)
       sys.error(s"this endpoint accepts a single ds= (got '${p.dataset}'); " +
-        "multi-dataset lists are supported on /timeSeriesSpark")
-    pruneTilesFor(dss, p, tiles)
+        "multi-dataset lists are supported on /timeSeriesSpark " +
+        "(and its /stats aliases)")
+    h(p, tiles)
   }
 
   private def domainPoints(p: QueryParams, tiles: DataFrame): DataFrame =
@@ -146,22 +153,22 @@ object Handlers {
       smoothed.orderBy(keys :+ "day_start" map col: _*)
     }),
 
-    "/timeAvgMapSpark" -> ((p, tiles) =>
+    "/timeAvgMapSpark" -> singleDs((p, tiles) =>
       TileOps.timeAvgMap(domainPoints(p, tiles))),
 
-    "/climMapSpark" -> ((p, tiles) =>
+    "/climMapSpark" -> singleDs((p, tiles) =>
       domainPoints(p, tiles)
         .groupBy(month(timestamp_seconds(col("time"))).as("month"),
           col("latitude"), col("longitude"))
         .agg(avg(col("value")).as("mean"), count(lit(1)).as("cnt"))),
 
-    "/corrMapSpark" -> ((p, tiles) => {
+    "/corrMapSpark" -> singleDs((p, tiles) => {
       val secondary = p.copy(dataset = p.secondaryDataset.getOrElse(
         sys.error("corrMap requires secondaryDataset")))
       TileOps.corrMap(domainPoints(p, tiles), domainPoints(secondary, tiles))
     }),
 
-    "/dailydifferenceaverage_spark" -> ((p, tiles) => {
+    "/dailydifferenceaverage_spark" -> singleDs((p, tiles) => {
       // anomaly vs climatology dataset via as-of join on day_of_year
       val clim = p.copy(dataset = p.dataset + "_CLIM")
       val data = pruneTiles(p, tiles)
@@ -179,10 +186,10 @@ object Handlers {
         .orderBy("day_start")
     }),
 
-    "/latitudeTimeHofMoellerSpark" -> ((p, tiles) =>
+    "/latitudeTimeHofMoellerSpark" -> singleDs((p, tiles) =>
       TileOps.hovmoller(domainPoints(p, tiles), "latitude")),
 
-    "/longitudeTimeHofMoellerSpark" -> ((p, tiles) =>
+    "/longitudeTimeHofMoellerSpark" -> singleDs((p, tiles) =>
       TileOps.hovmoller(domainPoints(p, tiles), "longitude")),
 
     "/datainbounds" -> ((p, tiles) => domainPoints(p, tiles)),
@@ -195,7 +202,7 @@ object Handlers {
       .agg(count(lit(1)).as("tile_count"), min("min_time").as("start"),
         max("max_time").as("end"))),
 
-    "/standarddeviationsearch" -> ((p, tiles) =>
+    "/standarddeviationsearch" -> singleDs((p, tiles) =>
       domainPoints(p, tiles)
         .groupBy(col("latitude"), col("longitude"))
         .agg(stddev_samp(col("value")).as("std"), count(lit(1)).as("cnt"))),
@@ -207,7 +214,7 @@ object Handlers {
     // time-STEP index (np.arange over the sorted distinct times), not
     // epoch seconds — slope is per-step. dense_rank over time
     // reproduces the index distributively.
-    "/longitudeLatitudeMap" -> ((p, tiles) => {
+    "/longitudeLatitudeMap" -> singleDs((p, tiles) => {
       val pts = domainPoints(p, tiles)
       // rank only the DISTINCT times (bounded by the dataset's step
       // count) and broadcast back — never a global window over points

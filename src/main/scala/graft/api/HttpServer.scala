@@ -129,13 +129,17 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
               if (HttpServer.seriesPngPaths.contains(path)) "series" else "map")
             if (plot == "series") {
               // multi-dataset series (ds=a,b): one line per dataset —
-              // pivot mean by dataset before plotting, like the
-              // reference's per-dataset chart lines
+              // pivot by dataset before plotting, like the reference's
+              // per-dataset chart lines. Plot the most-derived series
+              // present (lowpass > seasonal > raw mean) so smoothing
+              // flags show the series they produced
+              val seriesCol = Seq("mean_lowpass", "mean_seasonal", "mean")
+                .find(df.columns.contains)
               val plotDf =
                 if (df.columns.contains("dataset") && q.get("pngy").isEmpty
-                    && df.columns.contains("mean"))
+                    && seriesCol.isDefined)
                   df.groupBy(col("day_start")).pivot("dataset")
-                    .agg(first(col("mean")))
+                    .agg(first(col(seriesCol.get)))
                 else df
               respond(ex, 200, "image/png", Encoders.toPngSeriesAuto(plotDf,
                 xCol = q.get("pngx"),

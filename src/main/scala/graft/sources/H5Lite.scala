@@ -58,6 +58,12 @@ object H5Lite {
   private val C_FLOAT = 1
   private val C_STRING = 3
 
+  /** A structure the read subset doesn't model (vlen/compound/reference
+    * datatypes, exotic dataspaces) — catchable so attribute decoding
+    * can degrade to an empty attr instead of aborting the granule.
+    */
+  private final class UnsupportedH5(msg: String) extends RuntimeException(msg)
+
   private case class Dtype(clazz: Int, size: Int, le: Boolean, signed: Boolean)
   private case class Layout(clazz: Int, addr: Long = UNDEF, size: Long = 0,
                             chunkDims: Seq[Int] = Nil, compactPos: Long = UNDEF)
@@ -318,7 +324,7 @@ object H5Lite {
     ver match {
       case 1 => r.u8(); r.skip(5) // flags + reserved
       case 2 => r.u8(); r.u8() // flags + type
-      case v => sys.error(s"h5: unsupported dataspace version $v")
+      case v => throw new UnsupportedH5(s"h5: unsupported dataspace version $v")
     }
     (0 until rank).map(_ => r.u64())
   }
@@ -333,7 +339,7 @@ object H5Lite {
         signed = (bits0 & 8) != 0)
       case C_FLOAT => Dtype(clazz, size, le = (bits0 & 1) == 0, signed = true)
       case C_STRING => Dtype(clazz, size, le = true, signed = false)
-      case c => sys.error(s"h5: unsupported datatype class $c " +
+      case c => throw new UnsupportedH5(s"h5: unsupported datatype class $c " +
         "(fixed/float/string only — vlen/compound out of subset)")
     }
   }
@@ -414,9 +420,7 @@ object H5Lite {
           NcAttr(name, ncTypeOf(dt), nums = vals.toSeq)
       }
     } catch {
-      case e: RuntimeException if Option(e.getMessage)
-        .exists(_.startsWith("h5: unsupported datatype class")) =>
-        NcAttr(name, NC_CHAR, text = "")
+      case _: UnsupportedH5 => NcAttr(name, NC_CHAR, text = "")
     }
   }
 
@@ -448,7 +452,7 @@ object H5Lite {
           val l = b.getLong()
           if (dt.signed || l >= 0) l.toDouble
           else l.toDouble + 1.8446744073709552e19 // uint64 above Long.MaxValue
-        case (c, s) => sys.error(s"h5: cannot decode datatype class $c size $s")
+        case (c, s) => throw new UnsupportedH5(s"h5: cannot decode datatype class $c size $s")
       }
       i += 1
     }

@@ -74,6 +74,23 @@ class HandlersSpec extends SparkSpec {
     assert(!single.columns.contains("dataset"))
   }
 
+  test("ds lists pass through row-returning endpoints, 400 on aggregating ones") {
+    val multi = p.copy(dataset = "sst,sst_CLIM")
+    // row-returning: every row keeps its dataset tag — lists are fine
+    val tilesRows = Handlers.registry("/tiles")(multi, tiles).collect()
+    assert(tilesRows.map(_.getAs[String]("dataset")).toSet ===
+      Set("sst", "sst_CLIM"))
+    assert(Handlers.registry("/datainbounds")(multi, tiles).count() > 0)
+    // aggregating endpoints must reject rather than blend
+    val e = intercept[RuntimeException] {
+      Handlers.registry("/timeAvgMapSpark")(multi, tiles)
+    }
+    assert(e.getMessage.contains("single ds"))
+    intercept[RuntimeException] {
+      Handlers.registry("/dailydifferenceaverage_spark")(multi, tiles)
+    }
+  }
+
   test("/timeSeriesSpark bbox pruning restricts the domain") {
     val small = p.copy(minLat = 0, maxLat = 1.9, minLon = 0, maxLon = 1.9)
     val rows = Handlers.registry("/timeSeriesSpark")(small, tiles).collect()
