@@ -77,7 +77,11 @@ object IvfIndex {
       // would end up with fewer than nlist lists
       // localCheckpoint truncates the lineage — without it the plan
       // embeds the previous iteration's subtree twice and grows
-      // exponentially in iters
+      // exponentially in iters. EAGER: the blocking job per iteration
+      // is not the gate's cost (lazy checkpointing measured identical),
+      // and eager keeps the corpus persist/unpersist pairing sound —
+      // with lazy, train would unpersist the corpus before any
+      // checkpoint materialized
       centroids = centroids
         .join(updated, Seq("list_id"), "left")
         .select(col("list_id"), coalesce(col("next"), col("centroid")).as("centroid"))
