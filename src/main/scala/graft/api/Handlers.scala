@@ -346,6 +346,16 @@ object Handlers {
       "/domsmatchup" -> ((p, tiles) => {
         val execId = p.executionId.getOrElse(
           java.util.UUID.randomUUID().toString)
+        // executions are immutable: re-running a client-supplied id
+        // must not APPEND a second copy of every pair (the store is
+        // mode=append, partitioned by execution_id)
+        val execDir = new org.apache.hadoop.fs.Path(
+          s"$resultsPath/execution_id=$execId")
+        val fs = execDir.getFileSystem(
+          tiles.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(execDir))
+          sys.error(s"executionId '$execId' already exists; executions " +
+            "are immutable — fetch it via /domsresults or omit executionId")
         val pairs = matchSpark(p, tiles, insitu, p.rtMeters, p.ttSeconds,
           p.matchOnce)
         graft.sources.ResultsStore.write(pairs, resultsPath, execId)

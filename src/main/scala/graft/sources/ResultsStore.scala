@@ -101,8 +101,11 @@ object Encoders {
              org.apache.spark.sql.types.ShortType =>
           val vs = rows.map(r => if (r.isNullAt(i)) Double.NaN
             else r.get(i).asInstanceOf[Number].doubleValue())
-          val t = if (vs.forall(v => v.isNaN ||
-            (v >= Int.MinValue && v <= Int.MaxValue))) NC_INT else NC_DOUBLE
+          // a NULL cell needs NaN, which an int variable can't carry —
+          // NC_INT would silently encode it as 0; fall to NC_DOUBLE
+          val t = if (vs.exists(_.isNaN)) NC_DOUBLE
+            else if (vs.forall(v => v >= Int.MinValue && v <= Int.MaxValue)) NC_INT
+            else NC_DOUBLE
           Some(NcVar(f.name, Seq("row"), t, Nil, vs))
         case _ => None // strings/arrays: JSON/CSV renditions carry them
       }
