@@ -67,10 +67,25 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal values (0.1 ms resolution — far below run-to-run noise)
+    // keep the one-line JSON well inside the driver's capture window;
+    // full-precision doubles overflowed it in earlier rounds and the
+    // round's numbers parsed as null.
+    def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // durable copy for round-over-round comparison, independent of any
+    // stdout capture limit
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    // human summary on stderr (stdout carries ONLY the JSON line)
+    System.err.println(f"[bench] ${results.size} queries, total ${total}%.1f s, " +
+      s"slowest: ${results.sortBy(-_._2).take(5).map { case (k, v) => f"$k=${v}%.2f" }.mkString(", ")}")
+    println(json)
     spark.stop()
   }
 }

@@ -59,14 +59,24 @@ object Tables {
     embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
 
-  /** `ts` is rebuilt as a µs-precision TimestampType (UTC), truncated
-    * from the file's nanoseconds with integer division (ns epoch values
-    * exceed 2^53, so float division would corrupt them).
+  /** `ts` is normalized to a µs-precision TimestampType (UTC session
+    * zone) whatever the file encodes — generator output has varied
+    * across rounds:
+    *  - TIMESTAMP(NANOS): read as long (`nanosAsLong`) and truncated
+    *    with integer division (ns epoch values exceed 2^53, so float
+    *    division would corrupt them), exactly DuckDB's read behavior;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; the cast reinterprets the wall time as UTC —
+    *    the same epoch micros DuckDB sees.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
 }

@@ -30,7 +30,12 @@ object Handlers {
       rtMeters: Double = 50000.0, ttSeconds: Long = 86400L,
       matchOnce: Boolean = false, executionId: Option[String] = None,
       // time-series smoothing flags (TimeSeriesSpark.py:75-88)
-      seasonalFilter: Boolean = false, lowPassFilter: Boolean = false)
+      seasonalFilter: Boolean = false, lowPassFilter: Boolean = false,
+      // the raw query map, for endpoint-specific parameters the typed
+      // fields don't model (the reference's handlers pull arbitrary
+      // args off computeOptions the same way — e.g. /domsplot's
+      // `type`/`id`, /delay's duration)
+      extra: Map[String, String] = Map.empty)
 
   object QueryParams {
     /** P10 request parsing (webmodel.py:138-341): `ds` dataset, `b` =
@@ -67,7 +72,8 @@ object Handlers {
         matchOnce = q.get("matchOnce").exists(_.toBoolean),
         executionId = q.get("executionId"),
         seasonalFilter = q.get("seasonalFilter").exists(_.toBoolean),
-        lowPassFilter = q.get("lowPassFilter").exists(_.toBoolean))
+        lowPassFilter = q.get("lowPassFilter").exists(_.toBoolean),
+        extra = q)
     }
   }
 
@@ -272,7 +278,24 @@ object Handlers {
       val s = tiles.sparkSession
       import s.implicits._
       Seq(("nexusspark", "0.1.0", s.version)).toDF("name", "version", "spark")
-    })
+    }),
+
+    // /delay (DelayTest.py:12-14: "Waits a little while" — a fixed
+    // 10 s sleep). `t=` overrides the duration (fractional seconds) so
+    // tests don't pay the full reference sleep.
+    "/delay" -> ((p, tiles) => {
+      val secs = p.extra.get("t").map(_.toDouble).getOrElse(10.0)
+      Thread.sleep((secs * 1000).toLong)
+      val s = tiles.sparkSession
+      import s.implicits._
+      Seq(secs).toDF("slept_sec")
+    }),
+
+    // /makeerror (ErrorTosserTest.py:9-11: `100 / 0.0` — an endpoint
+    // whose whole purpose is raising). Python's float division raises
+    // ZeroDivisionError; the JVM needs an explicit throw.
+    "/makeerror" -> ((_, _) =>
+      throw new ArithmeticException("division by zero"))
   )
 
   /** /match_spark (Matchup.py:41-120): satellite tile points × in-situ
@@ -380,7 +403,83 @@ object Handlers {
       }),
       "/domsvalues" -> insituDomain,
       "/domsinsitusubset" -> insituDomain,
-      "/domssubset" -> ((p, tiles) => domainPoints(p, tiles))
+      "/domssubset" -> ((p, tiles) => domainPoints(p, tiles)),
+
+      // /domsmetadata (MetadataQuery.py:16-38): dataset metadata
+      // lookup. The reference proxies an external UMM-JSON metadata
+      // service per dataset; with no external registry the engine IS
+      // the source of truth, so the metadata is computed from the tile
+      // catalog (granule/tile counts, spatial + temporal extent). An
+      // unknown dataset errors like the reference's
+      // DatasetNotFoundException.
+      "/domsmetadata" -> ((p, tiles) => {
+        val ds = p.extra.getOrElse("dataset", p.dataset)
+        if (ds.isEmpty) sys.error("'dataset' parameter not specified")
+        val meta = tiles.where(col("dataset") === ds)
+          .groupBy(col("dataset"))
+          .agg(countDistinct(col("granule")).as("n_granules"),
+            count(lit(1)).as("n_tiles"),
+            min(col("min_time")).as("start_time"),
+            max(col("max_time")).as("end_time"),
+            min(col("min_lat")).as("min_lat"), max(col("max_lat")).as("max_lat"),
+            min(col("min_lon")).as("min_lon"), max(col("max_lon")).as("max_lon"))
+        if (meta.isEmpty) sys.error(s"Dataset '$ds' not found")
+        meta
+      }),
+
+      // /domsstats (StatsQuery.py:13-55): in-situ count + bounds for a
+      // request domain — the reference's datafetch.getCount against the
+      // in-situ service, here one aggregate over the in-situ table.
+      "/domsstats" -> ((p, _) => {
+        val dom = insitu.where(col("latitude").between(p.minLat, p.maxLat) &&
+          col("longitude").between(p.minLon, p.maxLon) &&
+          col("time").between(p.startTime, p.endTime))
+        dom.agg(count(lit(1)).as("count"),
+          min(col("latitude")).as("min_lat"), max(col("latitude")).as("max_lat"),
+          min(col("longitude")).as("min_lon"), max(col("longitude")).as("max_lon"),
+          min(col("time")).as("start_time"), max(col("time")).as("end_time"))
+      }),
+
+      // /domsplot (ResultsPlotQuery.py:17-40): plot a stored matchup
+      // execution. `id`= the execution, `type`= scatter (default) |
+      // map | histogram. The handler returns the plot-shaped relation;
+      // the serving layer renders it (output defaults to PNG on this
+      // path). Scatter pairs the primary value with the matched in-situ
+      // value when the pairs carry one (`sv`), else with match
+      // distance; map is the primary points colored by value;
+      // histogram is 20 equi-width bins of the primary value.
+      "/domsplot" -> ((p, tiles) => {
+        val execId = p.extra.get("id").orElse(p.executionId).getOrElse(
+          sys.error("/domsplot requires id= (an execution id)"))
+        val pairs = graft.sources.ResultsStore.read(tiles.sparkSession,
+          resultsPath, execId)
+        p.extra.getOrElse("type", "scatter") match {
+          case "scatter" =>
+            val y = if (pairs.columns.contains("sv")) col("sv").as("y")
+                    else col("dist_km").as("y")
+            pairs.select(col("pv").as("x"), y)
+          case "map" =>
+            pairs.select(col("plon").as("longitude"),
+              col("plat").as("latitude"), col("pv").as("value"))
+          case "histogram" =>
+            val ext = pairs.agg(min(col("pv")).as("lo"), max(col("pv")).as("hi"))
+            val nBins = 20
+            // bin width from a broadcast one-row extent — the pairs
+            // relation never collects
+            pairs.crossJoin(broadcast(ext))
+              .withColumn("bin", least(lit(nBins - 1), greatest(lit(0),
+                floor((col("pv") - col("lo")) /
+                  greatest((col("hi") - col("lo")) / nBins, lit(1e-300)))
+                  .cast("int"))))
+              .groupBy(col("bin"), col("lo"), col("hi"))
+              .agg(count(lit(1)).as("count"))
+              .select((col("lo") + (col("bin") + 0.5) *
+                (col("hi") - col("lo")) / nBins).as("bin_center"),
+                col("count"))
+              .orderBy("bin_center")
+          case other => sys.error(s"Unsupported plot type '$other' specified.")
+        }
+      })
     )
   }
 

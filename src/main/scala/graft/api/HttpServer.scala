@@ -88,11 +88,12 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
                   handler: Handlers.Handler): Unit = {
     val q = queryMap(ex)
     val params =
-      // diagnostics don't need a dataset param
-      if (Set("/capabilities", "/heartbeat", "/version", "/list",
-        "/domslist", "/domsresults").contains(path) && !q.contains("ds"))
-        Handlers.QueryParams(dataset = q.getOrElse("ds", ""),
-          executionId = q.get("executionId"))
+      // dataset-less paths: parse the full query (bbox/time/extra all
+      // still apply — /domsstats takes b= with no ds=) with an empty
+      // dataset instead of fromQuery's missing-ds error
+      if (HttpServer.noDsPaths.contains(path) &&
+          !q.contains("ds") && !q.contains("dataset"))
+        Handlers.QueryParams.fromQuery(q + ("ds" -> ""))
       else Handlers.QueryParams.fromQuery(q)
     gate.tryRun(spark) {
       val plan = handler(params, tiles)
@@ -112,7 +113,9 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
         // encoders — their collect() runs no cluster job, so this
         // happens outside the gate
         val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        q.getOrElse("output", "JSON").toUpperCase match {
+        val defaultOutput =
+          if (path == "/domsplot") "PNG" else "JSON" // a plot endpoint IS an image
+        q.getOrElse("output", defaultOutput).toUpperCase match {
           case "CSV" =>
             respond(ex, 200, "text/csv", Encoders.toCsvBytes(df))
           case "NETCDF" =>
@@ -124,9 +127,25 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
           case "PNG" =>
             // time-series endpoints render LINE plots (the reference's
             // TimeSeriesSpark.py:364-474 matplotlib chart); map-shaped
-            // endpoints render heatmaps. pngplot= overrides either way.
-            val plot = q.getOrElse("pngplot",
-              if (HttpServer.seriesPngPaths.contains(path)) "series" else "map")
+            // endpoints render heatmaps; /domsplot picks per its type=
+            // (ResultsPlotQuery.py:32-40: scatter | map | histogram).
+            // pngplot= overrides either way.
+            val domsPlot = if (path != "/domsplot") None else Some(
+              q.getOrElse("type", "scatter") match {
+                case "map" => "map"
+                case "histogram" => "series"
+                case _ => "scatter"
+              })
+            val plot = q.getOrElse("pngplot", domsPlot.getOrElse(
+              if (HttpServer.seriesPngPaths.contains(path)) "series" else "map"))
+            if (plot == "scatter")
+              respond(ex, 200, "image/png", Encoders.toPngSeriesAuto(df,
+                xCol = q.get("pngx"),
+                yCols = q.get("pngy").map(_.split(',').toSeq),
+                width = q.get("pngw").map(_.toInt).getOrElse(800),
+                height = q.get("pngh").map(_.toInt).getOrElse(400),
+                style = "points"))
+            else
             if (plot == "series") {
               // multi-dataset series (ds=a,b): one line per dataset —
               // pivot by dataset before plotting, like the reference's
@@ -192,6 +211,16 @@ object HttpServer {
   val seriesPngPaths: Set[String] = Set(
     "/timeSeriesSpark", "/stats", "/statsSolr",
     "/dailydifferenceaverage_spark", "/dailydifferenceaverage")
+
+  /** Paths that work without a `ds=` parameter (diagnostics, stored
+    * executions, in-situ stats).
+    */
+  val noDsPaths: Set[String] = Set(
+    "/capabilities", "/heartbeat", "/version", "/list", "/delay",
+    "/makeerror", "/domslist", "/domsresults", "/domsplot", "/domsstats",
+    // /domsmetadata reports its own reference-parity error when the
+    // dataset arg is missing (MetadataQuery.py:28)
+    "/domsmetadata")
 
   /** Boot with the full registry: core + legacy + diagnostics + DOMS
     * (when an in-situ table and results path are supplied).

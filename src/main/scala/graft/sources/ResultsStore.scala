@@ -202,7 +202,8 @@ object Encoders {
     * collected result, like toPng — series are result-shaped.
     */
   def toPngSeries(df: DataFrame, xCol: String, yCols: Seq[String],
-                  width: Int = 800, height: Int = 400): Array[Byte] = {
+                  width: Int = 800, height: Int = 400,
+                  style: String = "line"): Array[Byte] = {
     require(yCols.nonEmpty, "toPngSeries needs at least one y column")
     val rows = df.select((xCol +: yCols).map(org.apache.spark.sql.functions.col): _*)
       .collect()
@@ -263,10 +264,16 @@ object Encoders {
           if (v.isNaN || v.isInfinite) prev = None
           else {
             val p = (px(x), py(v))
-            prev.foreach(q => g.drawLine(q._1, q._2, p._1, p._2))
-            // paint the point itself too — an isolated point (single-row
-            // series, or one flanked by NaN gaps) has no segments
-            g.drawLine(p._1, p._2, p._1, p._2)
+            // "points" (the /domsplot scatter style) draws 3×3 markers
+            // with no connecting segments (matplotlib scatter)
+            if (style == "points") g.fillRect(p._1 - 1, p._2 - 1, 3, 3)
+            else {
+              prev.foreach(q => g.drawLine(q._1, q._2, p._1, p._2))
+              // paint the point itself too — an isolated point
+              // (single-row series, or one flanked by NaN gaps) has no
+              // segments
+              g.drawLine(p._1, p._2, p._1, p._2)
+            }
             prev = Some(p)
           }
         }
@@ -326,9 +333,10 @@ object Encoders {
 
   def toPngSeriesAuto(df: DataFrame, xCol: Option[String] = None,
                       yCols: Option[Seq[String]] = None,
-                      width: Int = 800, height: Int = 400): Array[Byte] = {
+                      width: Int = 800, height: Int = 400,
+                      style: String = "line"): Array[Byte] = {
     val (x, autoYs) = seriesAxes(df, xCol)
-    toPngSeries(df, x, yCols.getOrElse(autoYs), width, height)
+    toPngSeries(df, x, yCols.getOrElse(autoYs), width, height, style)
   }
 
   /** PNG with map defaults: x=lon, y=lat when present (falling back

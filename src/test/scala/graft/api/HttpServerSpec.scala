@@ -128,6 +128,69 @@ class HttpServerSpec extends SparkSpec {
     assert(values.body().contains("\"id\":100") && values.body().contains("\"id\":101"))
   }
 
+  test("/domsmetadata reports catalog extent; unknown dataset errors") {
+    val r = get("/domsmetadata?dataset=sst")
+    assert(r.statusCode() === 200, r.body())
+    assert(r.body().contains("\"n_granules\":3"))
+    assert(r.body().contains("\"min_lat\":0.5") && r.body().contains("\"max_lat\":3.5"))
+    // ds= works as the alias (fromQuery's dataset fallback order)
+    assert(get("/domsmetadata?ds=sst").body() === r.body())
+    val missing = get("/domsmetadata")
+    assert(missing.statusCode() === 400)
+    assert(missing.body().contains("'dataset' parameter not specified"))
+    val unknown = get("/domsmetadata?dataset=nope")
+    assert(unknown.statusCode() === 400)
+    assert(unknown.body().contains("not found"))
+  }
+
+  test("/domsstats returns in-situ count + bounds for the domain") {
+    val r = get("/domsstats?b=0,0,1,1&startTime=0&endTime=100000")
+    assert(r.statusCode() === 200, r.body())
+    // only point 100 (0.51, 0.52, t=1000) is inside; 101 is at (2.5, 2.5)
+    assert(r.body().contains("\"count\":1"))
+    assert(r.body().contains("\"min_lat\":0.51"))
+    assert(r.body().contains("\"start_time\":1000"))
+    val all = get("/domsstats")
+    assert(all.body().contains("\"count\":2"))
+  }
+
+  test("/domsplot renders a stored execution (scatter/map/histogram)") {
+    val exec = get("/domsmatchup?ds=sst&b=0,0,4,4&rt=5000&tt=3600" +
+      "&executionId=plot-exec-1")
+    assert(exec.statusCode() === 200, exec.body())
+    // default type=scatter, default output=PNG (a plot endpoint IS an image)
+    val scatter = getBytes("/domsplot?id=plot-exec-1")
+    assert(scatter.statusCode() === 200, new String(scatter.body(), "UTF-8"))
+    assert(scatter.headers().firstValue("Content-Type").get === "image/png")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(scatter.body()))
+    assert(img.getWidth === 800 && img.getHeight === 400)
+    // the scatter style paints 3×3 markers in series color 0
+    val c0 = graft.sources.Encoders.seriesColors(0)
+    val n = (for (x <- 0 until 800; y <- 0 until 400
+                  if img.getRGB(x, y) == c0) yield 1).sum
+    assert(n >= 9, "expected at least one scatter marker")
+    assert(getBytes("/domsplot?id=plot-exec-1&type=map").statusCode() === 200)
+    assert(getBytes("/domsplot?id=plot-exec-1&type=histogram").statusCode() === 200)
+    // histogram data is inspectable as JSON: bins sum to the pair count
+    val hist = get("/domsplot?id=plot-exec-1&type=histogram&output=JSON")
+    assert(hist.statusCode() === 200, hist.body())
+    assert(hist.body().contains("\"count\":"))
+    assert(get("/domsplot?id=plot-exec-1&type=pie").statusCode() === 400)
+    assert(get("/domsplot").statusCode() === 400) // id required
+  }
+
+  test("/delay sleeps and /makeerror raises (reference diagnostics)") {
+    val t0 = System.nanoTime()
+    val r = get("/delay?t=0.2")
+    assert(r.statusCode() === 200, r.body())
+    assert((System.nanoTime() - t0) / 1e9 >= 0.2)
+    assert(r.body().contains("\"slept_sec\":0.2"))
+    val err = get("/makeerror")
+    assert(err.statusCode() === 400)
+    assert(err.body().contains("division by zero"))
+  }
+
   test("output=CSV, NETCDF and ZIP encodings") {
     val csv = get("/timeSeriesSpark?ds=sst&output=CSV")
     assert(csv.headers().firstValue("Content-Type").get === "text/csv")
