@@ -73,10 +73,13 @@ object BalancedShards {
     // per-bucket counts → prefix offsets in DESC bucket order (higher
     // bucket = larger sizes = earlier rank): a ≤nb-row frame, windowed
     // on one tiny partition by construction, then broadcast
+    // (the constant _bkt*0 partition key — non-foldable, so it
+    // survives the optimizer — silences the benign unpartitioned-
+    // window warning this ≤nb-row frame would otherwise emit)
     val offsets = bucketed.groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
       .withColumn("_off",
         coalesce(sum(col("_n")).over(
-          Window.orderBy(col("_bkt").desc)
+          Window.partitionBy(col("_bkt") * 0).orderBy(col("_bkt").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_bkt"), col("_off"))
     val local = Window.partitionBy(col("_bkt"))

@@ -247,6 +247,29 @@ object SimilarityQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // PCA projection with FIXED checked-in components: the projection
+    // algebra (center, dot with each component) is exactly production
+    // Pca.project — only the eigen step is bypassed, so this gate
+    // hash-verifies the per-row arithmetic against DuckDB while
+    // e_pca_project keeps covering the fitted path (fixture-pinned).
+    // Components/means are formula-generated (sin/cos ramps) so the
+    // oracle can regenerate them without a literal table.
+    "e_pca_project_fixed" -> { (s, dir) =>
+      import graft.sim.Pca
+      val d = 16
+      val model = Pca.Model(
+        means = Array.tabulate(d)(i => 0.1 * i),
+        components = Array(
+          Array.tabulate(d)(i => math.sin(0.3 * i)),
+          Array.tabulate(d)(i => math.cos(0.3 * i))),
+        variances = Array(1.0, 1.0))
+      Pca.project(Tables.embeddingsSpread(s, dir), col("embedding"), model)
+        .select(col("vec_id"), col("label"),
+          round(element_at(col("pc"), 1) + lit(1e-9), 4).as("pc1"),
+          round(element_at(col("pc"), 2) + lit(1e-9), 4).as("pc2"))
+        .orderBy("vec_id")
+    },
+
     // Embedding near-dup pairs: LSH candidates (same bucket), exact
     // cosine ≥ 0.45
     "e_near_dup" -> { (s, dir) =>
@@ -423,6 +446,21 @@ object SimilarityQueries extends QueryModule {
         |    x -> pow(abs(x - floor(x / scale + 0.5) * scale), 2))) / len(v))
         |    + 1e-9, 6) AS rmse
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // ::DOUBLE keeps the ramp literals binary-float on both engines
+    // (DuckDB's bare 0.1 is DECIMAL, whose 0.1*(i-1) differs from the
+    // double product by an ulp — enough to flip a 4-decimal boundary)
+    "e_pca_project_fixed" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings)
+        |SELECT vec_id, label,
+        |  round(list_sum(list_transform(range(1,17),
+        |    i -> (v[i] - 0.1::DOUBLE*(i-1)) * sin(0.3::DOUBLE*(i-1)))) + 1e-9, 4)
+        |    AS pc1,
+        |  round(list_sum(list_transform(range(1,17),
+        |    i -> (v[i] - 0.1::DOUBLE*(i-1)) * cos(0.3::DOUBLE*(i-1)))) + 1e-9, 4)
+        |    AS pc2
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "e_near_dup" ->
       s"""WITH $sigCte,
