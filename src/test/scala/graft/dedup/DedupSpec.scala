@@ -113,14 +113,21 @@ class DedupSpec extends SparkSpec {
     assert(cc === Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 9L -> 9L))
   }
 
-  test("connectedComponents on a chain converges within diameter rounds") {
+  test("connectedComponents on a chain converges in O(log diameter) rounds") {
     import spark.implicits._
-    // path 0-1-2-...-7: worst-case diameter for min propagation
+    // path 0-1-2-...-7: worst-case diameter for plain min propagation
+    // (7 rounds); pointer jumping must close it in ~log₂ rounds (the
+    // +1 is the final no-change round that proves the fixpoint)
     val edges = (0L until 7L).map(i => (i, i + 1)).toDF("src", "dst")
     val nodes = (0L to 7L).toDF("id")
-    val cc = Dedup.connectedComponents(edges, nodes, maxIter = 10)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (ccDf, rounds) =
+      Dedup.connectedComponentsWithRounds(edges, nodes, maxIter = 10)
+    val cc = ccDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet === Set(0L))
+    // plain propagation needs diameter+1 = 8 rounds; 3 plain rounds +
+    // distance-doubling jump rounds close it in 6
+    assert(rounds <= 6, s"pointer jumping should close diameter 7 in ≤6 " +
+      s"rounds, took $rounds")
   }
 
   test("bucketStarEdges links every band member to the band minimum") {
