@@ -6,15 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads ride as
   * opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction runs as partition-local batch functions so the
-  * (expensive, native-library) decode step amortizes per batch and
-  * never shuffles raw bytes more than once.
+  * (expensive) decode step amortizes per batch and never shuffles raw
+  * bytes more than once.
   *
-  * The decode itself is STUBBED here (no media libraries in this
-  * environment): `stubDecodeFeatures` produces a deterministic
-  * fake feature vector from the payload bytes. The Spark-side shape —
-  * schema, partition-local batching, feature column type — is real and
-  * is what a production decoder (e.g. a JNI/ONNX batch scorer) would
-  * plug into.
+  * IMAGE decode is REAL: `javax.imageio` (pure JDK — PNG/JPEG/GIF/BMP)
+  * via [[decodeImageFeatures]] / [[resizeImage]], operating on raw
+  * raster samples. Audio/video codecs don't exist in the JDK, so the
+  * byte-level stand-ins (`stubDecodeFeatures`, `stubResize`) remain
+  * for those modalities — same partition-local batched shape a
+  * JNI/ONNX batch scorer would plug into.
   */
 object Multimodal {
 
@@ -32,6 +32,138 @@ object Multimodal {
       col(payload).cast("binary").as("payload"),
       struct(lit(mime).as("mime"), lit(0).as("width"), lit(0).as("height"),
         lit(0L).as("durationMs")).as("meta"))
+
+  /** Decoded-image feature row: true raster dimensions plus the
+    * grid-pooled luminance features.
+    */
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           features: Array[Float])
+
+  /** Encode an 8-bit grayscale image from a pixel function — the
+    * deterministic generator for specs and gates. PNG is lossless, so
+    * a decode returns exactly these samples and an oracle can
+    * recompute everything downstream from the formula.
+    */
+  def synthGrayPng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** ImageIO decode to a row-major band-mean sample grid. Raw RASTER
+    * samples, not `getRGB` — getRGB routes gray images through a
+    * linear→sRGB color-space conversion that gamma-shifts every value,
+    * which would make decoded pixels differ from the encoded ones.
+    * Multi-band (RGB) images collapse to floor((r+g+b)/bands).
+    * Returns (width, height, samples).
+    */
+  def decodeSamples(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0
+        var b = 0
+        while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+        out(y * w + x) = s / bands
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** REAL image decode + grid pooling: decode each payload with
+    * ImageIO (partition-local — the codec instance and temp buffers
+    * amortize per batch) and pool the luminance samples over a
+    * gridH×gridW cell grid (cell mean, row-major). The float features
+    * feed the same downstream ANN/dedup operators as text embeddings.
+    */
+  def decodeImageFeatures(media: Dataset[MediaRow], gridW: Int,
+                          gridH: Int): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decodeSamples(r.payload)
+        val feats = Array.tabulate(gridH * gridW) { k =>
+          val (cy, cx) = (k / gridW, k % gridW)
+          val (y0, y1) = (cy * h / gridH, (cy + 1) * h / gridH)
+          val (x0, x1) = (cx * w / gridW, (cx + 1) * w / gridW)
+          var s = 0L
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += px(y * w + x); n += 1; x += 1 }
+            y += 1
+          }
+          if (n == 0) 0f else s.toFloat / n
+        }
+        ImageFeatures(r.media_id, w, h, feats)
+      }
+    }
+  }
+
+  /** REAL box-filter resize: decode, average each target pixel's
+    * source block (floor of the integer mean — deterministic, no
+    * rounding-mode ambiguity), re-encode as grayscale PNG with the
+    * metadata dimensions updated. Partition-local; binary in, smaller
+    * binary out, no shuffle — the same contract as the byte-level
+    * stand-in, now with true pixels.
+    */
+  def resizeImage(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(outW > 0 && outH > 0, s"resize dims must be positive: ${outW}x$outH")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decodeSamples(r.payload)
+        val png = synthGrayPng(outW, outH, (tx, ty) => {
+          val (y0, y1) = (ty * h / outH, math.max((ty + 1) * h / outH, ty * h / outH + 1))
+          val (x0, x1) = (tx * w / outW, math.max((tx + 1) * w / outW, tx * w / outW + 1))
+          var s = 0L
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += px(y * w + x); n += 1; x += 1 }
+            y += 1
+          }
+          (s / n).toInt
+        })
+        r.copy(payload = png,
+          meta = r.meta.copy(mime = "image/png", width = outW, height = outH))
+      }
+    }
+  }
+
+  /** Decoded pixel rendition for verification: the band-mean samples
+    * as a "-"-joined row-major string (digesting PNG BYTES would pin
+    * the encoder's compression choices, not the image).
+    */
+  def pixelStrings(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decodeSamples(r.payload)
+        (r.media_id, w, h, px.mkString("-"))
+      }
+    }.toDF("media_id", "width", "height", "pixels")
+  }
 
   /** STUB decode: deterministic 8-dim "feature vector" from byte
     * statistics (sum/length per stride). A real implementation decodes

@@ -317,12 +317,47 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // Multimodal transform pipeline: frame-sample (fixed-size
-    // segmentation — boundary correctness proven by count + lossless
-    // byte total) and resize (every-4th-byte downsample, digest-checked
-    // byte-for-byte). Documents are pure ASCII, so the oracle models
-    // the byte operations as character operations exactly.
+    // REAL image pipeline: synthesize an 8×8 grayscale PNG per
+    // document (pixel value = a formula of doc_id), decode it with
+    // javax.imageio (true codec work, partition-local), pool 2×4
+    // luminance cell means as features, box-resize to 4×4 and read the
+    // resized pixels back. PNG is lossless, so the DuckDB oracle
+    // recomputes every output from the pixel formula — what the gate
+    // actually checks is that the encode→decode→pool→resize chain
+    // reproduces the mathematics exactly.
     "m_media_pipeline" -> { (s, dir) =>
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val media = Tables.documentsSpread(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val png = Multimodal.synthGrayPng(8, 8,
+              (x, y) => ((id * 31 + y * 8 + x) % 256).toInt)
+            Multimodal.MediaRow(id, png, Multimodal.MediaMeta("image/png", 8, 8, 0L))
+          }
+        }
+      val fcols = (0 until 8).map(k =>
+        round(element_at(col("features"), k + 1).cast("double") + lit(1e-9), 4)
+          .as(s"f$k"))
+      val feats = Multimodal.decodeImageFeatures(media, gridW = 4, gridH = 2)
+        .toDF()
+        .select(Seq(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height")) ++ fcols: _*)
+      val res = Multimodal.pixelStrings(Multimodal.resizeImage(media, 4, 4))
+        .select(col("media_id"), col("pixels").as("res_pixels"))
+      feats.join(res, "media_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Byte-level transform pipeline (the modality-agnostic plumbing:
+    // audio/video payloads where no JDK codec exists): frame-sample
+    // (fixed-size segmentation — boundary correctness proven by count +
+    // lossless byte total) and stride resize (every-4th-byte
+    // downsample, digest-checked byte-for-byte). Documents are pure
+    // ASCII, so the oracle models the byte operations as character
+    // operations exactly.
+    "m_byte_pipeline" -> { (s, dir) =>
       import graft.multimodal.Multimodal
       val media = Multimodal.asMediaTable(
         Tables.documentsSpread(s, dir), "doc_id", "text", "text/plain")
@@ -582,7 +617,7 @@ object TextQueries extends QueryModule {
         |       sha256(text) AS digest, source
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "m_media_pipeline" ->
+    "m_byte_pipeline" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,
         |  CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_segs,
@@ -592,6 +627,28 @@ object TextQueries extends QueryModule {
         |    list_transform(range(0, CAST(ceil(length(text) / 4.0) AS BIGINT)),
         |                   i -> substr(text, CAST(1 + i * 4 AS INT), 1)),
         |    '')) AS res_digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pixel v(x,y) = (doc_id*31 + y*8 + x) % 256; features = 2×4 grid
+    // cell means over 4×2-pixel cells; resize = floor-mean of each 2×2
+    // block. The engine derives these from DECODED pixels; the oracle
+    // derives them from the formula — equality proves the codec chain.
+    "m_media_pipeline" -> {
+      val cells = (0 until 8).map { k =>
+        val (cy, cx) = (k / 4, k % 4)
+        s"round(list_sum(list_transform(range(0,8), j -> " +
+          s"(doc_id*31 + (${cy * 4} + j//2)*8 + ${cx * 2} + j%2) % 256)) " +
+          s"/ 8.0 + 1e-9, 4) AS f$k"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+         |  $cells,
+         |  array_to_string(list_transform(range(0,16), p ->
+         |    (  ((doc_id*31 + ((p//4)*2)*8   + (p%4)*2)     % 256)
+         |     + ((doc_id*31 + ((p//4)*2)*8   + (p%4)*2 + 1) % 256)
+         |     + ((doc_id*31 + ((p//4)*2+1)*8 + (p%4)*2)     % 256)
+         |     + ((doc_id*31 + ((p//4)*2+1)*8 + (p%4)*2 + 1) % 256)) // 4),
+         |    '-') AS res_pixels
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -43,6 +43,75 @@ class MultimodalSpec extends SparkSpec {
     assert(r(1L).meta.mime === "text/plain")
   }
 
+  test("PNG round-trip: decodeSamples returns the exact encoded pixels " +
+    "(raw raster, no getRGB gamma shift)") {
+    val png = Multimodal.synthGrayPng(8, 8, (x, y) => (y * 8 + x) * 3 % 256)
+    val (w, h, px) = Multimodal.decodeSamples(png)
+    assert(w === 8 && h === 8)
+    assert(px.toSeq === (0 until 64).map(i => i * 3 % 256))
+    // the gamma pitfall this guards: getRGB on a gray image would map
+    // 100 to a different sRGB value; raw samples must be identity
+    assert(px(0) === 0 && px(33) === 33 * 3 % 256)
+  }
+
+  test("decodeImageFeatures pools REAL decoded pixels into grid-cell means") {
+    import spark.implicits._
+    val ids = Seq(7L, 42L)
+    val ds = ids.toDF("id").as[Long].map { id =>
+      Multimodal.MediaRow(id,
+        Multimodal.synthGrayPng(8, 8, (x, y) => ((id * 31 + y * 8 + x) % 256).toInt),
+        Multimodal.MediaMeta("image/png", 8, 8, 0L))
+    }
+    val feats = Multimodal.decodeImageFeatures(ds, gridW = 4, gridH = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- ids) {
+      assert(feats(id).width === 8 && feats(id).height === 8)
+      val expected = Array.tabulate(8) { k =>
+        val (cy, cx) = (k / 4, k % 4)
+        val vals = for (y <- cy * 4 until cy * 4 + 4; x <- cx * 2 until cx * 2 + 2)
+          yield ((id * 31 + y * 8 + x) % 256).toInt
+        vals.sum.toFloat / 8
+      }
+      assert(feats(id).features.toSeq === expected.toSeq)
+    }
+  }
+
+  test("resizeImage box-filters decoded pixels (floor mean per 2x2 block)") {
+    import spark.implicits._
+    val ds = Seq(5L).toDF("id").as[Long].map { id =>
+      Multimodal.MediaRow(id,
+        Multimodal.synthGrayPng(8, 8, (x, y) => ((id * 31 + y * 8 + x) % 256).toInt),
+        Multimodal.MediaMeta("image/png", 8, 8, 0L))
+    }
+    val out = Multimodal.resizeImage(ds, 4, 4).collect()(0)
+    assert(out.meta.width === 4 && out.meta.height === 4)
+    val (w, h, px) = Multimodal.decodeSamples(out.payload)
+    assert(w === 4 && h === 4)
+    def v(x: Int, y: Int) = ((5L * 31 + y * 8 + x) % 256).toInt
+    val expected = for (ty <- 0 until 4; tx <- 0 until 4) yield
+      (v(tx * 2, ty * 2) + v(tx * 2 + 1, ty * 2) +
+        v(tx * 2, ty * 2 + 1) + v(tx * 2 + 1, ty * 2 + 1)) / 4
+    assert(px.toSeq === expected)
+  }
+
+  test("JPEG decode works through the same path (lossy: dims exact, " +
+    "values plausible)") {
+    // a flat mid-gray RGB JPEG: encode via ImageIO, decode via
+    // decodeSamples — bands collapse by mean; JPEG is lossy so assert
+    // proximity, not equality
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(120, 120, 120))
+    g.fillRect(0, 0, 16, 8)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val (w, h, px) = Multimodal.decodeSamples(bos.toByteArray)
+    assert(w === 16 && h === 8)
+    assert(px.forall(p => math.abs(p - 120) <= 4), s"lossy drift too big: ${px.max}/${px.min}")
+  }
+
   test("segmentPayload splits payloads into fixed-size segments") {
     val segs = Multimodal.segmentPayload(
       Multimodal.asMediaTable(media, "id", "body", "text/plain"), segBytes = 8)
