@@ -33,7 +33,11 @@ object GeoDistance {
     if (lat1Deg == lat2Deg && lon1Deg == lon2Deg) return 0.0
     val u1 = math.atan((1 - F) * math.tan(math.toRadians(lat1Deg)))
     val u2 = math.atan((1 - F) * math.tan(math.toRadians(lat2Deg)))
-    val l = math.toRadians(lon2Deg - lon1Deg)
+    // wrap the lon difference into [-π, π]: a pair straddling the
+    // antimeridian (179.9°, -179.9°) otherwise seeds lambda near ±2π
+    // and the iteration solves the long-way-around geodesic
+    val rawL = math.toRadians(lon2Deg - lon1Deg)
+    val l = math.atan2(math.sin(rawL), math.cos(rawL))
     val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
     val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
 

@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   * in the domain; poleward domains should be matched in latitude bands.
   * Cell keys are uniform shuffle keys; skewed cells fall to AQE.
   *
-  * Longitudes are treated as linear: a domain crossing the
-  * antimeridian must be pre-rotated (shift lon by a constant) or
-  * matched a second time with a ±360°-shifted copy of the boundary
-  * strip — the same caveat as the reference's flat azimuthal
-  * projection per partition (Matchup.py:536-578).
+  * Longitude cells WRAP: the cell index is taken modulo the number of
+  * cells around the full circle (cell width rounded UP to an exact
+  * divisor of 360°, so every cell has uniform width and the seam cell
+  * is never narrower than the admissible Δlon). A domain crossing the
+  * antimeridian therefore matches without pre-rotation — the automatic
+  * form of what the reference gets from its per-partition azimuthal
+  * projection (Matchup.py:536-578); the haversine/geodesic admission
+  * predicates are wrap-correct by construction.
   */
 object GeoMatchup {
 
@@ -78,22 +81,33 @@ object GeoMatchup {
       math.cos(math.toRadians(maxAbsLat))
     require(sinHalf < 1.0,
       s"tolerance $rtMeters m wraps the $maxAbsLat° parallel — band by latitude")
-    val lonStep = math.toDegrees(2 * math.asin(sinHalf)) * margin
+    val lonStepMin = math.toDegrees(2 * math.asin(sinHalf)) * margin
+    // round the lon cell count DOWN (cell width UP) to an exact divisor
+    // of 360°: uniform cells tile the circle exactly, so modular ±1
+    // adjacency holds across the antimeridian seam too — a remainder
+    // cell narrower than the admissible Δlon would put near-seam pairs
+    // two cells apart and silently drop them
+    val nLon = math.max(1, math.floor(360.0 / lonStepMin).toInt)
+    val lonStep = 360.0 / nLon
 
     def cell(c: Column, step: Double): Column = floor(c / step).cast("long")
+    def lonCell(c: Column): Column =
+      pmod(floor((c + 180.0) / lonStep).cast("long"), lit(nLon.toLong))
 
     val neighbors = Seq(-1, 0, 1)
-    val pCells = explode(array((for {
+    // array_distinct: with few lon cells (huge tolerance) the modular
+    // neighbor keys collide, and duplicate keys would duplicate pairs
+    val pCells = explode(array_distinct(array((for {
       dLat <- neighbors; dLon <- neighbors; dT <- neighbors
     } yield struct(
       (cell(pLat, latStep) + dLat).as("la"),
-      (cell(pLon, lonStep) + dLon).as("lo"),
-      (cell(pTime, ttSeconds.toDouble) + dT).as("t"))): _*))
+      pmod(lonCell(pLon) + dLon, lit(nLon.toLong)).as("lo"),
+      (cell(pTime, ttSeconds.toDouble) + dT).as("t"))): _*)))
 
     val p = primary.withColumn("__cell", pCells)
     val sKeyed = secondary.withColumn("__cell", struct(
       cell(sLat, latStep).as("la"),
-      cell(sLon, lonStep).as("lo"),
+      lonCell(sLon).as("lo"),
       cell(sTime, ttSeconds.toDouble).as("t")))
     val s = if (broadcastSecondary) broadcast(sKeyed)
             else sKeyed.hint("shuffle_hash")

@@ -43,6 +43,44 @@ class GeoMatchupSpec extends SparkSpec {
     assert(d > 25 && d < 30)
   }
 
+  test("cross-antimeridian pairs match without pre-rotation") {
+    import spark.implicits._
+    // 179.95°E and 179.95°W at the equator are ~11.1 km apart across
+    // the seam (and ~39 989 km apart the linear way)
+    val primary = Seq((1L, 0.0, 179.95, 0L)).toDF("pid", "plat", "plon", "pt")
+    val secondary = Seq(
+      (2L, 0.0, -179.95, 0L),  // 0.1° across the seam — admissible
+      (3L, 0.0, -178.0, 0L)    // 2.05° across the seam — out of range
+    ).toDF("sid", "slat", "slon", "st")
+    for (geo <- Seq(false, true)) {
+      val m = GeoMatchup.matchup(primary, secondary,
+        $"plat", $"plon", $"pt", $"slat", $"slon", $"st",
+        rtMeters = 20000, ttSeconds = 3600, geodesic = geo)
+      val rows = m.select($"sid", $"dist_km").as[(Long, Double)].collect()
+      assert(rows.map(_._1).toSet === Set(2L), s"geodesic=$geo: $rows")
+      // the distance must be the short way (≈11.1 km), not the wrap
+      assert(rows(0)._2 > 10 && rows(0)._2 < 12.5, s"geodesic=$geo: $rows")
+    }
+    // same seam pair at 60°N: the zonal gap shrinks with cos(lat)
+    val pHigh = Seq((1L, 60.0, 179.95, 0L)).toDF("pid", "plat", "plon", "pt")
+    val sHigh = Seq((2L, 60.0, -179.95, 0L)).toDF("sid", "slat", "slon", "st")
+    assert(GeoMatchup.matchup(pHigh, sHigh,
+      $"plat", $"plon", $"pt", $"slat", $"slon", $"st",
+      rtMeters = 20000, ttSeconds = 3600).count() === 1)
+  }
+
+  test("huge tolerance (few lon cells) does not duplicate pairs") {
+    import spark.implicits._
+    // rt = 2000 km at maxAbsLat 66° → very wide lon cells; modular ±1
+    // neighbors collide and must be deduplicated, not double-joined
+    val primary = Seq((1L, 0.0, 0.0, 0L)).toDF("pid", "plat", "plon", "pt")
+    val secondary = Seq((2L, 0.0, 10.0, 0L)).toDF("sid", "slat", "slon", "st")
+    val m = GeoMatchup.matchup(primary, secondary,
+      $"plat", $"plon", $"pt", $"slat", $"slon", $"st",
+      rtMeters = 2000000, ttSeconds = 3600)
+    assert(m.count() === 1)
+  }
+
   test("time tolerance bounds matches") {
     import spark.implicits._
     val primary = Seq((1L, 0.0, 0.0, 0L)).toDF("pid", "plat", "plon", "pt")
