@@ -20,8 +20,13 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   *  - superblock v0/v1 (symbol-table root) and v2/v3 (direct root
   *    object header; trailing checksums are not verified)
   *  - object headers v1 (with continuation blocks) and v2 (`OHDR`)
-  *  - groups via symbol-table message (B-tree v1 + SNOD + local heap)
-  *    or compact link messages; nested groups flatten to `g/var` names
+  *  - groups via symbol-table message (B-tree v1 + SNOD + local heap),
+  *    compact link messages, or DENSE link storage (Link Info message →
+  *    fractal heap of link messages + v2 B-tree name index — the
+  *    layout libhdf5 switches to above ~8 links per group; subset:
+  *    unfiltered heap, root direct block or one indirect level,
+  *    leaf-root B-tree ≈ hundreds of links); nested groups flatten to
+  *    `g/var` names
   *  - datatypes: fixed-point (1/2/4/8-byte, signed/unsigned, LE/BE),
   *    IEEE float (4/8-byte, LE/BE), fixed strings (attributes)
   *  - dataspaces v1/v2 (simple, any rank)
@@ -41,8 +46,8 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   * ingest path is format-agnostic. Variable dims get synthetic
   * per-variable names (`<var>_d<i>`) — the ingest derives grid shape
   * from coordinate variables, not dim identity. Out of scope:
-  * fractal-heap "dense" groups, vlen/compound/reference types (NetCDF-4
-  * DIMENSION_LIST attrs decode as empty), szip.
+  * vlen/compound/reference types (NetCDF-4 DIMENSION_LIST attrs decode
+  * as empty), szip, filtered fractal heaps, multi-level v2 B-trees.
   */
 object H5Lite {
 
@@ -253,6 +258,13 @@ object H5Lite {
         r.at(p)
         parseLink(r).foreach(children += _)
       }
+      // dense link storage (Link Info message 0x02): links live as
+      // managed fractal-heap objects indexed by a v2 B-tree — the
+      // layout libhdf5 switches to above ~8 links per group
+      byType.get(0x02).foreach { m =>
+        r.at(m.head._2)
+        children ++= denseLinks(r)
+      }
       children.foreach { case (nm, a) =>
         walkObject(r, a, s"$prefix/$nm".stripPrefix("/"), sets, rootAttrs,
           isRoot = false)
@@ -296,6 +308,153 @@ object H5Lite {
     }
     walkNode(btree)
     out.toSeq
+  }
+
+  /** Link Info message (type 0x02, spec §IV) → dense-group children.
+    * The fractal heap (§III.G) stores each link message as a managed
+    * heap object; the v2 B-tree (§III.A.2, record type 5: link-name
+    * hash index) stores the heap IDs. Reading every B-tree record and
+    * resolving its heap ID reproduces exactly the link set, no hash
+    * verification needed.
+    */
+  private def denseLinks(r: R): Seq[(String, Long)] = {
+    val ver = r.u8()
+    require(ver == 0, s"h5: bad link info version $ver")
+    val flags = r.u8()
+    if ((flags & 0x1) != 0) r.skip(8) // max creation index
+    val fheap = r.u64()
+    val nameIdx = r.u64()
+    // creation-order index address (flags & 0x2) is never read — name
+    // order is irrelevant to the NcFile model
+    if (fheap == UNDEF) Nil // dense storage declared but never allocated
+    else {
+      val heap = new FractalHeap(r, fheap)
+      val ids = btree2HeapIds(r, nameIdx)
+      ids.flatMap { id =>
+        val (pos, _) = heap.locate(id)
+        r.at(pos)
+        parseLink(r)
+      }
+    }
+  }
+
+  /** Managed-object view of one fractal heap (§III.G): header +
+    * direct blocks, offsets mapped linearly into file space. Subset:
+    * unfiltered heaps, root direct block or one level of indirect
+    * block with direct children — what link storage for groups into
+    * the thousands of links occupies.
+    */
+  private final class FractalHeap(r: R, addr: Long) {
+    require(r.sig4(addr, "FRHP"), s"h5: bad fractal heap header at $addr")
+    r.at(addr + 4)
+    require(r.u8() == 0, "h5: bad fractal heap version")
+    private val heapIdLen = r.u16()
+    private val ioFilterLen = r.u16()
+    if (ioFilterLen != 0)
+      throw new UnsupportedH5("h5: filtered fractal heap out of subset")
+    r.u8() // flags (direct-block checksums — not verified, like all tails)
+    r.u32() // max managed object size
+    r.u64(); r.u64() // next huge id, huge B-tree address
+    r.u64(); r.u64() // free space, free-space manager address
+    r.u64(); r.u64() // managed space, allocated space
+    r.u64() // direct-block iterator offset
+    r.u64() // managed object count
+    r.skip(32) // huge size/count, tiny size/count
+    private val tableWidth = r.u16()
+    private val startBlockSize = r.u64()
+    private val maxDirectSize = r.u64()
+    private val maxHeapBits = r.u16()
+    r.u16() // starting rows in root indirect block
+    private val rootAddr = r.u64()
+    private val curRootRows = r.u16()
+    private val offsetSize = (maxHeapBits + 7) / 8
+    // derive the length-field width from the declared total, never
+    // from a re-implementation of the writer's sizing rule
+    private val lengthSize = heapIdLen - 1 - offsetSize
+    require(offsetSize >= 1 && lengthSize >= 1,
+      s"h5: implausible fractal heap id geometry ($heapIdLen/$offsetSize)")
+
+    /** (heapOffset, blockSize, fileAddr) per direct block. */
+    private val blocks: Seq[(Long, Long, Long)] =
+      if (rootAddr == UNDEF) Nil
+      else if (curRootRows == 0) Seq(readDirect(rootAddr, startBlockSize))
+      else {
+        require(r.sig4(rootAddr, "FHIB"), s"h5: bad indirect block at $rootAddr")
+        r.at(rootAddr + 4)
+        require(r.u8() == 0, "h5: bad indirect block version")
+        r.u64() // heap header address
+        r.skip(offsetSize) // block offset
+        // doubling table: rows 0 and 1 use the starting size, row i≥2
+        // doubles per row; width entries per row. Collect addresses
+        // FIRST (readDirect moves the cursor).
+        val slots = (0 until curRootRows).flatMap { row =>
+          val size = if (row < 2) startBlockSize else startBlockSize << (row - 1)
+          (0 until tableWidth).map(_ => (r.u64(), size))
+        }
+        slots.filter(_._1 != UNDEF).map { case (ba, size) =>
+          if (size > maxDirectSize)
+            throw new UnsupportedH5("h5: nested indirect fractal heap out of subset")
+          readDirect(ba, size)
+        }
+      }
+
+    private def readDirect(a: Long, size: Long): (Long, Long, Long) = {
+      require(r.sig4(a, "FHDB"), s"h5: bad direct block at $a")
+      r.at(a + 4)
+      require(r.u8() == 0, "h5: bad direct block version")
+      r.u64() // heap header address
+      var bo = 0L
+      (0 until offsetSize).foreach(i => bo |= (r.u8().toLong << (8 * i)))
+      (bo, size, a)
+    }
+
+    /** Managed heap ID → (file position, object length). Heap offsets
+      * count the block header bytes, so the file position is simply
+      * blockFileAddr + (offset − blockHeapOffset).
+      */
+    def locate(id: Array[Byte]): (Long, Long) = {
+      val b0 = id(0) & 0xff
+      if ((b0 & 0x30) != 0)
+        throw new UnsupportedH5(s"h5: huge/tiny heap object (type ${(b0 >> 4) & 3})")
+      var off = 0L
+      (0 until offsetSize).foreach(i => off |= ((id(1 + i) & 0xffL) << (8 * i)))
+      var len = 0L
+      (0 until lengthSize).foreach(i =>
+        len |= ((id(1 + offsetSize + i) & 0xffL) << (8 * i)))
+      val blk = blocks.find(b => off >= b._1 && off < b._1 + b._2).getOrElse(
+        throw new UnsupportedH5(s"h5: heap offset $off outside direct blocks"))
+      (blk._3 + (off - blk._1), len)
+    }
+  }
+
+  /** v2 B-tree → raw heap IDs of its type-5 (link name) records. A
+    * depth-0 tree (leaf root) covers groups into the hundreds of
+    * links — libhdf5's default 2048-byte nodes hold ~185 records
+    * before the tree grows a level; deeper trees are out of subset.
+    */
+  private def btree2HeapIds(r: R, addr: Long): Seq[Array[Byte]] = {
+    require(r.sig4(addr, "BTHD"), s"h5: bad v2 B-tree header at $addr")
+    r.at(addr + 4)
+    require(r.u8() == 0, "h5: bad v2 B-tree version")
+    val btType = r.u8()
+    require(btType == 5, s"h5: v2 B-tree type $btType (link-name index only)")
+    r.u32() // node size
+    val recordSize = r.u16()
+    val depth = r.u16()
+    r.u8(); r.u8() // split/merge percentages
+    val rootAddr = r.u64()
+    val rootNRec = r.u16()
+    r.u64() // total record count
+    if (depth != 0)
+      throw new UnsupportedH5(s"h5: v2 B-tree depth $depth out of subset")
+    require(r.sig4(rootAddr, "BTLF"), s"h5: bad v2 B-tree leaf at $rootAddr")
+    r.at(rootAddr + 4)
+    require(r.u8() == 0, "h5: bad v2 B-tree leaf version")
+    require(r.u8() == 5, "h5: v2 B-tree leaf record type mismatch")
+    (0 until rootNRec).map { _ =>
+      r.u32() // name hash — unused: every record is read regardless
+      r.take(recordSize - 4)
+    }
   }
 
   /** Hard-link message → (name, object header address); None for
@@ -601,6 +760,49 @@ object H5Lite {
     out.toByteArray
   }
 
+  /** Bob Jenkins' lookup3 `hashlittle` (public domain; reproduced from
+    * the algorithm description the HDF5 spec references) — the hash
+    * behind v2 B-tree name records AND the checksum trailing every
+    * v2-era metadata structure. Little-endian word gathering with
+    * zero-padding reproduces the byte-wise tail switch exactly.
+    */
+  private[sources] def lookup3(data: Array[Byte], init: Int = 0): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    def word(o: Int, n: Int): Int = {
+      var v = 0; var j = 0
+      while (j < n && o + j < data.length) {
+        v |= (data(o + j) & 0xff) << (8 * j); j += 1
+      }
+      v
+    }
+    var a = 0xdeadbeef + data.length + init
+    var b = a; var c = a
+    var i = 0; var len = data.length
+    while (len > 12) {
+      a += word(i, 4); b += word(i + 4, 4); c += word(i + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len > 0) {
+      a += word(i, math.min(len, 4))
+      if (len > 4) b += word(i + 4, math.min(len - 4, 4))
+      if (len > 8) c += word(i + 8, math.min(len - 8, 4))
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
+  }
+
   // ----------------------------------------------------------------- write
 
   /** Chunked-storage request for one variable: `dims` per data
@@ -622,6 +824,11 @@ object H5Lite {
     def raw(b: Array[Byte]): Unit = out.write(b)
     def zero(n: Long): Unit = (0L until n).foreach(_ => out.write(0))
     def padTo8(): Unit = if (pos % 8 != 0) zero(8 - pos % 8)
+    /** lookup3 checksum of everything written since `from` (the v2
+      * structures checksum their own preceding bytes).
+      */
+    def checksum(from: Long): Unit =
+      u32(lookup3(out.toByteArray.slice(from.toInt, out.size())) & 0xffffffffL)
   }
 
   private def dtypeFor(ncType: Int): Dtype = ncType match {
@@ -719,8 +926,14 @@ object H5Lite {
 
   /** Serialize the NcFile model as a v0-superblock HDF5 file. Record
     * dims are not supported (same restriction as the classic writer).
+    * `denseRoot = true` stores the root group's links DENSELY (Link
+    * Info message → fractal heap of link messages + v2 B-tree name
+    * index, the layout libhdf5 emits above ~8 links) instead of the
+    * symbol-table B-tree — the write side of the dense-read subset,
+    * with real lookup3 record hashes and structure checksums.
     */
-  def write(f: NcFile, chunking: Map[String, Chunking] = Map.empty): Array[Byte] = {
+  def write(f: NcFile, chunking: Map[String, Chunking] = Map.empty,
+            denseRoot: Boolean = false): Array[Byte] = {
     require(!f.dims.exists(_.isRecord), "h5 write: record dim unsupported")
     case class Msg(tpe: Int, body: Array[Byte])
     def pad8(n: Int) = (n + 7) / 8 * 8
@@ -730,10 +943,14 @@ object H5Lite {
     val vars = f.vars.sortBy(_.name)
     val shapes = vars.map(v => v.dims.map(d => f.dim(d).get.length))
 
-    // ---- plan addresses: superblock, root OH, btree, SNODs, heap, var OHs, data
+    // ---- plan addresses: superblock, root OH, then either
+    // btree+SNODs+heap (symbol-table root) or FRHP+FHDB+BTHD+BTLF
+    // (dense root), then var OHs + data
     val sbEnd = 96L
-    val rootMsgs0 = // symbol table message placeholder (addresses patched in)
-      Msg(0x11, new Array[Byte](16)) +: f.attrs.map(a => Msg(0x0C, attrBody(a)))
+    val rootMsgs0 = // link storage placeholder (addresses patched at emit)
+      (if (denseRoot) Msg(0x02, new Array[Byte](18))
+       else Msg(0x11, new Array[Byte](16))) +:
+        f.attrs.map(a => Msg(0x0C, attrBody(a)))
     val rootOhAddr = sbEnd
     val btreeAddr = rootOhAddr + ohSize(rootMsgs0)
     val btreeSize = 24L + (2 * GROUP_K + 1) * 8 + 2 * GROUP_K * 8
@@ -752,8 +969,45 @@ object H5Lite {
     val heapDataSize = math.max(heapCursor, 16L)
     val heapDataAddr = heapHdrAddr + 32L
 
+    // ---- dense-root sizing (link messages are name-sized, so the
+    // whole region is computable before variable planning; object
+    // header addresses inside the bodies are patched at emit)
+    val linkBodies: Seq[Array[Byte]] = if (!denseRoot) Nil else vars.map { v =>
+      val nb = v.name.getBytes("UTF-8")
+      require(nb.length < 256, s"h5 write: dense link name too long: ${v.name}")
+      val b = ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+      // version 1, flags 0 (1-byte name length, hard link), name, OH addr
+      b.put(1.toByte).put(0.toByte).put(nb.length.toByte).put(nb)
+      b.putLong(0L)
+      b.array()
+    }
+    val FrhpSize = 146L
+    val FhdbHeaderSize = 17L // sig + version + heap-header addr + 4-byte offset
+    val HeapIdLen = 7 // 1 flag byte + 4-byte offset (32-bit heap) + 2-byte length
+    val RecordSize = 4 + HeapIdLen
+    val fheapAddr = btreeAddr // same slot: right after the root OH
+    val denseBlockSize = if (!denseRoot) 0L else {
+      val need = FhdbHeaderSize + linkBodies.map(_.length).sum
+      var s = 512L
+      while (s < need) s <<= 1
+      require(s <= 0xffffL,
+        "h5 write: dense link block above 64 KiB out of subset")
+      s
+    }
+    val fhdbAddr = fheapAddr + FrhpSize
+    val BthdSize = 38L
+    val bthdAddr = fhdbAddr + denseBlockSize
+    val btlfAddr = bthdAddr + BthdSize
+    val btlfSize = {
+      val used = 6L + vars.length * RecordSize + 4
+      var s = 512L
+      while (s < used) s <<= 1
+      s
+    }
+
     // ---- per-variable messages + data placement
-    var cursor = heapDataAddr + heapDataSize
+    var cursor =
+      if (denseRoot) btlfAddr + btlfSize else heapDataAddr + heapDataSize
     case class VarPlan(ohAddr: Long, msgs: Seq[Msg],
                        dataAddr: Long, dataBytes: Array[Byte],
                        chunks: Seq[(Array[Byte], Seq[Long])], btAddr: Long,
@@ -875,9 +1129,11 @@ object H5Lite {
     w.u16(GROUP_K); w.u16(GROUP_K) // leaf k, internal k
     w.u32(0) // consistency flags
     w.u64(0); w.u64(UNDEF); w.u64(eof); w.u64(UNDEF)
-    // root symbol table entry
-    w.u64(0); w.u64(rootOhAddr); w.u32(1); w.u32(0)
-    w.u64(btreeAddr); w.u64(heapHdrAddr)
+    // root symbol table entry: cache type 1 carries the symbol-table
+    // addresses; a dense root has no symbol table → cache type 0
+    w.u64(0); w.u64(rootOhAddr)
+    if (denseRoot) { w.u32(0); w.u32(0); w.u64(0); w.u64(0) }
+    else { w.u32(1); w.u32(0); w.u64(btreeAddr); w.u64(heapHdrAddr) }
 
     def emitOh(msgs: Seq[Msg]): Unit = {
       w.u8(1); w.u8(0)
@@ -893,6 +1149,89 @@ object H5Lite {
       }
     }
 
+    if (denseRoot) {
+      // root OH with patched Link Info message
+      val li = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      li.put(0.toByte).put(0.toByte) // version, flags
+      li.putLong(fheapAddr).putLong(bthdAddr)
+      emitOh(Msg(0x02, li.array()) +: rootMsgs0.tail)
+
+      // fractal heap header (spec §III.G)
+      assert(w.pos == fheapAddr)
+      val linksBytes = linkBodies.map(_.length.toLong).sum
+      val frhpStart = w.pos
+      w.raw("FRHP".getBytes("ASCII"))
+      w.u8(0) // version
+      w.u16(HeapIdLen)
+      w.u16(0) // io filter length
+      w.u8(0) // flags: direct blocks not checksummed
+      w.u32(denseBlockSize) // max managed object size
+      w.u64(0); w.u64(UNDEF) // next huge id, huge B-tree
+      w.u64(denseBlockSize - FhdbHeaderSize - linksBytes) // free space
+      w.u64(UNDEF) // free-space manager
+      w.u64(denseBlockSize) // managed space
+      w.u64(denseBlockSize) // allocated managed space
+      w.u64(FhdbHeaderSize + linksBytes) // direct-block iterator offset
+      w.u64(vars.length.toLong) // managed object count
+      w.u64(0); w.u64(0); w.u64(0); w.u64(0) // huge/tiny size+count
+      w.u16(4) // doubling-table width
+      w.u64(denseBlockSize) // starting block size
+      w.u64(denseBlockSize) // max direct block size
+      w.u16(32) // max heap size (bits) → 4-byte offsets
+      w.u16(1) // starting rows in root indirect block
+      w.u64(fhdbAddr) // root block address
+      w.u16(0) // current rows in root indirect block: root IS direct
+      w.checksum(frhpStart)
+      assert(w.pos == fhdbAddr, "h5 write: FRHP size drift")
+
+      // the one direct block: header + packed link messages. Heap
+      // offsets count the header bytes (block offset 0 is the block
+      // start), so the first object sits at heap offset 17.
+      w.raw("FHDB".getBytes("ASCII"))
+      w.u8(0)
+      w.u64(fheapAddr)
+      w.u32(0) // block offset in heap space
+      val heapOffsets = ArrayBuffer.empty[(Long, Int)] // (offset, length)
+      linkBodies.zip(plans).foreach { case (body, p) =>
+        heapOffsets += ((w.pos - fhdbAddr, body.length))
+        val patched = ByteBuffer.wrap(body.clone()).order(ByteOrder.LITTLE_ENDIAN)
+        patched.position(body.length - 8)
+        patched.putLong(p.ohAddr)
+        w.raw(patched.array())
+      }
+      w.zero(fhdbAddr + denseBlockSize - w.pos)
+
+      // v2 B-tree header (type 5: link-name index)
+      assert(w.pos == bthdAddr)
+      val bthdStart = w.pos
+      w.raw("BTHD".getBytes("ASCII"))
+      w.u8(0); w.u8(5)
+      w.u32(btlfSize) // node size
+      w.u16(RecordSize)
+      w.u16(0) // depth: leaf root
+      w.u8(100); w.u8(40) // split/merge percent (libhdf5 defaults)
+      w.u64(btlfAddr)
+      w.u16(vars.length)
+      w.u64(vars.length.toLong)
+      w.checksum(bthdStart)
+      assert(w.pos == btlfAddr, "h5 write: BTHD size drift")
+
+      // leaf node: records sorted by unsigned lookup3 hash of the name
+      val btlfStart = w.pos
+      w.raw("BTLF".getBytes("ASCII"))
+      w.u8(0); w.u8(5)
+      val records = vars.zip(heapOffsets).map { case (v, (off, len)) =>
+        (lookup3(v.name.getBytes("UTF-8")) & 0xffffffffL, off, len)
+      }.sortBy(_._1)
+      records.foreach { case (hash, off, len) =>
+        w.u32(hash)
+        w.u8(0) // heap ID: version 0, managed object
+        w.u32(off)
+        w.u16(len)
+      }
+      w.checksum(btlfStart)
+      w.zero(btlfAddr + btlfSize - w.pos)
+    } else {
     // root OH with patched symbol-table message
     val stBody = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
     stBody.putLong(btreeAddr).putLong(heapHdrAddr)
@@ -937,6 +1276,7 @@ object H5Lite {
       w.raw(b); w.zero(pad8(b.length + 1) - b.length)
     }
     w.zero(heapDataAddr + heapDataSize - w.pos)
+    }
 
     // variable object headers + data
     plans.zip(vars).foreach { case (p, v) =>

@@ -22,8 +22,10 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
     chunkDims <- Gen.listOfN(rank, Gen.choose(1, 9))
     shuffle <- Gen.oneOf(true, false)
     deflate <- Gen.oneOf(0, 1, 6)
+    dense <- Gen.oneOf(true, false) // root link storage: dense vs symbol table
+    nVars <- Gen.choose(1, 24)
     seed <- Gen.choose(0L, Long.MaxValue)
-  } yield (dims, ncType, chunked, chunkDims, shuffle, deflate, seed)
+  } yield (dims, ncType, chunked, chunkDims, shuffle, deflate, dense, nVars, seed)
 
   /** The value as the on-disk type round-trips it (f32 truncation,
     * integer truncation) — what write-then-read must reproduce.
@@ -36,20 +38,25 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
   }
 
   property("randomShapeTypeChunkingRoundTrip") = Prop.forAll(genCase) {
-    case (dims, ncType, chunked, chunkDims, shuffle, deflate, seed) =>
+    case (dims, ncType, chunked, chunkDims, shuffle, deflate, dense, nVars, seed) =>
       val n = dims.product
       val rnd = new scala.util.Random(seed)
-      val data = Array.fill(n)(canon((rnd.nextDouble() - 0.5) * 2e4, ncType))
+      val datas = (0 until nVars).map(_ =>
+        Array.fill(n)(canon((rnd.nextDouble() - 0.5) * 2e4, ncType)))
       val f0 = NcFile(
         dims.zipWithIndex.map { case (d, i) => NcDim(s"d$i", d) },
         Nil,
-        Seq(NcVar("v", dims.indices.map(i => s"d$i"), ncType, Nil, data)))
+        datas.zipWithIndex.map { case (data, vi) =>
+          NcVar(s"v$vi", dims.indices.map(i => s"d$i"), ncType, Nil, data)
+        })
       val chunking =
         if (!chunked) Map.empty[String, H5Lite.Chunking]
-        else Map("v" -> H5Lite.Chunking(chunkDims, deflate, shuffle))
-      val back = H5Lite.read(H5Lite.write(f0, chunking))
-      val v = back.variable("v").get
-      (back.shape(v) == dims) :| "shape" &&
-        (v.data.toSeq == data.toSeq) :| "values"
+        else Map("v0" -> H5Lite.Chunking(chunkDims, deflate, shuffle))
+      val back = H5Lite.read(H5Lite.write(f0, chunking, denseRoot = dense))
+      Prop.all(datas.zipWithIndex.map { case (data, vi) =>
+        val v = back.variable(s"v$vi").get
+        (back.shape(v) == dims) :| s"shape v$vi" &&
+          (v.data.toSeq == data.toSeq) :| s"values v$vi"
+      }: _*)
   }
 }

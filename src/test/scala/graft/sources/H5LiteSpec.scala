@@ -117,6 +117,63 @@ class H5LiteSpec extends SparkSpec {
     assert(f.variable("analysed_sst").get.data.toSeq === data.toSeq)
   }
 
+  test("dense-group round-trip: 20 variables via fractal heap + v2 B-tree") {
+    // libhdf5 switches to dense link storage above ~8 links — a
+    // 20-variable granule is the layout a real multi-variable NetCDF-4
+    // file actually has
+    val names = (0 until 20).map(i => f"var_$i%02d")
+    val f0 = NcFile(
+      Seq(NcDim("x", 5)),
+      Seq(NcAttr("title", NC_CHAR, text = "dense granule")),
+      names.zipWithIndex.map { case (nm, i) =>
+        NcVar(nm, Seq("x"), NC_DOUBLE,
+          Seq(NcAttr("idx", NC_INT, nums = Seq(i.toDouble))),
+          Array.tabulate(5)(j => i * 100.0 + j))
+      })
+    val bytes = H5Lite.write(f0, denseRoot = true)
+    val f = H5Lite.read(bytes)
+    assert(f.vars.map(_.name).sorted === names)
+    names.zipWithIndex.foreach { case (nm, i) =>
+      val v = f.variable(nm).get
+      assert(v.data.toSeq === (0 until 5).map(j => i * 100.0 + j))
+      assert(v.attr("idx").get.nums === Seq(i.toDouble))
+    }
+    assert(f.attrs.exists(a => a.name == "title" && a.text == "dense granule"))
+    // the dense file must NOT contain a v1 group B-tree signature for
+    // the root (no TREE/SNOD for links; chunk B-trees would be TREE
+    // but this file is contiguous)
+    val s = new String(bytes.map(b => if (b >= 32 && b < 127) b.toChar else '.'))
+    assert(!s.contains("SNOD"))
+    assert(s.contains("FRHP") && s.contains("FHDB") &&
+      s.contains("BTHD") && s.contains("BTLF"))
+  }
+
+  test("dense group combines with chunked+deflate variables") {
+    val data = Array.tabulate(48)(_ * 1.5)
+    val f0 = NcFile(
+      Seq(NcDim("a", 6), NcDim("b", 8)), Nil,
+      (0 until 12).map(i => NcVar(s"v$i", Seq("a", "b"), NC_FLOAT, Nil,
+        data.map(_ + i))))
+    val bytes = H5Lite.write(f0,
+      chunking = Map("v3" -> H5Lite.Chunking(Seq(4, 4)), // non-dividing edge
+        "v7" -> H5Lite.Chunking(Seq(2, 8), deflateLevel = 6)),
+      denseRoot = true)
+    val f = H5Lite.read(bytes)
+    (0 until 12).foreach { i =>
+      assert(f.variable(s"v$i").get.data.toSeq ===
+        data.map(d => (d + i).toFloat.toDouble).toSeq, s"v$i")
+    }
+  }
+
+  test("lookup3 matches the published hashlittle vectors") {
+    // vectors from the lookup3.c self-test ("" and incremental strings
+    // with initval 0): hashlittle("", 0) = 0xdeadbeef,
+    // hashlittle("Four score and seven years ago", 0) = 0x17770551
+    assert(H5Lite.lookup3(Array.emptyByteArray) === 0xdeadbeef)
+    assert(H5Lite.lookup3(
+      "Four score and seven years ago".getBytes("ASCII")) === 0x17770551)
+  }
+
   test("decodes spec-derived fixtures from an independent implementation") {
     // bytes hand-assembled from the HDF5 spec by tools/make_h5_fixture.py
     // (python, written independently of the Scala writer) — breaks the
@@ -142,6 +199,14 @@ class H5LiteSpec extends SparkSpec {
     assert(v3.data.toSeq === Seq(10.5, 11.5, 12.5, 13.5, 14.5, 15.5))
     assert(v3.attr("DIMENSION_LIST").exists(_.text === ""))
     assert(v3.attr("units").get.text === "K")
+    // dense root group (Link Info → fractal heap + v2 B-tree) from the
+    // independent generator: 20 variables must all resolve
+    val f4 = H5Lite.read(res("hand_dense.h5"))
+    assert(f4.vars.map(_.name).sorted === (0 until 20).map(i => f"d$i%02d"))
+    (0 until 20).foreach { i =>
+      assert(f4.variable(f"d$i%02d").get.data.toSeq ===
+        (0 until 3).map(j => i * 10.0 + j), s"d$i")
+    }
   }
 
   test("2-D swath granules decode through the HDF5 path") {
@@ -209,6 +274,32 @@ class H5LiteSpec extends SparkSpec {
     assert(total === 2L * nlat * nlon)
     val means = tiles.agg(min("stats_min"), max("stats_max")).head
     assert(means.getDouble(0) === 0.0 && means.getDouble(1) === 16.0)
+  }
+
+  test("dense-group NetCDF-4 granule (20+ variables) ingests end-to-end") {
+    // a realistic multi-variable granule: 21 variables forces libhdf5's
+    // dense link storage; the reader must resolve sst among them
+    import graft.ingest.GranuleIngest
+    val dir = java.nio.file.Files.createTempDirectory("h5dense")
+    val (nlat, nlon) = (4, 4)
+    val data = Array.tabulate(nlat * nlon)(_.toDouble)
+    val extras = (0 until 18).map(i =>
+      NcVar(f"aux_$i%02d", Seq("lat", "lon"), NC_FLOAT, Nil,
+        Array.tabulate(nlat * nlon)(j => i * 1000.0 + j)))
+    val f = NcFile(
+      Seq(NcDim("time", 1), NcDim("lat", nlat), NcDim("lon", nlon)), Nil,
+      Seq(NcVar("time", Seq("time"), NC_DOUBLE, Nil, Array(0.0)),
+        NcVar("lat", Seq("lat"), NC_DOUBLE, Nil, Array.tabulate(nlat)(_ + 0.5)),
+        NcVar("lon", Seq("lon"), NC_DOUBLE, Nil, Array.tabulate(nlon)(_ + 0.5)),
+        NcVar("sst", Seq("time", "lat", "lon"), NC_FLOAT, Nil, data)) ++ extras)
+    java.nio.file.Files.write(dir.resolve("g0.nc"),
+      H5Lite.write(f, chunking = Map("sst" -> H5Lite.Chunking(Seq(1, 2, nlon))),
+        denseRoot = true))
+    val tiles = GranuleIngest.ingestGridGranules(spark, dir.toString + "/*.nc",
+      "sst", "sst_dense", tileLat = 2.0, tileLon = 2.0)
+    import org.apache.spark.sql.functions._
+    assert(tiles.agg(sum("stats_count")).head.getLong(0) === nlat.toLong * nlon)
+    assert(tiles.agg(max("stats_max")).head.getDouble(0) === 15.0)
   }
 }
 

@@ -255,3 +255,146 @@ def build_nc4_decorated():
 
 open('/root/repo/src/test/resources/h5/hand_nc4_decorated.h5','wb').write(build_nc4_decorated())
 print("nc4-decorated fixture written", len(build_nc4_decorated()))
+
+# ---------------- file 4: DENSE root group — Link Info message → fractal
+# heap holding 20 link messages as managed objects + v2 B-tree (type 5)
+# name index, checksums and record hashes via lookup3 (spec §III.A.2/G)
+M32 = 0xffffffff
+
+def lookup3(data, init=0):
+    def rot(x, k): return ((x << k) | (x >> (32 - k))) & M32
+    a = b = c = (0xdeadbeef + len(data) + init) & M32
+    def word(o, n):
+        v = 0
+        for j in range(n):
+            if o + j < len(data): v |= data[o + j] << (8 * j)
+        return v
+    i = 0; l = len(data)
+    while l > 12:
+        a = (a + word(i, 4)) & M32
+        b = (b + word(i + 4, 4)) & M32
+        c = (c + word(i + 8, 4)) & M32
+        a = (a - c) & M32; a ^= rot(c, 4);  c = (c + b) & M32
+        b = (b - a) & M32; b ^= rot(a, 6);  a = (a + c) & M32
+        c = (c - b) & M32; c ^= rot(b, 8);  b = (b + a) & M32
+        a = (a - c) & M32; a ^= rot(c, 16); c = (c + b) & M32
+        b = (b - a) & M32; b ^= rot(a, 19); a = (a + c) & M32
+        c = (c - b) & M32; c ^= rot(b, 4);  b = (b + a) & M32
+        i += 12; l -= 12
+    if l > 0:
+        a = (a + word(i, min(l, 4))) & M32
+        if l > 4: b = (b + word(i + 4, min(l - 4, 4))) & M32
+        if l > 8: c = (c + word(i + 8, min(l - 8, 4))) & M32
+        c ^= b; c = (c - rot(b, 14)) & M32
+        a ^= c; a = (a - rot(c, 11)) & M32
+        b ^= a; b = (b - rot(a, 25)) & M32
+        c ^= b; c = (c - rot(b, 16)) & M32
+        a ^= c; a = (a - rot(c, 4)) & M32
+        b ^= a; b = (b - rot(a, 14)) & M32
+        c ^= b; c = (c - rot(b, 24)) & M32
+    return c
+
+def link_msg(name, oh):
+    nb = name.encode()
+    return u8(1) + u8(0) + u8(len(nb)) + nb + u64(oh)
+
+def superblock_dense(root_oh, eof):
+    b = SIG
+    b += u8(0)*4
+    b += u8(0)+u8(8)+u8(8)+u8(0)
+    b += u16(4)+u16(4)
+    b += u32(0)
+    b += u64(0)+u64(UNDEF)+u64(eof)+u64(UNDEF)
+    # root symbol table entry, cache type 0 (no symbol table)
+    b += u64(0)+u64(root_oh)+u32(0)+u32(0)+u64(0)+u64(0)
+    assert len(b) == 96
+    return b
+
+def build_dense():
+    nvars = 20
+    names = ['d%02d' % i for i in range(nvars)]
+    vals = {nm: [i * 10.0 + j for j in range(3)]
+            for i, nm in enumerate(names)}
+    root_oh = 96
+    root_probe = object_header([(0x02, u8(0)+u8(0)+u64(0)+u64(0))])
+    frhp_addr = root_oh + len(root_probe)
+    FRHP_SIZE = 146
+    fhdb_addr = frhp_addr + FRHP_SIZE
+    bodies_probe = [link_msg(nm, 0) for nm in names]
+    need = 17 + sum(len(x) for x in bodies_probe)
+    block = 512
+    while block < need: block <<= 1
+    bthd_addr = fhdb_addr + block
+    BTHD_SIZE = 38
+    btlf_addr = bthd_addr + BTHD_SIZE
+    rec_size = 11  # 4 hash + 7 heap id (1 flag + 4 offset + 2 length)
+    btlf_used = 6 + nvars * rec_size + 4
+    btlf_size = 512
+    while btlf_size < btlf_used: btlf_size <<= 1
+    cursor = btlf_addr + btlf_size
+    oh_addrs = {}; data_addrs = {}
+    for nm in names:
+        probe = object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                               (0x08, layout_contiguous(0, 0))])
+        oh_addrs[nm] = cursor; cursor += len(probe)
+        data_addrs[nm] = cursor; cursor += 24
+    eof = cursor
+
+    out = superblock_dense(root_oh, eof)
+    root = object_header([(0x02, u8(0)+u8(0)+u64(frhp_addr)+u64(bthd_addr))])
+    assert len(root) == len(root_probe)
+    out += root
+
+    bodies = [link_msg(nm, oh_addrs[nm]) for nm in names]
+    links_bytes = sum(len(x) for x in bodies)
+    frhp = b'FRHP' + u8(0) + u16(7) + u16(0) + u8(0)
+    frhp += u32(block)                       # max managed object size
+    frhp += u64(0) + u64(UNDEF)              # next huge id, huge btree
+    frhp += u64(block - 17 - links_bytes)    # free space
+    frhp += u64(UNDEF)                       # free-space manager
+    frhp += u64(block) + u64(block)          # managed, allocated
+    frhp += u64(17 + links_bytes)            # iterator offset
+    frhp += u64(nvars)                       # managed object count
+    frhp += u64(0)*4                         # huge/tiny size+count
+    frhp += u16(4)                           # table width
+    frhp += u64(block) + u64(block)          # starting/max direct size
+    frhp += u16(32) + u16(1)                 # max heap bits, start rows
+    frhp += u64(fhdb_addr) + u16(0)          # root block addr, cur rows
+    frhp += u32(lookup3(frhp))
+    assert len(frhp) == FRHP_SIZE
+    out += frhp
+
+    fhdb = b'FHDB' + u8(0) + u64(frhp_addr) + u32(0)
+    offsets = {}
+    for nm, body in zip(names, bodies):
+        offsets[nm] = len(fhdb)
+        fhdb += body
+    fhdb += b'\0' * (block - len(fhdb))
+    out += fhdb
+
+    bthd = b'BTHD' + u8(0) + u8(5) + u32(btlf_size) + u16(rec_size) + u16(0)
+    bthd += u8(100) + u8(40) + u64(btlf_addr) + u16(nvars) + u64(nvars)
+    bthd += u32(lookup3(bthd))
+    assert len(bthd) == BTHD_SIZE
+    out += bthd
+
+    recs = sorted((lookup3(nm.encode()), nm) for nm in names)
+    btlf = b'BTLF' + u8(0) + u8(5)
+    for h, nm in recs:
+        btlf += u32(h) + u8(0) + u32(offsets[nm]) + u16(len(link_msg(nm, 0)))
+    btlf += u32(lookup3(btlf))
+    btlf += b'\0' * (btlf_size - len(btlf))
+    out += btlf
+
+    for nm in names:
+        assert len(out) == oh_addrs[nm]
+        data = b''.join(struct.pack('<d', v) for v in vals[nm])
+        out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                              (0x08, layout_contiguous(data_addrs[nm], 24))])
+        assert len(out) == data_addrs[nm]
+        out += data
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_dense.h5','wb').write(build_dense())
+print("dense fixture written", len(build_dense()))
