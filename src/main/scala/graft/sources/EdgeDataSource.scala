@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S7 as a DataSourceV2 `TableProvider`: `spark.read.format("edge")
+  * .option("url", …).load()` over the paged EDGE HTTP contract
+  * (`fetchedgeimpl.py:62-201`), with spatio-temporal predicate
+  * pushdown INTO the HTTP query — `time ≥/≤` filters become
+  * `startTime`/`endTime` params and `x`/`y` bounds become the `bbox`
+  * param, so the server transfers only the requested domain (the
+  * reference passes the same constraints to EDGE,
+  * `fetchedgeimpl.py:90-118`).
+  *
+  * Pushdown is CONSERVATIVE: every filter is also kept for Spark-side
+  * re-evaluation (`pushFilters` returns all of them as residual), so a
+  * server that filters loosely — or ignores a param — can only cost
+  * transfer, never correctness. Column pruning trims the JSON-decode
+  * schema to the columns the query needs.
+  *
+  * Plumbing reuses [[EdgeSource]]'s probe/page/retry protocol: one
+  * driver count-probe, page-start offsets sharded over executors,
+  * per-page retry. The function-call API (`EdgeSource.read`) stays for
+  * callers that want a custom page schema.
+  */
+class EdgeDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "edge"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EdgeSource.insituSchema
+  override def supportsExternalMetadata(): Boolean = true // .schema(...) allowed
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new EdgeTable(schema, properties.asScala.toMap)
+}
+
+final class EdgeTable(tableSchema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  private val url = props.getOrElse("url", props.getOrElse("path",
+    sys.error("edge source: option url= (or path) is required")))
+  override def name(): String = s"edge($url)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EdgeScanBuilder(tableSchema, url, options)
+}
+
+final class EdgeScanBuilder(tableSchema: StructType, url: String,
+                            options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var accepted: Array[Filter] = Array.empty
+  private val pushedParams = mutable.LinkedHashMap.empty[String, String]
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Translate time/bbox bounds into EDGE query params. Every filter
+    * stays residual (returned for Spark re-evaluation) — see class doc.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    var (minLat, maxLat) = (Option.empty[Double], Option.empty[Double])
+    var (minLon, maxLon) = (Option.empty[Double], Option.empty[Double])
+    var (startT, endT) = (Option.empty[Long], Option.empty[Long])
+    def d(v: Any): Double = v.asInstanceOf[Number].doubleValue()
+    def l(v: Any): Long = v.asInstanceOf[Number].longValue()
+    val taken = filters.filter {
+      case GreaterThanOrEqual("time", v) => startT = Some(l(v)); true
+      case GreaterThan("time", v) => startT = Some(l(v)); true
+      case LessThanOrEqual("time", v) => endT = Some(l(v)); true
+      case LessThan("time", v) => endT = Some(l(v)); true
+      case GreaterThanOrEqual("y", v) => minLat = Some(d(v)); true
+      case GreaterThan("y", v) => minLat = Some(d(v)); true
+      case LessThanOrEqual("y", v) => maxLat = Some(d(v)); true
+      case LessThan("y", v) => maxLat = Some(d(v)); true
+      case GreaterThanOrEqual("x", v) => minLon = Some(d(v)); true
+      case GreaterThan("x", v) => minLon = Some(d(v)); true
+      case LessThanOrEqual("x", v) => maxLon = Some(d(v)); true
+      case LessThan("x", v) => maxLon = Some(d(v)); true
+      case _ => false
+    }
+    startT.foreach(t => pushedParams += ("startTime" -> t.toString))
+    endT.foreach(t => pushedParams += ("endTime" -> t.toString))
+    if (Seq(minLat, maxLat, minLon, maxLon).exists(_.isDefined)) {
+      // EDGE order: minLon,minLat,maxLon,maxLat
+      val bbox = s"${minLon.getOrElse(-180.0)},${minLat.getOrElse(-90.0)}," +
+        s"${maxLon.getOrElse(180.0)},${maxLat.getOrElse(90.0)}"
+      pushedParams += ("bbox" -> bbox)
+    }
+    accepted = taken
+    filters // all residual: Spark re-applies — server filtering is advisory
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = {
+    // user options (minus the url itself and spark-added keys) pass
+    // through to the HTTP query, like EdgeSource.read's params
+    val userParams = options.asScala.toMap.view
+      .filterKeys(k => !Set("url", "path", "paths").contains(k.toLowerCase))
+      .toMap
+    new EdgeScan(required, url, userParams ++ pushedParams,
+      options.getInt("itemsperpage", 1000),
+      options.getInt("maxtries", 5))
+  }
+}
+
+final case class EdgePartition(pageUrls: Seq[String]) extends InputPartition
+
+final class EdgeScan(readSchema0: StructType, url: String,
+                     params: Map[String, String],
+                     itemsPerPage: Int, maxTries: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = readSchema0
+
+  /** Shown in `explain` on the BatchScan node — the observable the
+    * pushdown contract is asserted against.
+    */
+  override def description(): String = {
+    val p = params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString(", ")
+    s"EdgeScan url=$url PushedParams: [$p] " +
+      s"ReadSchema: ${readSchema0.fieldNames.mkString(",")}"
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (step, starts) = EdgeSource.pageStarts(url, params, itemsPerPage, maxTries)
+    if (starts.isEmpty) return Array.empty
+    val slices = math.min(starts.length,
+      SparkSession.active.sparkContext.defaultParallelism).max(1)
+    val per = (starts.length + slices - 1) / slices
+    starts.grouped(per).map(group =>
+      EdgePartition(group.map(s => EdgeSource.pageUrl(url, params, step, s)))
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EdgeReaderFactory(readSchema0, maxTries)
+}
+
+final class EdgeReaderFactory(schema: StructType, maxTries: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val urls = p.asInstanceOf[EdgePartition].pageUrls
+    new PartitionReader[InternalRow] {
+      private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      private var remaining = urls.toList
+      private var page: Iterator[String] = Iterator.empty
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (!page.hasNext && remaining.nonEmpty) {
+          page = EdgeSource.fetchPageItems(remaining.head, maxTries).iterator
+          remaining = remaining.tail
+        }
+        if (!page.hasNext) false
+        else {
+          val node = om.readTree(page.next())
+          val vals = schema.fields.map { f =>
+            val c = node.get(f.name)
+            if (c == null || c.isNull) null
+            else f.dataType match {
+              case LongType => c.asLong()
+              case IntegerType => c.asInt()
+              case DoubleType => c.asDouble()
+              case FloatType => c.asDouble().toFloat
+              case BooleanType => c.asBoolean()
+              case StringType => UTF8String.fromString(
+                if (c.isTextual) c.asText() else c.toString)
+              case t => throw new IllegalArgumentException(
+                s"edge source: unsupported column type $t for ${f.name}")
+            }
+          }
+          current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+          true
+        }
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -102,30 +102,51 @@ object EdgeSource {
            schema: StructType = insituSchema,
            itemsPerPage: Int = 1000, maxTries: Int = 5): DataFrame = {
     import spark.implicits._
-    // driver probe: count only (getCount's itemsPerPage=0 trick)
+    val (step, starts) = pageStarts(url, params, itemsPerPage, maxTries)
+    if (starts.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val nParts = math.min(starts.length,
+      spark.sparkContext.defaultParallelism).max(1)
+    val jsonRows: Dataset[String] = spark.createDataset(starts)
+      .repartition(nParts)
+      .mapPartitions { it =>
+        it.flatMap(s => fetchPageItems(pageUrl(url, params, step, s), maxTries))
+      }
+    jsonRows.select(from_json(col("value"), schema).as("r")).select("r.*")
+  }
+
+  /** Driver probe: count (`itemsPerPage=0`, the reference's getCount
+    * trick) then page-size confirmation. Returns (server-confirmed
+    * step, page start offsets) — empty starts for a zero-result query.
+    * Shared by the function API and the DataSourceV2 scan planner.
+    */
+  private[sources] def pageStarts(url: String, params: Map[String, String],
+                                  itemsPerPage: Int,
+                                  maxTries: Int): (Int, Seq[Long]) = {
     val (total, _, _) = parsePage(fetchWithRetry(
       withParams(url, params + ("itemsPerPage" -> "0", "startIndex" -> "0")),
       maxTries))
-    if (total == 0)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // confirm the page size the server will actually serve
+    if (total == 0) return (itemsPerPage, Nil)
     val (_, confirmed, firstItems) = parsePage(fetchWithRetry(
       withParams(url, params +
         ("itemsPerPage" -> itemsPerPage.toString, "startIndex" -> "0")),
       maxTries))
     val step = (if (confirmed > 0) confirmed
       else math.max(1L, firstItems.length.toLong)).toInt
-    val starts = (0L until total by step.toLong).toSeq
-    val pageUrl = (startIndex: Long) => withParams(url, params +
-      ("itemsPerPage" -> step.toString, "startIndex" -> startIndex.toString))
-    val nParts = math.min(starts.length,
-      spark.sparkContext.defaultParallelism).max(1)
-    val jsonRows: Dataset[String] = spark.createDataset(starts)
-      .repartition(nParts)
-      .mapPartitions { it =>
-        it.flatMap(s => parsePage(fetchWithRetry(pageUrl(s), maxTries))._3)
-      }
-    jsonRows.select(from_json(col("value"), schema).as("r")).select("r.*")
+    (step, (0L until total by step.toLong).toSeq)
   }
+
+  /** Full URL of one page. */
+  private[sources] def pageUrl(url: String, params: Map[String, String],
+                               step: Int, startIndex: Long): String =
+    withParams(url, params +
+      ("itemsPerPage" -> step.toString, "startIndex" -> startIndex.toString))
+
+  /** Executor-side: fetch one page (with the retry loop) and return
+    * its result elements as standalone JSON strings.
+    */
+  private[sources] def fetchPageItems(pageUrl: String,
+                                      maxTries: Int): Seq[String] =
+    parsePage(fetchWithRetry(pageUrl, maxTries))._3
 }

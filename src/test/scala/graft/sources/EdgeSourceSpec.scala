@@ -4,6 +4,8 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.ConcurrentHashMap
 
+import scala.jdk.CollectionConverters._
+
 import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
 import org.apache.spark.sql.functions.col
 
@@ -19,6 +21,7 @@ class EdgeSourceSpec extends SparkSpec {
   private val total = 23
   private val forcedPageSize = 7 // server caps whatever the client asks
   private val failures = new ConcurrentHashMap[String, Integer]()
+  private val seenQueries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private def record(i: Int): String =
     s"""{"id":$i,"x":${i * 0.5},"y":${i * -0.25},"time":${1000L + i},""" +
@@ -30,6 +33,7 @@ class EdgeSourceSpec extends SparkSpec {
     super.beforeAll()
     server = JdkHttpServer.create(new InetSocketAddress(0), 0)
     server.createContext("/insitu", (ex: HttpExchange) => {
+      seenQueries.add(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
       val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
         .split("&").filter(_.nonEmpty)
         .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse("")).toMap
@@ -93,5 +97,40 @@ class EdgeSourceSpec extends SparkSpec {
     val df = EdgeSource.read(spark, base("/empty"))
     assert(df.count() === 0)
     assert(df.schema === EdgeSource.insituSchema)
+  }
+
+  test("format(\"edge\") reads through DataSourceV2 with predicate pushdown") {
+    import spark.implicits._
+    seenQueries.clear()
+    val df = spark.read.format("edge")
+      .option("url", base("/insitu"))
+      .load()
+      .where(col("time") >= 1005L && col("time") <= 1010L && col("y") >= -5.0)
+    // pushed params are visible in the scan description (explain)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EdgeScan"), plan)
+    assert(plan.contains("startTime=1005"), plan)
+    assert(plan.contains("endTime=1010"), plan)
+    assert(plan.contains("bbox=-180.0,-5.0,180.0,90.0"), plan)
+    // the server ignores the filter params (worst case) — Spark's
+    // residual evaluation must still produce the exact answer
+    val ids = df.select("id").as[Long].collect().sorted
+    assert(ids.toSeq === (5L to 10L))
+    // ...and the HTTP requests actually carried the pushed params
+    assert(seenQueries.asScala.exists(q =>
+      q.contains("startTime=1005") && q.contains("endTime=1010") &&
+        q.contains("bbox=")), seenQueries.asScala.mkString("\n"))
+  }
+
+  test("format(\"edge\") prunes columns and handles the empty endpoint") {
+    import spark.implicits._
+    val pruned = spark.read.format("edge").option("url", base("/insitu")).load()
+      .select("id")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: id"), scan)
+    assert(pruned.as[Long].collect().length === total)
+    val empty = spark.read.format("edge").option("url", base("/empty")).load()
+    assert(empty.count() === 0)
+    assert(empty.schema === EdgeSource.insituSchema)
   }
 }
