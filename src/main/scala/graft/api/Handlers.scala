@@ -419,7 +419,12 @@ object Handlers {
       "/domsmetadata" -> ((p, tiles) => {
         val ds = p.extra.getOrElse("dataset", p.dataset)
         if (ds.isEmpty) sys.error("'dataset' parameter not specified")
-        val meta = tiles.where(col("dataset") === ds)
+        // existence probe via limit(1) — running the full aggregation
+        // here would execute it TWICE per request (once for the check,
+        // once when the serving layer collects the returned plan)
+        if (tiles.where(col("dataset") === ds).limit(1).isEmpty)
+          sys.error(s"Dataset '$ds' not found")
+        tiles.where(col("dataset") === ds)
           .groupBy(col("dataset"))
           .agg(countDistinct(col("granule")).as("n_granules"),
             count(lit(1)).as("n_tiles"),
@@ -427,8 +432,6 @@ object Handlers {
             max(col("max_time")).as("end_time"),
             min(col("min_lat")).as("min_lat"), max(col("max_lat")).as("max_lat"),
             min(col("min_lon")).as("min_lon"), max(col("max_lon")).as("max_lon"))
-        if (meta.isEmpty) sys.error(s"Dataset '$ds' not found")
-        meta
       }),
 
       // /domsstats (StatsQuery.py:13-55): in-situ count + bounds for a

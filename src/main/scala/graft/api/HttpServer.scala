@@ -95,7 +95,14 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
           !q.contains("ds") && !q.contains("dataset"))
         Handlers.QueryParams.fromQuery(q + ("ds" -> ""))
       else Handlers.QueryParams.fromQuery(q)
-    gate.tryRun(spark) {
+    // diagnostics that run no Spark job execute OUTSIDE the job gate:
+    // a sleeping /delay holding a gate slot (plus its pool thread)
+    // would starve real queries — with maxConcurrentJobs sleepers the
+    // whole API 503s for the duration
+    def gated[T](body: => T): Option[T] =
+      if (HttpServer.gatelessPaths.contains(path)) Some(body)
+      else gate.tryRun(spark)(body)
+    gated {
       val plan = handler(params, tiles)
       Handlers.sizeGated(plan,
         q.get("limit").map(_.toInt).getOrElse(resultLimit)) match {
@@ -138,25 +145,18 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
               })
             val plot = q.getOrElse("pngplot", domsPlot.getOrElse(
               if (HttpServer.seriesPngPaths.contains(path)) "series" else "map"))
-            if (plot == "scatter")
-              respond(ex, 200, "image/png", Encoders.toPngSeriesAuto(df,
-                xCol = q.get("pngx"),
-                yCols = q.get("pngy").map(_.split(',').toSeq),
-                width = q.get("pngw").map(_.toInt).getOrElse(800),
-                height = q.get("pngh").map(_.toInt).getOrElse(400),
-                style = "points"))
-            else
-            if (plot == "series") {
+            if (plot == "series" || plot == "scatter") {
               // multi-dataset series (ds=a,b): one line per dataset —
               // pivot by dataset before plotting, like the reference's
               // per-dataset chart lines. Plot the most-derived series
               // present (lowpass > seasonal > raw mean) so smoothing
-              // flags show the series they produced
+              // flags show the series they produced. Scatter draws the
+              // same axes as unconnected point markers.
               val seriesCol = Seq("mean_lowpass", "mean_seasonal", "mean")
                 .find(df.columns.contains)
               val plotDf =
-                if (df.columns.contains("dataset") && q.get("pngy").isEmpty
-                    && seriesCol.isDefined)
+                if (plot == "series" && df.columns.contains("dataset") &&
+                    q.get("pngy").isEmpty && seriesCol.isDefined)
                   df.groupBy(col("day_start")).pivot("dataset")
                     .agg(first(col(seriesCol.get)))
                 else df
@@ -164,7 +164,8 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
                 xCol = q.get("pngx"),
                 yCols = q.get("pngy").map(_.split(',').toSeq),
                 width = q.get("pngw").map(_.toInt).getOrElse(800),
-                height = q.get("pngh").map(_.toInt).getOrElse(400)))
+                height = q.get("pngh").map(_.toInt).getOrElse(400),
+                style = if (plot == "scatter") "points" else "line"))
             }
             else
               respond(ex, 200, "image/png", Encoders.toPngAuto(df,
@@ -211,6 +212,13 @@ object HttpServer {
   val seriesPngPaths: Set[String] = Set(
     "/timeSeriesSpark", "/stats", "/statsSolr",
     "/dailydifferenceaverage_spark", "/dailydifferenceaverage")
+
+  /** Diagnostic paths that run no Spark job — served outside the
+    * JobGate so they can't occupy (or be starved of) query slots.
+    * `/delay` in particular sleeps for seconds by design.
+    */
+  val gatelessPaths: Set[String] = Set(
+    "/delay", "/makeerror", "/heartbeat", "/version", "/capabilities")
 
   /** Paths that work without a `ds=` parameter (diagnostics, stored
     * executions, in-situ stats).

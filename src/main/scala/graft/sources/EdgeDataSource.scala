@@ -48,17 +48,32 @@ class EdgeDataSource extends TableProvider with DataSourceRegister {
 
 final class EdgeTable(tableSchema: StructType, props: Map[String, String])
     extends Table with SupportsRead {
-  private val url = props.getOrElse("url", props.getOrElse("path",
-    sys.error("edge source: option url= (or path) is required")))
+  // `props` is getTable's case-SENSITIVE map (Spark passes
+  // asCaseSensitiveMap()), so user options like startTime keep the
+  // exact casing the HTTP server expects — the ScanBuilder's
+  // CaseInsensitiveStringMap lowercases every key and must not be the
+  // source of forwarded query params
+  private def findKey(k: String): Option[String] =
+    props.keys.find(_.equalsIgnoreCase(k))
+  private val url = findKey("url").orElse(findKey("path")).map(props)
+    .getOrElse(sys.error("edge source: option url= (or path) is required"))
+  /** User options minus url/path and the reader-consumed knobs —
+    * forwarded verbatim (original case) to every HTTP request.
+    */
+  private val userParams: Map[String, String] = props.filter { case (k, _) =>
+    !Set("url", "path", "paths", "itemsperpage", "maxtries")
+      .contains(k.toLowerCase)
+  }
   override def name(): String = s"edge($url)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EdgeScanBuilder(tableSchema, url, options)
+    new EdgeScanBuilder(tableSchema, url, userParams, options)
 }
 
 final class EdgeScanBuilder(tableSchema: StructType, url: String,
+                            userParams: Map[String, String],
                             options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -108,16 +123,10 @@ final class EdgeScanBuilder(tableSchema: StructType, url: String,
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = {
-    // user options (minus the url itself and spark-added keys) pass
-    // through to the HTTP query, like EdgeSource.read's params
-    val userParams = options.asScala.toMap.view
-      .filterKeys(k => !Set("url", "path", "paths").contains(k.toLowerCase))
-      .toMap
+  override def build(): Scan =
     new EdgeScan(required, url, userParams ++ pushedParams,
-      options.getInt("itemsperpage", 1000),
-      options.getInt("maxtries", 5))
-  }
+      options.getInt("itemsPerPage", 1000),
+      options.getInt("maxTries", 5))
 }
 
 final case class EdgePartition(pageUrls: Seq[String]) extends InputPartition
@@ -173,17 +182,23 @@ final class EdgeReaderFactory(schema: StructType, maxTries: Int)
         if (!page.hasNext) false
         else {
           val node = om.readTree(page.next())
+          // type-checked extraction, NOT Jackson coercion: asLong() on
+          // a non-numeric node returns 0, fabricating values — the
+          // from_json path (EdgeSource.read) yields NULL there, and
+          // both read paths must agree on the same server data
           val vals = schema.fields.map { f =>
             val c = node.get(f.name)
             if (c == null || c.isNull) null
             else f.dataType match {
-              case LongType => c.asLong()
-              case IntegerType => c.asInt()
-              case DoubleType => c.asDouble()
-              case FloatType => c.asDouble().toFloat
-              case BooleanType => c.asBoolean()
+              case LongType if c.canConvertToLong => c.asLong()
+              case IntegerType if c.canConvertToInt => c.asInt()
+              case DoubleType if c.isNumber => c.asDouble()
+              case FloatType if c.isNumber => c.asDouble().toFloat
+              case BooleanType if c.isBoolean => c.asBoolean()
               case StringType => UTF8String.fromString(
                 if (c.isTextual) c.asText() else c.toString)
+              case LongType | IntegerType | DoubleType | FloatType |
+                   BooleanType => null // wrong JSON type → NULL
               case t => throw new IllegalArgumentException(
                 s"edge source: unsupported column type $t for ${f.name}")
             }

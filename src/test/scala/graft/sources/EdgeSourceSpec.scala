@@ -122,6 +122,20 @@ class EdgeSourceSpec extends SparkSpec {
         q.contains("bbox=")), seenQueries.asScala.mkString("\n"))
   }
 
+  test("format(\"edge\") forwards user options with their original case") {
+    seenQueries.clear()
+    spark.read.format("edge").option("url", base("/insitu"))
+      .option("platformFilter", "buoy") // camelCase must survive
+      .option("itemsPerPage", "100")    // consumed knob: must NOT leak
+      .load().count()
+    val qs = seenQueries.asScala.toSeq
+    assert(qs.exists(_.contains("platformFilter=buoy")), qs.mkString("\n"))
+    assert(!qs.exists(_.contains("platformfilter")), qs.mkString("\n"))
+    // the managed paging param appears exactly once per URL
+    assert(qs.forall(q => q.split("&").count(_.startsWith("itemsPerPage=")) == 1),
+      qs.mkString("\n"))
+  }
+
   test("format(\"edge\") prunes columns and handles the empty endpoint") {
     import spark.implicits._
     val pruned = spark.read.format("edge").option("url", base("/insitu")).load()
