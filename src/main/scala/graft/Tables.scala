@@ -71,6 +71,10 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→timestamp cast below interprets wall time in the SESSION
+    // zone — pin it to UTC here (like nanosAsLong above) so a caller
+    // with a local-zone session still gets the file's epoch values
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val ts = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -286,9 +286,17 @@ object Handlers {
 
     // /delay (DelayTest.py:12-14: "Waits a little while" — a fixed
     // 10 s sleep). `t=` overrides the duration (fractional seconds) so
-    // tests don't pay the full reference sleep.
+    // tests don't pay the full reference sleep; clamped to the
+    // reference's 10 s ceiling so client-chosen values can't pin the
+    // serving pool's threads indefinitely.
     "/delay" -> ((p, tiles) => {
-      val secs = p.extra.get("t").map(_.toDouble).getOrElse(10.0)
+      val secs = p.extra.get("t").map { v =>
+        val t = try v.toDouble catch {
+          case _: NumberFormatException => sys.error(s"bad t= '$v': want seconds")
+        }
+        if (!(t >= 0 && t <= 10)) sys.error(s"t= must be in [0, 10] s (got $v)")
+        t
+      }.getOrElse(10.0)
       Thread.sleep((secs * 1000).toLong)
       val s = tiles.sparkSession
       import s.implicits._

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every read/write with a TEMP
+  // FILE — create+delete syscalls per image dwarf the actual decode at
+  // thumbnail sizes (measured: the sf0.1 media gate spends most of its
+  // ~9 s there). Memory-backed streams are strictly better for the
+  // byte-array payloads this module handles.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media metadata carried beside the payload. */
   case class MediaMeta(mime: String, width: Int, height: Int, durationMs: Long)
 
@@ -67,11 +74,25 @@ object Multimodal {
     * Returns (width, height, samples).
     */
   def decodeSamples(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    require(img != null, "payload is not a decodable image")
+    val img0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img0 != null, "payload is not a decodable image")
+    // palette images (indexed GIF/PNG/BMP) store color-TABLE INDICES
+    // in the raster — sampling those directly would return garbage, so
+    // expand through the color model first
+    val img =
+      if (img0.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+        val rgb = new java.awt.image.BufferedImage(img0.getWidth,
+          img0.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = rgb.createGraphics()
+        try g.drawImage(img0, 0, 0, null) finally g.dispose()
+        rgb
+      } else img0
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
-    val bands = raster.getNumBands
+    // color components only: an ARGB raster's alpha band is opacity,
+    // not luminance, and averaging it in would skew every sample
+    val bands = math.min(raster.getNumBands,
+      img.getColorModel.getNumColorComponents)
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {

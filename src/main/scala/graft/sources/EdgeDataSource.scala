@@ -94,24 +94,41 @@ final class EdgeScanBuilder(tableSchema: StructType, url: String,
     var (startT, endT) = (Option.empty[Long], Option.empty[Long])
     def d(v: Any): Double = v.asInstanceOf[Number].doubleValue()
     def l(v: Any): Long = v.asInstanceOf[Number].longValue()
+    // multiple bounds on one column FOLD (max of lower bounds, min of
+    // upper) — last-write-wins would push the looser bound and defeat
+    // the transfer reduction
+    def lo[T](cur: Option[T], v: T)(implicit o: Ordering[T]): Option[T] =
+      Some(cur.fold(v)(o.max(_, v)))
+    def hi[T](cur: Option[T], v: T)(implicit o: Ordering[T]): Option[T] =
+      Some(cur.fold(v)(o.min(_, v)))
     val taken = filters.filter {
-      case GreaterThanOrEqual("time", v) => startT = Some(l(v)); true
-      case GreaterThan("time", v) => startT = Some(l(v)); true
-      case LessThanOrEqual("time", v) => endT = Some(l(v)); true
-      case LessThan("time", v) => endT = Some(l(v)); true
-      case GreaterThanOrEqual("y", v) => minLat = Some(d(v)); true
-      case GreaterThan("y", v) => minLat = Some(d(v)); true
-      case LessThanOrEqual("y", v) => maxLat = Some(d(v)); true
-      case LessThan("y", v) => maxLat = Some(d(v)); true
-      case GreaterThanOrEqual("x", v) => minLon = Some(d(v)); true
-      case GreaterThan("x", v) => minLon = Some(d(v)); true
-      case LessThanOrEqual("x", v) => maxLon = Some(d(v)); true
-      case LessThan("x", v) => maxLon = Some(d(v)); true
+      case GreaterThanOrEqual("time", v) => startT = lo(startT, l(v)); true
+      case GreaterThan("time", v) => startT = lo(startT, l(v)); true
+      case LessThanOrEqual("time", v) => endT = hi(endT, l(v)); true
+      case LessThan("time", v) => endT = hi(endT, l(v)); true
+      case GreaterThanOrEqual("y", v) => minLat = lo(minLat, d(v)); true
+      case GreaterThan("y", v) => minLat = lo(minLat, d(v)); true
+      case LessThanOrEqual("y", v) => maxLat = hi(maxLat, d(v)); true
+      case LessThan("y", v) => maxLat = hi(maxLat, d(v)); true
+      case GreaterThanOrEqual("x", v) => minLon = lo(minLon, d(v)); true
+      case GreaterThan("x", v) => minLon = lo(minLon, d(v)); true
+      case LessThanOrEqual("x", v) => maxLon = hi(maxLon, d(v)); true
+      case LessThan("x", v) => maxLon = hi(maxLon, d(v)); true
       case _ => false
     }
-    startT.foreach(t => pushedParams += ("startTime" -> t.toString))
-    endT.foreach(t => pushedParams += ("endTime" -> t.toString))
-    if (Seq(minLat, maxLat, minLon, maxLon).exists(_.isDefined)) {
+    // a user option with the same key WINS over the derived param:
+    // overwriting an explicit startTime/endTime/bbox option with a
+    // looser filter-derived value would widen the server-side domain
+    // past what the user constrained, and no residual filter would
+    // recover it
+    def userHas(k: String): Boolean =
+      userParams.keys.exists(_.equalsIgnoreCase(k))
+    startT.filter(_ => !userHas("startTime"))
+      .foreach(t => pushedParams += ("startTime" -> t.toString))
+    endT.filter(_ => !userHas("endTime"))
+      .foreach(t => pushedParams += ("endTime" -> t.toString))
+    if (Seq(minLat, maxLat, minLon, maxLon).exists(_.isDefined) &&
+        !userHas("bbox")) {
       // EDGE order: minLon,minLat,maxLon,maxLat
       val bbox = s"${minLon.getOrElse(-180.0)},${minLat.getOrElse(-90.0)}," +
         s"${maxLon.getOrElse(180.0)},${maxLat.getOrElse(90.0)}"

@@ -112,6 +112,34 @@ class MultimodalSpec extends SparkSpec {
     assert(px.forall(p => math.abs(p - 120) <= 4), s"lossy drift too big: ${px.max}/${px.min}")
   }
 
+  test("palette and alpha images decode as colors, not indices/opacity") {
+    // indexed PNG (kept as IndexColorModel by the JDK reader): raster
+    // samples are color-TABLE indices — white is palette slot 215 in
+    // the default palette — and decode must expand them to 255.
+    // (PNG, not GIF: the JDK GIF codec itself corrupts the last row of
+    // tiny images, verified against a pre-write all-white raster.)
+    val idx = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    val g1 = idx.createGraphics()
+    g1.setColor(java.awt.Color.WHITE); g1.fillRect(0, 0, 4, 4); g1.dispose()
+    assert(idx.getRaster.getSample(0, 0, 0) !== 255) // raw index ≠ color
+    val b1 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(idx, "png", b1))
+    val (_, _, px1) = Multimodal.decodeSamples(b1.toByteArray)
+    assert(px1.forall(_ === 255), px1.toSeq.toString)
+    // ARGB PNG: the alpha band is opacity, not luminance — a flat
+    // (120,120,120,opaque) image must sample 120, not (3*120+255)/4
+    val argb = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val g2 = argb.createGraphics()
+    g2.setColor(new java.awt.Color(120, 120, 120, 255))
+    g2.fillRect(0, 0, 4, 4); g2.dispose()
+    val b2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(argb, "png", b2))
+    val (_, _, px2) = Multimodal.decodeSamples(b2.toByteArray)
+    assert(px2.forall(_ === 120), px2.toSeq.toString)
+  }
+
   test("segmentPayload splits payloads into fixed-size segments") {
     val segs = Multimodal.segmentPayload(
       Multimodal.asMediaTable(media, "id", "body", "text/plain"), segBytes = 8)
