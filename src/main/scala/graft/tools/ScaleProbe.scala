@@ -35,7 +35,15 @@ object ScaleProbe {
       val copies = (0 until factor).map { k =>
         var df = base
         idCols.foreach(c => df = df.withColumn(c, col(c) + lit(k * IdOffset)))
-        tsCol.foreach(c => df = df.withColumn(c, col(c) + lit(k * 86400000000000L))) // +k days (ns)
+        // +k days, whatever the generator's ts encoding of the round:
+        // nanos-as-long (legacy) or a real timestamp type
+        tsCol.foreach { c =>
+          df = df.schema(c).dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              df.withColumn(c, col(c) + lit(k * 86400000000000L))
+            case _ => df.withColumn(c, expr(s"timestampadd(DAY, $k, $c)"))
+          }
+        }
         df
       }
       copies.reduce(_ unionByName _).write.mode(SaveMode.Overwrite)
