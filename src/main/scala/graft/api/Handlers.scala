@@ -477,20 +477,33 @@ object Handlers {
             pairs.select(col("plon").as("longitude"),
               col("plat").as("latitude"), col("pv").as("value"))
           case "histogram" =>
-            val ext = pairs.agg(min(col("pv")).as("lo"), max(col("pv")).as("hi"))
+            val ext = pairs.agg(min(col("pv")).as("lo"), max(col("pv")).as("hi"),
+              count(lit(1)).as("n"), avg(col("pv")).as("mu"),
+              stddev_pop(col("pv")).as("sigma"))
             val nBins = 20
             // bin width from a broadcast one-row extent — the pairs
             // relation never collects
-            pairs.crossJoin(broadcast(ext))
+            val hist = pairs.crossJoin(broadcast(ext))
               .withColumn("bin", least(lit(nBins - 1), greatest(lit(0),
                 floor((col("pv") - col("lo")) /
                   greatest((col("hi") - col("lo")) / nBins, lit(1e-300)))
                   .cast("int"))))
-              .groupBy(col("bin"), col("lo"), col("hi"))
+              .groupBy(col("bin"), col("lo"), col("hi"), col("n"),
+                col("mu"), col("sigma"))
               .agg(count(lit(1)).as("count"))
-              .select((col("lo") + (col("bin") + 0.5) *
-                (col("hi") - col("lo")) / nBins).as("bin_center"),
-                col("count"))
+              .withColumn("bin_center", col("lo") + (col("bin") + 0.5) *
+                (col("hi") - col("lo")) / nBins)
+            // normandcurve (ResultsPlotQuery.py:30): density-normalized
+            // bars plus the fitted normal curve sampled at bin centers
+            if (p.extra.get("normandcurve").exists(_.toBoolean)) {
+              val w = (col("hi") - col("lo")) / nBins
+              hist.select(col("bin_center"), col("count"),
+                  (col("count") / (col("n") * w)).as("density"),
+                  (exp(-pow(col("bin_center") - col("mu"), 2) /
+                      (pow(col("sigma"), 2) * 2)) /
+                    (col("sigma") * math.sqrt(2 * math.Pi))).as("normal_pdf"))
+                .orderBy("bin_center")
+            } else hist.select(col("bin_center"), col("count"))
               .orderBy("bin_center")
           case other => sys.error(s"Unsupported plot type '$other' specified.")
         }

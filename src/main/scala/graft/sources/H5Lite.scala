@@ -25,8 +25,8 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   *    fractal heap of link messages + v2 B-tree name index — the
   *    layout libhdf5 switches to above ~8 links per group; subset:
   *    unfiltered heap, root direct block or one indirect level,
-  *    leaf-root B-tree ≈ hundreds of links); nested groups flatten to
-  *    `g/var` names
+  *    B-tree depth ≤ 1 ≈ tens of thousands of links); nested groups
+  *    flatten to `g/var` names
   *  - datatypes: fixed-point (1/2/4/8-byte, signed/unsigned, LE/BE),
   *    IEEE float (4/8-byte, LE/BE), fixed strings (attributes)
   *  - dataspaces v1/v2 (simple, any rank)
@@ -47,7 +47,8 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   * per-variable names (`<var>_d<i>`) — the ingest derives grid shape
   * from coordinate variables, not dim identity. Out of scope:
   * vlen/compound/reference types (NetCDF-4 DIMENSION_LIST attrs decode
-  * as empty), szip, filtered fractal heaps, multi-level v2 B-trees.
+  * as empty), szip, filtered fractal heaps, v2 B-trees deeper than one
+  * internal level.
   */
 object H5Lite {
 
@@ -427,10 +428,10 @@ object H5Lite {
     }
   }
 
-  /** v2 B-tree → raw heap IDs of its type-5 (link name) records. A
-    * depth-0 tree (leaf root) covers groups into the hundreds of
-    * links — libhdf5's default 2048-byte nodes hold ~185 records
-    * before the tree grows a level; deeper trees are out of subset.
+  /** v2 B-tree → raw heap IDs of its type-5 (link name) records.
+    * Depth 0 (leaf root, ~185 records at libhdf5's default 2048-byte
+    * nodes) and depth 1 (one internal level → ~34k links) cover any
+    * realistic granule; deeper trees throw.
     */
   private def btree2HeapIds(r: R, addr: Long): Seq[Array[Byte]] = {
     require(r.sig4(addr, "BTHD"), s"h5: bad v2 B-tree header at $addr")
@@ -438,22 +439,53 @@ object H5Lite {
     require(r.u8() == 0, "h5: bad v2 B-tree version")
     val btType = r.u8()
     require(btType == 5, s"h5: v2 B-tree type $btType (link-name index only)")
-    r.u32() // node size
+    val nodeSize = r.u32()
     val recordSize = r.u16()
     val depth = r.u16()
     r.u8(); r.u8() // split/merge percentages
     val rootAddr = r.u64()
     val rootNRec = r.u16()
     r.u64() // total record count
-    if (depth != 0)
+    if (depth > 1)
       throw new UnsupportedH5(s"h5: v2 B-tree depth $depth out of subset")
-    require(r.sig4(rootAddr, "BTLF"), s"h5: bad v2 B-tree leaf at $rootAddr")
-    r.at(rootAddr + 4)
-    require(r.u8() == 0, "h5: bad v2 B-tree leaf version")
-    require(r.u8() == 5, "h5: v2 B-tree leaf record type mismatch")
-    (0 until rootNRec).map { _ =>
-      r.u32() // name hash — unused: every record is read regardless
-      r.take(recordSize - 4)
+
+    def readLeaf(a: Long, nRec: Int): Seq[Array[Byte]] = {
+      require(r.sig4(a, "BTLF"), s"h5: bad v2 B-tree leaf at $a")
+      r.at(a + 4)
+      require(r.u8() == 0, "h5: bad v2 B-tree leaf version")
+      require(r.u8() == 5, "h5: v2 B-tree leaf record type mismatch")
+      (0 until nRec).map { _ =>
+        r.u32() // name hash — unused: every record is read regardless
+        r.take(recordSize - 4)
+      }
+    }
+
+    if (depth == 0) readLeaf(rootAddr, rootNRec)
+    else {
+      // internal node: nRec records then nRec+1 child pointers of
+      // (address, child-record count). The count field's width is the
+      // minimum bytes that hold the MAXIMUM records a child (here: a
+      // leaf) can store — (nodeSize − 10) / recordSize, spec §III.A.2;
+      // depth-1 children are leaves, so no total-subtree-count field.
+      require(r.sig4(rootAddr, "BTIN"), s"h5: bad v2 B-tree node at $rootAddr")
+      r.at(rootAddr + 4)
+      require(r.u8() == 0, "h5: bad v2 B-tree node version")
+      require(r.u8() == 5, "h5: v2 B-tree node record type mismatch")
+      val maxLeafRec = (nodeSize - 10) / recordSize
+      val cntSize = if (maxLeafRec < 256) 1 else if (maxLeafRec < 65536) 2 else 4
+      // internal records ARE valid type-5 records (the separators);
+      // include them — they reference real links too
+      val sepIds = (0 until rootNRec).map { _ =>
+        r.u32()
+        r.take(recordSize - 4)
+      }
+      val children = (0 to rootNRec).map { _ =>
+        val a = r.u64()
+        var n = 0L
+        (0 until cntSize).foreach(i => n |= (r.u8().toLong << (8 * i)))
+        (a, n.toInt)
+      }
+      children.flatMap { case (a, n) => readLeaf(a, n) } ++ sepIds
     }
   }
 

@@ -176,6 +176,12 @@ class HttpServerSpec extends SparkSpec {
     val hist = get("/domsplot?id=plot-exec-1&type=histogram&output=JSON")
     assert(hist.statusCode() === 200, hist.body())
     assert(hist.body().contains("\"count\":"))
+    // normandcurve= adds the density bars + fitted normal samples
+    val norm = get("/domsplot?id=plot-exec-1&type=histogram" +
+      "&normandcurve=true&output=JSON")
+    assert(norm.statusCode() === 200, norm.body())
+    assert(norm.body().contains("\"density\":") &&
+      norm.body().contains("\"normal_pdf\":"), norm.body())
     assert(get("/domsplot?id=plot-exec-1&type=pie").statusCode() === 400)
     assert(get("/domsplot").statusCode() === 400) // id required
   }

@@ -207,6 +207,14 @@ class H5LiteSpec extends SparkSpec {
       assert(f4.variable(f"d$i%02d").get.data.toSeq ===
         (0 until 3).map(j => i * 10.0 + j), s"d$i")
     }
+    // depth-1 v2 B-tree (BTIN root + separator record + two leaves) —
+    // the link-index shape libhdf5 grows past ~185 links
+    val f5 = H5Lite.read(res("hand_dense_deep.h5"))
+    assert(f5.vars.map(_.name).sorted === (0 until 21).map(i => f"e$i%02d"))
+    (0 until 21).foreach { i =>
+      assert(f5.variable(f"e$i%02d").get.data.toSeq ===
+        (0 until 3).map(j => i * 7.0 + j), s"e$i")
+    }
   }
 
   test("2-D swath granules decode through the HDF5 path") {

@@ -398,3 +398,106 @@ def build_dense():
 
 open('/root/repo/src/test/resources/h5/hand_dense.h5','wb').write(build_dense())
 print("dense fixture written", len(build_dense()))
+
+# ---------------- file 5: dense root group whose v2 B-tree has DEPTH 1
+# (BTIN root with a separator record + two BTLF leaves) — the shape
+# libhdf5 produces past ~185 links, scaled down via a small node size
+def build_dense_deep():
+    nvars = 21
+    names = ['e%02d' % i for i in range(nvars)]
+    vals = {nm: [i * 7.0 + j for j in range(3)]
+            for i, nm in enumerate(names)}
+    node_size = 120          # maxLeafRec = (120-10)//11 = 10 per leaf
+    rec_size = 11
+    root_oh = 96
+    root_probe = object_header([(0x02, u8(0)+u8(0)+u64(0)+u64(0))])
+    frhp_addr = root_oh + len(root_probe)
+    FRHP_SIZE = 146
+    fhdb_addr = frhp_addr + FRHP_SIZE
+    bodies_probe = [link_msg(nm, 0) for nm in names]
+    need = 17 + sum(len(x) for x in bodies_probe)
+    block = 512
+    while block < need: block <<= 1
+    bthd_addr = fhdb_addr + block
+    BTHD_SIZE = 38
+    btin_addr = bthd_addr + BTHD_SIZE
+    leaf1_addr = btin_addr + node_size
+    leaf2_addr = leaf1_addr + node_size
+    cursor = leaf2_addr + node_size
+    oh_addrs = {}; data_addrs = {}
+    for nm in names:
+        probe = object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                               (0x08, layout_contiguous(0, 0))])
+        oh_addrs[nm] = cursor; cursor += len(probe)
+        data_addrs[nm] = cursor; cursor += 24
+    eof = cursor
+
+    out = superblock_dense(root_oh, eof)
+    out += object_header([(0x02, u8(0)+u8(0)+u64(frhp_addr)+u64(bthd_addr))])
+
+    bodies = [link_msg(nm, oh_addrs[nm]) for nm in names]
+    links_bytes = sum(len(x) for x in bodies)
+    frhp = b'FRHP' + u8(0) + u16(7) + u16(0) + u8(0)
+    frhp += u32(block)
+    frhp += u64(0) + u64(UNDEF)
+    frhp += u64(block - 17 - links_bytes)
+    frhp += u64(UNDEF)
+    frhp += u64(block) + u64(block)
+    frhp += u64(17 + links_bytes)
+    frhp += u64(nvars)
+    frhp += u64(0)*4
+    frhp += u16(4)
+    frhp += u64(block) + u64(block)
+    frhp += u16(32) + u16(1)
+    frhp += u64(fhdb_addr) + u16(0)
+    frhp += u32(lookup3(frhp))
+    assert len(frhp) == FRHP_SIZE
+    out += frhp
+
+    fhdb = b'FHDB' + u8(0) + u64(frhp_addr) + u32(0)
+    offsets = {}
+    for nm, body in zip(names, bodies):
+        offsets[nm] = len(fhdb)
+        fhdb += body
+    fhdb += b'\0' * (block - len(fhdb))
+    out += fhdb
+
+    # hash-sorted records; 10 to leaf1, #11 is the BTIN separator,
+    # 10 to leaf2
+    recs = sorted((lookup3(nm.encode()), nm) for nm in names)
+    def record(h, nm):
+        return u32(h) + u8(0) + u32(offsets[nm]) + u16(len(link_msg(nm, 0)))
+    bthd = b'BTHD' + u8(0) + u8(5) + u32(node_size) + u16(rec_size) + u16(1)
+    bthd += u8(100) + u8(40) + u64(btin_addr) + u16(1) + u64(nvars)
+    bthd += u32(lookup3(bthd))
+    assert len(bthd) == BTHD_SIZE
+    out += bthd
+
+    btin = b'BTIN' + u8(0) + u8(5)
+    btin += record(*recs[10])
+    btin += u64(leaf1_addr) + u8(10)   # child nrec field: 1 byte (max 10)
+    btin += u64(leaf2_addr) + u8(10)
+    btin += u32(lookup3(btin))
+    btin += b'\0' * (node_size - len(btin))
+    out += btin
+
+    for leaf_recs in (recs[:10], recs[11:]):
+        leaf = b'BTLF' + u8(0) + u8(5)
+        for h, nm in leaf_recs:
+            leaf += record(h, nm)
+        leaf += u32(lookup3(leaf))
+        leaf += b'\0' * (node_size - len(leaf))
+        out += leaf
+
+    for nm in names:
+        assert len(out) == oh_addrs[nm]
+        data = b''.join(struct.pack('<d', v) for v in vals[nm])
+        out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                              (0x08, layout_contiguous(data_addrs[nm], 24))])
+        assert len(out) == data_addrs[nm]
+        out += data
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_dense_deep.h5','wb').write(build_dense_deep())
+print("deep dense fixture written", len(build_dense_deep()))
