@@ -33,7 +33,10 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   *  - data layout v3: compact, contiguous, and chunked (B-tree v1
   *    chunk index) with the deflate (java.util.zip), shuffle and
   *    fletcher32 (stripped, not verified) filters
-  *  - attribute messages v1/v2/v3 (numeric and fixed-string values)
+  *  - attribute messages v1/v2/v3 (numeric and fixed-string values),
+  *    both compact (0x0C messages) and DENSE (Attribute Info message →
+  *    fractal heap + type-8 v2 B-tree, libhdf5's layout above ~8
+  *    attributes — ordinary CF metadata exceeds that)
   *
   * WRITE subset (fixture synthesis + round-trip proof): superblock v0,
   * v1 object headers, one symbol-table root group, contiguous or
@@ -242,12 +245,19 @@ object H5Lite {
       }.getOrElse(Nil)
       val attrs = byType.getOrElse(0x0C, Nil).map { case (_, p, _) =>
         r.at(p); parseAttr(r)
+      } ++ byType.getOrElse(0x15, Nil).flatMap { case (_, p, _) =>
+        r.at(p); denseAttrs(r) // dense attribute storage (>~8 attrs)
       }
       sets += Dataset(prefix.stripPrefix("/"), dims, dt, layout, filters, attrs)
     } else {
       // group: children from a symbol-table message and/or link messages
-      if (isRoot) byType.getOrElse(0x0C, Nil).foreach { case (_, p, _) =>
-        r.at(p); rootAttrs += parseAttr(r)
+      if (isRoot) {
+        byType.getOrElse(0x0C, Nil).foreach { case (_, p, _) =>
+          r.at(p); rootAttrs += parseAttr(r)
+        }
+        byType.getOrElse(0x15, Nil).foreach { case (_, p, _) =>
+          r.at(p); rootAttrs ++= denseAttrs(r)
+        }
       }
       val children = ArrayBuffer.empty[(String, Long)]
       byType.get(0x11).foreach { m =>
@@ -428,17 +438,46 @@ object H5Lite {
     }
   }
 
-  /** v2 B-tree → raw heap IDs of its type-5 (link name) records.
+  /** Attribute Info message (type 0x15) → densely-stored attributes:
+    * same fractal-heap + v2 B-tree shape as dense links, with record
+    * type 8 (attribute-name index) and attribute messages as the heap
+    * objects — the storage libhdf5 switches to above ~8 attributes,
+    * which ordinary CF metadata (units/long_name/_FillValue/scale/
+    * offset/valid_range/coordinates/…) exceeds routinely.
+    */
+  private def denseAttrs(r: R): Seq[NcAttr] = {
+    val ver = r.u8()
+    require(ver == 0, s"h5: bad attribute info version $ver")
+    val flags = r.u8()
+    if ((flags & 0x1) != 0) r.skip(2) // max creation index
+    val fheap = r.u64()
+    val nameIdx = r.u64()
+    if (fheap == UNDEF) Nil
+    else {
+      val heap = new FractalHeap(r, fheap)
+      val ids = btree2HeapIds(r, nameIdx, wantType = 8)
+      ids.map { id =>
+        val (pos, _) = heap.locate(id)
+        r.at(pos)
+        parseAttr(r)
+      }
+    }
+  }
+
+  /** v2 B-tree → raw heap IDs of its records. Record layouts handled:
+    * type 5 (link name: hash(4) + variable-size heap ID) and type 8
+    * (attribute name: heap ID(8) + flags(1) + corder(4) + hash(4)).
     * Depth 0 (leaf root, ~185 records at libhdf5's default 2048-byte
-    * nodes) and depth 1 (one internal level → ~34k links) cover any
+    * nodes) and depth 1 (one internal level → ~34k records) cover any
     * realistic granule; deeper trees throw.
     */
-  private def btree2HeapIds(r: R, addr: Long): Seq[Array[Byte]] = {
+  private def btree2HeapIds(r: R, addr: Long, wantType: Int = 5): Seq[Array[Byte]] = {
     require(r.sig4(addr, "BTHD"), s"h5: bad v2 B-tree header at $addr")
     r.at(addr + 4)
     require(r.u8() == 0, "h5: bad v2 B-tree version")
     val btType = r.u8()
-    require(btType == 5, s"h5: v2 B-tree type $btType (link-name index only)")
+    require(btType == wantType,
+      s"h5: v2 B-tree type $btType (expected $wantType)")
     val nodeSize = r.u32()
     val recordSize = r.u16()
     val depth = r.u16()
@@ -449,15 +488,20 @@ object H5Lite {
     if (depth > 1)
       throw new UnsupportedH5(s"h5: v2 B-tree depth $depth out of subset")
 
+    // the heap-ID bytes of one record at the cursor; the name hash is
+    // unused — every record is read regardless
+    def readRecord(): Array[Byte] = wantType match {
+      case 5 => r.u32(); r.take(recordSize - 4) // hash, then variable ID
+      case 8 => val id = r.take(8); r.skip(recordSize - 8); id // ID first
+      case t => throw new UnsupportedH5(s"h5: v2 B-tree record type $t")
+    }
+
     def readLeaf(a: Long, nRec: Int): Seq[Array[Byte]] = {
       require(r.sig4(a, "BTLF"), s"h5: bad v2 B-tree leaf at $a")
       r.at(a + 4)
       require(r.u8() == 0, "h5: bad v2 B-tree leaf version")
-      require(r.u8() == 5, "h5: v2 B-tree leaf record type mismatch")
-      (0 until nRec).map { _ =>
-        r.u32() // name hash — unused: every record is read regardless
-        r.take(recordSize - 4)
-      }
+      require(r.u8() == wantType, "h5: v2 B-tree leaf record type mismatch")
+      (0 until nRec).map(_ => readRecord())
     }
 
     if (depth == 0) readLeaf(rootAddr, rootNRec)
@@ -470,15 +514,12 @@ object H5Lite {
       require(r.sig4(rootAddr, "BTIN"), s"h5: bad v2 B-tree node at $rootAddr")
       r.at(rootAddr + 4)
       require(r.u8() == 0, "h5: bad v2 B-tree node version")
-      require(r.u8() == 5, "h5: v2 B-tree node record type mismatch")
+      require(r.u8() == wantType, "h5: v2 B-tree node record type mismatch")
       val maxLeafRec = (nodeSize - 10) / recordSize
       val cntSize = if (maxLeafRec < 256) 1 else if (maxLeafRec < 65536) 2 else 4
-      // internal records ARE valid type-5 records (the separators);
-      // include them — they reference real links too
-      val sepIds = (0 until rootNRec).map { _ =>
-        r.u32()
-        r.take(recordSize - 4)
-      }
+      // internal records ARE valid records (the separators); include
+      // them — they reference real heap objects too
+      val sepIds = (0 until rootNRec).map(_ => readRecord())
       val children = (0 to rootNRec).map { _ =>
         val a = r.u64()
         var n = 0L

@@ -207,6 +207,17 @@ class H5LiteSpec extends SparkSpec {
       assert(f4.variable(f"d$i%02d").get.data.toSeq ===
         (0 until 3).map(j => i * 10.0 + j), s"d$i")
     }
+    // dense ATTRIBUTE storage: 10 CF-style attributes in a fractal
+    // heap indexed by a type-8 v2 B-tree (libhdf5's layout above ~8
+    // attrs — ordinary CF metadata exceeds that routinely)
+    val fa = H5Lite.read(res("hand_dense_attrs.h5"))
+    val tempDa = fa.variable("temp").get
+    assert(tempDa.data.toSeq === Seq(300.0, 301.0, 302.0))
+    assert(tempDa.attrs.length === 10)
+    assert(tempDa.attr("units").get.text === "K")
+    assert(tempDa.attr("long_name").get.text === "temperature")
+    assert(tempDa.attr("coordinates").get.text === "lat lon")
+    assert(tempDa.attr("references").get.text === "doc")
     // depth-1 v2 B-tree (BTIN root + separator record + two leaves) —
     // the link-index shape libhdf5 grows past ~185 links
     val f5 = H5Lite.read(res("hand_dense_deep.h5"))

@@ -501,3 +501,109 @@ def build_dense_deep():
 
 open('/root/repo/src/test/resources/h5/hand_dense_deep.h5','wb').write(build_dense_deep())
 print("deep dense fixture written", len(build_dense_deep()))
+
+# ---------------- file 6: dataset with DENSE attribute storage —
+# Attribute Info message (0x15) → fractal heap of attribute messages +
+# v2 B-tree type 8 (heapID(8) + flags(1) + corder(4) + hash(4) records)
+def build_dense_attrs():
+    # 10 CF-ish attributes: beyond libhdf5's 8-attr compact limit
+    attr_specs = [('units', 'K'), ('long_name', 'temperature'),
+                  ('standard_name', 'sea_surface_temp'), ('comment', 'x'),
+                  ('source', 'synth'), ('coordinates', 'lat lon'),
+                  ('grid_mapping', 'crs'), ('cell_methods', 'mean'),
+                  ('history', 'v1'), ('references', 'doc')]
+    attr_msgs = [attr_v1(n, dt_str(len(v)+1), dataspace([]), v.encode()+b'\0')
+                 for n, v in attr_specs]
+    vals = [300.0, 301.0, 302.0]
+    heap_data = pad8(b'\0'*8 + b'temp\0')
+    name_off = 8
+    root_oh = 96
+    root_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_probe)
+    bt_probe = pad8(group_btree([name_off], [0], name_off))
+    snod_addr = btree_addr + len(bt_probe)
+    sn_probe = pad8(snod([(name_off, 0)]))
+    heap_hdr_addr = snod_addr + len(sn_probe)
+    heap_data_addr = heap_hdr_addr + 32
+    ds_oh_addr = heap_data_addr + len(heap_data)
+    # dataset OH: dataspace, datatype, layout, ATTRIBUTE INFO (0x15)
+    attr_info_probe = u8(0)+u8(0)+u64(0)+u64(0)
+    ds_probe = object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                              (0x08, layout_contiguous(0, 0)),
+                              (0x15, attr_info_probe)])
+    frhp_addr = ds_oh_addr + len(ds_probe)
+    FRHP_SIZE = 146
+    fhdb_addr = frhp_addr + FRHP_SIZE
+    need = 17 + sum(len(m) for m in attr_msgs)
+    block = 512
+    while block < need: block <<= 1
+    bthd_addr = fhdb_addr + block
+    BTHD_SIZE = 38
+    btlf_addr = bthd_addr + BTHD_SIZE
+    rec_size = 17  # heapID(8) + flags(1) + corder(4) + hash(4)
+    btlf_used = 6 + len(attr_specs) * rec_size + 4
+    btlf_size = 512
+    while btlf_size < btlf_used: btlf_size <<= 1
+    data_addr = btlf_addr + btlf_size
+    eof = data_addr + 24
+
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    out += pad8(group_btree([name_off], [snod_addr], name_off))
+    out += pad8(snod([(name_off, ds_oh_addr)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out += hh + hd
+    out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                          (0x08, layout_contiguous(data_addr, 24)),
+                          (0x15, u8(0)+u8(0)+u64(frhp_addr)+u64(bthd_addr))])
+
+    msgs_bytes = sum(len(m) for m in attr_msgs)
+    frhp = b'FRHP' + u8(0) + u16(7) + u16(0) + u8(0)
+    frhp += u32(block)
+    frhp += u64(0) + u64(UNDEF)
+    frhp += u64(block - 17 - msgs_bytes)
+    frhp += u64(UNDEF)
+    frhp += u64(block) + u64(block)
+    frhp += u64(17 + msgs_bytes)
+    frhp += u64(len(attr_specs))
+    frhp += u64(0)*4
+    frhp += u16(4)
+    frhp += u64(block) + u64(block)
+    frhp += u16(32) + u16(1)
+    frhp += u64(fhdb_addr) + u16(0)
+    frhp += u32(lookup3(frhp))
+    assert len(frhp) == FRHP_SIZE
+    out += frhp
+
+    fhdb = b'FHDB' + u8(0) + u64(frhp_addr) + u32(0)
+    offsets = {}
+    for (n, _), m in zip(attr_specs, attr_msgs):
+        offsets[n] = len(fhdb)
+        fhdb += m
+    fhdb += b'\0' * (block - len(fhdb))
+    out += fhdb
+
+    bthd = b'BTHD' + u8(0) + u8(8) + u32(btlf_size) + u16(rec_size) + u16(0)
+    bthd += u8(100) + u8(40) + u64(btlf_addr) + u16(len(attr_specs))
+    bthd += u64(len(attr_specs))
+    bthd += u32(lookup3(bthd))
+    assert len(bthd) == BTHD_SIZE
+    out += bthd
+
+    recs = sorted((lookup3(n.encode()), n) for n, _ in attr_specs)
+    btlf = b'BTLF' + u8(0) + u8(8)
+    for corder, (h, n) in enumerate(recs):
+        m = [m for (an, _), m in zip(attr_specs, attr_msgs) if an == n][0]
+        heap_id = u8(0) + u32(offsets[n]) + u16(len(m)) + u8(0)  # 7B id + pad
+        btlf += heap_id + u8(0) + u32(corder) + u32(h)
+    btlf += u32(lookup3(btlf))
+    btlf += b'\0' * (btlf_size - len(btlf))
+    out += btlf
+
+    assert len(out) == data_addr, (len(out), data_addr)
+    out += b''.join(struct.pack('<d', v) for v in vals)
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_dense_attrs.h5','wb').write(build_dense_attrs())
+print("dense-attrs fixture written", len(build_dense_attrs()))
