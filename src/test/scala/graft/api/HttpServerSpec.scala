@@ -192,9 +192,34 @@ class HttpServerSpec extends SparkSpec {
     assert(r.statusCode() === 200, r.body())
     assert((System.nanoTime() - t0) / 1e9 >= 0.2)
     assert(r.body().contains("\"slept_sec\":0.2"))
+    // the t= clamp: out-of-range or non-numeric values are 400s, not
+    // thread-pinning sleeps or raw NumberFormatExceptions
+    assert(get("/delay?t=3600").statusCode() === 400)
+    assert(get("/delay?t=-1").statusCode() === 400)
+    assert(get("/delay?t=abc").body().contains("want seconds"))
     val err = get("/makeerror")
     assert(err.statusCode() === 400)
     assert(err.body().contains("division by zero"))
+  }
+
+  test("sleeping /delay requests do not starve query endpoints") {
+    // two concurrent /delay sleeps (gateless) must leave the job gate
+    // and enough pool threads free for a real query to finish DURING
+    // the sleeps
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val delays = (1 to 2).map(_ => pool.submit(
+      new java.util.concurrent.Callable[Int] {
+        def call(): Int = get("/delay?t=2").statusCode()
+      }))
+    Thread.sleep(300) // let the delays occupy their threads
+    val t0 = System.nanoTime()
+    val hb = get("/heartbeat")
+    val ts = get("/timeSeriesSpark?ds=sst")
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(hb.statusCode() === 200 && ts.statusCode() === 200)
+    assert(elapsed < 1.5, f"queries should not wait out the sleeps ($elapsed%.2f s)")
+    assert(delays.map(_.get()).toSet === Set(200))
+    pool.shutdown()
   }
 
   test("output=CSV, NETCDF and ZIP encodings") {
