@@ -31,8 +31,9 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   *    IEEE float (4/8-byte, LE/BE), fixed strings (attributes)
   *  - dataspaces v1/v2 (simple, any rank)
   *  - data layout v3: compact, contiguous, and chunked (B-tree v1
-  *    chunk index) with the deflate (java.util.zip), shuffle and
-  *    fletcher32 (stripped, not verified) filters
+  *    chunk index) with the deflate (java.util.zip), shuffle,
+  *    fletcher32 (stripped, not verified) and szip ([[Szip]],
+  *    CCSDS 121.0 extended-Rice) filters
   *  - attribute messages v1/v2/v3 (numeric and fixed-string values),
   *    both compact (0x0C messages) and DENSE (Attribute Info message →
   *    fractal heap + type-8 v2 B-tree, libhdf5's layout above ~8
@@ -50,7 +51,7 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   * per-variable names (`<var>_d<i>`) — the ingest derives grid shape
   * from coordinate variables, not dim identity. Out of scope:
   * vlen/compound/reference types (NetCDF-4 DIMENSION_LIST attrs decode
-  * as empty), szip, filtered fractal heaps, v2 B-trees deeper than one
+  * as empty), filtered fractal heaps, v2 B-trees deeper than one
   * internal level.
   */
 object H5Lite {
@@ -742,6 +743,12 @@ object H5Lite {
               case 2 => raw = unshuffle(raw, f.clientValues.headOption
                 .map(_.toInt).getOrElse(d.dtype.size))
               case 3 => raw = raw.dropRight(4)
+              case 4 =>
+                require(f.clientValues.length >= 4,
+                  s"h5: szip filter with ${f.clientValues.length} client values")
+                val cv = f.clientValues.map(_.toInt)
+                raw = Szip.decompress(raw,
+                  Szip.Params(cv(0), cv(1), cv(2), cv(3)))
               case id => sys.error(s"h5: unsupported filter id $id")
             }
           }
@@ -880,9 +887,18 @@ object H5Lite {
 
   /** Chunked-storage request for one variable: `dims` per data
     * dimension (need not divide the shape — edge chunks pad with 0 and
-    * clip on read), deflate level 0 disables compression.
+    * clip on read), deflate level 0 disables compression. `szip` swaps
+    * the deflate stage for the szip (extended-Rice) filter the way
+    * HDF5 does — szip is the sole compressor, so it excludes deflate
+    * and shuffle; pixels_per_block is `szipPixelsPerBlock`,
+    * pixels_per_scanline the chunk's fastest dimension.
     */
-  case class Chunking(dims: Seq[Int], deflateLevel: Int = 6, shuffle: Boolean = true)
+  case class Chunking(dims: Seq[Int], deflateLevel: Int = 6,
+                      shuffle: Boolean = true, szip: Boolean = false,
+                      szipPixelsPerBlock: Int = 16) {
+    require(!szip || (deflateLevel == 0 && !shuffle),
+      "h5 write: szip excludes deflate and shuffle")
+  }
 
   private val GROUP_K = 4 // B-tree entries per node = 2k
 
@@ -1121,6 +1137,16 @@ object H5Lite {
               q.toLong * ck.dims(d)
             }
           }
+          val szipParams: Option[Szip.Params] =
+            if (!ck.szip) None
+            else {
+              require(dt.size <= 4,
+                s"h5 write: szip caps at 32-bit samples, got ${dt.size * 8}")
+              val scan = ck.dims.last
+              Some(Szip.Params(Szip.Raw | Szip.NN | Szip.LSB, dt.size * 8,
+                math.min(ck.szipPixelsPerBlock, math.max(2, scan / 2 * 2)),
+                math.min(scan, 128 * ck.szipPixelsPerBlock)))
+            }
           val chunks = chunkIdx.map { offs =>
             val cn = ck.dims.product
             val vals = new Array[Double](cn)
@@ -1140,11 +1166,15 @@ object H5Lite {
             var bytes = encode(vals, dt)
             if (ck.shuffle) bytes = shuffle(bytes, dt.size)
             if (ck.deflateLevel > 0) bytes = deflate(bytes, ck.deflateLevel)
+            szipParams.foreach(p => bytes = Szip.compress(bytes, p))
             (bytes, offs)
           }
           val filterMsg: Option[Msg] = {
             val fs = (if (ck.shuffle) Seq((2, Seq(dt.size.toLong))) else Nil) ++
-              (if (ck.deflateLevel > 0) Seq((1, Seq(ck.deflateLevel.toLong))) else Nil)
+              (if (ck.deflateLevel > 0) Seq((1, Seq(ck.deflateLevel.toLong))) else Nil) ++
+              szipParams.map(p => (4, Seq(p.optionMask.toLong,
+                p.bitsPerPixel.toLong, p.pixelsPerBlock.toLong,
+                p.pixelsPerScanline.toLong))).toSeq
             if (fs.isEmpty) None
             else {
               val sz = 8 + fs.map(f => 8 + f._2.length * 4 +
