@@ -23,10 +23,10 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   *  - groups via symbol-table message (B-tree v1 + SNOD + local heap),
   *    compact link messages, or DENSE link storage (Link Info message →
   *    fractal heap of link messages + v2 B-tree name index — the
-  *    layout libhdf5 switches to above ~8 links per group; subset:
-  *    unfiltered heap, root direct block or one indirect level,
-  *    B-tree depth ≤ 1 ≈ tens of thousands of links); nested groups
-  *    flatten to `g/var` names
+  *    layout libhdf5 switches to above ~8 links per group; heaps may
+  *    nest indirect blocks to any depth and be filter-compressed, and
+  *    the v2 B-tree walks at any depth); nested groups flatten to
+  *    `g/var` names
   *  - datatypes: fixed-point (1/2/4/8-byte, signed/unsigned, LE/BE),
   *    IEEE float (4/8-byte, LE/BE), fixed strings (attributes)
   *  - dataspaces v1/v2 (simple, any rank)
@@ -51,8 +51,8 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   * per-variable names (`<var>_d<i>`) — the ingest derives grid shape
   * from coordinate variables, not dim identity. Out of scope:
   * vlen/compound/reference types (NetCDF-4 DIMENSION_LIST attrs decode
-  * as empty), filtered fractal heaps, v2 B-trees deeper than one
-  * internal level.
+  * as empty) and huge/tiny fractal-heap objects (links and attribute
+  * messages are always managed-size).
   */
 object H5Lite {
 
@@ -342,19 +342,19 @@ object H5Lite {
     else {
       val heap = new FractalHeap(r, fheap)
       val ids = btree2HeapIds(r, nameIdx)
-      ids.flatMap { id =>
-        val (pos, _) = heap.locate(id)
-        r.at(pos)
-        parseLink(r)
-      }
+      ids.flatMap(id => parseLink(heap.objectAt(id)))
     }
   }
 
-  /** Managed-object view of one fractal heap (§III.G): header +
-    * direct blocks, offsets mapped linearly into file space. Subset:
-    * unfiltered heaps, root direct block or one level of indirect
-    * block with direct children — what link storage for groups into
-    * the thousands of links occupies.
+  /** Managed-object view of one fractal heap (§III.G): header + direct
+    * blocks reachable through any depth of indirect blocks, with the
+    * optional per-block I/O filter pipeline (deflate, fletcher32)
+    * applied. The doubling table is self-similar: inside every indirect
+    * block, rows 0 and 1 use the starting block size, row i ≥ 2 doubles
+    * per row; rows whose size exceeds the max direct size hold child
+    * indirect blocks, each subdividing its span with the same table
+    * from the start (so a child spanning S has
+    * log2(S) − log2(start·width) + 1 rows).
     */
   private final class FractalHeap(r: R, addr: Long) {
     require(r.sig4(addr, "FRHP"), s"h5: bad fractal heap header at $addr")
@@ -362,8 +362,6 @@ object H5Lite {
     require(r.u8() == 0, "h5: bad fractal heap version")
     private val heapIdLen = r.u16()
     private val ioFilterLen = r.u16()
-    if (ioFilterLen != 0)
-      throw new UnsupportedH5("h5: filtered fractal heap out of subset")
     r.u8() // flags (direct-block checksums — not verified, like all tails)
     r.u32() // max managed object size
     r.u64(); r.u64() // next huge id, huge B-tree address
@@ -379,6 +377,14 @@ object H5Lite {
     r.u16() // starting rows in root indirect block
     private val rootAddr = r.u64()
     private val curRootRows = r.u16()
+    // with filters: stored size + mask of the root direct block (only
+    // when the root IS a direct block), then the pipeline message body
+    private val filteredRootSize: Long =
+      if (ioFilterLen > 0 && curRootRows == 0 && rootAddr != UNDEF) {
+        val s = r.u64(); r.u32(); s
+      } else UNDEF
+    private val filters: Seq[Filter] =
+      if (ioFilterLen > 0) parseFilters(r) else Nil
     private val offsetSize = (maxHeapBits + 7) / 8
     // derive the length-field width from the declared total, never
     // from a re-implementation of the writer's sizing rule
@@ -386,56 +392,91 @@ object H5Lite {
     require(offsetSize >= 1 && lengthSize >= 1,
       s"h5: implausible fractal heap id geometry ($heapIdLen/$offsetSize)")
 
-    /** (heapOffset, blockSize, fileAddr) per direct block. */
-    private val blocks: Seq[(Long, Long, Long)] =
+    private def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    private val maxDirectRows = log2(maxDirectSize) - log2(startBlockSize) + 2
+    private def rowSize(row: Int): Long =
+      if (row < 2) startBlockSize else startBlockSize << (row - 1)
+    private def rowsFor(span: Long): Int =
+      log2(span) - log2(startBlockSize * tableWidth) + 1
+
+    /** (heapOffset, blockSize, content bytes incl. FHDB header). */
+    private val blocks: Seq[(Long, Long, Array[Byte])] =
       if (rootAddr == UNDEF) Nil
-      else if (curRootRows == 0) Seq(readDirect(rootAddr, startBlockSize))
-      else {
-        require(r.sig4(rootAddr, "FHIB"), s"h5: bad indirect block at $rootAddr")
-        r.at(rootAddr + 4)
-        require(r.u8() == 0, "h5: bad indirect block version")
-        r.u64() // heap header address
-        r.skip(offsetSize) // block offset
-        // doubling table: rows 0 and 1 use the starting size, row i≥2
-        // doubles per row; width entries per row. Collect addresses
-        // FIRST (readDirect moves the cursor).
-        val slots = (0 until curRootRows).flatMap { row =>
-          val size = if (row < 2) startBlockSize else startBlockSize << (row - 1)
-          (0 until tableWidth).map(_ => (r.u64(), size))
-        }
-        slots.filter(_._1 != UNDEF).map { case (ba, size) =>
-          if (size > maxDirectSize)
-            throw new UnsupportedH5("h5: nested indirect fractal heap out of subset")
-          readDirect(ba, size)
+      else if (curRootRows == 0)
+        Seq(readDirect(rootAddr, startBlockSize, filteredRootSize))
+      else readIndirect(rootAddr, curRootRows)
+
+    private def readIndirect(a: Long, nrows: Int): Seq[(Long, Long, Array[Byte])] = {
+      require(r.sig4(a, "FHIB"), s"h5: bad indirect block at $a")
+      r.at(a + 4)
+      require(r.u8() == 0, "h5: bad indirect block version")
+      r.u64() // heap header address
+      r.skip(offsetSize) // block offset
+      // collect entries FIRST (the reads below move the cursor):
+      // direct rows carry (addr [+ stored size + mask when filtered]),
+      // indirect rows carry the child address only
+      val slots = (0 until nrows).flatMap { row =>
+        val size = rowSize(row)
+        (0 until tableWidth).map { _ =>
+          if (row < maxDirectRows) {
+            val ba = r.u64()
+            val stored = if (ioFilterLen > 0) { val s = r.u64(); r.u32(); s }
+            else UNDEF
+            (ba, size, stored, true)
+          } else (r.u64(), size, UNDEF, false)
         }
       }
-
-    private def readDirect(a: Long, size: Long): (Long, Long, Long) = {
-      require(r.sig4(a, "FHDB"), s"h5: bad direct block at $a")
-      r.at(a + 4)
-      require(r.u8() == 0, "h5: bad direct block version")
-      r.u64() // heap header address
-      var bo = 0L
-      (0 until offsetSize).foreach(i => bo |= (r.u8().toLong << (8 * i)))
-      (bo, size, a)
+      slots.filter(_._1 != UNDEF).flatMap { case (ba, size, stored, direct) =>
+        if (direct) Seq(readDirect(ba, size, stored))
+        else readIndirect(ba, rowsFor(size))
+      }
     }
 
-    /** Managed heap ID → (file position, object length). Heap offsets
-      * count the block header bytes, so the file position is simply
-      * blockFileAddr + (offset − blockHeapOffset).
+    private def readDirect(a: Long, size: Long,
+                           storedSize: Long): (Long, Long, Array[Byte]) = {
+      val content: Array[Byte] =
+        if (filters.isEmpty) {
+          r.at(a); r.take(size.toInt)
+        } else {
+          require(storedSize != UNDEF, "h5: filtered direct block without size")
+          r.at(a)
+          var raw = r.take(storedSize.toInt)
+          filters.reverse.foreach { f =>
+            f.id match {
+              case 1 => raw = inflate(raw)
+              case 3 => raw = raw.dropRight(4)
+              case id => throw new UnsupportedH5(s"h5: heap filter id $id")
+            }
+          }
+          require(raw.length == size,
+            s"h5: filtered block decoded ${raw.length} of $size bytes")
+          raw
+        }
+      require(content.length >= 4 + 1 + 8 + offsetSize &&
+        "FHDB".zipWithIndex.forall { case (c, i) => content(i) == c.toByte },
+        s"h5: bad direct block at $a")
+      require(content(4) == 0, "h5: bad direct block version")
+      var bo = 0L
+      (0 until offsetSize).foreach(i =>
+        bo |= ((content(13 + i) & 0xffL) << (8 * i)))
+      (bo, size, content)
+    }
+
+    /** Managed heap ID → reader positioned at the object. Heap offsets
+      * count the block header bytes, so the in-block position is
+      * simply (offset − blockHeapOffset).
       */
-    def locate(id: Array[Byte]): (Long, Long) = {
+    def objectAt(id: Array[Byte]): R = {
       val b0 = id(0) & 0xff
       if ((b0 & 0x30) != 0)
         throw new UnsupportedH5(s"h5: huge/tiny heap object (type ${(b0 >> 4) & 3})")
       var off = 0L
       (0 until offsetSize).foreach(i => off |= ((id(1 + i) & 0xffL) << (8 * i)))
-      var len = 0L
-      (0 until lengthSize).foreach(i =>
-        len |= ((id(1 + offsetSize + i) & 0xffL) << (8 * i)))
       val blk = blocks.find(b => off >= b._1 && off < b._1 + b._2).getOrElse(
         throw new UnsupportedH5(s"h5: heap offset $off outside direct blocks"))
-      (blk._3 + (off - blk._1), len)
+      val rr = new R(blk._3)
+      rr.at(off - blk._1)
+      rr
     }
   }
 
@@ -457,20 +498,18 @@ object H5Lite {
     else {
       val heap = new FractalHeap(r, fheap)
       val ids = btree2HeapIds(r, nameIdx, wantType = 8)
-      ids.map { id =>
-        val (pos, _) = heap.locate(id)
-        r.at(pos)
-        parseAttr(r)
-      }
+      ids.map(id => parseAttr(heap.objectAt(id)))
     }
   }
 
-  /** v2 B-tree → raw heap IDs of its records. Record layouts handled:
-    * type 5 (link name: hash(4) + variable-size heap ID) and type 8
-    * (attribute name: heap ID(8) + flags(1) + corder(4) + hash(4)).
-    * Depth 0 (leaf root, ~185 records at libhdf5's default 2048-byte
-    * nodes) and depth 1 (one internal level → ~34k records) cover any
-    * realistic granule; deeper trees throw.
+  /** v2 B-tree → raw heap IDs of its records, at any depth. Record
+    * layouts handled: type 5 (link name: hash(4) + variable-size heap
+    * ID) and type 8 (attribute name: heap ID(8) + flags(1) + corder(4)
+    * + hash(4)). Child-pointer field widths follow §III.A.2: the
+    * record-count field is the minimum bytes holding the maximum
+    * records a child node can store, and internal children add a
+    * total-subtree-count field sized from the cumulative maximum —
+    * both derived level-by-level from node size and record size.
     */
   private def btree2HeapIds(r: R, addr: Long, wantType: Int = 5): Seq[Array[Byte]] = {
     require(r.sig4(addr, "BTHD"), s"h5: bad v2 B-tree header at $addr")
@@ -486,8 +525,25 @@ object H5Lite {
     val rootAddr = r.u64()
     val rootNRec = r.u16()
     r.u64() // total record count
-    if (depth > 1)
-      throw new UnsupportedH5(s"h5: v2 B-tree depth $depth out of subset")
+
+    // bytes needed to store a count value (1, 2, 3, … — libhdf5's
+    // limit-encoding, not power-of-two widths)
+    def encSize(v: Long): Int = (64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(v, 1L)) + 7) / 8
+    // per-level maxima: maxNrec(u) records fit an internal node at
+    // depth u once its child pointers (addr + count + subtree total
+    // for internal children) are accounted; cumMaxNrec(u) bounds a
+    // whole depth-u subtree
+    val maxNrec = new Array[Long](depth + 1)
+    val cumMaxNrec = new Array[Long](depth + 1)
+    maxNrec(0) = (nodeSize - 10L) / recordSize
+    cumMaxNrec(0) = maxNrec(0)
+    (1 to depth).foreach { u =>
+      val ptr = 8 + encSize(maxNrec(u - 1)) +
+        (if (u > 1) encSize(cumMaxNrec(u - 1)) else 0)
+      maxNrec(u) = (nodeSize - 10L - ptr) / (recordSize + ptr)
+      cumMaxNrec(u) = (maxNrec(u) + 1) * cumMaxNrec(u - 1) + maxNrec(u)
+    }
 
     // the heap-ID bytes of one record at the cursor; the name hash is
     // unused — every record is read regardless
@@ -497,38 +553,38 @@ object H5Lite {
       case t => throw new UnsupportedH5(s"h5: v2 B-tree record type $t")
     }
 
-    def readLeaf(a: Long, nRec: Int): Seq[Array[Byte]] = {
-      require(r.sig4(a, "BTLF"), s"h5: bad v2 B-tree leaf at $a")
-      r.at(a + 4)
-      require(r.u8() == 0, "h5: bad v2 B-tree leaf version")
-      require(r.u8() == wantType, "h5: v2 B-tree leaf record type mismatch")
-      (0 until nRec).map(_ => readRecord())
+    def readUInt(width: Int): Long = {
+      var v = 0L
+      (0 until width).foreach(i => v |= (r.u8().toLong << (8 * i)))
+      v
     }
 
-    if (depth == 0) readLeaf(rootAddr, rootNRec)
-    else {
-      // internal node: nRec records then nRec+1 child pointers of
-      // (address, child-record count). The count field's width is the
-      // minimum bytes that hold the MAXIMUM records a child (here: a
-      // leaf) can store — (nodeSize − 10) / recordSize, spec §III.A.2;
-      // depth-1 children are leaves, so no total-subtree-count field.
-      require(r.sig4(rootAddr, "BTIN"), s"h5: bad v2 B-tree node at $rootAddr")
-      r.at(rootAddr + 4)
-      require(r.u8() == 0, "h5: bad v2 B-tree node version")
-      require(r.u8() == wantType, "h5: v2 B-tree node record type mismatch")
-      val maxLeafRec = (nodeSize - 10) / recordSize
-      val cntSize = if (maxLeafRec < 256) 1 else if (maxLeafRec < 65536) 2 else 4
-      // internal records ARE valid records (the separators); include
-      // them — they reference real heap objects too
-      val sepIds = (0 until rootNRec).map(_ => readRecord())
-      val children = (0 to rootNRec).map { _ =>
-        val a = r.u64()
-        var n = 0L
-        (0 until cntSize).foreach(i => n |= (r.u8().toLong << (8 * i)))
-        (a, n.toInt)
+    // internal records ARE valid records (the separators); include
+    // them — they reference real heap objects too
+    def readNode(a: Long, nRec: Int, level: Int): Seq[Array[Byte]] =
+      if (level == 0) {
+        require(r.sig4(a, "BTLF"), s"h5: bad v2 B-tree leaf at $a")
+        r.at(a + 4)
+        require(r.u8() == 0, "h5: bad v2 B-tree leaf version")
+        require(r.u8() == wantType, "h5: v2 B-tree leaf record type mismatch")
+        (0 until nRec).map(_ => readRecord())
+      } else {
+        require(r.sig4(a, "BTIN"), s"h5: bad v2 B-tree node at $a")
+        r.at(a + 4)
+        require(r.u8() == 0, "h5: bad v2 B-tree node version")
+        require(r.u8() == wantType, "h5: v2 B-tree node record type mismatch")
+        val sepIds = (0 until nRec).map(_ => readRecord())
+        // collect child pointers FIRST — recursion moves the cursor
+        val children = (0 to nRec).map { _ =>
+          val ca = r.u64()
+          val n = readUInt(encSize(maxNrec(level - 1)))
+          if (level > 1) readUInt(encSize(cumMaxNrec(level - 1))) // subtree total
+          (ca, n.toInt)
+        }
+        children.flatMap { case (ca, n) => readNode(ca, n, level - 1) } ++ sepIds
       }
-      children.flatMap { case (a, n) => readLeaf(a, n) } ++ sepIds
-    }
+
+    readNode(rootAddr, rootNRec, depth)
   }
 
   /** Hard-link message → (name, object header address); None for

@@ -226,6 +226,28 @@ class H5LiteSpec extends SparkSpec {
       assert(f5.variable(f"e$i%02d").get.data.toSeq ===
         (0 until 3).map(j => i * 7.0 + j), s"e$i")
     }
+    // fractal heap with a root INDIRECT block whose row 2 nests child
+    // indirect blocks (one with a missing second slot) over 7 direct
+    // blocks — the self-similar doubling-table walk
+    val f6 = H5Lite.read(res("hand_heap_nested.h5"))
+    assert(f6.vars.map(_.name).sorted === (0 until 7).map(i => s"n$i"))
+    (0 until 7).foreach { i =>
+      assert(f6.variable(s"n$i").get.data.toSeq === Seq(i * 2.0, i * 2.0 + 1))
+    }
+    // FILTERED fractal heap: the root direct block is deflated; the
+    // FRHP carries the stored size, mask and pipeline message
+    val f7 = H5Lite.read(res("hand_heap_filtered.h5"))
+    assert(f7.vars.map(_.name).sorted === Seq("f0", "f1", "f2"))
+    (0 until 3).foreach { i =>
+      assert(f7.variable(s"f$i").get.data.toSeq === Seq(100.0 + i, 200.0 + i))
+    }
+    // DEPTH-2 v2 B-tree: root BTIN (child pointers carry the
+    // subtree-total field) over 3 internal nodes and 9 leaves
+    val f8 = H5Lite.read(res("hand_btree_depth2.h5"))
+    assert(f8.vars.map(_.name).sorted === (0 until 24).map(i => f"q$i%02d"))
+    (0 until 24).foreach { i =>
+      assert(f8.variable(f"q$i%02d").get.data.toSeq === Seq(i * 3.0))
+    }
   }
 
   test("2-D swath granules decode through the HDF5 path") {

@@ -607,3 +607,312 @@ def build_dense_attrs():
 
 open('/root/repo/src/test/resources/h5/hand_dense_attrs.h5','wb').write(build_dense_attrs())
 print("dense-attrs fixture written", len(build_dense_attrs()))
+
+# ---------------- file 7: dense root whose fractal heap has a ROOT
+# INDIRECT block with direct rows AND a nested indirect row (width 2,
+# start=max-direct=512: rows 0-1 direct, row 2 indirect; each child
+# subdivides its 1024-byte span with the same doubling table → 1 row
+# of two 512-byte direct blocks). 7 links, one per direct block.
+def build_heap_nested():
+    width, start = 2, 512
+    names = ['n%d' % i for i in range(7)]
+    blk_off = [0, 512, 1024, 1536, 2048, 2560, 3072]
+    root_oh = 96
+    root_probe = object_header([(0x02, u8(0)+u8(0)+u64(0)+u64(0))])
+    frhp_addr = root_oh + len(root_probe)
+    FRHP_SIZE = 146
+    fhib_addr = frhp_addr + FRHP_SIZE
+    fhib_size = 4+1+8+4 + 6*8 + 4
+    child1_addr = fhib_addr + fhib_size
+    child_size = 4+1+8+4 + 2*8 + 4
+    child2_addr = child1_addr + child_size
+    d_addrs = [child2_addr + child_size + i*512 for i in range(7)]
+    bthd_addr = d_addrs[-1] + 512
+    BTHD_SIZE = 38
+    btlf_addr = bthd_addr + BTHD_SIZE
+    rec_size = 11
+    btlf_size = 512
+    cursor = btlf_addr + btlf_size
+    oh_addrs = {}; data_addrs = {}
+    for nm in names:
+        probe = object_header([(0x01, dataspace([2])), (0x03, dt_f64()),
+                               (0x08, layout_contiguous(0, 0))])
+        oh_addrs[nm] = cursor; cursor += len(probe)
+        data_addrs[nm] = cursor; cursor += 16
+    eof = cursor
+
+    out = superblock_dense(root_oh, eof)
+    out += object_header([(0x02, u8(0)+u8(0)+u64(frhp_addr)+u64(bthd_addr))])
+
+    links_bytes = sum(len(link_msg(nm, 0)) for nm in names)
+    frhp = b'FRHP' + u8(0) + u16(7) + u16(0) + u8(0)
+    frhp += u32(512)
+    frhp += u64(0) + u64(UNDEF)
+    frhp += u64(7*512 - 7*17 - links_bytes)
+    frhp += u64(UNDEF)
+    frhp += u64(4096) + u64(3584)
+    frhp += u64(0)
+    frhp += u64(len(names))
+    frhp += u64(0)*4
+    frhp += u16(width)
+    frhp += u64(start) + u64(start)      # max direct == start
+    frhp += u16(32) + u16(3)             # 4-byte offsets, 3 starting rows
+    frhp += u64(fhib_addr) + u16(3)      # root indirect with 3 rows
+    frhp += u32(lookup3(frhp))
+    assert len(frhp) == FRHP_SIZE
+    out += frhp
+
+    fhib = b'FHIB' + u8(0) + u64(frhp_addr) + u32(0)
+    fhib += u64(d_addrs[0]) + u64(d_addrs[1])       # row 0: direct
+    fhib += u64(d_addrs[2]) + u64(d_addrs[3])       # row 1: direct
+    fhib += u64(child1_addr) + u64(child2_addr)     # row 2: indirect
+    fhib += u32(lookup3(fhib))
+    assert len(fhib) == fhib_size
+    out += fhib
+    c1 = b'FHIB' + u8(0) + u64(frhp_addr) + u32(2048)
+    c1 += u64(d_addrs[4]) + u64(d_addrs[5])
+    c1 += u32(lookup3(c1))
+    assert len(c1) == child_size
+    c2 = b'FHIB' + u8(0) + u64(frhp_addr) + u32(3072)
+    c2 += u64(d_addrs[6]) + u64(UNDEF)
+    c2 += u32(lookup3(c2))
+    out += c1 + c2
+
+    offsets = {}
+    for nm, boff, da in zip(names, blk_off, d_addrs):
+        assert len(out) == da
+        blk = b'FHDB' + u8(0) + u64(frhp_addr) + u32(boff)
+        offsets[nm] = boff + len(blk)
+        blk += link_msg(nm, oh_addrs[nm])
+        blk += b'\0' * (512 - len(blk))
+        out += blk
+
+    bthd = b'BTHD' + u8(0) + u8(5) + u32(btlf_size) + u16(rec_size) + u16(0)
+    bthd += u8(100) + u8(40) + u64(btlf_addr) + u16(len(names)) + u64(len(names))
+    bthd += u32(lookup3(bthd))
+    assert len(bthd) == BTHD_SIZE
+    out += bthd
+
+    recs = sorted((lookup3(nm.encode()), nm) for nm in names)
+    btlf = b'BTLF' + u8(0) + u8(5)
+    for h, nm in recs:
+        btlf += u32(h) + u8(0) + u32(offsets[nm]) + u16(len(link_msg(nm, 0)))
+    btlf += u32(lookup3(btlf))
+    btlf += b'\0' * (btlf_size - len(btlf))
+    out += btlf
+
+    for i, nm in enumerate(names):
+        assert len(out) == oh_addrs[nm]
+        data = struct.pack('<d', i * 2.0) + struct.pack('<d', i * 2.0 + 1)
+        out += object_header([(0x01, dataspace([2])), (0x03, dt_f64()),
+                              (0x08, layout_contiguous(data_addrs[nm], 16))])
+        assert len(out) == data_addrs[nm]
+        out += data
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_heap_nested.h5','wb').write(build_heap_nested())
+print("nested-heap fixture written", len(build_heap_nested()))
+
+# ---------------- file 8: dense root with a FILTERED fractal heap —
+# the root direct block is deflate-compressed; FRHP carries the
+# filtered-root size + mask + pipeline message body (ioFilterLen > 0)
+def build_heap_filtered():
+    names = ['f0', 'f1', 'f2']
+    root_oh = 96
+    root_probe = object_header([(0x02, u8(0)+u8(0)+u64(0)+u64(0))])
+    frhp_addr = root_oh + len(root_probe)
+    finfo = filters_deflate(6)
+    FRHP_SIZE = 146 + 8 + 4 + len(finfo)
+    fhdb_addr = frhp_addr + FRHP_SIZE
+    block = 512          # logical (decompressed) block size
+    stored_cap = 256     # reserved file space for the compressed bytes
+    bthd_addr = fhdb_addr + stored_cap
+    BTHD_SIZE = 38
+    btlf_addr = bthd_addr + BTHD_SIZE
+    rec_size = 11
+    btlf_size = 512
+    cursor = btlf_addr + btlf_size
+    oh_addrs = {}; data_addrs = {}
+    for nm in names:
+        probe = object_header([(0x01, dataspace([2])), (0x03, dt_f64()),
+                               (0x08, layout_contiguous(0, 0))])
+        oh_addrs[nm] = cursor; cursor += len(probe)
+        data_addrs[nm] = cursor; cursor += 16
+    eof = cursor
+
+    # plaintext block with final OH addresses, then compress
+    fhdb = b'FHDB' + u8(0) + u64(frhp_addr) + u32(0)
+    offsets = {}
+    for nm in names:
+        offsets[nm] = len(fhdb)
+        fhdb += link_msg(nm, oh_addrs[nm])
+    fhdb += b'\0' * (block - len(fhdb))
+    comp = zlib.compress(fhdb, 6)
+    assert len(comp) <= stored_cap
+
+    out = superblock_dense(root_oh, eof)
+    out += object_header([(0x02, u8(0)+u8(0)+u64(frhp_addr)+u64(bthd_addr))])
+
+    links_bytes = sum(len(link_msg(nm, 0)) for nm in names)
+    frhp = b'FRHP' + u8(0) + u16(7) + u16(len(finfo)) + u8(0)
+    frhp += u32(block)
+    frhp += u64(0) + u64(UNDEF)
+    frhp += u64(block - 17 - links_bytes)
+    frhp += u64(UNDEF)
+    frhp += u64(block) + u64(block)
+    frhp += u64(17 + links_bytes)
+    frhp += u64(len(names))
+    frhp += u64(0)*4
+    frhp += u16(4)
+    frhp += u64(block) + u64(block)
+    frhp += u16(32) + u16(1)
+    frhp += u64(fhdb_addr) + u16(0)
+    frhp += u64(len(comp)) + u32(0)      # filtered root size + mask
+    frhp += finfo                        # I/O filter information
+    frhp += u32(lookup3(frhp))
+    assert len(frhp) == FRHP_SIZE
+    out += frhp
+    out += comp + b'\0' * (stored_cap - len(comp))
+
+    bthd = b'BTHD' + u8(0) + u8(5) + u32(btlf_size) + u16(rec_size) + u16(0)
+    bthd += u8(100) + u8(40) + u64(btlf_addr) + u16(len(names)) + u64(len(names))
+    bthd += u32(lookup3(bthd))
+    out += bthd
+
+    recs = sorted((lookup3(nm.encode()), nm) for nm in names)
+    btlf = b'BTLF' + u8(0) + u8(5)
+    for h, nm in recs:
+        btlf += u32(h) + u8(0) + u32(offsets[nm]) + u16(len(link_msg(nm, 0)))
+    btlf += u32(lookup3(btlf))
+    btlf += b'\0' * (btlf_size - len(btlf))
+    out += btlf
+
+    for i, nm in enumerate(names):
+        assert len(out) == oh_addrs[nm]
+        data = struct.pack('<d', 100.0 + i) + struct.pack('<d', 200.0 + i)
+        out += object_header([(0x01, dataspace([2])), (0x03, dt_f64()),
+                              (0x08, layout_contiguous(data_addrs[nm], 16))])
+        assert len(out) == data_addrs[nm]
+        out += data
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_heap_filtered.h5','wb').write(build_heap_filtered())
+print("filtered-heap fixture written", len(build_heap_filtered()))
+
+# ---------------- file 9: dense root whose v2 B-tree has DEPTH 2 —
+# 24 links at node_size 64 (leaf cap 4, internal cap 2): root BTIN
+# with 2 separators + 3 depth-1 BTINs, each over 3 BTLF leaves.
+# Child pointers at depth 2 carry the 1-byte subtree-total field
+# (cum max 14 at depth 1).
+def build_btree_depth2():
+    nvars = 24
+    node_size, rec_size = 64, 11
+    names = ['q%02d' % i for i in range(nvars)]
+    root_oh = 96
+    root_probe = object_header([(0x02, u8(0)+u8(0)+u64(0)+u64(0))])
+    frhp_addr = root_oh + len(root_probe)
+    FRHP_SIZE = 146
+    fhdb_addr = frhp_addr + FRHP_SIZE
+    bodies = [link_msg(nm, 0) for nm in names]
+    need = 17 + sum(len(x) for x in bodies)
+    block = 512
+    while block < need: block <<= 1
+    bthd_addr = fhdb_addr + block
+    BTHD_SIZE = 38
+    root_addr = bthd_addr + BTHD_SIZE
+    int_addrs = [root_addr + node_size * (1 + i) for i in range(3)]
+    leaf_addrs = [root_addr + node_size * (4 + i) for i in range(9)]
+    cursor = root_addr + node_size * 13
+    oh_addrs = {}; data_addrs = {}
+    for nm in names:
+        probe = object_header([(0x01, dataspace([1])), (0x03, dt_f64()),
+                               (0x08, layout_contiguous(0, 0))])
+        oh_addrs[nm] = cursor; cursor += len(probe)
+        data_addrs[nm] = cursor; cursor += 8
+    eof = cursor
+
+    out = superblock_dense(root_oh, eof)
+    out += object_header([(0x02, u8(0)+u8(0)+u64(frhp_addr)+u64(bthd_addr))])
+
+    links_bytes = sum(len(x) for x in bodies)
+    frhp = b'FRHP' + u8(0) + u16(7) + u16(0) + u8(0)
+    frhp += u32(block)
+    frhp += u64(0) + u64(UNDEF)
+    frhp += u64(block - 17 - links_bytes)
+    frhp += u64(UNDEF)
+    frhp += u64(block) + u64(block)
+    frhp += u64(17 + links_bytes)
+    frhp += u64(nvars)
+    frhp += u64(0)*4
+    frhp += u16(4)
+    frhp += u64(block) + u64(block)
+    frhp += u16(32) + u16(1)
+    frhp += u64(fhdb_addr) + u16(0)
+    frhp += u32(lookup3(frhp))
+    assert len(frhp) == FRHP_SIZE
+    out += frhp
+
+    fhdb = b'FHDB' + u8(0) + u64(frhp_addr) + u32(0)
+    offsets = {}
+    for nm, body in zip(names, [link_msg(nm, oh_addrs[nm]) for nm in names]):
+        offsets[nm] = len(fhdb)
+        fhdb += body
+    fhdb += b'\0' * (block - len(fhdb))
+    out += fhdb
+
+    recs = sorted((lookup3(nm.encode()), nm) for nm in names)
+    def record(h, nm):
+        return u32(h) + u8(0) + u32(offsets[nm]) + u16(len(link_msg(nm, 0)))
+    # subtree shapes: A = recs[0:8] (leaves 2/2/2), B = recs[9:16]
+    # (2/2/1), C = recs[17:24] (2/2/1); root separators recs[8], recs[16]
+    leaf_groups = [recs[0:2], recs[3:5], recs[6:8],
+                   recs[9:11], recs[12:14], recs[15:16],
+                   recs[17:19], recs[20:22], recs[23:24]]
+    int_seps = [[recs[2], recs[5]], [recs[11], recs[14]], [recs[19], recs[22]]]
+    subtree_totals = [8, 7, 7]
+
+    bthd = b'BTHD' + u8(0) + u8(5) + u32(node_size) + u16(rec_size) + u16(2)
+    bthd += u8(100) + u8(40) + u64(root_addr) + u16(2) + u64(nvars)
+    bthd += u32(lookup3(bthd))
+    assert len(bthd) == BTHD_SIZE
+    out += bthd
+
+    root = b'BTIN' + u8(0) + u8(5)
+    root += record(*recs[8]) + record(*recs[16])
+    for i in range(3):
+        root += u64(int_addrs[i]) + u8(2) + u8(subtree_totals[i])
+    root += u32(lookup3(root))
+    assert len(root) <= node_size
+    out += root + b'\0' * (node_size - len(root))
+
+    for i in range(3):
+        node = b'BTIN' + u8(0) + u8(5)
+        for sep in int_seps[i]:
+            node += record(*sep)
+        for j in range(3):
+            node += u64(leaf_addrs[3*i + j]) + u8(len(leaf_groups[3*i + j]))
+        node += u32(lookup3(node))
+        assert len(node) <= node_size
+        out += node + b'\0' * (node_size - len(node))
+
+    for lg in leaf_groups:
+        leaf = b'BTLF' + u8(0) + u8(5)
+        for h, nm in lg:
+            leaf += record(h, nm)
+        leaf += u32(lookup3(leaf))
+        assert len(leaf) <= node_size
+        out += leaf + b'\0' * (node_size - len(leaf))
+
+    for i, nm in enumerate(names):
+        assert len(out) == oh_addrs[nm]
+        out += object_header([(0x01, dataspace([1])), (0x03, dt_f64()),
+                              (0x08, layout_contiguous(data_addrs[nm], 8))])
+        assert len(out) == data_addrs[nm]
+        out += struct.pack('<d', i * 3.0)
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_btree_depth2.h5','wb').write(build_btree_depth2())
+print("depth-2 B-tree fixture written", len(build_btree_depth2()))
