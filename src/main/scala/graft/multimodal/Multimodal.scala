@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: `javax.imageio` (pure JDK — PNG/JPEG/GIF/BMP)
   * via [[decodeImageFeatures]] / [[resizeImage]], operating on raw
-  * raster samples. Audio/video codecs don't exist in the JDK, so the
-  * byte-level stand-ins (`stubDecodeFeatures`, `stubResize`) remain
-  * for those modalities — same partition-local batched shape a
-  * JNI/ONNX batch scorer would plug into.
+  * raster samples. AUDIO decode is REAL for RIFF/WAVE PCM (the
+  * container parsed directly from the public format) via
+  * [[decodeAudioFeatures]] / [[resampleAudio]]. Video codecs don't
+  * exist in the JDK, so the byte-level stand-ins
+  * (`stubDecodeFeatures`, `stubResize`) remain for that modality —
+  * same partition-local batched shape a JNI/ONNX batch scorer would
+  * plug into.
   */
 object Multimodal {
 
@@ -184,6 +187,160 @@ object Multimodal {
         (r.media_id, w, h, px.mkString("-"))
       }
     }.toDF("media_id", "width", "height", "pixels")
+  }
+
+  // ------------------------------------------------------------ audio
+
+  /** Decoded-audio feature row: true sample rate and count plus
+    * per-window RMS energies (double precision — RMS values are
+    * irrational, and float32 storage would corrupt a 4-decimal round).
+    */
+  case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Int,
+                           features: Array[Double])
+
+  /** Encode 16-bit PCM WAV from interleaved samples — RIFF/WAVE per
+    * the public format (RIFF container, `fmt ` + `data` chunks). The
+    * deterministic generator for specs and gates: PCM is lossless, so
+    * a decode returns exactly these samples.
+    */
+  def synthWavPcm16(sampleRate: Int, channels: Int,
+                    samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"wav: ${samples.length} samples not a multiple of $channels channels")
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+    b.put("WAVE".getBytes("ASCII"))
+    b.put("fmt ".getBytes("ASCII")).putInt(16)
+    b.putShort(1) // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * channels * 2) // byte rate
+    b.putShort((channels * 2).toShort) // block align
+    b.putShort(16) // bits per sample
+    b.put("data".getBytes("ASCII")).putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** REAL audio decode: walk the RIFF chunk list (skipping LIST/fact/
+    * etc., honoring odd-size padding), parse `fmt `, and return
+    * (sampleRate, channels, interleaved samples). PCM 16-bit and
+    * 8-bit (unsigned, rescaled to the 16-bit lattice) payloads.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "payload is not a RIFF/WAVE file")
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var data: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "ASCII")
+      val size = b.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"wav: chunk $id overruns the payload")
+      id match {
+        case "fmt " =>
+          val fmt = b.getShort(pos + 8) & 0xffff
+          require(fmt == 1, s"wav: non-PCM format $fmt unsupported")
+          channels = b.getShort(pos + 10) & 0xffff
+          rate = b.getInt(pos + 12)
+          bits = b.getShort(pos + 22) & 0xffff
+          require(bits == 8 || bits == 16, s"wav: $bits-bit PCM unsupported")
+          require(channels > 0 && rate > 0, "wav: bad fmt chunk")
+        case "data" =>
+          require(rate > 0, "wav: data chunk before fmt")
+          data =
+            if (bits == 16) Array.tabulate(size / 2)(i => b.getShort(pos + 8 + 2 * i))
+            else Array.tabulate(size)(i =>
+              (((bytes(pos + 8 + i) & 0xff) - 128) << 8).toShort)
+        case _ => // LIST, fact, cue … — metadata, skipped
+      }
+      pos += 8 + size + (size & 1) // chunks pad to even byte boundaries
+    }
+    require(data != null, "wav: no data chunk")
+    (rate, channels, data)
+  }
+
+  /** REAL audio decode + windowed energy: decode each payload's PCM
+    * samples (partition-local), mix channels to mono (floor mean), and
+    * emit per-window RMS over `bins` equal windows — the audio analog
+    * of image grid pooling; the features feed the same downstream
+    * ANN/dedup operators.
+    */
+  def decodeAudioFeatures(media: Dataset[MediaRow],
+                          bins: Int): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, channels, px) = decodeWavSamples(r.payload)
+        val n = px.length / channels
+        val mono = Array.tabulate(n) { i =>
+          var s = 0L
+          var c = 0
+          while (c < channels) { s += px(i * channels + c); c += 1 }
+          Math.floorDiv(s, channels)
+        }
+        val feats = Array.tabulate(bins) { k =>
+          val (i0, i1) = (k * n / bins, (k + 1) * n / bins)
+          var ss = 0.0
+          var i = i0
+          while (i < i1) { ss += mono(i).toDouble * mono(i); i += 1 }
+          if (i1 == i0) 0.0 else math.sqrt(ss / (i1 - i0))
+        }
+        AudioFeatures(r.media_id, rate, n, feats)
+      }
+    }
+  }
+
+  /** REAL audio downsample: floor-mean of each `factor`-sample block
+    * per channel (deterministic — floorDiv, no rounding-mode
+    * ambiguity), re-encoded as PCM-16 WAV at rate/factor. Partition-
+    * local; binary in, smaller binary out, no shuffle.
+    */
+  def resampleAudio(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor > 0, s"resample factor must be positive: $factor")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, channels, px) = decodeWavSamples(r.payload)
+        val n = px.length / channels
+        val outN = n / factor
+        val out = new Array[Short](outN * channels)
+        var i = 0
+        while (i < outN) {
+          var c = 0
+          while (c < channels) {
+            var s = 0L
+            var j = 0
+            while (j < factor) { s += px((i * factor + j) * channels + c); j += 1 }
+            out(i * channels + c) = Math.floorDiv(s, factor).toShort
+            c += 1
+          }
+          i += 1
+        }
+        r.copy(payload = synthWavPcm16(rate / factor, channels, out),
+          meta = r.meta.copy(mime = "audio/wav"))
+      }
+    }
+  }
+
+  /** Decoded sample rendition for verification: interleaved samples as
+    * a "-"-joined string plus the decoded rate (digesting WAV BYTES
+    * would pin container layout, not the audio).
+    */
+  def sampleStrings(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, channels, px) = decodeWavSamples(r.payload)
+        (r.media_id, rate, channels, px.mkString("-"))
+      }
+    }.toDF("media_id", "sample_rate", "channels", "samples")
   }
 
   /** STUB decode: deterministic 8-dim "feature vector" from byte

@@ -350,8 +350,42 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // REAL audio pipeline: synthesize a 256-sample PCM-16 WAV per
+    // document (sample value = a formula of doc_id), decode the RIFF
+    // container (true parser work, partition-local), window 4 RMS
+    // energies as features, floor-mean-downsample ×4 and read the
+    // resampled samples back. PCM is lossless, so the DuckDB oracle
+    // recomputes every output from the sample formula — the gate
+    // checks the encode→decode→pool→resample chain reproduces the
+    // mathematics exactly.
+    "m_audio_pipeline" -> { (s, dir) =>
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val media = Tables.documentsSpread(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val samples = Array.tabulate(256)(i =>
+              (((id * 7 + i * 13) % 2001) - 1000).toShort)
+            Multimodal.MediaRow(id, Multimodal.synthWavPcm16(8000, 1, samples),
+              Multimodal.MediaMeta("audio/wav", 0, 0, 32L))
+          }
+        }
+      val fcols = (0 until 4).map(k =>
+        round(element_at(col("features"), k + 1) + lit(1e-9), 4).as(s"f$k"))
+      val feats = Multimodal.decodeAudioFeatures(media, bins = 4)
+        .toDF()
+        .select(Seq(col("media_id"), col("sample_rate").cast("long"),
+          col("n_samples").cast("long")) ++ fcols: _*)
+      val res = Multimodal.sampleStrings(Multimodal.resampleAudio(media, 4))
+        .select(col("media_id"), col("sample_rate").cast("long").as("res_rate"),
+          col("samples").as("res_samples"))
+      feats.join(res, "media_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Byte-level transform pipeline (the modality-agnostic plumbing:
-    // audio/video payloads where no JDK codec exists): frame-sample
+    // video payloads where no JDK codec exists): frame-sample
     // (fixed-size segmentation — boundary correctness proven by count +
     // lossless byte total) and stride resize (every-4th-byte
     // downsample, digest-checked byte-for-byte). Documents are pure
@@ -628,6 +662,29 @@ object TextQueries extends QueryModule {
         |                   i -> substr(text, CAST(1 + i * 4 AS INT), 1)),
         |    '')) AS res_digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // sample s(i) = (doc_id*7 + i*13) % 2001 − 1000; features = RMS
+    // over four 64-sample windows; resample = floor-mean of each
+    // 4-sample block at rate 8000/4. The engine derives these from
+    // DECODED samples; the oracle from the formula — equality proves
+    // the RIFF/PCM codec chain.
+    "m_audio_pipeline" -> {
+      val fcols = (0 until 4).map { k =>
+        s"round(sqrt(list_sum(list_transform(range(${k * 64}, ${(k + 1) * 64}), " +
+          s"i -> pow((doc_id*7 + i*13) % 2001 - 1000, 2))) / 64.0) + 1e-9, 4) AS f$k"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(256 AS BIGINT) AS n_samples,
+         |  $fcols,
+         |  CAST(2000 AS BIGINT) AS res_rate,
+         |  array_to_string(list_transform(range(0, 64), p ->
+         |    CAST(floor((  ((doc_id*7 + (p*4)*13)   % 2001 - 1000)
+         |                + ((doc_id*7 + (p*4+1)*13) % 2001 - 1000)
+         |                + ((doc_id*7 + (p*4+2)*13) % 2001 - 1000)
+         |                + ((doc_id*7 + (p*4+3)*13) % 2001 - 1000)) / 4.0)
+         |      AS BIGINT)), '-') AS res_samples
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // pixel v(x,y) = (doc_id*31 + y*8 + x) % 256; features = 2×4 grid
     // cell means over 4×2-pixel cells; resize = floor-mean of each 2×2

@@ -152,4 +152,54 @@ class MultimodalSpec extends SparkSpec {
       .select(octet_length(col("seg_bytes"))).collect()(0).getInt(0)
     assert(seg2 === 3)
   }
+
+  test("WAV round-trip: decodeWavSamples returns the exact encoded PCM, " +
+    "skipping foreign RIFF chunks") {
+    val samples = Array.tabulate(96)(i => (math.sin(i * 0.3) * 12000).toShort)
+    val wav = Multimodal.synthWavPcm16(44100, 2, samples)
+    val (rate, ch, back) = Multimodal.decodeWavSamples(wav)
+    assert(rate === 44100 && ch === 2)
+    assert(back.toSeq === samples.toSeq)
+    // a LIST metadata chunk (odd size → pad byte) before data must be
+    // skipped; rebuild the container with one inserted
+    val b = java.nio.ByteBuffer.allocate(wav.length + 8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(wav, 0, 36) // RIFF..fmt chunk end
+    b.put("LIST".getBytes("ASCII")).putInt(5).put("INFOx".getBytes("ASCII")).put(0.toByte)
+    b.put(wav, 36, wav.length - 36)
+    val (r2, c2, back2) = Multimodal.decodeWavSamples(b.array())
+    assert(r2 === 44100 && c2 === 2 && back2.toSeq === samples.toSeq)
+  }
+
+  test("audio features are windowed RMS of the mono mix") {
+    import spark.implicits._
+    // constant amplitude A in window 0, silence in window 1 → RMS A, 0
+    val samples = Array.tabulate(128)(i => if (i < 64) 500.toShort else 0.toShort)
+    val ds = Seq(Multimodal.MediaRow(7L, Multimodal.synthWavPcm16(8000, 1, samples),
+      Multimodal.MediaMeta("audio/wav", 0, 0, 16L))).toDS()
+    val f = Multimodal.decodeAudioFeatures(ds, bins = 2).collect()(0)
+    assert(f.sample_rate === 8000 && f.n_samples === 128)
+    assert(f.features(0) === 500.0 && f.features(1) === 0.0)
+    // stereo mono-mix: channels (100, -301) → floorDiv(-201, 2) = -101
+    val st = Seq(Multimodal.MediaRow(8L,
+      Multimodal.synthWavPcm16(8000, 2,
+        Array.fill(32)(Seq(100.toShort, (-301).toShort)).flatten.toArray),
+      Multimodal.MediaMeta("audio/wav", 0, 0, 4L))).toDS()
+    val g = Multimodal.decodeAudioFeatures(st, bins = 1).collect()(0)
+    assert(g.n_samples === 32 && g.features(0) === 101.0)
+  }
+
+  test("resampleAudio floor-means each block per channel and halves the rate") {
+    import spark.implicits._
+    val samples = Array[Short](10, 20, 31, -5, 7, -8)
+    val ds = Seq(Multimodal.MediaRow(9L, Multimodal.synthWavPcm16(6000, 1, samples),
+      Multimodal.MediaMeta("audio/wav", 0, 0, 1L))).toDS()
+    val out = Multimodal.resampleAudio(ds, factor = 2).collect()(0)
+    val (rate, ch, back) = Multimodal.decodeWavSamples(out.payload)
+    assert(rate === 3000 && ch === 1)
+    // floorDiv: (10+20)/2=15, (31-5)/2=13, (7-8)/2 = floor(-0.5) = -1
+    assert(back.toSeq === Seq[Short](15, 13, -1))
+    val ss = Multimodal.sampleStrings(Multimodal.resampleAudio(ds, 2)).collect()(0)
+    assert(ss.getString(3) === "15-13--1")
+  }
 }
