@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * via [[decodeImageFeatures]] / [[resizeImage]], operating on raw
   * raster samples. AUDIO decode is REAL for RIFF/WAVE PCM (the
   * container parsed directly from the public format) via
-  * [[decodeAudioFeatures]] / [[resampleAudio]]. Video codecs don't
-  * exist in the JDK, so the byte-level stand-ins
-  * (`stubDecodeFeatures`, `stubResize`) remain for that modality —
-  * same partition-local batched shape a JNI/ONNX batch scorer would
-  * plug into.
+  * [[decodeAudioFeatures]] / [[resampleAudio]]. VIDEO decode is REAL
+  * for AVI containers ([[Avi]]: RIFF walk; uncompressed-DIB frames
+  * decoded directly, MJPEG frames through ImageIO) via
+  * [[decodeVideoFeatures]] / [[sampleFrames]]. The byte-level
+  * stand-ins (`stubDecodeFeatures`, `stubResize`) remain as the
+  * modality-agnostic plumbing a JNI/ONNX batch scorer would plug
+  * into — same partition-local batched shape.
   */
 object Multimodal {
 
@@ -341,6 +343,89 @@ object Multimodal {
         (r.media_id, rate, channels, px.mkString("-"))
       }
     }.toDF("media_id", "sample_rate", "channels", "samples")
+  }
+
+  // ------------------------------------------------------------ video
+
+  /** Decoded-video feature row: geometry, frame count, per-sampled-
+    * frame mean luminance, and a motion score (mean absolute pixel
+    * delta between consecutive sampled frames).
+    */
+  case class VideoFeatures(media_id: Long, width: Int, height: Int,
+                           n_frames: Int, frame_means: Array[Double],
+                           motion: Double)
+
+  /** REAL video decode + temporal pooling: walk each payload's AVI
+    * container (partition-local), keep every `sampleEvery`-th frame,
+    * and emit per-frame mean luminance plus the motion score. The
+    * frame loop never materializes more than one payload's rasters at
+    * a time.
+    */
+  def decodeVideoFeatures(media: Dataset[MediaRow],
+                          sampleEvery: Int): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    require(sampleEvery > 0, s"frame sampling step must be positive: $sampleEvery")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = Avi.decode(r.payload)
+        val sampled = v.frames.indices.collect {
+          case i if i % sampleEvery == 0 => v.frames(i)
+        }
+        val np = v.width * v.height
+        val means = sampled.map(f => f.map(_.toLong).sum.toDouble / np).toArray
+        val motion =
+          if (sampled.length < 2) 0.0
+          else {
+            var abs = 0L
+            var k = 1
+            while (k < sampled.length) {
+              var p = 0
+              while (p < np) {
+                abs += math.abs(sampled(k)(p) - sampled(k - 1)(p)); p += 1
+              }
+              k += 1
+            }
+            abs.toDouble / ((sampled.length - 1).toLong * np)
+          }
+        VideoFeatures(r.media_id, v.width, v.height, v.frames.length,
+          means, motion)
+      }
+    }
+  }
+
+  /** REAL frame sampling: re-encode every `every`-th frame as a new
+    * (shorter) uncompressed AVI — binary in, smaller binary out, no
+    * shuffle; the video analog of image resize / audio resample.
+    */
+  def sampleFrames(media: Dataset[MediaRow], every: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(every > 0, s"frame sampling step must be positive: $every")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = Avi.decode(r.payload)
+        val kept = v.frames.indices.collect {
+          case i if i % every == 0 => v.frames(i)
+        }
+        r.copy(payload = Avi.synthAviGray(v.width, v.height, kept),
+          meta = r.meta.copy(mime = "video/avi", width = v.width,
+            height = v.height))
+      }
+    }
+  }
+
+  /** Decoded frame rendition for verification: per-frame "-"-joined
+    * pixels, frames joined with "|" (digesting AVI BYTES would pin
+    * container layout, not the video).
+    */
+  def frameStrings(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = Avi.decode(r.payload)
+        (r.media_id, v.width, v.height, v.frames.length,
+          v.frames.map(_.mkString("-")).mkString("|"))
+      }
+    }.toDF("media_id", "width", "height", "n_frames", "frames")
   }
 
   /** STUB decode: deterministic 8-dim "feature vector" from byte

@@ -384,8 +384,43 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // REAL video pipeline: synthesize a 4-frame 8×6 uncompressed AVI
+    // per document (pixel value = a formula of doc_id/frame), walk the
+    // RIFF/AVI container (true parser work, partition-local), pool
+    // per-frame mean luminance + a motion score, sample every 2nd
+    // frame into a re-encoded AVI and read its pixels back. DIB frames
+    // are lossless, so the DuckDB oracle recomputes every output from
+    // the pixel formula — the gate checks the container
+    // encode→decode→pool→sample chain reproduces the mathematics.
+    "m_video_pipeline" -> { (s, dir) =>
+      import graft.multimodal.{Avi, Multimodal}
+      import s.implicits._
+      val media = Tables.documentsSpread(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val frames = (0 until 4).map(f =>
+              Array.tabulate(48)(p => ((id * 13 + f * 37 + p) % 251).toInt))
+            Multimodal.MediaRow(id, Avi.synthAviGray(8, 6, frames),
+              Multimodal.MediaMeta("video/avi", 8, 6, 160L))
+          }
+        }
+      val fcols = (0 until 4).map(k =>
+        round(element_at(col("frame_means"), k + 1) + lit(1e-9), 4).as(s"f$k"))
+      val feats = Multimodal.decodeVideoFeatures(media, sampleEvery = 1)
+        .toDF()
+        .select(Seq(col("media_id"), col("width").cast("long"),
+          col("height").cast("long"), col("n_frames").cast("long")) ++ fcols :+
+          round(col("motion") + lit(1e-9), 4).as("motion"): _*)
+      val res = Multimodal.frameStrings(Multimodal.sampleFrames(media, every = 2))
+        .select(col("media_id"), col("n_frames").cast("long").as("res_frames"),
+          col("frames").as("res_pixels"))
+      feats.join(res, "media_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Byte-level transform pipeline (the modality-agnostic plumbing:
-    // video payloads where no JDK codec exists): frame-sample
+    // payloads with no JVM codec, e.g. proprietary containers): frame-sample
     // (fixed-size segmentation — boundary correctness proven by count +
     // lossless byte total) and stride resize (every-4th-byte
     // downsample, digest-checked byte-for-byte). Documents are pure
@@ -683,6 +718,30 @@ object TextQueries extends QueryModule {
          |                + ((doc_id*7 + (p*4+2)*13) % 2001 - 1000)
          |                + ((doc_id*7 + (p*4+3)*13) % 2001 - 1000)) / 4.0)
          |      AS BIGINT)), '-') AS res_samples
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // frame pixel v(f,p) = (doc_id*13 + f*37 + p) % 251 over 4 frames
+    // of 48 pixels; features = per-frame means + mean |Δ| between
+    // consecutive frames; sampling keeps frames 0 and 2. The engine
+    // derives these from DECODED AVI frames; the oracle from the
+    // formula — equality proves the container codec chain.
+    "m_video_pipeline" -> {
+      val fcols = (0 until 4).map { k =>
+        s"round(list_sum(list_transform(range(0, 48), p -> " +
+          s"(doc_id*13 + ${k * 37} + p) % 251)) / 48.0 + 1e-9, 4) AS f$k"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+         |  CAST(4 AS BIGINT) AS n_frames,
+         |  $fcols,
+         |  round(list_sum(list_transform(range(0, 144), q ->
+         |    abs(  (doc_id*13 + (q//48 + 1)*37 + q%48) % 251
+         |        - (doc_id*13 + (q//48)*37     + q%48) % 251)))
+         |    / 144.0 + 1e-9, 4) AS motion,
+         |  CAST(2 AS BIGINT) AS res_frames,
+         |  array_to_string(list_transform(range(0, 2), f ->
+         |    array_to_string(list_transform(range(0, 48), p ->
+         |      (doc_id*13 + f*2*37 + p) % 251), '-')), '|') AS res_pixels
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

@@ -202,4 +202,69 @@ class MultimodalSpec extends SparkSpec {
     val ss = Multimodal.sampleStrings(Multimodal.resampleAudio(ds, 2)).collect()(0)
     assert(ss.getString(3) === "15-13--1")
   }
+
+  test("AVI round-trip: decode returns the exact DIB frames (bottom-up " +
+    "rows, 4-byte stride padding) and the header geometry") {
+    // width 6 → stride 8 exercises row padding
+    val frames = (0 until 3).map(f => Array.tabulate(6 * 5)(p => (f * 50 + p) % 256))
+    val avi = Avi.synthAviGray(6, 5, frames)
+    val v = Avi.decode(avi)
+    assert(v.width === 6 && v.height === 5 && v.frames.length === 3)
+    assert(v.microSecPerFrame === 40000L) // 25 fps
+    v.frames.zip(frames).foreach { case (got, want) =>
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
+  test("AVI with MJPEG-style compressed frames decodes through ImageIO") {
+    // hand-assemble a movi list whose frames are 00dc PNG payloads
+    val px = Array.tabulate(16)(p => p * 16)
+    val png = Multimodal.synthGrayPng(4, 4, (x, y) => px(y * 4 + x))
+    val base = Avi.synthAviGray(4, 4, Seq(Array.fill(16)(0)))
+    // replace the single 00db frame with a 00dc chunk holding the PNG
+    val s = base.indexOfSlice("00db".getBytes("ASCII"))
+    assert(s > 0)
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 + png.length + (png.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("00dc".getBytes("ASCII")).putInt(png.length).put(png)
+    if (png.length % 2 == 1) bb.put(0.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, s)
+    out.write(bb.array())
+    val patched = out.toByteArray
+    // fix the RIFF and movi LIST sizes for the swapped chunk length
+    val delta = bb.array().length - (8 + 4 * 4 /* 00db frame: 16 px stride 4 */)
+    def fixLe32(arr: Array[Byte], pos: Int, d: Int): Unit = {
+      val b = java.nio.ByteBuffer.wrap(arr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(pos, b.getInt(pos) + d)
+    }
+    fixLe32(patched, 4, delta)
+    val moviList = patched.indexOfSlice("movi".getBytes("ASCII"))
+    fixLe32(patched, moviList - 4, delta)
+    val v = Avi.decode(patched)
+    assert(v.frames.length === 1)
+    assert(v.frames(0).toSeq === px.toSeq)
+  }
+
+  test("video features pool per-frame means and inter-frame motion") {
+    import spark.implicits._
+    // frame 0 all 10, frame 1 all 30, frame 2 all 10 → means 10/30/10,
+    // motion = (20 + 20) / 2 = 20
+    val frames = Seq(Array.fill(12)(10), Array.fill(12)(30), Array.fill(12)(10))
+    val ds = Seq(Multimodal.MediaRow(5L, Avi.synthAviGray(4, 3, frames),
+      Multimodal.MediaMeta("video/avi", 4, 3, 120L))).toDS()
+    val f = Multimodal.decodeVideoFeatures(ds, sampleEvery = 1).collect()(0)
+    assert(f.width === 4 && f.height === 3 && f.n_frames === 3)
+    assert(f.frame_means.toSeq === Seq(10.0, 30.0, 10.0))
+    assert(f.motion === 20.0)
+    // sampling every 2nd frame drops the middle one → zero motion
+    val g = Multimodal.decodeVideoFeatures(ds, sampleEvery = 2).collect()(0)
+    assert(g.frame_means.toSeq === Seq(10.0, 10.0))
+    assert(g.motion === 0.0)
+    val sampled = Multimodal.frameStrings(Multimodal.sampleFrames(ds, every = 2))
+      .collect()(0)
+    assert(sampled.getInt(3) === 2)
+    assert(sampled.getString(4) ===
+      Array.fill(12)(10).mkString("-") + "|" + Array.fill(12)(10).mkString("-"))
+  }
 }
