@@ -22,10 +22,13 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
     chunkDims <- Gen.listOfN(rank, Gen.choose(1, 9))
     shuffle <- Gen.oneOf(true, false)
     deflate <- Gen.oneOf(0, 1, 6)
+    szip <- Gen.oneOf(true, false) // swaps deflate+shuffle when eligible
+    ppb <- Gen.oneOf(2, 8, 16, 32)
     dense <- Gen.oneOf(true, false) // root link storage: dense vs symbol table
     nVars <- Gen.choose(1, 24)
     seed <- Gen.choose(0L, Long.MaxValue)
-  } yield (dims, ncType, chunked, chunkDims, shuffle, deflate, dense, nVars, seed)
+  } yield (dims, ncType, chunked, chunkDims, shuffle, deflate, szip, ppb,
+    dense, nVars, seed)
 
   /** The value as the on-disk type round-trips it (f32 truncation,
     * integer truncation) — what write-then-read must reproduce.
@@ -38,7 +41,8 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
   }
 
   property("randomShapeTypeChunkingRoundTrip") = Prop.forAll(genCase) {
-    case (dims, ncType, chunked, chunkDims, shuffle, deflate, dense, nVars, seed) =>
+    case (dims, ncType, chunked, chunkDims, shuffle, deflate, szip, ppb,
+        dense, nVars, seed) =>
       val n = dims.product
       val rnd = new scala.util.Random(seed)
       val datas = (0 until nVars).map(_ =>
@@ -49,8 +53,12 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
         datas.zipWithIndex.map { case (data, vi) =>
           NcVar(s"v$vi", dims.indices.map(i => s"d$i"), ncType, Nil, data)
         })
+      // szip excludes deflate/shuffle (like HDF5) and 64-bit samples
+      val useSzip = szip && ncType != NC_DOUBLE
       val chunking =
         if (!chunked) Map.empty[String, H5Lite.Chunking]
+        else if (useSzip) Map("v0" -> H5Lite.Chunking(chunkDims, 0,
+          shuffle = false, szip = true, szipPixelsPerBlock = ppb))
         else Map("v0" -> H5Lite.Chunking(chunkDims, deflate, shuffle))
       val back = H5Lite.read(H5Lite.write(f0, chunking, denseRoot = dense))
       Prop.all(datas.zipWithIndex.map { case (data, vi) =>
