@@ -125,9 +125,12 @@ object Avi {
       var pos = from
       while (pos + 8 <= to) {
         val id = new String(bytes, pos, 4, "ASCII")
-        val size = le32(pos + 4).toInt
-        require(size >= 0 && pos + 8 + size <= to,
+        val size32 = le32(pos + 4) // unsigned
+        // Long arithmetic: a corrupt chunk declaring a size near 2³¹
+        // must fail this check, not overflow past it
+        require(pos + 8 + size32 <= to,
           s"avi: chunk $id overruns its parent")
+        val size = size32.toInt
         if (id == "LIST") {
           val kind = new String(bytes, pos + 8, 4, "ASCII")
           walk(pos + 12, pos + 8 + size, inMovi || kind == "movi")
@@ -149,9 +152,10 @@ object Avi {
           }
           frames += f
         } else if (inMovi && id.endsWith("dc") && size > 0) {
+          require(width > 0 && height > 0, "avi: frame before avih header")
           val payload = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
           val (fw, fh, px) = Multimodal.decodeSamples(payload)
-          require(width == 0 || (fw == width && fh == height),
+          require(fw == width && fh == height,
             s"avi: frame ${fw}x$fh disagrees with header ${width}x$height")
           frames += px
         }

@@ -243,7 +243,9 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "ASCII")
       val size = b.getInt(pos + 4)
-      require(size >= 0 && pos + 8 + size <= bytes.length,
+      // Long arithmetic: a corrupt chunk declaring a size near 2³¹
+      // must fail this check, not overflow past it into a huge alloc
+      require(size >= 0 && pos + 8 + size.toLong <= bytes.length,
         s"wav: chunk $id overruns the payload")
       id match {
         case "fmt " =>

@@ -379,10 +379,10 @@ object H5Lite {
     private val curRootRows = r.u16()
     // with filters: stored size + mask of the root direct block (only
     // when the root IS a direct block), then the pipeline message body
-    private val filteredRootSize: Long =
-      if (ioFilterLen > 0 && curRootRows == 0 && rootAddr != UNDEF) {
-        val s = r.u64(); r.u32(); s
-      } else UNDEF
+    private val (filteredRootSize: Long, filteredRootMask: Long) =
+      if (ioFilterLen > 0 && curRootRows == 0 && rootAddr != UNDEF)
+        (r.u64(), r.u32())
+      else (UNDEF, 0L)
     private val filters: Seq[Filter] =
       if (ioFilterLen > 0) parseFilters(r) else Nil
     private val offsetSize = (maxHeapBits + 7) / 8
@@ -403,7 +403,8 @@ object H5Lite {
     private val blocks: Seq[(Long, Long, Array[Byte])] =
       if (rootAddr == UNDEF) Nil
       else if (curRootRows == 0)
-        Seq(readDirect(rootAddr, startBlockSize, filteredRootSize))
+        Seq(readDirect(rootAddr, startBlockSize, filteredRootSize,
+          filteredRootMask))
       else readIndirect(rootAddr, curRootRows)
 
     private def readIndirect(a: Long, nrows: Int): Seq[(Long, Long, Array[Byte])] = {
@@ -420,34 +421,29 @@ object H5Lite {
         (0 until tableWidth).map { _ =>
           if (row < maxDirectRows) {
             val ba = r.u64()
-            val stored = if (ioFilterLen > 0) { val s = r.u64(); r.u32(); s }
-            else UNDEF
-            (ba, size, stored, true)
-          } else (r.u64(), size, UNDEF, false)
+            val (stored, fmask) =
+              if (ioFilterLen > 0) (r.u64(), r.u32()) else (UNDEF, 0L)
+            (ba, size, stored, fmask, true)
+          } else (r.u64(), size, UNDEF, 0L, false)
         }
       }
-      slots.filter(_._1 != UNDEF).flatMap { case (ba, size, stored, direct) =>
-        if (direct) Seq(readDirect(ba, size, stored))
-        else readIndirect(ba, rowsFor(size))
+      slots.filter(_._1 != UNDEF).flatMap {
+        case (ba, size, stored, fmask, direct) =>
+          if (direct) Seq(readDirect(ba, size, stored, fmask))
+          else readIndirect(ba, rowsFor(size))
       }
     }
 
-    private def readDirect(a: Long, size: Long,
-                           storedSize: Long): (Long, Long, Array[Byte]) = {
+    private def readDirect(a: Long, size: Long, storedSize: Long,
+                           filterMask: Long): (Long, Long, Array[Byte]) = {
       val content: Array[Byte] =
         if (filters.isEmpty) {
           r.at(a); r.take(size.toInt)
         } else {
           require(storedSize != UNDEF, "h5: filtered direct block without size")
           r.at(a)
-          var raw = r.take(storedSize.toInt)
-          filters.reverse.foreach { f =>
-            f.id match {
-              case 1 => raw = inflate(raw)
-              case 3 => raw = raw.dropRight(4)
-              case id => throw new UnsupportedH5(s"h5: heap filter id $id")
-            }
-          }
+          val raw = applyFilters(r.take(storedSize.toInt), filters,
+            filterMask, elemSize = 1)
           require(raw.length == size,
             s"h5: filtered block decoded ${raw.length} of $size bytes")
           raw
@@ -505,11 +501,12 @@ object H5Lite {
   /** v2 B-tree → raw heap IDs of its records, at any depth. Record
     * layouts handled: type 5 (link name: hash(4) + variable-size heap
     * ID) and type 8 (attribute name: heap ID(8) + flags(1) + corder(4)
-    * + hash(4)). Child-pointer field widths follow §III.A.2: the
-    * record-count field is the minimum bytes holding the maximum
-    * records a child node can store, and internal children add a
-    * total-subtree-count field sized from the cumulative maximum —
-    * both derived level-by-level from node size and record size.
+    * + hash(4)). Child-pointer field widths follow §III.A.2 as
+    * libhdf5 sizes them: the record-count field uses ONE width at
+    * every level — the minimum bytes holding the LEAF maximum (the
+    * largest any node can store) — while internal children add a
+    * total-subtree-count field sized per level from the cumulative
+    * maximum; both derive from node size and record size alone.
     */
   private def btree2HeapIds(r: R, addr: Long, wantType: Int = 5): Seq[Array[Byte]] = {
     require(r.sig4(addr, "BTHD"), s"h5: bad v2 B-tree header at $addr")
@@ -531,16 +528,18 @@ object H5Lite {
     def encSize(v: Long): Int = (64 - java.lang.Long.numberOfLeadingZeros(
       math.max(v, 1L)) + 7) / 8
     // per-level maxima: maxNrec(u) records fit an internal node at
-    // depth u once its child pointers (addr + count + subtree total
-    // for internal children) are accounted; cumMaxNrec(u) bounds a
-    // whole depth-u subtree
+    // depth u once its child pointers are accounted; cumMaxNrec(u)
+    // bounds a whole depth-u subtree. The child-pointer COUNT field
+    // uses ONE width for every level — sized from the LEAF maximum,
+    // the largest any node can hold (libhdf5's max_nrec_size); only
+    // the subtree-TOTAL field is sized per child level.
     val maxNrec = new Array[Long](depth + 1)
     val cumMaxNrec = new Array[Long](depth + 1)
     maxNrec(0) = (nodeSize - 10L) / recordSize
     cumMaxNrec(0) = maxNrec(0)
+    val nrecSize = encSize(maxNrec(0))
     (1 to depth).foreach { u =>
-      val ptr = 8 + encSize(maxNrec(u - 1)) +
-        (if (u > 1) encSize(cumMaxNrec(u - 1)) else 0)
+      val ptr = 8 + nrecSize + (if (u > 1) encSize(cumMaxNrec(u - 1)) else 0)
       maxNrec(u) = (nodeSize - 10L - ptr) / (recordSize + ptr)
       cumMaxNrec(u) = (maxNrec(u) + 1) * cumMaxNrec(u - 1) + maxNrec(u)
     }
@@ -577,7 +576,7 @@ object H5Lite {
         // collect child pointers FIRST — recursion moves the cursor
         val children = (0 to nRec).map { _ =>
           val ca = r.u64()
-          val n = readUInt(encSize(maxNrec(level - 1)))
+          val n = readUInt(nrecSize)
           if (level > 1) readUInt(encSize(cumMaxNrec(level - 1))) // subtree total
           (ca, n.toInt)
         }
@@ -788,26 +787,7 @@ object H5Lite {
         if (level > 0) walkNode(child)
         else {
           r.at(child)
-          var raw = r.take(sz.toInt)
-          // reverse filter pipeline: fletcher32 strip → inflate →
-          // unshuffle. Mask bit i set = pipeline filter i was SKIPPED
-          // for this chunk (libhdf5 stores incompressible chunks raw
-          // with the deflate bit set)
-          d.filters.zipWithIndex.reverse.foreach { case (f, fi) =>
-            if ((mask & (1L << fi)) == 0) f.id match {
-              case 1 => raw = inflate(raw)
-              case 2 => raw = unshuffle(raw, f.clientValues.headOption
-                .map(_.toInt).getOrElse(d.dtype.size))
-              case 3 => raw = raw.dropRight(4)
-              case 4 =>
-                require(f.clientValues.length >= 4,
-                  s"h5: szip filter with ${f.clientValues.length} client values")
-                val cv = f.clientValues.map(_.toInt)
-                raw = Szip.decompress(raw,
-                  Szip.Params(cv(0), cv(1), cv(2), cv(3)))
-              case id => sys.error(s"h5: unsupported filter id $id")
-            }
-          }
+          val raw = applyFilters(r.take(sz.toInt), d.filters, mask, d.dtype.size)
           val vals = decode(raw, d.dtype, raw.length / d.dtype.size)
           // copy the chunk into place, clipping edge chunks
           val cProd = chunkDims.scanRight(1)(_ * _).tail
@@ -831,6 +811,34 @@ object H5Lite {
     }
     if (d.layout.addr != UNDEF) walkNode(d.layout.addr)
     out
+  }
+
+  /** Reverse a stored-bytes filter pipeline (fletcher32 strip →
+    * szip/deflate → unshuffle — the declared order, applied backwards).
+    * Mask bit i set = pipeline filter i was SKIPPED for this block
+    * (libhdf5 stores incompressible chunks raw with the compressor's
+    * bit set). `elemSize` feeds shuffle when the message omits its
+    * client value. Shared by the chunk walk and the fractal-heap
+    * direct-block decode so both paths support the same filter set.
+    */
+  private def applyFilters(raw0: Array[Byte], filters: Seq[Filter],
+                           mask: Long, elemSize: Int): Array[Byte] = {
+    var raw = raw0
+    filters.zipWithIndex.reverse.foreach { case (f, fi) =>
+      if ((mask & (1L << fi)) == 0) f.id match {
+        case 1 => raw = inflate(raw)
+        case 2 => raw = unshuffle(raw, f.clientValues.headOption
+          .map(_.toInt).getOrElse(elemSize))
+        case 3 => raw = raw.dropRight(4)
+        case 4 =>
+          require(f.clientValues.length >= 4,
+            s"h5: szip filter with ${f.clientValues.length} client values")
+          val cv = f.clientValues.map(_.toInt)
+          raw = Szip.decompress(raw, Szip.Params(cv(0), cv(1), cv(2), cv(3)))
+        case id => sys.error(s"h5: unsupported filter id $id")
+      }
+    }
+    raw
   }
 
   private def inflate(raw: Array[Byte]): Array[Byte] = {

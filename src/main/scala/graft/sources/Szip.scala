@@ -20,24 +20,33 @@ package graft.sources
   * Coded-stream layout (CCSDS 121.0-B-2 §4–§5), scoped per scanline of
   * `pixelsPerScanline` samples so a decoder can seek nothing:
   *  - NN preprocessing (§4.2): the scanline's first sample is a
-  *    reference, written raw (n bits); every later sample is predicted
-  *    by its predecessor and the residual is mapped to an unsigned
-  *    delta by the standard mapper (θ-clamped zig-zag, §4.2.2). With
-  *    the EC option the samples are coded directly, no predictor.
-  *  - Deltas are split into blocks of J = `pixelsPerBlock` samples
+  *    reference; every later sample is predicted by its predecessor
+  *    and the residual is mapped to an unsigned delta by the standard
+  *    mapper (θ-clamped zig-zag, §4.2.2). Per the standard's
+  *    reference-sample insertion (the layout szip-filtered HDF5 files
+  *    actually carry), the reference occupies sample slot 0 of the
+  *    scanline's FIRST block: it is written raw (n bits) immediately
+  *    after that block's option-ID bits, and the block entropy-codes
+  *    only its remaining J−1 samples. With the EC option the samples
+  *    are coded directly — no predictor, no reference.
+  *  - Sample slots are split into blocks of J = `pixelsPerBlock`
   *    (the scanline's last block zero-padded), and blocks into
   *    segments of 64 blocks (§5.3.2) that scope zero-run codewords.
   *  - Per block one option wins by coded length (§5.3): ID width is
-  *    3 bits for n ≤ 8, 4 for n ≤ 16, 5 for n ≤ 32.
-  *     * zero-run      ID 0…0 then '0', then an FS codeword counting
-  *                     the zero blocks: values 0–3 = runs of 1–4,
-  *                     4 = remainder-of-segment, v ≥ 5 = run of v
-  *     * 2nd extension ID 0…0 then '1', then J/2 FS codewords of the
-  *                     pair transform γ = (δ₀+δ₁)(δ₀+δ₁+1)/2 + δ₁
-  *     * k-split       ID k+1: J FS codewords of δ≫k, then the J
-  *                     k-bit low parts (k = 0 is the fundamental
-  *                     sequence)
-  *     * no-compression ID 1…1: J raw n-bit samples
+  *    3 bits for n ≤ 8, 4 for n ≤ 16, 5 for n ≤ 32. [ref] marks the
+  *    raw reference sample, present only in a scanline's first block.
+  *     * zero-run      ID 0…0 then '0', [ref], then an FS codeword
+  *                     counting the zero blocks: values 0–3 = runs of
+  *                     1–4, 4 = remainder-of-segment, v ≥ 5 = run of v
+  *     * 2nd extension ID 0…0 then '1', [ref], then J/2 FS codewords
+  *                     of the pair transform γ = (δ₀+δ₁)(δ₀+δ₁+1)/2 +
+  *                     δ₁ (the pair overlapping the reference slot
+  *                     contributes δ₀ = 0, discarded on decode)
+  *     * k-split       ID k+1, [ref]: FS codewords of δ≫k for each
+  *                     non-reference slot, then their k-bit low parts
+  *                     (k = 0 is the fundamental sequence)
+  *     * no-compression ID 1…1, [ref]: raw n-bit samples for each
+  *                     non-reference slot
   *    An FS codeword for value v is v '0' bits then a '1'.
   *
   * Subset: n ∈ {8, 16, 32} (the widths HDF5 derives from its fixed
@@ -171,12 +180,16 @@ object Szip {
                              w: BitW, p: Params): Unit = {
     val n = p.bitsPerPixel
     val xmax = (1L << n) - 1
+    // slot layout: NN → slot 0 is the (raw) reference, slots 1..len-1
+    // the mapped deltas; EC → all slots are the samples themselves.
+    // The delta array keeps slot 0 as 0 so zero-run detection over the
+    // first block sees only real deltas.
+    val ref: Long = if (p.predictive) samples(start) else 0L
     val deltas: Array[Long] =
-      if (p.predictive) {
-        w.put(samples(start), n) // reference sample, raw
-        Array.tabulate(len - 1)(t =>
-          mapDelta(samples(start + t + 1), samples(start + t), xmax))
-      } else Array.tabulate(len)(t => samples(start + t))
+      if (p.predictive) Array.tabulate(len)(t =>
+        if (t == 0) 0L
+        else mapDelta(samples(start + t), samples(start + t - 1), xmax))
+      else Array.tabulate(len)(t => samples(start + t))
     val j = p.pixelsPerBlock
     val nBlocks = (deltas.length + j - 1) / j
     val padded =
@@ -187,19 +200,23 @@ object Szip {
       val segLen = math.min(SegBlocks, nBlocks - segStart)
       var b = 0
       while (b < segLen) {
-        val off = (segStart + b) * j
+        val globalBlock = segStart + b
+        val off = globalBlock * j
+        val hasRef = p.predictive && globalBlock == 0
         if (padded.view.slice(off, off + j).forall(_ == 0L)) {
           var run = 1
           while (b + run < segLen &&
             padded.view.slice(off + run * j, off + (run + 1) * j)
               .forall(_ == 0L)) run += 1
           w.put(0L, p.idBits + 1) // zero-run ID: all-zeros ID then '0'
+          if (hasRef) w.put(ref, n)
           if (b + run == segLen) w.putFs(4L) // remainder of segment
           else if (run <= 4) w.putFs(run - 1L)
           else w.putFs(run.toLong)
           b += run
         } else {
-          encodeBlock(padded, off, j, w, p, n, xmax)
+          encodeBlock(padded, off, j, w, p, n, xmax,
+            if (hasRef) Some(ref) else None)
           b += 1
         }
       }
@@ -208,28 +225,33 @@ object Szip {
   }
 
   private def encodeBlock(d: Array[Long], off: Int, j: Int, w: BitW,
-                          p: Params, n: Int, xmax: Long): Unit = {
+                          p: Params, n: Int, xmax: Long,
+                          ref: Option[Long]): Unit = {
     val idBits = p.idBits
     val maxId = (1 << idBits) - 1
     val kMax = math.min(maxId - 2, n - 1)
+    val t0 = if (ref.isDefined) 1 else 0 // slot 0 is the raw reference
+    val coded = j - t0
     // best k-split (k = 0 is the fundamental sequence)
     var bestK = 0
     var bestCost = Long.MaxValue
     var k = 0
     while (k <= kMax) {
-      var c = idBits.toLong + (k.toLong + 1) * j
-      var t = 0
+      var c = idBits.toLong + (k.toLong + 1) * coded
+      var t = t0
       while (t < j) { c += d(off + t) >>> k; t += 1 }
       if (c < bestCost) { bestCost = c; bestK = k }
       k += 1
     }
-    // second extension: worthwhile only for near-zero blocks, so cap γ
+    // second extension: worthwhile only for near-zero blocks, so cap
+    // γ; the pair overlapping a reference slot contributes δ₀ = 0
     var ext2Cost = idBits.toLong + 1
     var pair = 0
     var ext2Ok = true
     val gammas = new Array[Long](j / 2)
     while (ext2Ok && pair < j / 2) {
-      val a = d(off + 2 * pair); val b = d(off + 2 * pair + 1)
+      val a = if (2 * pair < t0) 0L else d(off + 2 * pair)
+      val b = d(off + 2 * pair + 1)
       if (a + b > 4096) ext2Ok = false
       else {
         val g = (a + b) * (a + b + 1) / 2 + b
@@ -238,20 +260,23 @@ object Szip {
         pair += 1
       }
     }
-    val rawCost = idBits.toLong + n.toLong * j
+    val rawCost = idBits.toLong + n.toLong * coded
     if (ext2Ok && ext2Cost < bestCost && ext2Cost < rawCost) {
       w.put(0L, idBits); w.put(1L, 1)
+      ref.foreach(w.put(_, n))
       gammas.foreach(w.putFs)
     } else if (rawCost <= bestCost) {
       w.put(maxId.toLong, idBits)
-      var t = 0
+      ref.foreach(w.put(_, n))
+      var t = t0
       while (t < j) { w.put(d(off + t), n); t += 1 }
     } else {
       w.put(bestK + 1L, idBits)
-      var t = 0
+      ref.foreach(w.put(_, n))
+      var t = t0
       while (t < j) { w.putFs(d(off + t) >>> bestK); t += 1 }
       if (bestK > 0) {
-        t = 0
+        t = t0
         while (t < j) {
           w.put(d(off + t) & ((1L << bestK) - 1), bestK); t += 1
         }
@@ -284,20 +309,24 @@ object Szip {
                              r: BitR, p: Params): Unit = {
     val n = p.bitsPerPixel
     val xmax = (1L << n) - 1
-    val nVals = if (p.predictive) len - 1 else len
-    val ref = if (p.predictive) r.take(n) else 0L
     val j = p.pixelsPerBlock
-    val nBlocks = (nVals + j - 1) / j
+    // slot layout mirrors the encoder: NN → slot 0 of block 0 is the
+    // raw reference, read right after that block's option ID
+    val nBlocks = (len + j - 1) / j
     val deltas = new Array[Long](nBlocks * j)
     val idBits = p.idBits
     val maxId = (1 << idBits) - 1
+    var ref = 0L
     var block = 0
     var segEnd = math.min(SegBlocks, nBlocks)
     while (block < nBlocks) {
       if (block == segEnd) segEnd = math.min(segEnd + SegBlocks, nBlocks)
+      val hasRef = p.predictive && block == 0
+      val t0 = if (hasRef) 1 else 0
       val id = r.take(idBits).toInt
       if (id == 0) {
         if (r.take(1) == 0L) { // zero run
+          if (hasRef) ref = r.take(n)
           val f = r.takeFs()
           val run =
             if (f == 4L) segEnd - block
@@ -307,6 +336,7 @@ object Szip {
             s"szip: zero run $run overruns segment")
           block += run // deltas[] already zero
         } else { // second extension
+          if (hasRef) ref = r.take(n)
           var pair = 0
           while (pair < j / 2) {
             val g = r.takeFs()
@@ -314,22 +344,25 @@ object Szip {
             var m = 0L
             while ((m + 1) * (m + 2) / 2 <= g) m += 1
             val b = g - m * (m + 1) / 2
-            deltas(block * j + 2 * pair) = m - b
+            // a pair overlapping the reference slot only carries δ₁
+            if (2 * pair >= t0) deltas(block * j + 2 * pair) = m - b
             deltas(block * j + 2 * pair + 1) = b
             pair += 1
           }
           block += 1
         }
       } else if (id == maxId) { // no compression
-        var t = 0
+        if (hasRef) ref = r.take(n)
+        var t = t0
         while (t < j) { deltas(block * j + t) = r.take(n); t += 1 }
         block += 1
       } else { // k-split
         val k = id - 1
-        var t = 0
+        if (hasRef) ref = r.take(n)
+        var t = t0
         while (t < j) { deltas(block * j + t) = r.takeFs() << k; t += 1 }
         if (k > 0) {
-          t = 0
+          t = t0
           while (t < j) { deltas(block * j + t) |= r.take(k); t += 1 }
         }
         block += 1
@@ -337,14 +370,14 @@ object Szip {
     }
     if (p.predictive) {
       out(start) = ref
-      var t = 0
-      while (t < nVals) {
-        out(start + t + 1) = unmapDelta(deltas(t), out(start + t), xmax)
+      var t = 1
+      while (t < len) {
+        out(start + t) = unmapDelta(deltas(t), out(start + t - 1), xmax)
         t += 1
       }
     } else {
       var t = 0
-      while (t < nVals) { out(start + t) = deltas(t); t += 1 }
+      while (t < len) { out(start + t) = deltas(t); t += 1 }
     }
   }
 

@@ -27,12 +27,14 @@ class SzipSpec extends AnyFunSuite {
     assert(Szip.decompress(out, ecLsb).toSeq === Seq.fill(16)(0.toByte))
   }
 
-  test("NN reference sample: constant scanline pins to raw ref + zero-run") {
-    // 9 samples of 5, scanline 9: reference 00000101 raw, then 8 zero
-    // deltas = one zero block ending the segment → 0000 00001.
+  test("NN reference sample: constant scanline pins to zero-run ID + in-block ref") {
+    // 9 samples of 5 → slots [ref, 8 zero deltas] = 2 blocks, all
+    // deltas zero: zero-run ID 0000, then the raw reference 00000101
+    // INSIDE the first block (the szip reference-sample insertion),
+    // then FS(4) = remainder of segment.
     val p = Szip.Params(Szip.Raw | Szip.NN | Szip.LSB, 8, 8, 9)
     val out = Szip.compress(Array.fill(9)(5.toByte), p)
-    assert(out.toSeq === framed(9, 0x05, 0x00, 0x80).toSeq)
+    assert(out.toSeq === framed(9, 0x00, 0x50, 0x80).toSeq)
     assert(Szip.decompress(out, p).toSeq === Seq.fill(9)(5.toByte))
   }
 
