@@ -132,9 +132,11 @@ object Avi {
           s"avi: chunk $id overruns its parent")
         val size = size32.toInt
         if (id == "LIST") {
+          require(size >= 4, s"avi: LIST chunk too short ($size bytes)")
           val kind = new String(bytes, pos + 8, 4, "ASCII")
           walk(pos + 12, pos + 8 + size, inMovi || kind == "movi")
         } else if (id == "avih") {
+          require(size >= 40, s"avi: avih chunk too short ($size bytes)")
           uspf = le32(pos + 8)
           width = le32(pos + 8 + 32).toInt
           height = le32(pos + 8 + 36).toInt
