@@ -38,6 +38,12 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   *    both compact (0x0C messages) and DENSE (Attribute Info message →
   *    fractal heap + type-8 v2 B-tree, libhdf5's layout above ~8
   *    attributes — ordinary CF metadata exceeds that)
+  *  - variable-length attribute values through the global heap
+  *    (GCOL collections): vlen strings (netCDF-4 NC_STRING attrs)
+  *    and vlen sequences incl. object references — a DIMENSION_LIST
+  *    resolves to the dimension-scale datasets it references, giving
+  *    variables REAL shared dim identity (synthetic per-variable
+  *    names remain the fallback when no list is present)
   *
   * WRITE subset (fixture synthesis + round-trip proof): superblock v0,
   * v1 object headers, one symbol-table root group, contiguous or
@@ -47,12 +53,9 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   *
   * Decoded variables map onto the [[NetcdfClassic.NcFile]] model (data
   * as doubles, CF unpacking via `NcVar.unpacked`), so the granule
-  * ingest path is format-agnostic. Variable dims get synthetic
-  * per-variable names (`<var>_d<i>`) — the ingest derives grid shape
-  * from coordinate variables, not dim identity. Out of scope:
-  * vlen/compound/reference types (NetCDF-4 DIMENSION_LIST attrs decode
-  * as empty) and huge/tiny fractal-heap objects (links and attribute
-  * messages are always managed-size).
+  * ingest path is format-agnostic. Out of scope: compound datatypes
+  * (attrs decode as empty) and huge/tiny fractal-heap objects (links
+  * and attribute messages are always managed-size).
   */
 object H5Lite {
 
@@ -67,6 +70,8 @@ object H5Lite {
   private val C_FIXED = 0
   private val C_FLOAT = 1
   private val C_STRING = 3
+  private val C_REFERENCE = 7
+  private val C_VLEN = 9
 
   /** A structure the read subset doesn't model (vlen/compound/reference
     * datatypes, exotic dataspaces) — catchable so attribute decoding
@@ -74,13 +79,15 @@ object H5Lite {
     */
   private final class UnsupportedH5(msg: String) extends RuntimeException(msg)
 
-  private case class Dtype(clazz: Int, size: Int, le: Boolean, signed: Boolean)
+  private case class Dtype(clazz: Int, size: Int, le: Boolean, signed: Boolean,
+                           vlenString: Boolean = false,
+                           base: Option[Dtype] = None)
   private case class Layout(clazz: Int, addr: Long = UNDEF, size: Long = 0,
                             chunkDims: Seq[Int] = Nil, compactPos: Long = UNDEF)
   private case class Filter(id: Int, clientValues: Seq[Long])
   private case class Dataset(name: String, dims: Seq[Long], dtype: Dtype,
                              layout: Layout, filters: Seq[Filter],
-                             attrs: Seq[NcAttr])
+                             attrs: Seq[NcAttr], ohAddr: Long)
 
   // ------------------------------------------------------------------ read
 
@@ -140,12 +147,55 @@ object H5Lite {
     val rootAttrs = ArrayBuffer.empty[NcAttr]
     walkObject(r, rootOh, "", sets, rootAttrs, isRoot = true)
 
+    // dim identity: a DIMENSION_LIST attribute (vlen of object
+    // references, resolved through the global heap) names the
+    // dimension-scale dataset backing each axis — use those REAL dim
+    // names, shared across variables, when every reference resolves
+    // and lengths agree; otherwise fall back to synthetic
+    // per-variable names (`<var>_d<i>`)
+    val nameByAddr = sets.map(d => d.ohAddr -> d.name).toMap
+    // pre-pass: every 1-D dataset some DIMENSION_LIST references is a
+    // dimension scale — its own name IS a dim name, so the coordinate
+    // variable itself (which carries no DIMENSION_LIST) adopts it too
+    val scaleDims: Map[String, Int] = sets.flatMap(
+      _.attrs.find(_.name == "DIMENSION_LIST").toSeq.flatMap(_.nums))
+      .flatMap(a => sets.find(_.ohAddr == a.toLong))
+      .filter(_.dims.length == 1)
+      .map(ds => ds.name -> ds.dims.head.toInt).toMap
     val dims = ArrayBuffer.empty[NcDim]
+    def addDim(nm: String, len: Int): Boolean =
+      dims.find(_.name == nm) match {
+        case Some(existing) => existing.length == len
+        case None => dims += NcDim(nm, len); true
+      }
     val vars = sets.map { d =>
-      val dimNames = d.dims.zipWithIndex.map { case (len, i) =>
-        val nm = s"${d.name}_d$i"
-        dims += NcDim(nm, len.toInt)
-        nm
+      val fromList: Option[Seq[String]] =
+        d.attrs.find(_.name == "DIMENSION_LIST")
+          .map(_.nums.flatMap(a => nameByAddr.get(a.toLong)))
+          .filter(_.length == d.dims.length)
+          .orElse {
+            // the dimension-scale dataset itself: 1-D, named like the
+            // dim it defines, same length
+            if (d.dims.length == 1 && scaleDims.get(d.name)
+              .contains(d.dims.head.toInt)) Some(Seq(d.name))
+            else None
+          }
+      val resolved = fromList.filter { names =>
+        // validate against already-registered dims BEFORE mutating, so
+        // a partial mismatch can't leave orphan dim entries behind
+        names.zip(d.dims).forall { case (nm, len) =>
+          dims.find(_.name == nm).forall(_.length == len.toInt)
+        }
+      }
+      resolved.foreach(_.zip(d.dims).foreach { case (nm, len) =>
+        addDim(nm, len.toInt)
+      })
+      val dimNames = resolved.getOrElse {
+        d.dims.zipWithIndex.map { case (len, i) =>
+          val nm = s"${d.name}_d$i"
+          addDim(nm, len.toInt)
+          nm
+        }
       }
       NcVar(d.name, dimNames.toSeq, ncTypeOf(d.dtype), d.attrs,
         readData(r, d))
@@ -245,16 +295,17 @@ object H5Lite {
         r.at(m.head._2); parseFilters(r)
       }.getOrElse(Nil)
       val attrs = byType.getOrElse(0x0C, Nil).map { case (_, p, _) =>
-        r.at(p); parseAttr(r)
+        r.at(p); parseAttr(r, r)
       } ++ byType.getOrElse(0x15, Nil).flatMap { case (_, p, _) =>
         r.at(p); denseAttrs(r) // dense attribute storage (>~8 attrs)
       }
-      sets += Dataset(prefix.stripPrefix("/"), dims, dt, layout, filters, attrs)
+      sets += Dataset(prefix.stripPrefix("/"), dims, dt, layout, filters,
+        attrs, addr)
     } else {
       // group: children from a symbol-table message and/or link messages
       if (isRoot) {
         byType.getOrElse(0x0C, Nil).foreach { case (_, p, _) =>
-          r.at(p); rootAttrs += parseAttr(r)
+          r.at(p); rootAttrs += parseAttr(r, r)
         }
         byType.getOrElse(0x15, Nil).foreach { case (_, p, _) =>
           r.at(p); rootAttrs ++= denseAttrs(r)
@@ -494,7 +545,7 @@ object H5Lite {
     else {
       val heap = new FractalHeap(r, fheap)
       val ids = btree2HeapIds(r, nameIdx, wantType = 8)
-      ids.map(id => parseAttr(heap.objectAt(id)))
+      ids.map(id => parseAttr(heap.objectAt(id), r))
     }
   }
 
@@ -627,9 +678,46 @@ object H5Lite {
         signed = (bits0 & 8) != 0)
       case C_FLOAT => Dtype(clazz, size, le = (bits0 & 1) == 0, signed = true)
       case C_STRING => Dtype(clazz, size, le = true, signed = false)
+      case C_REFERENCE => // object reference: an 8-byte file address
+        Dtype(clazz, size, le = true, signed = false)
+      case C_VLEN =>
+        // bit field low nibble: 0 = sequence, 1 = string; the base
+        // datatype follows as the properties (chars for strings)
+        val isString = (bits0 & 0xf) == 1
+        val base = parseDatatype(r)
+        Dtype(clazz, size, le = true, signed = false,
+          vlenString = isString, base = Some(base))
       case c => throw new UnsupportedH5(s"h5: unsupported datatype class $c " +
-        "(fixed/float/string only — vlen/compound out of subset)")
+        "(fixed/float/string/reference/vlen only — compound out of subset)")
     }
+  }
+
+  /** One object from a global heap collection (`GCOL`, spec §III.E) —
+    * where variable-length attribute data actually lives. Objects are
+    * (index, refcount, size, data-padded-to-8) records; index 0 marks
+    * the collection's free space.
+    */
+  private def globalHeapObject(fileR: R, collectionAddr: Long,
+                               index: Int): Array[Byte] = {
+    // own cursor: the caller may be mid-parse on the same bytes
+    val file = new R(fileR.bytes)
+    require(file.sig4(collectionAddr, "GCOL"),
+      s"h5: bad global heap collection at $collectionAddr")
+    file.at(collectionAddr + 4)
+    require(file.u8() == 1, "h5: bad global heap version")
+    file.skip(3)
+    val collSize = file.u64() // includes this header
+    val end = collectionAddr + collSize
+    while (file.pos + 16 <= end) {
+      val idx = file.u16()
+      file.u16(); file.u32() // reference count, reserved
+      val objSize = file.u64()
+      if (idx == index) return file.take(objSize.toInt)
+      if (idx == 0) // free space — nothing beyond it
+        throw new UnsupportedH5(s"h5: global heap object $index not found")
+      file.skip(((objSize + 7) / 8 * 8).toInt)
+    }
+    throw new UnsupportedH5(s"h5: global heap object $index not found")
   }
 
   private def parseLayout(r: R): Layout = {
@@ -669,7 +757,12 @@ object H5Lite {
     }
   }
 
-  private def parseAttr(r: R): NcAttr = {
+  /** Parse one attribute message at `r`'s cursor. `file` is the
+    * whole-file reader — variable-length values live in global heap
+    * collections elsewhere in the file, so it may differ from `r`
+    * (dense attributes parse out of decoded heap-block buffers).
+    */
+  private def parseAttr(r: R, file: R): NcAttr = {
     val ver = r.u8()
     require(ver >= 1 && ver <= 3, s"h5: unsupported attribute version $ver")
     if (ver == 1) r.skip(1)
@@ -686,11 +779,11 @@ object H5Lite {
     val namePos = r.pos
     val name = r.cstring(namePos)
     r.at(namePos + padded(nameSize))
-    // netCDF-4 decorates variables with vlen/compound/reference attrs
-    // (DIMENSION_LIST, REFERENCE_LIST, _Netcdf4Coordinates) the subset
-    // doesn't model — those decode as EMPTY attrs rather than aborting
-    // the granule (the ingest derives grid shape from coordinate
-    // variables, never from these)
+    // netCDF-4 decorates variables with vlen/reference attrs
+    // (DIMENSION_LIST, REFERENCE_LIST, NC_STRING text) — vlen values
+    // resolve through the global heap; the remaining unmodeled shapes
+    // (compound, vlen-of-compound) decode as EMPTY attrs rather than
+    // aborting the granule
     try {
       val dtPos = r.pos
       val dt = parseDatatype(r)
@@ -703,6 +796,26 @@ object H5Lite {
         case C_STRING =>
           val raw = r.take(dt.size * count)
           NcAttr(name, NC_CHAR, text = new String(raw.takeWhile(_ != 0), "UTF-8"))
+        case C_VLEN =>
+          // each datum: element count (u32), then the global heap ID
+          // (collection address u64 + object index u32)
+          val data = (0 until count).map { _ =>
+            val len = r.u32().toInt
+            val addr = r.u64()
+            val idx = r.u32().toInt
+            if (len == 0 || addr == UNDEF || addr == 0) Array.emptyByteArray
+            else globalHeapObject(file, addr, idx)
+          }
+          val base = dt.base.getOrElse(
+            throw new UnsupportedH5("h5: vlen without base type"))
+          if (dt.vlenString)
+            NcAttr(name, NC_CHAR, text = data.map(b =>
+              new String(b.takeWhile(_ != 0), "UTF-8")).mkString(", "))
+          else
+            NcAttr(name, ncTypeOf(base), nums = data.flatMap { b =>
+              val m = b.length / math.max(base.size, 1)
+              decode(b, base, m)
+            }.toSeq)
         case _ =>
           val vals = decode(r.take(dt.size * count), dt, count)
           NcAttr(name, ncTypeOf(dt), nums = vals.toSeq)
@@ -715,6 +828,7 @@ object H5Lite {
   private def ncTypeOf(dt: Dtype): Int = dt.clazz match {
     case C_FLOAT => if (dt.size == 8) NC_DOUBLE else NC_FLOAT
     case C_STRING => NC_CHAR
+    case C_REFERENCE => NC_DOUBLE // file addresses, exact to 2^53
     case _ => dt.size match {
       case 1 => NC_BYTE
       case 2 => NC_SHORT
@@ -740,6 +854,7 @@ object H5Lite {
           val l = b.getLong()
           if (dt.signed || l >= 0) l.toDouble
           else l.toDouble + 1.8446744073709552e19 // uint64 above Long.MaxValue
+        case (C_REFERENCE, 8) => b.getLong().toDouble // object address
         case (c, s) => throw new UnsupportedH5(s"h5: cannot decode datatype class $c size $s")
       }
       i += 1

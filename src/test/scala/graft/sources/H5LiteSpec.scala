@@ -250,6 +250,28 @@ class H5LiteSpec extends SparkSpec {
     }
   }
 
+  test("DIMENSION_LIST references resolve to real shared dim names; " +
+    "vlen strings decode through the global heap") {
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/h5/$name")
+      assert(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val f = H5Lite.read(res("hand_dimension_list.h5"))
+    val sst = f.variable("sst").get
+    // vlen-of-object-reference attr → the lat/lon datasets by identity,
+    // not synthetic per-variable names
+    assert(sst.dims === Seq("lat", "lon"))
+    assert(f.shape(sst) === Seq(2, 3))
+    assert(f.dim("lat").get.length === 2 && f.dim("lon").get.length === 3)
+    assert(sst.data.toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // coordinate variables share the dims they define
+    assert(f.variable("lat").get.dims === Seq("lat"))
+    assert(f.variable("lon").get.dims === Seq("lon"))
+    // vlen STRING attribute fetched from the GCOL collection
+    assert(sst.attr("summary").get.text === "synthetic granule")
+  }
+
   test("2-D swath granules decode through the HDF5 path") {
     // parallel (scan, pixel) lat/lon/value arrays + per-scan time
     val (nScan, nPix) = (3, 4)

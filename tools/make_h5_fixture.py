@@ -916,3 +916,95 @@ def build_btree_depth2():
 
 open('/root/repo/src/test/resources/h5/hand_btree_depth2.h5','wb').write(build_btree_depth2())
 print("depth-2 B-tree fixture written", len(build_btree_depth2()))
+
+# ---------------- file 10: netCDF-4-style dimension identity — "sst"
+# carries a DIMENSION_LIST attribute (class-9 vlen sequence of class-7
+# object references) resolved through a global heap collection (GCOL),
+# plus a vlen-STRING attribute; the references point at the "lat"/"lon"
+# dimension-scale datasets.
+def dt_vlen_ref():
+    # vlen sequence (kind 0), 16-byte datum, base = object reference
+    return (u8((1<<4)|9)+u8(0)+u8(0)+u8(0)+u32(16)
+            + u8((1<<4)|7)+u8(0)+u8(0)+u8(0)+u32(8))
+
+def dt_vlen_str():
+    # vlen string (kind 1), 16-byte datum, base = 1-byte char
+    return u8((1<<4)|9)+u8(1)+u8(0)+u8(0)+u32(16) + dt_str(1)
+
+def build_dimension_list():
+    lat_vals = [-0.5, 0.5]
+    lon_vals = [10.0, 11.0, 12.0]
+    sst_vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    summary = b'synthetic granule'
+    heap_data = pad8(b'\0'*8 + b'lat\0' + b'lon\0' + b'sst\0')
+    off_lat, off_lon, off_sst = 8, 12, 16
+    root_oh = 96
+    root_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_probe)
+    bt_probe = pad8(group_btree([off_lat], [0], off_sst))
+    snod_addr = btree_addr + len(bt_probe)
+    sn_probe = pad8(snod([(off_lat, 0), (off_lon, 0), (off_sst, 0)]))
+    heap_hdr_addr = snod_addr + len(sn_probe)
+    heap_data_addr = heap_hdr_addr + 32
+    lat_oh = heap_data_addr + len(heap_data)
+    coord_probe = object_header([(0x01, dataspace([2])), (0x03, dt_f64()),
+                                 (0x08, layout_contiguous(0, 0))])
+    lat_data = lat_oh + len(coord_probe)
+    lon_oh = lat_data + 16
+    lon_probe = object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                               (0x08, layout_contiguous(0, 0))])
+    lon_data = lon_oh + len(lon_probe)
+    sst_oh = lon_data + 24
+    # sst attrs: DIMENSION_LIST (2 vlen-of-ref datums) + summary (vlen str)
+    dimlist_probe = attr_v1('DIMENSION_LIST', dt_vlen_ref(), dataspace([2]),
+                            (u32(1)+u64(0)+u32(1)) + (u32(1)+u64(0)+u32(2)))
+    summary_probe = attr_v1('summary', dt_vlen_str(), dataspace([]),
+                            u32(len(summary))+u64(0)+u32(3))
+    sst_probe = object_header([(0x01, dataspace([2, 3])), (0x03, dt_f64()),
+                               (0x08, layout_contiguous(0, 0)),
+                               (0x0C, dimlist_probe), (0x0C, summary_probe)])
+    sst_data = sst_oh + len(sst_probe)
+    gcol_addr = sst_data + 48
+    gcol_size = 512
+    eof = gcol_addr + gcol_size
+
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    out += pad8(group_btree([off_lat], [snod_addr], off_sst))
+    out += pad8(snod([(off_lat, lat_oh), (off_lon, lon_oh), (off_sst, sst_oh)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out += hh + hd
+    out += object_header([(0x01, dataspace([2])), (0x03, dt_f64()),
+                          (0x08, layout_contiguous(lat_data, 16))])
+    out += b''.join(struct.pack('<d', v) for v in lat_vals)
+    out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                          (0x08, layout_contiguous(lon_data, 24))])
+    out += b''.join(struct.pack('<d', v) for v in lon_vals)
+    dimlist = attr_v1('DIMENSION_LIST', dt_vlen_ref(), dataspace([2]),
+                      (u32(1)+u64(gcol_addr)+u32(1))
+                      + (u32(1)+u64(gcol_addr)+u32(2)))
+    summ = attr_v1('summary', dt_vlen_str(), dataspace([]),
+                   u32(len(summary))+u64(gcol_addr)+u32(3))
+    out += object_header([(0x01, dataspace([2, 3])), (0x03, dt_f64()),
+                          (0x08, layout_contiguous(sst_data, 48)),
+                          (0x0C, dimlist), (0x0C, summ)])
+    assert len(out) == sst_data, (len(out), sst_data)
+    out += b''.join(struct.pack('<d', v) for v in sst_vals)
+
+    # global heap collection: two reference objects + the string
+    assert len(out) == gcol_addr
+    gcol = b'GCOL' + u8(1) + b'\0'*3 + u64(gcol_size)
+    def gobj(idx, data):
+        return u16(idx)+u16(1)+u32(0)+u64(len(data)) + pad8(data)
+    gcol += gobj(1, u64(lat_oh))
+    gcol += gobj(2, u64(lon_oh))
+    gcol += gobj(3, summary)
+    free = gcol_size - len(gcol)
+    gcol += u16(0)+u16(0)+u32(0)+u64(free)
+    gcol += b'\0' * (gcol_size - len(gcol))
+    out += gcol
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_dimension_list.h5','wb').write(build_dimension_list())
+print("dimension-list fixture written", len(build_dimension_list()))
