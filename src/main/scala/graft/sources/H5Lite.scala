@@ -153,26 +153,37 @@ object H5Lite {
     // names, shared across variables, when every reference resolves
     // and lengths agree; otherwise fall back to synthetic
     // per-variable names (`<var>_d<i>`)
-    val nameByAddr = sets.map(d => d.ohAddr -> d.name).toMap
+    val dsByAddr: Map[Long, Dataset] = sets.map(d => d.ohAddr -> d).toMap
     // pre-pass: every 1-D dataset some DIMENSION_LIST references is a
     // dimension scale — its own name IS a dim name, so the coordinate
     // variable itself (which carries no DIMENSION_LIST) adopts it too
     val scaleDims: Map[String, Int] = sets.flatMap(
       _.attrs.find(_.name == "DIMENSION_LIST").toSeq.flatMap(_.nums))
-      .flatMap(a => sets.find(_.ohAddr == a.toLong))
+      .flatMap(a => dsByAddr.get(a.toLong))
       .filter(_.dims.length == 1)
       .map(ds => ds.name -> ds.dims.head.toInt).toMap
     val dims = ArrayBuffer.empty[NcDim]
-    def addDim(nm: String, len: Int): Boolean =
-      dims.find(_.name == nm) match {
-        case Some(existing) => existing.length == len
-        case None => dims += NcDim(nm, len); true
-      }
+    def addDim(nm: String, len: Int): Unit =
+      if (!dims.exists(_.name == nm)) dims += NcDim(nm, len)
     val vars = sets.map { d =>
+      // use real dim identity only when the list is unambiguous:
+      // exactly one reference per axis (multi-scale or scale-less axes
+      // flatten to a different count), every reference a 1-D dataset
+      // whose OWN length equals the axis length (HDF5 does not enforce
+      // scale length == axis length), names distinct within the
+      // variable, and no conflict with an already-registered dim —
+      // anything else falls back to synthetic per-variable names
       val fromList: Option[Seq[String]] =
         d.attrs.find(_.name == "DIMENSION_LIST")
-          .map(_.nums.flatMap(a => nameByAddr.get(a.toLong)))
+          .map(_.nums.map(a => dsByAddr.get(a.toLong)))
           .filter(_.length == d.dims.length)
+          .filter(_.forall(_.exists(_.dims.length == 1)))
+          .map(_.map(_.get))
+          .filter { scales =>
+            scales.zip(d.dims).forall { case (s, len) => s.dims.head == len } &&
+              scales.map(_.name).distinct.length == scales.length
+          }
+          .map(_.map(_.name))
           .orElse {
             // the dimension-scale dataset itself: 1-D, named like the
             // dim it defines, same length
@@ -699,25 +710,33 @@ object H5Lite {
     */
   private def globalHeapObject(fileR: R, collectionAddr: Long,
                                index: Int): Array[Byte] = {
-    // own cursor: the caller may be mid-parse on the same bytes
+    // own cursor: the caller may be mid-parse on the same bytes. A
+    // structurally bad collection throws UnsupportedH5 so the caller's
+    // degrade-to-empty-attr contract holds — one corrupt vlen pointer
+    // must not abort the whole granule.
+    def bad(msg: String) = throw new UnsupportedH5(s"h5: $msg")
     val file = new R(fileR.bytes)
-    require(file.sig4(collectionAddr, "GCOL"),
-      s"h5: bad global heap collection at $collectionAddr")
+    if (!file.sig4(collectionAddr, "GCOL"))
+      bad(s"no global heap collection at $collectionAddr")
     file.at(collectionAddr + 4)
-    require(file.u8() == 1, "h5: bad global heap version")
+    if (file.u8() != 1) bad("bad global heap version")
     file.skip(3)
     val collSize = file.u64() // includes this header
     val end = collectionAddr + collSize
+    if (collSize < 16 || end > file.bytes.length)
+      bad(s"global heap collection size $collSize out of bounds")
     while (file.pos + 16 <= end) {
       val idx = file.u16()
       file.u16(); file.u32() // reference count, reserved
       val objSize = file.u64()
+      if (objSize < 0 || file.pos + objSize > end)
+        bad(s"global heap object size $objSize out of bounds")
+      if (idx == 0) // free space — nothing beyond it, index 0 invalid
+        bad(s"global heap object $index not found")
       if (idx == index) return file.take(objSize.toInt)
-      if (idx == 0) // free space — nothing beyond it
-        throw new UnsupportedH5(s"h5: global heap object $index not found")
       file.skip(((objSize + 7) / 8 * 8).toInt)
     }
-    throw new UnsupportedH5(s"h5: global heap object $index not found")
+    bad(s"global heap object $index not found")
   }
 
   private def parseLayout(r: R): Layout = {

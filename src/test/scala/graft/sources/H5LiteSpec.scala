@@ -270,6 +270,22 @@ class H5LiteSpec extends SparkSpec {
     assert(f.variable("lon").get.dims === Seq("lon"))
     // vlen STRING attribute fetched from the GCOL collection
     assert(sst.attr("summary").get.text === "synthetic granule")
+    // a corrupt global heap must DEGRADE (empty attrs, synthetic dims),
+    // never abort the granule
+    val bytes = res("hand_dimension_list.h5")
+    val gcolPos = {
+      var i = 0
+      while (!(bytes(i) == 'G' && bytes(i + 1) == 'C' &&
+        bytes(i + 2) == 'O' && bytes(i + 3) == 'L')) i += 1
+      i
+    }
+    val corrupt = bytes.clone()
+    corrupt(gcolPos) = 'X'.toByte
+    val fc = H5Lite.read(corrupt)
+    val sstC = fc.variable("sst").get
+    assert(sstC.dims === Seq("sst_d0", "sst_d1"))
+    assert(sstC.attr("summary").get.text === "")
+    assert(sstC.data.toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
   }
 
   test("2-D swath granules decode through the HDF5 path") {
