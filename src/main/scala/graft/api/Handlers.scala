@@ -496,12 +496,21 @@ object Handlers {
             // normandcurve (ResultsPlotQuery.py:30): density-normalized
             // bars plus the fitted normal curve sampled at bin centers
             if (p.extra.get("normandcurve").exists(_.toBoolean)) {
-              val w = (col("hi") - col("lo")) / nBins
+              // degenerate handling for constant-valued data: hi == lo
+              // makes the bin width 0 (density → Infinity) and sigma 0
+              // (pdf → NaN); a tiny epsilon floor is NOT enough because
+              // pow(eps, 2) underflows double to 0 and trips ANSI
+              // divide-by-zero. Treat the point mass explicitly: unit
+              // bin width (density = count/n) and pdf 0.
+              val w = when(col("hi") === col("lo"), lit(1.0))
+                .otherwise((col("hi") - col("lo")) / nBins)
+              val pdf = when(col("sigma") <= 1e-150, lit(0.0))
+                .otherwise(exp(-pow(col("bin_center") - col("mu"), 2) /
+                    (pow(col("sigma"), 2) * 2)) /
+                  (col("sigma") * math.sqrt(2 * math.Pi)))
               hist.select(col("bin_center"), col("count"),
                   (col("count") / (col("n") * w)).as("density"),
-                  (exp(-pow(col("bin_center") - col("mu"), 2) /
-                      (pow(col("sigma"), 2) * 2)) /
-                    (col("sigma") * math.sqrt(2 * math.Pi))).as("normal_pdf"))
+                  pdf.as("normal_pdf"))
                 .orderBy("bin_center")
             } else hist.select(col("bin_center"), col("count"))
               .orderBy("bin_center")

@@ -60,7 +60,10 @@ object Avi {
 
     val avih = ArrayBuffer.empty[Byte]
     u32(avih, 1000000L / Fps); u32(avih, frameBytes.toLong * Fps)
-    u32(avih, 0); u32(avih, 0x10) // padding, AVIF_HASINDEX off, interleaved off
+    // flags 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10) must
+    // be OFF — advertising an index that doesn't exist breaks external
+    // consumers that seek through it
+    u32(avih, 0); u32(avih, 0)
     u32(avih, frames.length.toLong); u32(avih, 0)
     u32(avih, 1); u32(avih, frameBytes)
     u32(avih, w); u32(avih, h)
@@ -142,8 +145,14 @@ object Avi {
           height = le32(pos + 8 + 36).toInt
         } else if (inMovi && id.length == 4 && id.endsWith("db")) {
           require(width > 0 && height > 0, "avi: frame before avih header")
+          // same overflow class as the chunk walk: corrupt avih
+          // dimensions make stride*height (and width*height) wrap Int,
+          // so the short-frame guard must run in Long and the raster
+          // allocation must be bounded before it happens
+          require(width.toLong * height <= (1L << 26),
+            s"avi: implausible frame geometry ${width}x$height")
           val stride = rowStride(width)
-          require(size >= stride * height, s"avi: short DIB frame ($size bytes)")
+          require(size >= stride.toLong * height, s"avi: short DIB frame ($size bytes)")
           val f = new Array[Int](width * height)
           var y = 0
           while (y < height) {

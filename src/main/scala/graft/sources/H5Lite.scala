@@ -46,10 +46,12 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   *    names remain the fallback when no list is present)
   *
   * WRITE subset (fixture synthesis + round-trip proof): superblock v0,
-  * v1 object headers, one symbol-table root group, contiguous or
-  * chunked+shuffle+deflate datasets, v1 attributes — each structure
-  * emitted exactly as the spec draws it, so the files are valid for
-  * any real HDF5 reader, not just this one.
+  * v1 object headers, one symbol-table root group (or a dense root:
+  * fractal heap + v2 B-tree, optionally deflate-filtered under an
+  * indirect root block), contiguous or chunked+shuffle+deflate
+  * datasets, v1 attributes — each structure emitted exactly as the
+  * spec draws it, so the files are valid for any real HDF5 reader,
+  * not just this one.
   *
   * Decoded variables map onto the [[NetcdfClassic.NcFile]] model (data
   * as doubles, CF unpacking via `NcVar.unpacked`), so the granule
@@ -175,6 +177,10 @@ object H5Lite {
       // anything else falls back to synthetic per-variable names
       val fromList: Option[Seq[String]] =
         d.attrs.find(_.name == "DIMENSION_LIST")
+          // per-axis counts must be exactly 1: a multi-scale axis next
+          // to a scale-less one flattens to the same total as one-per-
+          // axis, so the flat length alone cannot catch the mismatch
+          .filter(a => a.groups.isEmpty || a.groups.forall(_ == 1))
           .map(_.nums.map(a => dsByAddr.get(a.toLong)))
           .filter(_.length == d.dims.length)
           .filter(_.forall(_.exists(_.dims.length == 1)))
@@ -439,11 +445,14 @@ object H5Lite {
     r.u16() // starting rows in root indirect block
     private val rootAddr = r.u64()
     private val curRootRows = r.u16()
-    // with filters: stored size + mask of the root direct block (only
-    // when the root IS a direct block), then the pipeline message body
+    // with filters the header ALWAYS carries the stored size + mask of
+    // the root direct block, then the pipeline message body — the two
+    // fields are present whenever the I/O filter length is non-zero,
+    // even when the root is an indirect block or unallocated (libhdf5
+    // sizes the header on filter_len alone); they are only *meaningful*
+    // for a direct root
     private val (filteredRootSize: Long, filteredRootMask: Long) =
-      if (ioFilterLen > 0 && curRootRows == 0 && rootAddr != UNDEF)
-        (r.u64(), r.u32())
+      if (ioFilterLen > 0) (r.u64(), r.u32())
       else (UNDEF, 0L)
     private val filters: Seq[Filter] =
       if (ioFilterLen > 0) parseFilters(r) else Nil
@@ -461,15 +470,20 @@ object H5Lite {
     private def rowsFor(span: Long): Int =
       log2(span) - log2(startBlockSize * tableWidth) + 1
 
-    /** (heapOffset, blockSize, content bytes incl. FHDB header). */
-    private val blocks: Seq[(Long, Long, Array[Byte])] =
+    /** (heapOffset, blockSize, content). Unfiltered blocks are NOT
+      * copied — they keep their file address (Left) and objects are
+      * read in place from the file bytes, so a dense store with
+      * thousands of links costs no duplicate heap-sized allocations;
+      * only filtered blocks must be decoded into a buffer (Right).
+      */
+    private val blocks: Seq[(Long, Long, Either[Long, Array[Byte]])] =
       if (rootAddr == UNDEF) Nil
       else if (curRootRows == 0)
         Seq(readDirect(rootAddr, startBlockSize, filteredRootSize,
           filteredRootMask))
       else readIndirect(rootAddr, curRootRows)
 
-    private def readIndirect(a: Long, nrows: Int): Seq[(Long, Long, Array[Byte])] = {
+    private def readIndirect(a: Long, nrows: Int): Seq[(Long, Long, Either[Long, Array[Byte]])] = {
       require(r.sig4(a, "FHIB"), s"h5: bad indirect block at $a")
       r.at(a + 4)
       require(r.u8() == 0, "h5: bad indirect block version")
@@ -497,10 +511,12 @@ object H5Lite {
     }
 
     private def readDirect(a: Long, size: Long, storedSize: Long,
-                           filterMask: Long): (Long, Long, Array[Byte]) = {
-      val content: Array[Byte] =
+                           filterMask: Long): (Long, Long, Either[Long, Array[Byte]]) = {
+      val content: Either[Long, Array[Byte]] =
         if (filters.isEmpty) {
-          r.at(a); r.take(size.toInt)
+          require(a >= 0 && a + (4 + 1 + 8 + offsetSize) <= r.bytes.length,
+            s"h5: direct block at $a out of bounds")
+          Left(a)
         } else {
           require(storedSize != UNDEF, "h5: filtered direct block without size")
           r.at(a)
@@ -508,15 +524,19 @@ object H5Lite {
             filterMask, elemSize = 1)
           require(raw.length == size,
             s"h5: filtered block decoded ${raw.length} of $size bytes")
-          raw
+          Right(raw)
         }
-      require(content.length >= 4 + 1 + 8 + offsetSize &&
-        "FHDB".zipWithIndex.forall { case (c, i) => content(i) == c.toByte },
+      def byteAt(i: Int): Byte = content match {
+        case Left(base) => r.bytes((base + i).toInt)
+        case Right(b) => b(i)
+      }
+      require(content.forall(_.length >= 4 + 1 + 8 + offsetSize) &&
+        "FHDB".zipWithIndex.forall { case (c, i) => byteAt(i) == c.toByte },
         s"h5: bad direct block at $a")
-      require(content(4) == 0, "h5: bad direct block version")
+      require(byteAt(4) == 0, "h5: bad direct block version")
       var bo = 0L
       (0 until offsetSize).foreach(i =>
-        bo |= ((content(13 + i) & 0xffL) << (8 * i)))
+        bo |= ((byteAt(13 + i) & 0xffL) << (8 * i)))
       (bo, size, content)
     }
 
@@ -532,9 +552,16 @@ object H5Lite {
       (0 until offsetSize).foreach(i => off |= ((id(1 + i) & 0xffL) << (8 * i)))
       val blk = blocks.find(b => off >= b._1 && off < b._1 + b._2).getOrElse(
         throw new UnsupportedH5(s"h5: heap offset $off outside direct blocks"))
-      val rr = new R(blk._3)
-      rr.at(off - blk._1)
-      rr
+      blk._3 match {
+        case Left(fileAddr) => // unfiltered: read in place, own cursor
+          val rr = new R(r.bytes)
+          rr.at(fileAddr + (off - blk._1))
+          rr
+        case Right(content) =>
+          val rr = new R(content)
+          rr.at(off - blk._1)
+          rr
+      }
     }
   }
 
@@ -729,12 +756,17 @@ object H5Lite {
       val idx = file.u16()
       file.u16(); file.u32() // reference count, reserved
       val objSize = file.u64()
-      if (objSize < 0 || file.pos + objSize > end)
+      // compare by subtraction: `pos + objSize` wraps negative for a
+      // corrupt size near Long.MaxValue and would slip past the check,
+      // then blow up in take() with a non-UnsupportedH5 exception
+      if (objSize < 0 || objSize > end - file.pos)
         bad(s"global heap object size $objSize out of bounds")
       if (idx == 0) // free space — nothing beyond it, index 0 invalid
         bad(s"global heap object $index not found")
       if (idx == index) return file.take(objSize.toInt)
-      file.skip(((objSize + 7) / 8 * 8).toInt)
+      val padTo = (objSize + 7) / 8 * 8
+      if (padTo > end - file.pos) bad(s"global heap object $index not found")
+      file.skip(padTo.toInt)
     }
     bad(s"global heap object $index not found")
   }
@@ -830,17 +862,27 @@ object H5Lite {
           if (dt.vlenString)
             NcAttr(name, NC_CHAR, text = data.map(b =>
               new String(b.takeWhile(_ != 0), "UTF-8")).mkString(", "))
-          else
-            NcAttr(name, ncTypeOf(base), nums = data.flatMap { b =>
+          else {
+            // keep the per-datum element counts (`groups`) beside the
+            // flattened values: DIMENSION_LIST resolution needs to see
+            // "one reference per axis" — two scales on one axis plus a
+            // bare axis flattens to the same total count
+            val decoded = data.map { b =>
               val m = b.length / math.max(base.size, 1)
               decode(b, base, m)
-            }.toSeq)
+            }
+            NcAttr(name, ncTypeOf(base), nums = decoded.flatten.toSeq,
+              groups = decoded.map(_.length).toSeq)
+          }
         case _ =>
           val vals = decode(r.take(dt.size * count), dt, count)
           NcAttr(name, ncTypeOf(dt), nums = vals.toSeq)
       }
     } catch {
+      // BufferUnderflow covers a truncated attribute body — same
+      // degrade-to-empty contract as an unmodeled datatype
       case _: UnsupportedH5 => NcAttr(name, NC_CHAR, text = "")
+      case _: java.nio.BufferUnderflowException => NcAttr(name, NC_CHAR, text = "")
     }
   }
 
@@ -1220,7 +1262,8 @@ object H5Lite {
     * with real lookup3 record hashes and structure checksums.
     */
   def write(f: NcFile, chunking: Map[String, Chunking] = Map.empty,
-            denseRoot: Boolean = false): Array[Byte] = {
+            denseRoot: Boolean = false,
+            denseHeapFilter: Boolean = false): Array[Byte] = {
     require(!f.dims.exists(_.isRecord), "h5 write: record dim unsupported")
     case class Msg(tpe: Int, body: Array[Byte])
     def pad8(n: Int) = (n + 7) / 8 * 8
@@ -1268,22 +1311,64 @@ object H5Lite {
       b.putLong(0L)
       b.array()
     }
-    val FrhpSize = 146L
     val FhdbHeaderSize = 17L // sig + version + heap-header addr + 4-byte offset
     val HeapIdLen = 7 // 1 flag byte + 4-byte offset (32-bit heap) + 2-byte length
     val RecordSize = 4 + HeapIdLen
     val fheapAddr = btreeAddr // same slot: right after the root OH
-    val denseBlockSize = if (!denseRoot) 0L else {
+    val denseFiltered = denseRoot && denseHeapFilter
+    // deflate-only v1 pipeline message body — when the heap is
+    // filtered the FRHP header grows by stored-size(8) + mask(4) +
+    // this body, UNCONDITIONALLY on the root block type (libhdf5
+    // sizes the header on filter_len alone; §III.G)
+    val densePline: Array[Byte] = if (!denseFiltered) Array.emptyByteArray else {
+      val b = ByteBuffer.allocate(8 + 8 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(1.toByte); b.put(new Array[Byte](6))
+      b.putShort(1.toShort).putShort(0.toShort) // deflate, no name
+      b.putShort(0.toShort).putShort(1.toShort) // flags, 1 client value
+      b.putInt(6).putInt(0) // level; odd client count pads one word
+      b.array()
+    }
+    val FrhpSize = 146L + (if (denseFiltered) 12L + densePline.length else 0L)
+    val denseBlockSize = if (!denseRoot) 0L else if (!denseFiltered) {
       val need = FhdbHeaderSize + linkBodies.map(_.length).sum
       var s = 512L
       while (s < need) s <<= 1
       require(s <= 0xffffL,
         "h5 write: dense link block above 64 KiB out of subset")
       s
+    } else {
+      // filtered mode exercises the INDIRECT-root read path: size the
+      // direct block for roughly half the links so they split across
+      // ≥2 blocks under a one-row root indirect block
+      val maxLink = linkBodies.map(_.length).max.toLong
+      val half = (linkBodies.map(_.length).sum.toLong + 1) / 2
+      var s = 512L
+      while (s < FhdbHeaderSize + math.max(maxLink, half)) s <<= 1
+      require(s <= 0xffffL,
+        "h5 write: dense link block above 64 KiB out of subset")
+      s
     }
-    val fhdbAddr = fheapAddr + FrhpSize
+    // filtered mode: greedy first-fit of link bodies into direct
+    // blocks (var indices per block), capped at the one-row width
+    val denseAssign: Seq[Seq[Int]] = if (!denseFiltered) Nil else {
+      val groups = ArrayBuffer(ArrayBuffer.empty[Int])
+      var used = FhdbHeaderSize
+      linkBodies.zipWithIndex.foreach { case (b, i) =>
+        if (used + b.length > denseBlockSize) {
+          groups += ArrayBuffer(i); used = FhdbHeaderSize + b.length
+        } else { groups.last += i; used += b.length }
+      }
+      require(groups.length <= 4,
+        s"h5 write: dense links need ${groups.length} blocks (max one row of 4)")
+      groups.map(_.toSeq).toSeq
+    }
+    val FhibSize = 4L + 1 + 8 + 4 + 4 * 20 + 4 // sig+ver+hdr+offset+entries+csum
+    val HeapSlot = denseBlockSize + 64L // per-block file allocation (deflate slack)
+    val fhdbAddr = fheapAddr + FrhpSize // direct root, or the root FHIB
     val BthdSize = 38L
-    val bthdAddr = fhdbAddr + denseBlockSize
+    val bthdAddr =
+      if (denseFiltered) fhdbAddr + FhibSize + denseAssign.length * HeapSlot
+      else fhdbAddr + denseBlockSize
     val btlfAddr = bthdAddr + BthdSize
     val btlfSize = {
       val used = 6L + vars.length * RecordSize + 4
@@ -1461,18 +1546,20 @@ object H5Lite {
       assert(w.pos == fheapAddr)
       val linksBytes = linkBodies.map(_.length.toLong).sum
       val frhpStart = w.pos
+      val nBlocks = if (denseFiltered) denseAssign.length else 1
+      val heapSpace = nBlocks * denseBlockSize
       w.raw("FRHP".getBytes("ASCII"))
       w.u8(0) // version
       w.u16(HeapIdLen)
-      w.u16(0) // io filter length
+      w.u16(densePline.length) // io filter length (0 = unfiltered)
       w.u8(0) // flags: direct blocks not checksummed
       w.u32(denseBlockSize) // max managed object size
       w.u64(0); w.u64(UNDEF) // next huge id, huge B-tree
-      w.u64(denseBlockSize - FhdbHeaderSize - linksBytes) // free space
+      w.u64(heapSpace - nBlocks * FhdbHeaderSize - linksBytes) // free space
       w.u64(UNDEF) // free-space manager
-      w.u64(denseBlockSize) // managed space
-      w.u64(denseBlockSize) // allocated managed space
-      w.u64(FhdbHeaderSize + linksBytes) // direct-block iterator offset
+      w.u64(heapSpace) // managed space
+      w.u64(heapSpace) // allocated managed space
+      w.u64(heapSpace) // direct-block iterator offset
       w.u64(vars.length.toLong) // managed object count
       w.u64(0); w.u64(0); w.u64(0); w.u64(0) // huge/tiny size+count
       w.u16(4) // doubling-table width
@@ -1481,26 +1568,78 @@ object H5Lite {
       w.u16(32) // max heap size (bits) → 4-byte offsets
       w.u16(1) // starting rows in root indirect block
       w.u64(fhdbAddr) // root block address
-      w.u16(0) // current rows in root indirect block: root IS direct
+      // current rows: 0 = the root IS a direct block; 1 = root FHIB
+      w.u16(if (denseFiltered) 1 else 0)
+      if (denseFiltered) {
+        // filter_len > 0 ⇒ stored size + mask of the root DIRECT
+        // block are present even though the root is indirect here
+        // (meaningless but mandatory), then the pipeline message
+        w.u64(0); w.u32(0)
+        w.raw(densePline)
+      }
       w.checksum(frhpStart)
       assert(w.pos == fhdbAddr, "h5 write: FRHP size drift")
 
-      // the one direct block: header + packed link messages. Heap
-      // offsets count the header bytes (block offset 0 is the block
-      // start), so the first object sits at heap offset 17.
-      w.raw("FHDB".getBytes("ASCII"))
-      w.u8(0)
-      w.u64(fheapAddr)
-      w.u32(0) // block offset in heap space
       val heapOffsets = ArrayBuffer.empty[(Long, Int)] // (offset, length)
-      linkBodies.zip(plans).foreach { case (body, p) =>
-        heapOffsets += ((w.pos - fhdbAddr, body.length))
-        val patched = ByteBuffer.wrap(body.clone()).order(ByteOrder.LITTLE_ENDIAN)
-        patched.position(body.length - 8)
-        patched.putLong(p.ohAddr)
-        w.raw(patched.array())
+      if (denseFiltered) {
+        // root indirect block: one row of direct-block entries, each
+        // carrying (address, stored size, filter mask); the direct
+        // blocks themselves are deflated whole (header included)
+        val blockAddrs = (0 until nBlocks).map(i =>
+          fhdbAddr + FhibSize + i * HeapSlot)
+        val stored: Seq[Array[Byte]] = denseAssign.zipWithIndex.map {
+          case (g, bi) =>
+            val cw = new W
+            cw.raw("FHDB".getBytes("ASCII"))
+            cw.u8(0)
+            cw.u64(fheapAddr)
+            cw.u32(bi * denseBlockSize) // block offset in heap space
+            g.foreach { vi =>
+              heapOffsets += ((bi * denseBlockSize + cw.pos, linkBodies(vi).length))
+              val patched = ByteBuffer.wrap(linkBodies(vi).clone())
+                .order(ByteOrder.LITTLE_ENDIAN)
+              patched.position(linkBodies(vi).length - 8)
+              patched.putLong(plans(vi).ohAddr)
+              cw.raw(patched.array())
+            }
+            cw.zero(denseBlockSize - cw.pos)
+            deflate(cw.out.toByteArray, 6)
+        }
+        val fhibStart = w.pos
+        w.raw("FHIB".getBytes("ASCII"))
+        w.u8(0) // version
+        w.u64(fheapAddr)
+        w.u32(0) // block offset of this indirect block's span
+        (0 until 4).foreach { e =>
+          if (e < nBlocks) {
+            require(stored(e).length <= HeapSlot,
+              "h5 write: deflated dense block exceeds its slot")
+            w.u64(blockAddrs(e)); w.u64(stored(e).length.toLong); w.u32(0)
+          } else { w.u64(UNDEF); w.u64(0); w.u32(0) }
+        }
+        w.checksum(fhibStart)
+        stored.zip(blockAddrs).foreach { case (s, a) =>
+          assert(w.pos == a, "h5 write: FHIB slot drift")
+          w.raw(s)
+          w.zero(a + HeapSlot - w.pos)
+        }
+      } else {
+        // the one direct block: header + packed link messages. Heap
+        // offsets count the header bytes (block offset 0 is the block
+        // start), so the first object sits at heap offset 17.
+        w.raw("FHDB".getBytes("ASCII"))
+        w.u8(0)
+        w.u64(fheapAddr)
+        w.u32(0) // block offset in heap space
+        linkBodies.zip(plans).foreach { case (body, p) =>
+          heapOffsets += ((w.pos - fhdbAddr, body.length))
+          val patched = ByteBuffer.wrap(body.clone()).order(ByteOrder.LITTLE_ENDIAN)
+          patched.position(body.length - 8)
+          patched.putLong(p.ohAddr)
+          w.raw(patched.array())
+        }
+        w.zero(fhdbAddr + denseBlockSize - w.pos)
       }
-      w.zero(fhdbAddr + denseBlockSize - w.pos)
 
       // v2 B-tree header (type 5: link-name index)
       assert(w.pos == bthdAddr)

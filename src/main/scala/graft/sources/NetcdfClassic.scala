@@ -43,8 +43,14 @@ object NetcdfClassic {
   /** Attribute: CHAR attrs carry `text`, numeric attrs carry `nums`
     * (decoded to double; `ncType` remembers the stored type).
     */
+  /** `groups` (HDF5 vlen-sequence attrs only): the per-datum element
+    * counts behind the flattened `nums` — e.g. a DIMENSION_LIST's
+    * per-axis reference counts, needed to tell "one scale per axis"
+    * from "two scales on axis 0, none on axis 1" (both flatten to the
+    * same length). Empty for scalar/fixed attrs.
+    */
   case class NcAttr(name: String, ncType: Int, text: String = "",
-                    nums: Seq[Double] = Nil) {
+                    nums: Seq[Double] = Nil, groups: Seq[Int] = Nil) {
     def first: Option[Double] = nums.headOption
   }
 

@@ -201,6 +201,28 @@ class HandlersSpec extends SparkSpec {
     assert(r.getAs[Long]("cnt") > 0)
   }
 
+  test("/domsplot histogram normandcurve stays finite on constant-valued " +
+    "pairs (hi == lo, sigma == 0)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plot").toString
+    // every pv identical: bin width and sigma both degenerate to 0
+    val pairs = Seq.fill(4)((7.25, 1.0, 2.0))
+      .toDF("pv", "plat", "plon")
+    graft.sources.ResultsStore.write(pairs, dir, "const-exec")
+    val insitu = Seq((1.0, 2.0, 0L, 1.0)).toDF("latitude", "longitude", "time", "value")
+    val reg = Handlers.domsRegistry(insitu, dir)
+    val pp = p.copy(extra = Map("id" -> "const-exec", "type" -> "histogram",
+      "normandcurve" -> "true"))
+    val rows = reg("/domsplot")(pp, tiles).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val density = r.getAs[Double]("density")
+      val pdf = r.getAs[Double]("normal_pdf")
+      assert(!density.isInfinite && !density.isNaN, s"density=$density")
+      assert(!pdf.isInfinite && !pdf.isNaN, s"normal_pdf=$pdf")
+    }
+  }
+
   test("diagnostic endpoints: capabilities lists the registry, heartbeat and version answer") {
     import spark.implicits._
     val tiles = Seq((1L, "ds")).toDF("tile_id", "dataset")

@@ -216,6 +216,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI with corrupt avih geometry fails cleanly, and the header " +
+    "does not advertise an index it never writes") {
+    val base = Avi.synthAviGray(4, 4, Seq(Array.fill(16)(0)))
+    def fixLe32(arr: Array[Byte], pos: Int, v: Int): Unit = {
+      val b = java.nio.ByteBuffer.wrap(arr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(pos, v)
+    }
+    val avih = base.indexOfSlice("avih".getBytes("ASCII"))
+    assert(avih > 0)
+    // flags word (avih body offset 12): no idx1 chunk exists, so
+    // AVIF_HASINDEX (0x10) must be off
+    val flags = java.nio.ByteBuffer.wrap(base)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(avih + 8 + 12)
+    assert((flags & 0x10) === 0, f"AVIF_HASINDEX set in flags 0x$flags%x")
+    // width/height chosen so stride*height wraps Int (2^33): the
+    // short-frame guard must reject it, not overflow past it into an
+    // array blow-up
+    val corrupt = base.clone()
+    fixLe32(corrupt, avih + 8 + 32, 0x20000) // width
+    fixLe32(corrupt, avih + 8 + 36, 0x10000) // height
+    val e = intercept[IllegalArgumentException](Avi.decode(corrupt))
+    assert(e.getMessage.contains("implausible") || e.getMessage.contains("short DIB"))
+  }
+
   test("AVI with MJPEG-style compressed frames decodes through ImageIO") {
     // hand-assemble a movi list whose frames are 00dc PNG payloads
     val px = Array.tabulate(16)(p => p * 16)

@@ -148,6 +148,33 @@ class H5LiteSpec extends SparkSpec {
       s.contains("BTHD") && s.contains("BTLF"))
   }
 
+  test("FILTERED dense heap with an INDIRECT root round-trips: the FRHP " +
+    "carries stored-size + mask + pipeline even though the root is an FHIB") {
+    // libhdf5 writes the filtered-root size/mask fields whenever the
+    // filter length is non-zero, regardless of root block type — a
+    // reader that ties them to "root is direct" misparses every
+    // filtered heap that has grown past its root direct block
+    val names = (0 until 24).map(i => f"fv_$i%02d")
+    val f0 = NcFile(
+      Seq(NcDim("x", 3)), Nil,
+      names.zipWithIndex.map { case (nm, i) =>
+        NcVar(nm, Seq("x"), NC_DOUBLE, Nil,
+          Array.tabulate(3)(j => i * 10.0 + j))
+      })
+    val bytes = H5Lite.write(f0, denseRoot = true, denseHeapFilter = true)
+    // structural proof the indirect path was taken
+    val s = new String(bytes.map(b => if (b >= 32 && b < 127) b.toChar else '.'))
+    assert(s.contains("FRHP") && s.contains("FHIB"),
+      "filtered dense heap must have an indirect root block")
+    assert(!s.contains("FHDB"),
+      "direct blocks are deflated whole — no cleartext FHDB signature")
+    val f = H5Lite.read(bytes)
+    assert(f.vars.map(_.name).sorted === names)
+    names.zipWithIndex.foreach { case (nm, i) =>
+      assert(f.variable(nm).get.data.toSeq === (0 until 3).map(j => i * 10.0 + j))
+    }
+  }
+
   test("dense group combines with chunked+deflate variables") {
     val data = Array.tabulate(48)(_ * 1.5)
     val f0 = NcFile(
@@ -270,6 +297,11 @@ class H5LiteSpec extends SparkSpec {
     assert(f.variable("lon").get.dims === Seq("lon"))
     // vlen STRING attribute fetched from the GCOL collection
     assert(sst.attr("summary").get.text === "synthetic granule")
+    // the vlen sequence keeps its per-axis grouping beside the
+    // flattened refs: exactly one scale per axis here — the grouping
+    // is what lets resolution reject a two-scales-on-one-axis list
+    // that flattens to the same total
+    assert(sst.attr("DIMENSION_LIST").get.groups === Seq(1, 1))
     // a corrupt global heap must DEGRADE (empty attrs, synthetic dims),
     // never abort the granule
     val bytes = res("hand_dimension_list.h5")
