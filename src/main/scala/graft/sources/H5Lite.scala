@@ -32,8 +32,8 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   *  - dataspaces v1/v2 (simple, any rank)
   *  - data layout v3: compact, contiguous, and chunked (B-tree v1
   *    chunk index) with the deflate (java.util.zip), shuffle,
-  *    fletcher32 (stripped, not verified) and szip ([[Szip]],
-  *    CCSDS 121.0 extended-Rice) filters
+  *    fletcher32 (checksum VERIFIED on read — a corrupt block fails
+  *    loudly) and szip ([[Szip]], CCSDS 121.0 extended-Rice) filters
   *  - attribute messages v1/v2/v3 (numeric and fixed-string values),
   *    both compact (0x0C messages) and DENSE (Attribute Info message →
   *    fractal heap + type-8 v2 B-tree, libhdf5's layout above ~8
@@ -1005,7 +1005,16 @@ object H5Lite {
         case 1 => raw = inflate(raw)
         case 2 => raw = unshuffle(raw, f.clientValues.headOption
           .map(_.toInt).getOrElse(elemSize))
-        case 3 => raw = raw.dropRight(4)
+        case 3 =>
+          require(raw.length >= 4, "h5: fletcher32 block shorter than its checksum")
+          val payload = java.util.Arrays.copyOfRange(raw, 0, raw.length - 4)
+          val stored = (raw(raw.length - 4) & 0xffL) |
+            ((raw(raw.length - 3) & 0xffL) << 8) |
+            ((raw(raw.length - 2) & 0xffL) << 16) |
+            ((raw(raw.length - 1) & 0xffL) << 24)
+          require(fletcher32(payload) == stored,
+            s"h5: fletcher32 checksum mismatch (block is corrupt)")
+          raw = payload
         case 4 =>
           require(f.clientValues.length >= 4,
             s"h5: szip filter with ${f.clientValues.length} client values")
@@ -1015,6 +1024,38 @@ object H5Lite {
       }
     }
     raw
+  }
+
+  /** HDF5's fletcher32 variant (public H5checksum.c semantics): 16-bit
+    * big-endian words, 360-word partial-reduction blocks, an odd tail
+    * byte padded high, two final fold steps; the filter appends the
+    * result little-endian after the (possibly compressed) payload.
+    */
+  private def fletcher32(data: Array[Byte]): Long = {
+    var sum1 = 0L; var sum2 = 0L
+    var i = 0
+    var remaining = data.length / 2
+    while (remaining > 0) {
+      var tlen = math.min(remaining, 360)
+      remaining -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(i) & 0xffL) << 8) | (data(i + 1) & 0xffL)
+        i += 2
+        sum2 += sum1
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (data.length % 2 == 1) {
+      sum1 += (data(i) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    ((sum2 << 16) | sum1) & 0xffffffffL
   }
 
   private def inflate(raw: Array[Byte]): Array[Byte] = {
@@ -1135,7 +1176,8 @@ object H5Lite {
     */
   case class Chunking(dims: Seq[Int], deflateLevel: Int = 6,
                       shuffle: Boolean = true, szip: Boolean = false,
-                      szipPixelsPerBlock: Int = 16) {
+                      szipPixelsPerBlock: Int = 16,
+                      fletcher32: Boolean = false) {
     require(!szip || (deflateLevel == 0 && !shuffle),
       "h5 write: szip excludes deflate and shuffle")
   }
@@ -1450,6 +1492,14 @@ object H5Lite {
             if (ck.shuffle) bytes = shuffle(bytes, dt.size)
             if (ck.deflateLevel > 0) bytes = deflate(bytes, ck.deflateLevel)
             szipParams.foreach(p => bytes = Szip.compress(bytes, p))
+            if (ck.fletcher32) {
+              // checksum the post-compression payload, appended LE —
+              // fletcher32 is declared (and applied) last on write, so
+              // the reader strips-and-verifies it first
+              val c = fletcher32(bytes)
+              bytes = bytes ++ Array[Byte](c.toByte, (c >> 8).toByte,
+                (c >> 16).toByte, (c >> 24).toByte)
+            }
             (bytes, offs)
           }
           val filterMsg: Option[Msg] = {
@@ -1457,7 +1507,8 @@ object H5Lite {
               (if (ck.deflateLevel > 0) Seq((1, Seq(ck.deflateLevel.toLong))) else Nil) ++
               szipParams.map(p => (4, Seq(p.optionMask.toLong,
                 p.bitsPerPixel.toLong, p.pixelsPerBlock.toLong,
-                p.pixelsPerScanline.toLong))).toSeq
+                p.pixelsPerScanline.toLong))).toSeq ++
+              (if (ck.fletcher32) Seq((3, Seq.empty[Long])) else Nil)
             if (fs.isEmpty) None
             else {
               val sz = 8 + fs.map(f => 8 + f._2.length * 4 +

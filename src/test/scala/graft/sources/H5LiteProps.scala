@@ -24,11 +24,13 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
     deflate <- Gen.oneOf(0, 1, 6)
     szip <- Gen.oneOf(true, false) // swaps deflate+shuffle when eligible
     ppb <- Gen.oneOf(2, 8, 16, 32)
+    fletcher <- Gen.oneOf(true, false) // checksum after any compression
     dense <- Gen.oneOf(true, false) // root link storage: dense vs symbol table
+    denseFilter <- Gen.oneOf(true, false) // deflated indirect-root link heap
     nVars <- Gen.choose(1, 24)
     seed <- Gen.choose(0L, Long.MaxValue)
   } yield (dims, ncType, chunked, chunkDims, shuffle, deflate, szip, ppb,
-    dense, nVars, seed)
+    fletcher, dense, denseFilter, nVars, seed)
 
   /** The value as the on-disk type round-trips it (f32 truncation,
     * integer truncation) — what write-then-read must reproduce.
@@ -42,7 +44,7 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
 
   property("randomShapeTypeChunkingRoundTrip") = Prop.forAll(genCase) {
     case (dims, ncType, chunked, chunkDims, shuffle, deflate, szip, ppb,
-        dense, nVars, seed) =>
+        fletcher, dense, denseFilter, nVars, seed) =>
       val n = dims.product
       val rnd = new scala.util.Random(seed)
       val datas = (0 until nVars).map(_ =>
@@ -58,9 +60,12 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
       val chunking =
         if (!chunked) Map.empty[String, H5Lite.Chunking]
         else if (useSzip) Map("v0" -> H5Lite.Chunking(chunkDims, 0,
-          shuffle = false, szip = true, szipPixelsPerBlock = ppb))
-        else Map("v0" -> H5Lite.Chunking(chunkDims, deflate, shuffle))
-      val back = H5Lite.read(H5Lite.write(f0, chunking, denseRoot = dense))
+          shuffle = false, szip = true, szipPixelsPerBlock = ppb,
+          fletcher32 = fletcher))
+        else Map("v0" -> H5Lite.Chunking(chunkDims, deflate, shuffle,
+          fletcher32 = fletcher))
+      val back = H5Lite.read(H5Lite.write(f0, chunking, denseRoot = dense,
+        denseHeapFilter = dense && denseFilter))
       Prop.all(datas.zipWithIndex.map { case (data, vi) =>
         val v = back.variable(s"v$vi").get
         (back.shape(v) == dims) :| s"shape v$vi" &&

@@ -175,6 +175,34 @@ class H5LiteSpec extends SparkSpec {
     }
   }
 
+  test("fletcher32 round-trips over shuffle+deflate and DETECTS a " +
+    "flipped payload byte") {
+    val data = Array.tabulate(40)(i => math.sin(i * 0.37) * 50)
+    val f0 = NcFile(Seq(NcDim("x", 40)), Nil,
+      Seq(NcVar("v", Seq("x"), NC_DOUBLE, Nil, data)))
+    val bytes = H5Lite.write(f0, chunking =
+      Map("v" -> H5Lite.Chunking(Seq(16), fletcher32 = true)))
+    assert(H5Lite.read(bytes).variable("v").get.data.toSeq === data.toSeq)
+    // also with compression off: checksum over the raw chunk
+    val plain = H5Lite.write(f0, chunking = Map("v" ->
+      H5Lite.Chunking(Seq(16), deflateLevel = 0, shuffle = false,
+        fletcher32 = true)))
+    assert(H5Lite.read(plain).variable("v").get.data.toSeq === data.toSeq)
+    // flip one payload byte of the uncompressed variant: the read
+    // must fail the checksum, not silently return corrupt values.
+    // (Chunk payloads are raw doubles here, so locate a chunk by its
+    // known first element and corrupt a byte inside it.)
+    val first = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(data(16)).array()
+    val at = plain.indexOfSlice(first.toSeq)
+    assert(at > 0, "could not locate chunk payload to corrupt")
+    val corrupt = plain.clone()
+    corrupt(at + 3) = (corrupt(at + 3) ^ 0x40).toByte
+    val e = intercept[Exception](
+      H5Lite.read(corrupt).variable("v").get.data.toSeq)
+    assert(e.getMessage.contains("fletcher32"), e.getMessage)
+  }
+
   test("dense group combines with chunked+deflate variables") {
     val data = Array.tabulate(48)(_ * 1.5)
     val f0 = NcFile(
