@@ -147,10 +147,14 @@ object Avi {
           require(width > 0 && height > 0, "avi: frame before avih header")
           // same overflow class as the chunk walk: corrupt avih
           // dimensions make stride*height (and width*height) wrap Int,
-          // so the short-frame guard must run in Long and the raster
-          // allocation must be bounded before it happens
-          require(width.toLong * height <= (1L << 26),
-            s"avi: implausible frame geometry ${width}x$height")
+          // so the raster-allocation product must be checked in Long
+          // and the short-frame guard must run in Long. No arbitrary
+          // size cap beyond that: a legitimate giant frame passes iff
+          // the chunk really carries its bytes (bounded by the parent
+          // walk, hence by the file length), while corrupt geometry
+          // fails one of these two checks
+          require(width.toLong * height <= Int.MaxValue,
+            s"avi: frame geometry ${width}x$height overflows")
           val stride = rowStride(width)
           require(size >= stride.toLong * height, s"avi: short DIB frame ($size bytes)")
           val f = new Array[Int](width * height)

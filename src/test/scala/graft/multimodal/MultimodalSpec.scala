@@ -237,7 +237,7 @@ class MultimodalSpec extends SparkSpec {
     fixLe32(corrupt, avih + 8 + 32, 0x20000) // width
     fixLe32(corrupt, avih + 8 + 36, 0x10000) // height
     val e = intercept[IllegalArgumentException](Avi.decode(corrupt))
-    assert(e.getMessage.contains("implausible") || e.getMessage.contains("short DIB"))
+    assert(e.getMessage.contains("overflows") || e.getMessage.contains("short DIB"))
   }
 
   test("AVI with MJPEG-style compressed frames decodes through ImageIO") {

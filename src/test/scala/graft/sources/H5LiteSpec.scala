@@ -154,7 +154,12 @@ class H5LiteSpec extends SparkSpec {
     // filter length is non-zero, regardless of root block type — a
     // reader that ties them to "root is direct" misparses every
     // filtered heap that has grown past its root direct block
-    val names = (0 until 24).map(i => f"fv_$i%02d")
+    // long names make the link bodies total ~1.1 KiB: the half-corpus
+    // sizing picks a 1024-byte block (1007 B capacity), so the links
+    // CANNOT fit one block — the round-trip necessarily drives the
+    // multi-block greedy split, per-block heap offsets, and the
+    // multi-entry FHIB, not just a single-entry indirect root
+    val names = (0 until 28).map(i => f"filtered_variable_long_name_$i%02d")
     val f0 = NcFile(
       Seq(NcDim("x", 3)), Nil,
       names.zipWithIndex.map { case (nm, i) =>
@@ -346,6 +351,62 @@ class H5LiteSpec extends SparkSpec {
     assert(sstC.dims === Seq("sst_d0", "sst_d1"))
     assert(sstC.attr("summary").get.text === "")
     assert(sstC.data.toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("compound attribute values decode as flattened numeric members " +
+    "(REFERENCE_LIST-shaped {dataset ref, index}), v3 and v1 encodings") {
+    import scala.collection.mutable.ArrayBuffer
+    def b(v: Int) = v.toByte
+    def le16(v: Int) = Seq(b(v & 0xff), b((v >> 8) & 0xff))
+    def le32(v: Long) = (0 until 4).map(i => b(((v >> (8 * i)) & 0xff).toInt))
+    def le64(v: Long) = (0 until 8).map(i => b(((v >> (8 * i)) & 0xff).toInt))
+    val data = le64(0x1000) ++ le32(3) ++ le64(0x2000) ++ le32(7)
+    val refDt = Seq(b(0x17), b(0), b(0), b(0)) ++ le32(8) // class 7, size 8
+    val u32Dt = Seq(b(0x10), b(0), b(0), b(0)) ++ le32(4) ++ // class 0, size 4
+      le16(0) ++ le16(32) // fixed-point properties: bit offset, precision
+
+    // ---- v3 attribute message with a v3 compound datatype
+    val dtV3 = ArrayBuffer[Byte]()
+    dtV3 ++= Seq(b(0x36), b(2), b(0), b(0)) ++= le32(12) // v3 compound, 2 members
+    dtV3 ++= "dataset".getBytes :+ b(0); dtV3 += b(0) // name, 1-byte offset 0
+    dtV3 ++= refDt
+    dtV3 ++= "index".getBytes :+ b(0); dtV3 += b(8) // name, 1-byte offset 8
+    dtV3 ++= u32Dt
+    val dsV2 = Seq(b(2), b(1), b(0), b(1)) ++ le64(2) // v2 dataspace, rank 1, [2]
+    val name = "REFERENCE_LIST".getBytes :+ b(0)
+    val msgV3 = ArrayBuffer[Byte]()
+    msgV3 ++= Seq(b(3), b(0)) ++= le16(name.length) ++=
+      le16(dtV3.length) ++= le16(dsV2.length) += b(0)
+    msgV3 ++= name ++= dtV3 ++= dsV2 ++= data
+    val a3 = H5Lite.decodeAttrMessage(msgV3.toArray)
+    assert(a3.name === "REFERENCE_LIST")
+    assert(a3.nums === Seq(4096.0, 3.0, 8192.0, 7.0))
+    assert(a3.groups === Seq(2, 2))
+
+    // ---- v1 attribute message with a v1 compound datatype (padded
+    // member names + the legacy dimensionality/permutation fields)
+    val legacy = Seq(b(0), b(0), b(0), b(0)) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) // rank+reserved, perm, res, dims
+    val dtV1 = ArrayBuffer[Byte]()
+    dtV1 ++= Seq(b(0x16), b(2), b(0), b(0)) ++= le32(12)
+    dtV1 ++= "dataset".getBytes :+ b(0) // 8 bytes, already aligned
+    dtV1 ++= le32(0) ++= legacy ++= refDt
+    dtV1 ++= "index".getBytes :+ b(0) :+ b(0) :+ b(0) // padded to 8
+    dtV1 ++= le32(8) ++= legacy ++= u32Dt
+    val dsV1 = Seq(b(1), b(1), b(0), b(0)) ++ le32(0) ++ le64(2)
+    def pad8(a: ArrayBuffer[Byte]): Unit = while (a.length % 8 != 0) a += b(0)
+    val msgV1 = ArrayBuffer[Byte]()
+    msgV1 ++= Seq(b(1), b(0)) ++= le16(name.length) ++=
+      le16(dtV1.length) ++= le16(dsV1.length)
+    msgV1 ++= name; pad8(msgV1)
+    val dtLen = dtV1.length
+    msgV1 ++= dtV1; pad8(msgV1)
+    msgV1 ++= dsV1; pad8(msgV1)
+    msgV1 ++= data
+    assert(dtLen === 8 + (8 + 4 + 28 + 8) + (8 + 4 + 28 + 12))
+    val a1 = H5Lite.decodeAttrMessage(msgV1.toArray)
+    assert(a1.nums === Seq(4096.0, 3.0, 8192.0, 7.0))
+    assert(a1.groups === Seq(2, 2))
   }
 
   test("2-D swath granules decode through the HDF5 path") {
