@@ -111,9 +111,21 @@ object GranuleIngest {
     */
   def readGranules(spark: SparkSession, glob: String, valueVar: String,
                    latVar: String = "lat", lonVar: String = "lon",
-                   timeVar: String = "time", swath: Boolean = false): DataFrame = {
+                   timeVar: String = "time", swath: Boolean = false): DataFrame =
+    decodeFiles(spark.read.format("binaryFile").load(glob),
+      valueVar, latVar, lonVar, timeVar, swath)
+
+  /** Decode a `binaryFile`-shaped relation (path, content) to points —
+    * shared by the batch glob scan above and the streaming file-watch
+    * pipeline (`StreamingIngest.granulePipeline`), so bulk backfill
+    * and continuous ingest can never diverge in decode semantics.
+    */
+  def decodeFiles(files: DataFrame, valueVar: String,
+                  latVar: String = "lat", lonVar: String = "lon",
+                  timeVar: String = "time", swath: Boolean = false): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(glob)
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

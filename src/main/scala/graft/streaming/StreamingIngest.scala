@@ -92,4 +92,78 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
+
+  /** Continuous GRANULE ingest — the reference's file-watch → decode →
+    * tile pipeline (`stream-definitions:1`, `tilereadingprocessor.py`)
+    * as one Structured Streaming query: new NetCDF/HDF5 files under
+    * `watchDir` decode in executor tasks and land as tiles in the
+    * partitioned store at `outPath`.
+    *
+    * Scale/exactly-once shape:
+    *  - `foreachBatch` reuses the EXACT batch path
+    *    (`GranuleIngest.decodeFiles` → `Ingest.pointsToTiles`), so
+    *    continuous ingest and bulk backfill cannot diverge; the only
+    *    shuffle per micro-batch is the tiler's granule-local group-by.
+    *  - Replays (checkpoint recovery, or re-listing after a checkpoint
+    *    loss) are made idempotent the way the reference's UUID5 →
+    *    Cassandra upsert is: tiles anti-join the store on the
+    *    deterministic `tile_id` BEFORE the append, with the store side
+    *    pruned to the batch's own (dataset, time_bucket) partitions —
+    *    the lookup cost scales with the batch's time span, not the
+    *    archive size.
+    */
+  def granulePipeline(spark: org.apache.spark.sql.SparkSession,
+                      watchDir: String, outPath: String, checkpoint: String,
+                      valueVar: String, dataset: String,
+                      tileLat: Double, tileLon: Double,
+                      latVar: String = "lat", lonVar: String = "lon",
+                      timeVar: String = "time",
+                      swath: Boolean = false): DataStreamWriter[Row] = {
+    // streaming file sources demand an explicit schema; binaryFile's
+    // is fixed by the format
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream.format("binaryFile")
+      .schema(binarySchema).load(watchDir)
+    files.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val pts = graft.ingest.GranuleIngest.decodeFiles(
+          batch, valueVar, latVar, lonVar, timeVar, swath)
+        val tiles = graft.ingest.Ingest
+          .pointsToTiles(pts, tileLat, tileLon, dataset)
+          .withColumn("time_bucket", (col("min_time") / 2592000L).cast("long"))
+          .persist()
+        try {
+          // partition-pruned idempotency: only the batch's own
+          // time buckets are consulted (bounded driver collect)
+          val buckets = tiles.select(col("time_bucket")).distinct()
+            .collect().map(_.getLong(0))
+          val s = batch.sparkSession
+          val storePath = new org.apache.hadoop.fs.Path(outPath)
+          val storeExists = storePath
+            .getFileSystem(s.sparkContext.hadoopConfiguration).exists(storePath)
+          val fresh =
+            if (buckets.isEmpty || !storeExists) tiles
+            else tiles.join(
+              s.read.parquet(outPath)
+                .where(col("dataset") === dataset &&
+                  col("time_bucket").isin(buckets.map(Long.box): _*))
+                .select(col("tile_id")),
+              Seq("tile_id"), "left_anti")
+          fresh.write.mode("append")
+            .partitionBy("dataset", "time_bucket")
+            .parquet(outPath)
+        } finally tiles.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
 }

@@ -51,6 +51,50 @@ class GranuleIngestSpec extends SparkSpec {
     assert(first.getAs[Seq[Float]]("data").count(_.isNaN) === 1)
   }
 
+  test("granulePipeline streams arriving granules into the tile store " +
+    "incrementally and idempotently (checkpoint loss included)") {
+    import graft.streaming.StreamingIngest
+    val watch = java.nio.file.Files.createTempDirectory("graft_watch").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_store")
+      .toFile.getAbsolutePath + "/tiles"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      .toFile.getAbsolutePath
+    def run(checkpoint: String): Unit = {
+      val q = StreamingIngest.granulePipeline(spark, watch.getAbsolutePath,
+        out, checkpoint, "sst", "sst_stream", 30.0, 30.0).start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(
+      new java.io.File(watch, "g1.nc").toPath, gridGranule(86400, 0.0))
+    run(ckpt)
+    val after1 = spark.read.parquet(out)
+    assert(after1.count() === 2) // one 30° cell × 2 time steps
+    assert(after1.select("dataset").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("sst_stream"))
+
+    // a new granule arrives: the SAME checkpoint continues incrementally
+    java.nio.file.Files.write(
+      new java.io.File(watch, "g2.nc").toPath, gridGranule(172800, 10.0))
+    run(ckpt)
+    assert(spark.read.parquet(out).count() === 4)
+
+    // checkpoint loss: a FRESH checkpoint re-lists and re-decodes every
+    // file — the tile_id anti-join keeps the store duplicate-free (the
+    // reference gets the same property from UUID5 + Cassandra upsert)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ckpt2")
+      .toFile.getAbsolutePath
+    run(ckpt2)
+    val finalTiles = spark.read.parquet(out)
+    assert(finalTiles.count() === 4)
+    assert(finalTiles.select("tile_id").distinct().count() === 4)
+    // streamed tiles are byte-identical to the batch path's
+    val batch = GranuleIngest.ingestGridGranules(spark,
+      watch.getAbsolutePath + "/*.nc", "sst", "sst_stream", 30.0, 30.0)
+    assert(finalTiles.select("tile_id", "stats_mean", "stats_count")
+      .except(batch.select("tile_id", "stats_mean", "stats_count"))
+      .count() === 0)
+  }
+
   test("swath granules decode per-pixel geolocation and per-scan time") {
     val nc = NcFile(
       dims = Seq(NcDim("y", 2), NcDim("x", 3)),
