@@ -29,11 +29,16 @@ case class GranulePoint(granule: String, time: Long, latitude: Double,
 object GranuleIngest {
 
   /** Format sniff: NetCDF classic (`CDF\x01/\x02`) or NetCDF-4/HDF5
-    * (`\x89HDF`) — the same dual dispatch libnetcdf performs.
+    * (`\x89HDF`) — the same dual dispatch libnetcdf performs. `keep`
+    * pushes variable projection into the codec: non-kept multi-D
+    * payloads are never decoded (chunks not read / inflated), so the
+    * decode cost of an ingest scales with the variables ASKED FOR,
+    * not the granule's variable count.
     */
-  def decode(bytes: Array[Byte]): NcFile =
-    if (H5Lite.isHdf5(bytes)) H5Lite.read(bytes)
-    else NetcdfClassic.read(bytes)
+  def decode(bytes: Array[Byte],
+             keep: String => Boolean = _ => true): NcFile =
+    if (H5Lite.isHdf5(bytes)) H5Lite.read(bytes, keep)
+    else NetcdfClassic.read(bytes, keep)
 
   /** Points of a gridded granule: `valueVar` spans (time, lat, lon) —
     * or (lat, lon) with a scalar/absent time — with 1-D coordinate
@@ -125,11 +130,14 @@ object GranuleIngest {
                   timeVar: String = "time", swath: Boolean = false): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
+    // projection pushdown into the codec: only the variables this
+    // ingest actually reads get their payloads decoded
+    val wanted = Set(valueVar, latVar, lonVar, timeVar)
     files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val nc = decode(bytes)
+        val nc = decode(bytes, wanted)
         val granule = path.substring(path.lastIndexOf('/') + 1)
         if (swath) swathPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
         else gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)

@@ -118,8 +118,15 @@ object H5Lite {
     }
   }
 
-  /** Parse HDF5 bytes into the engine's NcFile model. */
-  def read(bytes: Array[Byte]): NcFile = {
+  /** Parse HDF5 bytes into the engine's NcFile model. `keep` is
+    * projection pushdown into the codec (same contract as
+    * [[NetcdfClassic.read]]): multi-dimensional variables failing the
+    * predicate are dropped WITHOUT decoding — their chunks are never
+    * read, inflated, or unfiltered — while 1-D variables (coordinate
+    * axes / dimension scales) always decode, keeping shared dim
+    * identity intact.
+    */
+  def read(bytes: Array[Byte], keep: String => Boolean = _ => true): NcFile = {
     require(isHdf5(bytes), "h5: not an HDF5 file (signature mismatch)")
     val r = new R(bytes)
     r.at(8)
@@ -172,7 +179,7 @@ object H5Lite {
     val dims = ArrayBuffer.empty[NcDim]
     def addDim(nm: String, len: Int): Unit =
       if (!dims.exists(_.name == nm)) dims += NcDim(nm, len)
-    val vars = sets.map { d =>
+    val vars = sets.filter(d => d.dims.length <= 1 || keep(d.name)).map { d =>
       // use real dim identity only when the list is unambiguous:
       // exactly one reference per axis (multi-scale or scale-less axes
       // flatten to a different count), every reference a 1-D dataset

@@ -147,8 +147,14 @@ object NetcdfClassic {
     }
   }
 
-  /** Parse a classic NetCDF byte array. */
-  def read(bytes: Array[Byte]): NcFile = {
+  /** Parse a classic NetCDF byte array. `keep` is projection pushdown
+    * into the codec: multi-dimensional variables failing the predicate
+    * are dropped WITHOUT decoding their payloads (1-D variables —
+    * coordinate axes — always decode; they are tiny and needed for dim
+    * identity), so ingesting one variable of a 20-variable granule
+    * costs one variable's decode, not twenty.
+    */
+  def read(bytes: Array[Byte], keep: String => Boolean = _ => true): NcFile = {
     require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
       "netcdf: not a CDF classic file (magic mismatch)")
     val version = bytes(3)
@@ -208,7 +214,7 @@ object NetcdfClassic {
       ds.map(i => rawDims(i).length).product.max(1)
     }
 
-    val vars = hdrs.map { h =>
+    val vars = hdrs.filter(h => h.dimIds.length <= 1 || keep(h.name)).map { h =>
       val isRec = h.dimIds.headOption.contains(recDimIdx)
       val n = slabElems(h)
       val data =

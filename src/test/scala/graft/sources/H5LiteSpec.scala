@@ -180,6 +180,35 @@ class H5LiteSpec extends SparkSpec {
     }
   }
 
+  test("variable projection pushdown: non-kept payloads are NEVER " +
+    "decoded (a corrupted dropped variable cannot break the read)") {
+    val d1 = Array.tabulate(24)(i => math.cos(i * 0.21) * 40)
+    val d2 = Array.tabulate(24)(i => 1000.0 + i)
+    val f0 = NcFile(Seq(NcDim("y", 4), NcDim("x", 6)), Nil,
+      Seq(NcVar("sst", Seq("y", "x"), NC_DOUBLE, Nil, d1),
+        NcVar("wind", Seq("y", "x"), NC_DOUBLE, Nil, d2)))
+    val bytes = H5Lite.write(f0, chunking = Map(
+      "sst" -> H5Lite.Chunking(Seq(4, 6), deflateLevel = 0, shuffle = false,
+        fletcher32 = true),
+      "wind" -> H5Lite.Chunking(Seq(4, 6), deflateLevel = 0, shuffle = false,
+        fletcher32 = true)))
+    // corrupt a byte inside wind's (uncompressed, checksummed) chunk
+    val probe = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(d2(0)).array()
+    val at = bytes.indexOfSlice(probe.toSeq)
+    assert(at > 0)
+    val corrupt = bytes.clone()
+    corrupt(at + 2) = (corrupt(at + 2) ^ 0x20).toByte
+    // full read decodes wind → checksum failure
+    intercept[Exception](H5Lite.read(corrupt).vars.foreach(_ => ()))
+    // pruned read never touches wind's chunks: succeeds, sst intact,
+    // wind absent from the model (asking for it fails loudly)
+    val pruned = H5Lite.read(corrupt, keep = Set("sst"))
+    assert(pruned.variable("sst").get.data.toSeq === d1.toSeq)
+    assert(pruned.variable("wind").isEmpty)
+    assert(pruned.dims.map(_.name).toSet === Set("sst_d0", "sst_d1"))
+  }
+
   test("fletcher32 round-trips over shuffle+deflate and DETECTS a " +
     "flipped payload byte") {
     val data = Array.tabulate(40)(i => math.sin(i * 0.37) * 50)

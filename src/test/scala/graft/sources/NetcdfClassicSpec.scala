@@ -33,6 +33,18 @@ class NetcdfClassicSpec extends AnyFunSuite {
     assert(back.variable("time").get.data.toSeq === Seq(1000.0, 2000.0))
   }
 
+  test("keep predicate prunes multi-D variables without decoding them; " +
+    "1-D coordinates always survive") {
+    val back = NetcdfClassic.read(NetcdfClassic.write(grid2x2x2),
+      keep = Set.empty[String])
+    assert(back.variable("sst").isEmpty)
+    // coordinate axes (1-D) decode regardless of the predicate
+    assert(back.variable("lat").isDefined && back.variable("time").isDefined)
+    val kept = NetcdfClassic.read(NetcdfClassic.write(grid2x2x2),
+      keep = Set("sst"))
+    assert(kept.variable("sst").get.data.length === 8)
+  }
+
   test("unpacked applies _FillValue then scale/offset (CF order)") {
     val sst = NetcdfClassic.read(NetcdfClassic.write(grid2x2x2))
       .variable("sst").get.unpacked
