@@ -96,9 +96,19 @@ object Ingest {
   /** S6 — partitioned columnar sink: `dataset` + time-bucket partition
     * keys give partition pruning for every P-layer predicate.
     */
+  /** Month-scale store partition key — ONE definition shared by every
+    * writer (batch sink here, streaming `granulePipeline`), so batch-
+    * and stream-written stores can never diverge in partition layout
+    * (a divergent bucket width would silently break the streaming
+    * idempotency anti-join's partition pruning).
+    */
+  val TimeBucketSeconds = 2592000L
+  def timeBucket(minTime: Column): Column =
+    (minTime / TimeBucketSeconds).cast("long")
+
   def writeTiles(tiles: DataFrame, path: String): Unit =
     tiles
-      .withColumn("time_bucket", (col("min_time") / 2592000L).cast("long"))
+      .withColumn("time_bucket", timeBucket(col("min_time")))
       .write.mode("overwrite")
       .partitionBy("dataset", "time_bucket")
       .parquet(path)

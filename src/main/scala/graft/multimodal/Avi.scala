@@ -153,8 +153,11 @@ object Avi {
           // the chunk really carries its bytes (bounded by the parent
           // walk, hence by the file length), while corrupt geometry
           // fails one of these two checks
-          require(width.toLong * height <= Int.MaxValue,
-            s"avi: frame geometry ${width}x$height overflows")
+          // 2^28 px ≈ 1 GiB of Int raster — far above any real frame,
+          // low enough that a crafted giant-frame file is rejected
+          // with a catchable error instead of an executor OOM
+          require(width.toLong * height <= (1L << 28),
+            s"avi: frame geometry ${width}x$height overflows the subset cap")
           val stride = rowStride(width)
           require(size >= stride.toLong * height, s"avi: short DIB frame ($size bytes)")
           val f = new Array[Int](width * height)

@@ -802,6 +802,14 @@ object H5Lite {
   private def decodeCompound(raw: Array[Byte], dt: Dtype,
                              count: Int): Array[Double] = {
     val ms = numericMembers(dt)
+    // validate member extents against the element size BEFORE slicing:
+    // a corrupt offset must degrade (UnsupportedH5 → empty attr), not
+    // escape as an index error that aborts the whole granule
+    ms.foreach { case (off, m) =>
+      if (off < 0 || m.size < 0 || off > dt.size - m.size)
+        throw new UnsupportedH5(
+          s"h5: compound member at $off size ${m.size} outside element ${dt.size}")
+    }
     (0 until count).flatMap { k =>
       ms.map { case (off, m) =>
         decode(java.util.Arrays.copyOfRange(
@@ -983,10 +991,13 @@ object H5Lite {
           NcAttr(name, ncTypeOf(dt), nums = vals.toSeq)
       }
     } catch {
-      // BufferUnderflow covers a truncated attribute body — same
-      // degrade-to-empty contract as an unmodeled datatype
+      // BufferUnderflow covers a truncated attribute body;
+      // IllegalArgument covers a skip()/at() past the buffer limit
+      // (e.g. datatype property bytes truncated at a heap-block edge)
+      // — same degrade-to-empty contract as an unmodeled datatype
       case _: UnsupportedH5 => NcAttr(name, NC_CHAR, text = "")
       case _: java.nio.BufferUnderflowException => NcAttr(name, NC_CHAR, text = "")
+      case _: IllegalArgumentException => NcAttr(name, NC_CHAR, text = "")
     }
   }
 

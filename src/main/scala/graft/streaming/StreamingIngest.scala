@@ -138,23 +138,33 @@ object StreamingIngest {
           batch, valueVar, latVar, lonVar, timeVar, swath)
         val tiles = graft.ingest.Ingest
           .pointsToTiles(pts, tileLat, tileLon, dataset)
-          .withColumn("time_bucket", (col("min_time") / 2592000L).cast("long"))
+          .withColumn("time_bucket",
+            graft.ingest.Ingest.timeBucket(col("min_time")))
           .persist()
         try {
           // partition-pruned idempotency: only the batch's own
-          // time buckets are consulted (bounded driver collect)
+          // time buckets are consulted (bounded driver collect), and
+          // ONLY their partition directories are listed/read — a
+          // whole-store `read.parquet(outPath)` would pay driver-side
+          // file listing proportional to the archive on every batch,
+          // and would poison the query permanently if the store dir
+          // existed with no data files yet (unschemable)
           val buckets = tiles.select(col("time_bucket")).distinct()
             .collect().map(_.getLong(0))
           val s = batch.sparkSession
-          val storePath = new org.apache.hadoop.fs.Path(outPath)
-          val storeExists = storePath
-            .getFileSystem(s.sparkContext.hadoopConfiguration).exists(storePath)
+          val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          val fs = new org.apache.hadoop.fs.Path(outPath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val partDirs = buckets.map(b => new org.apache.hadoop.fs.Path(
+              s"$outPath/${esc.getPartitionPathString("dataset", dataset)}/" +
+                esc.getPartitionPathString("time_bucket", String.valueOf(b))))
+            .filter(d => fs.exists(d) && fs.listStatus(d)
+              .exists(_.getPath.getName.endsWith(".parquet")))
           val fresh =
-            if (buckets.isEmpty || !storeExists) tiles
+            if (partDirs.isEmpty) tiles
             else tiles.join(
-              s.read.parquet(outPath)
-                .where(col("dataset") === dataset &&
-                  col("time_bucket").isin(buckets.map(Long.box): _*))
+              s.read.option("basePath", outPath)
+                .parquet(partDirs.map(_.toString).toIndexedSeq: _*)
                 .select(col("tile_id")),
               Seq("tile_id"), "left_anti")
           fresh.write.mode("append")
