@@ -12,6 +12,14 @@ import graft.sources.NetcdfClassic.{NcFile, NcVar}
 case class GranulePoint(granule: String, time: Long, latitude: Double,
                         longitude: Double, value: Double)
 
+/** A point carrying secondary-variable values (`meta`, one slot per
+  * requested meta variable, NaN where that variable is masked) beside
+  * the primary — the reference's `meta_data` companion arrays
+  * (`nexusmodel.py:34`).
+  */
+case class GranulePointM(granule: String, time: Long, latitude: Double,
+                         longitude: Double, value: Double, meta: Seq[Double])
+
 /** S1/S2 — direct NetCDF granule ingest
   * (`tilereadingprocessor.py:130-190`: `read_grid_data` for
   * (time, lat, lon) grids, `read_swath_data` for 2-D swaths).
@@ -148,12 +156,47 @@ object GranuleIngest {
   /** End-to-end S1→S3: granule files → points → tiles (the
     * `pointsToTiles` chunker). Grid granules only — swath points are
     * sparse and go through the typed swath path instead.
+    *
+    * `metaVars` ingests SECONDARY variables alongside the primary:
+    * each decodes from the same (time, lat, lon) grid (own fill mask)
+    * and lands in the tile's `meta_data` map in the same row-major
+    * layout as `data` — the reference's multi-variable tile shape
+    * (`nexusmodel.py:34`; e.g. wind_u primary + wind_v/wind_dir meta).
     */
   def ingestGridGranules(spark: SparkSession, glob: String, valueVar: String,
                          dataset: String, tileLat: Double, tileLon: Double,
                          latVar: String = "lat", lonVar: String = "lon",
-                         timeVar: String = "time"): DataFrame =
-    Ingest.pointsToTiles(
-      readGranules(spark, glob, valueVar, latVar, lonVar, timeVar),
-      tileLat, tileLon, dataset)
+                         timeVar: String = "time",
+                         metaVars: Seq[String] = Nil): DataFrame =
+    if (metaVars.isEmpty)
+      Ingest.pointsToTiles(
+        readGranules(spark, glob, valueVar, latVar, lonVar, timeVar),
+        tileLat, tileLon, dataset)
+    else {
+      import spark.implicits._
+      val wanted = (Set(valueVar, latVar, lonVar, timeVar) ++ metaVars): Set[String]
+      val pts = spark.read.format("binaryFile").load(glob)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val nc = decode(bytes, wanted)
+          val granule = path.substring(path.lastIndexOf('/') + 1)
+          val metas = metaVars.map(mv => nc.variable(mv).getOrElse(
+            sys.error(s"granule $granule: no meta variable $mv")).unpacked)
+          val nPrim = nc.variable(valueVar).map(_.data.length).getOrElse(0)
+          metas.zip(metaVars).foreach { case (m, nm) =>
+            require(m.length == nPrim,
+              s"granule $granule: meta variable $nm has ${m.length} cells, " +
+                s"primary $valueVar has $nPrim") }
+          val primary = gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
+          primary.zipWithIndex.map { case (p, k) =>
+            // gridPointsOf enumerates row-major over the SAME grid the
+            // meta variables span, so the flat index k lines up
+            GranulePointM(p.granule, p.time, p.latitude, p.longitude,
+              p.value, metas.map(m => m(k)))
+          }
+        }
+        .toDF()
+      Ingest.pointsToTiles(pts, tileLat, tileLon, dataset, metaNames = metaVars)
+    }
 }

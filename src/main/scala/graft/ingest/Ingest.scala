@@ -29,12 +29,26 @@ object Ingest {
     * cells in the array but excluded from stats; fully-masked tiles are
     * dropped (emptytilefilter.py:16-29).
     */
+  /** `metaNames` (secondary variables, reference `nexusmodel.py:34`
+    * `meta_data` — wind_v / wind_dir / *_std …): when non-empty, the
+    * points relation must carry a `meta: array<double>` column with
+    * one slot per name; each name lands in the tile's `meta_data` map
+    * as an array in the SAME row-major layout as `data` (independent
+    * NaN masks — a point masked in the primary can still carry meta,
+    * and vice versa). Tile stats stay primary-only, like the
+    * reference's `TileSummary.DataStats`.
+    */
   def pointsToTiles(points: DataFrame, tileLat: Double, tileLon: Double,
-                    dataset: String): DataFrame = {
+                    dataset: String, metaNames: Seq[String] = Nil): DataFrame = {
     val cellLat = floor(col("latitude") / tileLat)
     val cellLon = floor(col("longitude") / tileLon)
     val w = GeoFunctions.cosLatWeight(col("latitude"))
     val validVal = when(isnan(col("value")), lit(null)).otherwise(col("value"))
+    // structs sort by field order (latitude, longitude lead), so the
+    // appended meta slot cannot perturb the row-major cell order
+    val cellStruct =
+      if (metaNames.isEmpty) struct(col("latitude"), col("longitude"), col("value"))
+      else struct(col("latitude"), col("longitude"), col("value"), col("meta"))
 
     points
       .withColumn("cell_lat", cellLat)
@@ -46,8 +60,7 @@ object Ingest {
         sort_array(collect_set(col("latitude"))).as("lats_d"),
         sort_array(collect_set(col("longitude"))).as("lons_d"),
         // row-major lat-then-lon order via (lat, lon)-sorted structs
-        sort_array(collect_list(struct(col("latitude"), col("longitude"),
-          col("value")))).as("cells"),
+        sort_array(collect_list(cellStruct)).as("cells"),
         min(validVal).as("stats_min"),
         max(validVal).as("stats_max"),
         (sum(validVal * w) / sum(when(validVal.isNotNull, w))).as("stats_mean"),
@@ -90,7 +103,13 @@ object Ingest {
         array(col("time")).as("times"),
         transform(col("cells"), c => coalesce(c.getField("value"), lit(Double.NaN)))
           .cast("array<float>").as("data"),
-        map().cast("map<string,array<float>>").as("meta_data"))
+        (if (metaNames.isEmpty) map().cast("map<string,array<float>>")
+         else map_from_arrays(
+           array(metaNames.map(lit): _*),
+           array(metaNames.indices.map(i =>
+             transform(col("cells"), c =>
+               coalesce(element_at(c.getField("meta"), i + 1), lit(Double.NaN)))
+               .cast("array<float>")): _*))).as("meta_data"))
   }
 
   /** S6 — partitioned columnar sink: `dataset` + time-bucket partition

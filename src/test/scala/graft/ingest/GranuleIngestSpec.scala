@@ -51,6 +51,48 @@ class GranuleIngestSpec extends SparkSpec {
     assert(first.getAs[Seq[Float]]("data").count(_.isNaN) === 1)
   }
 
+  test("secondary variables ingest into meta_data in the same row-major " +
+    "layout as data, with independent masks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta").toFile
+    // primary sst masks cell 3; wind masks cell 5 — independent masks
+    val nc = NcFile(
+      dims = Seq(NcDim("time", 1), NcDim("lat", 2), NcDim("lon", 4)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("time", Seq("time"), NC_INT, Nil, Array(86400.0)),
+        NcVar("lat", Seq("lat"), NC_FLOAT, Nil, Array(10.0, 20.0)),
+        NcVar("lon", Seq("lon"), NC_FLOAT, Nil, Array(1.0, 2.0, 3.0, 4.0)),
+        NcVar("sst", Seq("time", "lat", "lon"), NC_DOUBLE,
+          Seq(NcAttr("_FillValue", NC_DOUBLE, nums = Seq(-999.0))),
+          Array(1, 2, 3, -999, 5, 6, 7, 8).map(_.toDouble)),
+        NcVar("wind", Seq("time", "lat", "lon"), NC_DOUBLE,
+          Seq(NcAttr("_FillValue", NC_DOUBLE, nums = Seq(-999.0))),
+          Array(11, 12, 13, 14, 15, -999, 17, 18).map(_.toDouble)),
+        NcVar("ice", Seq("time", "lat", "lon"), NC_DOUBLE, Nil,
+          Array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8))))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "m1.nc").toPath, NetcdfClassic.write(nc))
+    val tiles = GranuleIngest.ingestGridGranules(spark,
+      dir.getAbsolutePath + "/*.nc", "sst", "multi", 90.0, 90.0,
+      metaVars = Seq("wind", "ice"))
+    val row = tiles.collect() match { case Array(r) => r }
+    val data = row.getAs[scala.collection.Seq[Float]]("data")
+    val meta = row.getAs[Map[String, scala.collection.Seq[Float]]]("meta_data")
+    assert(data.take(3) === Seq(1.0f, 2.0f, 3.0f) && data(3).isNaN)
+    // same row-major slots; wind's OWN mask at slot 5, value at slot 3
+    val wind = meta("wind")
+    assert(wind.take(5) === Seq(11f, 12f, 13f, 14f, 15f) && wind(5).isNaN)
+    assert(wind.drop(6) === Seq(17f, 18f))
+    assert(meta("ice").last === 0.8f)
+    // stats stay primary-only: the wind mask does not change the count
+    assert(row.getAs[Long]("stats_count") === 7)
+    // metaVars = Nil keeps the legacy empty map (hash-stable gates)
+    val plain = GranuleIngest.ingestGridGranules(spark,
+      dir.getAbsolutePath + "/*.nc", "sst", "multi", 90.0, 90.0)
+    assert(plain.collect()(0)
+      .getAs[Map[String, scala.collection.Seq[Float]]]("meta_data").isEmpty)
+  }
+
   test("granulePipeline streams arriving granules into the tile store " +
     "incrementally and idempotently (checkpoint loss included)") {
     import graft.streaming.StreamingIngest
