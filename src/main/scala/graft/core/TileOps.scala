@@ -30,15 +30,29 @@ object TileOps {
     * time × lat × lon layout; NaN cells are dropped (mask semantics).
     * No shuffle — a generator over the scan.
     */
-  def toPoints(tiles: DataFrame): DataFrame = {
+  /** `metaNames`: also surface the named `meta_data` companion arrays
+    * (secondary variables, `nexusmodel.py:34/69-86` — the reference's
+    * point generator yields `NexusPoint.data_val` plus the same-index
+    * meta values) as one column per name, aligned by the shared
+    * row-major index. A point masked in the PRIMARY is dropped (the
+    * reference's generator iterates the primary's mask); a meta slot
+    * masked independently surfaces as NULL.
+    */
+  def toPoints(tiles: DataFrame, metaNames: Seq[String] = Nil): DataFrame = {
     val nlat = size(col("latitudes"))
     val nlon = size(col("longitudes"))
+    val metaCols = metaNames.map { nm =>
+      val slot = element_at(element_at(col("meta_data"), nm), col("idx") + 1)
+      when(isnan(slot), lit(null)).otherwise(slot)
+        .cast("double").as(nm)
+    }
     tiles
-      .select(col("tile_id"), col("dataset"), col("latitudes"), col("longitudes"),
-        col("times"), nlat.as("nlat"), nlon.as("nlon"),
-        posexplode(col("data")).as(Seq("idx", "value")))
+      .select(Seq(col("tile_id"), col("dataset"), col("latitudes"),
+        col("longitudes"), col("times"), nlat.as("nlat"), nlon.as("nlon"),
+        posexplode(col("data")).as(Seq("idx", "value"))) ++
+        (if (metaNames.isEmpty) Nil else Seq(col("meta_data"))): _*)
       .where(!isnan(col("value")))
-      .select(
+      .select(Seq(
         col("tile_id"), col("dataset"),
         element_at(col("latitudes"), (col("idx") % (col("nlat") * col("nlon")) / col("nlon")).cast("int") + 1)
           .cast("double").as("latitude"),
@@ -46,7 +60,7 @@ object TileOps {
           .cast("double").as("longitude"),
         element_at(col("times"), (col("idx") / (col("nlat") * col("nlon"))).cast("int") + 1)
           .as("time"),
-        col("value").cast("double").as("value"))
+        col("value").cast("double").as("value")) ++ metaCols: _*)
   }
 
   /** Clip exploded points to a search bbox (mask_tiles_to_bbox,

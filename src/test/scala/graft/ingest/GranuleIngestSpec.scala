@@ -91,6 +91,19 @@ class GranuleIngestSpec extends SparkSpec {
       dir.getAbsolutePath + "/*.nc", "sst", "multi", 90.0, 90.0)
     assert(plain.collect()(0)
       .getAs[Map[String, scala.collection.Seq[Float]]]("meta_data").isEmpty)
+
+    // and meta surfaces at QUERY time: toPoints(metaNames) yields one
+    // aligned column per secondary — primary-masked slot dropped
+    // (slot 3), independently-masked meta slot NULL (wind at slot 5)
+    val pts = graft.core.TileOps.toPoints(tiles, metaNames = Seq("wind", "ice"))
+      .orderBy("time", "latitude", "longitude").collect()
+    assert(pts.length === 7) // 8 cells minus the primary-masked one
+    assert(pts.map(_.getAs[Double]("value")).toSeq ===
+      Seq(1.0, 2.0, 3.0, 5.0, 6.0, 7.0, 8.0))
+    assert(pts.map(r => Option(r.get(r.fieldIndex("wind")))).toSeq ===
+      Seq(Some(11.0), Some(12.0), Some(13.0), Some(15.0), None,
+        Some(17.0), Some(18.0)))
+    assert(math.abs(pts.last.getAs[Double]("ice") - 0.8) < 1e-6) // f32 round-trip
   }
 
   test("granulePipeline streams arriving granules into the tile store " +
