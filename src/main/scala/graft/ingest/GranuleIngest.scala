@@ -172,31 +172,45 @@ object GranuleIngest {
       Ingest.pointsToTiles(
         readGranules(spark, glob, valueVar, latVar, lonVar, timeVar),
         tileLat, tileLon, dataset)
-    else {
-      import spark.implicits._
-      val wanted = (Set(valueVar, latVar, lonVar, timeVar) ++ metaVars): Set[String]
-      val pts = spark.read.format("binaryFile").load(glob)
-        .select(col("path"), col("content"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (path, bytes) =>
-          val nc = decode(bytes, wanted)
-          val granule = path.substring(path.lastIndexOf('/') + 1)
-          val metas = metaVars.map(mv => nc.variable(mv).getOrElse(
-            sys.error(s"granule $granule: no meta variable $mv")).unpacked)
-          val nPrim = nc.variable(valueVar).map(_.data.length).getOrElse(0)
-          metas.zip(metaVars).foreach { case (m, nm) =>
-            require(m.length == nPrim,
-              s"granule $granule: meta variable $nm has ${m.length} cells, " +
-                s"primary $valueVar has $nPrim") }
-          val primary = gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
-          primary.zipWithIndex.map { case (p, k) =>
-            // gridPointsOf enumerates row-major over the SAME grid the
-            // meta variables span, so the flat index k lines up
-            GranulePointM(p.granule, p.time, p.latitude, p.longitude,
-              p.value, metas.map(m => m(k)))
-          }
+    else
+      Ingest.pointsToTiles(
+        decodeFilesMulti(spark.read.format("binaryFile").load(glob),
+          valueVar, metaVars, latVar, lonVar, timeVar),
+        tileLat, tileLon, dataset, metaNames = metaVars)
+
+  /** Multi-variable decode of a `binaryFile`-shaped relation: primary
+    * points plus one `meta` slot per secondary, aligned by the shared
+    * row-major grid index. Shared by the batch glob ingest and the
+    * streaming `granulePipeline`.
+    */
+  def decodeFilesMulti(files: DataFrame, valueVar: String,
+                       metaVars: Seq[String],
+                       latVar: String = "lat", lonVar: String = "lon",
+                       timeVar: String = "time"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val wanted = (Set(valueVar, latVar, lonVar, timeVar) ++ metaVars): Set[String]
+    files
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val nc = decode(bytes, wanted)
+        val granule = path.substring(path.lastIndexOf('/') + 1)
+        val metas = metaVars.map(mv => nc.variable(mv).getOrElse(
+          sys.error(s"granule $granule: no meta variable $mv")).unpacked)
+        val nPrim = nc.variable(valueVar).map(_.data.length).getOrElse(0)
+        metas.zip(metaVars).foreach { case (m, nm) =>
+          require(m.length == nPrim,
+            s"granule $granule: meta variable $nm has ${m.length} cells, " +
+              s"primary $valueVar has $nPrim") }
+        val primary = gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
+        primary.zipWithIndex.map { case (p, k) =>
+          // gridPointsOf enumerates row-major over the SAME grid the
+          // meta variables span, so the flat index k lines up
+          GranulePointM(p.granule, p.time, p.latitude, p.longitude,
+            p.value, metas.map(m => m(k)))
         }
-        .toDF()
-      Ingest.pointsToTiles(pts, tileLat, tileLon, dataset, metaNames = metaVars)
-    }
+      }
+      .toDF()
+  }
 }

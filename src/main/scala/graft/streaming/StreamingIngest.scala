@@ -118,7 +118,10 @@ object StreamingIngest {
                       tileLat: Double, tileLon: Double,
                       latVar: String = "lat", lonVar: String = "lon",
                       timeVar: String = "time",
-                      swath: Boolean = false): DataStreamWriter[Row] = {
+                      swath: Boolean = false,
+                      metaVars: Seq[String] = Nil): DataStreamWriter[Row] = {
+    require(metaVars.isEmpty || !swath,
+      "granulePipeline: metaVars applies to grid granules only")
     // streaming file sources demand an explicit schema; binaryFile's
     // is fixed by the format
     val binarySchema = org.apache.spark.sql.types.StructType(Seq(
@@ -134,10 +137,14 @@ object StreamingIngest {
       .schema(binarySchema).load(watchDir)
     files.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val pts = graft.ingest.GranuleIngest.decodeFiles(
-          batch, valueVar, latVar, lonVar, timeVar, swath)
+        val pts =
+          if (metaVars.isEmpty)
+            graft.ingest.GranuleIngest.decodeFiles(
+              batch, valueVar, latVar, lonVar, timeVar, swath)
+          else graft.ingest.GranuleIngest.decodeFilesMulti(
+            batch, valueVar, metaVars, latVar, lonVar, timeVar)
         val tiles = graft.ingest.Ingest
-          .pointsToTiles(pts, tileLat, tileLon, dataset)
+          .pointsToTiles(pts, tileLat, tileLon, dataset, metaNames = metaVars)
           .withColumn("time_bucket",
             graft.ingest.Ingest.timeBucket(col("min_time")))
           .persist()
