@@ -29,8 +29,8 @@ object TileOps {
     * nexusmodel.py:69-86). Index arithmetic over the row-major
     * time × lat × lon layout; NaN cells are dropped (mask semantics).
     * No shuffle — a generator over the scan.
-    */
-  /** `metaNames`: also surface the named `meta_data` companion arrays
+    *
+    * `metaNames`: also surface the named `meta_data` companion arrays
     * (secondary variables, `nexusmodel.py:34/69-86` — the reference's
     * point generator yields `NexusPoint.data_val` plus the same-index
     * meta values) as one column per name, aligned by the shared
@@ -42,7 +42,7 @@ object TileOps {
     val nlat = size(col("latitudes"))
     val nlon = size(col("longitudes"))
     val metaCols = metaNames.map { nm =>
-      val slot = element_at(element_at(col("meta_data"), nm), col("idx") + 1)
+      val slot = element_at(col(s"__meta_$nm"), col("idx") + 1)
       when(isnan(slot), lit(null)).otherwise(slot)
         .cast("double").as(nm)
     }
@@ -50,7 +50,12 @@ object TileOps {
       .select(Seq(col("tile_id"), col("dataset"), col("latitudes"),
         col("longitudes"), col("times"), nlat.as("nlat"), nlon.as("nlon"),
         posexplode(col("data")).as(Seq("idx", "value"))) ++
-        (if (metaNames.isEmpty) Nil else Seq(col("meta_data"))): _*)
+        // extract ONLY the requested companion arrays BEFORE the
+        // explode: carrying the whole meta_data map through the
+        // generator would duplicate every stored companion into each
+        // exploded row
+        metaNames.map(nm =>
+          element_at(col("meta_data"), nm).as(s"__meta_$nm")): _*)
       .where(!isnan(col("value")))
       .select(Seq(
         col("tile_id"), col("dataset"),

@@ -133,6 +133,26 @@ object GranuleIngest {
     * pipeline (`StreamingIngest.granulePipeline`), so bulk backfill
     * and continuous ingest can never diverge in decode semantics.
     */
+  /** Shared decode core: (path, content) relation → per-granule rows.
+    * ONE place owns the binaryFile projection, the codec dispatch (with
+    * `keep` pushdown) and the path→granule-name rule, so the single-
+    * and multi-variable pipelines cannot silently diverge.
+    */
+  private def granuleRows[T](files: DataFrame, keep: String => Boolean)
+                            (f: (String, NcFile) => Iterator[T])
+                            (implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val granule = path.substring(path.lastIndexOf('/') + 1)
+        f(granule, decode(bytes, keep))
+      }(enc)
+      .toDF()
+  }
+
   def decodeFiles(files: DataFrame, valueVar: String,
                   latVar: String = "lat", lonVar: String = "lon",
                   timeVar: String = "time", swath: Boolean = false): DataFrame = {
@@ -140,17 +160,11 @@ object GranuleIngest {
     import spark.implicits._
     // projection pushdown into the codec: only the variables this
     // ingest actually reads get their payloads decoded
-    val wanted = Set(valueVar, latVar, lonVar, timeVar)
-    files
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val nc = decode(bytes, wanted)
-        val granule = path.substring(path.lastIndexOf('/') + 1)
+    granuleRows[GranulePoint](files, Set(valueVar, latVar, lonVar, timeVar)) {
+      (granule, nc) =>
         if (swath) swathPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
         else gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
-      }
-      .toDF()
+    }
   }
 
   /** End-to-end S1→S3: granule files → points → tiles (the
@@ -190,27 +204,34 @@ object GranuleIngest {
     val spark = files.sparkSession
     import spark.implicits._
     val wanted = (Set(valueVar, latVar, lonVar, timeVar) ++ metaVars): Set[String]
-    files
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val nc = decode(bytes, wanted)
-        val granule = path.substring(path.lastIndexOf('/') + 1)
-        val metas = metaVars.map(mv => nc.variable(mv).getOrElse(
-          sys.error(s"granule $granule: no meta variable $mv")).unpacked)
-        val nPrim = nc.variable(valueVar).map(_.data.length).getOrElse(0)
-        metas.zip(metaVars).foreach { case (m, nm) =>
-          require(m.length == nPrim,
-            s"granule $granule: meta variable $nm has ${m.length} cells, " +
-              s"primary $valueVar has $nPrim") }
-        val primary = gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
-        primary.zipWithIndex.map { case (p, k) =>
-          // gridPointsOf enumerates row-major over the SAME grid the
-          // meta variables span, so the flat index k lines up
-          GranulePointM(p.granule, p.time, p.latitude, p.longitude,
-            p.value, metas.map(m => m(k)))
-        }
+    granuleRows[GranulePointM](files, wanted) { (granule, nc) =>
+      // resolve the PRIMARY first so a missing primary reports itself,
+      // not a confusing meta-length mismatch
+      val pv = nc.variable(valueVar).getOrElse(
+        sys.error(s"granule $granule: no variable $valueVar"))
+      val metas = metaVars.map { mv =>
+        val v = nc.variable(mv).getOrElse(
+          sys.error(s"granule $granule: no meta variable $mv"))
+        // equal cell COUNT is not alignment: a permuted-dims meta
+        // (lon, lat) has the same product as (lat, lon) but a
+        // different flat layout. Accept identical dim-name sequences;
+        // when the names are synthetic per-variable (no overlap),
+        // fall back to shape equality.
+        val sameNames = v.dims == pv.dims
+        val disjoint = v.dims.toSet.intersect(pv.dims.toSet).isEmpty
+        require(sameNames || (disjoint && nc.shape(v) == nc.shape(pv)),
+          s"granule $granule: meta variable $mv spans dims ${v.dims} " +
+            s"(shape ${nc.shape(v)}) but primary $valueVar spans " +
+            s"${pv.dims} (shape ${nc.shape(pv)})")
+        v.unpacked
       }
-      .toDF()
+      val primary = gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
+      primary.zipWithIndex.map { case (p, k) =>
+        // gridPointsOf enumerates row-major over the SAME grid the
+        // meta variables span (checked above), so flat index k aligns
+        GranulePointM(p.granule, p.time, p.latitude, p.longitude,
+          p.value, metas.map(m => m(k)))
+      }
+    }
   }
 }

@@ -28,15 +28,17 @@ object Ingest {
     * (granule, cell, time). Points with NaN value are kept as mask
     * cells in the array but excluded from stats; fully-masked tiles are
     * dropped (emptytilefilter.py:16-29).
-    */
-  /** `metaNames` (secondary variables, reference `nexusmodel.py:34`
+    *
+    * `metaNames` (secondary variables, reference `nexusmodel.py:34`
     * `meta_data` — wind_v / wind_dir / *_std …): when non-empty, the
     * points relation must carry a `meta: array<double>` column with
     * one slot per name; each name lands in the tile's `meta_data` map
     * as an array in the SAME row-major layout as `data` (independent
-    * NaN masks — a point masked in the primary can still carry meta,
-    * and vice versa). Tile stats stay primary-only, like the
-    * reference's `TileSummary.DataStats`.
+    * NaN masks within a surviving tile — a point masked in the
+    * primary still carries meta and vice versa; a tile whose PRIMARY
+    * is fully masked is still dropped by the P11 empty-tile filter
+    * above, meta notwithstanding, matching the reference). Tile stats
+    * stay primary-only, like the reference's `TileSummary.DataStats`.
     */
   def pointsToTiles(points: DataFrame, tileLat: Double, tileLon: Double,
                     dataset: String, metaNames: Seq[String] = Nil): DataFrame = {
@@ -112,11 +114,8 @@ object Ingest {
                .cast("array<float>")): _*))).as("meta_data"))
   }
 
-  /** S6 — partitioned columnar sink: `dataset` + time-bucket partition
-    * keys give partition pruning for every P-layer predicate.
-    */
   /** Month-scale store partition key — ONE definition shared by every
-    * writer (batch sink here, streaming `granulePipeline`), so batch-
+    * writer (batch sink below, streaming `granulePipeline`), so batch-
     * and stream-written stores can never diverge in partition layout
     * (a divergent bucket width would silently break the streaming
     * idempotency anti-join's partition pruning).
@@ -125,6 +124,9 @@ object Ingest {
   def timeBucket(minTime: Column): Column =
     (minTime / TimeBucketSeconds).cast("long")
 
+  /** S6 — partitioned columnar sink: `dataset` + time-bucket partition
+    * keys give partition pruning for every P-layer predicate.
+    */
   def writeTiles(tiles: DataFrame, path: String): Unit =
     tiles
       .withColumn("time_bucket", timeBucket(col("min_time")))
