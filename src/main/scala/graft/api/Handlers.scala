@@ -323,7 +323,40 @@ object Handlers {
       .select(col("tile_id"), col("latitude").as("plat"),
         col("longitude").as("plon"), col("time").as("pt"),
         col("value").as("pv"))
-    val secondary = insitu.select(col("id").as("sid"),
+    // in-situ measurement filters (Matchup.py:79-183): depthMin /
+    // depthMax bound the measurement depth, platforms restricts to a
+    // comma-list of platform ids. Requesting a filter the in-situ
+    // relation cannot express fails loudly — silently matching
+    // unfiltered data would fabricate pairs the reference excludes.
+    val depthMin = p.extra.get("depthMin").map(_.toDouble)
+    val depthMax = p.extra.get("depthMax").map(_.toDouble)
+    (depthMin, depthMax) match {
+      case (Some(lo), Some(hi)) if lo >= hi =>
+        sys.error("depthMin must be less than depthMax")
+      case _ => ()
+    }
+    def needs(colName: String, param: String): Unit =
+      if (!insitu.columns.contains(colName))
+        sys.error(s"'$param' was requested but the in-situ relation " +
+          s"has no '$colName' column")
+    val filtered = Seq[Option[DataFrame => DataFrame]](
+      depthMin.map { lo =>
+        needs("depth", "depthMin")
+        (df: DataFrame) => df.where(col("depth") >= lo)
+      },
+      depthMax.map { hi =>
+        needs("depth", "depthMax")
+        (df: DataFrame) => df.where(col("depth") <= hi)
+      },
+      p.extra.get("platforms").map { raw =>
+        needs("platform", "platforms")
+        val ids = raw.split(",").map(_.trim).filter(_.nonEmpty).map(v =>
+          scala.util.Try(v.toInt).getOrElse(sys.error(
+            "platforms must be a comma-delimited list of integers")))
+        (df: DataFrame) => df.where(col("platform").isin(ids.map(Int.box): _*))
+      }
+    ).flatten.foldLeft(insitu)((df, f) => f(df))
+    val secondary = filtered.select(col("id").as("sid"),
       col("latitude").as("slat"), col("longitude").as("slon"),
       col("time").as("st"))
     // widest participating latitude: the bbox extreme PLUS the rt

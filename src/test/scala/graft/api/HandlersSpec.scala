@@ -161,6 +161,38 @@ class HandlersSpec extends SparkSpec {
     assert(e.getMessage.contains("latitude-banded"))
   }
 
+  test("matchup honors depthMin/depthMax and platforms filters on the " +
+    "in-situ side (Matchup.py request contract)") {
+    import spark.implicits._
+    val pm = p.copy(minLat = -10, maxLat = 10, minLon = -10, maxLon = 10)
+    // three co-located in-situ points differing only in depth/platform
+    val insitu = Seq(
+      (100L, 0.5, 0.5, 10L, 2.0, 30),
+      (101L, 0.5, 0.5, 10L, 50.0, 30),
+      (102L, 0.5, 0.5, 10L, 2.0, 42)
+    ).toDF("id", "latitude", "longitude", "time", "depth", "platform")
+    def ids(extra: Map[String, String]): Set[Long] =
+      Handlers.matchSpark(pm.copy(extra = extra), tiles, insitu,
+        rtMeters = 200000, ttSeconds = 86400, matchOnce = false)
+        .select("sid").distinct().as[Long].collect().toSet
+    assert(ids(Map.empty) === Set(100L, 101L, 102L))
+    assert(ids(Map("depthMax" -> "10")) === Set(100L, 102L))
+    assert(ids(Map("depthMin" -> "10")) === Set(101L))
+    assert(ids(Map("platforms" -> "30")) === Set(100L, 101L))
+    assert(ids(Map("platforms" -> "30,42", "depthMax" -> "10")) ===
+      Set(100L, 102L))
+    // contract errors fail loudly
+    intercept[RuntimeException](
+      ids(Map("depthMin" -> "5", "depthMax" -> "5")))
+    intercept[RuntimeException](ids(Map("platforms" -> "a,b")))
+    val noCol = Seq((1L, 0.5, 0.5, 10L))
+      .toDF("id", "latitude", "longitude", "time")
+    val e = intercept[RuntimeException](
+      Handlers.matchSpark(pm.copy(extra = Map("depthMin" -> "1")), tiles,
+        noCol, 200000, 86400, matchOnce = false))
+    assert(e.getMessage.contains("no 'depth' column"))
+  }
+
   test("JobGate limits concurrency like the reference's 503 gate") {
     val gate = new Handlers.JobGate(maxConcurrentJobs = 1)
     val latch = new java.util.concurrent.CountDownLatch(1)
