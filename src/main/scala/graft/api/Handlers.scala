@@ -356,9 +356,27 @@ object Handlers {
         (df: DataFrame) => df.where(col("platform").isin(ids.map(Int.box): _*))
       }
     ).flatten.foldLeft(insitu)((df, f) => f(df))
-    val secondary = filtered.select(col("id").as("sid"),
+    // `parameter` selects WHICH in-situ measurement rides along as the
+    // secondary value `sv` (Matchup.py:142-145 + DomsPoint: sst →
+    // sea_water_temperature, sss → sea_water_salinity, wind →
+    // wind_speed). Relations carrying the generic single-measurement
+    // `value` column (the EDGE usable-result trim) use that; a
+    // relation with neither yields pairs without `sv`, and /domsplot
+    // falls back to distance for the scatter y-axis.
+    val parameter = p.extra.getOrElse("parameter", "sst")
+    require(Set("sst", "sss", "wind")(parameter),
+      s"Parameter $parameter not supported. Must be one of 'sst', 'sss', 'wind'.")
+    val paramCol = Map("sst" -> "sea_water_temperature",
+      "sss" -> "sea_water_salinity", "wind" -> "wind_speed")(parameter)
+    val svCol: Seq[org.apache.spark.sql.Column] =
+      if (filtered.columns.contains(paramCol))
+        Seq(col(paramCol).cast("double").as("sv"))
+      else if (filtered.columns.contains("value"))
+        Seq(col("value").cast("double").as("sv"))
+      else Nil
+    val secondary = filtered.select(Seq(col("id").as("sid"),
       col("latitude").as("slat"), col("longitude").as("slon"),
-      col("time").as("st"))
+      col("time").as("st")) ++ svCol: _*)
     // widest participating latitude: the bbox extreme PLUS the rt
     // tolerance (in-situ points up to rt poleward of the bbox still
     // match). Polar domains are REJECTED loudly — silently clamping
@@ -380,10 +398,16 @@ object Handlers {
       col("plat"), col("plon"), col("pt"), col("slat"), col("slon"), col("st"),
       rtMeters, ttSeconds, maxAbsLat = widestLat, broadcastSecondary = true,
       geodesic = true)
-    if (matchOnce)
-      graft.ops.ToleranceJoin.matchOnce(pairs,
-        struct(col("plat"), col("plon"), col("pt")), col("dist_km"), col("sid"))
-    else pairs
+    val matched =
+      if (matchOnce)
+        graft.ops.ToleranceJoin.matchOnce(pairs,
+          struct(col("plat"), col("plon"), col("pt")), col("dist_km"), col("sid"))
+      else pairs
+    // resultSizeLimit (Matchup.py:187): reference default 500 pairs,
+    // 0 = unlimited — the cap that keeps a wide-open request from
+    // shipping the whole cross-domain result to the client
+    val limit = p.extra.get("resultSizeLimit").map(_.toInt).getOrElse(500)
+    if (limit > 0) matched.limit(limit) else matched
   }
 
   /** DOMS endpoint registry (the reference's `algorithms/doms` tree):

@@ -193,6 +193,34 @@ class HandlersSpec extends SparkSpec {
     assert(e.getMessage.contains("no 'depth' column"))
   }
 
+  test("matchup `parameter` selects the in-situ measurement as sv, and " +
+    "resultSizeLimit caps the pairs (reference default 500, 0=unlimited)") {
+    import spark.implicits._
+    val pm = p.copy(minLat = -10, maxLat = 10, minLon = -10, maxLon = 10)
+    val insitu = Seq((100L, 0.5, 0.5, 10L, 17.5, 35.1))
+      .toDF("id", "latitude", "longitude", "time",
+        "sea_water_temperature", "sea_water_salinity")
+    def run(extra: Map[String, String]) =
+      Handlers.matchSpark(pm.copy(extra = extra), tiles, insitu,
+        rtMeters = 200000, ttSeconds = 86400, matchOnce = false)
+    // default parameter sst → sea_water_temperature rides as sv
+    assert(run(Map.empty).select("sv").distinct().as[Double].collect()
+      .toSeq === Seq(17.5))
+    assert(run(Map("parameter" -> "sss")).select("sv").distinct()
+      .as[Double].collect().toSeq === Seq(35.1))
+    intercept[RuntimeException](run(Map("parameter" -> "chlorophyll")))
+    // generic `value` column serves as sv when no named measurement
+    val generic = Seq((100L, 0.5, 0.5, 10L, 9.9))
+      .toDF("id", "latitude", "longitude", "time", "value")
+    assert(Handlers.matchSpark(pm, tiles, generic, 200000, 86400,
+      matchOnce = false).select("sv").distinct().as[Double].collect()
+      .toSeq === Seq(9.9))
+    // resultSizeLimit: cap honored; 0 lifts it
+    val n = run(Map.empty).count()
+    assert(run(Map("resultSizeLimit" -> "1")).count() === 1)
+    assert(run(Map("resultSizeLimit" -> "0")).count() === n)
+  }
+
   test("JobGate limits concurrency like the reference's 503 gate") {
     val gate = new Handlers.JobGate(maxConcurrentJobs = 1)
     val latch = new java.util.concurrent.CountDownLatch(1)
