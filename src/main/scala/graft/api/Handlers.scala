@@ -208,10 +208,65 @@ object Handlers {
       .agg(count(lit(1)).as("tile_count"), min("min_time").as("start"),
         max("max_time").as("end"))),
 
+    // /standarddeviationsearch (StandardDeviationSearch.py:55-160): with
+    // longitude=/latitude= and exactly one of day=/date=, the reference
+    // behavior — find the tile containing the point with the most
+    // recent day_of_year ≤ day (P8 as-of pick), read its *std META
+    // array (the multi-variable tile's companion, get_all_std_dev),
+    // and return (longitude, latitude, standard_deviation) for every
+    // pixel (allInTile=true, default) or the nearest pixel only.
+    // Without a point the legacy domain stddev map answers (extension).
     "/standarddeviationsearch" -> singleDs((p, tiles) =>
-      domainPoints(p, tiles)
-        .groupBy(col("latitude"), col("longitude"))
-        .agg(stddev_samp(col("value")).as("std"), count(lit(1)).as("cnt"))),
+      (p.extra.get("longitude"), p.extra.get("latitude")) match {
+        case (Some(lonS), Some(latS)) =>
+          val lon = lonS.toDouble; val lat = latS.toDouble
+          val day: Int = (p.extra.get("day"), p.extra.get("date")) match {
+            case (Some(d), None) => d.toInt
+            case (None, Some(dt)) =>
+              val epoch = if (dt.forall(c => c.isDigit || c == '-')) dt.toLong
+                          else java.time.Instant.parse(dt).getEpochSecond
+              java.time.Instant.ofEpochSecond(epoch)
+                .atZone(java.time.ZoneOffset.UTC).getDayOfYear
+            case _ => sys.error("At least one of 'day' or 'date' arguments " +
+              "are required but not both.")
+          }
+          val allInTile = p.extra.get("allInTile").forall(_.toBoolean)
+          val tile = tiles.where(col("dataset") === p.dataset &&
+              col("min_lat") <= lat && col("max_lat") >= lat &&
+              col("min_lon") <= lon && col("max_lon") >= lon &&
+              col("day_of_year") <= day)
+            .orderBy(col("day_of_year").desc, col("tile_id"))
+            .limit(1)
+          // the first meta key ending in 'std' — tiles without one
+          // yield an empty result, like NoStandardDeviationException
+          val px = tile
+            .withColumn("__stdkeys",
+              filter(map_keys(col("meta_data")), k => k.endsWith("std")))
+            .where(size(col("__stdkeys")) > 0)
+            .select(col("latitudes"), col("longitudes"),
+              size(col("longitudes")).as("nlon"),
+              size(col("latitudes")).as("nlat"),
+              posexplode(element_at(col("meta_data"),
+                element_at(col("__stdkeys"), 1))).as(Seq("idx", "sd")))
+            .select(
+              element_at(col("longitudes"),
+                (col("idx") % col("nlon")).cast("int") + 1)
+                .cast("double").as("longitude"),
+              element_at(col("latitudes"),
+                ((col("idx") % (col("nlat") * col("nlon"))) / col("nlon"))
+                  .cast("int") + 1)
+                .cast("double").as("latitude"),
+              col("sd").cast("double").as("standard_deviation"))
+            .where(!isnan(col("standard_deviation")))
+          if (allInTile) px.orderBy("latitude", "longitude")
+          else px.orderBy((pow(col("latitude") - lat, 2) +
+            pow(col("longitude") - lon, 2)).asc,
+            col("latitude").asc, col("longitude").asc).limit(1)
+        case _ =>
+          domainPoints(p, tiles)
+            .groupBy(col("latitude"), col("longitude"))
+            .agg(stddev_samp(col("value")).as("std"), count(lit(1)).as("cnt"))
+      }),
 
     // /longitudeLatitudeMap (LongitudeLatitudeMap.py:20-24, kernel
     // :186-244 A14): per-pixel linear trend + stats over the domain.

@@ -193,6 +193,53 @@ class HandlersSpec extends SparkSpec {
     assert(e.getMessage.contains("no 'depth' column"))
   }
 
+  test("/standarddeviationsearch with a point reads the as-of tile's " +
+    "*std meta array (all pixels or nearest); legacy domain map without") {
+    import spark.implicits._
+    // two climatology tiles for the same cell at day_of_year 32 and 60,
+    // each with an sst_std companion; a plain tile with no std meta
+    def climTiles(doy: Int, bias: Double) = {
+      val day = (doy - 1) * 86400L
+      val pts = (for { li <- 0 until 2; lo <- 0 until 2 }
+        yield ("c.nc", li + 0.5, lo + 0.5, day,
+          1.0, Seq((li * 2 + lo) + bias)))
+        .toDF("granule", "latitude", "longitude", "time", "value", "meta")
+      Ingest.pointsToTiles(pts, 2.0, 2.0, "sstclim", metaNames = Seq("sst_std"))
+    }
+    val tiles2 = climTiles(32, 0.0).unionByName(climTiles(60, 100.0))
+    val pc = Handlers.QueryParams(dataset = "sstclim")
+    def run(extra: Map[String, String]) =
+      Handlers.registry("/standarddeviationsearch")(
+        pc.copy(extra = extra), tiles2).collect()
+    // day 45: as-of pick takes doy 32 (most recent <= 45), not 60
+    val all = run(Map("longitude" -> "0.5", "latitude" -> "0.5", "day" -> "45"))
+    assert(all.length === 4)
+    assert(all.map(_.getAs[Double]("standard_deviation")).toSet ===
+      Set(0.0, 1.0, 2.0, 3.0))
+    // day 70 picks doy 60's biased values
+    val later = run(Map("longitude" -> "0.5", "latitude" -> "0.5", "day" -> "70"))
+    assert(later.map(_.getAs[Double]("standard_deviation")).min === 100.0)
+    // nearest-pixel mode: (1.5, 0.5) is lat index 1, lon index 0 → 2.0
+    val one = run(Map("longitude" -> "0.5", "latitude" -> "1.5",
+      "day" -> "45", "allInTile" -> "false"))
+    assert(one.length === 1)
+    assert(one(0).getAs[Double]("standard_deviation") === 2.0)
+    // date= alternative (Feb 14 = doy 45); both given → loud error
+    val viaDate = run(Map("longitude" -> "0.5", "latitude" -> "0.5",
+      "date" -> "2001-02-14T00:00:00Z"))
+    assert(viaDate.length === 4)
+    intercept[RuntimeException](run(Map("longitude" -> "0.5",
+      "latitude" -> "0.5", "day" -> "45", "date" -> "2001-02-14T00:00:00Z")))
+    // a tile with NO *std meta yields an empty result, not an error
+    assert(Handlers.registry("/standarddeviationsearch")(
+      p.copy(extra = Map("longitude" -> "0.5", "latitude" -> "0.5",
+        "day" -> "400")), tiles).collect().isEmpty)
+    // legacy (no point): per-pixel domain stddev map still answers
+    val legacy = Handlers.registry("/standarddeviationsearch")(p, tiles)
+    assert(legacy.columns.toSet === Set("latitude", "longitude", "std", "cnt"))
+    assert(legacy.count() > 0)
+  }
+
   test("matchup `parameter` selects the in-situ measurement as sv, and " +
     "resultSizeLimit caps the pairs (reference default 500, 0=unlimited)") {
     import spark.implicits._
