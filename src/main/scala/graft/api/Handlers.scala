@@ -198,7 +198,21 @@ object Handlers {
     "/longitudeTimeHofMoellerSpark" -> singleDs((p, tiles) =>
       TileOps.hovmoller(domainPoints(p, tiles), "longitude")),
 
-    "/datainbounds" -> ((p, tiles) => domainPoints(p, tiles)),
+    // /datainbounds (DataInBoundsSearch.py:55-120): raw points of the
+    // domain. `parameter` (sst|sss|wind, validated like the reference)
+    // labels the value field; `includemeta` attaches every meta_data
+    // companion's value at the point as a name → value map.
+    "/datainbounds" -> ((p, tiles) => {
+      val param = p.extra.get("parameter")
+      param.foreach(v => require(Set("sst", "sss", "wind")(v),
+        s"Parameter $v not supported. Must be one of 'sst', 'sss', 'wind'."))
+      val includeMeta = p.extra.get("includemeta").exists(_.toBoolean)
+      val pts = TileOps.maskPointsToBBox(
+          TileOps.toPoints(pruneTiles(p, tiles), includeMetaMap = includeMeta),
+          p.minLat, p.maxLat, p.minLon, p.maxLon)
+        .where(col("time").between(p.startTime, p.endTime))
+      param.map(nm => pts.withColumnRenamed("value", nm)).getOrElse(pts)
+    }),
 
     "/tiles" -> ((p, tiles) => pruneTiles(p, tiles)
       .select("tile_id", "dataset", "granule", "min_lat", "max_lat",

@@ -38,7 +38,8 @@ object TileOps {
     * reference's generator iterates the primary's mask); a meta slot
     * masked independently surfaces as NULL.
     */
-  def toPoints(tiles: DataFrame, metaNames: Seq[String] = Nil): DataFrame = {
+  def toPoints(tiles: DataFrame, metaNames: Seq[String] = Nil,
+               includeMetaMap: Boolean = false): DataFrame = {
     val nlat = size(col("latitudes"))
     val nlon = size(col("longitudes"))
     val metaCols = metaNames.map { nm =>
@@ -46,6 +47,17 @@ object TileOps {
       when(isnan(slot), lit(null)).otherwise(slot)
         .cast("double").as(nm)
     }
+    // includeMetaMap (/datainbounds includemeta): EVERY companion's
+    // value at this point, as a dynamic name → value map. The whole
+    // meta_data map necessarily rides through the generator here —
+    // that is the request's cost, exactly as in the reference — so
+    // ask for named columns via metaNames when the names are known.
+    val metaMapCol =
+      if (!includeMetaMap) Nil
+      else Seq(transform_values(col("meta_data"), (_, v) => {
+        val slot = element_at(v, col("idx") + 1)
+        when(isnan(slot), lit(null)).otherwise(slot).cast("double")
+      }).as("meta"))
     tiles
       .select(Seq(col("tile_id"), col("dataset"), col("latitudes"),
         col("longitudes"), col("times"), nlat.as("nlat"), nlon.as("nlon"),
@@ -55,7 +67,8 @@ object TileOps {
         // generator would duplicate every stored companion into each
         // exploded row
         metaNames.map(nm =>
-          element_at(col("meta_data"), nm).as(s"__meta_$nm")): _*)
+          element_at(col("meta_data"), nm).as(s"__meta_$nm")) ++
+        (if (includeMetaMap) Seq(col("meta_data")) else Nil): _*)
       .where(!isnan(col("value")))
       .select(Seq(
         col("tile_id"), col("dataset"),
@@ -65,7 +78,7 @@ object TileOps {
           .cast("double").as("longitude"),
         element_at(col("times"), (col("idx") / (col("nlat") * col("nlon"))).cast("int") + 1)
           .as("time"),
-        col("value").cast("double").as("value")) ++ metaCols: _*)
+        col("value").cast("double").as("value")) ++ metaCols ++ metaMapCol: _*)
   }
 
   /** Clip exploded points to a search bbox (mask_tiles_to_bbox,

@@ -193,6 +193,32 @@ class HandlersSpec extends SparkSpec {
     assert(e.getMessage.contains("no 'depth' column"))
   }
 
+  test("/datainbounds labels the value by `parameter` and attaches the " +
+    "meta map with includemeta") {
+    import spark.implicits._
+    val pts = (for { li <- 0 until 2; lo <- 0 until 2 }
+      yield ("g.nc", li + 0.5, lo + 0.5, 0L, (li * 2 + lo).toDouble,
+        Seq(li * 20.0 + lo)))
+      .toDF("granule", "latitude", "longitude", "time", "value", "meta")
+    val mt = Ingest.pointsToTiles(pts, 2.0, 2.0, "sstm",
+      metaNames = Seq("wind_v"))
+    val pd = Handlers.QueryParams(dataset = "sstm")
+    val labeled = Handlers.registry("/datainbounds")(
+      pd.copy(extra = Map("parameter" -> "sst")), mt)
+    assert(labeled.columns.contains("sst") && !labeled.columns.contains("value"))
+    intercept[RuntimeException](Handlers.registry("/datainbounds")(
+      pd.copy(extra = Map("parameter" -> "chlorophyll")), mt).collect())
+    val withMeta = Handlers.registry("/datainbounds")(
+      pd.copy(extra = Map("includemeta" -> "true")), mt)
+      .orderBy("latitude", "longitude").collect()
+    assert(withMeta.length === 4)
+    val m0 = withMeta(0).getAs[Map[String, Any]]("meta")
+    assert(m0("wind_v") === 0.0)
+    assert(withMeta(3).getAs[Map[String, Any]]("meta")("wind_v") === 21.0)
+    // without includemeta the column is absent (legacy shape)
+    assert(!Handlers.registry("/datainbounds")(pd, mt).columns.contains("meta"))
+  }
+
   test("/standarddeviationsearch with a point reads the as-of tile's " +
     "*std meta array (all pixels or nearest); legacy domain map without") {
     import spark.implicits._
