@@ -385,18 +385,15 @@ object Handlers {
     * Primary side comes from the pruned tile domain; secondary is any
     * point table with (id, latitude, longitude, time) columns.
     */
-  def matchSpark(p: QueryParams, tiles: DataFrame, insitu: DataFrame,
-                 rtMeters: Double, ttSeconds: Long,
-                 matchOnce: Boolean): DataFrame = {
-    val primary = domainPoints(p, tiles)
-      .select(col("tile_id"), col("latitude").as("plat"),
-        col("longitude").as("plon"), col("time").as("pt"),
-        col("value").as("pv"))
-    // in-situ measurement filters (Matchup.py:79-183): depthMin /
-    // depthMax bound the measurement depth, platforms restricts to a
-    // comma-list of platform ids. Requesting a filter the in-situ
-    // relation cannot express fails loudly — silently matching
-    // unfiltered data would fabricate pairs the reference excludes.
+  /** In-situ measurement filters shared by every endpoint that reads
+    * the in-situ relation (Matchup.py:79-183, ValuesQuery/insitusubset
+    * same contract): depthMin/depthMax bound the measurement depth,
+    * platforms restricts to a comma-list of platform ids. Requesting a
+    * filter the relation cannot express fails loudly — silently
+    * returning unfiltered data would fabricate results the reference
+    * excludes.
+    */
+  def insituFilters(p: QueryParams, insitu: DataFrame): DataFrame = {
     val depthMin = p.extra.get("depthMin").map(_.toDouble)
     val depthMax = p.extra.get("depthMax").map(_.toDouble)
     (depthMin, depthMax) match {
@@ -408,7 +405,7 @@ object Handlers {
       if (!insitu.columns.contains(colName))
         sys.error(s"'$param' was requested but the in-situ relation " +
           s"has no '$colName' column")
-    val filtered = Seq[Option[DataFrame => DataFrame]](
+    Seq[Option[DataFrame => DataFrame]](
       depthMin.map { lo =>
         needs("depth", "depthMin")
         (df: DataFrame) => df.where(col("depth") >= lo)
@@ -425,6 +422,16 @@ object Handlers {
         (df: DataFrame) => df.where(col("platform").isin(ids.map(Int.box): _*))
       }
     ).flatten.foldLeft(insitu)((df, f) => f(df))
+  }
+
+  def matchSpark(p: QueryParams, tiles: DataFrame, insitu: DataFrame,
+                 rtMeters: Double, ttSeconds: Long,
+                 matchOnce: Boolean): DataFrame = {
+    val primary = domainPoints(p, tiles)
+      .select(col("tile_id"), col("latitude").as("plat"),
+        col("longitude").as("plon"), col("time").as("pt"),
+        col("value").as("pv"))
+    val filtered = insituFilters(p, insitu)
     // `parameter` selects WHICH in-situ measurement rides along as the
     // secondary value `sv` (Matchup.py:142-145 + DomsPoint: sst →
     // sea_water_temperature, sss → sea_water_salinity, wind →
@@ -499,10 +506,14 @@ object Handlers {
     *    layer via `output=`.
     */
   def domsRegistry(insitu: DataFrame, resultsPath: String): Map[String, Handler] = {
+    // bbox/time domain PLUS the shared depth/platform filters —
+    // /domsvalues and /domsinsitusubset accept the same measurement
+    // filters as the matchup (ValuesQuery.py, insitusubset.py)
     val insituDomain: Handler = (p, _) =>
-      insitu.where(col("latitude").between(p.minLat, p.maxLat) &&
-        col("longitude").between(p.minLon, p.maxLon) &&
-        col("time").between(p.startTime, p.endTime))
+      insituFilters(p, insitu)
+        .where(col("latitude").between(p.minLat, p.maxLat) &&
+          col("longitude").between(p.minLon, p.maxLon) &&
+          col("time").between(p.startTime, p.endTime))
     Map(
       "/domsmatchup" -> ((p, tiles) => {
         val execId = p.executionId.getOrElse(

@@ -191,6 +191,11 @@ class HandlersSpec extends SparkSpec {
       Handlers.matchSpark(pm.copy(extra = Map("depthMin" -> "1")), tiles,
         noCol, 200000, 86400, matchOnce = false))
     assert(e.getMessage.contains("no 'depth' column"))
+    // the same filters apply to the raw in-situ endpoints
+    val reg = Handlers.domsRegistry(insitu,
+      java.nio.file.Files.createTempDirectory("graft-dv").toString)
+    val v = reg("/domsvalues")(pm.copy(extra = Map("depthMax" -> "10")), tiles)
+    assert(v.select("id").as[Long].collect().toSet === Set(100L, 102L))
   }
 
   test("/datainbounds labels the value by `parameter` and attaches the " +
