@@ -64,8 +64,10 @@ object Handlers {
         maxLat = bbox.map(_._2).getOrElse(90),
         minLon = bbox.map(_._3).getOrElse(-180),
         maxLon = bbox.map(_._4).getOrElse(180),
-        startTime = time("startTime").getOrElse(Long.MinValue),
-        endTime = time("endTime").getOrElse(Long.MaxValue),
+        // the DOMS subset endpoints spell the time bounds `s`/`e`
+        // (subsetter.py, insitusubset.py); accept both spellings
+        startTime = time("startTime").orElse(time("s")).getOrElse(Long.MinValue),
+        endTime = time("endTime").orElse(time("e")).getOrElse(Long.MaxValue),
         secondaryDataset = q.get("ds2"),
         rtMeters = q.get("rt").map(_.toDouble).getOrElse(50000.0),
         ttSeconds = q.get("tt").map(_.toLong).getOrElse(86400L),
@@ -508,12 +510,21 @@ object Handlers {
   def domsRegistry(insitu: DataFrame, resultsPath: String): Map[String, Handler] = {
     // bbox/time domain PLUS the shared depth/platform filters —
     // /domsvalues and /domsinsitusubset accept the same measurement
-    // filters as the matchup (ValuesQuery.py, insitusubset.py)
-    val insituDomain: Handler = (p, _) =>
-      insituFilters(p, insitu)
+    // filters as the matchup (ValuesQuery.py, insitusubset.py), and
+    // `source=` restricts to one in-situ provider (insitusubset's
+    // required arg; loud when the relation carries no source column)
+    val insituDomain: Handler = (p, _) => {
+      val bySource = p.extra.get("source").map { src =>
+        if (!insitu.columns.contains("source"))
+          sys.error("'source' was requested but the in-situ relation " +
+            "has no 'source' column")
+        insitu.where(col("source") === src)
+      }.getOrElse(insitu)
+      insituFilters(p, bySource)
         .where(col("latitude").between(p.minLat, p.maxLat) &&
           col("longitude").between(p.minLon, p.maxLon) &&
           col("time").between(p.startTime, p.endTime))
+    }
     Map(
       "/domsmatchup" -> ((p, tiles) => {
         val execId = p.executionId.getOrElse(

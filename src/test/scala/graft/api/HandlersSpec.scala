@@ -196,6 +196,22 @@ class HandlersSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("graft-dv").toString)
     val v = reg("/domsvalues")(pm.copy(extra = Map("depthMax" -> "10")), tiles)
     assert(v.select("id").as[Long].collect().toSet === Set(100L, 102L))
+    // source= restricts to one provider (insitusubset contract)
+    val sourced = Seq(
+      (1L, 0.5, 0.5, 10L, "icoads"),
+      (2L, 0.5, 0.5, 10L, "samos")
+    ).toDF("id", "latitude", "longitude", "time", "source")
+    val reg2 = Handlers.domsRegistry(sourced,
+      java.nio.file.Files.createTempDirectory("graft-dv2").toString)
+    assert(reg2("/domsinsitusubset")(
+      pm.copy(extra = Map("source" -> "samos")), tiles)
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+    intercept[RuntimeException](reg("/domsvalues")(
+      pm.copy(extra = Map("source" -> "samos")), tiles).collect())
+    // DOMS short time spellings s=/e= parse like startTime/endTime
+    val qp = Handlers.QueryParams.fromQuery(Map("ds" -> "x",
+      "s" -> "1970-01-01T00:00:10Z", "e" -> "100"))
+    assert(qp.startTime === 10L && qp.endTime === 100L)
   }
 
   test("/datainbounds labels the value by `parameter` and attaches the " +
