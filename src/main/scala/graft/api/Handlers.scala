@@ -46,10 +46,7 @@ object Handlers {
       * same); a missing `ds` throws — every data endpoint needs one.
       */
     def fromQuery(q: Map[String, String]): QueryParams = {
-      def time(key: String): Option[Long] = q.get(key).map { v =>
-        if (v.forall(c => c.isDigit || c == '-')) v.toLong
-        else java.time.Instant.parse(v).getEpochSecond
-      }
+      def time(key: String): Option[Long] = q.get(key).map(parseTimeArg)
       val bbox = q.get("b").map(_.split(",").map(_.trim.toDouble)) match {
         case Some(Array(minLon, minLat, maxLon, maxLat)) =>
           Some((minLat, maxLat, minLon, maxLon))
@@ -126,10 +123,23 @@ object Handlers {
   private def domainPointsMulti(p: QueryParams, tiles: DataFrame): DataFrame =
     domainPointsOf(pruneTilesFor(datasetsOf(p), p, tiles), p)
 
-  private def domainPointsOf(pruned: DataFrame, p: QueryParams): DataFrame =
-    TileOps.maskPointsToBBox(TileOps.toPoints(pruned),
-      p.minLat, p.maxLat, p.minLon, p.maxLon)
+  private def domainPointsOf(pruned: DataFrame, p: QueryParams,
+                             includeMetaMap: Boolean = false): DataFrame =
+    TileOps.maskPointsToBBox(
+        TileOps.toPoints(pruned, includeMetaMap = includeMetaMap),
+        p.minLat, p.maxLat, p.minLon, p.maxLon)
       .where(col("time").between(p.startTime, p.endTime))
+
+  /** Time argument parse shared by request parsing and handler-local
+    * date args: pure integers are epoch seconds, `yyyy-MM-dd` is a UTC
+    * date, anything else must be a full ISO-8601 instant.
+    */
+  private[api] def parseTimeArg(v: String): Long =
+    if (v.matches("-?\\d+")) v.toLong
+    else if (v.matches("\\d{4}-\\d{2}-\\d{2}"))
+      java.time.LocalDate.parse(v).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toEpochSecond
+    else java.time.Instant.parse(v).getEpochSecond
 
   /** Endpoint registry (§2.9 inventory). */
   val registry: Map[String, Handler] = core ++ legacyAliases ++ trivial
@@ -209,10 +219,8 @@ object Handlers {
       param.foreach(v => require(Set("sst", "sss", "wind")(v),
         s"Parameter $v not supported. Must be one of 'sst', 'sss', 'wind'."))
       val includeMeta = p.extra.get("includemeta").exists(_.toBoolean)
-      val pts = TileOps.maskPointsToBBox(
-          TileOps.toPoints(pruneTiles(p, tiles), includeMetaMap = includeMeta),
-          p.minLat, p.maxLat, p.minLon, p.maxLon)
-        .where(col("time").between(p.startTime, p.endTime))
+      val pts = domainPointsOf(pruneTiles(p, tiles), p,
+        includeMetaMap = includeMeta)
       param.map(nm => pts.withColumnRenamed("value", nm)).getOrElse(pts)
     }),
 
@@ -239,9 +247,7 @@ object Handlers {
           val day: Int = (p.extra.get("day"), p.extra.get("date")) match {
             case (Some(d), None) => d.toInt
             case (None, Some(dt)) =>
-              val epoch = if (dt.forall(c => c.isDigit || c == '-')) dt.toLong
-                          else java.time.Instant.parse(dt).getEpochSecond
-              java.time.Instant.ofEpochSecond(epoch)
+              java.time.Instant.ofEpochSecond(parseTimeArg(dt))
                 .atZone(java.time.ZoneOffset.UTC).getDayOfYear
             case _ => sys.error("At least one of 'day' or 'date' arguments " +
               "are required but not both.")
@@ -253,17 +259,28 @@ object Handlers {
               col("day_of_year") <= day)
             .orderBy(col("day_of_year").desc, col("tile_id"))
             .limit(1)
-          // the first meta key ending in 'std' — tiles without one
-          // yield an empty result, like NoStandardDeviationException
+          // the std companion key, SORTED for determinism when several
+          // *std companions exist (the reference's next(iter(...)) is
+          // map-order-arbitrary there); tiles without one yield an
+          // empty result, like NoStandardDeviationException. The pixel
+          // decode below assumes ONE time slice (every climatology
+          // tile has one) — a multi-slice tile would silently
+          // duplicate pixels, so reject it loudly.
           val px = tile
-            .withColumn("__stdkeys",
-              filter(map_keys(col("meta_data")), k => k.endsWith("std")))
+            .withColumn("__stdkeys", array_sort(
+              filter(map_keys(col("meta_data")), k => k.endsWith("std"))))
             .where(size(col("__stdkeys")) > 0)
             .select(col("latitudes"), col("longitudes"),
               size(col("longitudes")).as("nlon"),
               size(col("latitudes")).as("nlat"),
-              posexplode(element_at(col("meta_data"),
-                element_at(col("__stdkeys"), 1))).as(Seq("idx", "sd")))
+              // the guard rides INSIDE the exploded expression so
+              // column pruning cannot delete it
+              posexplode(when(size(col("times")) <= 1,
+                element_at(col("meta_data"), element_at(col("__stdkeys"), 1)))
+                .otherwise(raise_error(lit("/standarddeviationsearch: tile " +
+                  "has multiple time slices; std companions are " +
+                  "per-climatology (single-time) arrays"))))
+                .as(Seq("idx", "sd")))
             .select(
               element_at(col("longitudes"),
                 (col("idx") % col("nlon")).cast("int") + 1)
@@ -278,10 +295,16 @@ object Handlers {
           else px.orderBy((pow(col("latitude") - lat, 2) +
             pow(col("longitude") - lon, 2)).asc,
             col("latitude").asc, col("longitude").asc).limit(1)
-        case _ =>
+        case (None, None) =>
           domainPoints(p, tiles)
             .groupBy(col("latitude"), col("longitude"))
             .agg(stddev_samp(col("value")).as("std"), count(lit(1)).as("cnt"))
+        case _ =>
+          // exactly one coordinate given: a point query was intended —
+          // falling back to the whole-domain map would return a huge,
+          // differently-shaped wrong answer with no warning
+          sys.error("point search needs BOTH 'longitude' and 'latitude' " +
+            "(got one); omit both for the domain stddev map")
       }),
 
     // /longitudeLatitudeMap (LongitudeLatitudeMap.py:20-24, kernel
@@ -437,18 +460,24 @@ object Handlers {
     // `parameter` selects WHICH in-situ measurement rides along as the
     // secondary value `sv` (Matchup.py:142-145 + DomsPoint: sst →
     // sea_water_temperature, sss → sea_water_salinity, wind →
-    // wind_speed). Relations carrying the generic single-measurement
-    // `value` column (the EDGE usable-result trim) use that; a
-    // relation with neither yields pairs without `sv`, and /domsplot
-    // falls back to distance for the scatter y-axis.
+    // wind_speed). A relation that models named measurements but lacks
+    // the REQUESTED one fails loudly — quietly substituting another
+    // measurement would mislabel the data. Relations carrying only the
+    // generic single-measurement `value` (the EDGE usable-result trim)
+    // use that; a relation with neither yields pairs without `sv`, and
+    // /domsplot falls back to distance for the scatter y-axis.
     val parameter = p.extra.getOrElse("parameter", "sst")
     require(Set("sst", "sss", "wind")(parameter),
       s"Parameter $parameter not supported. Must be one of 'sst', 'sss', 'wind'.")
-    val paramCol = Map("sst" -> "sea_water_temperature",
-      "sss" -> "sea_water_salinity", "wind" -> "wind_speed")(parameter)
+    val paramColByName = Map("sst" -> "sea_water_temperature",
+      "sss" -> "sea_water_salinity", "wind" -> "wind_speed")
+    val paramCol = paramColByName(parameter)
     val svCol: Seq[org.apache.spark.sql.Column] =
       if (filtered.columns.contains(paramCol))
         Seq(col(paramCol).cast("double").as("sv"))
+      else if (paramColByName.values.exists(filtered.columns.contains))
+        sys.error(s"in-situ relation has no '$paramCol' column for " +
+          s"parameter '$parameter' (it models other named measurements)")
       else if (filtered.columns.contains("value"))
         Seq(col("value").cast("double").as("sv"))
       else Nil
@@ -483,9 +512,15 @@ object Handlers {
       else pairs
     // resultSizeLimit (Matchup.py:187): reference default 500 pairs,
     // 0 = unlimited — the cap that keeps a wide-open request from
-    // shipping the whole cross-domain result to the client
+    // shipping the whole cross-domain result to the client. The cap is
+    // DETERMINISTIC (closest pairs first, total tie-break): a bare
+    // limit() keeps whichever pairs scan first, so a re-run could
+    // persist a different arbitrary subset under a new executionId.
     val limit = p.extra.get("resultSizeLimit").map(_.toInt).getOrElse(500)
-    if (limit > 0) matched.limit(limit) else matched
+    if (limit > 0)
+      matched.orderBy(col("dist_km").asc, col("dt_s").asc, col("sid").asc,
+        col("plat").asc, col("plon").asc, col("pt").asc).limit(limit)
+    else matched
   }
 
   /** DOMS endpoint registry (the reference's `algorithms/doms` tree):
@@ -562,7 +597,13 @@ object Handlers {
         }
       }),
       "/domsvalues" -> insituDomain,
-      "/domsinsitusubset" -> insituDomain,
+      // insitusubset.py REQUIRES the source argument; /domsvalues
+      // accepts the blended multi-provider domain
+      "/domsinsitusubset" -> ((p, tiles) => {
+        if (!p.extra.contains("source"))
+          sys.error("'source' argument is required")
+        insituDomain(p, tiles)
+      }),
       "/domssubset" -> ((p, tiles) => domainPoints(p, tiles)),
 
       // /domsmetadata (MetadataQuery.py:16-38): dataset metadata
@@ -593,10 +634,10 @@ object Handlers {
       // /domsstats (StatsQuery.py:13-55): in-situ count + bounds for a
       // request domain — the reference's datafetch.getCount against the
       // in-situ service, here one aggregate over the in-situ table.
-      "/domsstats" -> ((p, _) => {
-        val dom = insitu.where(col("latitude").between(p.minLat, p.maxLat) &&
-          col("longitude").between(p.minLon, p.maxLon) &&
-          col("time").between(p.startTime, p.endTime))
+      "/domsstats" -> ((p, tiles) => {
+        // same domain + filter surface as /domsvalues — counts that
+        // silently included filtered-out rows would misreport
+        val dom = insituDomain(p, tiles)
         dom.agg(count(lit(1)).as("count"),
           min(col("latitude")).as("min_lat"), max(col("latitude")).as("max_lat"),
           min(col("longitude")).as("min_lon"), max(col("longitude")).as("max_lon"),

@@ -277,6 +277,13 @@ class HandlersSpec extends SparkSpec {
     assert(viaDate.length === 4)
     intercept[RuntimeException](run(Map("longitude" -> "0.5",
       "latitude" -> "0.5", "day" -> "45", "date" -> "2001-02-14T00:00:00Z")))
+    // date-only spelling parses as a UTC date, not a failed epoch int
+    assert(run(Map("longitude" -> "0.5", "latitude" -> "0.5",
+      "date" -> "2001-02-14")).length === 4)
+    // exactly one coordinate: loud error, never the whole-domain map
+    val half = intercept[RuntimeException](
+      run(Map("longitude" -> "0.5", "day" -> "45")))
+    assert(half.getMessage.contains("BOTH"))
     // a tile with NO *std meta yields an empty result, not an error
     assert(Handlers.registry("/standarddeviationsearch")(
       p.copy(extra = Map("longitude" -> "0.5", "latitude" -> "0.5",
@@ -303,6 +310,10 @@ class HandlersSpec extends SparkSpec {
     assert(run(Map("parameter" -> "sss")).select("sv").distinct()
       .as[Double].collect().toSeq === Seq(35.1))
     intercept[RuntimeException](run(Map("parameter" -> "chlorophyll")))
+    // relation models NAMED measurements but not the requested one:
+    // loud failure, never another measurement mislabeled as wind
+    val eWind = intercept[RuntimeException](run(Map("parameter" -> "wind")))
+    assert(eWind.getMessage.contains("wind_speed"))
     // generic `value` column serves as sv when no named measurement
     val generic = Seq((100L, 0.5, 0.5, 10L, 9.9))
       .toDF("id", "latitude", "longitude", "time", "value")
