@@ -582,10 +582,27 @@ object Handlers {
         val n = graft.sources.ResultsStore.read(s, resultsPath, execId).count()
         Seq((execId, n)).toDF("execution_id", "n_pairs")
       }),
-      "/domsresults" -> ((p, tiles) =>
-        graft.sources.ResultsStore.read(tiles.sparkSession, resultsPath,
-          p.executionId.getOrElse(sys.error(
-            "/domsresults requires executionId")))),
+      // /domsresults (ResultsRetrieval.py:28): the DEFAULT shape is the
+      // nested DOMS form — one row per primary point with its matches
+      // collected as an array (sorted for determinism); simpleResults=
+      // true returns the flat pair rows (the CSV-friendly rendition).
+      "/domsresults" -> ((p, tiles) => {
+        val pairs = graft.sources.ResultsStore.read(tiles.sparkSession,
+          resultsPath, p.executionId.getOrElse(sys.error(
+            "/domsresults requires executionId")))
+        if (p.extra.get("simpleResults").exists(_.toBoolean)) pairs
+        else {
+          val primaryCols = Seq("tile_id", "plat", "plon", "pt", "pv")
+            .filter(pairs.columns.contains)
+          val matchCols = pairs.columns
+            .filterNot(primaryCols.toSet)
+            .filterNot(_ == "execution_id")
+          pairs.groupBy(primaryCols.map(col): _*)
+            .agg(sort_array(collect_list(struct(matchCols.map(col): _*)))
+              .as("matches"))
+            .orderBy(primaryCols.map(col): _*)
+        }
+      }),
       "/domslist" -> ((_, tiles) => {
         val s = tiles.sparkSession
         try s.read.parquet(resultsPath)

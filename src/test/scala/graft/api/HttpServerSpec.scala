@@ -117,9 +117,16 @@ class HttpServerSpec extends SparkSpec {
     assert(exec.statusCode() === 200)
     assert(exec.body().contains("\"execution_id\":\"test-exec-1\""))
     // the in-situ point at (0.51, 0.52, t=1000) matches grid point (0.5, 0.5)
+    // default = the nested DOMS shape: primary point + matches array
     val results = get("/domsresults?executionId=test-exec-1")
     assert(results.statusCode() === 200)
-    assert(results.body().contains("\"sid\":100"))
+    assert(results.body().contains("\"matches\":[") &&
+      results.body().contains("\"sid\":100"))
+    // simpleResults=true flattens to plain pair rows
+    val flat = get("/domsresults?executionId=test-exec-1&simpleResults=true")
+    assert(flat.statusCode() === 200)
+    assert(flat.body().contains("\"sid\":100") &&
+      !flat.body().contains("\"matches\""))
     val list = get("/domslist")
     assert(list.statusCode() === 200)
     assert(list.body().contains("test-exec-1"))
