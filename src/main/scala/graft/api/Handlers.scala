@@ -353,7 +353,11 @@ object Handlers {
     "/correlationMap" -> core("/corrMapSpark"),
     "/dailydifferenceaverage" -> core("/dailydifferenceaverage_spark"),
     "/latitudeTimeHofMoeller" -> core("/latitudeTimeHofMoellerSpark"),
-    "/longitudeTimeHofMoeller" -> core("/longitudeTimeHofMoellerSpark")
+    "/longitudeTimeHofMoeller" -> core("/longitudeTimeHofMoellerSpark"),
+    // the reference's canonical std-search path is /standardDeviation
+    // (StandardDeviationSearch.py:23); /standarddeviationsearch stays
+    // as the engine's original spelling
+    "/standardDeviation" -> core("/standarddeviationsearch")
   )
 
   /** The reference's diagnostic endpoints (§2.9: /capabilities,
@@ -561,6 +565,12 @@ object Handlers {
           col("time").between(p.startTime, p.endTime))
     }
     Map(
+      // /match_spark (Matchup.py:41-120): the spark matchup under its
+      // canonical path — same kernel and request contract as
+      // /domsmatchup but answering the pairs inline rather than
+      // storing an execution
+      "/match_spark" -> ((p, tiles) =>
+        matchSpark(p, tiles, insitu, p.rtMeters, p.ttSeconds, p.matchOnce)),
       "/domsmatchup" -> ((p, tiles) => {
         val execId = p.executionId.getOrElse(
           java.util.UUID.randomUUID().toString)

@@ -127,6 +127,10 @@ class HttpServerSpec extends SparkSpec {
     assert(flat.statusCode() === 200)
     assert(flat.body().contains("\"sid\":100") &&
       !flat.body().contains("\"matches\""))
+    // canonical reference paths answer too
+    val ms = get("/match_spark?ds=sst&b=0,0,4,4&rt=5000&tt=3600")
+    assert(ms.statusCode() === 200, ms.body())
+    assert(ms.body().contains("\"sid\":100"))
     val list = get("/domslist")
     assert(list.statusCode() === 200)
     assert(list.body().contains("test-exec-1"))
