@@ -130,6 +130,21 @@ object Handlers {
         p.minLat, p.maxLat, p.minLon, p.maxLon)
       .where(col("time").between(p.startTime, p.endTime))
 
+  /** The `parameter` request arg → the named in-situ measurement
+    * column it selects (Matchup.py:142-145 / DataInBoundsSearch.py:64
+    * share the same enum). ONE definition: the validation set derives
+    * from the keys, so adding a measurement cannot desynchronize the
+    * endpoints.
+    */
+  private[api] val ParamCols: Map[String, String] = Map(
+    "sst" -> "sea_water_temperature",
+    "sss" -> "sea_water_salinity",
+    "wind" -> "wind_speed")
+  private[api] def validateParameter(v: String): Unit =
+    require(ParamCols.contains(v),
+      s"Parameter $v not supported. Must be one of " +
+        ParamCols.keys.toSeq.sorted.map(k => s"'$k'").mkString(", ") + ".")
+
   /** Time argument parse shared by request parsing and handler-local
     * date args: pure integers are epoch seconds, `yyyy-MM-dd` is a UTC
     * date, anything else must be a full ISO-8601 instant.
@@ -216,8 +231,7 @@ object Handlers {
     // companion's value at the point as a name → value map.
     "/datainbounds" -> ((p, tiles) => {
       val param = p.extra.get("parameter")
-      param.foreach(v => require(Set("sst", "sss", "wind")(v),
-        s"Parameter $v not supported. Must be one of 'sst', 'sss', 'wind'."))
+      param.foreach(validateParameter)
       val includeMeta = p.extra.get("includemeta").exists(_.toBoolean)
       val pts = domainPointsOf(pruneTiles(p, tiles), p,
         includeMetaMap = includeMeta)
@@ -462,24 +476,22 @@ object Handlers {
         col("value").as("pv"))
     val filtered = insituFilters(p, insitu)
     // `parameter` selects WHICH in-situ measurement rides along as the
-    // secondary value `sv` (Matchup.py:142-145 + DomsPoint: sst →
-    // sea_water_temperature, sss → sea_water_salinity, wind →
-    // wind_speed). A relation that models named measurements but lacks
-    // the REQUESTED one fails loudly — quietly substituting another
-    // measurement would mislabel the data. Relations carrying only the
-    // generic single-measurement `value` (the EDGE usable-result trim)
-    // use that; a relation with neither yields pairs without `sv`, and
-    // /domsplot falls back to distance for the scatter y-axis.
-    val parameter = p.extra.getOrElse("parameter", "sst")
-    require(Set("sst", "sss", "wind")(parameter),
-      s"Parameter $parameter not supported. Must be one of 'sst', 'sss', 'wind'.")
-    val paramColByName = Map("sst" -> "sea_water_temperature",
-      "sss" -> "sea_water_salinity", "wind" -> "wind_speed")
-    val paramCol = paramColByName(parameter)
+    // secondary value `sv` (Matchup.py:142-145 + DomsPoint, ParamCols).
+    // An EXPLICITLY requested measurement the relation lacks fails
+    // loudly — quietly substituting another would mislabel the data —
+    // but the implicit sst default must not reject a relation that was
+    // working through the generic `value` column (the EDGE
+    // usable-result trim). A relation with neither yields pairs
+    // without `sv`, and /domsplot falls back to distance.
+    val explicitParam = p.extra.get("parameter")
+    explicitParam.foreach(validateParameter)
+    val parameter = explicitParam.getOrElse("sst")
+    val paramCol = ParamCols(parameter)
     val svCol: Seq[org.apache.spark.sql.Column] =
       if (filtered.columns.contains(paramCol))
         Seq(col(paramCol).cast("double").as("sv"))
-      else if (paramColByName.values.exists(filtered.columns.contains))
+      else if (explicitParam.isDefined &&
+          ParamCols.values.exists(filtered.columns.contains))
         sys.error(s"in-situ relation has no '$paramCol' column for " +
           s"parameter '$parameter' (it models other named measurements)")
       else if (filtered.columns.contains("value"))
@@ -522,8 +534,11 @@ object Handlers {
     // persist a different arbitrary subset under a new executionId.
     val limit = p.extra.get("resultSizeLimit").map(_.toInt).getOrElse(500)
     if (limit > 0)
+      // tile_id + pv complete a TOTAL order: multi-dataset requests
+      // (or reprocessed granules) can tie on every geometric key
       matched.orderBy(col("dist_km").asc, col("dt_s").asc, col("sid").asc,
-        col("plat").asc, col("plon").asc, col("pt").asc).limit(limit)
+        col("plat").asc, col("plon").asc, col("pt").asc,
+        col("tile_id").asc, col("pv").asc).limit(limit)
     else matched
   }
 
@@ -600,7 +615,15 @@ object Handlers {
         val pairs = graft.sources.ResultsStore.read(tiles.sparkSession,
           resultsPath, p.executionId.getOrElse(sys.error(
             "/domsresults requires executionId")))
-        if (p.extra.get("simpleResults").exists(_.toBoolean)) pairs
+        // CSV/NETCDF/ZIP renditions are tabular: the nested matches
+        // array would stringify (CSV) or vanish (NetCDF) silently, so
+        // those outputs default to the flat form unless simpleResults
+        // says otherwise explicitly
+        val tabularOut = p.extra.get("output")
+          .exists(o => Set("CSV", "NETCDF", "ZIP")(o.toUpperCase))
+        val simple = p.extra.get("simpleResults").map(_.toBoolean)
+          .getOrElse(tabularOut)
+        if (simple) pairs
         else {
           val primaryCols = Seq("tile_id", "plat", "plon", "pt", "pv")
             .filter(pairs.columns.contains)

@@ -320,6 +320,17 @@ class HandlersSpec extends SparkSpec {
     assert(Handlers.matchSpark(pm, tiles, generic, 200000, 86400,
       matchOnce = false).select("sv").distinct().as[Double].collect()
       .toSeq === Seq(9.9))
+    // the IMPLICIT sst default must not reject a relation that works
+    // through `value` just because it also models another measurement
+    val mixed = Seq((100L, 0.5, 0.5, 10L, 4.2, 9.9))
+      .toDF("id", "latitude", "longitude", "time", "wind_speed", "value")
+    assert(Handlers.matchSpark(pm, tiles, mixed, 200000, 86400,
+      matchOnce = false).select("sv").distinct().as[Double].collect()
+      .toSeq === Seq(9.9))
+    // ...but an EXPLICIT parameter the relation lacks still fails loudly
+    intercept[RuntimeException](Handlers.matchSpark(
+      pm.copy(extra = Map("parameter" -> "sst")), tiles, mixed,
+      200000, 86400, matchOnce = false))
     // resultSizeLimit: cap honored; 0 lifts it
     val n = run(Map.empty).count()
     assert(run(Map("resultSizeLimit" -> "1")).count() === 1)
