@@ -137,50 +137,73 @@ object StreamingIngest {
       .schema(binarySchema).load(watchDir)
     files.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val pts =
-          if (metaVars.isEmpty)
-            graft.ingest.GranuleIngest.decodeFiles(
-              batch, valueVar, latVar, lonVar, timeVar, swath)
-          else graft.ingest.GranuleIngest.decodeFilesMulti(
-            batch, valueVar, metaVars, latVar, lonVar, timeVar)
-        val tiles = graft.ingest.Ingest
-          .pointsToTiles(pts, tileLat, tileLon, dataset, metaNames = metaVars)
-          .withColumn("time_bucket",
-            graft.ingest.Ingest.timeBucket(col("min_time")))
-          .persist()
-        try {
-          // partition-pruned idempotency: only the batch's own
-          // time buckets are consulted (bounded driver collect), and
-          // ONLY their partition directories are listed/read — a
-          // whole-store `read.parquet(outPath)` would pay driver-side
-          // file listing proportional to the archive on every batch,
-          // and would poison the query permanently if the store dir
-          // existed with no data files yet (unschemable)
-          val buckets = tiles.select(col("time_bucket")).distinct()
-            .collect().map(_.getLong(0))
-          val s = batch.sparkSession
-          val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          val fs = new org.apache.hadoop.fs.Path(outPath)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          val partDirs = buckets.map(b => new org.apache.hadoop.fs.Path(
-              s"$outPath/${esc.getPartitionPathString("dataset", dataset)}/" +
-                esc.getPartitionPathString("time_bucket", String.valueOf(b))))
-            .filter(d => fs.exists(d) && fs.listStatus(d)
-              .exists(_.getPath.getName.endsWith(".parquet")))
-          val fresh =
-            if (partDirs.isEmpty) tiles
-            else tiles.join(
-              s.read.option("basePath", outPath)
-                .parquet(partDirs.map(_.toString).toIndexedSeq: _*)
-                .select(col("tile_id")),
-              Seq("tile_id"), "left_anti")
-          fresh.write.mode("append")
-            .partitionBy("dataset", "time_bucket")
-            .parquet(outPath)
-        } finally tiles.unpersist()
+        if (swath) {
+          // swaths stay POINT relations (SURVEY §7.4's deliberate
+          // deviation — no diagonalization, no dense-grid tiler, which
+          // would reject sparse geolocation loudly); idempotency key
+          // is the granule, the reference's unit of ingest
+          val pts = graft.ingest.GranuleIngest.decodeFiles(
+              batch, valueVar, latVar, lonVar, timeVar, swath = true)
+            .withColumn("dataset", lit(dataset))
+            .withColumn("time_bucket",
+              graft.ingest.Ingest.timeBucket(col("time")))
+          appendDeduped(batch.sparkSession, pts, outPath, dataset,
+            keyCols = Seq("granule"))
+        } else {
+          val pts =
+            if (metaVars.isEmpty)
+              graft.ingest.GranuleIngest.decodeFiles(
+                batch, valueVar, latVar, lonVar, timeVar, swath = false)
+            else graft.ingest.GranuleIngest.decodeFilesMulti(
+              batch, valueVar, metaVars, latVar, lonVar, timeVar)
+          val tiles = graft.ingest.Ingest
+            .pointsToTiles(pts, tileLat, tileLon, dataset, metaNames = metaVars)
+            .withColumn("time_bucket",
+              graft.ingest.Ingest.timeBucket(col("min_time")))
+          appendDeduped(batch.sparkSession, tiles, outPath, dataset,
+            keyCols = Seq("tile_id"))
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+  }
+
+  /** Append `rows` to the partitioned store, dropping rows whose
+    * `keyCols` already exist in the store's matching partitions.
+    *
+    * Partition-pruned idempotency: only the batch's own time buckets
+    * are consulted (bounded driver collect), and ONLY their partition
+    * directories are listed/read — a whole-store `read.parquet` would
+    * pay driver-side file listing proportional to the archive on every
+    * batch, and would poison the query permanently if the store dir
+    * existed with no data files yet (unschemable).
+    */
+  private def appendDeduped(s: org.apache.spark.sql.SparkSession,
+                            rows: DataFrame, outPath: String,
+                            dataset: String, keyCols: Seq[String]): Unit = {
+    val cached = rows.persist()
+    try {
+      val buckets = cached.select(col("time_bucket")).distinct()
+        .collect().map(_.getLong(0))
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val fs = new org.apache.hadoop.fs.Path(outPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val partDirs = buckets.map(b => new org.apache.hadoop.fs.Path(
+          s"$outPath/${esc.getPartitionPathString("dataset", dataset)}/" +
+            esc.getPartitionPathString("time_bucket", String.valueOf(b))))
+        .filter(d => fs.exists(d) && fs.listStatus(d)
+          .exists(_.getPath.getName.endsWith(".parquet")))
+      val fresh =
+        if (partDirs.isEmpty) cached
+        else cached.join(
+          s.read.option("basePath", outPath)
+            .parquet(partDirs.map(_.toString).toIndexedSeq: _*)
+            .select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+      fresh.write.mode("append")
+        .partitionBy("dataset", "time_bucket")
+        .parquet(outPath)
+    } finally cached.unpersist()
   }
 }

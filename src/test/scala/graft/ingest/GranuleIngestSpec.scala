@@ -150,6 +150,47 @@ class GranuleIngestSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("granulePipeline(swath=true) streams swath granules as POINT " +
+    "rows, idempotent per granule") {
+    import graft.streaming.StreamingIngest
+    def swathGranule(bias: Double): Array[Byte] = NetcdfClassic.write(NcFile(
+      dims = Seq(NcDim("y", 2), NcDim("x", 3)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("time", Seq("y"), NC_INT, Nil, Array(100.0, 200.0)),
+        NcVar("lat", Seq("y", "x"), NC_FLOAT, Nil,
+          Array(1.0, 1.1, 1.2, 2.0, 2.1, 2.2)),
+        NcVar("lon", Seq("y", "x"), NC_FLOAT, Nil,
+          Array(30.0, 30.1, 30.2, 31.0, 31.1, 31.2)),
+        NcVar("wind", Seq("y", "x"), NC_FLOAT, Nil,
+          Array.tabulate(6)(_ + bias)))))
+    val watch = java.nio.file.Files.createTempDirectory("graft_sw").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_swstore")
+      .toFile.getAbsolutePath + "/points"
+    def run(ckpt: String): Unit = {
+      val q = StreamingIngest.granulePipeline(spark, watch.getAbsolutePath,
+        out, ckpt, "wind", "wind_swath", 30.0, 30.0, swath = true).start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(
+      new java.io.File(watch, "s1.nc").toPath, swathGranule(0.0))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_swck")
+      .toFile.getAbsolutePath
+    run(ckpt)
+    val pts1 = spark.read.parquet(out)
+    assert(pts1.count() === 6) // sparse points, NOT dense tiles
+    assert(pts1.columns.contains("latitude") && pts1.columns.contains("value"))
+    // second granule + checkpoint loss: per-granule anti-join dedups
+    java.nio.file.Files.write(
+      new java.io.File(watch, "s2.nc").toPath, swathGranule(50.0))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_swck2")
+      .toFile.getAbsolutePath
+    run(ckpt2) // fresh checkpoint reprocesses s1 too
+    val all = spark.read.parquet(out)
+    assert(all.count() === 12)
+    assert(all.select("granule").distinct().count() === 2)
+  }
+
   test("swath granules decode per-pixel geolocation and per-scan time") {
     val nc = NcFile(
       dims = Seq(NcDim("y", 2), NcDim("x", 3)),
