@@ -140,15 +140,24 @@ object StreamingIngest {
         if (swath) {
           // swaths stay POINT relations (SURVEY §7.4's deliberate
           // deviation — no diagonalization, no dense-grid tiler, which
-          // would reject sparse geolocation loudly); idempotency key
-          // is the granule, the reference's unit of ingest
+          // would reject sparse geolocation loudly). Point relations
+          // are NaN-free by convention (TileOps.toPoints /
+          // TypedTileOps.swathToPoints filter masks before emitting):
+          // fill-valued pixels and fill-valued geolocation never land
+          // as rows
           val pts = graft.ingest.GranuleIngest.decodeFiles(
               batch, valueVar, latVar, lonVar, timeVar, swath = true)
+            .where(!isnan(col("value")) && !isnan(col("latitude")) &&
+              !isnan(col("longitude")))
             .withColumn("dataset", lit(dataset))
             .withColumn("time_bucket",
               graft.ingest.Ingest.timeBucket(col("time")))
-          appendDeduped(batch.sparkSession, pts, outPath, dataset,
-            keyCols = Seq("granule"))
+          // (granule, time_bucket) — not granule alone — so a replay
+          // after a partial cross-bucket commit rewrites exactly the
+          // buckets that are missing instead of dropping the whole
+          // granule's remainder
+          appendDeduped(pts, outPath, dataset,
+            keyCols = Seq("granule", "time_bucket"))
         } else {
           val pts =
             if (metaVars.isEmpty)
@@ -160,8 +169,7 @@ object StreamingIngest {
             .pointsToTiles(pts, tileLat, tileLon, dataset, metaNames = metaVars)
             .withColumn("time_bucket",
               graft.ingest.Ingest.timeBucket(col("min_time")))
-          appendDeduped(batch.sparkSession, tiles, outPath, dataset,
-            keyCols = Seq("tile_id"))
+          appendDeduped(tiles, outPath, dataset, keyCols = Seq("tile_id"))
         }
         ()
       }
@@ -179,9 +187,9 @@ object StreamingIngest {
     * batch, and would poison the query permanently if the store dir
     * existed with no data files yet (unschemable).
     */
-  private def appendDeduped(s: org.apache.spark.sql.SparkSession,
-                            rows: DataFrame, outPath: String,
+  private def appendDeduped(rows: DataFrame, outPath: String,
                             dataset: String, keyCols: Seq[String]): Unit = {
+    val s = rows.sparkSession
     val cached = rows.persist()
     try {
       val buckets = cached.select(col("time_bucket")).distinct()
