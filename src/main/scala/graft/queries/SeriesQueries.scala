@@ -11,6 +11,36 @@ import graft.Tables
   */
 object SeriesQueries extends QueryModule {
 
+  /** Extreme-scale drop-in for `w13_rolling_dau` (the SCALING.md
+    * documented form, now real): per-day HLL sketches of user ids,
+    * union-merged across the 7-day frame — the shuffle carries
+    * fixed-size sketches (≤ ~2^lgK bytes each), never user ids. A
+    * sliding DISTINCT has no window-function expression, and at
+    * extreme scale the exact banded self-join's 7× user-id
+    * re-shuffle dominates; sketches make the window merge O(days ×
+    * sketch) regardless of cardinality. Estimates carry HLL's
+    * standard error (≈1.04/√2^lgK — 0.8% at the default lgK=14),
+    * bounded by SketchSpec against the exact form.
+    */
+  def rollingDauHll(events: org.apache.spark.sql.DataFrame,
+                    lgK: Int = 14): org.apache.spark.sql.DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+    // each day's sketch participates in the 7 output frames it covers;
+    // emit only days that themselves have activity (w13's frame)
+    daily.select(col("event_type"), col("sk"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_union_agg(col("sk")).as("wsk"))
+      .join(daily.select(col("event_type"), col("d").as("day")),
+        Seq("event_type", "day"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        hll_sketch_estimate(col("wsk")).as("wau7_est"))
+  }
+
   private def dailyByType(s: SparkSession, dir: String, typ: String): DataFrame =
     Tables.events(s, dir).where(col("event_type") === typ)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))

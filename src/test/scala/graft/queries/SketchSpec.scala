@@ -47,4 +47,26 @@ class SketchSpec extends SparkSpec {
         s"$ty: exact=$exact approx=$approx")
     }
   }
+
+  test("rollingDauHll (the w13 extreme-scale drop-in) tracks the exact " +
+    "7-day rolling distinct within HLL's error envelope on every day") {
+    val exact = SeriesQueries.queries("w13_rolling_dau")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        r.getAs[Long]("wau7").toDouble)
+      .toMap
+    val approx = SeriesQueries
+      .rollingDauHll(graft.Tables.events(spark, dir))
+      .collect()
+    // same frame: one row per (event_type, active day)
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[String]("day"))
+      val est = r.getAs[Long]("wau7_est").toDouble
+      val ex = exact(key)
+      // lgK=14 → rse ≈ 0.81%; 4σ ≈ 3.3% leaves slack for small windows
+      assert(math.abs(est - ex) / ex <= 0.033,
+        s"$key: exact=$ex est=$est")
+    }
+  }
 }
