@@ -3,7 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{H5Lite, NetcdfClassic}
+import graft.sources.{CfTime, H5Lite, NetcdfClassic}
 import graft.sources.NetcdfClassic.{NcFile, NcVar}
 
 /** One observation point decoded from a granule. Top-level case class:
@@ -54,7 +54,8 @@ object GranuleIngest {
     */
   def gridPointsOf(nc: NcFile, granule: String, valueVar: String,
                    latVar: String = "lat", lonVar: String = "lon",
-                   timeVar: String = "time"): Iterator[GranulePoint] = {
+                   timeVar: String = "time",
+                   dayAttr: Option[(String, String)] = None): Iterator[GranulePoint] = {
     val v = nc.variable(valueVar).getOrElse(
       sys.error(s"granule $granule: no variable $valueVar"))
     val lats = coord(nc, latVar, granule)
@@ -63,6 +64,7 @@ object GranuleIngest {
       case Some(t) => t.unpacked
       case None => Array(0.0)
     }
+    val toEpoch = CfTime.converter(nc.variable(timeVar), dayEpoch(nc, dayAttr))
     val (nT, nLat, nLon) = (times.length, lats.length, lons.length)
     val data = v.unpacked
     require(data.length == nT * nLat * nLon,
@@ -72,9 +74,20 @@ object GranuleIngest {
       t <- Iterator.range(0, nT)
       i <- Iterator.range(0, nLat)
       j <- Iterator.range(0, nLon)
-    } yield GranulePoint(granule, times(t).toLong, lats(i), lons(j),
+    } yield GranulePoint(granule, toEpoch(times(t)), lats(i), lons(j),
       data((t * nLat + i) * nLon + j))
   }
+
+  /** Midnight-UTC epoch of the granule-level day attribute, when one
+    * is configured and parses — the reference's `GLBLATTR_DAY`/
+    * `GLBLATTR_DAY_FORMAT` pair for files whose time axis is seconds
+    * of day (`tilereadingprocessor.py:38-39`).
+    */
+  private def dayEpoch(nc: NcFile, dayAttr: Option[(String, String)]): Option[Long] =
+    dayAttr.flatMap { case (attrName, pattern) =>
+      nc.attrs.find(_.name == attrName).map(_.text)
+        .flatMap(CfTime.dayStart(_, pattern))
+    }
 
   /** Points of a swath granule: lat/lon/value are parallel 2-D (scan,
     * pixel) arrays; `timeVar` may span (scan) — per-scan-line time, the
@@ -84,7 +97,8 @@ object GranuleIngest {
     */
   def swathPointsOf(nc: NcFile, granule: String, valueVar: String,
                     latVar: String = "lat", lonVar: String = "lon",
-                    timeVar: String = "time"): Iterator[GranulePoint] = {
+                    timeVar: String = "time",
+                    dayAttr: Option[(String, String)] = None): Iterator[GranulePoint] = {
     val v = nc.variable(valueVar).getOrElse(
       sys.error(s"granule $granule: no variable $valueVar"))
     val lat = nc.variable(latVar).getOrElse(
@@ -97,12 +111,24 @@ object GranuleIngest {
     require(lats.length == data.length && lons.length == data.length,
       s"granule $granule: swath arrays disagree " +
         s"(value=${data.length} lat=${lats.length} lon=${lons.length})")
-    val nPixel = nc.shape(v).lastOption.getOrElse(data.length)
+    val shape = nc.shape(v)
+    val toEpoch = CfTime.converter(nc.variable(timeVar), dayEpoch(nc, dayAttr))
     val timeAt: Int => Long = nc.variable(timeVar) match {
       case Some(t) if t.data.length == data.length =>
-        val ts = t.unpacked; k => ts(k).toLong
+        val ts = t.unpacked; k => toEpoch(ts(k))
       case Some(t) if t.data.length > 0 =>
-        val ts = t.unpacked; k => ts(k / nPixel.max(1)).toLong // per scan line
+        // a 1-D time spanning ONE axis of the swath: find that axis by
+        // shared dim name (real dim identity) or, with synthetic
+        // per-variable dims, by the unique axis whose length matches —
+        // leading axis (per-scan-row time, the common L2 layout) on a
+        // tie. Row-major stride maps flat index → axis index.
+        val ts = t.unpacked
+        val axis: Int = t.dims.headOption.map(v.dims.indexOf).filter(_ >= 0)
+          .orElse(shape.zipWithIndex.find(_._1 == ts.length).map(_._2))
+          .getOrElse(0)
+        val stride = shape.drop(axis + 1).product.max(1)
+        val axisLen = shape.lift(axis).getOrElse(ts.length).max(1)
+        k => toEpoch(ts((k / stride) % axisLen))
       case _ => _ => 0L
     }
     Iterator.range(0, data.length).map(k =>

@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.time.{LocalDate, LocalDateTime, LocalTime, ZoneOffset}
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
+
+import graft.sources.NetcdfClassic.NcVar
+
+/** CF time-coordinate conversion: a time variable's raw numbers plus
+  * its `units` attribute ("<unit> since <datetime>") become Unix epoch
+  * seconds — the normalization the reference applies to every granule
+  * time axis before tiling (`tilereadingprocessor.py:95-111`,
+  * `num2date(value, units)` then seconds-since-1970, truncated to a
+  * whole second). Files whose time axis is NOT CF-expressible (e.g.
+  * "UTC seconds of day") fall back to a START-DAY base parsed from a
+  * named global attribute — midnight of that date plus the raw value
+  * in seconds — matching the reference's `GLBLATTR_DAY` escape hatch
+  * (`tilereadingprocessor.py:38-39,99-101`).
+  */
+object CfTime {
+
+  private val UnitsRe = """(?i)\s*(\w+)\s+since\s+(.+?)\s*""".r
+
+  private val secondsPer: Map[String, Double] = Map(
+    "second" -> 1.0, "seconds" -> 1.0, "sec" -> 1.0, "secs" -> 1.0, "s" -> 1.0,
+    "millisecond" -> 1e-3, "milliseconds" -> 1e-3, "msec" -> 1e-3, "ms" -> 1e-3,
+    "microsecond" -> 1e-6, "microseconds" -> 1e-6,
+    "minute" -> 60.0, "minutes" -> 60.0, "min" -> 60.0, "mins" -> 60.0,
+    "hour" -> 3600.0, "hours" -> 3600.0, "hr" -> 3600.0, "hrs" -> 3600.0,
+    "h" -> 3600.0,
+    "day" -> 86400.0, "days" -> 86400.0, "d" -> 86400.0,
+    "week" -> 604800.0, "weeks" -> 604800.0)
+
+  /** Epoch seconds of a CF base datetime. Accepts the spellings real
+    * archives use: `1981-01-01`, `1981-01-01 00:00:00`,
+    * `1990-01-01T00:00:00Z`, fractional seconds, and a trailing UTC
+    * marker (`Z`, `UTC`, `+0:00`, `0:00`, `+00:00`). Non-UTC offsets
+    * are honored numerically.
+    */
+  private[sources] def parseBase(s: String): Option[Double] = {
+    var t = s.trim.replace('T', ' ')
+    var offsetSec = 0.0
+    // trailing zone: Z / UTC / [+-]H[:MM] / H:MM
+    val zoneRe = """^(.*?)(?:\s+|(?<=\d))(Z|UTC|[+-]?\d{1,2}:\d{2}|[+-]\d{1,2}|[+-]\d{4})$""".r
+    t match {
+      case zoneRe(rest, z) if rest.contains("-") && rest.exists(_.isDigit) =>
+        // only strip when what remains still looks like a date
+        val zz = z.toUpperCase
+        if (zz != "Z" && zz != "UTC") {
+          val sign = if (zz.startsWith("-")) -1 else 1
+          val digits = zz.dropWhile(c => c == '+' || c == '-')
+          val (hh, mm) =
+            if (digits.contains(":")) {
+              val Array(a, b) = digits.split(":"); (a.toInt, b.toInt)
+            } else if (digits.length == 4)
+              (digits.take(2).toInt, digits.drop(2).toInt)
+            else (digits.toInt, 0)
+          offsetSec = sign * (hh * 3600.0 + mm * 60.0)
+        }
+        t = rest.trim
+      case _ =>
+    }
+    val datePart :: timeParts = t.split("\\s+").toList: @unchecked
+    try {
+      val date = LocalDate.parse(datePart, DateTimeFormatter.ISO_LOCAL_DATE)
+      val time = timeParts.headOption.map { tp =>
+        // seconds (and fraction) optional: "00:00" and "0:0:0" occur
+        val fmt = new DateTimeFormatterBuilder()
+          .appendValue(ChronoField.HOUR_OF_DAY)
+          .appendLiteral(':').appendValue(ChronoField.MINUTE_OF_HOUR)
+          .optionalStart().appendLiteral(':')
+          .appendValue(ChronoField.SECOND_OF_MINUTE)
+          .optionalStart().appendFraction(
+            ChronoField.NANO_OF_SECOND, 1, 9, true).optionalEnd()
+          .optionalEnd()
+          .toFormatter
+        LocalTime.parse(tp, fmt)
+      }.getOrElse(LocalTime.MIDNIGHT)
+      Some(LocalDateTime.of(date, time).toEpochSecond(ZoneOffset.UTC) +
+        time.getNano / 1e9 - offsetSec)
+    } catch { case _: Exception => None }
+  }
+
+  /** `units` attribute → raw-value-to-epoch-seconds function, when the
+    * attribute is CF-parseable.
+    */
+  def fromUnits(units: String): Option[Double => Double] = units match {
+    case UnitsRe(unit, base) =>
+      for {
+        factor <- secondsPer.get(unit.toLowerCase)
+        epoch0 <- parseBase(base)
+      } yield (v: Double) => epoch0 + v * factor
+    case _ => None
+  }
+
+  /** Midnight (UTC) of the date carried by a granule-level attribute
+    * like `REV_START_TIME = "2015-090T16:31:44.000"` — the reference's
+    * `GLBLATTR_DAY` (day-of-year spellings included via `pattern`, a
+    * java DateTimeFormatter pattern such as `yyyy-DDD'T'HH:mm:ss.SSS`).
+    */
+  def dayStart(value: String, pattern: String): Option[Long] =
+    try {
+      val fmt = DateTimeFormatter.ofPattern(pattern)
+      val parsed = fmt.parse(value.trim)
+      val date =
+        if (parsed.isSupported(ChronoField.DAY_OF_YEAR) &&
+          !parsed.isSupported(ChronoField.MONTH_OF_YEAR))
+          LocalDate.ofYearDay(parsed.get(ChronoField.YEAR),
+            parsed.get(ChronoField.DAY_OF_YEAR))
+        else LocalDate.from(parsed)
+      Some(date.atStartOfDay.toEpochSecond(ZoneOffset.UTC))
+    } catch { case _: Exception => None }
+
+  /** The converter a decode path applies to every raw time value:
+    * CF units when present and parseable; else start-day base plus
+    * raw seconds; else identity (already epoch or synthetic). The
+    * result truncates to whole seconds like the reference's
+    * `long(total_seconds())`.
+    */
+  def converter(timeVar: Option[NcVar],
+                startDayEpoch: Option[Long] = None): Double => Long = {
+    val viaUnits = timeVar.flatMap(_.attr("units"))
+      .map(a => a.text).filter(_.nonEmpty).flatMap(fromUnits)
+    viaUnits match {
+      case Some(f) => v => f(v).toLong
+      case None => startDayEpoch match {
+        case Some(day0) => v => day0 + v.toLong
+        case None => v => v.toLong
+      }
+    }
+  }
+}

@@ -252,7 +252,12 @@ object H5Lite {
         case _ => r.u64()
       }
       val creationTracked = (flags & 0x4) != 0
-      var blocks = List((r.pos, chunkSize()))
+      // consume the size field BEFORE taking the position: messages
+      // start right after it (tuple args evaluate left-to-right, so
+      // (r.pos, chunkSize()) would anchor the block at the size field
+      // itself — off by 1/2/4/8 bytes depending on flags)
+      val firstChunkSize = chunkSize()
+      var blocks = List((r.pos, firstChunkSize))
       while (blocks.nonEmpty) {
         val (start, len) = blocks.head
         blocks = blocks.tail
@@ -311,6 +316,9 @@ object H5Lite {
                          sets: ArrayBuffer[Dataset], rootAttrs: ArrayBuffer[NcAttr],
                          isRoot: Boolean): Unit = {
     val msgs = headerMessages(r, addr)
+    if (sys.env.contains("H5_DEBUG"))
+      println(s"walkObject addr=$addr prefix=$prefix msgs=" +
+        msgs.map(m => f"0x${m._1}%02x").mkString(","))
     val byType = msgs.groupBy(_._1)
     val isDataset = byType.contains(0x08)
     if (isDataset) {
@@ -444,7 +452,8 @@ object H5Lite {
     private val ioFilterLen = r.u16()
     r.u8() // flags (direct-block checksums — not verified, like all tails)
     r.u32() // max managed object size
-    r.u64(); r.u64() // next huge id, huge B-tree address
+    r.u64() // next huge id
+    private val hugeBtAddr = r.u64() // huge-object v2 B-tree address
     r.u64(); r.u64() // free space, free-space manager address
     r.u64(); r.u64() // managed space, allocated space
     r.u64() // direct-block iterator offset
@@ -529,8 +538,11 @@ object H5Lite {
           // the whole block must be in bounds — in-place reads are
           // later LIMITED to the block extent (objectAt), preserving
           // the copy-based behavior where a read could never cross
-          // into adjacent file structures
-          require(a >= 0 && size <= r.bytes.length - a,
+          // into adjacent file structures; the minimum-size bound
+          // covers the FHDB header the signature check below reads
+          // (the Right-branch forall is vacuous here)
+          require(a >= 0 && size <= r.bytes.length - a &&
+            size >= 4 + 1 + 8 + offsetSize,
             s"h5: direct block at $a out of bounds")
           Left(a)
         } else {
@@ -556,14 +568,94 @@ object H5Lite {
       (bo, size, content)
     }
 
+    /** Heap ID → reader positioned at the object. Type bits 4–5 of the
+      * flag byte select the storage class (§III.G): 0 = managed
+      * (doubling-table blocks), 1 = huge (own file space, indexed by
+      * the heap's huge v2 B-tree unless the ID is wide enough to embed
+      * address+length directly), 2 = tiny (payload inline in the ID).
+      */
+    def objectAt(id: Array[Byte]): R = ((id(0) >> 4) & 0x3) match {
+      case 0 => managedAt(id)
+      case 1 => hugeAt(id)
+      case 2 => tinyAt(id)
+      case t => throw new UnsupportedH5(s"h5: reserved heap object type $t")
+    }
+
+    private def leBytes(id: Array[Byte], from: Int, n: Int): Long = {
+      var v = 0L
+      (0 until n).foreach(i => v |= ((id(from + i) & 0xffL) << (8 * i)))
+      v
+    }
+
+    /** Tiny object (type 2): the payload lives inside the ID itself.
+      * Normal form (heap ID ≤ 18 bytes): length−1 in the low nibble of
+      * the flag byte, data from byte 1. Extended form (ID > 18 bytes):
+      * 12-bit length−1 split across the low nibble and a second byte.
+      */
+    private def tinyAt(id: Array[Byte]): R = {
+      val b0 = id(0) & 0xff
+      val (len, dataOff) =
+        if (heapIdLen <= 18) ((b0 & 0x0f) + 1, 1)
+        else ((((b0 & 0x0f) << 8) | (id(1) & 0xff)) + 1, 2)
+      require(dataOff + len <= id.length,
+        s"h5: tiny heap object of $len bytes overflows its ${id.length}-byte ID")
+      new R(java.util.Arrays.copyOfRange(id, dataOff, dataOff + len))
+    }
+
+    /** Huge object (type 1): stored in its own file space. When the
+      * heap ID is wide enough to embed address + length (+ filter mask
+      * and de-filtered size for filtered heaps), libhdf5 writes them
+      * directly into the ID; otherwise the ID carries a huge-object ID
+      * resolved through the heap's huge v2 B-tree (record type 1
+      * unfiltered / 2 filtered: address, length[, mask, memory size],
+      * ID).
+      */
+    private def hugeAt(id: Array[Byte]): R = {
+      val filtered = ioFilterLen > 0
+      val directLen = 1 + 8 + 8 + (if (filtered) 4 + 8 else 0)
+      val (addr, storedLen, fmask, memLen) =
+        if (heapIdLen >= directLen) {
+          val a = leBytes(id, 1, 8); val l = leBytes(id, 9, 8)
+          if (filtered) (a, l, leBytes(id, 17, 4), leBytes(id, 21, 8))
+          else (a, l, 0L, l)
+        } else {
+          require(hugeBtAddr != UNDEF, "h5: huge heap object but no huge B-tree")
+          val hugeId = leBytes(id, 1, heapIdLen - 1)
+          val (btType, _, recs) = btree2Records(r, hugeBtAddr)
+          require(btType == (if (filtered) 2 else 1),
+            s"h5: huge B-tree record type $btType (heap filtered=$filtered)")
+          val rec = recs.find { rec =>
+            val idOff = if (filtered) 8 + 8 + 4 + 8 else 8 + 8
+            leBytes(rec, idOff, 8) == hugeId
+          }.getOrElse(throw new UnsupportedH5(
+            s"h5: huge object $hugeId not in huge B-tree"))
+          if (filtered) (leBytes(rec, 0, 8), leBytes(rec, 8, 8),
+            leBytes(rec, 16, 4), leBytes(rec, 20, 8))
+          else (leBytes(rec, 0, 8), leBytes(rec, 8, 8), 0L,
+            leBytes(rec, 8, 8))
+        }
+      require(addr >= 0 && storedLen >= 0 && addr + storedLen <= r.bytes.length,
+        s"h5: huge object at $addr+$storedLen out of bounds")
+      if (!filtered) {
+        val rr = new R(r.bytes)
+        rr.buf.limit((addr + storedLen).toInt)
+        rr.at(addr)
+        rr
+      } else {
+        r.at(addr)
+        val raw = applyFilters(r.take(storedLen.toInt), filters, fmask,
+          elemSize = 1)
+        require(raw.length == memLen,
+          s"h5: filtered huge object decoded ${raw.length} of $memLen bytes")
+        new R(raw)
+      }
+    }
+
     /** Managed heap ID → reader positioned at the object. Heap offsets
       * count the block header bytes, so the in-block position is
       * simply (offset − blockHeapOffset).
       */
-    def objectAt(id: Array[Byte]): R = {
-      val b0 = id(0) & 0xff
-      if ((b0 & 0x30) != 0)
-        throw new UnsupportedH5(s"h5: huge/tiny heap object (type ${(b0 >> 4) & 3})")
+    private def managedAt(id: Array[Byte]): R = {
       var off = 0L
       (0 until offsetSize).foreach(i => off |= ((id(1 + i) & 0xffL) << (8 * i)))
       val blk = blocks.find(b => off >= b._1 && off < b._1 + b._2).getOrElse(
@@ -617,12 +709,27 @@ object H5Lite {
     * maximum; both derive from node size and record size alone.
     */
   private def btree2HeapIds(r: R, addr: Long, wantType: Int = 5): Seq[Array[Byte]] = {
+    val (btType, recordSize, recs) = btree2Records(r, addr)
+    require(btType == wantType,
+      s"h5: v2 B-tree type $btType (expected $wantType)")
+    wantType match {
+      // type 5 (link-name index): hash(4) + variable-size heap ID
+      case 5 => recs.map(_.drop(4))
+      // type 8 (attribute-name index): heap ID(8) + flags + corder + hash
+      case 8 => recs.map(_.take(8))
+      case t => throw new UnsupportedH5(s"h5: v2 B-tree record type $t")
+    }
+  }
+
+  /** v2 B-tree → raw fixed-size records at any depth, type-agnostic:
+    * callers slice fields per record type (5/8 heap-ID indexes above,
+    * 1/2 huge-object directories in [[FractalHeap.objectAt]]).
+    */
+  private def btree2Records(r: R, addr: Long): (Int, Int, Seq[Array[Byte]]) = {
     require(r.sig4(addr, "BTHD"), s"h5: bad v2 B-tree header at $addr")
     r.at(addr + 4)
     require(r.u8() == 0, "h5: bad v2 B-tree version")
     val btType = r.u8()
-    require(btType == wantType,
-      s"h5: v2 B-tree type $btType (expected $wantType)")
     val nodeSize = r.u32()
     val recordSize = r.u16()
     val depth = r.u16()
@@ -652,13 +759,9 @@ object H5Lite {
       cumMaxNrec(u) = (maxNrec(u) + 1) * cumMaxNrec(u - 1) + maxNrec(u)
     }
 
-    // the heap-ID bytes of one record at the cursor; the name hash is
-    // unused — every record is read regardless
-    def readRecord(): Array[Byte] = wantType match {
-      case 5 => r.u32(); r.take(recordSize - 4) // hash, then variable ID
-      case 8 => val id = r.take(8); r.skip(recordSize - 8); id // ID first
-      case t => throw new UnsupportedH5(s"h5: v2 B-tree record type $t")
-    }
+    // one raw record at the cursor — field slicing happens per type in
+    // the callers; every record is read regardless of its name hash
+    def readRecord(): Array[Byte] = r.take(recordSize)
 
     def readUInt(width: Int): Long = {
       var v = 0L
@@ -673,13 +776,13 @@ object H5Lite {
         require(r.sig4(a, "BTLF"), s"h5: bad v2 B-tree leaf at $a")
         r.at(a + 4)
         require(r.u8() == 0, "h5: bad v2 B-tree leaf version")
-        require(r.u8() == wantType, "h5: v2 B-tree leaf record type mismatch")
+        require(r.u8() == btType, "h5: v2 B-tree leaf record type mismatch")
         (0 until nRec).map(_ => readRecord())
       } else {
         require(r.sig4(a, "BTIN"), s"h5: bad v2 B-tree node at $a")
         r.at(a + 4)
         require(r.u8() == 0, "h5: bad v2 B-tree node version")
-        require(r.u8() == wantType, "h5: v2 B-tree node record type mismatch")
+        require(r.u8() == btType, "h5: v2 B-tree node record type mismatch")
         val sepIds = (0 until nRec).map(_ => readRecord())
         // collect child pointers FIRST — recursion moves the cursor
         val children = (0 to nRec).map { _ =>
@@ -691,7 +794,7 @@ object H5Lite {
         children.flatMap { case (ca, n) => readNode(ca, n, level - 1) } ++ sepIds
       }
 
-    readNode(rootAddr, rootNRec, depth)
+    (btType, recordSize, readNode(rootAddr, rootNRec, depth))
   }
 
   /** Hard-link message → (name, object header address); None for
