@@ -159,7 +159,8 @@ object H5Lite {
     }
     val sets = ArrayBuffer.empty[Dataset]
     val rootAttrs = ArrayBuffer.empty[NcAttr]
-    walkObject(r, rootOh, "", sets, rootAttrs, isRoot = true)
+    walkObject(r, rootOh, "", sets, rootAttrs, isRoot = true,
+      root = rootOh, onPath = Set(rootOh))
 
     // dim identity: a DIMENSION_LIST attribute (vlen of object
     // references, resolved through the global heap) names the
@@ -311,10 +312,16 @@ object H5Lite {
     out.toSeq
   }
 
-  /** Recursively collect datasets under an object (group or dataset). */
+  /** Recursively collect datasets under an object (group or dataset).
+    * `root` anchors absolute soft-link paths; `onPath` is the set of
+    * object addresses on the CURRENT descent, breaking soft-link
+    * cycles (a link aliasing an ancestor group would otherwise recurse
+    * forever).
+    */
   private def walkObject(r: R, addr: Long, prefix: String,
                          sets: ArrayBuffer[Dataset], rootAttrs: ArrayBuffer[NcAttr],
-                         isRoot: Boolean): Unit = {
+                         isRoot: Boolean, root: Long,
+                         onPath: Set[Long]): Unit = {
     val msgs = headerMessages(r, addr)
     if (sys.env.contains("H5_DEBUG"))
       println(s"walkObject addr=$addr prefix=$prefix msgs=" +
@@ -348,28 +355,67 @@ object H5Lite {
           r.at(p); rootAttrs ++= denseAttrs(r)
         }
       }
-      val children = ArrayBuffer.empty[(String, Long)]
-      byType.get(0x11).foreach { m =>
-        r.at(m.head._2)
-        val btree = r.u64(); val heap = r.u64()
-        children ++= symbolTableChildren(r, btree, heap)
-      }
-      byType.getOrElse(0x06, Nil).foreach { case (_, p, _) =>
-        r.at(p)
-        parseLink(r).foreach(children += _)
-      }
-      // dense link storage (Link Info message 0x02): links live as
-      // managed fractal-heap objects indexed by a v2 B-tree — the
-      // layout libhdf5 switches to above ~8 links per group
-      byType.get(0x02).foreach { m =>
-        r.at(m.head._2)
-        children ++= denseLinks(r)
-      }
-      children.foreach { case (nm, a) =>
-        walkObject(r, a, s"$prefix/$nm".stripPrefix("/"), sets, rootAttrs,
-          isRoot = false)
+      groupChildren(r, byType).foreach { case (nm, link) =>
+        resolveLink(r, link, addr, root, depth = 0).foreach { a =>
+          if (!onPath.contains(a))
+            walkObject(r, a, s"$prefix/$nm".stripPrefix("/"), sets,
+              rootAttrs, isRoot = false, root, onPath + a)
+        }
       }
     }
+  }
+
+  /** The children of one group object, from whichever storage its
+    * header uses: symbol-table message (B-tree v1 + SNOD + local
+    * heap), compact link messages, or dense storage (Link Info →
+    * fractal heap + v2 B-tree — the layout libhdf5 switches to above
+    * ~8 links per group).
+    */
+  private def groupChildren(r: R, byType: Map[Int, Seq[(Int, Long, Int)]]): Seq[(String, Link)] = {
+    val children = ArrayBuffer.empty[(String, Link)]
+    byType.get(0x11).foreach { m =>
+      r.at(m.head._2)
+      val btree = r.u64(); val heap = r.u64()
+      children ++= symbolTableChildren(r, btree, heap)
+        .map { case (nm, a) => (nm, Hard(a)) }
+    }
+    byType.getOrElse(0x06, Nil).foreach { case (_, p, _) =>
+      r.at(p)
+      parseLink(r).foreach(children += _)
+    }
+    byType.get(0x02).foreach { m =>
+      r.at(m.head._2)
+      children ++= denseLinks(r)
+    }
+    children.toSeq
+  }
+
+  /** A link's object-header address: hard links carry it; soft links
+    * walk their slash path group by group — absolute from the root,
+    * relative from the group holding the link — resolving nested soft
+    * links up to a fixed depth. Unresolvable or too-deep paths drop
+    * the link (the reference's h5py stack skips dangling soft links
+    * the same way).
+    */
+  private def resolveLink(r: R, link: Link, holder: Long, root: Long,
+                          depth: Int): Option[Long] = link match {
+    case Hard(a) => Some(a)
+    case _ if depth > 16 => None
+    case Soft(path) =>
+      val parts = path.split("/").filter(p => p.nonEmpty && p != ".")
+      var at = if (path.startsWith("/")) root else holder
+      for (part <- parts) {
+        val byType = headerMessages(r, at).groupBy(_._1)
+        groupChildren(r, byType).find(_._1 == part) match {
+          case Some((_, l)) =>
+            resolveLink(r, l, at, root, depth + 1) match {
+              case Some(a) => at = a
+              case None => return None
+            }
+          case None => return None
+        }
+      }
+      Some(at)
   }
 
   private def symbolTableChildren(r: R, btree: Long, heap: Long): Seq[(String, Long)] = {
@@ -417,7 +463,7 @@ object H5Lite {
     * resolving its heap ID reproduces exactly the link set, no hash
     * verification needed.
     */
-  private def denseLinks(r: R): Seq[(String, Long)] = {
+  private def denseLinks(r: R): Seq[(String, Link)] = {
     val ver = r.u8()
     require(ver == 0, s"h5: bad link info version $ver")
     val flags = r.u8()
@@ -797,10 +843,17 @@ object H5Lite {
     (btType, recordSize, readNode(rootAddr, rootNRec, depth))
   }
 
-  /** Hard-link message → (name, object header address); None for
-    * soft/external links.
+  /** A group child: hard links carry the object-header address, soft
+    * links the in-file path they alias (resolved lazily against the
+    * group that holds them). External links (other files) stay
+    * unmodeled — a single-blob codec has nowhere to chase them.
     */
-  private def parseLink(r: R): Option[(String, Long)] = {
+  private sealed trait Link
+  private final case class Hard(addr: Long) extends Link
+  private final case class Soft(path: String) extends Link
+
+  /** Link message → (name, target); None for external/user links. */
+  private def parseLink(r: R): Option[(String, Link)] = {
     val ver = r.u8()
     require(ver == 1, s"h5: bad link message version $ver")
     val flags = r.u8()
@@ -814,7 +867,13 @@ object H5Lite {
       case _ => r.u64()
     }
     val name = new String(r.take(nameLen.toInt), "UTF-8")
-    if (linkType == 0) Some((name, r.u64())) else None
+    linkType match {
+      case 0 => Some((name, Hard(r.u64())))
+      case 1 => // soft: length(2) + path bytes (not NUL-terminated)
+        val len = r.u16()
+        Some((name, Soft(new String(r.take(len), "UTF-8"))))
+      case _ => None
+    }
   }
 
   private def parseDataspace(r: R): Seq[Long] = {

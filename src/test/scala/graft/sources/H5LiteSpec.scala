@@ -530,6 +530,54 @@ class H5LiteSpec extends SparkSpec {
     assert(tiles.agg(sum("stats_count")).head.getLong(0) === nlat.toLong * nlon)
     assert(tiles.agg(max("stats_max")).head.getDouble(0) === 15.0)
   }
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/h5/$name")
+    assert(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("soft links resolve (absolute, relative, nested, '.'); dangling skipped") {
+    // tools/make_h5_fixture.py build_soft_links: one dataset `base`
+    // plus soft aliases through every path spelling, and a dangling
+    // target that must drop silently (h5py parity)
+    val f = H5Lite.read(fixture("hand_soft_links.h5"))
+    assert(f.vars.map(_.name).sorted ===
+      Seq("alias", "base", "chain", "dot", "rel"))
+    f.vars.foreach(v => assert(v.data.toSeq === Seq(1.25, -2.5, 3.75), v.name))
+  }
+
+  test("huge DIRECT heap objects: 17-byte IDs embed address+length") {
+    // build_huge_direct: the 200-char link name exceeds the managed
+    // maximum; its link message lives at its own address with no huge
+    // B-tree — the ID itself carries (addr, len)
+    val f = H5Lite.read(fixture("hand_huge_direct.h5"))
+    assert(f.vars.map(_.name).toSet === Set("a", "x" * 200))
+    assert(f.variable("a").get.data.toSeq === Seq(7.0, 8.0, 9.0))
+    assert(f.variable("x" * 200).get.data.toSeq === Seq(40.0, 41.0, 42.0))
+  }
+
+  test("tiny heap objects: extended form, payload inline in the ID") {
+    // build_tiny_link: 24-byte heap IDs → extended tiny encoding; the
+    // 12-byte link message for `t` never touches a heap block
+    val f = H5Lite.read(fixture("hand_tiny_link.h5"))
+    assert(f.vars.map(_.name).toSet === Set("m", "t"))
+    assert(f.variable("m").get.data.toSeq === Seq(5.5, 6.5, 7.5))
+    assert(f.variable("t").get.data.toSeq === Seq(-1.0, -2.0, -3.0))
+  }
+
+  test("huge INDIRECT FILTERED heap objects: deflated attr via huge B-tree") {
+    // build_huge_filtered: deflate-filtered dense-attr heap; the 300-
+    // element attribute exceeds the managed maximum and resolves
+    // through a type-2 huge B-tree record (addr, stored, mask, mem, id)
+    val f = H5Lite.read(fixture("hand_huge_filtered.h5"))
+    assert(f.attrs.find(_.name == "units").get.text === "K")
+    assert(f.attrs.find(_.name == "count").get.first === Some(3.0))
+    val big = f.attrs.find(_.name == "bigtable").get
+    assert(big.nums.length === 300)
+    assert(big.nums.take(4) === Seq(0.0, 0.5, 1.0, 1.5))
+    assert(big.nums.last === 149.5)
+  }
 }
 
 /** Shared helper: decode granule bytes → sorted point tuples. */

@@ -115,6 +115,35 @@ class RealGranuleSpec extends AnyFunSuite {
       s"seconds-of-day base decoded to ${col0.head.time}")
   }
 
+  test("real granules run the FULL pipeline: binaryFile → decode → tiles → stats") {
+    // the production shape end to end on field bytes: both L4 SST
+    // granules land in a tile store and the daily-stats aggregation
+    // (the reference's /stats role) reads physically-plausible kelvins
+    val spark = graft.SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("realgran")
+    for (n <- Seq("not_empty_avhrr.nc4", "not_empty_mur.nc4")) {
+      val in = getClass.getResourceAsStream(s"/granules/$n")
+      java.nio.file.Files.write(dir.resolve(n), in.readAllBytes())
+      in.close()
+    }
+    val tiles = GranuleIngest.ingestGridGranules(spark,
+      dir.toString + "/*.nc4", "analysed_sst", "sst_real",
+      tileLat = 5.0, tileLon = 5.0)
+    val daily = tiles.groupBy(col("min_time"))
+      .agg(sum("stats_count").as("n"),
+        min("stats_min").as("lo"), max("stats_max").as("hi"))
+      .collect()
+    assert(daily.nonEmpty)
+    // AVHRR is 2016-05-01, MUR 2015-10-01 — CF-converted epochs
+    assert(daily.map(_.getLong(0)).toSet.contains(1462060800L))
+    daily.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) > 250 && r.getDouble(3) < 320,
+        s"implausible SST range ${r.getDouble(2)}..${r.getDouble(3)} K")
+    }
+  }
+
   test("MEaSUREs SLA: huge heap attribute file decodes") {
     // not_empty_measures_alt.nc carries an 8 KiB root attribute stored
     // as a HUGE fractal-heap object (heap-ID type 1, indexed by the

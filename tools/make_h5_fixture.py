@@ -1008,3 +1008,344 @@ def build_dimension_list():
 
 open('/root/repo/src/test/resources/h5/hand_dimension_list.h5','wb').write(build_dimension_list())
 print("dimension-list fixture written", len(build_dimension_list()))
+
+# ---------------- soft links: compact 0x06 link messages in the root
+# object header — hard "base", absolute/relative/nested-soft aliases,
+# a "." path component, and a dangling target that must be skipped
+# (spec §IV "Link Message", link type 1: 2-byte length + path bytes)
+
+def soft_link_msg(name, path):
+    nb = name.encode(); pb = path.encode()
+    return u8(1) + u8(0x08) + u8(1) + u8(len(nb)) + nb + u16(len(pb)) + pb
+
+def build_soft_links():
+    root_oh = 96
+    vals = [1.25, -2.5, 3.75]
+    data = b''.join(struct.pack('<d', v) for v in vals)
+    def root(ds_oh):
+        return object_header([
+            (0x06, link_msg('base', ds_oh)),
+            (0x06, soft_link_msg('alias', '/base')),
+            (0x06, soft_link_msg('rel', 'base')),
+            (0x06, soft_link_msg('chain', '/alias')),
+            (0x06, soft_link_msg('dot', './base')),
+            (0x06, soft_link_msg('dangling', '/missing')),
+        ])
+    probe = root(0)
+    ds_oh = root_oh + len(probe)
+    ds_probe = object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                              (0x08, layout_contiguous(0, 0))])
+    data_addr = ds_oh + len(ds_probe)
+    eof = data_addr + len(data)
+    out = superblock_dense(root_oh, eof)
+    out += root(ds_oh)
+    out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                          (0x08, layout_contiguous(data_addr, len(data)))])
+    out += data
+    assert len(out) == eof
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_soft_links.h5','wb').write(build_soft_links())
+print("soft-link fixture written", len(build_soft_links()))
+
+# ---------------- huge DIRECT heap object: dense links with a 17-byte
+# heap ID — wide enough to embed address+length, so the huge link's
+# bytes live at their own file address with no huge B-tree (§III.G
+# "Huge Objects", directly-accessed form)
+
+def build_huge_direct():
+    root_oh = 96
+    long_name = 'x' * 200          # link message ~212 B > max managed 64
+    root_probe = object_header([(0x02, u8(0)+u8(0)+u64(0)+u64(0))])
+    frhp_addr = root_oh + len(root_probe)
+    FRHP_SIZE = 146
+    fhdb_addr = frhp_addr + FRHP_SIZE
+    block = 512
+    bthd_addr = fhdb_addr + block
+    BTHD_SIZE = 38
+    btlf_addr = bthd_addr + BTHD_SIZE
+    heap_id_len = 17               # 1 flag + 8 addr + 8 len
+    rec_size = 4 + heap_id_len
+    btlf_size = 512
+    huge_addr = btlf_addr + btlf_size
+    huge_bytes_probe = link_msg(long_name, 0)
+    ds1_oh = huge_addr + len(huge_bytes_probe)
+    ds_probe = object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                              (0x08, layout_contiguous(0, 0))])
+    ds2_oh = ds1_oh + len(ds_probe)
+    d1_addr = ds2_oh + len(ds_probe)
+    d2_addr = d1_addr + 24
+    eof = d2_addr + 24
+
+    out = superblock_dense(root_oh, eof)
+    out += object_header([(0x02, u8(0)+u8(0)+u64(frhp_addr)+u64(bthd_addr))])
+
+    managed = link_msg('a', ds1_oh)
+    huge_body = link_msg(long_name, ds2_oh)
+    frhp = b'FRHP' + u8(0) + u16(heap_id_len) + u16(0) + u8(0)
+    frhp += u32(64)                          # max managed object size
+    frhp += u64(2) + u64(UNDEF)              # next huge id, huge btree (direct => none)
+    frhp += u64(block - 17 - len(managed))   # free space
+    frhp += u64(UNDEF)
+    frhp += u64(block) + u64(block)
+    frhp += u64(17 + len(managed))
+    frhp += u64(1)                           # managed object count
+    frhp += u64(len(huge_body)) + u64(1)     # huge size, huge count
+    frhp += u64(0) + u64(0)                  # tiny size, count
+    frhp += u16(4)
+    frhp += u64(block) + u64(block)
+    frhp += u16(32) + u16(1)
+    frhp += u64(fhdb_addr) + u16(0)
+    frhp += u32(lookup3(frhp))
+    assert len(frhp) == FRHP_SIZE
+    out += frhp
+
+    fhdb = b'FHDB' + u8(0) + u64(frhp_addr) + u32(0)
+    managed_off = len(fhdb)
+    fhdb += managed
+    fhdb += b'\0' * (block - len(fhdb))
+    out += fhdb
+
+    bthd = b'BTHD' + u8(0) + u8(5) + u32(btlf_size) + u16(rec_size) + u16(0)
+    bthd += u8(100) + u8(40) + u64(btlf_addr) + u16(2) + u64(2)
+    bthd += u32(lookup3(bthd))
+    out += bthd
+
+    def managed_id(off, ln):
+        # 1 flag + 4 offset (maxHeapBits 32) + 12 length = 17
+        return u8(0) + u32(off) + struct.pack('<Q', ln) + b'\0'*4
+    def huge_direct_id(addr, ln):
+        return u8(0x10) + u64(addr) + u64(ln)
+    recs = sorted([(lookup3(b'a'), managed_id(managed_off, len(managed))),
+                   (lookup3(long_name.encode()),
+                    huge_direct_id(huge_addr, len(huge_body)))])
+    btlf = b'BTLF' + u8(0) + u8(5)
+    for h, hid in recs:
+        assert len(hid) == heap_id_len
+        btlf += u32(h) + hid
+    btlf += u32(lookup3(btlf))
+    btlf += b'\0' * (btlf_size - len(btlf))
+    out += btlf
+
+    assert len(out) == huge_addr
+    out += huge_body
+    vals1 = [7.0, 8.0, 9.0]; vals2 = [40.0, 41.0, 42.0]
+    out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                          (0x08, layout_contiguous(d1_addr, 24))])
+    out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                          (0x08, layout_contiguous(d2_addr, 24))])
+    out += b''.join(struct.pack('<d', v) for v in vals1)
+    out += b''.join(struct.pack('<d', v) for v in vals2)
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_huge_direct.h5','wb').write(build_huge_direct())
+print("huge-direct fixture written", len(build_huge_direct()))
+
+# ---------------- tiny heap object: dense links with a 24-byte heap ID
+# (> 18 → extended tiny form: 12-bit length-1 split across the flag
+# byte's low nibble and the second ID byte; payload inline, §III.G
+# "Tiny Objects")
+
+def build_tiny_link():
+    root_oh = 96
+    root_probe = object_header([(0x02, u8(0)+u8(0)+u64(0)+u64(0))])
+    frhp_addr = root_oh + len(root_probe)
+    FRHP_SIZE = 146
+    fhdb_addr = frhp_addr + FRHP_SIZE
+    block = 512
+    bthd_addr = fhdb_addr + block
+    btlf_addr = bthd_addr + 38
+    heap_id_len = 24
+    rec_size = 4 + heap_id_len
+    btlf_size = 512
+    ds1_oh = btlf_addr + btlf_size
+    ds_probe = object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                              (0x08, layout_contiguous(0, 0))])
+    ds2_oh = ds1_oh + len(ds_probe)
+    d1_addr = ds2_oh + len(ds_probe)
+    d2_addr = d1_addr + 24
+    eof = d2_addr + 24
+
+    out = superblock_dense(root_oh, eof)
+    out += object_header([(0x02, u8(0)+u8(0)+u64(frhp_addr)+u64(bthd_addr))])
+
+    managed = link_msg('m', ds1_oh)
+    tiny_body = link_msg('t', ds2_oh)        # 12 bytes, inline in the ID
+    frhp = b'FRHP' + u8(0) + u16(heap_id_len) + u16(0) + u8(0)
+    frhp += u32(64)
+    frhp += u64(0) + u64(UNDEF)
+    frhp += u64(block - 17 - len(managed))
+    frhp += u64(UNDEF)
+    frhp += u64(block) + u64(block)
+    frhp += u64(17 + len(managed))
+    frhp += u64(1)
+    frhp += u64(0) + u64(0)                  # huge size, count
+    frhp += u64(len(tiny_body)) + u64(1)     # tiny size, count
+    frhp += u16(4)
+    frhp += u64(block) + u64(block)
+    frhp += u16(32) + u16(1)
+    frhp += u64(fhdb_addr) + u16(0)
+    frhp += u32(lookup3(frhp))
+    assert len(frhp) == FRHP_SIZE
+    out += frhp
+
+    fhdb = b'FHDB' + u8(0) + u64(frhp_addr) + u32(0)
+    managed_off = len(fhdb)
+    fhdb += managed
+    fhdb += b'\0' * (block - len(fhdb))
+    out += fhdb
+
+    bthd = b'BTHD' + u8(0) + u8(5) + u32(btlf_size) + u16(rec_size) + u16(0)
+    bthd += u8(100) + u8(40) + u64(btlf_addr) + u16(2) + u64(2)
+    bthd += u32(lookup3(bthd))
+    out += bthd
+
+    def managed_id(off, ln):
+        # 1 flag + 4 offset + 19 length = 24
+        return u8(0) + u32(off) + struct.pack('<Q', ln) + b'\0'*11
+    def tiny_ext_id(body):
+        n1 = len(body) - 1
+        hid = u8(0x20 | ((n1 >> 8) & 0x0f)) + u8(n1 & 0xff) + body
+        return hid + b'\0' * (heap_id_len - len(hid))
+    recs = sorted([(lookup3(b'm'), managed_id(managed_off, len(managed))),
+                   (lookup3(b't'), tiny_ext_id(tiny_body))])
+    btlf = b'BTLF' + u8(0) + u8(5)
+    for h, hid in recs:
+        assert len(hid) == heap_id_len
+        btlf += u32(h) + hid
+    btlf += u32(lookup3(btlf))
+    btlf += b'\0' * (btlf_size - len(btlf))
+    out += btlf
+
+    vals1 = [5.5, 6.5, 7.5]; vals2 = [-1.0, -2.0, -3.0]
+    out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                          (0x08, layout_contiguous(d1_addr, 24))])
+    out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
+                          (0x08, layout_contiguous(d2_addr, 24))])
+    out += b''.join(struct.pack('<d', v) for v in vals1)
+    out += b''.join(struct.pack('<d', v) for v in vals2)
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_tiny_link.h5','wb').write(build_tiny_link())
+print("tiny-link fixture written", len(build_tiny_link()))
+
+# ---------------- huge INDIRECT FILTERED heap object: dense root
+# attributes in a deflate-filtered heap; one attribute exceeds the
+# managed maximum and lives deflated at its own address, resolved
+# through the heap's huge v2 B-tree (record type 2: address, stored
+# length, filter mask, memory size, huge ID)
+
+def attr_v3(name, dt, ds, data):
+    nb = name.encode() + b'\0'
+    return (u8(3) + u8(0) + u16(len(nb)) + u16(len(dt)) + u16(len(ds)) +
+            u8(0) + nb + dt + ds + data)
+
+def filter_msg_v2_deflate(level):
+    # version 2, 1 filter, id 1 (deflate, no name for id<256), flags 0,
+    # 1 client value
+    return u8(2) + u8(1) + u16(1) + u16(0) + u16(1) + u32(level)
+
+def build_huge_filtered():
+    import zlib
+    root_oh = 96
+    block = 512
+    filt = filter_msg_v2_deflate(6)
+    frhp_size = 146 + 8 + 4 + len(filt)
+
+    small1 = attr_v3('units', dt_str(2), dataspace([]), b'K\0')
+    small2 = attr_v3('count', dt_f64(), dataspace([]), struct.pack('<d', 3.0))
+    big_vals = [0.5 * i for i in range(300)]   # 2400 B payload > 512 max
+    big = attr_v3('bigtable', dt_f64(), dataspace([300]),
+                  b''.join(struct.pack('<d', v) for v in big_vals))
+
+    fhdb_raw = b'FHDB' + u8(0) + u64(0) + u32(0)   # header addr patched below
+    off1 = len(fhdb_raw); fhdb_raw += small1
+    off2 = len(fhdb_raw); fhdb_raw += small2
+    fhdb_raw += b'\0' * (block - len(fhdb_raw))
+
+    root_probe = object_header([(0x15, u8(0)+u8(0)+u64(0)+u64(0))])
+    frhp_addr = root_oh + len(root_probe)
+    fhdb_addr = frhp_addr + frhp_size
+
+    def patched_fhdb():
+        raw = b'FHDB' + u8(0) + u64(frhp_addr) + u32(0)
+        raw += small1 + small2
+        raw += b'\0' * (block - len(raw))
+        return raw
+    fhdb_comp = zlib.compress(patched_fhdb(), 6)
+    bthd_addr = fhdb_addr + len(fhdb_comp)
+    rec_size = 17                     # heap ID(8) + flags(1) + corder(4) + hash(4)
+    btlf_size = 512
+    btlf_addr = bthd_addr + 38
+    hugebt_addr = btlf_addr + btlf_size
+    huge_rec_size = 8 + 8 + 4 + 8 + 8  # addr, stored len, mask, mem size, id
+    hugebtlf_addr = hugebt_addr + 38
+    hugebtlf_size = 512
+    big_comp = zlib.compress(big, 6)
+    big_addr = hugebtlf_addr + hugebtlf_size
+    eof = big_addr + len(big_comp)
+
+    out = superblock_dense(root_oh, eof)
+    out += object_header([(0x15, u8(0)+u8(0)+u64(frhp_addr)+u64(bthd_addr))])
+
+    frhp = b'FRHP' + u8(0) + u16(8) + u16(len(filt)) + u8(0)
+    frhp += u32(block)                        # max managed object size
+    frhp += u64(2) + u64(hugebt_addr)         # next huge id, huge btree
+    frhp += u64(block - off2 - len(small2))
+    frhp += u64(UNDEF)
+    frhp += u64(block) + u64(block)
+    frhp += u64(off2 + len(small2))
+    frhp += u64(2)                            # managed count
+    frhp += u64(len(big)) + u64(1)            # huge size, count
+    frhp += u64(0) + u64(0)
+    frhp += u16(4)
+    frhp += u64(block) + u64(block)
+    frhp += u16(32) + u16(1)
+    frhp += u64(fhdb_addr) + u16(0)
+    frhp += u64(len(fhdb_comp)) + u32(0)      # filtered root: stored size, mask
+    frhp += filt
+    frhp += u32(lookup3(frhp))
+    assert len(frhp) == frhp_size, (len(frhp), frhp_size)
+    out += frhp
+    assert len(out) == fhdb_addr
+    out += fhdb_comp
+
+    def managed_attr_id(off, ln):
+        # flag + 4 offset + 3 length = 8
+        return u8(0) + u32(off) + struct.pack('<I', ln)[:3]
+    def huge_attr_id(hid):
+        return u8(0x10) + struct.pack('<Q', hid)[:7]
+    names = [('units', managed_attr_id(off1, len(small1))),
+             ('count', managed_attr_id(off2, len(small2))),
+             ('bigtable', huge_attr_id(1))]
+    bthd = b'BTHD' + u8(0) + u8(8) + u32(btlf_size) + u16(rec_size) + u16(0)
+    bthd += u8(100) + u8(40) + u64(btlf_addr) + u16(3) + u64(3)
+    bthd += u32(lookup3(bthd))
+    out += bthd
+    recs = sorted((lookup3(nm.encode()), hid) for nm, hid in names)
+    btlf = b'BTLF' + u8(0) + u8(8)
+    for h, hid in recs:
+        assert len(hid) == 8
+        btlf += hid + u8(0) + u32(0) + u32(h)
+    btlf += u32(lookup3(btlf))
+    btlf += b'\0' * (btlf_size - len(btlf))
+    out += btlf
+
+    hugebt = b'BTHD' + u8(0) + u8(2) + u32(hugebtlf_size) + u16(huge_rec_size) + u16(0)
+    hugebt += u8(100) + u8(40) + u64(hugebtlf_addr) + u16(1) + u64(1)
+    hugebt += u32(lookup3(hugebt))
+    out += hugebt
+    hugebtlf = b'BTLF' + u8(0) + u8(2)
+    hugebtlf += u64(big_addr) + u64(len(big_comp)) + u32(0) + u64(len(big)) + u64(1)
+    hugebtlf += u32(lookup3(hugebtlf))
+    hugebtlf += b'\0' * (hugebtlf_size - len(hugebtlf))
+    out += hugebtlf
+    assert len(out) == big_addr
+    out += big_comp
+    assert len(out) == eof
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_huge_filtered.h5','wb').write(build_huge_filtered())
+print("huge-filtered fixture written", len(build_huge_filtered()))
