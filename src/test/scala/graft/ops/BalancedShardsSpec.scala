@@ -24,8 +24,12 @@ class BalancedShardsSpec extends SparkSpec {
     val df = corpus(2000).repartition(7)
     val got = BalancedShards.globalRankBySize(df, col("doc_id"), col("tokens"))
       .select(col("doc_id"), col("_rank"))
+    // oracle: the naive one-partition window (pmod key keeps the
+    // deliberately-global oracle out of the WindowExec warning so real
+    // regressions stay visible in test logs)
     val want = corpus(2000).select(col("doc_id"),
       (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("doc_id"), lit(1)))
         .orderBy(col("tokens").desc, col("doc_id"))) - 1).cast("long").as("_rank"))
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
