@@ -490,10 +490,12 @@ object Handlers {
     val svCol: Seq[org.apache.spark.sql.Column] =
       if (filtered.columns.contains(paramCol))
         Seq(col(paramCol).cast("double").as("sv"))
-      else if (explicitParam.isDefined &&
-          ParamCols.values.exists(filtered.columns.contains))
+      else if (explicitParam.isDefined)
+        // the generic `value` fallback is ONLY for the implicit sst
+        // default: serving `value` as an explicitly requested
+        // measurement would label unknown data as that measurement
         sys.error(s"in-situ relation has no '$paramCol' column for " +
-          s"parameter '$parameter' (it models other named measurements)")
+          s"explicitly requested parameter '$parameter'")
       else if (filtered.columns.contains("value"))
         Seq(col("value").cast("double").as("sv"))
       else Nil

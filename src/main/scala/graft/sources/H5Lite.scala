@@ -57,9 +57,10 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   * as doubles, CF unpacking via `NcVar.unpacked`), so the granule
   * ingest path is format-agnostic. Compound attribute values (incl.
   * vlen-of-compound, netCDF-4's REFERENCE_LIST shape) flatten to
-  * their numeric members. Out of scope: compound-typed DATASETS and
-  * huge/tiny fractal-heap objects (links and attribute messages are
-  * always managed-size).
+  * their numeric members. Fractal-heap objects resolve in all three
+  * storage classes (managed, huge direct/indirect filtered-or-not,
+  * tiny), and soft links resolve their in-file paths. Out of scope:
+  * compound-typed DATASETS and external (cross-file) links.
   */
 object H5Lite {
 
@@ -343,6 +344,8 @@ object H5Lite {
       } ++ byType.getOrElse(0x15, Nil).flatMap { case (_, p, _) =>
         r.at(p); denseAttrs(r) // dense attribute storage (>~8 attrs)
       }
+      if (sys.env.contains("H5_DEBUG"))
+        println(s"dataset $prefix filters=${filters.map(_.id).mkString(",")}")
       sets += Dataset(prefix.stripPrefix("/"), dims, dt, layout, filters,
         attrs, addr)
     } else {
@@ -1314,7 +1317,7 @@ object H5Lite {
     * byte padded high, two final fold steps; the filter appends the
     * result little-endian after the (possibly compressed) payload.
     */
-  private def fletcher32(data: Array[Byte]): Long = {
+  private[sources] def fletcher32(data: Array[Byte]): Long = {
     var sum1 = 0L; var sum2 = 0L
     var i = 0
     var remaining = data.length / 2

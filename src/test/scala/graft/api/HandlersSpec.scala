@@ -320,6 +320,14 @@ class HandlersSpec extends SparkSpec {
     assert(Handlers.matchSpark(pm, tiles, generic, 200000, 86400,
       matchOnce = false).select("sv").distinct().as[Double].collect()
       .toSeq === Seq(9.9))
+    // ...but an EXPLICIT parameter never falls back to `value`: serving
+    // whatever `value` holds labeled as salinity would mislabel data,
+    // even when the relation has no other named measurement to confuse
+    val eGeneric = intercept[RuntimeException] {
+      Handlers.matchSpark(pm.copy(extra = Map("parameter" -> "sss")),
+        tiles, generic, 200000, 86400, matchOnce = false)
+    }
+    assert(eGeneric.getMessage.contains("sea_water_salinity"))
     // the IMPLICIT sst default must not reject a relation that works
     // through `value` just because it also models another measurement
     val mixed = Seq((100L, 0.5, 0.5, 10L, 4.2, 9.9))
