@@ -18,4 +18,45 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("exchange counts of the most expensive gates stay pinned") {
+    // shuffle/broadcast exchange counts of the top bench-cost queries
+    // (BENCH r5, slowest first), pinned from the audited plans: an
+    // edit that silently adds a shuffle to a hot path must fail HERE,
+    // not show up as a bench regression two rounds later. If a change
+    // deliberately alters a plan, re-derive the number and justify it
+    // in the commit. Counts are of the INITIAL plan (pre-AQE), so
+    // they're deterministic for a given schema + Spark version.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    val dir = "/root/testdata/sf0.001"
+    val pinned = Map(
+      // name -> (shuffles, broadcasts)
+      "d_connected_components" -> (1, 0), // post-localCheckpoint final round
+      "e_ivf_trained" -> (4, 3),
+      "st_rle_sharded" -> (4, 0),
+      "e_pca_project" -> (2, 0),
+      "d_cluster_embeddings" -> (8, 2),
+      "t_decontaminate" -> (7, 0),
+      "j7_geo_matchup" -> (4, 0),
+      "d_span_dedup" -> (6, 1),
+      "t_heavy_hitters" -> (7, 2),
+      "w13_rolling_dau" -> (4, 1),
+      "j1_tolerance_join" -> (3, 0),
+      "a1_daily_stats" -> (2, 0))
+    val got = pinned.keys.toSeq.sorted.map { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      val inner = plan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      name -> (inner.collect { case s: ShuffleExchangeLike => s }.size,
+        inner.collect { case b: BroadcastExchangeLike => b }.size)
+    }.toMap
+    val drift = pinned.keys.toSeq.sorted
+      .filter(k => got(k) != pinned(k))
+      .map(k => s"$k: expected ${pinned(k)} got ${got(k)}")
+    assert(drift.isEmpty, s"plan-shape drift:\n${drift.mkString("\n")}")
+  }
 }
