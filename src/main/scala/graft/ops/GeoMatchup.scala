@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * exact haversine+time predicate applied afterwards.
   *
   * Longitude cells are sized at the *widest* latitude in play
-  * (cos(maxAbsLat)), so the one-cell-apart guarantee holds everywhere
-  * in the domain; poleward domains should be matched in latitude bands.
-  * Cell keys are uniform shuffle keys; skewed cells fall to AQE.
+  * (cos(maxAbsLat), clamped to [[CapLat]]); latitudes beyond the clamp
+  * run through dedicated polar-cap passes (see [[CapLat]]), so domains
+  * touching the poles match without banding. Cell keys are uniform
+  * shuffle keys; skewed cells fall to AQE.
   *
   * Longitude cells WRAP: the cell index is taken modulo the number of
   * cells around the full circle (cell width rounded UP to an exact
@@ -67,6 +68,16 @@ object GeoMatchup {
     */
   private val GeodesicMargin = 1.01
 
+  /** Latitudes above this go through dedicated POLAR-CAP passes: the
+    * zonal cell-sizing bound 2·asin(sin(rt/2R)/cos θ) degenerates as
+    * θ → 90° (cells widen to the whole circle), so cells are sized at
+    * min(maxAbsLat, CapLat) and cap points join in tolerance-banded
+    * passes keyed on (hemisphere, time cell) instead. The cap's point
+    * population shrinks with its area (∝ 1 − cos 5° ≈ 0.4% of a
+    * hemisphere), so the coarse key is load-safe by geometry.
+    */
+  private[ops] val CapLat = 85.0
+
   def matchup(primary: DataFrame, secondary: DataFrame,
               pLat: Column, pLon: Column, pTime: Column,
               sLat: Column, sLon: Column, sTime: Column,
@@ -74,13 +85,14 @@ object GeoMatchup {
               maxAbsLat: Double = 66.0,
               broadcastSecondary: Boolean = false,
               geodesic: Boolean = false): DataFrame = {
-    require(maxAbsLat < 89.0, "use latitude-banded matchup near the poles")
+    val effLat = math.min(maxAbsLat, CapLat)
+    val capActive = maxAbsLat > CapLat
     val margin = StepMargin * (if (geodesic) GeodesicMargin else 1.0)
     val latStep = math.toDegrees(rtMeters / EarthRadiusM) * margin
     val sinHalf = math.sin(rtMeters / (2 * EarthRadiusM)) /
-      math.cos(math.toRadians(maxAbsLat))
+      math.cos(math.toRadians(effLat))
     require(sinHalf < 1.0,
-      s"tolerance $rtMeters m wraps the $maxAbsLat° parallel — band by latitude")
+      s"tolerance $rtMeters m wraps the $effLat° parallel — band by latitude")
     val lonStepMin = math.toDegrees(2 * math.asin(sinHalf)) * margin
     // round the lon cell count DOWN (cell width UP) to an exact divisor
     // of 360°: uniform cells tile the circle exactly, so modular ±1
@@ -94,6 +106,23 @@ object GeoMatchup {
     def lonCell(c: Column): Column =
       pmod(floor((c + 180.0) / lonStep).cast("long"), lit(nLon.toLong))
 
+    // haversine (spherical) is the oracle-reproducible default; the
+    // geodesic option matches the reference's WGS84 measurement
+    // (Matchup.py:464-468) at the tolerance boundary
+    val dist =
+      if (geodesic) graft.functions.GeoDistance.geodesicKm(pLat, pLon, sLat, sLon)
+      else GeoFunctions.haversineKm(pLat, pLon, sLat, sLon)
+    def admit(pairs: DataFrame): DataFrame = pairs
+      .withColumn("dist_km", dist)
+      .withColumn("dt_s", abs(pTime - sTime))
+      .where(col("dist_km") * 1000.0 <= rtMeters && col("dt_s") <= ttSeconds)
+
+    def joined(p: DataFrame, sKeyed: DataFrame, key: String): DataFrame = {
+      val s = if (broadcastSecondary) broadcast(sKeyed)
+              else sKeyed.hint("shuffle_hash")
+      admit(p.join(s, key)).drop(key)
+    }
+
     val neighbors = Seq(-1, 0, 1)
     // array_distinct: with few lon cells (huge tolerance) the modular
     // neighbor keys collide, and duplicate keys would duplicate pairs
@@ -104,24 +133,46 @@ object GeoMatchup {
       pmod(lonCell(pLon) + dLon, lit(nLon.toLong)).as("lo"),
       (cell(pTime, ttSeconds.toDouble) + dT).as("t"))): _*)))
 
-    val p = primary.withColumn("__cell", pCells)
-    val sKeyed = secondary.withColumn("__cell", struct(
-      cell(sLat, latStep).as("la"),
-      lonCell(sLon).as("lo"),
-      cell(sTime, ttSeconds.toDouble).as("t")))
-    val s = if (broadcastSecondary) broadcast(sKeyed)
-            else sKeyed.hint("shuffle_hash")
+    // main pass: when the cap is active, BOTH sides restrict to the
+    // sub-cap domain — every pair with a capward member is owned by
+    // exactly one cap pass below, so no pair duplicates across passes
+    val (pMain, sMain) =
+      if (capActive)
+        (primary.where(abs(pLat) <= CapLat), secondary.where(abs(sLat) <= CapLat))
+      else (primary, secondary)
+    val mainPairs = joined(
+      pMain.withColumn("__cell", pCells),
+      sMain.withColumn("__cell", struct(
+        cell(sLat, latStep).as("la"),
+        lonCell(sLon).as("lo"),
+        cell(sTime, ttSeconds.toDouble).as("t"))),
+      "__cell")
 
-    // haversine (spherical) is the oracle-reproducible default; the
-    // geodesic option matches the reference's WGS84 measurement
-    // (Matchup.py:464-468) at the tolerance boundary
-    val dist =
-      if (geodesic) graft.functions.GeoDistance.geodesicKm(pLat, pLon, sLat, sLon)
-      else GeoFunctions.haversineKm(pLat, pLon, sLat, sLon)
-    p.join(s, "__cell")
-      .withColumn("dist_km", dist)
-      .withColumn("dt_s", abs(pTime - sTime))
-      .where(col("dist_km") * 1000.0 <= rtMeters && col("dt_s") <= ttSeconds)
-      .drop("__cell")
+    if (!capActive) mainPairs
+    else {
+      // polar-cap passes: near the pole, longitudes diverge, so cap
+      // candidates key only on (hemisphere, time cell) — correct
+      // because any admissible pair lies within latStep in latitude,
+      // so one side in the cap bounds the other to the adjacent band.
+      // Cross-hemisphere cap pairs can never be admissible (the
+      // wraps-parallel require above bounds rt far below pole-to-pole)
+      def hemi(latC: Column): Column = when(latC >= 0, 1).otherwise(-1)
+      def pKeyed(in: DataFrame): DataFrame = in.withColumn("__cap", explode(
+        array(neighbors.map(d => struct(hemi(pLat).as("h"),
+          (cell(pTime, ttSeconds.toDouble) + d).as("t"))): _*)))
+      def sKeyed(in: DataFrame): DataFrame = in.withColumn("__cap", struct(
+        hemi(sLat).as("h"), cell(sTime, ttSeconds.toDouble).as("t")))
+      // pass A owns every pair whose SECONDARY is in the cap; pass B
+      // owns cap-primary × sub-cap-secondary. A ∩ B = ∅ (s side), and
+      // neither overlaps the main pass (one member is capward).
+      val passA = joined(
+        pKeyed(primary.where(abs(pLat) > CapLat - latStep)),
+        sKeyed(secondary.where(abs(sLat) > CapLat)), "__cap")
+      val passB = joined(
+        pKeyed(primary.where(abs(pLat) > CapLat)),
+        sKeyed(secondary.where(
+          abs(sLat) > CapLat - latStep && abs(sLat) <= CapLat)), "__cap")
+      mainPairs.unionByName(passA).unionByName(passB)
+    }
   }
 }

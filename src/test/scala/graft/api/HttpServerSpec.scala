@@ -195,6 +195,22 @@ class HttpServerSpec extends SparkSpec {
       norm.body().contains("\"normal_pdf\":"), norm.body())
     assert(get("/domsplot?id=plot-exec-1&type=pie").statusCode() === 400)
     assert(get("/domsplot").statusCode() === 400) // id required
+    // histogram + normandcurve as the DEFAULT output (PNG): the
+    // density bars + fitted-normal samples must survive the render
+    // path end to end (ResultsPlotQuery.py:17-40 role), not just the
+    // JSON inspection above
+    val nPng = getBytes("/domsplot?id=plot-exec-1&type=histogram" +
+      "&normandcurve=true&pngw=400&pngh=200")
+    assert(nPng.statusCode() === 200, new String(nPng.body(), "UTF-8"))
+    assert(nPng.headers().firstValue("Content-Type").get === "image/png")
+    val nImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(nPng.body()))
+    assert(nImg.getWidth === 400 && nImg.getHeight === 200)
+    // pixel sanity: a real plot paints series-colored marks over the
+    // white background
+    val marks = (for (x <- 0 until 400; y <- 0 until 200
+                      if nImg.getRGB(x, y) != 0xffffffff) yield 1).sum
+    assert(marks > 40, s"normandcurve PNG painted only $marks pixels")
   }
 
   test("/delay sleeps and /makeerror raises (reference diagnostics)") {

@@ -111,4 +111,43 @@ class GeoMatchupSpec extends SparkSpec {
     assert(ids(geodesic = false) === Set.empty[Long])
     assert(ids(geodesic = true) === Set(2L))
   }
+
+  /** VERDICT r4 #8: at |lat| -> 90 the zonal cell bound degenerates;
+    * the polar-cap passes must keep pairs that cross the pole (or sit
+    * at wildly different longitudes near it) without disturbing the
+    * sub-cap grid path.
+    */
+  test("polar cap: pairs across the pole and across the cap boundary match") {
+    import spark.implicits._
+    val primary = Seq(
+      (1L, 89.9, 0.0, 0L),     // near north pole
+      (2L, 84.5, 10.0, 0L),    // just below the cap boundary
+      (3L, -89.9, 0.0, 0L)     // near south pole
+    ).toDF("pid", "plat", "plon", "pt")
+    val secondary = Seq(
+      (10L, 89.9, 180.0, 0L),  // across the pole from pid 1: ~22.2 km
+      (11L, 89.9, 90.0, 0L),   // 90 degrees of lon away: ~15.7 km
+      (12L, 85.5, 10.0, 0L),   // ~111 km poleward of pid 2, in the cap
+      (13L, 89.0, 10.0, 0L)    // ~100 km equatorward of pid 1 pole... far from 2
+    ).toDF("sid", "slat", "slon", "st")
+    def pairs(rt: Double) = GeoMatchup.matchup(primary, secondary,
+        $"plat", $"plon", $"pt", $"slat", $"slon", $"st",
+        rtMeters = rt, ttSeconds = 3600, maxAbsLat = 90.0)
+      .select($"pid", $"sid").as[(Long, Long)].collect().toSet
+    // 30 km: only the two near-pole geometries admit
+    assert(pairs(30000) === Set((1L, 10L), (1L, 11L)))
+    // 120 km: the boundary-straddling pair and the 89.0-lat one join in
+    assert(pairs(120000) ===
+      Set((1L, 10L), (1L, 11L), (2L, 12L), (1L, 13L)))
+    // the south-pole primary matches nothing (its cap is empty) and no
+    // cross-hemisphere pair ever forms
+    assert(!pairs(120000).exists(_._1 == 3L))
+    // sub-cap maxAbsLat keeps the pure grid path: same call with the
+    // polar rows filtered away must equal the grid answer exactly
+    val subP = primary.where($"plat".between(-66, 66))
+    val subS = secondary.where($"slat".between(-66, 66))
+    assert(GeoMatchup.matchup(subP, subS,
+      $"plat", $"plon", $"pt", $"slat", $"slon", $"st",
+      rtMeters = 120000, ttSeconds = 3600, maxAbsLat = 66.0).count() === 0)
+  }
 }
