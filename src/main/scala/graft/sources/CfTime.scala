@@ -37,48 +37,60 @@ object CfTime {
     * marker (`Z`, `UTC`, `+0:00`, `0:00`, `+00:00`). Non-UTC offsets
     * are honored numerically.
     */
+  private val timeFmt = new DateTimeFormatterBuilder()
+    // seconds (and fraction) optional: "00:00" and "0:0:0" occur
+    .appendValue(ChronoField.HOUR_OF_DAY)
+    .appendLiteral(':').appendValue(ChronoField.MINUTE_OF_HOUR)
+    .optionalStart().appendLiteral(':')
+    .appendValue(ChronoField.SECOND_OF_MINUTE)
+    .optionalStart().appendFraction(
+      ChronoField.NANO_OF_SECOND, 1, 9, true).optionalEnd()
+    .optionalEnd()
+    .toFormatter
+
   private[sources] def parseBase(s: String): Option[Double] = {
-    var t = s.trim.replace('T', ' ')
-    var offsetSec = 0.0
-    // trailing zone: Z / UTC / [+-]H[:MM] / H:MM
-    val zoneRe = """^(.*?)(?:\s+|(?<=\d))(Z|UTC|[+-]?\d{1,2}:\d{2}|[+-]\d{1,2}|[+-]\d{4})$""".r
-    t match {
-      case zoneRe(rest, z) if rest.contains("-") && rest.exists(_.isDigit) =>
-        // only strip when what remains still looks like a date
-        val zz = z.toUpperCase
-        if (zz != "Z" && zz != "UTC") {
-          val sign = if (zz.startsWith("-")) -1 else 1
-          val digits = zz.dropWhile(c => c == '+' || c == '-')
-          val (hh, mm) =
-            if (digits.contains(":")) {
-              val Array(a, b) = digits.split(":"); (a.toInt, b.toInt)
-            } else if (digits.length == 4)
-              (digits.take(2).toInt, digits.drop(2).toInt)
-            else (digits.toInt, 0)
-          offsetSec = sign * (hh * 3600.0 + mm * 60.0)
-        }
-        t = rest.trim
-      case _ =>
+    // only the ISO date-time separator 'T' (digit-T-digit) becomes a
+    // space — a blanket replace would mangle a trailing "UTC" marker
+    val t0 = s.trim.replaceAll("(?<=\\d)T(?=\\d)", " ")
+    // a candidate parses ONLY as "<date> [<time>]" — extra tokens fail
+    // it, so a trailing zone can never be silently ignored
+    def attempt(t: String, offsetSec: Double): Option[Double] = {
+      val parts = t.trim.split("\\s+").toList
+      if (parts.isEmpty || parts.length > 2) None
+      else try {
+        val date = LocalDate.parse(parts.head, DateTimeFormatter.ISO_LOCAL_DATE)
+        val time = parts.drop(1).headOption
+          .map(LocalTime.parse(_, timeFmt)).getOrElse(LocalTime.MIDNIGHT)
+        Some(LocalDateTime.of(date, time).toEpochSecond(ZoneOffset.UTC) +
+          time.getNano / 1e9 - offsetSec)
+      } catch { case _: Exception => None }
     }
-    val datePart :: timeParts = t.split("\\s+").toList: @unchecked
-    try {
-      val date = LocalDate.parse(datePart, DateTimeFormatter.ISO_LOCAL_DATE)
-      val time = timeParts.headOption.map { tp =>
-        // seconds (and fraction) optional: "00:00" and "0:0:0" occur
-        val fmt = new DateTimeFormatterBuilder()
-          .appendValue(ChronoField.HOUR_OF_DAY)
-          .appendLiteral(':').appendValue(ChronoField.MINUTE_OF_HOUR)
-          .optionalStart().appendLiteral(':')
-          .appendValue(ChronoField.SECOND_OF_MINUTE)
-          .optionalStart().appendFraction(
-            ChronoField.NANO_OF_SECOND, 1, 9, true).optionalEnd()
-          .optionalEnd()
-          .toFormatter
-        LocalTime.parse(tp, fmt)
-      }.getOrElse(LocalTime.MIDNIGHT)
-      Some(LocalDateTime.of(date, time).toEpochSecond(ZoneOffset.UTC) +
-        time.getNano / 1e9 - offsetSec)
-    } catch { case _: Exception => None }
+    // try the raw spelling FIRST: stripping eagerly would eat "-01"
+    // off a bare "1990-01-01". Only when that fails, peel one trailing
+    // zone token: Z / UTC / [+-]H[:MM] / H:MM / [+-]HHMM
+    attempt(t0, 0.0).orElse {
+      val zoneRe =
+        """^(.*?)(?:\s+|(?<=\d))(Z|UTC|[+-]?\d{1,2}:\d{2}|[+-]\d{1,2}|[+-]\d{4})$""".r
+      t0 match {
+        case zoneRe(rest, z) =>
+          val zz = z.toUpperCase
+          val offsetSec =
+            if (zz == "Z" || zz == "UTC") 0.0
+            else {
+              val sign = if (zz.startsWith("-")) -1 else 1
+              val digits = zz.dropWhile(c => c == '+' || c == '-')
+              val (hh, mm) =
+                if (digits.contains(":")) {
+                  val Array(a, b) = digits.split(":"); (a.toInt, b.toInt)
+                } else if (digits.length == 4)
+                  (digits.take(2).toInt, digits.drop(2).toInt)
+                else (digits.toInt, 0)
+              sign * (hh * 3600.0 + mm * 60.0)
+            }
+          attempt(rest, offsetSec)
+        case _ => None
+      }
+    }
   }
 
   /** `units` attribute → raw-value-to-epoch-seconds function, when the

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corruption robustness over the exotic-structure fixtures and a real
+  * granule: any single-bit flip must either decode (flip landed in
+  * padding/data) or throw a plain Exception promptly — never a hang,
+  * an OutOfMemoryError from a corrupt length field, or a
+  * StackOverflowError from a cyclic structure. The write-side
+  * round-trip property (H5LiteProps) cannot reach these structures
+  * (the writer never emits soft links or huge/tiny heap objects), so
+  * this is their randomized net.
+  */
+class H5CorruptionSpec extends AnyFunSuite {
+
+  private def fixture(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    assert(in != null, s"missing $path")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("single-bit flips fail cleanly across exotic heap fixtures") {
+    val files = Seq("/h5/hand_soft_links.h5", "/h5/hand_huge_direct.h5",
+      "/h5/hand_tiny_link.h5", "/h5/hand_huge_filtered.h5")
+    val rnd = new scala.util.Random(20260814L)
+    for (nm <- files; _ <- 1 to 300) {
+      val b = fixture(nm)
+      val pos = rnd.nextInt(b.length)
+      b(pos) = (b(pos) ^ (1 << rnd.nextInt(8))).toByte
+      // Exception = clean refusal; Error (OOM/SO) or a hang = bug
+      try H5Lite.read(b)
+      catch { case _: Exception => () }
+    }
+  }
+
+  test("single-bit flips fail cleanly on a real libhdf5 granule") {
+    val rnd = new scala.util.Random(42L)
+    for (_ <- 1 to 150) {
+      val b = fixture("/granules/not_empty_avhrr.nc4")
+      val pos = rnd.nextInt(b.length)
+      b(pos) = (b(pos) ^ (1 << rnd.nextInt(8))).toByte
+      try H5Lite.read(b)
+      catch { case _: Exception => () }
+    }
+  }
+}

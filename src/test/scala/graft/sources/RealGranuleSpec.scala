@@ -144,6 +144,36 @@ class RealGranuleSpec extends AnyFunSuite {
     }
   }
 
+  test("real swath granule streams through granulePipeline as point rows") {
+    // the L2 swath production path on field bytes: ASCAT wind rows
+    // arrive via the streaming file source, decode to points, and land
+    // idempotently (second run with a fresh checkpoint adds nothing)
+    val spark = graft.SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val watch = java.nio.file.Files.createTempDirectory("realswath").toFile
+    val out = java.nio.file.Files.createTempDirectory("realswath_store")
+      .toFile.getAbsolutePath + "/pts"
+    val in = getClass.getResourceAsStream("/granules/not_empty_ascatb.nc4")
+    java.nio.file.Files.write(
+      new java.io.File(watch, "ascat.nc4").toPath, in.readAllBytes())
+    in.close()
+    def run(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("realswath_ckpt")
+        .toFile.getAbsolutePath
+      val q = graft.streaming.StreamingIngest.granulePipeline(spark,
+        watch.getAbsolutePath, out, ckpt, "wind_speed", "ascat_stream",
+        tileLat = 30.0, tileLon = 30.0, swath = true).start()
+      q.awaitTermination()
+    }
+    run()
+    val pts = spark.read.parquet(out)
+    // 2 rows x 82 cells, every wind_speed valid (reference test pin)
+    assert(pts.count() === 164)
+    assert(pts.where(isnan(col("value"))).count() === 0)
+    run() // replay from scratch: the dedup-append sink keeps it 164
+    assert(spark.read.parquet(out).count() === 164)
+  }
+
   test("MEaSUREs SLA: huge heap attribute file decodes") {
     // not_empty_measures_alt.nc carries an 8 KiB root attribute stored
     // as a HUGE fractal-heap object (heap-ID type 1, indexed by the
