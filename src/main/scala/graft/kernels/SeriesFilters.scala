@@ -43,9 +43,11 @@ object SeriesFilters {
     // out by the optimizer too — pmod(x, 1) survives): same
     // one-partition execution, but out of Spark's "No Partition
     // Defined" warning, so a REAL unbounded global window elsewhere
-    // stays visible in logs
+    // stays visible in logs. The bigint cast makes pmod(·,1) constant
+    // for FRACTIONAL time columns too (pmod of a raw double keeps the
+    // fractional part and would split the series).
     val keys =
-      if (seriesKeys.isEmpty) Seq(pmod(col(timeCol), lit(1)))
+      if (seriesKeys.isEmpty) Seq(pmod(col(timeCol).cast("bigint"), lit(1)))
       else seriesKeys.map(col)
     def smooth(df: DataFrame, c: String, out: String, reverse: Boolean): DataFrame = {
       val ord = if (reverse) col(timeCol).desc else col(timeCol).asc

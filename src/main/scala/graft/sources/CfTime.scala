@@ -48,6 +48,15 @@ object CfTime {
     .optionalEnd()
     .toFormatter
 
+  // udunits accepts unpadded components ("2000-1-1"); strict
+  // ISO_LOCAL_DATE does not — appendValue without width parses 1+
+  // digits per field, literals keep the fields apart
+  private val dateFmt = new DateTimeFormatterBuilder()
+    .appendValue(ChronoField.YEAR)
+    .appendLiteral('-').appendValue(ChronoField.MONTH_OF_YEAR)
+    .appendLiteral('-').appendValue(ChronoField.DAY_OF_MONTH)
+    .toFormatter
+
   private[sources] def parseBase(s: String): Option[Double] = {
     // only the ISO date-time separator 'T' (digit-T-digit) becomes a
     // space — a blanket replace would mangle a trailing "UTC" marker
@@ -58,7 +67,7 @@ object CfTime {
       val parts = t.trim.split("\\s+").toList
       if (parts.isEmpty || parts.length > 2) None
       else try {
-        val date = LocalDate.parse(parts.head, DateTimeFormatter.ISO_LOCAL_DATE)
+        val date = LocalDate.parse(parts.head, dateFmt)
         val time = parts.drop(1).headOption
           .map(LocalTime.parse(_, timeFmt)).getOrElse(LocalTime.MIDNIGHT)
         Some(LocalDateTime.of(date, time).toEpochSecond(ZoneOffset.UTC) +
@@ -125,19 +134,29 @@ object CfTime {
 
   /** The converter a decode path applies to every raw time value:
     * CF units when present and parseable; else start-day base plus
-    * raw seconds; else identity (already epoch or synthetic). The
-    * result truncates to whole seconds like the reference's
-    * `long(total_seconds())`.
+    * raw seconds. A units attribute that EXISTS but cannot be
+    * converted and has no start-day escape hatch fails LOUDLY —
+    * silently passing raw day counts through as epoch seconds would
+    * corrupt every ingested time (this mirrors the reference, where
+    * `num2date` raises and only `start_day` catches it,
+    * `tilereadingprocessor.py:96-101`). Only a time variable with NO
+    * units attribute passes through raw (synthetic/already-epoch
+    * axes). The result truncates to whole seconds like the
+    * reference's `long(total_seconds())`.
     */
   def converter(timeVar: Option[NcVar],
                 startDayEpoch: Option[Long] = None): Double => Long = {
-    val viaUnits = timeVar.flatMap(_.attr("units"))
-      .map(a => a.text).filter(_.nonEmpty).flatMap(fromUnits)
-    viaUnits match {
+    val unitsText = timeVar.flatMap(_.attr("units"))
+      .map(a => a.text).filter(_.nonEmpty)
+    unitsText.flatMap(fromUnits) match {
       case Some(f) => v => f(v).toLong
-      case None => startDayEpoch match {
-        case Some(day0) => v => day0 + v.toLong
-        case None => v => v.toLong
+      case None => (startDayEpoch, unitsText) match {
+        case (Some(day0), _) => v => day0 + v.toLong
+        case (None, Some(u)) =>
+          sys.error(s"time units '$u' are not convertible to epoch " +
+            "seconds and no start-day attribute is configured — " +
+            "refusing to pass raw values through as timestamps")
+        case (None, None) => v => v.toLong
       }
     }
   }

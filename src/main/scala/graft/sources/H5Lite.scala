@@ -161,7 +161,7 @@ object H5Lite {
     val sets = ArrayBuffer.empty[Dataset]
     val rootAttrs = ArrayBuffer.empty[NcAttr]
     walkObject(r, rootOh, "", sets, rootAttrs, isRoot = true,
-      root = rootOh, onPath = Set(rootOh))
+      root = rootOh, onPath = Set(rootOh), ancestors = List(rootOh))
 
     // dim identity: a DIMENSION_LIST attribute (vlen of object
     // references, resolved through the global heap) names the
@@ -322,11 +322,9 @@ object H5Lite {
   private def walkObject(r: R, addr: Long, prefix: String,
                          sets: ArrayBuffer[Dataset], rootAttrs: ArrayBuffer[NcAttr],
                          isRoot: Boolean, root: Long,
-                         onPath: Set[Long]): Unit = {
+                         onPath: Set[Long],
+                         ancestors: List[Long]): Unit = {
     val msgs = headerMessages(r, addr)
-    if (sys.env.contains("H5_DEBUG"))
-      println(s"walkObject addr=$addr prefix=$prefix msgs=" +
-        msgs.map(m => f"0x${m._1}%02x").mkString(","))
     val byType = msgs.groupBy(_._1)
     val isDataset = byType.contains(0x08)
     if (isDataset) {
@@ -344,8 +342,6 @@ object H5Lite {
       } ++ byType.getOrElse(0x15, Nil).flatMap { case (_, p, _) =>
         r.at(p); denseAttrs(r) // dense attribute storage (>~8 attrs)
       }
-      if (sys.env.contains("H5_DEBUG"))
-        println(s"dataset $prefix filters=${filters.map(_.id).mkString(",")}")
       sets += Dataset(prefix.stripPrefix("/"), dims, dt, layout, filters,
         attrs, addr)
     } else {
@@ -359,10 +355,10 @@ object H5Lite {
         }
       }
       groupChildren(r, byType).foreach { case (nm, link) =>
-        resolveLink(r, link, addr, root, depth = 0).foreach { a =>
+        resolveLink(r, link, ancestors, root, depth = 0).foreach { a =>
           if (!onPath.contains(a))
             walkObject(r, a, s"$prefix/$nm".stripPrefix("/"), sets,
-              rootAttrs, isRoot = false, root, onPath + a)
+              rootAttrs, isRoot = false, root, onPath + a, a :: ancestors)
         }
       }
     }
@@ -395,30 +391,48 @@ object H5Lite {
 
   /** A link's object-header address: hard links carry it; soft links
     * walk their slash path group by group — absolute from the root,
-    * relative from the group holding the link — resolving nested soft
-    * links up to a fixed depth. Unresolvable or too-deep paths drop
-    * the link (the reference's h5py stack skips dangling soft links
-    * the same way).
+    * relative from the group holding the link (`holderStack` head),
+    * with `..` popping toward the root (the root's parent is the
+    * root, HDF5's rule) — resolving nested soft links up to a fixed
+    * depth. Unresolvable or too-deep paths drop the link (the
+    * reference's h5py stack skips dangling soft links the same way).
     */
-  private def resolveLink(r: R, link: Link, holder: Long, root: Long,
-                          depth: Int): Option[Long] = link match {
-    case Hard(a) => Some(a)
+  private def resolveLink(r: R, link: Link, holderStack: List[Long],
+                          root: Long, depth: Int): Option[Long] =
+    resolveStack(r, link, holderStack, root, depth).map(_.head)
+
+  /** Like [[resolveLink]] but returns the resolved object's whole
+    * ancestor stack (head = object), so a `..` AFTER a nested soft
+    * link pops relative to where that link landed, not to where it
+    * was written.
+    */
+  private def resolveStack(r: R, link: Link, holderStack: List[Long],
+                           root: Long, depth: Int): Option[List[Long]] = link match {
+    case Hard(a) => Some(a :: holderStack)
     case _ if depth > 16 => None
     case Soft(path) =>
       val parts = path.split("/").filter(p => p.nonEmpty && p != ".")
-      var at = if (path.startsWith("/")) root else holder
+      // stack head = current object; tail = its ancestors up to root
+      var stack =
+        if (path.startsWith("/")) List(root)
+        else if (holderStack.nonEmpty) holderStack else List(root)
       for (part <- parts) {
-        val byType = headerMessages(r, at).groupBy(_._1)
-        groupChildren(r, byType).find(_._1 == part) match {
-          case Some((_, l)) =>
-            resolveLink(r, l, at, root, depth + 1) match {
-              case Some(a) => at = a
-              case None => return None
-            }
-          case None => return None
+        if (part == "..") {
+          if (stack.tail.nonEmpty) stack = stack.tail
+          // else: at the root already — "/.." is the root (HDF5 rule)
+        } else {
+          val byType = headerMessages(r, stack.head).groupBy(_._1)
+          groupChildren(r, byType).find(_._1 == part) match {
+            case Some((_, l)) =>
+              resolveStack(r, l, stack, root, depth + 1) match {
+                case Some(s) => stack = s
+                case None => return None
+              }
+            case None => return None
+          }
         }
       }
-      Some(at)
+      Some(stack)
   }
 
   private def symbolTableChildren(r: R, btree: Long, heap: Long): Seq[(String, Long)] = {
@@ -669,7 +683,10 @@ object H5Lite {
           else (a, l, 0L, l)
         } else {
           require(hugeBtAddr != UNDEF, "h5: huge heap object but no huge B-tree")
-          val hugeId = leBytes(id, 1, heapIdLen - 1)
+          // the huge-object ID is sizeof-lengths (8) bytes wide; any
+          // further ID bytes are padding — and shifts past 8 bytes
+          // would wrap on the JVM anyway
+          val hugeId = leBytes(id, 1, math.min(8, heapIdLen - 1))
           val (btType, _, recs) = btree2Records(r, hugeBtAddr)
           require(btType == (if (filtered) 2 else 1),
             s"h5: huge B-tree record type $btType (heap filtered=$filtered)")

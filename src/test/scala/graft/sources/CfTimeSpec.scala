@@ -61,8 +61,20 @@ class CfTimeSpec extends AnyFunSuite {
       Array(60162.0))
     val c = CfTime.converter(Some(tv), startDayEpoch = Some(1427760000L))
     assert(c(60162.0) === 1427820162L) // the SMAP fixture pin
-    // and with no base at all, raw passthrough
-    assert(CfTime.converter(Some(tv), None)(60162.0) === 60162L)
+    // an unconvertible units attribute with NO escape hatch fails
+    // LOUDLY — raw day counts stored as epoch seconds would corrupt
+    // every ingested time silently (reference: num2date raises)
+    val e = intercept[RuntimeException](CfTime.converter(Some(tv), None))
+    assert(e.getMessage.contains("not convertible"))
+    // only a time variable with no units attribute passes through raw
+    val bare = tv.copy(attrs = Nil)
+    assert(CfTime.converter(Some(bare), None)(60162.0) === 60162L)
+  }
+
+  test("unpadded udunits date components parse (2000-1-1)") {
+    val f = conv("days since 2000-1-1")
+    assert(f(0) === 946684800.0)
+    assert(conv("seconds since 1981-1-1 0:0:0")(0.0) === 347155200.0)
   }
 
   test("day-of-year attribute pattern (SMAP REV_START_TIME)") {

@@ -557,13 +557,15 @@ class H5LiteSpec extends SparkSpec {
     try in.readAllBytes() finally in.close()
   }
 
-  test("soft links resolve (absolute, relative, nested, '.'); dangling skipped") {
+  test("soft links resolve (absolute, relative, nested, '.', '..'); dangling skipped") {
     // tools/make_h5_fixture.py build_soft_links: one dataset `base`
-    // plus soft aliases through every path spelling, and a dangling
-    // target that must drop silently (h5py parity)
+    // plus soft aliases through every path spelling — including a
+    // subgroup whose links climb with `..` and go back down through
+    // another soft link — and a dangling target that must drop
+    // silently (h5py parity)
     val f = H5Lite.read(fixture("hand_soft_links.h5"))
     assert(f.vars.map(_.name).sorted ===
-      Seq("alias", "base", "chain", "dot", "rel"))
+      Seq("alias", "base", "chain", "dot", "g/up", "g/updown", "rel"))
     f.vars.foreach(v => assert(v.data.toSeq === Seq(1.25, -2.5, 3.75), v.name))
   }
 

@@ -36,9 +36,8 @@ class RealGranuleSpec extends AnyFunSuite {
     // [-39.875, -37.625], epoch 1462060800, corner value 289.71
     val (nc, pts) = grid("not_empty_avhrr.nc4", "analysed_sst")
     val nLon = nc.variable("lon").get.data.length
-    val tile = pts.filter { p =>
-      val k = pts.indexOf(p); val i = k / nLon; val j = k % nLon
-      i < 10 && j < 10
+    val tile = pts.zipWithIndex.collect {
+      case (p, k) if (k / nLon) < 10 && (k % nLon) < 10 => p
     }
     assert(tile.size == 100)
     assert(tile.count(p => !p.value.isNaN) == 100)

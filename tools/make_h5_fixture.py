@@ -1022,7 +1022,7 @@ def build_soft_links():
     root_oh = 96
     vals = [1.25, -2.5, 3.75]
     data = b''.join(struct.pack('<d', v) for v in vals)
-    def root(ds_oh):
+    def root(ds_oh, grp_oh):
         return object_header([
             (0x06, link_msg('base', ds_oh)),
             (0x06, soft_link_msg('alias', '/base')),
@@ -1030,17 +1030,27 @@ def build_soft_links():
             (0x06, soft_link_msg('chain', '/alias')),
             (0x06, soft_link_msg('dot', './base')),
             (0x06, soft_link_msg('dangling', '/missing')),
+            (0x06, link_msg('g', grp_oh)),
         ])
-    probe = root(0)
+    def grp(ds_oh):
+        # subgroup: parent-relative soft link plus one that goes up
+        # and back down through another soft link
+        return object_header([
+            (0x06, soft_link_msg('up', '../base')),
+            (0x06, soft_link_msg('updown', '../g/up')),
+        ])
+    probe = root(0, 0)
     ds_oh = root_oh + len(probe)
     ds_probe = object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
                               (0x08, layout_contiguous(0, 0))])
-    data_addr = ds_oh + len(ds_probe)
+    grp_oh = ds_oh + len(ds_probe)
+    data_addr = grp_oh + len(grp(0))
     eof = data_addr + len(data)
     out = superblock_dense(root_oh, eof)
-    out += root(ds_oh)
+    out += root(ds_oh, grp_oh)
     out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
                           (0x08, layout_contiguous(data_addr, len(data)))])
+    out += grp(ds_oh)
     out += data
     assert len(out) == eof
     return out
