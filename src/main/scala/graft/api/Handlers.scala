@@ -504,14 +504,12 @@ object Handlers {
       col("time").as("st")) ++ svCol: _*)
     // widest participating latitude: the bbox extreme PLUS the rt
     // tolerance (in-situ points up to rt poleward of the bbox still
-    // match). Polar domains are REJECTED loudly — silently clamping
-    // would drop valid matches near the pole; callers must band by
-    // latitude there (GeoMatchup precondition).
+    // match). Polar domains are fine: GeoMatchup routes latitudes
+    // above its cap through dedicated polar-cap passes, so no banding
+    // precondition remains at this layer.
     val padDeg = rtMeters / 111000.0
-    val widestLat = (math.max(math.abs(p.minLat), math.abs(p.maxLat)) + padDeg).max(1.0)
-    require(widestLat < 89.0,
-      s"query bbox + $rtMeters m tolerance reaches latitude $widestLat°: " +
-        "polar matchup requires latitude-banded requests")
+    val widestLat = (math.max(math.abs(p.minLat), math.abs(p.maxLat)) + padDeg)
+      .max(1.0).min(90.0)
     // the secondary is the in-situ side: request-bounded in space and
     // time (the reference pages it from EDGE per request), so it is
     // broadcast-sized by construction and the ×27-exploded primary

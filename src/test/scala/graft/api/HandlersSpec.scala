@@ -132,7 +132,7 @@ class HandlersSpec extends SparkSpec {
 
   test("/match_spark matches tile points to in-situ points") {
     import spark.implicits._
-    // bounded request bbox: polar (unbounded-lat) matchups are rejected
+    // bounded request bbox first; the unbounded default is retried below
     val pm = p.copy(minLat = -10, maxLat = 10, minLon = -10, maxLon = 10)
     // in-situ points: one at grid point (0.5, 0.5) same day, one far away
     val insitu = Seq(
@@ -154,11 +154,13 @@ class HandlersSpec extends SparkSpec {
     val d0 = once.where($"plat" === 0.5 && $"plon" === 0.5 && $"pt" === 0L)
       .select("dist_km").as[Double].collect()(0)
     assert(d0 === 0.0)
-    // polar/unbounded request → loud rejection, not silent match loss
-    val e = intercept[IllegalArgumentException] {
-      Handlers.matchSpark(p, tiles, insitu, 200000, 86400, matchOnce = false)
-    }
-    assert(e.getMessage.contains("latitude-banded"))
+    // polar/unbounded request: previously rejected, now served through
+    // GeoMatchup's polar-cap passes — the same equatorial pair matches,
+    // nothing silently drops
+    val global = Handlers.matchSpark(p, tiles, insitu, 200000, 86400,
+      matchOnce = false)
+    assert(global.where($"sid" === 100L).count() > 0)
+    assert(global.where($"sid" === 101L).count() === 0)
   }
 
   test("matchup honors depthMin/depthMax and platforms filters on the " +
