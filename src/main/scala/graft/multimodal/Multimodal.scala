@@ -430,6 +430,47 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "n_frames", "frames")
   }
 
+  /** MP4 (ISO BMFF) access-unit sampling: parse the container's sample
+    * tables ([[Mp4]]) and emit every `every`-th sample of each video
+    * track as its TRUE payload byte range + timestamp — the frame
+    * selection step of a video training pipeline, with no decoder.
+    * The emitted bytes are real codec access units (e.g. H.264 NAL
+    * payloads); turning them into pixels is the documented stub
+    * boundary (no pure-JVM H.264 decoder — hand such bytes to the
+    * partition-local batch scorer `stubDecodeFeatures` models).
+    */
+  def mp4Samples(media: Dataset[MediaRow], every: Int = 1): DataFrame = {
+    require(every >= 1, s"sampling stride must be >= 1: $every")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val f = Mp4.parse(r.payload)
+      for {
+        t <- f.videoTracks
+        s <- t.samples if s.index % every == 0
+      } yield (r.media_id, t.id, s.index,
+        if (t.timescale > 0) s.dts.toDouble / t.timescale else 0.0,
+        s.size,
+        java.util.Arrays.copyOfRange(r.payload, s.offset.toInt,
+          (s.offset + s.size).toInt))
+    }.toDF("media_id", "track", "sample_idx", "dts_sec", "size", "bytes")
+  }
+
+  /** MP4 container metadata per media row: brand, movie duration, and
+    * per-track (handler, codec, dims, sample count) — the columns
+    * curation filters (duration cuts, codec allow-lists, resolution
+    * floors) run on before any byte of media payload is decoded.
+    */
+  def mp4Meta(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val f = Mp4.parse(r.payload)
+      f.tracks.map(t => (r.media_id, f.brand, f.durationSec, t.id,
+        t.handler, t.codec, t.width, t.height, t.samples.length,
+        t.durationSec))
+    }.toDF("media_id", "brand", "movie_sec", "track", "handler", "codec",
+      "width", "height", "n_samples", "track_sec")
+  }
+
   /** STUB decode: deterministic 8-dim "feature vector" from byte
     * statistics (sum/length per stride). A real implementation decodes
     * the payload with a native library here — per partition, batched —

@@ -419,6 +419,73 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // REAL MP4 pipeline: synthesize a 6-sample ISO BMFF container per
+    // document (sample k has 4+k bytes, byte j = (doc_id*11+k*7+j*3)%251,
+    // 25 fps), parse the sample tables back (true container work,
+    // partition-local), read metadata columns and extract every 2nd
+    // access unit's TRUE byte range. Byte extraction is lossless, so
+    // the DuckDB oracle recomputes each sampled unit's byte SUM from
+    // the formula — equality proves the stts/stsc/stsz/stco resolution
+    // to exact file offsets.
+    "m_mp4_pipeline" -> { (s, dir) =>
+      import graft.multimodal.{Mp4, Multimodal}
+      import s.implicits._
+      val media = Tables.documentsSpread(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val samples = (0 until 6).map(k =>
+              Array.tabulate(4 + k)(j => ((id * 11 + k * 7 + j * 3) % 251).toByte))
+            Multimodal.MediaRow(id, Mp4.synth(samples, delta = 40, 64, 48),
+              Multimodal.MediaMeta("video/mp4", 64, 48, 240L))
+          }
+        }
+      val meta = Multimodal.mp4Meta(media)
+        .select(col("media_id"), col("codec"),
+          col("width").cast("long"), col("height").cast("long"),
+          col("n_samples").cast("long"),
+          round(col("track_sec") + lit(1e-9), 4).as("track_sec"))
+      val sums = Multimodal.mp4Samples(media, every = 2)
+        .select(col("media_id"), col("sample_idx"), col("bytes"))
+        .as[(Long, Int, Array[Byte])]
+        .map { case (mid, k, bytes) =>
+          (mid, k, bytes.map(b => (b & 0xff).toLong).sum)
+        }
+        .toDF("media_id", "sample_idx", "byte_sum")
+        .groupBy("media_id")
+        .pivot("sample_idx", Seq(0, 2, 4))
+        .sum("byte_sum")
+        .select(col("media_id"), col("0").as("s0_sum"),
+          col("2").as("s2_sum"), col("4").as("s4_sum"))
+      meta.join(sums, "media_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // MPEG audio header walk: synthesize a 4-frame MPEG1 Layer III
+    // stream per document at doc-dependent bitrates
+    // (kbps_k = [128,160,192,256][(doc_id+k) % 4]), walk the frame
+    // grid back and emit the curation columns (frame count, duration,
+    // mean bitrate, total bytes). Frame sizes follow the header
+    // formula floor(144*kbps*1000/44100), so the oracle recomputes
+    // every output arithmetically.
+    "m_mpeg_meta" -> { (s, dir) =>
+      import graft.multimodal.{MpegAudio, Multimodal}
+      import s.implicits._
+      val rates = Array(128, 160, 192, 256)
+      Tables.documentsSpread(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val kbps = (0 until 4).map(k => rates(((id + k) % 4).toInt))
+          val bytes = MpegAudio.synthFrames(kbps)
+          val (sec, mean, rate, ch, n) = MpegAudio.meta(bytes).get
+          (id, n.toLong, rate.toLong, ch.toLong, bytes.length.toLong,
+            math.round((sec + 1e-9) * 1e6) / 1e6,
+            math.round((mean + 1e-9) * 1e4) / 1e4)
+        }
+        .toDF("doc_id", "n_frames", "sample_rate", "channels",
+          "total_bytes", "sec", "mean_kbps")
+        .orderBy("doc_id")
+    },
+
     // Byte-level transform pipeline (the modality-agnostic plumbing:
     // payloads with no JVM codec, e.g. proprietary containers): frame-sample
     // (fixed-size segmentation — boundary correctness proven by count +
@@ -718,6 +785,37 @@ object TextQueries extends QueryModule {
          |                + ((doc_id*7 + (p*4+2)*13) % 2001 - 1000)
          |                + ((doc_id*7 + (p*4+3)*13) % 2001 - 1000)) / 4.0)
          |      AS BIGINT)), '-') AS res_samples
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // sample k of a doc's MP4 has 4+k bytes, byte j =
+    // (doc_id*11 + k*7 + j*3) % 251; sampling keeps k = 0, 2, 4. The
+    // engine reads the sums from EXTRACTED byte ranges; the oracle
+    // from the formula — equality proves the sample-table resolution.
+    "m_mp4_pipeline" -> {
+      val sums = Seq(0, 2, 4).map { k =>
+        s"CAST(list_sum(list_transform(range(0, ${4 + k}), j -> " +
+          s"(doc_id*11 + ${k * 7} + j*3) % 251)) AS BIGINT) AS s${k}_sum"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, 'avc1' AS codec, CAST(64 AS BIGINT) AS width,
+         |  CAST(48 AS BIGINT) AS height, CAST(6 AS BIGINT) AS n_samples,
+         |  round(6 * 40 / 1000.0 + 1e-9, 4) AS track_sec,
+         |  $sums
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // frame k of a doc's MPEG stream has bitrate
+    // [128,160,192,256][(doc_id+k) % 4] and size
+    // floor(144*kbps*1000/44100); 4 frames of 1152 samples at 44100.
+    "m_mpeg_meta" -> {
+      val kbps = "list_transform(range(0, 4), k -> " +
+        "([128,160,192,256])[CAST((doc_id + k) % 4 AS INT) + 1])"
+      s"""SELECT doc_id, CAST(4 AS BIGINT) AS n_frames,
+         |  CAST(44100 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+         |  CAST(list_sum(list_transform($kbps, b ->
+         |    (144 * b * 1000) // 44100)) AS BIGINT) AS total_bytes,
+         |  round(4 * 1152 / 44100.0 + 1e-9, 6) AS sec,
+         |  round(list_sum($kbps) / 4.0 + 1e-9, 4) AS mean_kbps
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

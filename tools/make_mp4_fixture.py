@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Minimal-but-valid ISO BMFF (MP4) fixture, hand-assembled from the
+public ISO/IEC 14496-12 box layouts — an independent second
+implementation so graft's Mp4 parser validates against spec-derived
+bytes, not a round-trip of itself.
+
+Layout: ftyp | mdat (6 video samples with known bytes, 2 chunks of 3)
+| moov (mvhd + one video trak: tkhd, mdhd, hdlr, minf/stbl with
+stsd(avc1)/stts/stsc/stsz/stco).
+"""
+import struct
+
+def u32(v): return struct.pack('>I', v)
+def u16(v): return struct.pack('>H', v)
+
+def box(tpe, payload):
+    return u32(8 + len(payload)) + tpe.encode('ascii') + payload
+
+def full(tpe, version, flags, payload):
+    return box(tpe, bytes([version]) + flags.to_bytes(3, 'big') + payload)
+
+# 6 samples: sizes 3..8, recognizable content
+samples = [bytes([0xA0 + i] * (3 + i)) for i in range(6)]
+sizes = [len(s) for s in samples]
+
+ftyp = box('ftyp', b'isom' + u32(0x200) + b'isomavc1')
+mdat_payload = b''.join(samples)
+mdat = box('mdat', mdat_payload)
+mdat_start = len(ftyp)              # file offset of the mdat box
+chunk1_off = mdat_start + 8          # samples 0,1,2
+chunk2_off = chunk1_off + sum(sizes[:3])  # samples 3,4,5
+
+TIMESCALE = 1000
+DELTA = 100                          # 10 fps
+DUR = DELTA * len(samples)
+
+mvhd = full('mvhd', 0, 0,
+    u32(0) + u32(0) +                # creation, modification
+    u32(TIMESCALE) + u32(DUR) +
+    u32(0x00010000) + u16(0x0100) + u16(0) +  # rate, volume, reserved
+    u32(0) * 2 +                     # reserved
+    u32(0x00010000) + u32(0)*3 + u32(0x00010000) + u32(0)*3 + u32(0x40000000) +
+    u32(0) * 6 +                     # pre_defined
+    u32(2))                          # next track id
+
+tkhd = full('tkhd', 0, 7,
+    u32(0) + u32(0) + u32(1) + u32(0) + u32(DUR) +
+    u32(0) * 2 + u16(0) + u16(0) + u16(0) + u16(0) +
+    u32(0x00010000) + u32(0)*3 + u32(0x00010000) + u32(0)*3 + u32(0x40000000) +
+    u32(64 << 16) + u32(48 << 16))   # width 64.0, height 48.0
+
+mdhd = full('mdhd', 0, 0,
+    u32(0) + u32(0) + u32(TIMESCALE) + u32(DUR) + u16(0x55C4) + u16(0))
+
+hdlr = full('hdlr', 0, 0,
+    u32(0) + b'vide' + u32(0) * 3 + b'VideoHandler\0')
+
+# stsd with one avc1 entry (minimal visual sample entry, no avcC —
+# the parser only reads the fourcc)
+avc1 = box('avc1',
+    b'\0' * 6 + u16(1) +             # reserved + data_reference_index
+    u16(0) + u16(0) + u32(0) * 3 +   # pre_defined/reserved
+    u16(64) + u16(48) +              # width, height
+    u32(0x00480000) + u32(0x00480000) +  # dpi
+    u32(0) + u16(1) +                # reserved, frame_count
+    b'\0' * 32 +                     # compressor name
+    u16(0x18) + struct.pack('>h', -1))
+stsd = full('stsd', 0, 0, u32(1) + avc1)
+
+stts = full('stts', 0, 0, u32(1) + u32(len(samples)) + u32(DELTA))
+stsc = full('stsc', 0, 0, u32(1) + u32(1) + u32(3) + u32(1))
+stsz = full('stsz', 0, 0, u32(0) + u32(len(samples)) +
+            b''.join(u32(s) for s in sizes))
+stco = full('stco', 0, 0, u32(2) + u32(chunk1_off) + u32(chunk2_off))
+
+stbl = box('stbl', stsd + stts + stsc + stsz + stco)
+vmhd = full('vmhd', 0, 1, u16(0) + u16(0) * 3)
+dinf = box('dinf', full('dref', 0, 0, u32(1) + full('url ', 0, 1, b'')))
+minf = box('minf', vmhd + dinf + stbl)
+mdia = box('mdia', mdhd + hdlr + minf)
+trak = box('trak', tkhd + mdia)
+moov = box('moov', mvhd + trak)
+
+out = ftyp + mdat + moov
+open('/root/repo/src/test/resources/media/hand_min.mp4', 'wb').write(out)
+print('mp4 fixture written', len(out), 'chunk offsets', chunk1_off, chunk2_off)
