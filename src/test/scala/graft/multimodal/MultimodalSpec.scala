@@ -385,4 +385,25 @@ class MultimodalSpec extends SparkSpec {
     val Some((_, meanKbps, _, _, _)) = MpegAudio.meta(bytes)
     assert(meanKbps === 192.0)
   }
+
+  test("MP4 and MPEG walkers survive single-bit corruption cleanly") {
+    // same contract as H5CorruptionSpec: decode or plain Exception,
+    // never a hang (both walks provably advance) or runaway allocation
+    def bytesOf(path: String) = {
+      val in = getClass.getResourceAsStream(path)
+      try in.readAllBytes() finally in.close()
+    }
+    val rnd = new scala.util.Random(777L)
+    for ((path, parse) <- Seq[(String, Array[Byte] => Any)](
+      ("/media/hand_min.mp4", Mp4.parse(_)),
+      ("/media/hand_cbr.mp3", MpegAudio.frames(_)),
+      ("/media/hand_vbr.mp3", MpegAudio.frames(_)));
+        _ <- 1 to 200) {
+      val b = bytesOf(path)
+      val pos = rnd.nextInt(b.length)
+      b(pos) = (b(pos) ^ (1 << rnd.nextInt(8))).toByte
+      try parse(b)
+      catch { case _: Exception => () }
+    }
+  }
 }
