@@ -447,11 +447,22 @@ object Multimodal {
       for {
         t <- f.videoTracks
         s <- t.samples if s.index % every == 0
-      } yield (r.media_id, t.id, s.index,
-        if (t.timescale > 0) s.dts.toDouble / t.timescale else 0.0,
-        s.size,
-        java.util.Arrays.copyOfRange(r.payload, s.offset.toInt,
-          (s.offset + s.size).toInt))
+      } yield {
+        // a range past the payload must fail LOUDLY: copyOfRange would
+        // silently zero-pad a truncated mdat, and .toInt on a co64
+        // offset would wrap — either way zero-filled or wrong-region
+        // bytes would flow downstream as "real" access units
+        require(s.offset >= 0 && s.size >= 0 &&
+          s.offset + s.size <= r.payload.length,
+          s"mp4 media ${r.media_id}: sample ${s.index} spans " +
+            s"[${s.offset}, ${s.offset + s.size}) outside the " +
+            s"${r.payload.length}-byte payload (truncated mdat?)")
+        (r.media_id, t.id, s.index,
+          if (t.timescale > 0) s.dts.toDouble / t.timescale else 0.0,
+          s.size,
+          java.util.Arrays.copyOfRange(r.payload, s.offset.toInt,
+            (s.offset + s.size).toInt))
+      }
     }.toDF("media_id", "track", "sample_idx", "dts_sec", "size", "bytes")
   }
 

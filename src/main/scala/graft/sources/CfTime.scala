@@ -50,12 +50,16 @@ object CfTime {
 
   // udunits accepts unpadded components ("2000-1-1"); strict
   // ISO_LOCAL_DATE does not — appendValue without width parses 1+
-  // digits per field, literals keep the fields apart
+  // digits per field, literals keep the fields apart. STRICT resolver:
+  // the builder default (SMART) would quietly turn 2000-2-31 into
+  // 2000-02-29 and shift every ingested timestamp by days — an invalid
+  // base must fail the parse (and, via converter, fail loudly)
   private val dateFmt = new DateTimeFormatterBuilder()
     .appendValue(ChronoField.YEAR)
     .appendLiteral('-').appendValue(ChronoField.MONTH_OF_YEAR)
     .appendLiteral('-').appendValue(ChronoField.DAY_OF_MONTH)
     .toFormatter
+    .withResolverStyle(java.time.format.ResolverStyle.STRICT)
 
   private[sources] def parseBase(s: String): Option[Double] = {
     // only the ISO date-time separator 'T' (digit-T-digit) becomes a

@@ -161,7 +161,7 @@ object H5Lite {
     val sets = ArrayBuffer.empty[Dataset]
     val rootAttrs = ArrayBuffer.empty[NcAttr]
     walkObject(r, rootOh, "", sets, rootAttrs, isRoot = true,
-      root = rootOh, onPath = Set(rootOh), ancestors = List(rootOh))
+      root = rootOh, onPath = Set(rootOh))
 
     // dim identity: a DIMENSION_LIST attribute (vlen of object
     // references, resolved through the global heap) names the
@@ -322,8 +322,7 @@ object H5Lite {
   private def walkObject(r: R, addr: Long, prefix: String,
                          sets: ArrayBuffer[Dataset], rootAttrs: ArrayBuffer[NcAttr],
                          isRoot: Boolean, root: Long,
-                         onPath: Set[Long],
-                         ancestors: List[Long]): Unit = {
+                         onPath: Set[Long]): Unit = {
     val msgs = headerMessages(r, addr)
     val byType = msgs.groupBy(_._1)
     val isDataset = byType.contains(0x08)
@@ -355,10 +354,10 @@ object H5Lite {
         }
       }
       groupChildren(r, byType).foreach { case (nm, link) =>
-        resolveLink(r, link, ancestors, root, depth = 0).foreach { a =>
+        resolveLink(r, link, addr, root, depth = 0).foreach { a =>
           if (!onPath.contains(a))
             walkObject(r, a, s"$prefix/$nm".stripPrefix("/"), sets,
-              rootAttrs, isRoot = false, root, onPath + a, a :: ancestors)
+              rootAttrs, isRoot = false, root, onPath + a)
         }
       }
     }
@@ -391,48 +390,35 @@ object H5Lite {
 
   /** A link's object-header address: hard links carry it; soft links
     * walk their slash path group by group — absolute from the root,
-    * relative from the group holding the link (`holderStack` head),
-    * with `..` popping toward the root (the root's parent is the
-    * root, HDF5's rule) — resolving nested soft links up to a fixed
-    * depth. Unresolvable or too-deep paths drop the link (the
-    * reference's h5py stack skips dangling soft links the same way).
+    * relative from the group holding the link — resolving nested soft
+    * links up to a fixed depth. Every component except `.` (current
+    * group, the ONE special name HDF5 traversal defines) is a literal
+    * link-name lookup: HDF5 has no `..` notion (objects can have
+    * multiple parents, so "up" is ambiguous — the format deliberately
+    * omits it), and libhdf5/h5py resolve `..` as an ordinary name
+    * that is normally absent, dropping the link as dangling; this
+    * walker matches that. Unresolvable or too-deep paths drop the
+    * link the same way.
     */
-  private def resolveLink(r: R, link: Link, holderStack: List[Long],
-                          root: Long, depth: Int): Option[Long] =
-    resolveStack(r, link, holderStack, root, depth).map(_.head)
-
-  /** Like [[resolveLink]] but returns the resolved object's whole
-    * ancestor stack (head = object), so a `..` AFTER a nested soft
-    * link pops relative to where that link landed, not to where it
-    * was written.
-    */
-  private def resolveStack(r: R, link: Link, holderStack: List[Long],
-                           root: Long, depth: Int): Option[List[Long]] = link match {
-    case Hard(a) => Some(a :: holderStack)
+  private def resolveLink(r: R, link: Link, holder: Long, root: Long,
+                          depth: Int): Option[Long] = link match {
+    case Hard(a) => Some(a)
     case _ if depth > 16 => None
     case Soft(path) =>
       val parts = path.split("/").filter(p => p.nonEmpty && p != ".")
-      // stack head = current object; tail = its ancestors up to root
-      var stack =
-        if (path.startsWith("/")) List(root)
-        else if (holderStack.nonEmpty) holderStack else List(root)
+      var at = if (path.startsWith("/")) root else holder
       for (part <- parts) {
-        if (part == "..") {
-          if (stack.tail.nonEmpty) stack = stack.tail
-          // else: at the root already — "/.." is the root (HDF5 rule)
-        } else {
-          val byType = headerMessages(r, stack.head).groupBy(_._1)
-          groupChildren(r, byType).find(_._1 == part) match {
-            case Some((_, l)) =>
-              resolveStack(r, l, stack, root, depth + 1) match {
-                case Some(s) => stack = s
-                case None => return None
-              }
-            case None => return None
-          }
+        val byType = headerMessages(r, at).groupBy(_._1)
+        groupChildren(r, byType).find(_._1 == part) match {
+          case Some((_, l)) =>
+            resolveLink(r, l, at, root, depth + 1) match {
+              case Some(a) => at = a
+              case None => return None
+            }
+          case None => return None
         }
       }
-      Some(stack)
+      Some(at)
   }
 
   private def symbolTableChildren(r: R, btree: Long, heap: Long): Seq[(String, Long)] = {

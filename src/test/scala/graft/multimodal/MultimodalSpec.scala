@@ -406,4 +406,56 @@ class MultimodalSpec extends SparkSpec {
       catch { case _: Exception => () }
     }
   }
+
+  test("MP4 bounds: truncated mdat fails loudly; corrupt counts never allocate") {
+    import spark.implicits._
+    val samples = (0 until 6).map(k => Array.fill(4 + k)((0xA0 + k).toByte))
+    val full = Mp4.synth(samples, delta = 40, 64, 48)
+    // single-sample synth emits a one-chunk table that parses clean
+    val one = Mp4.parse(Mp4.synth(Seq(Array[Byte](1, 2, 3)), 40, 8, 8))
+    assert(one.videoTracks.head.samples.map(_.size) === Vector(3L))
+    // keep the container parseable but make the sample ranges overrun
+    // the payload: point the second chunk offset 2 bytes before EOF,
+    // so its 3 samples (6+7+8 bytes) extend past the file — the shape
+    // a truncated-mdat/mismatched-moov download produces
+    val overrun = full.clone()
+    val stcoAt = indexOfBox(overrun, "stco")
+    // stco payload: ver+flags(4) count(4) off1(4) off2(4)
+    java.nio.ByteBuffer.wrap(overrun, stcoAt + 8 + 8 + 4, 4)
+      .putInt(overrun.length - 2)
+    val rows = Seq(Multimodal.MediaRow(9L, overrun,
+      Multimodal.MediaMeta("video/mp4", 64, 48, 240))).toDS()
+    val e = intercept[Exception] {
+      Multimodal.mp4Samples(rows).collect()
+    }
+    assert(e.getMessage.contains("truncated mdat") ||
+      e.getCause != null && e.getCause.getMessage.contains("truncated mdat"),
+      s"got: ${e.getMessage}")
+    // corrupt stts run count to 0x80000006: must throw, not expand
+    val broken = full.clone()
+    val sttsAt = indexOfBox(broken, "stts")
+    broken(sttsAt + 12) = 0x80.toByte // sample_count high byte
+    val e2 = intercept[Exception](Mp4.parse(broken))
+    assert(e2.getMessage.contains("entries"), e2.getMessage)
+    // corrupt uniform stsz with a huge count likewise
+    val b3 = full.clone()
+    val stszAt = indexOfBox(b3, "stsz")
+    b3(stszAt + 8 + 4 + 3) = 0x01 // uniform = 1
+    b3(stszAt + 8 + 4 + 4 + 0) = 0x7f.toByte // count = 0x7f...
+    val e3 = intercept[Exception](Mp4.parse(b3))
+    assert(e3.getMessage.contains("entries"), e3.getMessage)
+  }
+
+  private def indexOfBox(b: Array[Byte], tpe: String): Int = {
+    // scan the whole byte stream for the fourcc and return the box
+    // start (fourcc sits 4 bytes after the size field)
+    val pat = tpe.getBytes("ISO-8859-1")
+    var p = 4
+    while (p + 4 <= b.length) {
+      if (b(p) == pat(0) && b(p + 1) == pat(1) && b(p + 2) == pat(2) &&
+        b(p + 3) == pat(3)) return p - 4
+      p += 1
+    }
+    fail(s"box $tpe not found")
+  }
 }

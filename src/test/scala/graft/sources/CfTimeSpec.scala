@@ -75,6 +75,10 @@ class CfTimeSpec extends AnyFunSuite {
     val f = conv("days since 2000-1-1")
     assert(f(0) === 946684800.0)
     assert(conv("seconds since 1981-1-1 0:0:0")(0.0) === 347155200.0)
+    // STRICT resolution: an impossible date must FAIL the parse, not
+    // smart-adjust to Feb 29 and shift every timestamp by days
+    assert(CfTime.fromUnits("days since 2000-2-31").isEmpty)
+    assert(CfTime.fromUnits("days since 2000-13-01").isEmpty)
   }
 
   test("day-of-year attribute pattern (SMAP REV_START_TIME)") {

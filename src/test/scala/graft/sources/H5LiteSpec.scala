@@ -557,15 +557,16 @@ class H5LiteSpec extends SparkSpec {
     try in.readAllBytes() finally in.close()
   }
 
-  test("soft links resolve (absolute, relative, nested, '.', '..'); dangling skipped") {
+  test("soft links resolve (absolute, relative, nested, '.'); '..' and " +
+    "dangling drop like h5py") {
     // tools/make_h5_fixture.py build_soft_links: one dataset `base`
-    // plus soft aliases through every path spelling — including a
-    // subgroup whose links climb with `..` and go back down through
-    // another soft link — and a dangling target that must drop
-    // silently (h5py parity)
+    // plus soft aliases through every path spelling. The subgroup's
+    // '../base' and '../g/up' links must DROP: HDF5 defines no '..'
+    // (multiple parents make "up" ambiguous), so libhdf5/h5py resolve
+    // it as an ordinary — absent — link name, and so does this walker
     val f = H5Lite.read(fixture("hand_soft_links.h5"))
     assert(f.vars.map(_.name).sorted ===
-      Seq("alias", "base", "chain", "dot", "g/up", "g/updown", "rel"))
+      Seq("alias", "base", "chain", "dot", "rel"))
     f.vars.foreach(v => assert(v.data.toSeq === Seq(1.25, -2.5, 3.75), v.name))
   }
 

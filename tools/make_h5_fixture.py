@@ -1032,9 +1032,11 @@ def build_soft_links():
             (0x06, soft_link_msg('dangling', '/missing')),
             (0x06, link_msg('g', grp_oh)),
         ])
-    def grp(ds_oh):
-        # subgroup: parent-relative soft link plus one that goes up
-        # and back down through another soft link
+    def grp():
+        # subgroup with '..' paths: HDF5 defines NO '..' notion (objects
+        # can have multiple parents), and libhdf5/h5py resolve '..' as
+        # an ordinary link name that is absent — these two links must
+        # DROP as dangling, never resolve against the traversal path
         return object_header([
             (0x06, soft_link_msg('up', '../base')),
             (0x06, soft_link_msg('updown', '../g/up')),
@@ -1044,13 +1046,13 @@ def build_soft_links():
     ds_probe = object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
                               (0x08, layout_contiguous(0, 0))])
     grp_oh = ds_oh + len(ds_probe)
-    data_addr = grp_oh + len(grp(0))
+    data_addr = grp_oh + len(grp())
     eof = data_addr + len(data)
     out = superblock_dense(root_oh, eof)
     out += root(ds_oh, grp_oh)
     out += object_header([(0x01, dataspace([3])), (0x03, dt_f64()),
                           (0x08, layout_contiguous(data_addr, len(data)))])
-    out += grp(ds_oh)
+    out += grp()
     out += data
     assert len(out) == eof
     return out
