@@ -52,14 +52,6 @@ object JoinCompletenessProps extends Properties("graft.join.completeness") {
       val grid = GeoMatchup.matchup(p, s, col("plat"), col("plon"), col("pt"),
           col("slat"), col("slon"), col("st"), rt, tt, maxAbsLat = 61.0)
         .select("pid", "sid").as[(Long, Long)].collect().toSet
-      def hav(la1: Double, lo1: Double, la2: Double, lo2: Double): Double = {
-        val dLat = math.toRadians(la2 - la1)
-        val dLon = math.toRadians(lo2 - lo1)
-        val a = math.pow(math.sin(dLat / 2), 2) +
-          math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
-            math.pow(math.sin(dLon / 2), 2)
-        2 * GeoFunctions.EarthRadiusKm * math.asin(math.sqrt(a))
-      }
       val naive = (for {
         ((pla, plo, pt), pi) <- ps.zipWithIndex
         ((sla, slo, st), si) <- ss.zipWithIndex
@@ -67,6 +59,55 @@ object JoinCompletenessProps extends Properties("graft.join.completeness") {
       } yield (pi.toLong, si.toLong)).toSet
       grid == naive
     }
+
+  /** The polar-cap decomposition (main/A/B passes above CapLat) must
+    * partition the pair space exactly: random points drawn INTO both
+    * caps, the cap-adjacent bands, and the mid-latitudes, matched with
+    * maxAbsLat = 90, must reproduce the naive haversine join with no
+    * duplicates and no drops — including pairs straddling the cap
+    * boundary and pairs across the pole.
+    */
+  property("polar-cap GeoMatchup ≡ naive haversine join near the poles") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.zip(polarLat, Gen.choose(-180.0, 180.0),
+        Gen.choose(0L, 50000L))),
+      Gen.listOfN(12, Gen.zip(polarLat, Gen.choose(-180.0, 180.0),
+        Gen.choose(0L, 50000L))),
+      Gen.choose(50000.0, 400000.0),
+      Gen.choose(1000L, 50000L)) { (ps, ss, rt, tt) =>
+      val p = ps.zipWithIndex.map { case ((la, lo, t), i) => (i.toLong, la, lo, t) }
+        .toDF("pid", "plat", "plon", "pt")
+      val s = ss.zipWithIndex.map { case ((la, lo, t), i) => (i.toLong, la, lo, t) }
+        .toDF("sid", "slat", "slon", "st")
+      val grid = GeoMatchup.matchup(p, s, col("plat"), col("plon"), col("pt"),
+          col("slat"), col("slon"), col("st"), rt, tt, maxAbsLat = 90.0)
+        .select("pid", "sid").as[(Long, Long)].collect()
+      val naive = (for {
+        ((pla, plo, pt), pi) <- ps.zipWithIndex
+        ((sla, slo, st), si) <- ss.zipWithIndex
+        if math.abs(pt - st) <= tt && hav(pla, plo, sla, slo) * 1000 <= rt
+      } yield (pi.toLong, si.toLong)).toSet
+      Prop(grid.length == grid.toSet.size) :| "no duplicate pairs" &&
+        Prop(grid.toSet == naive) :|
+          s"missing=${naive -- grid.toSet} extra=${grid.toSet -- naive}"
+    }
+
+  /** Latitudes concentrated where the cap logic switches: both caps,
+    * both boundary bands, and a mid-latitude control group.
+    */
+  private def polarLat: Gen[Double] = Gen.oneOf(
+    Gen.choose(85.5, 90.0), Gen.choose(-90.0, -85.5),   // inside the caps
+    Gen.choose(80.0, 85.5), Gen.choose(-85.5, -80.0),   // boundary bands
+    Gen.choose(-45.0, 45.0))                            // control
+
+  private def hav(la1: Double, lo1: Double, la2: Double, lo2: Double): Double = {
+    val dLat = math.toRadians(la2 - la1)
+    val dLon = math.toRadians(lo2 - lo1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2 * GeoFunctions.EarthRadiusKm * math.asin(math.sqrt(a))
+  }
 }
 
 /** connectedComponents must equal brute-force union-find on random
