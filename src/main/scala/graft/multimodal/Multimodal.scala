@@ -439,13 +439,14 @@ object Multimodal {
     * boundary (no pure-JVM H.264 decoder — hand such bytes to the
     * partition-local batch scorer `stubDecodeFeatures` models).
     */
-  def mp4Samples(media: Dataset[MediaRow], every: Int = 1): DataFrame = {
+  def mp4Samples(media: Dataset[MediaRow], every: Int = 1,
+                 handler: String = "vide"): DataFrame = {
     require(every >= 1, s"sampling stride must be >= 1: $every")
     import media.sparkSession.implicits._
     media.flatMap { r =>
       val f = Mp4.parse(r.payload)
       for {
-        t <- f.videoTracks
+        t <- f.tracks if t.handler == handler
         s <- t.samples if s.index % every == 0
       } yield {
         // a range past the payload must fail LOUDLY: copyOfRange would

@@ -446,6 +446,34 @@ class MultimodalSpec extends SparkSpec {
     assert(e3.getMessage.contains("entries"), e3.getMessage)
   }
 
+  test("fragmented MP4 (moof/trun) resolves samples across fragments") {
+    // tools/make_mp4_fixture.py build_fragmented: empty moov tables +
+    // two fragments of 3 samples (sizes 5,6,7 then 4,5,6; fills
+    // 0xB0.. / 0xC0..), default-base-is-moof, tfdt bases 0 and 300
+    val in = getClass.getResourceAsStream("/media/hand_frag.mp4")
+    assert(in != null)
+    val bytes = try in.readAllBytes() finally in.close()
+    val f = Mp4.parse(bytes)
+    val t = f.videoTracks.head
+    assert(t.samples.length === 6)
+    assert(t.samples.map(_.size) === Vector(5L, 6L, 7L, 4L, 5L, 6L))
+    assert(t.samples.map(_.dts) === Vector(0L, 100L, 200L, 300L, 400L, 500L))
+    val fills = Vector(0xB0, 0xB1, 0xB2, 0xC0, 0xC1, 0xC2)
+    t.samples.zip(fills).foreach { case (s, fill) =>
+      val payload = bytes.slice(s.offset.toInt, (s.offset + s.size).toInt)
+      assert(payload.forall(_ == fill.toByte),
+        s"fragment sample ${s.index} bytes wrong")
+    }
+    // and the distributed operator sees them identically
+    import spark.implicits._
+    val rows = Seq(Multimodal.MediaRow(3L, bytes,
+      Multimodal.MediaMeta("video/mp4", 64, 48, 600))).toDS()
+    val got = Multimodal.mp4Samples(rows, every = 3).collect()
+    assert(got.map(_.getAs[Int]("sample_idx")).sorted.toSeq === Seq(0, 3))
+    assert(got.find(_.getAs[Int]("sample_idx") == 3).get
+      .getAs[Array[Byte]]("bytes").toSeq === Seq.fill(4)(0xC0.toByte))
+  }
+
   private def indexOfBox(b: Array[Byte], tpe: String): Int = {
     // scan the whole byte stream for the fourcc and return the box
     // start (fourcc sits 4 bytes after the size field)

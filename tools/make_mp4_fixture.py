@@ -84,3 +84,73 @@ moov = box('moov', mvhd + trak)
 out = ftyp + mdat + moov
 open('/root/repo/src/test/resources/media/hand_min.mp4', 'wb').write(out)
 print('mp4 fixture written', len(out), 'chunk offsets', chunk1_off, chunk2_off)
+
+# ---------------- fragmented (CMAF/DASH-shaped) fixture: moov with
+# EMPTY sample tables + two moof/mdat fragments of 3 samples each,
+# default-base-is-moof addressing, per-sample sizes, tfdt bases
+def empty_stbl():
+    stsd = full('stsd', 0, 0, u32(1) + box('avc1',
+        b'\0' * 6 + u16(1) + u16(0) + u16(0) + u32(0) * 3 +
+        u16(64) + u16(48) + u32(0x00480000) + u32(0x00480000) +
+        u32(0) + u16(1) + b'\0' * 32 + u16(0x18) + struct.pack('>h', -1)))
+    return box('stbl', stsd + full('stts', 0, 0, u32(0)) +
+               full('stsc', 0, 0, u32(0)) +
+               full('stsz', 0, 0, u32(0) + u32(0)) +
+               full('stco', 0, 0, u32(0)))
+
+def build_fragmented():
+    frag_samples = [
+        [bytes([0xB0 + i] * (5 + i)) for i in range(3)],       # fragment 1
+        [bytes([0xC0 + i] * (4 + i)) for i in range(3)],       # fragment 2
+    ]
+    mvhd = full('mvhd', 0, 0,
+        u32(0) + u32(0) + u32(TIMESCALE) + u32(0) +
+        u32(0x00010000) + u16(0x0100) + u16(0) + u32(0) * 2 +
+        u32(0x00010000) + u32(0)*3 + u32(0x00010000) + u32(0)*3 + u32(0x40000000) +
+        u32(0) * 6 + u32(2))
+    tkhd = full('tkhd', 0, 7,
+        u32(0) + u32(0) + u32(1) + u32(0) + u32(0) +
+        u32(0) * 2 + u16(0) * 4 +
+        u32(0x00010000) + u32(0)*3 + u32(0x00010000) + u32(0)*3 + u32(0x40000000) +
+        u32(64 << 16) + u32(48 << 16))
+    mdhd = full('mdhd', 0, 0, u32(0) + u32(0) + u32(TIMESCALE) + u32(0) +
+                u16(0x55C4) + u16(0))
+    hdlr = full('hdlr', 0, 0, u32(0) + b'vide' + u32(0) * 3 + b'VideoHandler\0')
+    vmhd = full('vmhd', 0, 1, u16(0) * 4)
+    dinf = box('dinf', full('dref', 0, 0, u32(1) + full('url ', 0, 1, b'')))
+    minf = box('minf', vmhd + dinf + empty_stbl())
+    mdia = box('mdia', mdhd + hdlr + minf)
+    trak = box('trak', tkhd + mdia)
+    # mvex/trex signals a fragmented movie (parsers may ignore it)
+    mvex = box('mvex', full('trex', 0, 0, u32(1) + u32(1) + u32(DELTA) +
+                            u32(0) + u32(0)))
+    moov = box('moov', mvhd + mvex + trak)
+
+    out = ftyp + moov
+    for fi, samples in enumerate(frag_samples):
+        sizes = [len(s) for s in samples]
+        # trun: data-offset present (0x01) + per-sample size (0x200) +
+        # per-sample duration (0x100)
+        trun_payload = u32(len(samples))
+        # data offset patched after moof is sized: placeholder
+        mfhd = full('mfhd', 0, 0, u32(fi + 1))
+        # tfhd: default-base-is-moof (0x020000), track 1
+        tfhd = full('tfhd', 0, 0x020000, u32(1))
+        tfdt = full('tfdt', 0, 0, u32(fi * 3 * DELTA))
+        def make_trun(data_off):
+            body = u32(len(samples)) + struct.pack('>i', data_off)
+            for s in samples:
+                body += u32(DELTA) + u32(len(s))
+            return full('trun', 0, 0x301, body)
+        trun_probe = make_trun(0)
+        traf = box('traf', tfhd + tfdt + trun_probe)
+        moof_probe = box('moof', mfhd + traf)
+        data_off = len(moof_probe) + 8   # samples start right after mdat hdr
+        traf = box('traf', tfhd + tfdt + make_trun(data_off))
+        moof = box('moof', mfhd + traf)
+        assert len(moof) == len(moof_probe)
+        out += moof + box('mdat', b''.join(samples))
+    open('/root/repo/src/test/resources/media/hand_frag.mp4', 'wb').write(out)
+    print('fragmented mp4 written', len(out))
+
+build_fragmented()
