@@ -70,12 +70,48 @@ object GranuleIngest {
     require(data.length == nT * nLat * nLon,
       s"granule $granule: $valueVar has ${data.length} cells, " +
         s"grid wants ${nT * nLat * nLon} (time=$nT lat=$nLat lon=$nLon)")
+    val idx = gridIndexer(nc, v, nT, nLat, nLon, latVar, lonVar, timeVar)
     for {
       t <- Iterator.range(0, nT)
       i <- Iterator.range(0, nLat)
       j <- Iterator.range(0, nLon)
     } yield GranulePoint(granule, toEpoch(times(t)), lats(i), lons(j),
-      data((t * nLat + i) * nLon + j))
+      data(idx(t, i, j)))
+  }
+
+  /** Flat index of logical (time, lat, lon) into the value variable's
+    * ACTUAL file layout. Axis ORDER comes from the variable's dim
+    * identity when the coordinate variables' dim names resolve among
+    * its dims — a granule laid out (lon, lat) or (time, lon, lat)
+    * then decodes correctly instead of silently transposing (the
+    * reference permutes such files with NCO's ncpdq before reading,
+    * `callncpdq.py`; here the stride arithmetic does it in place).
+    * Synthetic per-variable dim names fall back to the (time, lat,
+    * lon) convention. Shared by the single- and multi-variable decode
+    * paths so primary and meta arrays can never disagree on layout.
+    */
+  private def gridIndexer(nc: NcFile, v: NcVar, nT: Int, nLat: Int,
+                          nLon: Int, latVar: String, lonVar: String,
+                          timeVar: String): (Int, Int, Int) => Int = {
+    val shape = nc.shape(v)
+    val rowMajor = shape.scanRight(1L)((d, acc) => d * acc).tail
+    def axisOf(coord: String): Option[Int] =
+      nc.variable(coord).flatMap(_.dims.headOption)
+        .map(v.dims.indexOf).filter(_ >= 0)
+    val strides = (axisOf(latVar), axisOf(lonVar)) match {
+      case (Some(la), Some(lo)) if la != lo &&
+        shape(la) == nLat && shape(lo) == nLon =>
+        // the time axis: by dim identity, else the one axis that is
+        // neither lat nor lon (3-D grids); absent/scalar time
+        // contributes stride 0
+        val ta = axisOf(timeVar).filter(a => a != la && a != lo)
+          .orElse(shape.indices.find(a => a != la && a != lo))
+        Seq(ta.map(rowMajor).getOrElse(0L), rowMajor(la), rowMajor(lo))
+      case _ =>
+        Seq(nLat.toLong * nLon, nLon.toLong, 1L)
+    }
+    val (st, sLat, sLon) = (strides(0), strides(1), strides(2))
+    (t, i, j) => (t * st + i * sLat + j * sLon).toInt
   }
 
   /** Midnight-UTC epoch of the granule-level day attribute, when one
@@ -252,11 +288,19 @@ object GranuleIngest {
         v.unpacked
       }
       val primary = gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
+      // gridPointsOf enumerates LOGICAL (time, lat, lon) order; the
+      // meta arrays stay in file layout, so map each logical position
+      // through the SAME indexer the primary used (identical dims ⇒
+      // identical strides) — a permuted granule stays aligned
+      val nLat = nc.variable(latVar).map(_.data.length).getOrElse(1).max(1)
+      val nLon = nc.variable(lonVar).map(_.data.length).getOrElse(1).max(1)
+      val nT = nc.variable(timeVar).map(_.data.length).getOrElse(1).max(1)
+      val idx = gridIndexer(nc, pv, nT, nLat, nLon, latVar, lonVar, timeVar)
       primary.zipWithIndex.map { case (p, k) =>
-        // gridPointsOf enumerates row-major over the SAME grid the
-        // meta variables span (checked above), so flat index k aligns
+        val (t, rest) = (k / (nLat * nLon), k % (nLat * nLon))
+        val fi = idx(t, rest / nLon, rest % nLon)
         GranulePointM(p.granule, p.time, p.latitude, p.longitude,
-          p.value, metas.map(m => m(k)))
+          p.value, metas.map(m => m(fi)))
       }
     }
   }

@@ -224,4 +224,57 @@ class GranuleIngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("swathPoints"))
   }
+
+  test("permuted-axis grids decode by dim identity, not position " +
+    "(reference: callncpdq.py pre-permutes; here strides do it in place)") {
+    // value laid out (lon, lat) — decoding with the (lat, lon)
+    // assumption would transpose silently. data(lo, la) = lo*10 + la.
+    val f2 = NcFile(
+      dims = Seq(NcDim("lat", 2), NcDim("lon", 3)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("lat", Seq("lat"), NC_DOUBLE, Nil, Array(10.0, 20.0)),
+        NcVar("lon", Seq("lon"), NC_DOUBLE, Nil, Array(1.0, 2.0, 3.0)),
+        NcVar("sst", Seq("lon", "lat"), NC_DOUBLE, Nil,
+          Array(0.0, 1.0, 10.0, 11.0, 20.0, 21.0)))) // (lon, lat) order
+    val pts = GranuleIngest.gridPointsOf(f2, "p.nc", "sst")
+      .map(p => (p.latitude, p.longitude) -> p.value).toMap
+    assert(pts((10.0, 1.0)) === 0.0)
+    assert(pts((20.0, 1.0)) === 1.0)
+    assert(pts((10.0, 3.0)) === 20.0)
+    assert(pts((20.0, 3.0)) === 21.0)
+
+    // 3-D (time, lon, lat) with a meta variable in the SAME permuted
+    // layout: the multi-variable path must stay aligned
+    val nT = 2
+    def cell(t: Int, lo: Int, la: Int) = t * 100.0 + lo * 10 + la
+    val data3 = Array.tabulate(nT * 3 * 2) { k =>
+      val t = k / 6; val lo = (k / 2) % 3; val la = k % 2
+      cell(t, lo, la)
+    }
+    val f3 = NcFile(
+      dims = Seq(NcDim("time", nT), NcDim("lat", 2), NcDim("lon", 3)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("time", Seq("time"), NC_DOUBLE, Nil, Array(0.0, 3600.0)),
+        NcVar("lat", Seq("lat"), NC_DOUBLE, Nil, Array(10.0, 20.0)),
+        NcVar("lon", Seq("lon"), NC_DOUBLE, Nil, Array(1.0, 2.0, 3.0)),
+        NcVar("sst", Seq("time", "lon", "lat"), NC_DOUBLE, Nil, data3),
+        NcVar("err", Seq("time", "lon", "lat"), NC_DOUBLE, Nil,
+          data3.map(_ + 0.5))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_perm").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "g.nc").toPath,
+      NetcdfClassic.write(f3))
+    val rows = GranuleIngest.decodeFilesMulti(
+        spark.read.format("binaryFile").load(dir.toString + "/*.nc"),
+        "sst", Seq("err"))
+      .collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("latitude"),
+        r.getAs[Double]("longitude")) ->
+        (r.getAs[Double]("value"), r.getAs[Seq[Double]]("meta").head))
+      .toMap
+    assert(rows((3600L, 20.0, 3.0)) === ((cell(1, 2, 1), cell(1, 2, 1) + 0.5)))
+    assert(rows((0L, 10.0, 1.0)) === ((0.0, 0.5)))
+    assert(rows((0L, 10.0, 2.0)) === ((10.0, 10.5)))
+  }
 }
