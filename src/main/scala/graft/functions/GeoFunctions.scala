@@ -57,6 +57,17 @@ object GeoFunctions {
   /** Area weight for grid-cell statistics: cos(latitude). */
   def cosLatWeight(latDeg: Column): Column = cos(radians(latDeg))
 
+  /** Snap an epoch-seconds time to DAY 1 of its UTC month, KEEPING the
+    * time of day — exactly the reference's climatology-normalization
+    * processor (`normalizetimebeginningofmonth.py:25-30`:
+    * `timeObj.replace(day=1)`, not a truncation to midnight). UTC days
+    * are uniform 86400 s, so subtracting (day-of-month − 1) days is
+    * the closed codegen form.
+    */
+  def timeToMonthStart(epochSec: Column): Column =
+    epochSec - (dayofmonth(to_utc_timestamp(timestamp_seconds(epochSec),
+      "UTC")) - 1).cast("long") * 86400L
+
   /** Weighted mean as a single expression: sum(v*w)/sum(w) (null-skipping). */
   def weightedMean(v: Column, w: Column): Column = sum(v * w) / sum(w)
 }

@@ -36,6 +36,42 @@ class GeoFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("u/v -> speed+FROM-direction pins the reference kernel's cardinal " +
+    "vectors (computespeeddirfromuv_test.py:30-87)") {
+    import spark.implicits._
+    // (u, v, expected speed, expected FROM-direction degrees)
+    val cases = Seq(
+      (0.0, -1.0, 1.0, 0.0),    // blowing south = FROM North
+      (-1.0, 0.0, 1.0, 90.0),   // blowing west = FROM East
+      (0.0, 1.0, 1.0, 180.0),   // blowing north = FROM South
+      (1.0, 0.0, 1.0, 270.0),   // blowing east = FROM West
+      (2.0, 2.0, 2.8284271, 225.0)) // from the southwest
+    val got = cases.map { case (u, v, _, _) => (u, v) }.toDF("u", "v")
+      .select(GeoFunctions.uvToSpeed($"u", $"v").as("s"),
+        GeoFunctions.uvToDirDeg($"u", $"v").as("d"))
+      .as[(Double, Double)].collect()
+    cases.zip(got).foreach { case ((u, v, es, ed), (s, d)) =>
+      assert(math.abs(s - es) < 1e-6, s"speed($u,$v)")
+      assert(math.abs(d - ed) < 1e-9, s"dir($u,$v)")
+    }
+  }
+
+  test("timeToMonthStart replaces the day, KEEPS the time of day " +
+    "(normalizetimebeginningofmonth.py:25-30)") {
+    import spark.implicits._
+    val cases = Seq(
+      // 2016-05-17T13:45:30Z -> 2016-05-01T13:45:30Z
+      (1463492730L, 1462110330L),
+      // already day 1: unchanged
+      (1462060800L, 1462060800L),
+      // leap-February 29th 23:59:59 -> Feb 1 23:59:59
+      (1456790399L, 1454371199L))
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.GeoFunctions.timeToMonthStart($"t"))
+      .as[Long].collect()
+    assert(got.toSeq === cases.map(_._2))
+  }
+
   test("unit conversions") {
     import spark.implicits._
     val df = Seq((273.15, 190.0), (300.0, 350.0)).toDF("k", "lon")
