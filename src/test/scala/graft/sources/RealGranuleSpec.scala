@@ -173,6 +173,45 @@ class RealGranuleSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 164)
   }
 
+  test("SMAP tile summary matches the reference summarizer's pinned stats") {
+    // tilesumarizingprocessor_test.py:44-52 pins the column-0 SMAP
+    // tile's summary: bbox, nan-min/max, cos-lat-WEIGHTED mean
+    // (tilesumarizingprocessor.py:53-57), valid count — the A7
+    // semantics this engine computes at ingest, checked here on field
+    // bytes with the engine's own aggregation expressions
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions
+    val nc = load("not_empty_smap.h5")
+    val pts = GranuleIngest.swathPointsOf(nc, "smap", "smap_sss",
+        timeVar = "row_time",
+        dayAttr = Some(("REV_START_TIME", "yyyy-DDD'T'HH:mm:ss.SSS"))).toVector
+    val col0 = pts.zipWithIndex.collect { case (p, k) if k % 2 == 0 => p }
+    val df = col0.map(p => (p.latitude, p.longitude, p.value))
+      .toDF("latitude", "longitude", "value")
+    val r = df.agg(
+      min(when(!isnan($"latitude"), $"latitude")).as("lat_min"),
+      max(when(!isnan($"latitude"), $"latitude")).as("lat_max"),
+      min(when(!isnan($"longitude"), $"longitude")).as("lon_min"),
+      max(when(!isnan($"longitude"), $"longitude")).as("lon_max"),
+      min(when(!isnan($"value"), $"value")).as("v_min"),
+      max(when(!isnan($"value"), $"value")).as("v_max"),
+      (sum(when(!isnan($"value"),
+        $"value" * GeoFunctions.cosLatWeight($"latitude"))) /
+        sum(when(!isnan($"value"),
+          GeoFunctions.cosLatWeight($"latitude")))).as("mean"),
+      count(when(!isnan($"value"), lit(1))).as("cnt")).head()
+    assert(math.abs(r.getAs[Double]("lat_min") - (-50.056)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("lat_max") - (-47.949)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("lon_min") - 22.376) < 1e-3)
+    assert(math.abs(r.getAs[Double]("lon_max") - 36.013) < 1e-3)
+    assert(math.abs(r.getAs[Double]("v_min") - 33.067) < 1e-3)
+    assert(math.abs(r.getAs[Double]("v_max") - 40.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mean") - 36.6348) < 1e-3)
+    assert(r.getAs[Long]("cnt") === 43L)
+  }
+
   test("MEaSUREs SLA: huge heap attribute file decodes") {
     // not_empty_measures_alt.nc carries an 8 KiB root attribute stored
     // as a HUGE fractal-heap object (heap-ID type 1, indexed by the
