@@ -458,13 +458,13 @@ object Multimodal {
           s"mp4 media ${r.media_id}: sample ${s.index} spans " +
             s"[${s.offset}, ${s.offset + s.size}) outside the " +
             s"${r.payload.length}-byte payload (truncated mdat?)")
-        (r.media_id, t.id, s.index,
-          if (t.timescale > 0) s.dts.toDouble / t.timescale else 0.0,
-          s.size,
+        val ts = if (t.timescale > 0) t.timescale.toDouble else 1.0
+        (r.media_id, t.id, s.index, s.dts / ts, s.pts / ts, s.size,
           java.util.Arrays.copyOfRange(r.payload, s.offset.toInt,
             (s.offset + s.size).toInt))
       }
-    }.toDF("media_id", "track", "sample_idx", "dts_sec", "size", "bytes")
+    }.toDF("media_id", "track", "sample_idx", "dts_sec", "pts_sec",
+      "size", "bytes")
   }
 
   /** MP4 container metadata per media row: brand, movie duration, and

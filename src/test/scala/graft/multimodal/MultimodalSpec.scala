@@ -446,6 +446,23 @@ class MultimodalSpec extends SparkSpec {
     assert(e3.getMessage.contains("entries"), e3.getMessage)
   }
 
+  test("ctts composition offsets produce pts = dts + offset") {
+    // tools/make_mp4_fixture.py build_with_ctts: first 2 samples carry
+    // a +200-tick composition delay, the rest 0 — B-frame-style
+    // reordering metadata; dts stays the stts grid
+    val in = getClass.getResourceAsStream("/media/hand_ctts.mp4")
+    assert(in != null)
+    val bytes = try in.readAllBytes() finally in.close()
+    val t = Mp4.parse(bytes).videoTracks.head
+    assert(t.samples.map(_.dts) === Vector(0L, 100L, 200L, 300L, 400L, 500L))
+    assert(t.samples.map(_.pts) === Vector(200L, 300L, 200L, 300L, 400L, 500L))
+    // without ctts, pts == dts everywhere
+    val plainIn = getClass.getResourceAsStream("/media/hand_min.mp4")
+    val plain = try plainIn.readAllBytes() finally plainIn.close()
+    val pt = Mp4.parse(plain).videoTracks.head
+    assert(pt.samples.forall(s => s.pts == s.dts))
+  }
+
   test("fragmented MP4 (moof/trun) resolves samples across fragments") {
     // tools/make_mp4_fixture.py build_fragmented: empty moov tables +
     // two fragments of 3 samples (sizes 5,6,7 then 4,5,6; fills

@@ -154,3 +154,34 @@ def build_fragmented():
     print('fragmented mp4 written', len(out))
 
 build_fragmented()
+
+# ---------------- ctts variant: same 6 samples, v0 composition offsets
+# (counts 2+4) so pts = dts + [200,200,0,0,0,0] — B-frame-style delay
+def build_with_ctts():
+    base = open('/root/repo/src/test/resources/media/hand_min.mp4','rb').read()
+    ctts = full('ctts', 0, 0, u32(2) + u32(2) + u32(200) + u32(4) + u32(0))
+    # splice ctts into the stbl after stts: find boxes and rebuild sizes
+    def patch(buf, path_types, insert_after, extra):
+        # returns buf with `extra` inserted after the box `insert_after`
+        # found along nested containers in path_types, fixing sizes
+        def walk(b, start, end, depth):
+            p = start
+            while p + 8 <= end:
+                size = int.from_bytes(b[p:p+4],'big')
+                t = b[p+4:p+8].decode('latin1')
+                if depth < len(path_types) and t == path_types[depth]:
+                    inner = walk(b, p+8, p+size, depth+1)
+                    grown = len(inner) - (size - 8)
+                    return (b[start:p] + (size+grown).to_bytes(4,'big') +
+                            b[p+4:p+8] + inner + b[p+size:end])
+                if depth == len(path_types) and t == insert_after:
+                    return b[start:p+size] + extra + b[p+size:end]
+                p += size
+            return b[start:end]
+        return walk(buf, 0, len(buf), 0)
+    out = patch(base, ['moov','trak','mdia','minf','stbl'], 'stts', ctts)
+    assert len(out) == len(base) + len(ctts)
+    open('/root/repo/src/test/resources/media/hand_ctts.mp4','wb').write(out)
+    print('ctts mp4 written', len(out))
+
+build_with_ctts()
