@@ -238,20 +238,30 @@ object GranuleIngest {
     * and lands in the tile's `meta_data` map in the same row-major
     * layout as `data` — the reference's multi-variable tile shape
     * (`nexusmodel.py:34`; e.g. wind_u primary + wind_v/wind_dir meta).
+    *
+    * `pointTransform` is the PROCESSOR-CHAIN hook (`processorchain.py`
+    * role): a DataFrame transform applied to the decoded point
+    * relation before tiling — unit conversion
+    * (`GeoFunctions.kelvinToCelsius`), longitude normalization
+    * (`lonTo180`), climatology time snapping (`timeToMonthStart`) —
+    * the reference's configurable per-dataset transforms, composed
+    * with plain `.withColumn` algebra.
     */
   def ingestGridGranules(spark: SparkSession, glob: String, valueVar: String,
                          dataset: String, tileLat: Double, tileLon: Double,
                          latVar: String = "lat", lonVar: String = "lon",
                          timeVar: String = "time",
-                         metaVars: Seq[String] = Nil): DataFrame =
+                         metaVars: Seq[String] = Nil,
+                         pointTransform: DataFrame => DataFrame = identity): DataFrame =
     if (metaVars.isEmpty)
       Ingest.pointsToTiles(
-        readGranules(spark, glob, valueVar, latVar, lonVar, timeVar),
+        pointTransform(readGranules(spark, glob, valueVar, latVar, lonVar, timeVar)),
         tileLat, tileLon, dataset)
     else
       Ingest.pointsToTiles(
-        decodeFilesMulti(spark.read.format("binaryFile").load(glob),
-          valueVar, metaVars, latVar, lonVar, timeVar),
+        pointTransform(decodeFilesMulti(
+          spark.read.format("binaryFile").load(glob),
+          valueVar, metaVars, latVar, lonVar, timeVar)),
         tileLat, tileLon, dataset, metaNames = metaVars)
 
   /** Multi-variable decode of a `binaryFile`-shaped relation: primary

@@ -119,7 +119,8 @@ object StreamingIngest {
                       latVar: String = "lat", lonVar: String = "lon",
                       timeVar: String = "time",
                       swath: Boolean = false,
-                      metaVars: Seq[String] = Nil): DataStreamWriter[Row] = {
+                      metaVars: Seq[String] = Nil,
+                      pointTransform: DataFrame => DataFrame = identity): DataStreamWriter[Row] = {
     require(metaVars.isEmpty || !swath,
       "granulePipeline: metaVars applies to grid granules only")
     // streaming file sources demand an explicit schema; binaryFile's
@@ -145,8 +146,8 @@ object StreamingIngest {
           // TypedTileOps.swathToPoints filter masks before emitting):
           // fill-valued pixels and fill-valued geolocation never land
           // as rows
-          val pts = graft.ingest.GranuleIngest.decodeFiles(
-              batch, valueVar, latVar, lonVar, timeVar, swath = true)
+          val pts = pointTransform(graft.ingest.GranuleIngest.decodeFiles(
+              batch, valueVar, latVar, lonVar, timeVar, swath = true))
             .where(!isnan(col("value")) && !isnan(col("latitude")) &&
               !isnan(col("longitude")))
             .withColumn("dataset", lit(dataset))
@@ -159,12 +160,12 @@ object StreamingIngest {
           appendDeduped(pts, outPath, dataset,
             keyCols = Seq("granule", "time_bucket"))
         } else {
-          val pts =
+          val pts = pointTransform(
             if (metaVars.isEmpty)
               graft.ingest.GranuleIngest.decodeFiles(
                 batch, valueVar, latVar, lonVar, timeVar, swath = false)
             else graft.ingest.GranuleIngest.decodeFilesMulti(
-              batch, valueVar, metaVars, latVar, lonVar, timeVar)
+              batch, valueVar, metaVars, latVar, lonVar, timeVar))
           val tiles = graft.ingest.Ingest
             .pointsToTiles(pts, tileLat, tileLon, dataset, metaNames = metaVars)
             .withColumn("time_bucket",

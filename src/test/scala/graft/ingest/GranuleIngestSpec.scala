@@ -277,4 +277,42 @@ class GranuleIngestSpec extends SparkSpec {
     assert(rows((0L, 10.0, 1.0)) === ((0.0, 0.5)))
     assert(rows((0L, 10.0, 2.0)) === ((10.0, 10.5)))
   }
+
+  test("pointTransform hooks the processor chain into batch AND streaming " +
+    "ingest (kelvin->celsius + 0..360 lon wrap, processorchain.py role)") {
+    import graft.functions.GeoFunctions
+    val f = NcFile(
+      dims = Seq(NcDim("time", 1), NcDim("lat", 2), NcDim("lon", 2)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("time", Seq("time"), NC_INT, Nil, Array(86400.0)),
+        NcVar("lat", Seq("lat"), NC_DOUBLE, Nil, Array(10.0, 20.0)),
+        // 0..360 spellings: 350 must land at -10
+        NcVar("lon", Seq("lon"), NC_DOUBLE, Nil, Array(10.0, 350.0)),
+        NcVar("sst", Seq("time", "lat", "lon"), NC_DOUBLE, Nil,
+          Array(283.15, 284.15, 285.15, 286.15)))) // kelvins
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "g.nc").toPath,
+      NetcdfClassic.write(f))
+    def chain(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("value", GeoFunctions.kelvinToCelsius(col("value")))
+      .withColumn("longitude", GeoFunctions.lonTo180(col("longitude")))
+    val tiles = GranuleIngest.ingestGridGranules(spark,
+      dir.toString + "/*.nc", "sst", "chain_ds", 30.0, 30.0,
+      pointTransform = chain)
+    assert(tiles.agg(max("stats_max")).head.getDouble(0) === 13.0)
+    assert(tiles.agg(min("min_lon")).head.getDouble(0) === -10.0)
+    // streaming path applies the SAME transform
+    val out = java.nio.file.Files.createTempDirectory("graft_chain_out")
+      .toFile.getAbsolutePath + "/tiles"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chain_ck")
+      .toFile.getAbsolutePath
+    val q = graft.streaming.StreamingIngest.granulePipeline(spark,
+      dir.getAbsolutePath, out, ckpt, "sst", "chain_stream", 30.0, 30.0,
+      pointTransform = chain).start()
+    q.awaitTermination()
+    val st = spark.read.parquet(out)
+    assert(st.agg(max("stats_max")).head.getDouble(0) === 13.0)
+    assert(st.agg(min("min_lon")).head.getDouble(0) === -10.0)
+  }
 }
