@@ -60,13 +60,19 @@ object GeoFunctions {
   /** Snap an epoch-seconds time to DAY 1 of its UTC month, KEEPING the
     * time of day — exactly the reference's climatology-normalization
     * processor (`normalizetimebeginningofmonth.py:25-30`:
-    * `timeObj.replace(day=1)`, not a truncation to midnight). UTC days
-    * are uniform 86400 s, so subtracting (day-of-month − 1) days is
-    * the closed codegen form.
+    * `timeObj.replace(day=1)`, not a truncation to midnight). The UTC
+    * calendar date comes from pure DATE arithmetic (epoch day count
+    * added to 1970-01-01), which is timezone-free — extracting
+    * dayofmonth from a TIMESTAMP would read the SESSION timezone and
+    * snap near-midnight instants into the wrong month on non-UTC
+    * sessions. UTC days are uniform 86400 s, so subtracting
+    * (day-of-month − 1) days is the closed codegen form.
     */
-  def timeToMonthStart(epochSec: Column): Column =
-    epochSec - (dayofmonth(to_utc_timestamp(timestamp_seconds(epochSec),
-      "UTC")) - 1).cast("long") * 86400L
+  def timeToMonthStart(epochSec: Column): Column = {
+    val utcDate = date_add(to_date(lit("1970-01-01")),
+      floor(epochSec / 86400.0).cast("int"))
+    epochSec - (dayofmonth(utcDate) - 1).cast("long") * 86400L
+  }
 
   /** Weighted mean as a single expression: sum(v*w)/sum(w) (null-skipping). */
   def weightedMean(v: Column, w: Column): Column = sum(v * w) / sum(w)

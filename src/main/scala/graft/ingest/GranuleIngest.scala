@@ -52,10 +52,16 @@ object GranuleIngest {
     * or (lat, lon) with a scalar/absent time — with 1-D coordinate
     * variables. Row-major decode: index = (t·nLat + i)·nLon + j.
     */
-  def gridPointsOf(nc: NcFile, granule: String, valueVar: String,
+  /** Like [[gridPointsOf]] but each point carries the FILE-layout flat
+    * index it decoded from — the one enumeration that owns both the
+    * logical order and the physical layout, so the multi-variable path
+    * reads meta arrays through the same index and can never misalign.
+    */
+  private[ingest] def gridPointsWithIndex(nc: NcFile, granule: String,
+                   valueVar: String,
                    latVar: String = "lat", lonVar: String = "lon",
                    timeVar: String = "time",
-                   dayAttr: Option[(String, String)] = None): Iterator[GranulePoint] = {
+                   dayAttr: Option[(String, String)] = None): Iterator[(GranulePoint, Int)] = {
     val v = nc.variable(valueVar).getOrElse(
       sys.error(s"granule $granule: no variable $valueVar"))
     val lats = coord(nc, latVar, granule)
@@ -75,9 +81,17 @@ object GranuleIngest {
       t <- Iterator.range(0, nT)
       i <- Iterator.range(0, nLat)
       j <- Iterator.range(0, nLon)
-    } yield GranulePoint(granule, toEpoch(times(t)), lats(i), lons(j),
-      data(idx(t, i, j)))
+    } yield (GranulePoint(granule, toEpoch(times(t)), lats(i), lons(j),
+      data(idx(t, i, j))), idx(t, i, j))
   }
+
+  /** Points of a gridded granule (see [[gridPointsWithIndex]]). */
+  def gridPointsOf(nc: NcFile, granule: String, valueVar: String,
+                   latVar: String = "lat", lonVar: String = "lon",
+                   timeVar: String = "time",
+                   dayAttr: Option[(String, String)] = None): Iterator[GranulePoint] =
+    gridPointsWithIndex(nc, granule, valueVar, latVar, lonVar, timeVar,
+      dayAttr).map(_._1)
 
   /** Flat index of logical (time, lat, lon) into the value variable's
     * ACTUAL file layout. Axis ORDER comes from the variable's dim
@@ -297,21 +311,15 @@ object GranuleIngest {
             s"${pv.dims} (shape ${nc.shape(pv)})")
         v.unpacked
       }
-      val primary = gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
-      // gridPointsOf enumerates LOGICAL (time, lat, lon) order; the
-      // meta arrays stay in file layout, so map each logical position
-      // through the SAME indexer the primary used (identical dims ⇒
-      // identical strides) — a permuted granule stays aligned
-      val nLat = nc.variable(latVar).map(_.data.length).getOrElse(1).max(1)
-      val nLon = nc.variable(lonVar).map(_.data.length).getOrElse(1).max(1)
-      val nT = nc.variable(timeVar).map(_.data.length).getOrElse(1).max(1)
-      val idx = gridIndexer(nc, pv, nT, nLat, nLon, latVar, lonVar, timeVar)
-      primary.zipWithIndex.map { case (p, k) =>
-        val (t, rest) = (k / (nLat * nLon), k % (nLat * nLon))
-        val fi = idx(t, rest / nLon, rest % nLon)
-        GranulePointM(p.granule, p.time, p.latitude, p.longitude,
-          p.value, metas.map(m => m(fi)))
-      }
+      // ONE enumeration owns both layouts: each primary point carries
+      // the file index it decoded from, and the meta arrays (same dims
+      // ⇒ same layout, checked above) read through that index — a
+      // permuted granule can never misalign primary and meta
+      gridPointsWithIndex(nc, granule, valueVar, latVar, lonVar, timeVar)
+        .map { case (p, fi) =>
+          GranulePointM(p.granule, p.time, p.latitude, p.longitude,
+            p.value, metas.map(m => m(fi)))
+        }
     }
   }
 }

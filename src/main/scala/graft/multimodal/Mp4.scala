@@ -137,9 +137,13 @@ object Mp4 {
     cat(ftyp, mdat, moov)
   }
 
-  /** (type, payloadStart, payloadEnd) for each box in [from, to). */
-  private def boxes(r: B, from: Long, to: Long): Seq[(String, Long, Long)] = {
-    val out = ArrayBuffer.empty[(String, Long, Long)]
+  /** (type, boxStart, payloadStart, payloadEnd) for each box in
+    * [from, to) — the start is kept because default-base-is-moof
+    * addressing anchors at the BOX, which sits 8 or 16 bytes before
+    * the payload depending on the largesize header form.
+    */
+  private def boxes(r: B, from: Long, to: Long): Seq[(String, Long, Long, Long)] = {
+    val out = ArrayBuffer.empty[(String, Long, Long, Long)]
     var p = from
     while (p + 8 <= to) {
       r.at(p)
@@ -151,14 +155,14 @@ object Mp4 {
         else (p + 8, p + size0)
       require(end >= payload && end <= to,
         s"mp4: box '$tpe' at $p overruns its container ($end > $to)")
-      out += ((tpe, payload, end))
+      out += ((tpe, p, payload, end))
       p = end
     }
     out.toSeq
   }
 
-  private def find(bs: Seq[(String, Long, Long)], t: String): Option[(Long, Long)] =
-    bs.find(_._1 == t).map(b => (b._2, b._3))
+  private def find(bs: Seq[(String, Long, Long, Long)], t: String): Option[(Long, Long)] =
+    bs.find(_._1 == t).map(b => (b._3, b._4))
 
   def parse(bytes: Array[Byte]): Mp4File = {
     val r = new B(bytes)
@@ -175,7 +179,7 @@ object Mp4 {
       if (ver == 1) { r.skip(16); (r.u32(), r.u64()) }
       else { r.skip(8); (r.u32(), r.u32()) }
     }.getOrElse((0L, 0L))
-    val tracks = moov.filter(_._1 == "trak").map { case (_, ts, te) =>
+    val tracks = moov.filter(_._1 == "trak").map { case (_, _, ts, te) =>
       parseTrak(r, ts, te)
     }.toVector
     // fragmented files (CMAF/DASH archives): moov sample tables are
@@ -185,18 +189,20 @@ object Mp4 {
     val withFrags =
       if (frags.isEmpty) tracks
       else {
-        val byTrack = frags.flatMap { case (_, ms, me) =>
-          parseMoof(r, ms - 8, ms, me)
-        }.groupBy(_._1)
+        val parsed = frags.flatMap { case (_, start, ms, me) =>
+          parseMoof(r, start, ms, me)
+        }
+        val byTrack = parsed.groupBy(_._1)
         tracks.map { t =>
-          val extra = byTrack.getOrElse(t.id, Nil).flatMap(_._2)
+          val runs = byTrack.getOrElse(t.id, Nil)
+          val extra = runs.flatMap(_._2)
           if (extra.isEmpty) t
           else {
             val all = t.samples ++ extra.zipWithIndex.map { case (s, i) =>
               s.copy(index = t.samples.length + i)
             }
-            val dur = math.max(t.duration,
-              extra.lastOption.map(_.dts).getOrElse(0L))
+            // run end-times include the LAST sample's duration
+            val dur = (t.duration +: runs.map(_._3)).max
             t.copy(samples = all, duration = dur)
           }
         }
@@ -212,8 +218,8 @@ object Mp4 {
     * allocation, same rule as the stbl tables.
     */
   private def parseMoof(r: B, moofStart: Long, from: Long,
-                        to: Long): Seq[(Long, Seq[Sample])] = {
-    boxes(r, from, to).filter(_._1 == "traf").map { case (_, ts, te) =>
+                        to: Long): Seq[(Long, Seq[Sample], Long)] = {
+    boxes(r, from, to).filter(_._1 == "traf").map { case (_, _, ts, te) =>
       val traf = boxes(r, ts, te)
       val (trackId, baseOff, defDur, defSize) = find(traf, "tfhd").map {
         case (s, _) =>
@@ -232,7 +238,12 @@ object Mp4 {
         if (ver == 1) r.u64() else r.u32()
       }.getOrElse(0L)
       var dts = baseDts
-      val samples = traf.filter(_._1 == "trun").flatMap { case (_, rs, re) =>
+      // the byte position where the NEXT offset-less trun continues
+      // (spec default: a trun without 0x01 starts where the previous
+      // run's data ended); the FIRST trun must carry an offset —
+      // guessing would emit container bytes as samples
+      var nextOff: Option[Long] = None
+      val samples = traf.filter(_._1 == "trun").flatMap { case (_, _, rs, re) =>
         r.at(rs); r.u8()
         val flags = (r.u8() << 16) | (r.u8() << 8) | r.u8()
         val rawCount = r.u32()
@@ -240,15 +251,25 @@ object Mp4 {
           .count(b => (flags & b) != 0) * 4L
         val fixed = (if ((flags & 0x01) != 0) 4 else 0) +
           (if ((flags & 0x04) != 0) 4 else 0)
-        val have = if (perSample > 0) (re - rs - 8 - fixed) / perSample
-          else Long.MaxValue
+        // bound the count BEFORE any allocation: by the trun payload
+        // when per-sample fields exist, else by how many tfhd-default-
+        // sized samples the file can physically hold; all-defaulted
+        // zero-size runs are refused (no honest bound exists)
+        val have =
+          if (perSample > 0) (re - rs - 8 - fixed) / perSample
+          else if (defSize > 0) r.bytes.length / defSize
+          else if (rawCount == 0) 0L
+          else sys.error("mp4: trun with zero-size defaulted samples")
         require(rawCount >= 0 && rawCount <= have,
           s"mp4: trun declares $rawCount entries but only $have fit")
         // trun data-offset is SIGNED per spec
-        val dataOff = if ((flags & 0x01) != 0) r.u32().toInt.toLong else 0L
+        val off0 =
+          if ((flags & 0x01) != 0) baseOff + r.u32().toInt.toLong
+          else nextOff.getOrElse(sys.error(
+            "mp4: first trun of a traf lacks a data offset"))
         if ((flags & 0x04) != 0) r.u32() // first-sample-flags
-        var off = baseOff + dataOff
-        (0 until rawCount.toInt).map { _ =>
+        var off = off0
+        val run = (0 until rawCount.toInt).map { _ =>
           val dur = if ((flags & 0x100) != 0) r.u32() else defDur
           val size = if ((flags & 0x200) != 0) r.u32() else defSize
           if ((flags & 0x400) != 0) r.u32() // sample flags
@@ -259,8 +280,10 @@ object Mp4 {
           dts += dur
           s
         }
+        nextOff = Some(off)
+        run
       }
-      (trackId, samples)
+      (trackId, samples, dts)
     }
   }
 
@@ -307,7 +330,7 @@ object Mp4 {
     * expansion or die on a runaway Vector (counts are file-controlled
     * input).
     */
-  private def sampleTable(r: B, stbl: Seq[(String, Long, Long)]): Vector[Sample] = {
+  private def sampleTable(r: B, stbl: Seq[(String, Long, Long, Long)]): Vector[Sample] = {
     def bounded(count: Long, have: Long, what: String): Int = {
       require(count >= 0 && count <= have,
         s"mp4: $what declares $count entries but only $have fit")

@@ -70,6 +70,17 @@ class GeoFunctionsSpec extends SparkSpec {
       .select(graft.functions.GeoFunctions.timeToMonthStart($"t"))
       .as[Long].collect()
     assert(got.toSeq === cases.map(_._2))
+    // the UTC calendar must hold in a NON-UTC session too: a May
+    // instant 30 min past UTC midnight renders as April 30 in New
+    // York, and a timestamp-based dayofmonth would snap it to April
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val v = Seq(1462069800L).toDF("t") // 2016-05-01T00:30:00Z
+        .select(graft.functions.GeoFunctions.timeToMonthStart($"t"))
+        .as[Long].head()
+      assert(v === 1462069800L, "May 1 instant must stay in May")
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
   }
 
   test("unit conversions") {

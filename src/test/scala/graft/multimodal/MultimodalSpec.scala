@@ -466,7 +466,10 @@ class MultimodalSpec extends SparkSpec {
   test("fragmented MP4 (moof/trun) resolves samples across fragments") {
     // tools/make_mp4_fixture.py build_fragmented: empty moov tables +
     // two fragments of 3 samples (sizes 5,6,7 then 4,5,6; fills
-    // 0xB0.. / 0xC0..), default-base-is-moof, tfdt bases 0 and 300
+    // 0xB0.. / 0xC0..), default-base-is-moof, tfdt bases 0 and 300.
+    // Fragment 2 additionally exercises the LARGESIZE moof header and
+    // an offset-less continuation trun whose sample is fully defaulted
+    // from tfhd (duration AND size)
     val in = getClass.getResourceAsStream("/media/hand_frag.mp4")
     assert(in != null)
     val bytes = try in.readAllBytes() finally in.close()

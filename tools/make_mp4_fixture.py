@@ -126,28 +126,43 @@ def build_fragmented():
                             u32(0) + u32(0)))
     moov = box('moov', mvhd + mvex + trak)
 
+    def box64(tpe, payload):
+        # largesize form: size field 1, 64-bit size after the fourcc
+        return u32(1) + tpe.encode('ascii') + struct.pack('>Q', 16 + len(payload)) + payload
+
     out = ftyp + moov
     for fi, samples in enumerate(frag_samples):
         sizes = [len(s) for s in samples]
-        # trun: data-offset present (0x01) + per-sample size (0x200) +
-        # per-sample duration (0x100)
-        trun_payload = u32(len(samples))
-        # data offset patched after moof is sized: placeholder
         mfhd = full('mfhd', 0, 0, u32(fi + 1))
-        # tfhd: default-base-is-moof (0x020000), track 1
-        tfhd = full('tfhd', 0, 0x020000, u32(1))
+        # tfhd: default-base-is-moof (0x020000), track 1; fragment 2
+        # also carries default duration+size (0x08|0x10) feeding its
+        # offset-less continuation trun
+        tfhd = (full('tfhd', 0, 0x020000, u32(1)) if fi == 0 else
+                full('tfhd', 0, 0x020018, u32(1) + u32(DELTA) + u32(len(samples[2]))))
         tfdt = full('tfdt', 0, 0, u32(fi * 3 * DELTA))
-        def make_trun(data_off):
-            body = u32(len(samples)) + struct.pack('>i', data_off)
-            for s in samples:
-                body += u32(DELTA) + u32(len(s))
-            return full('trun', 0, 0x301, body)
-        trun_probe = make_trun(0)
+        def make_truns(data_off):
+            if fi == 0:
+                # one trun: offset + per-sample duration/size (0x301)
+                body = u32(len(samples)) + struct.pack('>i', data_off)
+                for s in samples:
+                    body += u32(DELTA) + u32(len(s))
+                return full('trun', 0, 0x301, body)
+            # fragment 2: TWO truns — the second has NO data offset and
+            # continues where the first ended (spec default), with its
+            # sample fully defaulted from tfhd
+            b1 = u32(2) + struct.pack('>i', data_off)
+            for s in samples[:2]:
+                b1 += u32(DELTA) + u32(len(s))
+            b2 = u32(1)   # flags 0: count only, all defaults
+            return full('trun', 0, 0x301, b1) + full('trun', 0, 0x000, b2)
+        # fragment 2's moof uses the LARGESIZE header form
+        mk = box if fi == 0 else box64
+        trun_probe = make_truns(0)
         traf = box('traf', tfhd + tfdt + trun_probe)
-        moof_probe = box('moof', mfhd + traf)
+        moof_probe = mk('moof', mfhd + traf)
         data_off = len(moof_probe) + 8   # samples start right after mdat hdr
-        traf = box('traf', tfhd + tfdt + make_trun(data_off))
-        moof = box('moof', mfhd + traf)
+        traf = box('traf', tfhd + tfdt + make_truns(data_off))
+        moof = mk('moof', mfhd + traf)
         assert len(moof) == len(moof_probe)
         out += moof + box('mdat', b''.join(samples))
     open('/root/repo/src/test/resources/media/hand_frag.mp4', 'wb').write(out)
