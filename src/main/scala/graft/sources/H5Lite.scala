@@ -1594,12 +1594,18 @@ object H5Lite {
     */
   def write(f: NcFile, chunking: Map[String, Chunking] = Map.empty,
             denseRoot: Boolean = false,
-            denseHeapFilter: Boolean = false): Array[Byte] = {
+            denseHeapFilter: Boolean = false,
+            ohdrV2: Boolean = false): Array[Byte] = {
     require(!f.dims.exists(_.isRecord), "h5 write: record dim unsupported")
     case class Msg(tpe: Int, body: Array[Byte])
     def pad8(n: Int) = (n + 7) / 8 * 8
+    // v2 ("OHDR") headers: sig(4)+ver+flags+chunkSize(2) + per-message
+    // 4-byte headers with UNPADDED bodies + checksum(4) — the header
+    // form real libhdf5 "latest" files use (the one whose message
+    // anchoring bug survived four rounds of v1-only fixtures)
     def ohSize(msgs: Seq[Msg]): Long =
-      16L + msgs.map(m => 8L + pad8(m.body.length)).sum
+      if (ohdrV2) 8L + msgs.map(m => 4L + m.body.length).sum + 4L
+      else 16L + msgs.map(m => 8L + pad8(m.body.length)).sum
 
     val vars = f.vars.sortBy(_.name)
     val shapes = vars.map(v => v.dims.map(d => f.dim(d).get.length))
@@ -1863,7 +1869,25 @@ object H5Lite {
     if (denseRoot) { w.u32(0); w.u32(0); w.u64(0); w.u64(0) }
     else { w.u32(1); w.u32(0); w.u64(btreeAddr); w.u64(heapHdrAddr) }
 
-    def emitOh(msgs: Seq[Msg]): Unit = {
+    def emitOh(msgs: Seq[Msg]): Unit = if (ohdrV2) {
+      // chunk size counts messages + the 4-byte checksum tail (the
+      // form the reader's `end = start + len - 4` walk expects)
+      val msgBytes = msgs.map(m => 4 + m.body.length).sum
+      require(msgBytes + 4 <= 0xFFFF,
+        s"h5 write: OHDR v2 chunk of $msgBytes bytes exceeds the 2-byte size field")
+      val bb = ByteBuffer.allocate(8 + msgBytes).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("OHDR".getBytes("ASCII"))
+      bb.put(2.toByte).put(0x01.toByte) // version; flags: 2-byte size field
+      bb.putShort((msgBytes + 4).toShort)
+      msgs.foreach { m =>
+        bb.put(m.tpe.toByte)
+        bb.putShort(m.body.length.toShort)
+        bb.put(0.toByte) // message flags
+        bb.put(m.body)
+      }
+      w.raw(bb.array())
+      w.u32(lookup3(bb.array())) // checksum over sig..last message
+    } else {
       w.u8(1); w.u8(0)
       w.u16(msgs.length)
       w.u32(1) // reference count

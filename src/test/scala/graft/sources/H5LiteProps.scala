@@ -27,10 +27,11 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
     fletcher <- Gen.oneOf(true, false) // checksum after any compression
     dense <- Gen.oneOf(true, false) // root link storage: dense vs symbol table
     denseFilter <- Gen.oneOf(true, false) // deflated indirect-root link heap
+    ohdrV2 <- Gen.oneOf(true, false) // v1 vs OHDR-v2 object headers
     nVars <- Gen.choose(1, 24)
     seed <- Gen.choose(0L, Long.MaxValue)
   } yield (dims, ncType, chunked, chunkDims, shuffle, deflate, szip, ppb,
-    fletcher, dense, denseFilter, nVars, seed)
+    fletcher, dense, denseFilter, ohdrV2, nVars, seed)
 
   /** The value as the on-disk type round-trips it (f32 truncation,
     * integer truncation) — what write-then-read must reproduce.
@@ -44,7 +45,7 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
 
   property("randomShapeTypeChunkingRoundTrip") = Prop.forAll(genCase) {
     case (dims, ncType, chunked, chunkDims, shuffle, deflate, szip, ppb,
-        fletcher, dense, denseFilter, nVars, seed) =>
+        fletcher, dense, denseFilter, ohdrV2, nVars, seed) =>
       val n = dims.product
       val rnd = new scala.util.Random(seed)
       val datas = (0 until nVars).map(_ =>
@@ -65,7 +66,7 @@ object H5LiteProps extends Properties("graft.h5.roundtrip") {
         else Map("v0" -> H5Lite.Chunking(chunkDims, deflate, shuffle,
           fletcher32 = fletcher))
       val back = H5Lite.read(H5Lite.write(f0, chunking, denseRoot = dense,
-        denseHeapFilter = dense && denseFilter))
+        denseHeapFilter = dense && denseFilter, ohdrV2 = ohdrV2))
       Prop.all(datas.zipWithIndex.map { case (data, vi) =>
         val v = back.variable(s"v$vi").get
         (back.shape(v) == dims) :| s"shape v$vi" &&

@@ -557,6 +557,22 @@ class H5LiteSpec extends SparkSpec {
     try in.readAllBytes() finally in.close()
   }
 
+  test("OHDR v2 object headers round-trip (the form real libhdf5 files use)") {
+    // the round-4 reader bug lived exactly here: v2 message anchoring
+    // after the chunk-size field; v1-only fixtures never saw it
+    for (dense <- Seq(false, true)) {
+      val bytes = H5Lite.write(grid2x3(), ohdrV2 = true, denseRoot = dense)
+      assert(new String(bytes.map(b =>
+        if (b >= 32 && b < 127) b.toChar else '.')).contains("OHDR"))
+      val f = H5Lite.read(bytes)
+      assert(f.vars.map(_.name).sorted === Seq("lat", "lon", "sst"))
+      assert(f.variable("sst").get.data.toSeq ===
+        Seq(1.0, 2.0, -9999.0, 4.0, 5.0, 6.0))
+      assert(f.attrs.find(_.name == "title").get.text === "h5lite test")
+      assert(f.variable("sst").get.attr("scale_factor").get.first === Some(0.5))
+    }
+  }
+
   test("soft links resolve (absolute, relative, nested, '.'); '..' and " +
     "dangling drop like h5py") {
     // tools/make_h5_fixture.py build_soft_links: one dataset `base`
