@@ -51,7 +51,8 @@ object IngestBench {
         NcVar("lon", Seq("lon"), NC_FLOAT, Nil, lons),
         NcVar("sst", Seq("time", "lat", "lon"), NC_FLOAT,
           Seq(NcAttr("_FillValue", NC_FLOAT, nums = Seq(fill))), data))),
-      chunking = Map("sst" -> H5Lite.Chunking(Seq(1, 180, 360))))
+      chunking = Map("sst" -> H5Lite.Chunking(Seq(1, 180, 360),
+        shuffle = true, fletcher32 = true)))
   }
 
   private def parquetFiles(spark: SparkSession, path: String): Int = {
