@@ -81,8 +81,9 @@ object GranuleIngest {
       t <- Iterator.range(0, nT)
       i <- Iterator.range(0, nLat)
       j <- Iterator.range(0, nLon)
+      fi = idx(t, i, j)
     } yield (GranulePoint(granule, toEpoch(times(t)), lats(i), lons(j),
-      data(idx(t, i, j))), idx(t, i, j))
+      data(fi)), fi)
   }
 
   /** Points of a gridded granule (see [[gridPointsWithIndex]]). */

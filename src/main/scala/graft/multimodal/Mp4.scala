@@ -221,17 +221,18 @@ object Mp4 {
                         to: Long): Seq[(Long, Seq[Sample], Long)] = {
     boxes(r, from, to).filter(_._1 == "traf").map { case (_, _, ts, te) =>
       val traf = boxes(r, ts, te)
-      val (trackId, baseOff, defDur, defSize) = find(traf, "tfhd").map {
-        case (s, _) =>
+      val (trackId, baseOff, explicitBase, defDur, defSize) =
+        find(traf, "tfhd").map { case (s, _) =>
           r.at(s); r.u8()
           val flags = (r.u8() << 16) | (r.u8() << 8) | r.u8()
           val tid = r.u32()
-          val base = if ((flags & 0x01) != 0) r.u64() else moofStart
+          val explicit = (flags & 0x01) != 0
+          val base = if (explicit) r.u64() else moofStart
           if ((flags & 0x02) != 0) r.u32() // sample description index
           val dd = if ((flags & 0x08) != 0) r.u32() else 0L
           val ds = if ((flags & 0x10) != 0) r.u32() else 0L
-          (tid, base, dd, ds)
-      }.getOrElse(sys.error("mp4: traf without tfhd"))
+          (tid, base, explicit, dd, ds)
+        }.getOrElse(sys.error("mp4: traf without tfhd"))
       val baseDts = find(traf, "tfdt").map { case (s, _) =>
         r.at(s)
         val ver = r.u8(); r.skip(3)
@@ -240,9 +241,12 @@ object Mp4 {
       var dts = baseDts
       // the byte position where the NEXT offset-less trun continues
       // (spec default: a trun without 0x01 starts where the previous
-      // run's data ended); the FIRST trun must carry an offset —
-      // guessing would emit container bytes as samples
-      var nextOff: Option[Long] = None
+      // run's data ended; the FIRST offset-less run starts AT the
+      // tfhd base when that base was explicit — ISO 14496-12 §8.8.8).
+      // With default-base-is-moof and no offset anywhere, there is no
+      // defined data start and guessing would emit container bytes as
+      // samples, so that shape fails loudly below.
+      var nextOff: Option[Long] = if (explicitBase) Some(baseOff) else None
       val samples = traf.filter(_._1 == "trun").flatMap { case (_, _, rs, re) =>
         r.at(rs); r.u8()
         val flags = (r.u8() << 16) | (r.u8() << 8) | r.u8()
@@ -266,7 +270,8 @@ object Mp4 {
         val off0 =
           if ((flags & 0x01) != 0) baseOff + r.u32().toInt.toLong
           else nextOff.getOrElse(sys.error(
-            "mp4: first trun of a traf lacks a data offset"))
+            "mp4: offset-less trun with default-base-is-moof and no " +
+              "prior run — no defined data start"))
         if ((flags & 0x04) != 0) r.u32() // first-sample-flags
         var off = off0
         val run = (0 until rawCount.toInt).map { _ =>

@@ -257,14 +257,19 @@ object H5Lite {
       // consume the size field BEFORE taking the position: messages
       // start right after it (tuple args evaluate left-to-right, so
       // (r.pos, chunkSize()) would anchor the block at the size field
-      // itself — off by 1/2/4/8 bytes depending on flags)
+      // itself — off by 1/2/4/8 bytes depending on flags).
+      // Size-of-chunk-0 counts the MESSAGE region only — the 4-byte
+      // checksum follows it (verified against real libhdf5 granules:
+      // the last message ends exactly at start+size, checksum after).
+      // A continuation message's length, by contrast, covers the whole
+      // OCHK block INCLUDING its signature and checksum. Each block
+      // entry therefore carries its exact message-region END.
       val firstChunkSize = chunkSize()
-      var blocks = List((r.pos, firstChunkSize))
+      var blocks = List((r.pos, r.pos + firstChunkSize))
       while (blocks.nonEmpty) {
-        val (start, len) = blocks.head
+        val (start, end) = blocks.head
         blocks = blocks.tail
         r.at(start)
-        val end = start + len - 4 // gap + checksum tail
         while (r.pos + 4 <= end) {
           val t = r.u8()
           val sz = r.u16()
@@ -274,8 +279,8 @@ object H5Lite {
           if (t == 0x10) {
             r.at(body)
             val off = r.u64(); val clen = r.u64()
-            // continuation block: OCHK signature + messages + checksum
-            blocks = (off + 4, clen - 4) :: blocks
+            // OCHK: signature(4) + messages + checksum(4)
+            blocks = (off + 4, off + clen - 4) :: blocks
           } else if (t != 0) out += ((t, body, sz))
           r.at(body + sz)
         }
@@ -1870,15 +1875,16 @@ object H5Lite {
     else { w.u32(1); w.u32(0); w.u64(btreeAddr); w.u64(heapHdrAddr) }
 
     def emitOh(msgs: Seq[Msg]): Unit = if (ohdrV2) {
-      // chunk size counts messages + the 4-byte checksum tail (the
-      // form the reader's `end = start + len - 4` walk expects)
+      // chunk size counts the MESSAGE region only; the checksum
+      // follows it (the convention real libhdf5 files use — verified
+      // against the checked-in granules)
       val msgBytes = msgs.map(m => 4 + m.body.length).sum
-      require(msgBytes + 4 <= 0xFFFF,
+      require(msgBytes <= 0xFFFF,
         s"h5 write: OHDR v2 chunk of $msgBytes bytes exceeds the 2-byte size field")
       val bb = ByteBuffer.allocate(8 + msgBytes).order(ByteOrder.LITTLE_ENDIAN)
       bb.put("OHDR".getBytes("ASCII"))
       bb.put(2.toByte).put(0x01.toByte) // version; flags: 2-byte size field
-      bb.putShort((msgBytes + 4).toShort)
+      bb.putShort(msgBytes.toShort)
       msgs.foreach { m =>
         bb.put(m.tpe.toByte)
         bb.putShort(m.body.length.toShort)

@@ -52,7 +52,7 @@ object IngestBench {
         NcVar("sst", Seq("time", "lat", "lon"), NC_FLOAT,
           Seq(NcAttr("_FillValue", NC_FLOAT, nums = Seq(fill))), data))),
       chunking = Map("sst" -> H5Lite.Chunking(Seq(1, 180, 360),
-        shuffle = true, fletcher32 = true)))
+        fletcher32 = true))) // shuffle+deflate are the Chunking defaults
   }
 
   private def parquetFiles(spark: SparkSession, path: String): Int = {
