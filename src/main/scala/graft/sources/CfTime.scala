@@ -61,7 +61,98 @@ object CfTime {
     .toFormatter
     .withResolverStyle(java.time.format.ResolverStyle.STRICT)
 
-  private[sources] def parseBase(s: String): Option[Double] = {
+  /** CF `calendar` attribute → days-from-Unix-origin function for a
+    * base date (y, m, d), or None when the date is invalid IN THAT
+    * calendar. Supported calendars are pure arithmetic — the same set
+    * the reference honors through `num2date(value, units, calendar)`
+    * (`callncra.py:24-25`, default "standard"):
+    *
+    *  - standard / gregorian: the REAL mixed timeline — Gregorian from
+    *    1582-10-15, Julian through 1582-10-04, the ten labels between
+    *    nonexistent. Results are elapsed real seconds since the Unix
+    *    epoch, so post-1582 archives are identical to proleptic.
+    *  - proleptic_gregorian: java.time arithmetic (STRICT resolver).
+    *  - 360_day: twelve 30-day months, 360-day years.
+    *  - noleap / 365_day: no Feb 29, ever; 365-day years.
+    *  - all_leap / 366_day: Feb 29 every year; 366-day years.
+    *
+    * For the model calendars the "epoch" is seconds since 1970-01-01
+    * OF THAT CALENDAR counted with that calendar's year length —
+    * exactly `cftime.date2num(dt, "seconds since 1970-01-01",
+    * calendar)` — which keeps every axis monotone and self-consistent.
+    * `julian` (and anything unrecognized) has NO entry here; the
+    * converter fails loudly rather than silently applying Gregorian
+    * arithmetic to a Julian axis.
+    */
+  private val dateRe = """(-?\d{1,9})-(\d{1,2})-(\d{1,2})""".r
+
+  private def gregorianDays(tok: String): Option[Long] =
+    try Some(LocalDate.parse(tok, dateFmt).toEpochDay)
+    catch { case _: Exception => None }
+
+  // Julian-calendar date -> Julian Day Number (Fliegel-Van Flandern
+  // style; public-domain astronomical algorithm). 1970-01-01 Gregorian
+  // is JDN 2440588.
+  private def julianCalDays(y0: Int, m0: Int, d: Int): Long = {
+    val a = (14 - m0) / 12
+    val y = y0 + 4800 - a
+    val m = m0 + 12 * a - 3
+    val jdn = d.toLong + (153L * m + 2) / 5 + 365L * y + y / 4 - 32083L
+    jdn - 2440588L
+  }
+
+  private def mixedDays(tok: String): Option[Long] = tok match {
+    case dateRe(ys, ms, ds) =>
+      val (y, m, d) = (ys.toInt, ms.toInt, ds.toInt)
+      // on/after the reform date the two calendars' labels agree with
+      // proleptic-Gregorian; strictly before 1582-10-05 the label is
+      // Julian; the ten dropped labels do not exist on the timeline.
+      // key = y*10000+m*100+d is lexicographic-monotone (m*100+d<10000)
+      val key = y.toLong * 10000 + m * 100 + d
+      if (key >= 15821015L) gregorianDays(tok)
+      else if (key <= 15821004L) {
+        if (m >= 1 && m <= 12 && d >= 1 && d <= julianMonthLen(y, m))
+          Some(julianCalDays(y, m, d))
+        else None
+      } else None
+    case _ => gregorianDays(tok)
+  }
+
+  private def julianMonthLen(y: Int, m: Int): Int =
+    if (m == 2) { if (y % 4 == 0) 29 else 28 } else monLen365(m - 1)
+
+  private val monLen365 = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+  private val cum365 = monLen365.scanLeft(0)(_ + _)
+  private val monLen366 = monLen365.updated(1, 29)
+  private val cum366 = monLen366.scanLeft(0)(_ + _)
+
+  private def fixedYearDays(yearLen: Int, cum: Array[Int],
+                            monLen: Array[Int])(tok: String): Option[Long] =
+    tok match {
+      case dateRe(ys, ms, ds) =>
+        val (y, m, d) = (ys.toInt, ms.toInt, ds.toInt)
+        if (m >= 1 && m <= 12 && d >= 1 && d <= monLen(m - 1))
+          Some((y - 1970).toLong * yearLen + cum(m - 1) + (d - 1))
+        else None
+      case _ => None
+    }
+
+  private val calendarDays: Map[String, String => Option[Long]] = Map(
+    "standard" -> mixedDays _,
+    "gregorian" -> mixedDays _,
+    "proleptic_gregorian" -> (gregorianDays _),
+    "360_day" -> fixedYearDays(360, Array.tabulate(13)(_ * 30),
+      Array.fill(12)(30)) _,
+    "noleap" -> fixedYearDays(365, cum365, monLen365) _,
+    "365_day" -> fixedYearDays(365, cum365, monLen365) _,
+    "all_leap" -> fixedYearDays(366, cum366, monLen366) _,
+    "366_day" -> fixedYearDays(366, cum366, monLen366) _)
+
+  private[sources] def parseBase(s: String): Option[Double] =
+    parseBase(s, gregorianDays)
+
+  private[sources] def parseBase(
+      s: String, dateToDays: String => Option[Long]): Option[Double] = {
     // only the ISO date-time separator 'T' (digit-T-digit) becomes a
     // space — a blanket replace would mangle a trailing "UTC" marker
     val t0 = s.trim.replaceAll("(?<=\\d)T(?=\\d)", " ")
@@ -71,10 +162,10 @@ object CfTime {
       val parts = t.trim.split("\\s+").toList
       if (parts.isEmpty || parts.length > 2) None
       else try {
-        val date = LocalDate.parse(parts.head, dateFmt)
+        val days = dateToDays(parts.head).getOrElse(return None)
         val time = parts.drop(1).headOption
           .map(LocalTime.parse(_, timeFmt)).getOrElse(LocalTime.MIDNIGHT)
-        Some(LocalDateTime.of(date, time).toEpochSecond(ZoneOffset.UTC) +
+        Some(days * 86400.0 + time.toSecondOfDay +
           time.getNano / 1e9 - offsetSec)
       } catch { case _: Exception => None }
     }
@@ -107,15 +198,30 @@ object CfTime {
   }
 
   /** `units` attribute → raw-value-to-epoch-seconds function, when the
-    * attribute is CF-parseable.
+    * attribute is CF-parseable. `calendar` is the variable's CF
+    * `calendar` attribute; absent means "standard" (the reference's
+    * default, `callncra.py:24`). An unsupported calendar (e.g.
+    * `julian`) THROWS rather than returning None: None routes the
+    * caller to the start-day/raw fallbacks, which would silently
+    * convert a Julian axis with the wrong arithmetic.
     */
-  def fromUnits(units: String): Option[Double => Double] = units match {
-    case UnitsRe(unit, base) =>
-      for {
-        factor <- secondsPer.get(unit.toLowerCase)
-        epoch0 <- parseBase(base)
-      } yield (v: Double) => epoch0 + v * factor
-    case _ => None
+  def fromUnits(units: String,
+                calendar: Option[String] = None): Option[Double => Double] = {
+    val cal = calendar.map(_.trim.toLowerCase).filter(_.nonEmpty)
+      .getOrElse("standard")
+    units match {
+      case UnitsRe(unit, base) =>
+        val dateToDays = calendarDays.getOrElse(cal,
+          sys.error(s"unsupported CF calendar '$cal' — supported: " +
+            calendarDays.keys.toSeq.sorted.mkString(", ") +
+            "; refusing to convert this time axis with Gregorian " +
+            "arithmetic"))
+        for {
+          factor <- secondsPer.get(unit.toLowerCase)
+          epoch0 <- parseBase(base, dateToDays)
+        } yield (v: Double) => epoch0 + v * factor
+      case _ => None
+    }
   }
 
   /** Midnight (UTC) of the date carried by a granule-level attribute
@@ -152,7 +258,9 @@ object CfTime {
                 startDayEpoch: Option[Long] = None): Double => Long = {
     val unitsText = timeVar.flatMap(_.attr("units"))
       .map(a => a.text).filter(_.nonEmpty)
-    unitsText.flatMap(fromUnits) match {
+    val calText = timeVar.flatMap(_.attr("calendar"))
+      .map(_.text).filter(_.nonEmpty)
+    unitsText.flatMap(fromUnits(_, calText)) match {
       case Some(f) => v => f(v).toLong
       case None => (startDayEpoch, unitsText) match {
         case (Some(day0), _) => v => day0 + v.toLong

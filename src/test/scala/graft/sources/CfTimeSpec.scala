@@ -90,6 +90,83 @@ class CfTimeSpec extends AnyFunSuite {
       "yyyy-MM-dd HH:mm:ss") === Some(1462060800L))
   }
 
+  private def conv(units: String, cal: String): Double => Double =
+    CfTime.fromUnits(units, Some(cal))
+      .getOrElse(fail(s"units not parsed: $units [$cal]"))
+
+  test("360_day calendar: 30-day months, hand-computed epochs") {
+    // 1970-01-01..2000-01-01 in 360_day = 30*360 = 10800 days
+    val f = conv("days since 2000-01-01", "360_day")
+    assert(f(0) === 10800.0 * 86400)            // 933120000
+    assert(f(30) === 10800.0 * 86400 + 2592000) // +1 month = exactly 30 d
+    assert(f(360) === 10800.0 * 86400 + 360.0 * 86400) // +1 year
+    // Feb 30 EXISTS in 360_day (every month has 30 days)
+    val g = conv("days since 2000-2-30", "360_day")
+    assert(g(0) === (10800.0 + 30 + 29) * 86400)
+    // ... but Feb 31 does not
+    assert(CfTime.fromUnits("days since 2000-2-31", Some("360_day")).isEmpty)
+  }
+
+  test("noleap/365_day calendar: no Feb 29, ever") {
+    // 30 years x 365 = 10950 days (real gregorian has 7 leap days more)
+    val f = conv("days since 2000-01-01", "noleap")
+    assert(f(0) === 10950.0 * 86400) // 946080000 = 946684800 - 7*86400
+    assert(f(59) === (10950.0 + 59) * 86400) // Feb 28 -> Mar 1 next day
+    assert(conv("days since 2000-01-01", "365_day")(0) === f(0))
+    // Feb 29 is not a valid base in noleap — even in a leap-numbered year
+    assert(CfTime.fromUnits("days since 2000-02-29", Some("noleap")).isEmpty)
+    assert(conv("hours since 2000-3-1 12:00", "noleap")(0) ===
+      (10950.0 + 59) * 86400 + 43200)
+  }
+
+  test("all_leap/366_day calendar: Feb 29 every year") {
+    val f = conv("days since 2000-01-01", "all_leap")
+    assert(f(0) === 10980.0 * 86400) // 30*366
+    assert(conv("days since 1971-02-29", "366_day")(0) ===
+      (366.0 + 31 + 28) * 86400)
+  }
+
+  test("standard calendar is the real mixed timeline before 1582") {
+    // Julian 1582-10-04 is followed by Gregorian 1582-10-15: one
+    // elapsed day. JDN(Julian 1582-10-04)=2299160, 1970-01-01=2440588.
+    val f = conv("days since 1582-10-04", "standard")
+    assert(f(0) === (2299160.0 - 2440588) * 86400)
+    assert(f(1) ===
+      java.time.LocalDate.of(1582, 10, 15).toEpochDay * 86400.0)
+    // the ten dropped labels are not dates in the mixed calendar
+    assert(CfTime.fromUnits("days since 1582-10-10", Some("standard")).isEmpty)
+    // post-reform standard == proleptic (all real archives live here)
+    assert(conv("days since 2000-1-1", "gregorian")(0) === 946684800.0)
+    assert(conv("days since 2000-1-1", "proleptic_gregorian")(0) ===
+      946684800.0)
+    // Julian leap rule pre-reform: year 1500 HAS Feb 29 in the mixed
+    // calendar (divisible by 4 — the century rule is Gregorian-only)
+    assert(CfTime.fromUnits("days since 1500-02-29", Some("standard")).nonEmpty)
+    assert(CfTime.fromUnits("days since 1500-02-29",
+      Some("proleptic_gregorian")).isEmpty)
+  }
+
+  test("unsupported calendars fail loudly, never convert wrong") {
+    val e = intercept[RuntimeException](
+      CfTime.fromUnits("days since 2000-01-01", Some("julian")))
+    assert(e.getMessage.contains("unsupported CF calendar 'julian'"))
+    intercept[RuntimeException](
+      CfTime.fromUnits("days since 2000-01-01", Some("lunar")))
+    // case-insensitive: NOLEAP is noleap
+    assert(conv("days since 2000-01-01", "NOLEAP")(0) === 10950.0 * 86400)
+  }
+
+  test("converter reads the variable's calendar attribute") {
+    def tv(cal: String) = NcVar("time", Seq("t"), NC_DOUBLE,
+      Seq(NcAttr("units", NC_CHAR, text = "days since 2000-01-01"),
+        NcAttr("calendar", NC_CHAR, text = cal)), Array(0.0))
+    assert(CfTime.converter(Some(tv("360_day")))(30.0) ===
+      10800L * 86400 + 2592000)
+    assert(CfTime.converter(Some(tv("standard")))(0.0) === 946684800L)
+    val e = intercept[RuntimeException](CfTime.converter(Some(tv("julian"))))
+    assert(e.getMessage.contains("unsupported CF calendar"))
+  }
+
   test("truncation matches the reference's long(total_seconds())") {
     val tv = NcVar("time", Seq("t"), NC_DOUBLE,
       Seq(NcAttr("units", NC_CHAR,
