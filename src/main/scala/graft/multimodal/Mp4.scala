@@ -179,9 +179,11 @@ object Mp4 {
       if (ver == 1) { r.skip(16); (r.u32(), r.u64()) }
       else { r.skip(8); (r.u32(), r.u32()) }
     }.getOrElse((0L, 0L))
-    val tracks = moov.filter(_._1 == "trak").map { case (_, _, ts, te) =>
-      parseTrak(r, ts, te)
+    val parsedTraks = moov.filter(_._1 == "trak").map { case (_, _, ts, te) =>
+      parseTrak(r, ts, te, mvTs)
     }.toVector
+    val tracks = parsedTraks.map(_._1)
+    val shiftOf = parsedTraks.map { case (t, sh) => t.id -> sh }.toMap
     // fragmented files (CMAF/DASH archives): moov sample tables are
     // empty and samples live in moof+mdat fragments — append each
     // fragment's runs to its track, then extend durations
@@ -195,11 +197,13 @@ object Mp4 {
         val byTrack = parsed.groupBy(_._1)
         tracks.map { t =>
           val runs = byTrack.getOrElse(t.id, Nil)
+          // the trak's edit list shifts fragment pts identically
+          val shift = shiftOf.getOrElse(t.id, 0L)
           val extra = runs.flatMap(_._2)
           if (extra.isEmpty) t
           else {
             val all = t.samples ++ extra.zipWithIndex.map { case (s, i) =>
-              s.copy(index = t.samples.length + i)
+              s.copy(index = t.samples.length + i, pts = s.pts + shift)
             }
             // run end-times include the LAST sample's duration
             val dur = (t.duration +: runs.map(_._3)).max
@@ -211,27 +215,47 @@ object Mp4 {
   }
 
   /** One movie fragment → (trackId, samples) per track run. Subset:
-    * explicit tfhd base-data-offset or the default-base-is-moof rule
-    * (both spell "base = moof start" absent an explicit offset here),
-    * per-sample or tfhd-default sizes/durations, tfdt decode-time
+    * explicit tfhd base-data-offset, the default-base-is-moof flag
+    * (0x20000: base = moof start), or — when NEITHER signal is present
+    * — the ISO 14496-12 §8.8.7 legacy default: moof start for the
+    * first traf, the end of the preceding traf's data for the 2nd+.
+    * Per-sample or tfhd-default sizes/durations, tfdt decode-time
     * base. Count fields are bounded by the trun payload before any
     * allocation, same rule as the stbl tables.
     */
   private def parseMoof(r: B, moofStart: Long, from: Long,
                         to: Long): Seq[(Long, Seq[Sample], Long)] = {
-    boxes(r, from, to).filter(_._1 == "traf").map { case (_, _, ts, te) =>
+    // end of the data defined by the preceding track fragment — the
+    // §8.8.7 default base for a 2nd+ traf that sets neither
+    // base-data-offset nor default-base-is-moof
+    var prevEnd: Option[Long] = None
+    boxes(r, from, to).filter(_._1 == "traf").zipWithIndex.map {
+      case ((_, _, ts, te), trafIdx) =>
       val traf = boxes(r, ts, te)
-      val (trackId, baseOff, explicitBase, defDur, defSize) =
+      val (trackId, baseOff, startsDefined, defDur, defSize) =
         find(traf, "tfhd").map { case (s, _) =>
           r.at(s); r.u8()
           val flags = (r.u8() << 16) | (r.u8() << 8) | r.u8()
           val tid = r.u32()
           val explicit = (flags & 0x01) != 0
-          val base = if (explicit) r.u64() else moofStart
+          val defaultBaseIsMoof = (flags & 0x20000) != 0
+          val base =
+            if (explicit) r.u64()
+            else if (defaultBaseIsMoof || trafIdx == 0) moofStart
+            else prevEnd.getOrElse(sys.error(
+              "mp4: 2nd+ traf with neither base-data-offset nor " +
+                "default-base-is-moof and no preceding traf data — " +
+                "no defined base"))
           if ((flags & 0x02) != 0) r.u32() // sample description index
           val dd = if ((flags & 0x08) != 0) r.u32() else 0L
           val ds = if ((flags & 0x10) != 0) r.u32() else 0L
-          (tid, base, explicit, dd, ds)
+          // an offset-less FIRST trun starts AT the base only when the
+          // base points at actual sample data: an explicit offset, or
+          // the contiguous legacy prev-traf-end default. A moof-start
+          // base (either flag shape) would emit container bytes as
+          // samples, so that stays a loud failure below.
+          val defined = explicit || (!defaultBaseIsMoof && trafIdx > 0)
+          (tid, base, defined, dd, ds)
         }.getOrElse(sys.error("mp4: traf without tfhd"))
       val baseDts = find(traf, "tfdt").map { case (s, _) =>
         r.at(s)
@@ -242,11 +266,11 @@ object Mp4 {
       // the byte position where the NEXT offset-less trun continues
       // (spec default: a trun without 0x01 starts where the previous
       // run's data ended; the FIRST offset-less run starts AT the
-      // tfhd base when that base was explicit — ISO 14496-12 §8.8.8).
-      // With default-base-is-moof and no offset anywhere, there is no
-      // defined data start and guessing would emit container bytes as
-      // samples, so that shape fails loudly below.
-      var nextOff: Option[Long] = if (explicitBase) Some(baseOff) else None
+      // tfhd base when that base points at data — ISO 14496-12
+      // §8.8.8). With a moof-start base and no offset anywhere, there
+      // is no defined data start and guessing would emit container
+      // bytes as samples, so that shape fails loudly below.
+      var nextOff: Option[Long] = if (startsDefined) Some(baseOff) else None
       val samples = traf.filter(_._1 == "trun").flatMap { case (_, _, rs, re) =>
         r.at(rs); r.u8()
         val flags = (r.u8() << 16) | (r.u8() << 8) | r.u8()
@@ -288,11 +312,16 @@ object Mp4 {
         nextOff = Some(off)
         run
       }
+      prevEnd = nextOff.orElse(prevEnd)
       (trackId, samples, dts)
     }
   }
 
-  private def parseTrak(r: B, from: Long, to: Long): Track = {
+  /** Returns the track plus its edit-list pts shift (media-timescale
+    * ticks), already applied to the stbl samples; `parse` applies the
+    * same shift to fragment samples merged in later.
+    */
+  private def parseTrak(r: B, from: Long, to: Long, mvTs: Long): (Track, Long) = {
     val trak = boxes(r, from, to)
     val (tid, w, h) = find(trak, "tkhd").map { case (s, e) =>
       r.at(s)
@@ -325,7 +354,62 @@ object Mp4 {
       val n = r.u32()
       if (n > 0 && r.pos + 8 <= e) { r.u32(); r.fourcc() } else ""
     }.getOrElse("")
-    Track(tid, handler, codec, ts, dur, w, h, sampleTable(r, stbl))
+    // edts/elst (ISO 14496-12 §8.6.6): the single shape real archives
+    // use — optional leading EMPTY edits (media_time -1, duration in
+    // MOVIE timescale: presentation delay) followed by at most one
+    // media edit whose media_time trims the head of the media timeline.
+    // Net effect on every presentation timestamp:
+    //   pts' = pts + delay(in media ticks) - media_time.
+    // Samples are never dropped (a pipeline wants every access unit);
+    // multi-segment editing cannot be expressed as one shift and fails
+    // loudly per the module convention.
+    val ptsShift: Long = (for {
+      (edtsS, edtsE) <- find(trak, "edts")
+      (elstS, elstE) <- find(boxes(r, edtsS, edtsE), "elst")
+    } yield {
+      r.at(elstS)
+      val ver = r.u8(); r.skip(3)
+      val entrySize = if (ver == 1) 20L else 12L
+      val n = r.u32()
+      require(n >= 0 && n <= (elstE - r.pos) / entrySize,
+        s"mp4: elst declares $n entries but only " +
+          s"${(elstE - r.pos) / entrySize} fit")
+      var delayMovie = 0L
+      var mediaTime = 0L
+      var seenMedia = false
+      (0 until n.toInt).foreach { _ =>
+        val (segDur, mt) =
+          if (ver == 1) (r.u64(), r.u64())
+          else (r.u32(), r.u32().toInt.toLong)
+        r.u16(); r.u16() // media_rate integer.fraction (rate-1 assumed)
+        if (mt == -1L) {
+          require(!seenMedia,
+            "mp4: empty edit after a media edit is multi-segment " +
+              "editing — not expressible as a pts shift")
+          delayMovie += segDur
+        } else {
+          require(!seenMedia,
+            "mp4: multi-segment edit list — not expressible as a " +
+              "single pts shift")
+          seenMedia = true
+          mediaTime = mt
+        }
+      }
+      val delayMedia =
+        if (delayMovie == 0) 0L
+        else {
+          require(mvTs > 0 && ts > 0,
+            "mp4: empty edit needs valid movie AND media timescales")
+          // movie-timescale ticks -> media-timescale ticks
+          delayMovie * ts / mvTs
+        }
+      delayMedia - mediaTime
+    }).getOrElse(0L)
+    val samples0 = sampleTable(r, stbl)
+    val samples =
+      if (ptsShift == 0) samples0
+      else samples0.map(s => s.copy(pts = s.pts + ptsShift))
+    (Track(tid, handler, codec, ts, dur, w, h, samples), ptsShift)
   }
 
   /** Resolve stts + stsz + stsc + stco/co64 to concrete samples.

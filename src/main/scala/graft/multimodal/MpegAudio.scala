@@ -87,6 +87,9 @@ object MpegAudio {
       val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
       p = 10 + size
+      // footer flag (ID3v2.4 §3.1, tag byte 5 bit 4): the tag carries
+      // a trailing 10-byte footer NOT counted in the syncsafe size
+      if ((bytes(5) & 0x10) != 0) p += 10
     }
     while (p + 4 <= bytes.length) {
       headerAt(bytes, p) match {

@@ -375,6 +375,21 @@ class MultimodalSpec extends SparkSpec {
     assert(meanKbps === 128.0 && rate === 44100 && ch === 2 && n === 5)
   }
 
+  test("ID3v2.4 footer (flag bit 4) is skipped structurally") {
+    // rebuild hand_cbr's stream behind an ID3v2.4 tag that sets the
+    // footer flag: tag = 10B header + 16B payload + 10B footer ("3DI")
+    // — the syncsafe size counts ONLY the payload (ID3v2.4 §3.1)
+    val in = getClass.getResourceAsStream("/media/hand_cbr.mp3")
+    val orig = try in.readAllBytes() finally in.close()
+    val stream = orig.drop(30) // the 5 CBR frames
+    val header = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 16)
+    val footer = Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 0, 16)
+    val tagged = header ++ Array.fill[Byte](16)(0) ++ footer ++ stream
+    val fs = MpegAudio.frames(tagged)
+    assert(fs.length === 5)
+    assert(fs.head.offset === 36) // 10 + 16 + 10, not 26
+  }
+
   test("MPEG audio walk resyncs over garbage and averages VBR bitrates") {
     val in = getClass.getResourceAsStream("/media/hand_vbr.mp3")
     val bytes = try in.readAllBytes() finally in.close()
@@ -396,6 +411,8 @@ class MultimodalSpec extends SparkSpec {
     val rnd = new scala.util.Random(777L)
     for ((path, parse) <- Seq[(String, Array[Byte] => Any)](
       ("/media/hand_min.mp4", Mp4.parse(_)),
+      ("/media/hand_elst.mp4", Mp4.parse(_)),
+      ("/media/hand_legacy2traf.mp4", Mp4.parse(_)),
       ("/media/hand_cbr.mp3", MpegAudio.frames(_)),
       ("/media/hand_vbr.mp3", MpegAudio.frames(_)));
         _ <- 1 to 200) {
@@ -492,6 +509,52 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.getAs[Int]("sample_idx")).sorted.toSeq === Seq(0, 3))
     assert(got.find(_.getAs[Int]("sample_idx") == 3).get
       .getAs[Array[Byte]]("bytes").toSeq === Seq.fill(4)(0xC0.toByte))
+  }
+
+  test("edit list (edts/elst) shifts every presentation timestamp") {
+    // tools/make_mp4_fixture.py build_with_elst: the ctts fixture plus
+    // an edit list — empty edit of 500 movie ticks (presentation
+    // delay) then a media edit with media_time 100 (head trim). Both
+    // timescales are 1000, so pts' = pts + 500 - 100; dts untouched.
+    val in = getClass.getResourceAsStream("/media/hand_elst.mp4")
+    assert(in != null)
+    val bytes = try in.readAllBytes() finally in.close()
+    val t = Mp4.parse(bytes).videoTracks.head
+    assert(t.samples.map(_.dts) === Vector(0L, 100L, 200L, 300L, 400L, 500L))
+    assert(t.samples.map(_.pts) === Vector(600L, 700L, 600L, 700L, 800L, 900L))
+    // byte ranges are untouched by editing
+    assert(t.samples.map(_.size) === Vector(3L, 4L, 5L, 6L, 7L, 8L))
+    // a multi-segment edit list (two media edits) fails loudly: patch
+    // the second entry's media_time from -1-style empty to a media edit
+    val broken = bytes.clone()
+    val elstAt = indexOfBox(broken, "elst")
+    // entry 1 media_time at payload+4+4+4 -> turn the EMPTY edit (-1)
+    // into a second media edit (0): two media edits = multi-segment
+    java.nio.ByteBuffer.wrap(broken, elstAt + 8 + 4 + 4 + 4, 4).putInt(0)
+    val e = intercept[Exception](Mp4.parse(broken))
+    assert(e.getMessage.contains("multi-segment"), e.getMessage)
+  }
+
+  test("legacy two-traf moof: 2nd traf defaults to previous traf's data end") {
+    // tools/make_mp4_fixture.py build_legacy_two_traf: NEITHER
+    // base-data-offset nor default-base-is-moof in either tfhd — the
+    // ISO 14496-12 §8.8.7 legacy default. traf1 (track 1, sizes 5,6)
+    // addresses its run explicitly; traf2 (track 2, one 7-byte sample)
+    // has an OFFSET-LESS trun that must start exactly where traf1's
+    // data ended, not at moof start.
+    val in = getClass.getResourceAsStream("/media/hand_legacy2traf.mp4")
+    assert(in != null)
+    val bytes = try in.readAllBytes() finally in.close()
+    val f = Mp4.parse(bytes)
+    val t1 = f.videoTracks.find(_.id == 1L).get
+    val t2 = f.videoTracks.find(_.id == 2L).get
+    assert(t1.samples.map(_.size) === Vector(5L, 6L))
+    assert(t2.samples.map(_.size) === Vector(7L))
+    val s2 = t2.samples.head
+    // traf1's data is the first 11 mdat bytes; traf2 starts right after
+    assert(s2.offset === t1.samples.last.offset + t1.samples.last.size)
+    val payload = bytes.slice(s2.offset.toInt, (s2.offset + s2.size).toInt)
+    assert(payload.forall(_ == 0xE0.toByte), "2nd traf read wrong bytes")
   }
 
   private def indexOfBox(b: Array[Byte], tpe: String): Int = {

@@ -170,6 +170,70 @@ def build_fragmented():
 
 build_fragmented()
 
+# ---------------- legacy two-traf fragment: NEITHER base-data-offset
+# nor default-base-is-moof in either tfhd. Per ISO 14496-12 §8.8.7 the
+# default base is then moof start for the FIRST traf and the end of the
+# preceding traf's data for the second — the pre-CMAF multi-track shape.
+# traf1 addresses its run explicitly (a moof-start base with an
+# offset-less trun is undefined data); traf2's single trun carries NO
+# offset and must land exactly where traf1's data ended.
+def build_legacy_two_traf():
+    t1_samples = [bytes([0xD0 + i] * (5 + i)) for i in range(2)]  # 5,6
+    t2_samples = [bytes([0xE0] * 7)]                               # 7
+    def trak_of(tid):
+        tkhd = full('tkhd', 0, 7,
+            u32(0) + u32(0) + u32(tid) + u32(0) + u32(0) +
+            u32(0) * 2 + u16(0) * 4 +
+            u32(0x00010000) + u32(0)*3 + u32(0x00010000) + u32(0)*3 + u32(0x40000000) +
+            u32(64 << 16) + u32(48 << 16))
+        mdhd = full('mdhd', 0, 0, u32(0) + u32(0) + u32(TIMESCALE) + u32(0) +
+                    u16(0x55C4) + u16(0))
+        hdlr = full('hdlr', 0, 0, u32(0) + b'vide' + u32(0) * 3 + b'VideoHandler\0')
+        vmhd = full('vmhd', 0, 1, u16(0) * 4)
+        dinf = box('dinf', full('dref', 0, 0, u32(1) + full('url ', 0, 1, b'')))
+        minf = box('minf', vmhd + dinf + empty_stbl())
+        mdia = box('mdia', mdhd + hdlr + minf)
+        return box('trak', tkhd + mdia)
+    mvhd = full('mvhd', 0, 0,
+        u32(0) + u32(0) + u32(TIMESCALE) + u32(0) +
+        u32(0x00010000) + u16(0x0100) + u16(0) + u32(0) * 2 +
+        u32(0x00010000) + u32(0)*3 + u32(0x00010000) + u32(0)*3 + u32(0x40000000) +
+        u32(0) * 6 + u32(3))
+    mvex = box('mvex',
+        full('trex', 0, 0, u32(1) + u32(1) + u32(DELTA) + u32(0) + u32(0)) +
+        full('trex', 0, 0, u32(2) + u32(1) + u32(DELTA) + u32(0) + u32(0)))
+    moov = box('moov', mvhd + mvex + trak_of(1) + trak_of(2))
+
+    def make_moof(t1_off):
+        mfhd = full('mfhd', 0, 0, u32(1))
+        tfhd1 = full('tfhd', 0, 0x000000, u32(1))    # neither flag
+        tfdt1 = full('tfdt', 0, 0, u32(0))
+        b1 = u32(len(t1_samples)) + struct.pack('>i', t1_off)
+        for s in t1_samples:
+            b1 += u32(DELTA) + u32(len(s))
+        trun1 = full('trun', 0, 0x301, b1)
+        tfhd2 = full('tfhd', 0, 0x000000, u32(2))    # neither flag
+        tfdt2 = full('tfdt', 0, 0, u32(0))
+        b2 = u32(len(t2_samples))                    # NO data offset
+        for s in t2_samples:
+            b2 += u32(DELTA) + u32(len(s))
+        trun2 = full('trun', 0, 0x300, b2)
+        return mfhd + box('traf', tfhd1 + tfdt1 + trun1) + \
+               box('traf', tfhd2 + tfdt2 + trun2)
+    probe = box('moof', make_moof(0))
+    # trun data offsets are relative to the traf base (= moof start for
+    # traf1), so t1_off is moof-relative: moof size + mdat header
+    t1_off = len(probe) + 8
+    moof = box('moof', make_moof(t1_off))
+    assert len(moof) == len(probe)
+    mdat = box('mdat', b''.join(t1_samples) + b''.join(t2_samples))
+    out = ftyp + moov + moof + mdat
+    open('/root/repo/src/test/resources/media/hand_legacy2traf.mp4','wb').write(out)
+    print('legacy two-traf mp4 written', len(out),
+          't2 expected offset', len(ftyp) + len(moov) + t1_off + 11)
+
+build_legacy_two_traf()
+
 # ---------------- ctts variant: same 6 samples, v0 composition offsets
 # (counts 2+4) so pts = dts + [200,200,0,0,0,0] — B-frame-style delay
 def build_with_ctts():
@@ -200,3 +264,38 @@ def build_with_ctts():
     print('ctts mp4 written', len(out))
 
 build_with_ctts()
+
+# ---------------- edit-list variant: splice edts/elst into the ctts
+# fixture's trak. One leading EMPTY edit (media_time -1, 500 movie
+# ticks of presentation delay) + one media edit with media_time 100
+# (head trim). Movie and media timescales are both 1000, so every
+# pts shifts by +500-100 = +400: [200,300,200,300,400,500] becomes
+# [600,700,600,700,800,900]; dts is untouched.
+def build_with_elst():
+    base = open('/root/repo/src/test/resources/media/hand_ctts.mp4','rb').read()
+    elst = full('elst', 0, 0, u32(2) +
+        u32(500) + struct.pack('>i', -1) + u16(1) + u16(0) +
+        u32(DUR) + struct.pack('>i', 100) + u16(1) + u16(0))
+    edts = box('edts', elst)
+    def patch(buf, path_types, insert_after, extra):
+        def walk(b, start, end, depth):
+            p = start
+            while p + 8 <= end:
+                size = int.from_bytes(b[p:p+4],'big')
+                t = b[p+4:p+8].decode('latin1')
+                if depth < len(path_types) and t == path_types[depth]:
+                    inner = walk(b, p+8, p+size, depth+1)
+                    grown = len(inner) - (size - 8)
+                    return (b[start:p] + (size+grown).to_bytes(4,'big') +
+                            b[p+4:p+8] + inner + b[p+size:end])
+                if depth == len(path_types) and t == insert_after:
+                    return b[start:p+size] + extra + b[p+size:end]
+                p += size
+            return b[start:end]
+        return walk(buf, 0, len(buf), 0)
+    out = patch(base, ['moov','trak'], 'tkhd', edts)
+    assert len(out) == len(base) + len(edts)
+    open('/root/repo/src/test/resources/media/hand_elst.mp4','wb').write(out)
+    print('elst mp4 written', len(out))
+
+build_with_elst()
