@@ -183,11 +183,19 @@ object PipelineQueries extends QueryModule {
     // TF-IDF sparse cosine similarity (similarity search WITHOUT
     // embeddings): tf·idf term weights, per-doc norms, then the pair
     // dot products via a self-join on the term — an inverted-index
-    // join, never a cross join. At 100 TB the scale knob is a df cap:
-    // terms appearing in a large fraction of docs carry idf ≈ 0 weight
-    // and dominate the index's posting lists, so production pipelines
-    // drop them before the join (bounded slice + all terms here, for
-    // oracle exactness).
+    // join, never a cross join. MAX-DF PRUNE (the all-pairs-similarity
+    // safety valve): a term in k docs contributes k² candidate pairs,
+    // so ONE stop-word-like term at corpus scale is quadratic. Terms
+    // with df > maxDfFrac·N are dropped from the index entirely
+    // (weights, norms, AND join — both engines, so the gate stays
+    // exact). Soundness: every dropped term has
+    // idf = ln((N+1)/(df+1)) < ln(1/maxDfFrac)+ε — the near-floor
+    // weights of function words — while dominating posting lists; with
+    // the prune, candidate pairs are bounded by Σ_w df_w·maxDf ≤
+    // maxDf × index size, i.e. LINEAR in the corpus for a fixed
+    // absolute cap (at 100 TB set maxDf as an absolute count, not a
+    // fraction; TfidfPruneSpec measures the bound with a hot term
+    // injected).
     "t_tfidf_cosine" -> { (s, dir) =>
       val tf = Tables.documentsSpread(s, dir)
         .where(col("doc_id") < 120)
@@ -204,6 +212,7 @@ object PipelineQueries extends QueryModule {
       // bench — each run builds a fresh plan); at cluster scale this is
       // the "persist the weights table" step of a TF-IDF pipeline.
       val wts = tf.join(df, "w").crossJoin(n)
+        .where(col("df") <= col("n_docs") * lit(0.5))
         .select(col("doc_id"), col("w"),
           (col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
             .as("wt"))
@@ -480,7 +489,8 @@ object PipelineQueries extends QueryModule {
         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
         |wts AS (SELECT doc_id, tf.w,
         |          tf * ln((n.n_docs + 1) / CAST(df + 1 AS DOUBLE)) AS wt
-        |        FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+        |        FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+        |        WHERE df <= n.n_docs * 0.5),
         |norms AS (SELECT doc_id, sqrt(sum(wt*wt)) AS nrm FROM wts GROUP BY 1),
         |dots AS (SELECT a.doc_id i, b.doc_id j, sum(a.wt*b.wt) AS dot,
         |                count(*) AS n_shared

@@ -27,6 +27,41 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") + bySplit("test"))
   }
 
+  test("tfidf max-df prune bounds the posting-list self-join under a hot term") {
+    // the quadratic trap the prune exists for: ONE term in all N docs
+    // yields N(N-1)/2 candidate pairs on its own. Inject such a term
+    // into a 500-doc corpus and measure the join's candidate count
+    // with and without the df <= 0.5N prune (the operator's rule in
+    // t_tfidf_cosine — same join shape, counted pre-aggregation).
+    import spark.implicits._
+    val n = 500
+    // each doc: the hot term + 3 rare terms shared only within its
+    // 5-doc block => legit candidates stay local and bounded
+    val docs = (0 until n).map { i =>
+      (i.toLong, s"hot block${i / 5}a block${i / 5}b block${i / 5}c")
+    }.toDF("doc_id", "text")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    def candidates(pruned: Boolean): Long = {
+      val wts0 = tf.join(df, "w")
+      val wts = if (pruned) wts0.where(col("df") <= lit(n) * 0.5) else wts0
+      val a = wts.select(col("w"), col("doc_id").as("i"))
+      val b = wts.select(col("w"), col("doc_id").as("j"))
+      a.join(b, "w").where(col("i") < col("j")).count()
+    }
+    val unpruned = candidates(pruned = false)
+    val pruned = candidates(pruned = true)
+    // hot term alone: N(N-1)/2 = 124750 pairs; blocks: 100 blocks x
+    // C(5,2) pairs x 3 shared terms = 3000
+    assert(unpruned === n.toLong * (n - 1) / 2 + 3000)
+    assert(pruned === 3000) // exactly the legit in-block candidates
+    // the bound the comment claims: pairs <= maxDf * postings
+    val postings = tf.join(df, "w").where(col("df") <= lit(n) * 0.5).count()
+    assert(pruned <= (n / 2).toLong * postings)
+  }
+
   test("stratified sample keeps a subset at roughly the configured rate") {
     val out = PipelineQueries.queries("d_stratified_sample")(spark, dir).collect()
     out.foreach { r =>
