@@ -57,10 +57,13 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   * as doubles, CF unpacking via `NcVar.unpacked`), so the granule
   * ingest path is format-agnostic. Compound attribute values (incl.
   * vlen-of-compound, netCDF-4's REFERENCE_LIST shape) flatten to
-  * their numeric members. Fractal-heap objects resolve in all three
-  * storage classes (managed, huge direct/indirect filtered-or-not,
-  * tiny), and soft links resolve their in-file paths. Out of scope:
-  * compound-typed DATASETS and external (cross-file) links.
+  * their numeric members; compound-typed DATASETS (trajectory/profile
+  * in-situ records) surface each scalar numeric member as its own
+  * `<dataset>.<member>` variable over the dataset's dims, in any
+  * layout/filter combination. Fractal-heap objects resolve in all
+  * three storage classes (managed, huge direct/indirect
+  * filtered-or-not, tiny), and soft links resolve their in-file
+  * paths. Out of scope: external (cross-file) links.
   */
 object H5Lite {
 
@@ -181,7 +184,7 @@ object H5Lite {
     val dims = ArrayBuffer.empty[NcDim]
     def addDim(nm: String, len: Int): Unit =
       if (!dims.exists(_.name == nm)) dims += NcDim(nm, len)
-    val vars = sets.filter(d => d.dims.length <= 1 || keep(d.name)).map { d =>
+    val vars = sets.filter(d => d.dims.length <= 1 || keep(d.name)).flatMap { d =>
       // use real dim identity only when the list is unambiguous:
       // exactly one reference per axis (multi-scale or scale-less axes
       // flatten to a different count), every reference a 1-D dataset
@@ -228,8 +231,30 @@ object H5Lite {
           nm
         }
       }
-      NcVar(d.name, dimNames.toSeq, ncTypeOf(d.dtype), d.attrs,
-        readData(r, d))
+      if (d.dtype.clazz == C_COMPOUND) {
+        // compound-typed DATASET (trajectory/profile in-situ files):
+        // each scalar numeric member becomes its own `<ds>.<member>`
+        // variable over the dataset's dims — the columnar shape the
+        // engine's point model wants. Strings/references/nested
+        // compounds are skipped; a record with NO decodable member is
+        // a loud failure, not a silent empty variable.
+        val ms = d.dtype.members.filter { case (_, _, m) =>
+          m.clazz == C_FIXED || m.clazz == C_FLOAT
+        }
+        if (ms.isEmpty) throw new UnsupportedH5(
+          s"h5: compound dataset '${d.name}' has no scalar numeric members")
+        ms.foreach { case (nm, off, m) =>
+          if (off < 0 || m.size < 0 || off > d.dtype.size - m.size)
+            throw new UnsupportedH5(s"h5: compound member '$nm' at $off " +
+              s"size ${m.size} outside element ${d.dtype.size}")
+        }
+        ms.map { case (nm, off, m) =>
+          NcVar(s"${d.name}.$nm", dimNames.toSeq, ncTypeOf(m), d.attrs,
+            readData(r, d, Some((off, m))))
+        }
+      } else Seq(
+        NcVar(d.name, dimNames.toSeq, ncTypeOf(d.dtype), d.attrs,
+          readData(r, d)))
     }
     NcFile(dims.toSeq, rootAttrs.toSeq, vars.toSeq)
   }
@@ -1212,24 +1237,46 @@ object H5Lite {
     out
   }
 
-  private def readData(r: R, d: Dataset): Array[Double] = {
+  /** Decode `count` elements; `member` (compound datasets) selects ONE
+    * member per element by (byte offset, type) — the member-striding
+    * read that turns a trajectory/profile compound record into
+    * per-member columns.
+    */
+  private def decodeElems(raw: Array[Byte], dt: Dtype, count: Int,
+                          member: Option[(Int, Dtype)]): Array[Double] =
+    member match {
+      case None => decode(raw, dt, count)
+      case Some((off, m)) =>
+        val out = new Array[Double](count)
+        var k = 0
+        while (k < count) {
+          out(k) = decode(java.util.Arrays.copyOfRange(
+            raw, k * dt.size + off, k * dt.size + off + m.size), m, 1)(0)
+          k += 1
+        }
+        out
+    }
+
+  private def readData(r: R, d: Dataset,
+                       member: Option[(Int, Dtype)] = None): Array[Double] = {
     val n = d.dims.product.max(1).toInt
     d.layout.clazz match {
       case 0 =>
         r.at(d.layout.compactPos)
-        decode(r.take(d.layout.size.toInt), d.dtype, n)
+        decodeElems(r.take(d.layout.size.toInt), d.dtype, n, member)
       case 1 =>
         if (d.layout.addr == UNDEF) Array.fill(n)(Double.NaN)
         else {
           r.at(d.layout.addr)
-          decode(r.take(n * d.dtype.size), d.dtype, n)
+          decodeElems(r.take(n * d.dtype.size), d.dtype, n, member)
         }
-      case 2 => readChunked(r, d, n)
+      case 2 => readChunked(r, d, n, member)
       case c => sys.error(s"h5: layout class $c unsupported")
     }
   }
 
-  private def readChunked(r: R, d: Dataset, n: Int): Array[Double] = {
+  private def readChunked(r: R, d: Dataset, n: Int,
+                          member: Option[(Int, Dtype)] = None): Array[Double] = {
     val out = Array.fill(n)(Double.NaN)
     val rank = d.dims.length
     val chunkDims = d.layout.chunkDims.dropRight(1) // trailing entry = elem size
@@ -1253,7 +1300,7 @@ object H5Lite {
         else {
           r.at(child)
           val raw = applyFilters(r.take(sz.toInt), d.filters, mask, d.dtype.size)
-          val vals = decode(raw, d.dtype, raw.length / d.dtype.size)
+          val vals = decodeElems(raw, d.dtype, raw.length / d.dtype.size, member)
           // copy the chunk into place, clipping edge chunks
           val cProd = chunkDims.scanRight(1)(_ * _).tail
           val cn = chunkDims.product

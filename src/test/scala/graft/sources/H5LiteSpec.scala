@@ -283,6 +283,40 @@ class H5LiteSpec extends SparkSpec {
     assert(f(Array.fill[Byte](1000)(0)) === 0L)
   }
 
+  test("compound-typed datasets surface per-member point columns") {
+    // tools/make_h5_fixture.py build_compound_*: v3 compound records.
+    // hand_compound.h5: contiguous 'obs' — time f64, lat/lon f32,
+    // qc i16 (signed, negative value included), name char[4] (string
+    // member: SKIPPED, never aborts). hand_compound_chunked.h5:
+    // 'prof' (depth f64, temp f32) in [2]-element chunks behind
+    // shuffle+deflate with a clipped edge chunk — the full filter
+    // stack striding compound elements.
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/h5/$name")
+      assert(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val f = H5Lite.read(res("hand_compound.h5"))
+    assert(f.vars.map(_.name).sorted ===
+      Seq("obs.lat", "obs.lon", "obs.qc", "obs.time"))
+    val time = f.variable("obs.time").get
+    assert(f.shape(time) === Seq(5))
+    assert(time.data.toSeq === Seq(1000.5, 1001.5, 1002.5, 1003.5, 1004.5))
+    assert(f.variable("obs.lat").get.data.toSeq ===
+      Seq(10.0, 10.25, 10.5, 10.75, 11.0))
+    assert(f.variable("obs.lon").get.data.toSeq ===
+      Seq(-40.0, -40.5, -41.0, -41.5, -42.0))
+    assert(f.variable("obs.qc").get.data.toSeq ===
+      Seq(0.0, 1.0, -1.0, 2.0, 3.0))
+    // the dataset's attributes ride along on every member variable
+    assert(f.variable("obs.lat").get.attr("units").get.text === "insitu")
+    val g = H5Lite.read(res("hand_compound_chunked.h5"))
+    assert(g.variable("prof.depth").get.data.toSeq ===
+      Seq(0.0, 10.0, 20.0, 30.0, 40.0))
+    assert(g.variable("prof.temp").get.data.toSeq ===
+      Seq(20.5, 19.0, 17.25, 15.5, 13.75))
+  }
+
   test("decodes spec-derived fixtures from an independent implementation") {
     // bytes hand-assembled from the HDF5 spec by tools/make_h5_fixture.py
     // (python, written independently of the Scala writer) — breaks the

@@ -1361,3 +1361,144 @@ def build_huge_filtered():
 
 open('/root/repo/src/test/resources/h5/hand_huge_filtered.h5','wb').write(build_huge_filtered())
 print("huge-filtered fixture written", len(build_huge_filtered()))
+
+# ---------------- compound-typed DATASETS (trajectory/profile in-situ
+# shape): v3 compound datatype over packed records. File A: contiguous
+# 'obs' — time f64 @0, lat f32 @8, lon f32 @12, qc i16 @16, name
+# char[4] @18 (string member: reader must SKIP it, not abort), element
+# size 22. File B: chunked 'prof' (depth f64 @0, temp f32 @8, size 12)
+# behind shuffle+deflate — the full filter stack over compound
+# elements, edge chunk clipped.
+def dt_i16():
+    # class 0 fixed v1; LE, signed (bit-field bit 3)
+    return u8((1<<4)|0)+u8(0x08)+u8(0)+u8(0)+u32(2)+u16(0)+u16(16)
+
+def dt_compound_v3(size, members):
+    # members: (name, offset, dt_bytes); v3 names are unpadded
+    # C-strings and the offset width is the minimum bytes that encode
+    # `size` (1 byte for size < 256 — H5VM_limit_enc_size)
+    n = len(members)
+    assert size < 256
+    b = u8((3<<4)|6)+u8(n & 0xff)+u8((n >> 8) & 0xff)+u8(0)+u32(size)
+    for name, off, dtb in members:
+        b += name.encode()+b'\0' + u8(off) + dtb
+    return b
+
+OBS_TIME = [1000.5, 1001.5, 1002.5, 1003.5, 1004.5]
+OBS_LAT  = [10.0, 10.25, 10.5, 10.75, 11.0]
+OBS_LON  = [-40.0, -40.5, -41.0, -41.5, -42.0]
+OBS_QC   = [0, 1, -1, 2, 3]
+
+def build_compound_contiguous():
+    elems = b''
+    for i in range(5):
+        elems += struct.pack('<d', OBS_TIME[i]) + struct.pack('<f', OBS_LAT[i])
+        elems += struct.pack('<f', OBS_LON[i]) + struct.pack('<h', OBS_QC[i])
+        elems += ('st%d\0' % i).encode()
+    assert len(elems) == 5 * 22
+    dt = dt_compound_v3(22, [
+        ('time', 0, dt_f64()), ('lat', 8, dt_f32()),
+        ('lon', 12, dt_f32()), ('qc', 16, dt_i16()),
+        ('name', 18, dt_str(4))])
+    heap_data = pad8(b'\0'*8 + b'obs\0')
+    name_off = 8
+    root_oh = 96
+    root_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_probe)
+    bt_probe = pad8(group_btree([name_off], [0], name_off))
+    snod_addr = btree_addr + len(bt_probe)
+    sn_probe = pad8(snod([(name_off, 0)]))
+    heap_hdr_addr = snod_addr + len(sn_probe)
+    heap_data_addr = heap_hdr_addr + 32
+    ds_oh_addr = heap_data_addr + len(heap_data)
+    attr = attr_v1('units', dt_str(8), dataspace([]), b'insitu\0\0')
+    ds_probe = object_header([(0x01, dataspace([5])), (0x03, dt),
+                              (0x08, layout_contiguous(0, 0)), (0x0C, attr)])
+    data_addr = ds_oh_addr + len(ds_probe)
+    eof = data_addr + len(elems)
+    ds_oh = object_header([(0x01, dataspace([5])), (0x03, dt),
+                           (0x08, layout_contiguous(data_addr, len(elems))),
+                           (0x0C, attr)])
+    assert len(ds_oh) == len(ds_probe)
+    root = object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    bt = pad8(group_btree([name_off], [snod_addr], name_off))
+    sn = pad8(snod([(name_off, ds_oh_addr)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += root + bt + sn + hh + hd + ds_oh + elems
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+PROF_DEPTH = [0.0, 10.0, 20.0, 30.0, 40.0]
+PROF_TEMP  = [20.5, 19.0, 17.25, 15.5, 13.75]
+
+def filters_shuffle_deflate(elem, level):
+    # pipeline order = application order: shuffle then deflate
+    f = u8(1)+u8(2)+b'\0'*6
+    f += u16(2)+u16(0)+u16(0)+u16(1)+u32(elem)+u32(0)   # shuffle
+    f += u16(1)+u16(0)+u16(0)+u16(1)+u32(level)+u32(0)  # deflate
+    return f
+
+def build_compound_chunked():
+    ELEM = 12
+    def rec(i):
+        # 6th element (edge-chunk fill) is never read back
+        if i >= 5: return struct.pack('<d', 0.0) + struct.pack('<f', 0.0)
+        return struct.pack('<d', PROF_DEPTH[i]) + struct.pack('<f', PROF_TEMP[i])
+    chunks = []
+    for ci in range(3):
+        raw = rec(ci*2) + rec(ci*2+1)
+        # shuffle: byte-transpose m elements of size ELEM
+        m = len(raw)//ELEM
+        shuf = bytes(raw[k*ELEM + j] for j in range(ELEM) for k in range(m))
+        chunks.append(zlib.compress(shuf, 6))
+    dt = dt_compound_v3(ELEM, [('depth', 0, dt_f64()), ('temp', 8, dt_f32())])
+    heap_data = pad8(b'\0'*8 + b'prof\0')
+    name_off = 8
+    root_oh = 96
+    root_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_probe)
+    bt_probe = pad8(group_btree([name_off], [0], name_off))
+    snod_addr = btree_addr + len(bt_probe)
+    sn_probe = pad8(snod([(name_off, 0)]))
+    heap_hdr_addr = snod_addr + len(sn_probe)
+    heap_data_addr = heap_hdr_addr + 32
+    ds_oh_addr = heap_data_addr + len(heap_data)
+    ds_probe = object_header([(0x01, dataspace([5])), (0x03, dt),
+                              (0x0B, filters_shuffle_deflate(ELEM, 6)),
+                              (0x08, layout_chunked(0, [2], ELEM))])
+    chunk_bt_addr = ds_oh_addr + len(ds_probe)
+    def chunk_key(size, off):
+        return u32(size)+u32(0)+u64(off)+u64(0)
+    node = b'TREE'+u8(1)+u8(0)+u16(3)+u64(UNDEF)+u64(UNDEF)
+    node_len = (len(node) + 3*(len(chunk_key(0,0))+8) + len(chunk_key(0,0)) + 7)//8*8
+    data_addr = chunk_bt_addr + node_len
+    addrs = []
+    a = data_addr
+    for c in chunks:
+        addrs.append(a); a += (len(c)+7)//8*8
+    eof = a
+    for ci, (c, ad) in enumerate(zip(chunks, addrs)):
+        node += chunk_key(len(c), ci*2)+u64(ad)
+    node += chunk_key(0, 6)
+    node += b'\0'*(node_len - len(node) + len(b'TREE')*0)
+    node = node[:node_len]
+    ds_oh = object_header([(0x01, dataspace([5])), (0x03, dt),
+                           (0x0B, filters_shuffle_deflate(ELEM, 6)),
+                           (0x08, layout_chunked(chunk_bt_addr, [2], ELEM))])
+    assert len(ds_oh) == len(ds_probe)
+    root = object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    bt = pad8(group_btree([name_off], [snod_addr], name_off))
+    sn = pad8(snod([(name_off, ds_oh_addr)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += root + bt + sn + hh + hd + ds_oh + node
+    for c in chunks:
+        out += c + b'\0'*(((len(c)+7)//8*8) - len(c))
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_compound.h5','wb').write(build_compound_contiguous())
+open('/root/repo/src/test/resources/h5/hand_compound_chunked.h5','wb').write(build_compound_chunked())
+print("compound fixtures written", len(build_compound_contiguous()),
+      len(build_compound_chunked()))
