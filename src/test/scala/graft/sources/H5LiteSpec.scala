@@ -317,6 +317,39 @@ class H5LiteSpec extends SparkSpec {
       Seq(20.5, 19.0, 17.25, 15.5, 13.75))
   }
 
+  test("fletcher32 chunks from the independent python path verify and decode") {
+    // tools/make_h5_fixture.py build_fletcher_chunked: shuffle ->
+    // deflate -> fletcher32 (the real-archive stack), with the
+    // checksum computed by an INDEPENDENT python implementation of the
+    // public H5checksum.c algorithm — so verification no longer rests
+    // on the Scala implementation agreeing with itself
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/h5/$name")
+      assert(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val bytes = res("hand_fletcher.h5")
+    val f = H5Lite.read(bytes)
+    assert(f.variable("w").get.data.toSeq ===
+      Seq(100.25, -3.5, 7.75, 2024.0, -0.125, 55.5))
+    // corrupting any stored checksum byte must fail LOUDLY: flip one
+    // bit in the last 4 bytes of the first chunk (checksum trailer).
+    // Chunk data sits at the end of the file; find it by re-reading
+    // with a corrupted copy of every byte position in the tail region
+    // and requiring at least one loud fletcher32 failure
+    val tail = (bytes.length - 60) until bytes.length
+    val loud = tail.count { p =>
+      val b = bytes.clone()
+      b(p) = (b(p) ^ 1).toByte
+      try { H5Lite.read(b); false }
+      catch {
+        case e: Exception => e.getMessage != null &&
+          e.getMessage.contains("fletcher32 checksum mismatch")
+      }
+    }
+    assert(loud > 0, "no tail corruption tripped the checksum gate")
+  }
+
   test("decodes spec-derived fixtures from an independent implementation") {
     // bytes hand-assembled from the HDF5 spec by tools/make_h5_fixture.py
     // (python, written independently of the Scala writer) — breaks the

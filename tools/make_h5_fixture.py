@@ -1502,3 +1502,96 @@ open('/root/repo/src/test/resources/h5/hand_compound.h5','wb').write(build_compo
 open('/root/repo/src/test/resources/h5/hand_compound_chunked.h5','wb').write(build_compound_chunked())
 print("compound fixtures written", len(build_compound_contiguous()),
       len(build_compound_chunked()))
+
+# ---------------- fletcher32 over the REAL archive filter stack
+# (shuffle -> deflate -> fletcher32), checksum computed by an
+# INDEPENDENT python implementation of the public H5checksum.c
+# algorithm: 16-bit big-endian words, 360-word partial reductions, odd
+# tail byte padded high, two final folds; stored little-endian after
+# the compressed payload.
+def fletcher32_h5(data):
+    sum1 = 0; sum2 = 0
+    i = 0
+    remaining = len(data) // 2
+    while remaining > 0:
+        tlen = min(remaining, 360)
+        remaining -= tlen
+        for _ in range(tlen):
+            sum1 += (data[i] << 8) | data[i+1]
+            i += 2
+            sum2 += sum1
+        sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+        sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+        sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    return ((sum2 << 16) | sum1) & 0xffffffff
+
+def filters_shuffle_deflate_fletcher(elem, level):
+    f = u8(1)+u8(3)+b'\0'*6
+    f += u16(2)+u16(0)+u16(0)+u16(1)+u32(elem)+u32(0)   # shuffle
+    f += u16(1)+u16(0)+u16(0)+u16(1)+u32(level)+u32(0)  # deflate
+    f += u16(3)+u16(0)+u16(0)+u16(0)                    # fletcher32
+    return f
+
+FLW_VALS = [100.25, -3.5, 7.75, 2024.0, -0.125, 55.5]
+
+def build_fletcher_chunked():
+    ELEM = 4
+    chunks = []
+    for ci in range(3):
+        raw = b''.join(struct.pack('<f', v) for v in FLW_VALS[ci*2:(ci+1)*2])
+        m = len(raw)//ELEM
+        shuf = bytes(raw[k*ELEM + j] for j in range(ELEM) for k in range(m))
+        comp = zlib.compress(shuf, 6)
+        chunks.append(comp + u32(fletcher32_h5(comp)))
+    heap_data = pad8(b'\0'*8 + b'w\0')
+    name_off = 8
+    root_oh = 96
+    root_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_probe)
+    bt_probe = pad8(group_btree([name_off], [0], name_off))
+    snod_addr = btree_addr + len(bt_probe)
+    sn_probe = pad8(snod([(name_off, 0)]))
+    heap_hdr_addr = snod_addr + len(sn_probe)
+    heap_data_addr = heap_hdr_addr + 32
+    ds_oh_addr = heap_data_addr + len(heap_data)
+    ds_probe = object_header([(0x01, dataspace([6])), (0x03, dt_f32()),
+                              (0x0B, filters_shuffle_deflate_fletcher(ELEM, 6)),
+                              (0x08, layout_chunked(0, [2], ELEM))])
+    chunk_bt_addr = ds_oh_addr + len(ds_probe)
+    def chunk_key(size, off):
+        return u32(size)+u32(0)+u64(off)+u64(0)
+    node = b'TREE'+u8(1)+u8(0)+u16(3)+u64(UNDEF)+u64(UNDEF)
+    node_len = (len(node) + 3*(len(chunk_key(0,0))+8) + len(chunk_key(0,0)) + 7)//8*8
+    data_addr = chunk_bt_addr + node_len
+    addrs = []
+    a = data_addr
+    for c in chunks:
+        addrs.append(a); a += (len(c)+7)//8*8
+    eof = a
+    for ci, (c, ad) in enumerate(zip(chunks, addrs)):
+        node += chunk_key(len(c), ci*2)+u64(ad)
+    node += chunk_key(0, 6)
+    node += b'\0'*(node_len - len(node))
+    ds_oh = object_header([(0x01, dataspace([6])), (0x03, dt_f32()),
+                           (0x0B, filters_shuffle_deflate_fletcher(ELEM, 6)),
+                           (0x08, layout_chunked(chunk_bt_addr, [2], ELEM))])
+    assert len(ds_oh) == len(ds_probe)
+    root = object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    bt = pad8(group_btree([name_off], [snod_addr], name_off))
+    sn = pad8(snod([(name_off, ds_oh_addr)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += root + bt + sn + hh + hd + ds_oh + node
+    for c in chunks:
+        out += c + b'\0'*(((len(c)+7)//8*8) - len(c))
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_fletcher.h5','wb').write(build_fletcher_chunked())
+print("fletcher32 fixture written", len(build_fletcher_chunked()))
