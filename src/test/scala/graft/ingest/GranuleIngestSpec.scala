@@ -150,6 +150,92 @@ class GranuleIngestSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("granulePipeline crash mid-batch and lost commit marker both " +
+    "recover to a store identical to one clean run") {
+    import graft.streaming.StreamingIngest
+    val watch = java.nio.file.Files.createTempDirectory("graft_cwatch").toFile
+    val outCrash = java.nio.file.Files.createTempDirectory("graft_cstore")
+      .toFile.getAbsolutePath + "/tiles"
+    val outClean = java.nio.file.Files.createTempDirectory("graft_cstore2")
+      .toFile.getAbsolutePath + "/tiles"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cckpt")
+      .toFile.getAbsolutePath
+    val ckptClean = java.nio.file.Files.createTempDirectory("graft_cckpt2")
+      .toFile.getAbsolutePath
+    java.nio.file.Files.write(
+      new java.io.File(watch, "g1.nc").toPath, gridGranule(86400, 0.0))
+    java.nio.file.Files.write(
+      new java.io.File(watch, "g2.nc").toPath, gridGranule(172800, 10.0))
+    // the injected crash: a per-row predicate that throws while the
+    // flag file exists — it executes in EXECUTOR tasks during the
+    // batch's write job, i.e. AFTER decode and BEFORE any store or
+    // checkpoint commit (the window a real mid-batch crash hits)
+    val flag = new java.io.File(watch.getParentFile, "graft_crash_flag")
+    flag.createNewFile()
+    val flagPath = flag.getAbsolutePath
+    val boom = udf { () =>
+      if (new java.io.File(flagPath).exists())
+        throw new RuntimeException("injected crash after decode")
+      true
+    }
+    val crashing: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.filter(boom())
+    def run(out: String, checkpoint: String): Unit = {
+      // a just-failed query releases its checkpoint registration
+      // asynchronously (after awaitTermination already threw) — retry
+      // the restart through that window, nothing else
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        try {
+          val q = StreamingIngest.granulePipeline(spark,
+            watch.getAbsolutePath, out, checkpoint, "sst", "sst_crash",
+            30.0, 30.0, pointTransform = crashing).start()
+          q.awaitTermination()
+          done = true
+        } catch {
+          case e: Exception
+            if attempts < 50 && e.getMessage != null &&
+              e.getMessage.contains("concurrently using") =>
+            Thread.sleep(200)
+          case e: Exception => throw e
+        }
+      }
+    }
+    intercept[Exception](run(outCrash, ckpt))
+    // nothing committed: no parquet file outside _temporary exists
+    def committedParquet(p: java.io.File): Seq[java.io.File] =
+      if (!p.exists()) Nil
+      else if (p.isFile) (if (p.getName.endsWith(".parquet")) Seq(p) else Nil)
+      else if (p.getName == "_temporary") Nil
+      else Option(p.listFiles).toSeq.flatten.flatMap(committedParquet)
+    assert(committedParquet(new java.io.File(outCrash)).isEmpty,
+      "crashed batch must not commit any store file")
+    // restart from the SAME checkpoint with the fault cleared: the
+    // batch replays in full
+    flag.delete()
+    run(outCrash, ckpt)
+    // second crash window: the sink committed but the checkpoint's
+    // commit marker was lost (crash between sink write and checkpoint
+    // commit). Spark replays the batch; the tile_id anti-join must
+    // keep the store duplicate-free.
+    val commits = new java.io.File(ckpt, "commits").listFiles
+      .filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    commits.sortBy(_.getName.toInt).lastOption.foreach(_.delete())
+    run(outCrash, ckpt)
+    // one clean run, same granules, fresh checkpoint+store
+    run(outClean, ckptClean)
+    val cols = spark.read.parquet(outClean).columns.sorted
+    def rowsOf(p: String) = spark.read.parquet(p)
+      .select(cols.map(col).toIndexedSeq: _*).collect()
+      .map(_.toString).sorted.toSeq
+    assert(rowsOf(outCrash) === rowsOf(outClean))
+    assert(spark.read.parquet(outCrash)
+      .select("tile_id").distinct().count() === 4)
+  }
+
   test("granulePipeline(swath=true) streams swath granules as POINT " +
     "rows, idempotent per granule") {
     import graft.streaming.StreamingIngest
