@@ -29,11 +29,16 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.count()
 
-    // dev-only probe filter (unset in driver runs → all queries):
-    // lets scale probes exclude the oracle-pinned quadratic gates
+    // dev-only probe filters (both unset in driver runs → all queries):
+    // SKIP excludes gates, ONLY restricts to a comma-separated subset
+    // (the 100x sweep times just the slowest gates)
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val selected = SparkEntry.queries.filter { case (k, _) => !skip(k) }
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (k, _) =>
+      !skip(k) && only.forall(_.contains(k))
+    }
 
     // Warmup: one untimed pass over EVERY query. Each query's
     // WholeStageCodegen unit Janino-compiles on first execution (1-3 s

@@ -195,14 +195,34 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
           jsonError(ex, 400, Option(e.getMessage).getOrElse(e.getClass.getName))
       } finally ex.close()
     })
-    // a small pool: the JobGate does the real concurrency limiting
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(2, maxConcurrentJobs)))
+    server.setExecutor(pool)
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  // The serving pool must be LARGER than the job gate, or excess
+  // requests queue unboundedly in the executor instead of shedding:
+  // with pool == gate, a 48-deep burst never sees a 503 — it waits,
+  // and sustained overload grows latency without bound (measured by
+  // tools/SoakBench, SCALING.md). A 3x+2 pool keeps accept+parse cheap
+  // and concurrent while the JobGate sheds immediately at the
+  // reference's ceiling (tornado's async accept + the 10-job
+  // semaphore, NexusHandler.py:250-294). The +2 keeps gateless
+  // diagnostics (/delay, /heartbeat) answerable even when every
+  // gate-bound slot is busy.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(2, 3 * maxConcurrentJobs + 2))
+
+  /** Stop the listener AND the serving pool — the pool's threads are
+    * non-daemon, so leaving them alive keeps the whole JVM from
+    * exiting after the server is discarded (found by the soak tool
+    * hanging at shutdown).
+    */
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+    ()
+  }
 }
 
 object HttpServer {
