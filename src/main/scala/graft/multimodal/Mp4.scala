@@ -381,7 +381,7 @@ object Mp4 {
         val (segDur, mt) =
           if (ver == 1) (r.u64(), r.u64())
           else (r.u32(), r.u32().toInt.toLong)
-        r.u16(); r.u16() // media_rate integer.fraction (rate-1 assumed)
+        val rateInt = r.u16(); r.u16() // media_rate integer.fraction
         if (mt == -1L) {
           require(!seenMedia,
             "mp4: empty edit after a media edit is multi-segment " +
@@ -391,6 +391,11 @@ object Mp4 {
           require(!seenMedia,
             "mp4: multi-segment edit list — not expressible as a " +
               "single pts shift")
+          // a dwell edit (rate 0) freezes a frame — treating it as a
+          // head trim would shift every pts wrong, so fail loudly
+          require(rateInt == 1,
+            s"mp4: media edit with rate $rateInt — only rate-1 is a " +
+              "pts shift")
           seenMedia = true
           mediaTime = mt
         }
@@ -400,6 +405,10 @@ object Mp4 {
         else {
           require(mvTs > 0 && ts > 0,
             "mp4: empty edit needs valid movie AND media timescales")
+          // both factors are file-controlled: bound the product before
+          // multiplying (the module's loud-failure rule for counts)
+          require(delayMovie > 0 && delayMovie <= Long.MaxValue / ts,
+            s"mp4: elst delay $delayMovie x timescale $ts overflows")
           // movie-timescale ticks -> media-timescale ticks
           delayMovie * ts / mvTs
         }

@@ -88,8 +88,11 @@ object MpegAudio {
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
       p = 10 + size
       // footer flag (ID3v2.4 §3.1, tag byte 5 bit 4): the tag carries
-      // a trailing 10-byte footer NOT counted in the syncsafe size
-      if ((bytes(5) & 0x10) != 0) p += 10
+      // a trailing 10-byte footer NOT counted in the syncsafe size.
+      // v2.4-only — in v2.2/v2.3 that bit is undefined and must be
+      // ignored (skipping 10 bytes there would land mid-frame and
+      // silently drop the first frame on resync)
+      if (bytes(3) >= 4 && (bytes(5) & 0x10) != 0) p += 10
     }
     while (p + 4 <= bytes.length) {
       headerAt(bytes, p) match {

@@ -211,13 +211,19 @@ object CfTime {
       .getOrElse("standard")
     units match {
       case UnitsRe(unit, base) =>
-        val dateToDays = calendarDays.getOrElse(cal,
-          sys.error(s"unsupported CF calendar '$cal' — supported: " +
-            calendarDays.keys.toSeq.sorted.mkString(", ") +
-            "; refusing to convert this time axis with Gregorian " +
-            "arithmetic"))
         for {
           factor <- secondsPer.get(unit.toLowerCase)
+          // the calendar gate fires only once the UNIT is recognized:
+          // a non-CF unit string ("months since…", "UTC seconds of
+          // day") must keep falling through to the start-day fallback
+          // exactly as before — in the reference num2date raises there
+          // and start_day catches it — whatever the calendar attribute
+          // says. Only an axis we WOULD convert refuses loudly.
+          dateToDays = calendarDays.getOrElse(cal,
+            sys.error(s"unsupported CF calendar '$cal' — supported: " +
+              calendarDays.keys.toSeq.sorted.mkString(", ") +
+              "; refusing to convert this time axis with Gregorian " +
+              "arithmetic"))
           epoch0 <- parseBase(base, dateToDays)
         } yield (v: Double) => epoch0 + v * factor
       case _ => None

@@ -184,7 +184,13 @@ object H5Lite {
     val dims = ArrayBuffer.empty[NcDim]
     def addDim(nm: String, len: Int): Unit =
       if (!dims.exists(_.name == nm)) dims += NcDim(nm, len)
-    val vars = sets.filter(d => d.dims.length <= 1 || keep(d.name)).flatMap { d =>
+    // a compound dataset's addressable variables are member-qualified
+    // (`<ds>.<member>`), so projection pushdown must match those names
+    // too or a multi-dim compound dataset is unreachable under keep()
+    val vars = sets.filter(d => d.dims.length <= 1 || keep(d.name) ||
+      (d.dtype.clazz == C_COMPOUND && d.dtype.members.exists {
+        case (nm, _, _) => keep(s"${d.name}.$nm")
+      })).flatMap { d =>
       // use real dim identity only when the list is unambiguous:
       // exactly one reference per axis (multi-scale or scale-less axes
       // flatten to a different count), every reference a 1-D dataset
@@ -237,7 +243,10 @@ object H5Lite {
         // variable over the dataset's dims — the columnar shape the
         // engine's point model wants. Strings/references/nested
         // compounds are skipped; a record with NO decodable member is
-        // a loud failure, not a silent empty variable.
+        // a loud failure, not a silent empty variable. All kept
+        // members decode in ONE pass over the dataset (chunks are
+        // walked/inflated/checksummed once, not once per member), so
+        // decode cost scales with data, not member count.
         val ms = d.dtype.members.filter { case (_, _, m) =>
           m.clazz == C_FIXED || m.clazz == C_FLOAT
         }
@@ -248,9 +257,15 @@ object H5Lite {
             throw new UnsupportedH5(s"h5: compound member '$nm' at $off " +
               s"size ${m.size} outside element ${d.dtype.size}")
         }
-        ms.map { case (nm, off, m) =>
-          NcVar(s"${d.name}.$nm", dimNames.toSeq, ncTypeOf(m), d.attrs,
-            readData(r, d, Some((off, m))))
+        // member-level projection: a multi-dim dataset kept only via
+        // member-qualified names decodes just those members
+        val kept =
+          if (d.dims.length <= 1 || keep(d.name)) ms
+          else ms.filter { case (nm, _, _) => keep(s"${d.name}.$nm") }
+        val datas = readDataMembers(r, d,
+          kept.map { case (_, off, m) => (off, m) })
+        kept.zip(datas).map { case ((nm, _, m), data) =>
+          NcVar(s"${d.name}.$nm", dimNames.toSeq, ncTypeOf(m), d.attrs, data)
         }
       } else Seq(
         NcVar(d.name, dimNames.toSeq, ncTypeOf(d.dtype), d.attrs,
@@ -1237,47 +1252,79 @@ object H5Lite {
     out
   }
 
-  /** Decode `count` elements; `member` (compound datasets) selects ONE
-    * member per element by (byte offset, type) — the member-striding
-    * read that turns a trajectory/profile compound record into
-    * per-member columns.
+  /** One scalar at an absolute byte position — the strided read that
+    * turns a compound record into member columns without per-element
+    * allocation.
     */
-  private def decodeElems(raw: Array[Byte], dt: Dtype, count: Int,
-                          member: Option[(Int, Dtype)]): Array[Double] =
-    member match {
-      case None => decode(raw, dt, count)
-      case Some((off, m)) =>
-        val out = new Array[Double](count)
-        var k = 0
-        while (k < count) {
-          out(k) = decode(java.util.Arrays.copyOfRange(
-            raw, k * dt.size + off, k * dt.size + off + m.size), m, 1)(0)
-          k += 1
-        }
-        out
+  private def readScalar(b: ByteBuffer, p: Int, dt: Dtype): Double =
+    (dt.clazz, dt.size) match {
+      case (C_FLOAT, 4) => b.getFloat(p).toDouble
+      case (C_FLOAT, 8) => b.getDouble(p)
+      case (C_FIXED, 1) =>
+        if (dt.signed) b.get(p).toDouble else (b.get(p) & 0xff).toDouble
+      case (C_FIXED, 2) =>
+        if (dt.signed) b.getShort(p).toDouble
+        else (b.getShort(p) & 0xffff).toDouble
+      case (C_FIXED, 4) =>
+        if (dt.signed) b.getInt(p).toDouble
+        else (b.getInt(p) & 0xffffffffL).toDouble
+      case (C_FIXED, 8) =>
+        val l = b.getLong(p)
+        if (dt.signed || l >= 0) l.toDouble
+        else l.toDouble + 1.8446744073709552e19 // uint64 above Long.MaxValue
+      case (C_REFERENCE, 8) => b.getLong(p).toDouble // object address
+      case (c, s) =>
+        throw new UnsupportedH5(s"h5: cannot decode datatype class $c size $s")
     }
 
-  private def readData(r: R, d: Dataset,
-                       member: Option[(Int, Dtype)] = None): Array[Double] = {
+  /** Decode `count` elements of stride `dt.size` for EVERY requested
+    * (byte offset, type) member in one pass over `raw`. A simple
+    * (non-compound) dataset is the degenerate single member
+    * (0, dt) — same code path, same validation.
+    */
+  private def decodeMembers(raw: Array[Byte], dt: Dtype, count: Int,
+                            members: Seq[(Int, Dtype)]): Array[Array[Double]] =
+    members.map { case (off, m) =>
+      val b = ByteBuffer.wrap(raw)
+        .order(if (m.le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      val out = new Array[Double](count)
+      var k = 0
+      while (k < count) {
+        out(k) = readScalar(b, k * dt.size + off, m)
+        k += 1
+      }
+      out
+    }.toArray
+
+  private def readData(r: R, d: Dataset): Array[Double] =
+    readDataMembers(r, d, Seq((0, d.dtype))).head
+
+  /** All requested members of a dataset in one pass over its storage:
+    * chunks are walked, unfiltered, and checksummed exactly once no
+    * matter how many members decode from them.
+    */
+  private def readDataMembers(r: R, d: Dataset,
+                              members: Seq[(Int, Dtype)]): Array[Array[Double]] = {
     val n = d.dims.product.max(1).toInt
     d.layout.clazz match {
       case 0 =>
         r.at(d.layout.compactPos)
-        decodeElems(r.take(d.layout.size.toInt), d.dtype, n, member)
+        decodeMembers(r.take(d.layout.size.toInt), d.dtype, n, members)
       case 1 =>
-        if (d.layout.addr == UNDEF) Array.fill(n)(Double.NaN)
+        if (d.layout.addr == UNDEF)
+          Array.fill(members.length)(Array.fill(n)(Double.NaN))
         else {
           r.at(d.layout.addr)
-          decodeElems(r.take(n * d.dtype.size), d.dtype, n, member)
+          decodeMembers(r.take(n * d.dtype.size), d.dtype, n, members)
         }
-      case 2 => readChunked(r, d, n, member)
+      case 2 => readChunked(r, d, n, members)
       case c => sys.error(s"h5: layout class $c unsupported")
     }
   }
 
   private def readChunked(r: R, d: Dataset, n: Int,
-                          member: Option[(Int, Dtype)] = None): Array[Double] = {
-    val out = Array.fill(n)(Double.NaN)
+                          members: Seq[(Int, Dtype)]): Array[Array[Double]] = {
+    val outs = Array.fill(members.length)(Array.fill(n)(Double.NaN))
     val rank = d.dims.length
     val chunkDims = d.layout.chunkDims.dropRight(1) // trailing entry = elem size
     require(chunkDims.length == rank,
@@ -1300,7 +1347,8 @@ object H5Lite {
         else {
           r.at(child)
           val raw = applyFilters(r.take(sz.toInt), d.filters, mask, d.dtype.size)
-          val vals = decodeElems(raw, d.dtype, raw.length / d.dtype.size, member)
+          val vals = decodeMembers(raw, d.dtype,
+            raw.length / math.max(d.dtype.size, 1), members)
           // copy the chunk into place, clipping edge chunks
           val cProd = chunkDims.scanRight(1)(_ * _).tail
           val cn = chunkDims.product
@@ -1315,14 +1363,20 @@ object H5Lite {
               else target += gi * dimProd(dim)
               dim += 1
             }
-            if (inside && k < vals.length) out(target.toInt) = vals(k)
+            if (inside) {
+              var mi = 0
+              while (mi < vals.length) {
+                if (k < vals(mi).length) outs(mi)(target.toInt) = vals(mi)(k)
+                mi += 1
+              }
+            }
             k += 1
           }
         }
       }
     }
     if (d.layout.addr != UNDEF) walkNode(d.layout.addr)
-    out
+    outs
   }
 
   /** Reverse a stored-bytes filter pipeline (fletcher32 strip →

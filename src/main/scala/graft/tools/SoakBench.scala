@@ -107,14 +107,18 @@ object SoakBench {
       Thread.sleep(50)
       val (probeCode, probeMs) =
         try hit("/delay?t=0.05") catch { case _: Exception => (-1, -1L) }
-      done.await(300, TimeUnit.SECONDS)
+      val completed = done.await(300, TimeUnit.SECONDS)
       val wallMs = (System.nanoTime() - t0) / 1000000
       pool.shutdownNow()
-      val (ok, rejected) = results.partition(_._1 == 200)
-      val codes = results.groupBy(_._1).map { case (c, rs) =>
+      // snapshot under the same lock the workers append with — after a
+      // timeout, interrupted stragglers may still be appending
+      val snap = results.synchronized { results.toVector }
+      val (ok, rejected) = snap.partition(_._1 == 200)
+      val codes = snap.groupBy(_._1).map { case (c, rs) =>
         s""""$c":${rs.length}""" }.mkString("{", ",", "}")
-      val lats = ok.map(_._2).toSeq
+      val lats = ok.map(_._2)
       println(s"""{"soak":{"concurrency":$conc,"requests":$perLevel,""" +
+        s""""completed":$completed,""" +
         s""""ok":${ok.length},"rejected503":${rejected.count(_._1 == 503)},""" +
         s""""codes":$codes,"p50_ms":${pct(lats, 0.50)},""" +
         s""""p95_ms":${pct(lats, 0.95)},"max_ms":${pct(lats, 1.0)},""" +

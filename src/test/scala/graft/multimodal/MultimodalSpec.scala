@@ -388,6 +388,13 @@ class MultimodalSpec extends SparkSpec {
     val fs = MpegAudio.frames(tagged)
     assert(fs.length === 5)
     assert(fs.head.offset === 36) // 10 + 16 + 10, not 26
+    // v2.3: bit 4 of the flags byte is UNDEFINED (no footer exists) —
+    // skipping 10 bytes there would land mid-frame and drop frame 1
+    val v23 = Array[Byte]('I', 'D', '3', 3, 0, 0x10, 0, 0, 0, 16) ++
+      Array.fill[Byte](16)(0) ++ stream
+    val fs23 = MpegAudio.frames(v23)
+    assert(fs23.length === 5)
+    assert(fs23.head.offset === 26)
   }
 
   test("MPEG audio walk resyncs over garbage and averages VBR bitrates") {
@@ -533,6 +540,15 @@ class MultimodalSpec extends SparkSpec {
     java.nio.ByteBuffer.wrap(broken, elstAt + 8 + 4 + 4 + 4, 4).putInt(0)
     val e = intercept[Exception](Mp4.parse(broken))
     assert(e.getMessage.contains("multi-segment"), e.getMessage)
+    // a dwell edit (media_rate 0) freezes a frame; treating it as a
+    // head trim would shift every pts silently wrong — loud failure.
+    // entry 1 (the media edit) rate-integer sits at payload + entry0
+    // (12) + segDur(4) + mediaTime(4)
+    val dwell = bytes.clone()
+    java.nio.ByteBuffer.wrap(dwell, elstAt + 8 + 4 + 4 + 12 + 8, 2)
+      .putShort(0)
+    val e2 = intercept[Exception](Mp4.parse(dwell))
+    assert(e2.getMessage.contains("rate"), e2.getMessage)
   }
 
   test("legacy two-traf moof: 2nd traf defaults to previous traf's data end") {

@@ -156,6 +156,30 @@ class CfTimeSpec extends AnyFunSuite {
     assert(conv("days since 2000-01-01", "NOLEAP")(0) === 10950.0 * 86400)
   }
 
+  test("non-CF units keep their start-day fallback whatever the calendar says") {
+    // the calendar gate must fire only for axes we WOULD convert: a
+    // unit outside the CF set falls through to start_day exactly like
+    // the reference (num2date raises, start_day catches) even when the
+    // calendar attribute is unsupported
+    assert(CfTime.fromUnits("UTC seconds of day", Some("julian")).isEmpty)
+    assert(CfTime.fromUnits("months since 2000-01-01", Some("julian")).isEmpty)
+    val tv = NcVar("row_time", Seq("d0"), NC_DOUBLE,
+      Seq(NcAttr("units", NC_CHAR, text = "UTC seconds of day"),
+        NcAttr("calendar", NC_CHAR, text = "julian")),
+      Array(60162.0))
+    val c = CfTime.converter(Some(tv), startDayEpoch = Some(1427760000L))
+    assert(c(60162.0) === 1427820162L)
+    // but a recognized unit + unsupported calendar is loud even with a
+    // fallback available: converting it with the WRONG arithmetic or
+    // the day-base would both be silent corruption
+    val bad = NcVar("time", Seq("t"), NC_DOUBLE,
+      Seq(NcAttr("units", NC_CHAR, text = "days since 2000-01-01"),
+        NcAttr("calendar", NC_CHAR, text = "julian")), Array(0.0))
+    val e = intercept[RuntimeException](
+      CfTime.converter(Some(bad), startDayEpoch = Some(0L)))
+    assert(e.getMessage.contains("unsupported CF calendar"))
+  }
+
   test("converter reads the variable's calendar attribute") {
     def tv(cal: String) = NcVar("time", Seq("t"), NC_DOUBLE,
       Seq(NcAttr("units", NC_CHAR, text = "days since 2000-01-01"),

@@ -315,6 +315,21 @@ class H5LiteSpec extends SparkSpec {
       Seq(0.0, 10.0, 20.0, 30.0, 40.0))
     assert(g.variable("prof.temp").get.data.toSeq ===
       Seq(20.5, 19.0, 17.25, 15.5, 13.75))
+    // projection pushdown addresses MEMBER-QUALIFIED names: a 2-D
+    // compound dataset kept only via "grid.b" decodes exactly that
+    // member; a keep matching nothing drops the dataset entirely
+    val h = H5Lite.read(res("hand_compound_2d.h5"), keep = _ == "grid.b")
+    assert(h.vars.map(_.name) === Seq("grid.b"))
+    assert(h.variable("grid.b").get.data.toSeq ===
+      Seq(-5.0, -6.0, -7.0, -8.0, -9.0, -10.0))
+    assert(h.shape(h.variable("grid.b").get) === Seq(2, 3))
+    assert(H5Lite.read(res("hand_compound_2d.h5"),
+      keep = _ == "nothing").vars.isEmpty)
+    // keeping the dataset name yields every member
+    val full = H5Lite.read(res("hand_compound_2d.h5"), keep = _ == "grid")
+    assert(full.vars.map(_.name).sorted === Seq("grid.a", "grid.b"))
+    assert(full.variable("grid.a").get.data.toSeq ===
+      Seq(10.0, 11.0, 12.0, 13.0, 14.0, 15.0))
   }
 
   test("fletcher32 chunks from the independent python path verify and decode") {

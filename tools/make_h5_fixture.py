@@ -1595,3 +1595,41 @@ def build_fletcher_chunked():
 
 open('/root/repo/src/test/resources/h5/hand_fletcher.h5','wb').write(build_fletcher_chunked())
 print("fletcher32 fixture written", len(build_fletcher_chunked()))
+
+# ---------------- 2-D compound dataset: exercises projection pushdown
+# against member-qualified names (a multi-dim dataset is kept only if
+# keep() matches the dataset OR one of its `<ds>.<member>` columns)
+def build_compound_2d():
+    elems = b''
+    for i in range(6):
+        elems += struct.pack('<f', 10.0 + i) + struct.pack('<f', -5.0 - i)
+    dt = dt_compound_v3(8, [('a', 0, dt_f32()), ('b', 4, dt_f32())])
+    heap_data = pad8(b'\0'*8 + b'grid\0')
+    name_off = 8
+    root_oh = 96
+    root_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_probe)
+    bt_probe = pad8(group_btree([name_off], [0], name_off))
+    snod_addr = btree_addr + len(bt_probe)
+    sn_probe = pad8(snod([(name_off, 0)]))
+    heap_hdr_addr = snod_addr + len(sn_probe)
+    heap_data_addr = heap_hdr_addr + 32
+    ds_oh_addr = heap_data_addr + len(heap_data)
+    ds_probe = object_header([(0x01, dataspace([2,3])), (0x03, dt),
+                              (0x08, layout_contiguous(0, 0))])
+    data_addr = ds_oh_addr + len(ds_probe)
+    eof = data_addr + len(elems)
+    ds_oh = object_header([(0x01, dataspace([2,3])), (0x03, dt),
+                           (0x08, layout_contiguous(data_addr, len(elems)))])
+    assert len(ds_oh) == len(ds_probe)
+    root = object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    bt = pad8(group_btree([name_off], [snod_addr], name_off))
+    sn = pad8(snod([(name_off, ds_oh_addr)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += root + bt + sn + hh + hd + ds_oh + elems
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_compound_2d.h5','wb').write(build_compound_2d())
+print("2-D compound fixture written", len(build_compound_2d()))
