@@ -22,7 +22,8 @@ class H5CorruptionSpec extends AnyFunSuite {
   test("single-bit flips fail cleanly across exotic heap fixtures") {
     val files = Seq("/h5/hand_soft_links.h5", "/h5/hand_huge_direct.h5",
       "/h5/hand_tiny_link.h5", "/h5/hand_huge_filtered.h5",
-      "/h5/hand_compound.h5", "/h5/hand_compound_chunked.h5")
+      "/h5/hand_compound.h5", "/h5/hand_compound_chunked.h5",
+      "/h5/hand_fletcher.h5", "/h5/hand_szip.h5")
     val rnd = new scala.util.Random(20260814L)
     for (nm <- files; _ <- 1 to 300) {
       val b = fixture(nm)

@@ -365,6 +365,24 @@ class H5LiteSpec extends SparkSpec {
     assert(loud > 0, "no tail corruption tripped the checksum gate")
   }
 
+  test("szip chunks from an independent python encoder decode") {
+    // tools/make_h5_fixture.py build_szip: CCSDS 121.0 Rice bitstreams
+    // encoded by an independent python implementation that makes its
+    // OWN per-block option choices (it never emits 2nd-extension), so
+    // the Scala decoder is exercised against spec-valid bytes it did
+    // not produce — closing the loop the hand-pinned bitstream vectors
+    // started. Chunk 1 is a +3 ramp (k-split blocks with a raw
+    // reference sample); chunk 2 is constant (reference + zero-run
+    // remainder-of-segment).
+    val in = getClass.getResourceAsStream("/h5/hand_szip.h5")
+    assert(in != null)
+    val bytes = try in.readAllBytes() finally in.close()
+    val f = H5Lite.read(bytes)
+    val z = f.variable("z").get
+    assert(z.data.toSeq ===
+      ((0 until 16).map(i => 100.0 + 3 * i) ++ Seq.fill(16)(500.0)))
+  }
+
   test("decodes spec-derived fixtures from an independent implementation") {
     // bytes hand-assembled from the HDF5 spec by tools/make_h5_fixture.py
     // (python, written independently of the Scala writer) — breaks the

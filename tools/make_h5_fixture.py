@@ -1633,3 +1633,150 @@ def build_compound_2d():
 
 open('/root/repo/src/test/resources/h5/hand_compound_2d.h5','wb').write(build_compound_2d())
 print("2-D compound fixture written", len(build_compound_2d()))
+
+# ---------------- szip (CCSDS 121.0 extended-Rice) fixture, encoded by
+# an INDEPENDENT python implementation of the standard's coded-stream
+# layout: NN preprocessing with reference-sample insertion, blocks of J
+# samples, per-block option (zero-run / k-split / no-compression)
+# chosen by THIS encoder's own cost rule — deliberately not mirroring
+# the Scala encoder's choices (it never emits the 2nd-extension
+# option), so the Scala DECODER is exercised against spec-valid bytes
+# it did not produce. HDF5 framing per H5Zszip.c: chunk = u32 LE
+# uncompressed byte count + raw bitstream; filter client values
+# [options_mask, bits_per_pixel, pixels_per_block, pixels_per_scanline].
+class BitW:
+    def __init__(self): self.bits = []
+    def put(self, v, w):
+        for i in range(w-1, -1, -1): self.bits.append((v >> i) & 1)
+    def fs(self, v): self.bits.extend([0]*v + [1])
+    def bytes(self):
+        bs = bytearray()
+        for i in range(0, len(self.bits), 8):
+            chunk = self.bits[i:i+8] + [0]*(8 - len(self.bits[i:i+8]))
+            bs.append(int(''.join(map(str, chunk)), 2))
+        return bytes(bs)
+
+def szip_map_delta(x, pred, xmax):
+    theta = min(pred, xmax - pred)
+    d = x - pred
+    if 0 <= d <= theta: return 2*d
+    if d < 0 and -d <= theta: return -2*d - 1
+    return theta + abs(d)
+
+def szip_compress(samples, n, J, ppsl):
+    xmax = (1 << n) - 1
+    id_bits = 3 if n <= 8 else (4 if n <= 16 else 5)
+    max_id = (1 << id_bits) - 1
+    w = BitW()
+    for s0 in range(0, len(samples), ppsl):
+        line = samples[s0:s0+ppsl]
+        ref = line[0]
+        deltas = [0] + [szip_map_delta(line[t], line[t-1], xmax)
+                        for t in range(1, len(line))]
+        nblocks = (len(deltas) + J - 1)//J
+        deltas += [0]*(nblocks*J - len(deltas))
+        b = 0
+        while b < nblocks:
+            off = b*J
+            blk = deltas[off:off+J]
+            has_ref = (b == 0)
+            t0 = 1 if has_ref else 0
+            if all(v == 0 for v in blk):
+                run = 1
+                while b + run < nblocks and \
+                      all(v == 0 for v in deltas[(b+run)*J:(b+run+1)*J]):
+                    run += 1
+                w.put(0, id_bits + 1)
+                if has_ref: w.put(ref, n)
+                if b + run == nblocks: w.fs(4)       # remainder of segment
+                elif run <= 4: w.fs(run - 1)
+                else: w.fs(run)
+                b += run
+                continue
+            coded = J - t0
+            # this encoder's own rule: best k by exact cost, else raw
+            best_k, best_cost = 0, None
+            for k in range(0, min(max_id - 2, n - 1) + 1):
+                c = id_bits + (k + 1)*coded + sum(v >> k for v in blk[t0:])
+                if best_cost is None or c < best_cost:
+                    best_k, best_cost = k, c
+            raw_cost = id_bits + n*coded
+            if raw_cost <= best_cost:
+                w.put(max_id, id_bits)
+                if has_ref: w.put(ref, n)
+                for v in blk[t0:]: w.put(v, n)
+            else:
+                w.put(best_k + 1, id_bits)
+                if has_ref: w.put(ref, n)
+                for v in blk[t0:]: w.fs(v >> best_k)
+                if best_k:
+                    for v in blk[t0:]: w.put(v & ((1 << best_k) - 1), best_k)
+            b += 1
+    return w.bytes()
+
+SZIP_VALS = ([100 + 3*i for i in range(16)] +   # ramp chunk: k-split
+             [500]*16)                           # flat chunk: zero-runs
+
+def filters_szip(mask, bpp, ppb, ppsl):
+    return (u8(1)+u8(1)+b'\0'*6 +
+            u16(4)+u16(0)+u16(0)+u16(4)+u32(mask)+u32(bpp)+u32(ppb)+u32(ppsl))
+
+def dt_i16u():
+    # unsigned 16-bit LE (szip codes n-bit unsigned samples)
+    return u8((1<<4)|0)+u8(0x00)+u8(0)+u8(0)+u32(2)+u16(0)+u16(16)
+
+def build_szip():
+    MASK = 1 | 8 | 32 | 128   # AllowK13 | LSB | NN | Raw
+    BPP, PPB, PPSL = 16, 8, 16
+    chunks = []
+    for ci in range(2):
+        vals = SZIP_VALS[ci*16:(ci+1)*16]
+        raw_len = len(vals)*2
+        body = szip_compress(vals, BPP, PPB, PPSL)
+        chunks.append(struct.pack('<I', raw_len) + body)
+    heap_data = pad8(b'\0'*8 + b'z\0')
+    name_off = 8
+    root_oh = 96
+    root_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_probe)
+    bt_probe = pad8(group_btree([name_off], [0], name_off))
+    snod_addr = btree_addr + len(bt_probe)
+    sn_probe = pad8(snod([(name_off, 0)]))
+    heap_hdr_addr = snod_addr + len(sn_probe)
+    heap_data_addr = heap_hdr_addr + 32
+    ds_oh_addr = heap_data_addr + len(heap_data)
+    ds_probe = object_header([(0x01, dataspace([32])), (0x03, dt_i16u()),
+                              (0x0B, filters_szip(MASK, BPP, PPB, PPSL)),
+                              (0x08, layout_chunked(0, [16], 2))])
+    chunk_bt_addr = ds_oh_addr + len(ds_probe)
+    def chunk_key(size, off):
+        return u32(size)+u32(0)+u64(off)+u64(0)
+    node = b'TREE'+u8(1)+u8(0)+u16(2)+u64(UNDEF)+u64(UNDEF)
+    node_len = (len(node) + 2*(len(chunk_key(0,0))+8) + len(chunk_key(0,0)) + 7)//8*8
+    data_addr = chunk_bt_addr + node_len
+    addrs = []
+    a = data_addr
+    for c in chunks:
+        addrs.append(a); a += (len(c)+7)//8*8
+    eof = a
+    for ci, (c, ad) in enumerate(zip(chunks, addrs)):
+        node += chunk_key(len(c), ci*16)+u64(ad)
+    node += chunk_key(0, 32)
+    node += b'\0'*(node_len - len(node))
+    ds_oh = object_header([(0x01, dataspace([32])), (0x03, dt_i16u()),
+                           (0x0B, filters_szip(MASK, BPP, PPB, PPSL)),
+                           (0x08, layout_chunked(chunk_bt_addr, [16], 2))])
+    assert len(ds_oh) == len(ds_probe)
+    root = object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    bt = pad8(group_btree([name_off], [snod_addr], name_off))
+    sn = pad8(snod([(name_off, ds_oh_addr)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += root + bt + sn + hh + hd + ds_oh + node
+    for c in chunks:
+        out += c + b'\0'*(((len(c)+7)//8*8) - len(c))
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_szip.h5','wb').write(build_szip())
+print("szip fixture written", len(build_szip()))
