@@ -106,6 +106,44 @@ class GranuleIngestSpec extends SparkSpec {
     assert(math.abs(pts.last.getAs[Double]("ice") - 0.8) < 1e-6) // f32 round-trip
   }
 
+  test("the CF calendar attribute flows from granule bytes to tile epochs") {
+    // a 360_day-calendar granule: days since 2000-01-01 in ITS OWN
+    // calendar = 10800 360-day days after the 1970 origin. The
+    // attribute must survive the codec -> CfTime path end-to-end, not
+    // just the unit test
+    def granule(cal: String): Array[Byte] = NetcdfClassic.write(NcFile(
+      dims = Seq(NcDim("time", 1), NcDim("lat", 2), NcDim("lon", 2)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("time", Seq("time"), NC_DOUBLE,
+          Seq(NcAttr("units", NC_CHAR, text = "days since 2000-01-01"),
+            NcAttr("calendar", NC_CHAR, text = cal)), Array(30.0)),
+        NcVar("lat", Seq("lat"), NC_FLOAT, Nil, Array(10.0, 20.0)),
+        NcVar("lon", Seq("lon"), NC_FLOAT, Nil, Array(-40.0, -35.0)),
+        NcVar("sst", Seq("time", "lat", "lon"), NC_DOUBLE, Nil,
+          Array(1.0, 2.0, 3.0, 4.0)))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir, "g360.nc").toPath, granule("360_day"))
+    val pts = GranuleIngest.ingestGridGranules(spark,
+      dir.getAbsolutePath + "/g360.nc", "sst", "cal360", 90.0, 90.0)
+    val t = graft.core.TileOps.toPoints(pts).select("time").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(t === Seq((10800L + 30) * 86400)) // 360_day arithmetic, not 946684800+30d
+    // and a julian-calendar granule fails LOUDLY at decode
+    java.nio.file.Files.write(
+      new java.io.File(dir, "gjul.nc").toPath, granule("julian"))
+    val e = intercept[Exception] {
+      GranuleIngest.ingestGridGranules(spark,
+        dir.getAbsolutePath + "/gjul.nc", "sst", "caljul", 90.0, 90.0)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("unsupported CF calendar")),
+      chain(e).mkString(" | "))
+  }
+
   test("granulePipeline streams arriving granules into the tile store " +
     "incrementally and idempotently (checkpoint loss included)") {
     import graft.streaming.StreamingIngest
