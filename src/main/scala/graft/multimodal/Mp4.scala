@@ -239,6 +239,14 @@ object Mp4 {
           val tid = r.u32()
           val explicit = (flags & 0x01) != 0
           val defaultBaseIsMoof = (flags & 0x20000) != 0
+          // Known ambiguity, decided for the spec: some legacy muxers
+          // wrote moof-anchored offsets in 2nd+ trafs WITHOUT setting
+          // 0x20000 (the flag was introduced to formalize exactly that
+          // habit). Those files and spec-compliant §8.8.7 files are
+          // byte-indistinguishable here — both shapes resolve
+          // in-bounds — so the compliant reading (prev traf's data
+          // end) wins; a loud failure would reject every compliant
+          // legacy file to protect the non-compliant ones.
           val base =
             if (explicit) r.u64()
             else if (defaultBaseIsMoof || trafIdx == 0) moofStart
@@ -381,7 +389,7 @@ object Mp4 {
         val (segDur, mt) =
           if (ver == 1) (r.u64(), r.u64())
           else (r.u32(), r.u32().toInt.toLong)
-        val rateInt = r.u16(); r.u16() // media_rate integer.fraction
+        val rateInt = r.u16(); val rateFrac = r.u16() // media_rate 16.16
         if (mt == -1L) {
           require(!seenMedia,
             "mp4: empty edit after a media edit is multi-segment " +
@@ -391,11 +399,16 @@ object Mp4 {
           require(!seenMedia,
             "mp4: multi-segment edit list — not expressible as a " +
               "single pts shift")
-          // a dwell edit (rate 0) freezes a frame — treating it as a
-          // head trim would shift every pts wrong, so fail loudly
-          require(rateInt == 1,
-            s"mp4: media edit with rate $rateInt — only rate-1 is a " +
-              "pts shift")
+          // only media_time >= 0 is a head trim; other negatives are
+          // invalid per spec (-1 alone means empty edit) — loud
+          require(mt >= 0,
+            s"mp4: media edit with invalid media_time $mt")
+          // a dwell edit (rate 0) freezes a frame and a scaled rate
+          // (e.g. 1.5) stretches the timeline — neither is a pts
+          // shift, so anything but exactly 1.0 fails loudly
+          require(rateInt == 1 && rateFrac == 0,
+            s"mp4: media edit with rate $rateInt.$rateFrac — only " +
+              "rate 1.0 is a pts shift")
           seenMedia = true
           mediaTime = mt
         }

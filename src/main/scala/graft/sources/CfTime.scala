@@ -115,7 +115,11 @@ object CfTime {
           Some(julianCalDays(y, m, d))
         else None
       } else None
-    case _ => gregorianDays(tok)
+    // NO gregorianDays fallback for spellings dateRe rejects: the
+    // variable-width parser would accept e.g. "1500-012-01" and apply
+    // proleptic arithmetic to a pre-reform date — the silent-shift
+    // class this module fails loudly on
+    case _ => None
   }
 
   private def julianMonthLen(y: Int, m: Int): Int =

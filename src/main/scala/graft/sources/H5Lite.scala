@@ -186,10 +186,14 @@ object H5Lite {
       if (!dims.exists(_.name == nm)) dims += NcDim(nm, len)
     // a compound dataset's addressable variables are member-qualified
     // (`<ds>.<member>`), so projection pushdown must match those names
-    // too or a multi-dim compound dataset is unreachable under keep()
+    // too or a multi-dim compound dataset is unreachable under keep().
+    // Only DECODABLE members count — admitting a dataset for a
+    // string/reference member would walk and inflate every chunk to
+    // emit nothing
     val vars = sets.filter(d => d.dims.length <= 1 || keep(d.name) ||
       (d.dtype.clazz == C_COMPOUND && d.dtype.members.exists {
-        case (nm, _, _) => keep(s"${d.name}.$nm")
+        case (nm, _, m) => (m.clazz == C_FIXED || m.clazz == C_FLOAT) &&
+          keep(s"${d.name}.$nm")
       })).flatMap { d =>
       // use real dim identity only when the list is unambiguous:
       // exactly one reference per axis (multi-scale or scale-less axes
@@ -262,10 +266,14 @@ object H5Lite {
         val kept =
           if (d.dims.length <= 1 || keep(d.name)) ms
           else ms.filter { case (nm, _, _) => keep(s"${d.name}.$nm") }
-        val datas = readDataMembers(r, d,
-          kept.map { case (_, off, m) => (off, m) })
-        kept.zip(datas).map { case ((nm, _, m), data) =>
-          NcVar(s"${d.name}.$nm", dimNames.toSeq, ncTypeOf(m), d.attrs, data)
+        if (kept.isEmpty) Nil // defensive: never read storage for nothing
+        else {
+          val datas = readDataMembers(r, d,
+            kept.map { case (_, off, m) => (off, m) })
+          kept.zip(datas).map { case ((nm, _, m), data) =>
+            NcVar(s"${d.name}.$nm", dimNames.toSeq, ncTypeOf(m), d.attrs,
+              data)
+          }
         }
       } else Seq(
         NcVar(d.name, dimNames.toSeq, ncTypeOf(d.dtype), d.attrs,
@@ -1227,30 +1235,12 @@ object H5Lite {
     }
   }
 
-  /** Decode `count` raw elements to doubles. */
-  private def decode(raw: Array[Byte], dt: Dtype, count: Int): Array[Double] = {
-    val b = ByteBuffer.wrap(raw)
-      .order(if (dt.le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-    val out = new Array[Double](count)
-    var i = 0
-    while (i < count) {
-      out(i) = (dt.clazz, dt.size) match {
-        case (C_FLOAT, 4) => b.getFloat().toDouble
-        case (C_FLOAT, 8) => b.getDouble()
-        case (C_FIXED, 1) => if (dt.signed) b.get().toDouble else (b.get() & 0xff).toDouble
-        case (C_FIXED, 2) => if (dt.signed) b.getShort().toDouble else (b.getShort() & 0xffff).toDouble
-        case (C_FIXED, 4) => if (dt.signed) b.getInt().toDouble else (b.getInt() & 0xffffffffL).toDouble
-        case (C_FIXED, 8) =>
-          val l = b.getLong()
-          if (dt.signed || l >= 0) l.toDouble
-          else l.toDouble + 1.8446744073709552e19 // uint64 above Long.MaxValue
-        case (C_REFERENCE, 8) => b.getLong().toDouble // object address
-        case (c, s) => throw new UnsupportedH5(s"h5: cannot decode datatype class $c size $s")
-      }
-      i += 1
-    }
-    out
-  }
+  /** Decode `count` raw elements to doubles — the degenerate
+    * single-member case of [[decodeMembers]], so the attribute and
+    * dataset paths share ONE (class, size) switch ([[readScalar]]).
+    */
+  private def decode(raw: Array[Byte], dt: Dtype, count: Int): Array[Double] =
+    decodeMembers(raw, dt, count, Seq((0, dt))).head
 
   /** One scalar at an absolute byte position — the strided read that
     * turns a compound record into member columns without per-element
