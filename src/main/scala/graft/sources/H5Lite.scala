@@ -62,8 +62,10 @@ import NetcdfClassic.{NC_BYTE, NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   * `<dataset>.<member>` variable over the dataset's dims, in any
   * layout/filter combination. Fractal-heap objects resolve in all
   * three storage classes (managed, huge direct/indirect
-  * filtered-or-not, tiny), and soft links resolve their in-file
-  * paths. Out of scope: external (cross-file) links.
+  * filtered-or-not, tiny), soft links resolve their in-file paths,
+  * and EXTERNAL (cross-file) links resolve through the `resolve`
+  * hook of [[read]] — absent a resolver (or the target file) they
+  * drop exactly as h5py does.
   */
 object H5Lite {
 
@@ -129,8 +131,21 @@ object H5Lite {
     * read, inflated, or unfiltered — while 1-D variables (coordinate
     * axes / dimension scales) always decode, keeping shared dim
     * identity intact.
+    *
+    * `resolve` answers EXTERNAL (cross-file) links: given the link's
+    * target file name it returns that file's bytes, or None to drop
+    * the link (exactly how h5py behaves when the target file is
+    * absent). Resolved targets are parsed recursively (depth-capped)
+    * with projection pushed to the linked subtree, and their datasets
+    * surface under the link's name with synthetic per-variable dims.
     */
-  def read(bytes: Array[Byte], keep: String => Boolean = _ => true): NcFile = {
+  def read(bytes: Array[Byte], keep: String => Boolean = _ => true,
+           resolve: String => Option[Array[Byte]] = _ => None): NcFile =
+    readDepth(bytes, keep, resolve, extDepth = 0)
+
+  private def readDepth(bytes: Array[Byte], keep: String => Boolean,
+                        resolve: String => Option[Array[Byte]],
+                        extDepth: Int): NcFile = {
     require(isHdf5(bytes), "h5: not an HDF5 file (signature mismatch)")
     val r = new R(bytes)
     r.at(8)
@@ -163,8 +178,12 @@ object H5Lite {
     }
     val sets = ArrayBuffer.empty[Dataset]
     val rootAttrs = ArrayBuffer.empty[NcAttr]
+    // externally-linked variables arrive fully decoded from the
+    // target file's own read: (name under OUR tree, var, shape)
+    val extVars = ArrayBuffer.empty[(String, NcVar, Seq[Int])]
     walkObject(r, rootOh, "", sets, rootAttrs, isRoot = true,
-      root = rootOh, onPath = Set(rootOh))
+      root = rootOh, onPath = Set(rootOh),
+      ext = ExtCtx(resolve, extDepth, extVars))
 
     // dim identity: a DIMENSION_LIST attribute (vlen of object
     // references, resolved through the global heap) names the
@@ -279,7 +298,20 @@ object H5Lite {
         NcVar(d.name, dimNames.toSeq, ncTypeOf(d.dtype), d.attrs,
           readData(r, d)))
     }
-    NcFile(dims.toSeq, rootAttrs.toSeq, vars.toSeq)
+    // external-link variables: synthetic per-variable dims (the target
+    // file's dim names must not collide with — or silently alias —
+    // this file's), keep() applied to the name under OUR tree
+    val external = extVars.toSeq
+      .filter { case (nm, _, shape) => shape.length <= 1 || keep(nm) }
+      .map { case (nm, v, shape) =>
+        val dimNames = shape.zipWithIndex.map { case (len, i) =>
+          val dn = s"${nm}_d$i"
+          addDim(dn, len)
+          dn
+        }
+        v.copy(name = nm, dims = dimNames)
+      }
+    NcFile(dims.toSeq, rootAttrs.toSeq, vars.toSeq ++ external)
   }
 
   /** Messages of one object header, following continuations. Returns
@@ -372,10 +404,18 @@ object H5Lite {
     * cycles (a link aliasing an ancestor group would otherwise recurse
     * forever).
     */
+  /** External-link context threaded through the group walk: the
+    * cross-file resolver, the recursion depth (cycles between files
+    * are capped, not chased), and the output buffer of resolved vars.
+    */
+  private final case class ExtCtx(
+      resolve: String => Option[Array[Byte]], depth: Int,
+      out: ArrayBuffer[(String, NcVar, Seq[Int])])
+
   private def walkObject(r: R, addr: Long, prefix: String,
                          sets: ArrayBuffer[Dataset], rootAttrs: ArrayBuffer[NcAttr],
                          isRoot: Boolean, root: Long,
-                         onPath: Set[Long]): Unit = {
+                         onPath: Set[Long], ext: ExtCtx): Unit = {
     val msgs = headerMessages(r, addr)
     val byType = msgs.groupBy(_._1)
     val isDataset = byType.contains(0x08)
@@ -406,12 +446,40 @@ object H5Lite {
           r.at(p); rootAttrs ++= denseAttrs(r)
         }
       }
-      groupChildren(r, byType).foreach { case (nm, link) =>
-        resolveLink(r, link, addr, root, depth = 0).foreach { a =>
-          if (!onPath.contains(a))
-            walkObject(r, a, s"$prefix/$nm".stripPrefix("/"), sets,
-              rootAttrs, isRoot = false, root, onPath + a)
-        }
+      groupChildren(r, byType).foreach {
+        case (nm, External(file, objPath)) =>
+          // cross-file link: parse the target file on its own (its
+          // superblock, heaps, and addresses are its own address
+          // space) with projection pushed to the linked subtree, then
+          // graft the result under this link's name. Unresolvable
+          // targets drop like h5py's missing-file behavior; cycles
+          // between files stop at the depth cap.
+          if (ext.depth < 4) ext.resolve(file).filter(isHdf5).foreach { tb =>
+            val obj = objPath.stripPrefix("/").stripSuffix("/")
+            val sub = readDepth(tb,
+              v => obj.isEmpty || v == obj || v.startsWith(obj + "/") ||
+                v.startsWith(obj + "."), // compound members of obj
+              ext.resolve, ext.depth + 1)
+            sub.vars.foreach { v =>
+              val under =
+                if (obj.isEmpty) Some(v.name)
+                else if (v.name == obj) Some("")
+                else if (v.name.startsWith(obj + "/") ||
+                  v.name.startsWith(obj + "."))
+                  Some(v.name.drop(obj.length))
+                else None
+              under.foreach { rest =>
+                val ourName = (s"$prefix/$nm" + rest).stripPrefix("/")
+                ext.out += ((ourName, v, sub.shape(v)))
+              }
+            }
+          }
+        case (nm, link) =>
+          resolveLink(r, link, addr, root, depth = 0).foreach { a =>
+            if (!onPath.contains(a))
+              walkObject(r, a, s"$prefix/$nm".stripPrefix("/"), sets,
+                rootAttrs, isRoot = false, root, onPath + a, ext)
+          }
       }
     }
   }
@@ -457,6 +525,10 @@ object H5Lite {
                           depth: Int): Option[Long] = link match {
     case Hard(a) => Some(a)
     case _ if depth > 16 => None
+    // a soft-link PATH that crosses a file boundary has no in-file
+    // address — dropped (externals are resolved as direct group
+    // children in walkObject, where the other file's space exists)
+    case _: External => None
     case Soft(path) =>
       val parts = path.split("/").filter(p => p.nonEmpty && p != ".")
       var at = if (path.startsWith("/")) root else holder
@@ -910,8 +982,13 @@ object H5Lite {
   private sealed trait Link
   private final case class Hard(addr: Long) extends Link
   private final case class Soft(path: String) extends Link
+  private final case class External(file: String, path: String) extends Link
 
-  /** Link message → (name, target); None for external/user links. */
+  /** Link message → (name, target); None for user-defined link
+    * classes. External links (type 64, spec: version/flags byte +
+    * NUL-terminated file name + NUL-terminated object path) carry
+    * their two paths for the cross-file resolver.
+    */
   private def parseLink(r: R): Option[(String, Link)] = {
     val ver = r.u8()
     require(ver == 1, s"h5: bad link message version $ver")
@@ -931,6 +1008,23 @@ object H5Lite {
       case 1 => // soft: length(2) + path bytes (not NUL-terminated)
         val len = r.u16()
         Some((name, Soft(new String(r.take(len), "UTF-8"))))
+      case 64 => // external: length(2) + ver/flags + file NUL + path NUL
+        val len = r.u16()
+        val data = r.take(len)
+        if (data.isEmpty || ((data(0) >> 4) & 0xf) != 0) None
+        else {
+          val body = java.util.Arrays.copyOfRange(data, 1, data.length)
+          val nul1 = body.indexOf(0.toByte)
+          if (nul1 < 0) None
+          else {
+            val file = new String(body, 0, nul1, "UTF-8")
+            val rest = java.util.Arrays.copyOfRange(body, nul1 + 1, body.length)
+            val nul2 = rest.indexOf(0.toByte)
+            val objp = new String(rest, 0,
+              if (nul2 < 0) rest.length else nul2, "UTF-8")
+            Some((name, External(file, objp)))
+          }
+        }
       case _ => None
     }
   }

@@ -18,10 +18,14 @@ object ProfQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
-    fn(spark, dir).count() // warm
+    // materialize the query's OWN plan (count() lets Catalyst delete
+    // sorts/prune columns and times an emptier plan — same rule as
+    // Bench)
+    def run(): Long = fn(spark, dir).queryExecution.toRdd.count()
+    run() // warm
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
+      val n = run()
       println(f"[prof] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
     }
     if (sys.env.contains("PROF_EXPLAIN")) fn(spark, dir).explain("formatted")

@@ -35,6 +35,22 @@ class H5CorruptionSpec extends AnyFunSuite {
     }
   }
 
+  test("single-bit flips fail cleanly across the external-link pair") {
+    // flip bits in BOTH the linking file and the link target — the
+    // cross-file graft must degrade or fail cleanly, never hang
+    val rnd = new scala.util.Random(66L)
+    for (which <- Seq(0, 1); _ <- 1 to 150) {
+      val main = fixture("/h5/hand_external.h5")
+      val aux = fixture("/h5/hand_contiguous.h5")
+      val target = if (which == 0) main else aux
+      val pos = rnd.nextInt(target.length)
+      target(pos) = (target(pos) ^ (1 << rnd.nextInt(8))).toByte
+      try H5Lite.read(main,
+        resolve = nm => if (nm == "hand_contiguous.h5") Some(aux) else None)
+      catch { case _: Exception => () }
+    }
+  }
+
   test("single-bit flips fail cleanly on a real libhdf5 granule") {
     val rnd = new scala.util.Random(42L)
     for (_ <- 1 to 150) {

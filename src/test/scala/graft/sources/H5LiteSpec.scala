@@ -365,6 +365,38 @@ class H5LiteSpec extends SparkSpec {
     assert(loud > 0, "no tail corruption tripped the checksum gate")
   }
 
+  test("external links resolve through the cross-file hook, drop without it") {
+    // tools/make_h5_fixture.py build_external_links: a local dataset,
+    // an external link to hand_contiguous.h5's /temp, and a link to a
+    // missing file. With a resolver the target file decodes in its
+    // own address space and grafts under the link's name with
+    // synthetic dims; without one, externals drop exactly like h5py
+    // with the target file absent.
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/h5/$name")
+      assert(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val aux = res("hand_contiguous.h5")
+    val main = res("hand_external.h5")
+    val f = H5Lite.read(main,
+      resolve = nm => if (nm == "hand_contiguous.h5") Some(aux) else None)
+    assert(f.vars.map(_.name).sorted === Seq("ext_temp", "local"))
+    val et = f.variable("ext_temp").get
+    assert(f.shape(et) === Seq(2, 3))
+    assert(et.data.toSeq === Seq(273.15, 274.0, 275.5, 280.25, 281.0, 282.75))
+    assert(et.attr("units").get.text === "K") // target attrs ride along
+    assert(f.variable("local").get.data.toSeq === Seq(7.0, 8.0))
+    // no resolver: externals drop silently, local survives
+    val bare = H5Lite.read(main)
+    assert(bare.vars.map(_.name) === Seq("local"))
+    // projection pushdown applies to the grafted name: a keep that
+    // rejects 'ext_temp' never surfaces it (multi-dim), local is 1-D
+    val pruned = H5Lite.read(main, keep = _ == "nothing",
+      resolve = nm => if (nm == "hand_contiguous.h5") Some(aux) else None)
+    assert(pruned.vars.map(_.name) === Seq("local"))
+  }
+
   test("szip chunks from an independent python encoder decode") {
     // tools/make_h5_fixture.py build_szip: CCSDS 121.0 Rice bitstreams
     // encoded by an independent python implementation that makes its

@@ -1780,3 +1780,38 @@ def build_szip():
 
 open('/root/repo/src/test/resources/h5/hand_szip.h5','wb').write(build_szip())
 print("szip fixture written", len(build_szip()))
+
+# ---------------- external (cross-file) links: root carries one local
+# dataset, an external link into hand_contiguous.h5's /temp, and an
+# external link to a missing file (must drop like h5py)
+def ext_link_msg(name, file, objpath):
+    nb = name.encode()
+    payload = u8(0) + file.encode() + b'\0' + objpath.encode() + b'\0'
+    return u8(1) + u8(0x08) + u8(64) + u8(len(nb)) + nb + u16(len(payload)) + payload
+
+def build_external_links():
+    root_oh = 96
+    vals = [7.0, 8.0]
+    data = b''.join(struct.pack('<d', v) for v in vals)
+    def root(ds_oh):
+        return object_header([
+            (0x06, link_msg('local', ds_oh)),
+            (0x06, ext_link_msg('ext_temp', 'hand_contiguous.h5', '/temp')),
+            (0x06, ext_link_msg('gone', 'missing.h5', '/x')),
+        ])
+    probe = root(0)
+    ds_oh = root_oh + len(probe)
+    ds_probe = object_header([(0x01, dataspace([2])), (0x03, dt_f64()),
+                              (0x08, layout_contiguous(0, 0))])
+    data_addr = ds_oh + len(ds_probe)
+    eof = data_addr + len(data)
+    out = superblock_dense(root_oh, eof)
+    out += root(ds_oh)
+    out += object_header([(0x01, dataspace([2])), (0x03, dt_f64()),
+                          (0x08, layout_contiguous(data_addr, len(data)))])
+    out += data
+    assert len(out) == eof
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_external.h5','wb').write(build_external_links())
+print("external-link fixture written", len(build_external_links()))
