@@ -72,8 +72,10 @@ object Mp4 {
     * media gates to synthesize per-row containers in executors.
     */
   def synth(samples: Seq[Array[Byte]], delta: Int,
-            width: Int, height: Int): Array[Byte] = {
+            width: Int, height: Int,
+            codec: String = "avc1"): Array[Byte] = {
     require(samples.nonEmpty && delta > 0)
+    require(codec.length == 4, s"mp4: codec fourcc must be 4 chars: '$codec'")
     def u32(v: Long): Array[Byte] = Array(
       (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
     def u16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
@@ -106,7 +108,7 @@ object Mp4 {
     val hdlr = fullBox("hdlr", 0, 0, cat(u32(0),
       "vide".getBytes("ISO-8859-1"), Array.fill(12)(0.toByte),
       "VideoHandler\u0000".getBytes("ISO-8859-1")))
-    val avc1 = box("avc1", cat(Array.fill(6)(0.toByte), u16(1),
+    val avc1 = box(codec, cat(Array.fill(6)(0.toByte), u16(1),
       u16(0), u16(0), u32(0), u32(0), u32(0),
       u16(width), u16(height), u32(0x00480000L), u32(0x00480000L),
       u32(0), u16(1), Array.fill(32)(0.toByte), u16(0x18), u16(0xffff)))

@@ -126,23 +126,65 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val (w, h, px) = decodeSamples(r.payload)
-        val feats = Array.tabulate(gridH * gridW) { k =>
-          val (cy, cx) = (k / gridW, k % gridW)
-          val (y0, y1) = (cy * h / gridH, (cy + 1) * h / gridH)
-          val (x0, x1) = (cx * w / gridW, (cx + 1) * w / gridW)
-          var s = 0L
-          var n = 0
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) { s += px(y * w + x); n += 1; x += 1 }
-            y += 1
-          }
-          if (n == 0) 0f else s.toFloat / n
-        }
-        ImageFeatures(r.media_id, w, h, feats)
+        ImageFeatures(r.media_id, w, h, poolGrid(w, h, px, gridW, gridH))
       }
     }
+  }
+
+  /** Cell-mean pooling of a row-major sample grid over gridH×gridW
+    * cells — shared by every real-pixel feature path.
+    */
+  private def poolGrid(w: Int, h: Int, px: Array[Int],
+                       gridW: Int, gridH: Int): Array[Float] =
+    Array.tabulate(gridH * gridW) { k =>
+      val (cy, cx) = (k / gridW, k % gridW)
+      val (y0, y1) = (cy * h / gridH, (cy + 1) * h / gridH)
+      val (x0, x1) = (cx * w / gridW, (cx + 1) * w / gridW)
+      var s = 0L
+      var n = 0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { s += px(y * w + x); n += 1; x += 1 }
+        y += 1
+      }
+      if (n == 0) 0f else s.toFloat / n
+    }
+
+  /** REAL frame decode for MP4 tracks whose access units are complete
+    * ImageIO-decodable images: Motion-JPEG ('jpeg'/'mjpa'/'mjpb') and
+    * PNG-in-MP4 ('png ') — the intra-coded archive shapes the JVM can
+    * decode with no native codec. Each sampled access unit becomes a
+    * row of true grid-pooled pixels at its presentation timestamp.
+    * Inter-coded tracks (avc1/hvc1/...) yield NO rows here and remain
+    * the documented stub boundary — now scoped to codecs the JVM
+    * genuinely lacks, not to MP4 itself.
+    */
+  def mp4DecodeFrames(media: Dataset[MediaRow], gridW: Int, gridH: Int,
+                      every: Int = 1): DataFrame = {
+    require(every >= 1, s"sampling stride must be >= 1: $every")
+    import media.sparkSession.implicits._
+    val decodable = Set("jpeg", "mjpa", "mjpb", "png ")
+    media.flatMap { r =>
+      val f = Mp4.parse(r.payload)
+      for {
+        t <- f.videoTracks if decodable(t.codec)
+        s <- t.samples if s.index % every == 0
+      } yield {
+        require(s.offset >= 0 && s.size >= 0 &&
+          s.offset + s.size <= r.payload.length,
+          s"mp4 media ${r.media_id}: frame ${s.index} spans " +
+            s"[${s.offset}, ${s.offset + s.size}) outside the " +
+            s"${r.payload.length}-byte payload (truncated mdat?)")
+        val au = java.util.Arrays.copyOfRange(r.payload, s.offset.toInt,
+          (s.offset + s.size).toInt)
+        val (w, h, px) = decodeSamples(au)
+        val ts = if (t.timescale > 0) t.timescale.toDouble else 1.0
+        (r.media_id, t.id, s.index, s.pts / ts, w, h,
+          poolGrid(w, h, px, gridW, gridH))
+      }
+    }.toDF("media_id", "track", "frame_idx", "pts_sec", "width",
+      "height", "features")
   }
 
   /** REAL box-filter resize: decode, average each target pixel's

@@ -518,6 +518,54 @@ class MultimodalSpec extends SparkSpec {
       .getAs[Array[Byte]]("bytes").toSeq === Seq.fill(4)(0xC0.toByte))
   }
 
+  test("mp4DecodeFrames decodes REAL pixels from intra-coded MP4 tracks") {
+    import spark.implicits._
+    // three 8x6 PNG frames with known constant-ish pixels: frame k has
+    // value 40k+10 everywhere except a 4x3 bright quadrant of 40k+50
+    def frame(k: Int): Array[Byte] = Multimodal.synthGrayPng(8, 6,
+      (x, y) => if (x < 4 && y < 3) 40 * k + 50 else 40 * k + 10)
+    val mp4 = Mp4.synth(Seq(frame(0), frame(1), frame(2)),
+      delta = 100, 8, 6, codec = "png ")
+    val rows = Seq(Multimodal.MediaRow(5L, mp4,
+      Multimodal.MediaMeta("video/mp4", 8, 6, 300))).toDS()
+    val got = Multimodal.mp4DecodeFrames(rows, gridW = 2, gridH = 2)
+      .orderBy("frame_idx").collect()
+    assert(got.length === 3)
+    // 2x2 pooling of the 8x6 image: top-left cell = the bright
+    // quadrant exactly (4x3), the other three cells = the dim value
+    got.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 6)
+      assert(math.abs(r.getAs[Double]("pts_sec") - k * 0.1) < 1e-9)
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(f.toSeq === Seq(40f * k + 50, 40f * k + 10,
+        40f * k + 10, 40f * k + 10), s"frame $k")
+    }
+    // Motion-JPEG: lossy, so pin dims and approximate brightness only
+    val jpgBytes = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until 6).foreach(y => (0 until 8).foreach(x =>
+        img.getRaster.setSample(x, y, 0, 128)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpg = Mp4.synth(Seq(jpgBytes), 100, 8, 6, codec = "jpeg")
+    val jrows = Seq(Multimodal.MediaRow(6L, mjpg,
+      Multimodal.MediaMeta("video/mp4", 8, 6, 100))).toDS()
+    val j = Multimodal.mp4DecodeFrames(jrows, 1, 1).collect()
+    assert(j.length === 1)
+    assert(j.head.getAs[Int]("width") === 8)
+    assert(math.abs(j.head.getAs[scala.collection.Seq[Float]]("features")
+      .head - 128f) < 4f)
+    // an inter-coded (avc1) track yields NO rows — the stub boundary
+    // stays honest, scoped to codecs the JVM lacks
+    val avc = Mp4.synth(Seq(Array[Byte](1, 2, 3)), 100, 8, 6)
+    val arows = Seq(Multimodal.MediaRow(7L, avc,
+      Multimodal.MediaMeta("video/mp4", 8, 6, 100))).toDS()
+    assert(Multimodal.mp4DecodeFrames(arows, 2, 2).count() === 0)
+  }
+
   test("edit list (edts/elst) shifts every presentation timestamp") {
     // tools/make_mp4_fixture.py build_with_elst: the ctts fixture plus
     // an edit list — empty edit of 500 movie ticks (presentation
