@@ -461,6 +461,41 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // REAL MP4 FRAME DECODE: per document a 3-frame PNG-in-MP4 track
+    // ('png ' codec — an intra-coded shape ImageIO decodes with no
+    // native codec), pixel = (doc_id*17 + f*29 + y*8 + x) % 251.
+    // mp4DecodeFrames resolves each access unit's byte range from the
+    // sample tables, decodes TRUE pixels, and pools a 2x3 grid whose
+    // 4x2-pixel cells divide by 8 — exact in float32 — so the DuckDB
+    // oracle recomputes every feature from the pixel formula: equality
+    // proves container resolution AND pixel decode AND pooling.
+    "m_mp4_frames" -> { (s, dir) =>
+      import graft.multimodal.{Mp4, Multimodal}
+      import s.implicits._
+      val media = Tables.documentsSpread(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val frames = (0 until 3).map { f =>
+              Multimodal.synthGrayPng(8, 6,
+                (x, y) => ((id * 17 + f * 29 + y * 8 + x) % 251).toInt)
+            }
+            Multimodal.MediaRow(id,
+              Mp4.synth(frames, delta = 40, 8, 6, codec = "png "),
+              Multimodal.MediaMeta("video/mp4", 8, 6, 120L))
+          }
+        }
+      val fcols = (0 until 6).map(k =>
+        round(element_at(col("features"), k + 1).cast("double") + lit(1e-9), 4)
+          .as(s"f$k"))
+      Multimodal.mp4DecodeFrames(media, gridW = 2, gridH = 3)
+        .select(Seq(col("media_id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          round(col("pts_sec") + lit(1e-9), 4).as("pts_sec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height")) ++ fcols: _*)
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // MPEG audio header walk: synthesize a 4-frame MPEG1 Layer III
     // stream per document at doc-dependent bitrates
     // (kbps_k = [128,160,192,256][(doc_id+k) % 4]), walk the frame
@@ -802,6 +837,28 @@ object TextQueries extends QueryModule {
          |  round(6 * 40 / 1000.0 + 1e-9, 4) AS track_sec,
          |  $sums
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // frame pixel v(f,x,y) = (doc_id*17 + f*29 + y*8 + x) % 251 over 3
+    // PNG frames in an MP4 'png ' track; features = 3x2 grid cell
+    // means over 4x2-pixel cells (8 px each — exact in float). The
+    // engine decodes the frames out of the container; the oracle
+    // recomputes from the formula — equality proves sample-table
+    // resolution + PNG decode + pooling.
+    "m_mp4_frames" -> {
+      val fcols = (0 until 6).map { k =>
+        val (cy, cx) = (k / 2, k % 2)
+        s"round(list_sum(list_transform(range(0,8), j -> " +
+          s"(doc_id*17 + frame_idx*29 + (${2 * cy} + j//4)*8 + " +
+          s"${4 * cx} + j%4) % 251)) / 8.0 + 1e-9, 4) AS f$k"
+      }.mkString(",\n  ")
+      s"""WITH fr AS (SELECT doc_id, CAST(t.f AS BIGINT) AS frame_idx
+         |            FROM documents CROSS JOIN range(3) t(f))
+         |SELECT doc_id, frame_idx,
+         |  round(frame_idx * 40 / 1000.0 + 1e-9, 4) AS pts_sec,
+         |  CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+         |  $fcols
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
     },
 
     // frame k of a doc's MPEG stream has bitrate
