@@ -95,8 +95,17 @@ object H5Lite {
                            vlenString: Boolean = false,
                            base: Option[Dtype] = None,
                            members: Seq[(String, Int, Dtype)] = Nil)
+  /** `v4Index`: the version-4 layout's chunk index (HDF5 1.10+,
+    * libver-LATEST writers): 1 = single chunk, 2 = implicit,
+    * 3 = fixed array; None = the classic v1-B-tree walk.
+    */
+  private case class V4Index(indexType: Int, flags: Int,
+                             singleSize: Long = UNDEF,
+                             singleMask: Long = 0,
+                             pageBits: Int = 0)
   private case class Layout(clazz: Int, addr: Long = UNDEF, size: Long = 0,
-                            chunkDims: Seq[Int] = Nil, compactPos: Long = UNDEF)
+                            chunkDims: Seq[Int] = Nil, compactPos: Long = UNDEF,
+                            v4Index: Option[V4Index] = None)
   private case class Filter(id: Int, clientValues: Seq[Long])
   private case class Dataset(name: String, dims: Seq[Long], dtype: Dtype,
                              layout: Layout, filters: Seq[Filter],
@@ -1176,18 +1185,51 @@ object H5Lite {
 
   private def parseLayout(r: R): Layout = {
     val ver = r.u8()
-    require(ver == 3, s"h5: unsupported data layout version $ver (v3 only)")
+    require(ver == 3 || ver == 4,
+      s"h5: unsupported data layout version $ver (v3/v4 only)")
     r.u8() match {
       case 0 => // compact
         val n = r.u16()
         Layout(0, size = n, compactPos = r.pos)
       case 1 =>
         Layout(1, addr = r.u64(), size = r.u64())
-      case 2 =>
+      case 2 if ver == 3 =>
         val nd = r.u8()
         val btree = r.u64()
         val dims = (0 until nd).map(_ => r.u32().toInt)
         Layout(2, addr = btree, chunkDims = dims) // last dim = element size
+      case 2 => // v4 chunked (HDF5 1.10+): flags, variable-width dims,
+        // then one of the new chunk indexes
+        val flags = r.u8()
+        val nd = r.u8()
+        val encLen = r.u8()
+        require(encLen >= 1 && encLen <= 8,
+          s"h5: v4 layout dim-size width $encLen out of range")
+        val dims = (0 until nd).map { _ =>
+          var v = 0L
+          (0 until encLen).foreach(i => v |= (r.u8().toLong << (8 * i)))
+          require(v >= 0 && v <= Int.MaxValue,
+            s"h5: v4 chunk dim $v out of range")
+          v.toInt
+        }
+        r.u8() match {
+          case 1 => // single chunk: whole dataset is one chunk
+            val (sz, mask) =
+              if ((flags & 0x2) != 0) (r.u64(), r.u32()) else (UNDEF, 0L)
+            Layout(2, addr = r.u64(), chunkDims = dims,
+              v4Index = Some(V4Index(1, flags, sz, mask)))
+          case 2 => // implicit: unfiltered chunks packed in linear order
+            Layout(2, addr = r.u64(), chunkDims = dims,
+              v4Index = Some(V4Index(2, flags)))
+          case 3 => // fixed array of chunk records
+            val pageBits = r.u8()
+            Layout(2, addr = r.u64(), chunkDims = dims,
+              v4Index = Some(V4Index(3, flags, pageBits = pageBits)))
+          case t => throw new UnsupportedH5(
+            s"h5: v4 chunk index type $t unsupported (single/implicit/" +
+              "fixed-array only — extensible-array and v2-B-tree indexes " +
+              "belong to unlimited-dims datasets)")
+        }
       case c => sys.error(s"h5: unknown layout class $c")
     }
   }
@@ -1414,6 +1456,38 @@ object H5Lite {
     require(chunkDims.length == rank,
       s"h5: chunk rank ${chunkDims.length} != dataset rank $rank")
     val dimProd = d.dims.scanRight(1L)(_ * _).tail // row-major strides
+
+    // read+unfilter+decode ONE chunk at `addr` and copy it into place,
+    // clipping edge chunks — shared by every chunk-index flavor
+    def loadChunk(addr: Long, sz: Long, mask: Long, offs: Seq[Long]): Unit = {
+      r.at(addr)
+      val raw = applyFilters(r.take(sz.toInt), d.filters, mask, d.dtype.size)
+      val vals = decodeMembers(raw, d.dtype,
+        raw.length / math.max(d.dtype.size, 1), members)
+      val cProd = chunkDims.scanRight(1)(_ * _).tail
+      val cn = chunkDims.product
+      var k = 0
+      while (k < cn) {
+        var rem = k; var target = 0L; var inside = true
+        var dim = 0
+        while (dim < rank && inside) {
+          val ci = rem / cProd(dim); rem %= cProd(dim)
+          val gi = offs(dim) + ci
+          if (gi >= d.dims(dim)) inside = false
+          else target += gi * dimProd(dim)
+          dim += 1
+        }
+        if (inside) {
+          var mi = 0
+          while (mi < vals.length) {
+            if (k < vals(mi).length) outs(mi)(target.toInt) = vals(mi)(k)
+            mi += 1
+          }
+        }
+        k += 1
+      }
+    }
+
     def walkNode(addr: Long): Unit = {
       require(r.sig4(addr, "TREE"), s"h5: bad chunk B-tree node at $addr")
       r.at(addr + 4)
@@ -1428,39 +1502,128 @@ object H5Lite {
       }
       entries.foreach { case (sz, mask, offs, child) =>
         if (level > 0) walkNode(child)
-        else {
-          r.at(child)
-          val raw = applyFilters(r.take(sz.toInt), d.filters, mask, d.dtype.size)
-          val vals = decodeMembers(raw, d.dtype,
-            raw.length / math.max(d.dtype.size, 1), members)
-          // copy the chunk into place, clipping edge chunks
-          val cProd = chunkDims.scanRight(1)(_ * _).tail
-          val cn = chunkDims.product
-          var k = 0
-          while (k < cn) {
-            var rem = k; var target = 0L; var inside = true
-            var dim = 0
-            while (dim < rank && inside) {
-              val ci = rem / cProd(dim); rem %= cProd(dim)
-              val gi = offs(dim) + ci
-              if (gi >= d.dims(dim)) inside = false
-              else target += gi * dimProd(dim)
-              dim += 1
-            }
-            if (inside) {
-              var mi = 0
-              while (mi < vals.length) {
-                if (k < vals(mi).length) outs(mi)(target.toInt) = vals(mi)(k)
-                mi += 1
-              }
-            }
-            k += 1
-          }
-        }
+        else loadChunk(child, sz, mask, offs)
       }
     }
-    if (d.layout.addr != UNDEF) walkNode(d.layout.addr)
+
+    // chunk-grid geometry for the LINEAR v4 indexes: chunks are
+    // numbered row-major over ceil(dims/chunkDims)
+    def gridCounts: Seq[Long] = d.dims.zip(chunkDims).map { case (dl, cl) =>
+      require(cl > 0, s"h5: zero chunk dim")
+      (dl + cl - 1) / cl
+    }
+    def chunkOffsets(linear: Long, counts: Seq[Long]): Seq[Long] = {
+      val strides = counts.scanRight(1L)(_ * _).tail
+      counts.indices.map { i =>
+        (linear / strides(i)) % counts(i) * chunkDims(i)
+      }
+    }
+
+    (d.layout.v4Index, d.layout.addr) match {
+      case (_, UNDEF) => () // never allocated: all fill
+      case (None, addr) => walkNode(addr)
+      case (Some(idx), addr) =>
+        val counts = gridCounts
+        val total = counts.product
+        val chunkBytes = chunkDims.map(_.toLong).product * d.dtype.size
+        idx.indexType match {
+          case 1 => // single chunk — the whole dataset
+            require(total == 1,
+              s"h5: single-chunk index with $total chunks in the grid")
+            val sz = if ((idx.flags & 0x2) != 0) idx.singleSize else chunkBytes
+            loadChunk(addr, sz, idx.singleMask, Seq.fill(rank)(0L))
+          case 2 => // implicit: unfiltered chunks packed in linear order
+            require(d.filters.isEmpty,
+              "h5: implicit chunk index cannot carry filters")
+            var i = 0L
+            while (i < total) {
+              loadChunk(addr + i * chunkBytes, chunkBytes, 0,
+                chunkOffsets(i, counts))
+              i += 1
+            }
+          case 3 => // fixed array (FAHD/FADB, spec III.H)
+            fixedArrayEntries(r, addr, total, chunkBytes).foreach {
+              case (i, caddr, sz, mask) =>
+                if (caddr != UNDEF)
+                  loadChunk(caddr, sz, mask, chunkOffsets(i, counts))
+            }
+          case t => throw new UnsupportedH5(s"h5: v4 chunk index type $t")
+        }
+    }
     outs
+  }
+
+  /** Fixed-array chunk index (spec III.H: FAHD header + FADB data
+    * block, paged above 2^pageBits entries): yields
+    * (linear chunk index, address, stored byte size, filter mask).
+    * Client id 0 = unfiltered entries (address only — size is the
+    * chunk's nominal bytes); client id 1 = filtered (address +
+    * variable-width size + mask). Every count is bounded by the file
+    * before allocation.
+    */
+  private def fixedArrayEntries(r: R, headerAddr: Long, expected: Long,
+                                chunkBytes: Long): Seq[(Long, Long, Long, Long)] = {
+    require(r.sig4(headerAddr, "FAHD"), s"h5: bad fixed array at $headerAddr")
+    r.at(headerAddr + 4)
+    require(r.u8() == 0, "h5: bad fixed-array version")
+    val clientId = r.u8()
+    require(clientId == 0 || clientId == 1,
+      s"h5: fixed-array client $clientId (dataset chunks only)")
+    val entrySize = r.u8()
+    val pageBits = r.u8()
+    val nelmts = r.u64()
+    val dbAddr = r.u64()
+    require(entrySize > 0 && nelmts >= 0 &&
+      nelmts <= r.bytes.length.toLong / entrySize,
+      s"h5: fixed array declares $nelmts x$entrySize-byte entries " +
+        s"but the file has ${r.bytes.length} bytes")
+    require(nelmts >= expected,
+      s"h5: fixed array has $nelmts entries for $expected chunks")
+    if (dbAddr == UNDEF) return Nil
+    require(r.sig4(dbAddr, "FADB"), s"h5: bad fixed-array data block at $dbAddr")
+    r.at(dbAddr + 4)
+    require(r.u8() == 0, "h5: bad fixed-array data-block version")
+    require(r.u8() == clientId, "h5: fixed-array client mismatch")
+    require(r.u64() == headerAddr, "h5: fixed-array header back-pointer wrong")
+    val pageSize = 1L << pageBits
+    val sizeLen = entrySize - 12 // filtered: addr(8) + size(sizeLen) + mask(4)
+    if (clientId == 1) require(sizeLen >= 1 && sizeLen <= 8,
+      s"h5: filtered fixed-array entry size $entrySize out of range")
+    def entryAt(i: Long): (Long, Long, Long, Long) = {
+      val caddr = r.u64()
+      if (clientId == 0) (i, caddr, chunkBytes, 0L)
+      else {
+        var sz = 0L
+        (0 until sizeLen).foreach(b => sz |= (r.u8().toLong << (8 * b)))
+        val mask = r.u32()
+        (i, caddr, sz, mask)
+      }
+    }
+    if (nelmts <= pageSize) {
+      // elements inline in the data block
+      (0L until expected).map(entryAt)
+    } else {
+      // paged: bitmap + checksum in the block, then per-page payloads
+      // (each page = up-to-pageSize entries + its own checksum)
+      val npages = (nelmts + pageSize - 1) / pageSize
+      r.skip(((npages + 7) / 8).toInt) // page bitmap
+      r.skip(4) // data-block checksum
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      var i = 0L
+      var page = 0L
+      while (page < npages && i < expected) {
+        val inPage = math.min(pageSize, nelmts - page * pageSize)
+        var j = 0L
+        while (j < inPage && i < expected) {
+          out += entryAt(i)
+          i += 1; j += 1
+        }
+        // skip any unread tail of the page plus its checksum
+        r.skip(((inPage - j) * entrySize + 4).toInt)
+        page += 1
+      }
+      out.result()
+    }
   }
 
   /** Reverse a stored-bytes filter pipeline (fletcher32 strip →

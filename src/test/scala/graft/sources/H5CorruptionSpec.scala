@@ -23,7 +23,9 @@ class H5CorruptionSpec extends AnyFunSuite {
     val files = Seq("/h5/hand_soft_links.h5", "/h5/hand_huge_direct.h5",
       "/h5/hand_tiny_link.h5", "/h5/hand_huge_filtered.h5",
       "/h5/hand_compound.h5", "/h5/hand_compound_chunked.h5",
-      "/h5/hand_fletcher.h5", "/h5/hand_szip.h5")
+      "/h5/hand_fletcher.h5", "/h5/hand_szip.h5",
+      "/h5/hand_v4_single.h5", "/h5/hand_v4_implicit.h5",
+      "/h5/hand_v4_fixedarray.h5", "/h5/hand_v4_fa_paged.h5")
     val rnd = new scala.util.Random(20260814L)
     for (nm <- files; _ <- 1 to 300) {
       val b = fixture(nm)

@@ -397,6 +397,41 @@ class H5LiteSpec extends SparkSpec {
     assert(pruned.vars.map(_.name) === Seq("local"))
   }
 
+  test("version-4 data layouts: single-chunk, implicit, fixed array (incl. paged)") {
+    // tools/make_h5_fixture.py build_v4_*: the HDF5 1.10+ chunk
+    // indexes libver-LATEST writers emit for fixed-dims data —
+    // deflate-filtered single chunk, packed implicit chunks (edge
+    // chunk clipped), and shuffle+deflate fixed-array chunks in both
+    // the inline and PAGED data-block forms
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/h5/$name")
+      assert(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val sc = H5Lite.read(res("hand_v4_single.h5")).variable("sc").get
+    assert(sc.data.toSeq === (0 until 12).map(i => 3.5 * i - 7.0))
+    val im = H5Lite.read(res("hand_v4_implicit.h5")).variable("im").get
+    assert(im.data.toSeq === (0 until 10).map(i => 2.0 * i + 0.5))
+    for (f <- Seq("hand_v4_fixedarray.h5", "hand_v4_fa_paged.h5")) {
+      val fa = H5Lite.read(res(f)).variable("fa").get
+      assert(fa.data.toSeq === (0 until 20).map(i => ((7 * i) % 23).toDouble),
+        f)
+    }
+    // an extensible-array index (unlimited dims) refuses loudly
+    val bytes = res("hand_v4_single.h5")
+    // the index-type byte sits right after the 17-byte v4 header
+    // (ver,class,flags,nd,encLen + 3 dims x 4): find the layout
+    // message by its unique prefix 04 02 02 03 04
+    val pat = Array[Byte](4, 2, 2, 3, 4)
+    val at = bytes.indices.indexWhere(i => i + 5 <= bytes.length &&
+      pat.indices.forall(j => bytes(i + j) == pat(j)))
+    assert(at > 0, "layout message not found")
+    val broken = bytes.clone()
+    broken(at + 5 + 12) = 4 // single -> extensible array
+    val e = intercept[Exception](H5Lite.read(broken))
+    assert(e.getMessage.contains("chunk index type 4"), e.getMessage)
+  }
+
   test("szip chunks from an independent python encoder decode") {
     // tools/make_h5_fixture.py build_szip: CCSDS 121.0 Rice bitstreams
     // encoded by an independent python implementation that makes its

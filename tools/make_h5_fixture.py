@@ -1815,3 +1815,156 @@ def build_external_links():
 
 open('/root/repo/src/test/resources/h5/hand_external.h5','wb').write(build_external_links())
 print("external-link fixture written", len(build_external_links()))
+
+# ---------------- version-4 data layouts (HDF5 1.10+ / libver-LATEST
+# writers): single-chunk, implicit, and fixed-array chunk indexes —
+# the shapes modern libnetcdf emits for fixed-dims chunked data.
+# Hand-assembled per format spec III.H (FAHD/FADB) and the v4 layout
+# message; the classic group scaffolding carries them (message parsing
+# is independent of superblock/OH version).
+def layout_v4_single(addr, chunk_dims, elem, filtered_size=None, mask=0):
+    flags = 0x2 if filtered_size is not None else 0
+    dims = chunk_dims + [elem]
+    b = u8(4)+u8(2)+u8(flags)+u8(len(dims))+u8(4)
+    for d in dims: b += u32(d)
+    b += u8(1)  # single chunk index
+    if filtered_size is not None:
+        b += u64(filtered_size) + u32(mask)
+    b += u64(addr)
+    return b
+
+def layout_v4_implicit(addr, chunk_dims, elem):
+    dims = chunk_dims + [elem]
+    b = u8(4)+u8(2)+u8(0)+u8(len(dims))+u8(4)
+    for d in dims: b += u32(d)
+    b += u8(2) + u64(addr)
+    return b
+
+def layout_v4_fixedarray(addr, chunk_dims, elem, page_bits):
+    dims = chunk_dims + [elem]
+    b = u8(4)+u8(2)+u8(0)+u8(len(dims))+u8(4)
+    for d in dims: b += u32(d)
+    b += u8(3) + u8(page_bits) + u64(addr)
+    return b
+
+def v4_scaffold(ds_name, ds_msgs_of):
+    """Classic sb0 + symbol-table root carrying ONE dataset whose
+    messages are ds_msgs_of(tail_addr) -> (msgs, tail_bytes); the tail
+    (index structures + chunk data) lands after the dataset OH."""
+    heap_data = pad8(b'\0'*8 + ds_name.encode() + b'\0')
+    name_off = 8
+    root_oh = 96
+    root_probe = object_header([(0x11, u64(0)+u64(0))])
+    btree_addr = root_oh + len(root_probe)
+    bt_probe = pad8(group_btree([name_off], [0], name_off))
+    snod_addr = btree_addr + len(bt_probe)
+    sn_probe = pad8(snod([(name_off, 0)]))
+    heap_hdr_addr = snod_addr + len(sn_probe)
+    heap_data_addr = heap_hdr_addr + 32
+    ds_oh_addr = heap_data_addr + len(heap_data)
+    probe_msgs, _ = ds_msgs_of(0)
+    ds_probe = object_header(probe_msgs)
+    tail_addr = ds_oh_addr + len(ds_probe)
+    msgs, tail = ds_msgs_of(tail_addr)
+    ds_oh = object_header(msgs)
+    assert len(ds_oh) == len(ds_probe)
+    eof = tail_addr + len(tail)
+    root = object_header([(0x11, u64(btree_addr)+u64(heap_hdr_addr))])
+    bt = pad8(group_btree([name_off], [snod_addr], name_off))
+    sn = pad8(snod([(name_off, ds_oh_addr)]))
+    hh, hd = heap(heap_data_addr, heap_data)
+    out = superblock(root_oh, eof, btree_addr, heap_hdr_addr)
+    out += root + bt + sn + hh + hd + ds_oh + tail
+    assert len(out) == eof, (len(out), eof)
+    return out
+
+V4_SINGLE_VALS = [3.5*i - 7.0 for i in range(12)]     # f32[3,4], one chunk
+V4_IMPL_VALS   = [2.0*i + 0.5 for i in range(10)]     # f64[10], chunks [4]
+V4_FA_VALS     = [float((7*i) % 23) for i in range(20)]  # f32[20], chunks [3]
+
+def build_v4_single():
+    raw = b''.join(struct.pack('<f', v) for v in V4_SINGLE_VALS)
+    comp = zlib.compress(raw, 6)
+    def msgs(tail_addr):
+        return ([(0x01, dataspace([3,4])), (0x03, dt_f32()),
+                 (0x0B, filters_deflate(6)),
+                 (0x08, layout_v4_single(tail_addr, [3,4], 4,
+                                         filtered_size=len(comp)))], comp)
+    return v4_scaffold('sc', msgs)
+
+def build_v4_implicit():
+    # 3 chunks of 4 f64 each, packed back-to-back; last chunk half-used
+    def chunk(ci):
+        vals = (V4_IMPL_VALS + [0.0, 0.0])[ci*4:(ci+1)*4]
+        return b''.join(struct.pack('<d', v) for v in vals)
+    tail_data = b''.join(chunk(ci) for ci in range(3))
+    def msgs(tail_addr):
+        return ([(0x01, dataspace([10])), (0x03, dt_f64()),
+                 (0x08, layout_v4_implicit(tail_addr, [4], 8))], tail_data)
+    return v4_scaffold('im', msgs)
+
+def build_v4_fixedarray(page_bits, fname):
+    # 7 chunks of 3 f32 (last partial), shuffle+deflate filtered;
+    # page_bits=8 -> one inline block, page_bits=2 -> paged (2 pages)
+    chunks = []
+    for ci in range(7):
+        vals = (V4_FA_VALS + [0.0, 0.0])[ci*3:(ci+1)*3]
+        raw = b''.join(struct.pack('<f', v) for v in vals)
+        m = len(raw)//4
+        shuf = bytes(raw[k*4 + j] for j in range(4) for k in range(m))
+        chunks.append(zlib.compress(shuf, 6))
+    ENTRY = 8 + 4 + 4   # addr + size(4B) + mask
+    def msgs(tail_addr):
+        fahd_addr = tail_addr
+        fadb_addr = fahd_addr + 4+1+1+1+1+8+8+4
+        nelmts = 7
+        page = 1 << page_bits
+        if nelmts <= page:
+            body_len = 4+1+1+8 + nelmts*ENTRY + 4
+        else:
+            npages = (nelmts + page - 1)//page
+            body_len = 4+1+1+8 + (npages+7)//8 + 4
+            rem = nelmts
+            for p in range(npages):
+                inp = min(page, rem); rem -= inp
+                body_len += inp*ENTRY + 4
+        data_addr = fadb_addr + body_len
+        addrs = []
+        a = data_addr
+        for c in chunks:
+            addrs.append(a); a += len(c)
+        fahd = b'FAHD'+u8(0)+u8(1)+u8(ENTRY)+u8(page_bits)+u64(nelmts)+u64(fadb_addr)
+        fahd += u32(lookup3(fahd))
+        def entry(ci):
+            return u64(addrs[ci]) + u32(len(chunks[ci])) + u32(0)
+        fadb = b'FADB'+u8(0)+u8(1)+u64(fahd_addr)
+        if nelmts <= page:
+            for ci in range(nelmts): fadb += entry(ci)
+            fadb += u32(lookup3(fadb))
+        else:
+            npages = (nelmts + page - 1)//page
+            fadb += b'\xff' * ((npages+7)//8)   # all pages initialized
+            fadb += u32(lookup3(fadb))
+            ci = 0
+            for p in range(npages):
+                pg = b''
+                for _ in range(min(page, nelmts - ci)):
+                    pg += entry(ci); ci += 1
+                fadb += pg + u32(lookup3(pg))
+        tail = fahd + fadb + b''.join(chunks)
+        assert len(fahd) == fadb_addr - fahd_addr
+        assert fadb_addr + len(fadb) == data_addr, (len(fadb), body_len)
+        return ([(0x01, dataspace([20])), (0x03, dt_f32()),
+                 (0x0B, filters_shuffle_deflate(4, 6)),
+                 (0x08, layout_v4_fixedarray(fahd_addr, [3], 4, page_bits))],
+                tail)
+    out = v4_scaffold('fa', msgs)
+    open(fname,'wb').write(out)
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_v4_single.h5','wb').write(build_v4_single())
+open('/root/repo/src/test/resources/h5/hand_v4_implicit.h5','wb').write(build_v4_implicit())
+build_v4_fixedarray(8, '/root/repo/src/test/resources/h5/hand_v4_fixedarray.h5')
+build_v4_fixedarray(2, '/root/repo/src/test/resources/h5/hand_v4_fa_paged.h5')
+print("v4 layout fixtures written",
+      len(build_v4_single()), len(build_v4_implicit()))
