@@ -980,7 +980,10 @@ object H5Lite {
         children.flatMap { case (ca, n) => readNode(ca, n, level - 1) } ++ sepIds
       }
 
-    (btType, recordSize, readNode(rootAddr, rootNRec, depth))
+    // an empty tree (no records yet) has an undefined root address —
+    // legal for a freshly-created chunk index
+    if (rootAddr == UNDEF || rootNRec == 0) (btType, recordSize, Nil)
+    else (btType, recordSize, readNode(rootAddr, rootNRec, depth))
   }
 
   /** A group child: hard links carry the object-header address, soft
@@ -1225,10 +1228,15 @@ object H5Lite {
             val pageBits = r.u8()
             Layout(2, addr = r.u64(), chunkDims = dims,
               v4Index = Some(V4Index(3, flags, pageBits = pageBits)))
+          case 5 => // v2 B-tree of chunk records (>1 unlimited dims)
+            r.u32() // node size (the header re-declares it)
+            r.u8(); r.u8() // split/merge percentages
+            Layout(2, addr = r.u64(), chunkDims = dims,
+              v4Index = Some(V4Index(5, flags)))
           case t => throw new UnsupportedH5(
             s"h5: v4 chunk index type $t unsupported (single/implicit/" +
-              "fixed-array only — extensible-array and v2-B-tree indexes " +
-              "belong to unlimited-dims datasets)")
+              "fixed-array/v2-B-tree — the extensible-array index of " +
+              "single-unlimited-dim datasets is the one remaining form)")
         }
       case c => sys.error(s"h5: unknown layout class $c")
     }
@@ -1546,6 +1554,31 @@ object H5Lite {
               case (i, caddr, sz, mask) =>
                 if (caddr != UNDEF)
                   loadChunk(caddr, sz, mask, chunkOffsets(i, counts))
+            }
+          case 5 => // v2 B-tree, record type 10 (plain) / 11 (filtered):
+            // address [+ size + mask], then per-dim SCALED offsets
+            val (btType, recSize, recs) = btree2Records(r, addr)
+            require(btType == 10 || btType == 11,
+              s"h5: chunk v2 B-tree record type $btType")
+            val filtered = btType == 11
+            val sizeLen = recSize - 8 - 4 - 8 * rank
+            if (filtered) require(sizeLen >= 1 && sizeLen <= 8,
+              s"h5: filtered chunk record size $recSize for rank $rank")
+            else require(recSize == 8 + 8 * rank,
+              s"h5: chunk record size $recSize for rank $rank")
+            recs.foreach { rec =>
+              val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+              val caddr = bb.getLong()
+              val (sz, mask) =
+                if (filtered) {
+                  var sv = 0L
+                  (0 until sizeLen).foreach(i =>
+                    sv |= (bb.get() & 0xffL) << (8 * i))
+                  (sv, bb.getInt() & 0xffffffffL)
+                } else (chunkBytes, 0L)
+              val offs = (0 until rank).map(i =>
+                bb.getLong() * chunkDims(i))
+              if (caddr != UNDEF) loadChunk(caddr, sz, mask, offs)
             }
           case t => throw new UnsupportedH5(s"h5: v4 chunk index type $t")
         }

@@ -417,6 +417,10 @@ class H5LiteSpec extends SparkSpec {
       assert(fa.data.toSeq === (0 until 20).map(i => ((7 * i) % 23).toDouble),
         f)
     }
+    // v2-B-tree chunk index (record type 11: filtered chunks at
+    // scaled offsets) — the >1-unlimited-dims shape
+    val bt = H5Lite.read(res("hand_v4_btree.h5")).variable("bt").get
+    assert(bt.data.toSeq === (0 until 24).map(i => ((11 * i) % 29).toDouble))
     // an extensible-array index (unlimited dims) refuses loudly
     val bytes = res("hand_v4_single.h5")
     // the index-type byte sits right after the 17-byte v4 header

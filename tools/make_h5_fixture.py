@@ -1968,3 +1968,58 @@ build_v4_fixedarray(8, '/root/repo/src/test/resources/h5/hand_v4_fixedarray.h5')
 build_v4_fixedarray(2, '/root/repo/src/test/resources/h5/hand_v4_fa_paged.h5')
 print("v4 layout fixtures written",
       len(build_v4_single()), len(build_v4_implicit()))
+
+# ---------------- v4 layout with a v2-B-TREE chunk index (type 5,
+# record type 11: filtered chunks keyed by scaled offsets) — the index
+# libhdf5 uses for datasets with >1 unlimited dimension
+def layout_v4_btree(addr, chunk_dims, elem, node_size):
+    dims = chunk_dims + [elem]
+    b = u8(4)+u8(2)+u8(0)+u8(len(dims))+u8(4)
+    for d in dims: b += u32(d)
+    b += u8(5) + u32(node_size) + u8(100) + u8(40) + u64(addr)
+    return b
+
+V4_BT_VALS = [float((11*i) % 29) for i in range(24)]  # f32[4,6], chunks [2,3]
+
+def build_v4_btree():
+    W, H = 6, 4
+    CW, CH = 3, 2
+    chunks = []   # (cy, cx, bytes)
+    for cy in range(2):
+        for cx in range(2):
+            raw = b''
+            for dy in range(CH):
+                for dx in range(CW):
+                    v = V4_BT_VALS[(cy*CH+dy)*W + (cx*CW+dx)]
+                    raw += struct.pack('<f', v)
+            m = len(raw)//4
+            shuf = bytes(raw[k*4 + j] for j in range(4) for k in range(m))
+            chunks.append((cy, cx, zlib.compress(shuf, 6)))
+    REC = 8 + 4 + 4 + 8*2   # addr + size(4) + mask + scaled offsets
+    NODE = 168
+    def msgs(tail_addr):
+        bthd_addr = tail_addr
+        btlf_addr = bthd_addr + 4+1+1+4+2+2+1+1+8+2+8+4
+        data_addr = btlf_addr + NODE
+        addrs = []
+        a = data_addr
+        for (_, _, c) in chunks:
+            addrs.append(a); a += len(c)
+        bthd = b'BTHD'+u8(0)+u8(11)+u32(NODE)+u16(REC)+u16(0)
+        bthd += u8(100)+u8(40)+u64(btlf_addr)+u16(len(chunks))+u64(len(chunks))
+        bthd += u32(lookup3(bthd))
+        btlf = b'BTLF'+u8(0)+u8(11)
+        for (cy, cx, c), ad in zip(chunks, addrs):
+            btlf += u64(ad) + u32(len(c)) + u32(0) + u64(cy) + u64(cx)
+        btlf += u32(lookup3(btlf))
+        btlf += b'\0' * (NODE - len(btlf))
+        assert len(btlf) == NODE
+        tail = bthd + btlf + b''.join(c for (_, _, c) in chunks)
+        return ([(0x01, dataspace([H, W])), (0x03, dt_f32()),
+                 (0x0B, filters_shuffle_deflate(4, 6)),
+                 (0x08, layout_v4_btree(bthd_addr, [CH, CW], 4, NODE))],
+                tail)
+    return v4_scaffold('bt', msgs)
+
+open('/root/repo/src/test/resources/h5/hand_v4_btree.h5','wb').write(build_v4_btree())
+print("v4 btree fixture written", len(build_v4_btree()))
