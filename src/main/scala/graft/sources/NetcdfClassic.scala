@@ -29,6 +29,9 @@ object NetcdfClassic {
 
   val NC_BYTE = 1; val NC_CHAR = 2; val NC_SHORT = 3
   val NC_INT = 4; val NC_FLOAT = 5; val NC_DOUBLE = 6
+  // CDF-5 (64-bit data, the PnetCDF format) additions
+  val NC_UBYTE = 7; val NC_USHORT = 8; val NC_UINT = 9
+  val NC_INT64 = 10; val NC_UINT64 = 11
 
   private val TAG_DIM = 0x0A
   private val TAG_VAR = 0x0B
@@ -83,10 +86,10 @@ object NetcdfClassic {
   }
 
   private def typeSize(t: Int): Int = t match {
-    case NC_BYTE | NC_CHAR => 1
-    case NC_SHORT => 2
-    case NC_INT | NC_FLOAT => 4
-    case NC_DOUBLE => 8
+    case NC_BYTE | NC_CHAR | NC_UBYTE => 1
+    case NC_SHORT | NC_USHORT => 2
+    case NC_INT | NC_FLOAT | NC_UINT => 4
+    case NC_DOUBLE | NC_INT64 | NC_UINT64 => 8
     case other => sys.error(s"netcdf: unknown nc_type $other")
   }
 
@@ -94,11 +97,21 @@ object NetcdfClassic {
 
   // ---------------------------------------------------------------- read
 
-  private class Reader(bytes: Array[Byte]) {
+  private class Reader(bytes: Array[Byte], wide: Boolean = false) {
     val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     def int(): Int = buf.getInt()
+    /** A NON_NEG field: 32-bit in CDF-1/2, 64-bit in CDF-5. The codec
+      * holds whole files in one array, so counts past Int.MaxValue are
+      * out of its envelope and fail loudly rather than wrapping.
+      */
+    def nonneg(): Int = {
+      val v = if (wide) buf.getLong() else int().toLong & 0xFFFFFFFFL
+      require(v >= 0 && v <= Int.MaxValue,
+        s"netcdf: count/size $v outside this codec's 2 GiB envelope")
+      v.toInt
+    }
     def name(): String = {
-      val n = int()
+      val n = nonneg()
       val b = new Array[Byte](n)
       buf.get(b)
       skipPad(n)
@@ -115,11 +128,18 @@ object NetcdfClassic {
       while (i < n) {
         out(i) = t match {
           case NC_BYTE => buf.get().toDouble
-          case NC_CHAR => (buf.get() & 0xFF).toDouble
+          case NC_CHAR | NC_UBYTE => (buf.get() & 0xFF).toDouble
           case NC_SHORT => buf.getShort().toDouble
+          case NC_USHORT => (buf.getShort() & 0xFFFF).toDouble
           case NC_INT => buf.getInt().toDouble
+          case NC_UINT => (buf.getInt() & 0xFFFFFFFFL).toDouble
           case NC_FLOAT => buf.getFloat().toDouble
           case NC_DOUBLE => buf.getDouble()
+          case NC_INT64 => buf.getLong().toDouble
+          case NC_UINT64 =>
+            val l = buf.getLong()
+            if (l >= 0) l.toDouble
+            else l.toDouble + 1.8446744073709552e19 // above Long.MaxValue
         }
         i += 1
       }
@@ -134,13 +154,13 @@ object NetcdfClassic {
       new String(b.takeWhile(_ != 0), "UTF-8")
     }
     def attrs(): Seq[NcAttr] = {
-      val tag = int(); val count = int()
+      val tag = int(); val count = nonneg()
       require(tag == TAG_ATT || (tag == 0 && count == 0),
         s"netcdf: bad attribute-list tag $tag")
       (0 until count).map { _ =>
         val nm = name()
         val t = int()
-        val n = int()
+        val n = nonneg()
         if (t == NC_CHAR) NcAttr(nm, t, text = text(n))
         else NcAttr(nm, t, nums = values(t, n).toSeq)
       }
@@ -158,20 +178,27 @@ object NetcdfClassic {
     require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
       "netcdf: not a CDF classic file (magic mismatch)")
     val version = bytes(3)
-    require(version == 1 || version == 2,
-      s"netcdf: unsupported CDF version $version (classic 1/2 only — " +
-        "NetCDF-4/HDF5 needs an HDF5 library)")
-    val r = new Reader(bytes)
+    require(version == 1 || version == 2 || version == 5,
+      s"netcdf: unsupported CDF version $version (classic 1/2 and " +
+        "CDF-5 64-bit data only — NetCDF-4/HDF5 is a different format)")
+    val v5 = version == 5
+    val r = new Reader(bytes, wide = v5)
     r.buf.position(4)
-    val numrecsRaw = r.int() // -1 = STREAMING (computed below)
+    // -1 = STREAMING (computed below); 64-bit in CDF-5
+    val numrecsRaw: Int = {
+      val raw = if (v5) r.buf.getLong() else r.int().toLong
+      require(raw >= -1 && raw <= Int.MaxValue,
+        s"netcdf: numrecs $raw outside this codec's envelope")
+      raw.toInt
+    }
 
     // dimensions
-    val dimTag = r.int(); val dimCount = r.int()
+    val dimTag = r.int(); val dimCount = r.nonneg()
     require(dimTag == TAG_DIM || (dimTag == 0 && dimCount == 0),
       s"netcdf: bad dimension-list tag $dimTag")
     var recDimIdx = -1
     val rawDims = (0 until dimCount).map { i =>
-      val nm = r.name(); val len = r.int()
+      val nm = r.name(); val len = r.nonneg()
       if (len == 0) recDimIdx = i
       NcDim(nm, len, isRecord = len == 0)
     }
@@ -179,19 +206,21 @@ object NetcdfClassic {
     val gatts = r.attrs()
 
     // variable headers
-    val varTag = r.int(); val varCount = r.int()
+    val varTag = r.int(); val varCount = r.nonneg()
     require(varTag == TAG_VAR || (varTag == 0 && varCount == 0),
       s"netcdf: bad variable-list tag $varTag")
     case class VarHdr(name: String, dimIds: Seq[Int], attrs: Seq[NcAttr],
                       ncType: Int, vsize: Long, begin: Long)
     val hdrs = (0 until varCount).map { _ =>
       val nm = r.name()
-      val nd = r.int()
-      val dimIds = (0 until nd).map(_ => r.int())
+      val nd = r.nonneg()
+      val dimIds = (0 until nd).map(_ => r.nonneg())
       val va = r.attrs()
       val t = r.int()
-      val vsize = r.int().toLong & 0xFFFFFFFFL
-      val begin = if (version == 2) r.buf.getLong() else r.int().toLong & 0xFFFFFFFFL
+      val vsize = r.nonneg().toLong
+      // OFFSET: 32-bit in CDF-1, 64-bit in CDF-2 and CDF-5
+      val begin =
+        if (version == 1) r.int().toLong & 0xFFFFFFFFL else r.buf.getLong()
       VarHdr(nm, dimIds, va, t, vsize, begin)
     }
 

@@ -123,11 +123,47 @@ class NetcdfClassicSpec extends AnyFunSuite {
     assert(f.variable("a").get.data.toSeq === Seq(3.25, -1.0))
   }
 
-  test("rejects non-CDF and NetCDF-4 magic") {
+  /** CDF-5 (64-bit data, the PnetCDF format): version byte 5, every
+    * NON_NEG count/size is 64-bit, begin offsets 64-bit, and the
+    * 64-bit/unsigned types (INT64/USHORT here) decode.
+    */
+  test("reads CDF-5 (64-bit counts and the extended types)") {
+    val buf = ByteBuffer.allocate(256).order(ByteOrder.BIG_ENDIAN)
+    buf.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(5.toByte)
+    buf.putLong(0L) // numrecs (64-bit)
+    buf.putInt(0x0A).putLong(1L) // dim list
+    buf.putLong(1L).put('n'.toByte).put(Array[Byte](0, 0, 0)).putLong(2L)
+    buf.putInt(0).putLong(0L) // no global attrs (ABSENT: 4+8 zeros)
+    buf.putInt(0x0B).putLong(2L) // var list
+    // a(n) INT64, vsize 16
+    buf.putLong(1L).put('a'.toByte).put(Array[Byte](0, 0, 0))
+    buf.putLong(1L).putLong(0L) // 1 dim: n
+    buf.putInt(0).putLong(0L) // no attrs
+    buf.putInt(NC_INT64).putLong(16L).putLong(188L)
+    // u(n) USHORT, vsize 4 (2x2, padded to 4)
+    buf.putLong(1L).put('u'.toByte).put(Array[Byte](0, 0, 0))
+    buf.putLong(1L).putLong(0L)
+    buf.putInt(0).putLong(0L)
+    buf.putInt(NC_USHORT).putLong(4L).putLong(204L)
+    assert(buf.position() === 188, s"layout drifted: ${buf.position()}")
+    buf.putLong(-3000000000L).putLong(9007199254740993L)
+    buf.putShort(0xFFFE.toShort).putShort(7.toShort)
+    val f = NetcdfClassic.read(java.util.Arrays.copyOf(buf.array(), buf.position()))
+    assert(f.variable("a").get.ncType === NC_INT64)
+    assert(f.variable("a").get.data.toSeq ===
+      Seq(-3.0e9, 9007199254740992.0)) // 2^53+1 rounds in the double plane
+    assert(f.variable("u").get.data.toSeq === Seq(65534.0, 7.0))
+  }
+
+  test("rejects non-CDF and unknown-version magic") {
     intercept[IllegalArgumentException] {
       NetcdfClassic.read("not netcdf at all".getBytes)
     }
     intercept[IllegalArgumentException] {
+      NetcdfClassic.read(Array[Byte]('C', 'D', 'F', 3, 0, 0, 0, 0))
+    }
+    // truncated CDF-5: accepted magic, loud parse failure
+    intercept[Exception] {
       NetcdfClassic.read(Array[Byte]('C', 'D', 'F', 5, 0, 0, 0, 0))
     }
   }
