@@ -192,7 +192,7 @@ object H5Lite {
     val extVars = ArrayBuffer.empty[(String, NcVar, Seq[Int])]
     walkObject(r, rootOh, "", sets, rootAttrs, isRoot = true,
       root = rootOh, onPath = Set(rootOh),
-      ext = ExtCtx(resolve, extDepth, extVars))
+      ext = ExtCtx(resolve, extDepth, extVars, keep))
 
     // dim identity: a DIMENSION_LIST attribute (vlen of object
     // references, resolved through the global heap) names the
@@ -419,7 +419,8 @@ object H5Lite {
     */
   private final case class ExtCtx(
       resolve: String => Option[Array[Byte]], depth: Int,
-      out: ArrayBuffer[(String, NcVar, Seq[Int])])
+      out: ArrayBuffer[(String, NcVar, Seq[Int])],
+      keep: String => Boolean)
 
   private def walkObject(r: R, addr: Long, prefix: String,
                          sets: ArrayBuffer[Dataset], rootAttrs: ArrayBuffer[NcAttr],
@@ -465,20 +466,24 @@ object H5Lite {
           // between files stop at the depth cap.
           if (ext.depth < 4) ext.resolve(file).filter(isHdf5).foreach { tb =>
             val obj = objPath.stripPrefix("/").stripSuffix("/")
-            val sub = readDepth(tb,
-              v => obj.isEmpty || v == obj || v.startsWith(obj + "/") ||
-                v.startsWith(obj + "."), // compound members of obj
-              ext.resolve, ext.depth + 1)
-            sub.vars.foreach { v =>
-              val under =
-                if (obj.isEmpty) Some(v.name)
-                else if (v.name == obj) Some("")
-                else if (v.name.startsWith(obj + "/") ||
-                  v.name.startsWith(obj + "."))
-                  Some(v.name.drop(obj.length))
+            // path of a target-file variable UNDER our link name ("/"
+            // root links keep their separator; members keep their dot)
+            def graft(vn: String): Option[String] = {
+              val rest =
+                if (obj.isEmpty) Some("/" + vn)
+                else if (vn == obj) Some("")
+                else if (vn.startsWith(obj + "/") || vn.startsWith(obj + "."))
+                  Some(vn.drop(obj.length))
                 else None
-              under.foreach { rest =>
-                val ourName = (s"$prefix/$nm" + rest).stripPrefix("/")
+              rest.map(t => (s"$prefix/$nm" + t).stripPrefix("/"))
+            }
+            // compose the CALLER's projection into the sub-read (it
+            // gates multi-dim datasets only, exactly like here), so a
+            // pruned external dataset's chunks are never read at all
+            val sub = readDepth(tb,
+              v => graft(v).exists(ext.keep), ext.resolve, ext.depth + 1)
+            sub.vars.foreach { v =>
+              graft(v.name).foreach { ourName =>
                 ext.out += ((ourName, v, sub.shape(v)))
               }
             }
@@ -988,8 +993,8 @@ object H5Lite {
 
   /** A group child: hard links carry the object-header address, soft
     * links the in-file path they alias (resolved lazily against the
-    * group that holds them). External links (other files) stay
-    * unmodeled — a single-blob codec has nowhere to chase them.
+    * group that holds them), and external links carry the (file,
+    * object path) pair the cross-file `resolve` hook answers.
     */
   private sealed trait Link
   private final case class Hard(addr: Long) extends Link
@@ -1552,8 +1557,12 @@ object H5Lite {
           case 3 => // fixed array (FAHD/FADB, spec III.H)
             fixedArrayEntries(r, addr, total, chunkBytes).foreach {
               case (i, caddr, sz, mask) =>
-                if (caddr != UNDEF)
+                if (caddr != UNDEF) {
+                  // address 0 is the superblock — an entry pointing
+                  // there is corruption, never data
+                  require(caddr > 0, s"h5: fixed-array chunk at $caddr")
                   loadChunk(caddr, sz, mask, chunkOffsets(i, counts))
+                }
             }
           case 5 => // v2 B-tree, record type 10 (plain) / 11 (filtered):
             // address [+ size + mask], then per-dim SCALED offsets
@@ -1578,7 +1587,10 @@ object H5Lite {
                 } else (chunkBytes, 0L)
               val offs = (0 until rank).map(i =>
                 bb.getLong() * chunkDims(i))
-              if (caddr != UNDEF) loadChunk(caddr, sz, mask, offs)
+              if (caddr != UNDEF) {
+                require(caddr > 0, s"h5: v2-B-tree chunk at $caddr")
+                loadChunk(caddr, sz, mask, offs)
+              }
             }
           case t => throw new UnsupportedH5(s"h5: v4 chunk index type $t")
         }
@@ -1622,6 +1634,8 @@ object H5Lite {
     val sizeLen = entrySize - 12 // filtered: addr(8) + size(sizeLen) + mask(4)
     if (clientId == 1) require(sizeLen >= 1 && sizeLen <= 8,
       s"h5: filtered fixed-array entry size $entrySize out of range")
+    else require(entrySize == 8,
+      s"h5: unfiltered fixed-array entry size $entrySize (must be 8)")
     def entryAt(i: Long): (Long, Long, Long, Long) = {
       val caddr = r.u64()
       if (clientId == 0) (i, caddr, chunkBytes, 0L)
@@ -1637,22 +1651,32 @@ object H5Lite {
       (0L until expected).map(entryAt)
     } else {
       // paged: bitmap + checksum in the block, then per-page payloads
-      // (each page = up-to-pageSize entries + its own checksum)
+      // (each page = up-to-pageSize entries + its own checksum). A
+      // CLEAR bitmap bit means the page was never initialized — its
+      // chunks do not exist (fill values), and its on-disk bytes are
+      // not entries; parsing them would turn zero-filled regions into
+      // chunk address 0 and decode the superblock as data.
       val npages = (nelmts + pageSize - 1) / pageSize
-      r.skip(((npages + 7) / 8).toInt) // page bitmap
+      val bitmap = r.take(((npages + 7) / 8).toInt)
+      def pageInit(p: Long): Boolean =
+        ((bitmap((p / 8).toInt) >> (p % 8).toInt) & 1) != 0
       r.skip(4) // data-block checksum
       val out = Seq.newBuilder[(Long, Long, Long, Long)]
       var i = 0L
       var page = 0L
       while (page < npages && i < expected) {
         val inPage = math.min(pageSize, nelmts - page * pageSize)
-        var j = 0L
-        while (j < inPage && i < expected) {
-          out += entryAt(i)
-          i += 1; j += 1
+        if (pageInit(page)) {
+          var j = 0L
+          while (j < inPage && i < expected) {
+            out += entryAt(i)
+            i += 1; j += 1
+          }
+          // skip any unread tail of the page plus its checksum
+          r.skip(((inPage - j) * entrySize + 4).toInt)
+        } else {
+          i += inPage // absent page: no bytes on disk, chunks are fill
         }
-        // skip any unread tail of the page plus its checksum
-        r.skip(((inPage - j) * entrySize + 4).toInt)
         page += 1
       }
       out.result()

@@ -289,6 +289,8 @@ object NetcdfClassic {
           case NC_INT => scratch.putInt(v.toInt); out.write(scratch.array(), 0, 4)
           case NC_FLOAT => scratch.putFloat(v.toFloat); out.write(scratch.array(), 0, 4)
           case NC_DOUBLE => scratch.putDouble(v); out.write(scratch.array(), 0, 8)
+          case other => sys.error(s"netcdf writer: nc_type $other is " +
+            "outside the CDF-1 writer subset (classic six types only)")
         }
       }
       pad(vs.length.toLong * typeSize(t))

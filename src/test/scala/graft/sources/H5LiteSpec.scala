@@ -390,6 +390,13 @@ class H5LiteSpec extends SparkSpec {
     // no resolver: externals drop silently, local survives
     val bare = H5Lite.read(main)
     assert(bare.vars.map(_.name) === Seq("local"))
+    // a link to the target ROOT ('/') grafts every target variable
+    // under '<link>/<name>' — separator preserved
+    val rootMain = res("hand_external_root.h5")
+    val fr = H5Lite.read(rootMain,
+      resolve = nm => if (nm == "hand_contiguous.h5") Some(aux) else None)
+    assert(fr.vars.map(_.name) === Seq("root_lnk/temp"))
+    assert(fr.variable("root_lnk/temp").get.data.length === 6)
     // projection pushdown applies to the grafted name: a keep that
     // rejects 'ext_temp' never surfaces it (multi-dim), local is 1-D
     val pruned = H5Lite.read(main, keep = _ == "nothing",
@@ -417,6 +424,14 @@ class H5LiteSpec extends SparkSpec {
       assert(fa.data.toSeq === (0 until 20).map(i => ((7 * i) % 23).toDouble),
         f)
     }
+    // a PAGED fixed array with an UNINITIALIZED page (bitmap bit
+    // clear): page-0 chunks decode, page-1 chunks stay fill (NaN) —
+    // the sparse appendable shape; parsing the absent page's region
+    // would have decoded garbage
+    val fs = H5Lite.read(res("hand_v4_fa_sparse.h5")).variable("fs").get
+    assert(fs.data.take(12).toSeq ===
+      (0 until 12).map(i => ((7 * i) % 23).toDouble))
+    assert(fs.data.drop(12).forall(_.isNaN))
     // v2-B-tree chunk index (record type 11: filtered chunks at
     // scaled offsets) — the >1-unlimited-dims shape
     val bt = H5Lite.read(res("hand_v4_btree.h5")).variable("bt").get

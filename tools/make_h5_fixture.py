@@ -2023,3 +2023,66 @@ def build_v4_btree():
 
 open('/root/repo/src/test/resources/h5/hand_v4_btree.h5','wb').write(build_v4_btree())
 print("v4 btree fixture written", len(build_v4_btree()))
+
+# ---------------- paged fixed array with an UNINITIALIZED page: the
+# bitmap's clear bit means the page has no on-disk bytes and its
+# chunks are fill — parsing the region anyway would decode garbage
+def build_v4_fa_sparse():
+    page_bits = 2      # 4 entries/page; 7 chunks -> 2 pages
+    chunks = []
+    for ci in range(4):   # only page 0's chunks exist
+        vals = (V4_FA_VALS + [0.0, 0.0])[ci*3:(ci+1)*3]
+        raw = b''.join(struct.pack('<f', v) for v in vals)
+        m = len(raw)//4
+        shuf = bytes(raw[k*4 + j] for j in range(4) for k in range(m))
+        chunks.append(zlib.compress(shuf, 6))
+    ENTRY = 8 + 4 + 4
+    def msgs(tail_addr):
+        fahd_addr = tail_addr
+        fadb_addr = fahd_addr + 4+1+1+1+1+8+8+4
+        nelmts = 7
+        # body: sig+ver+cid+hdr + bitmap(1) + checksum + page0 only
+        body_len = 4+1+1+8 + 1 + 4 + 4*ENTRY + 4
+        data_addr = fadb_addr + body_len
+        addrs = []
+        a = data_addr
+        for c in chunks:
+            addrs.append(a); a += len(c)
+        fahd = b'FAHD'+u8(0)+u8(1)+u8(ENTRY)+u8(page_bits)+u64(nelmts)+u64(fadb_addr)
+        fahd += u32(lookup3(fahd))
+        fadb = b'FADB'+u8(0)+u8(1)+u64(fahd_addr)
+        fadb += u8(0b01)            # page 0 initialized, page 1 NOT
+        fadb += u32(lookup3(fadb))
+        pg = b''
+        for ci in range(4):
+            pg += u64(addrs[ci]) + u32(len(chunks[ci])) + u32(0)
+        fadb += pg + u32(lookup3(pg))
+        tail = fahd + fadb + b''.join(chunks)
+        assert fadb_addr + len(fadb) == data_addr
+        return ([(0x01, dataspace([20])), (0x03, dt_f32()),
+                 (0x0B, filters_shuffle_deflate(4, 6)),
+                 (0x08, layout_v4_fixedarray(fahd_addr, [3], 4, page_bits))],
+                tail)
+    return v4_scaffold('fs', msgs)
+
+open('/root/repo/src/test/resources/h5/hand_v4_fa_sparse.h5','wb').write(build_v4_fa_sparse())
+print("sparse paged FA fixture written", len(build_v4_fa_sparse()))
+
+# ---------------- external link to the target ROOT ('/') — the most
+# common external-link form; grafted names must keep their separator
+def build_external_root():
+    root_oh = 96
+    def root():
+        return object_header([
+            (0x06, ext_link_msg('root_lnk', 'hand_contiguous.h5', '/')),
+        ])
+    out = superblock_dense(root_oh, len(superblock_dense(root_oh, 0)) and 0 or 0)
+    body = root()
+    eof = root_oh + len(body)
+    out = superblock_dense(root_oh, eof)
+    out += body
+    assert len(out) == eof
+    return out
+
+open('/root/repo/src/test/resources/h5/hand_external_root.h5','wb').write(build_external_root())
+print("root external-link fixture written", len(build_external_root()))
