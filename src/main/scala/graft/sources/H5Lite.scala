@@ -1444,7 +1444,19 @@ object H5Lite {
     */
   private def readDataMembers(r: R, d: Dataset,
                               members: Seq[(Int, Dtype)]): Array[Array[Double]] = {
-    val n = d.dims.product.max(1).toInt
+    // overflow-checked element count, capped at the in-memory codec's
+    // envelope (2^28 elements = 2 GiB of doubles): dataspace dims are
+    // file-controlled, and a corrupt dim must fail loudly here, not
+    // OOM in the output allocation (caught by the bit-flip fuzz on
+    // the v4 fixtures)
+    val nL = d.dims.foldLeft(1L) { (a, b) =>
+      val p = a * b
+      require(b >= 0 && (b == 0 || p / b == a) && p <= (1L << 28),
+        s"h5: dataset '${d.name}' element count ${d.dims.mkString("x")} " +
+          "exceeds the in-memory codec's envelope")
+      p
+    }
+    val n = nL.max(1L).toInt
     d.layout.clazz match {
       case 0 =>
         r.at(d.layout.compactPos)
