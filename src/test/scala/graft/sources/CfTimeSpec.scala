@@ -191,6 +191,54 @@ class CfTimeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported CF calendar"))
   }
 
+  test("calendar day-count properties: successive days differ by 86400") {
+    // brute-force property over whole years, including leap/month/year
+    // boundaries: for every supported calendar, day k+1's epoch is
+    // exactly one day after day k's, and year lengths match the
+    // calendar's rule. Catches any off-by-one in the month tables or
+    // the mixed-calendar reform arithmetic.
+    def daysInYear(cal: String, y: Int): Int = cal match {
+      case "360_day" => 360
+      case "noleap" => 365
+      case "all_leap" => 366
+      case "proleptic_gregorian" =>
+        if ((y % 4 == 0 && y % 100 != 0) || y % 400 == 0) 366 else 365
+      case _ => 0
+    }
+    def monthLen(cal: String, y: Int, m: Int): Int = cal match {
+      case "360_day" => 30
+      case "noleap" => Seq(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)(m - 1)
+      case "all_leap" => Seq(31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)(m - 1)
+      case "proleptic_gregorian" =>
+        java.time.YearMonth.of(y, m).lengthOfMonth()
+    }
+    for (cal <- Seq("proleptic_gregorian", "360_day", "noleap", "all_leap");
+         y <- Seq(1999, 2000, 2001, 2100)) {
+      var prev = Option.empty[Double]
+      var count = 0
+      for (m <- 1 to 12; d <- 1 to monthLen(cal, y, m)) {
+        val e = CfTime.fromUnits(s"days since $y-$m-$d", Some(cal))
+          .getOrElse(fail(s"$cal $y-$m-$d did not parse"))(0.0)
+        prev.foreach(p => assert(e - p === 86400.0, s"$cal $y-$m-$d"))
+        prev = Some(e)
+        count += 1
+      }
+      assert(count === daysInYear(cal, y), s"$cal $y")
+    }
+    // the mixed calendar crosses the 1582 reform with exactly one day
+    // between Oct 4 (Julian) and Oct 15 (Gregorian), and its 1582 has
+    // 355 day-labels
+    val oct4 = conv("days since 1582-10-04", "standard")(0.0)
+    val oct15 = conv("days since 1582-10-15", "standard")(0.0)
+    assert(oct15 - oct4 === 86400.0)
+    var labels = 0
+    for (m <- 1 to 12; d <- 1 to 31) {
+      if (CfTime.fromUnits(s"days since 1582-$m-$d", Some("standard")).nonEmpty)
+        labels += 1
+    }
+    assert(labels === 355) // 365 minus the ten dropped labels
+  }
+
   test("truncation matches the reference's long(total_seconds())") {
     val tv = NcVar("time", Seq("t"), NC_DOUBLE,
       Seq(NcAttr("units", NC_CHAR,
