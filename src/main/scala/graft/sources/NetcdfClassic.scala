@@ -112,6 +112,8 @@ object NetcdfClassic {
     }
     def name(): String = {
       val n = nonneg()
+      require(n <= buf.remaining(),
+        s"netcdf: name length $n exceeds the ${buf.remaining()} bytes left")
       val b = new Array[Byte](n)
       buf.get(b)
       skipPad(n)
@@ -121,8 +123,15 @@ object NetcdfClassic {
       val p = (pad4(n) - n).toInt
       if (p > 0) buf.position(buf.position() + p)
     }
-    /** Decode `n` values of `t` at the current position to doubles. */
+    /** Decode `n` values of `t` at the current position to doubles.
+      * Classic data is raw in-file, so the count is bounded EXACTLY by
+      * the bytes left — a corrupt count fails loudly instead of
+      * driving a file-controlled allocation (same rule as H5Lite).
+      */
     def values(t: Int, n: Int): Array[Double] = {
+      require(n >= 0 && n.toLong * typeSize(t) <= buf.remaining(),
+        s"netcdf: $n values of type $t exceed the ${buf.remaining()} " +
+          "bytes left")
       val out = new Array[Double](n)
       var i = 0
       while (i < n) {
@@ -147,6 +156,8 @@ object NetcdfClassic {
       out
     }
     def text(n: Int): String = {
+      require(n >= 0 && n <= buf.remaining(),
+        s"netcdf: text length $n exceeds the ${buf.remaining()} bytes left")
       val b = new Array[Byte](n)
       buf.get(b)
       skipPad(n)

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.NetcdfClassic._
+
+/** Corruption robustness for the classic codec, same contract as
+  * H5CorruptionSpec: any single-bit flip must decode or throw a plain
+  * Exception promptly — never an OutOfMemoryError from a
+  * file-controlled count (classic counts are bounded EXACTLY by the
+  * bytes left, since classic data is raw in-file) and never a hang.
+  * Covers all three versions: CDF-1, CDF-2, CDF-5.
+  */
+class NetcdfCorruptionSpec extends AnyFunSuite {
+
+  private def baseFile: Array[Byte] = NetcdfClassic.write(NcFile(
+    dims = Seq(NcDim("t", 3), NcDim("x", 4)),
+    attrs = Seq(NcAttr("title", NC_CHAR, text = "corruption net"),
+      NcAttr("levels", NC_INT, nums = Seq(1.0, 2.0, 3.0))),
+    vars = Seq(
+      NcVar("xs", Seq("x"), NC_FLOAT, Nil, Array(0.5, 1.5, 2.5, 3.5)),
+      NcVar("v", Seq("t", "x"), NC_DOUBLE,
+        Seq(NcAttr("_FillValue", NC_DOUBLE, nums = Seq(-9.0))),
+        Array.tabulate(12)(_.toDouble)))))
+
+  private def cdf5File: Array[Byte] = {
+    // rebuild the CDF-5 image from NetcdfClassicSpec's layout
+    val buf = java.nio.ByteBuffer.allocate(256)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(5.toByte)
+    buf.putLong(0L)
+    buf.putInt(0x0A).putLong(1L)
+    buf.putLong(1L).put('n'.toByte).put(Array[Byte](0, 0, 0)).putLong(2L)
+    buf.putInt(0).putLong(0L)
+    buf.putInt(0x0B).putLong(2L)
+    buf.putLong(1L).put('a'.toByte).put(Array[Byte](0, 0, 0))
+    buf.putLong(1L).putLong(0L)
+    buf.putInt(0).putLong(0L)
+    buf.putInt(NC_INT64).putLong(16L).putLong(188L)
+    buf.putLong(1L).put('u'.toByte).put(Array[Byte](0, 0, 0))
+    buf.putLong(1L).putLong(0L)
+    buf.putInt(0).putLong(0L)
+    buf.putInt(NC_USHORT).putLong(4L).putLong(204L)
+    buf.putLong(7L).putLong(8L)
+    buf.putShort(1.toShort).putShort(2.toShort)
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  test("single-bit flips fail cleanly across CDF-1 and CDF-5") {
+    val images = Seq(baseFile, cdf5File)
+    val rnd = new scala.util.Random(14L)
+    for (img <- images; _ <- 1 to 400) {
+      val b = img.clone()
+      val pos = rnd.nextInt(b.length)
+      b(pos) = (b(pos) ^ (1 << rnd.nextInt(8))).toByte
+      try NetcdfClassic.read(b)
+      catch { case _: Exception => () }
+    }
+  }
+}
