@@ -286,6 +286,44 @@ object PipelineQueries extends QueryModule {
         .orderBy("shard")
     },
 
+    // Sliding-window context chunker (the RAG/eval-harness splitter,
+    // complementing d_pack_sequences' concat-and-chunk): each document
+    // splits into 256-token windows advancing by a 192-token stride
+    // (64 overlap), last window clamped to the tail. Window count and
+    // bounds are pure per-doc arithmetic — a generator expression, NO
+    // shuffle until the final audit aggregate, so at 100 TB this is a
+    // map-side explode whose output is bounded by corpus_tokens/stride.
+    // Token counts use the deterministic chars/4 proxy shared with
+    // d_pack_sequences; integer-only output => hash-exact.
+    "d_chunk_overlap" -> { (s, dir) =>
+      val win = 256L
+      val stride = 192L
+      val chunks = Tables.documents(s, dir)
+        .withColumn("tokens", expr("n_chars DIV 4 + 1"))
+        .withColumn("n_chunks",
+          when(col("tokens") <= win, lit(1L))
+            .otherwise(expr(s"(tokens - $win + $stride - 1) DIV $stride + 1")))
+        .select(col("doc_id"), col("tokens"), col("n_chunks"),
+          explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+        .withColumn("tok_start",
+          least(col("chunk_idx") * stride,
+            greatest(col("tokens") - win, lit(0L))))
+        .withColumn("tok_len", least(lit(win), col("tokens") - col("tok_start")))
+      chunks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("tok_len")).as("chunk_tokens"),
+          max(col("tok_start") + col("tok_len")).as("covered_to"),
+          min(col("tok_len")).as("min_len"))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id"), expr("n_chars DIV 4 + 1").as("tokens")),
+          "doc_id")
+        // invariants the oracle re-derives: full coverage, overlap
+        // accounting exact
+        .select(col("doc_id"), col("tokens"), col("n_chunks"),
+          col("chunk_tokens"), col("covered_to"), col("min_len"))
+        .orderBy("doc_id")
+    },
+
     // Span-level dedup audit (boilerplate detection): for every doc,
     // the fraction of its distinct 8-word spans that also occur in
     // some OTHER doc — the sub-document granularity that catches
@@ -507,6 +545,26 @@ object PipelineQueries extends QueryModule {
         |       round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS p50,
         |       round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "d_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars // 4 + 1 AS BIGINT) AS tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |        CAST(CASE WHEN tokens <= 256 THEN 1
+        |             ELSE (tokens - 256 + 191) // 192 + 1 END AS BIGINT)
+        |          AS n_chunks
+        |      FROM d),
+        |x AS (SELECT doc_id, tokens, n_chunks,
+        |        unnest(range(n_chunks)) AS chunk_idx FROM c),
+        |y AS (SELECT doc_id, tokens, n_chunks,
+        |        least(chunk_idx * 192, greatest(tokens - 256, 0)) AS tok_start
+        |      FROM x),
+        |z AS (SELECT *, least(256, tokens - tok_start) AS tok_len FROM y)
+        |SELECT doc_id, tokens, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(tok_len) AS BIGINT) AS chunk_tokens,
+        |       CAST(max(tok_start + tok_len) AS BIGINT) AS covered_to,
+        |       CAST(min(tok_len) AS BIGINT) AS min_len
+        |FROM z GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
 
     "d_pack_sequences" ->
       """WITH d AS (SELECT doc_id,

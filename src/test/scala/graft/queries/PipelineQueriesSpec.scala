@@ -62,6 +62,22 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(pruned <= (n / 2).toLong * postings)
   }
 
+  test("sliding-window chunker covers every token with bounded windows") {
+    val out = PipelineQueries.queries("d_chunk_overlap")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tokens = r.getAs[Long]("tokens")
+      val n = r.getAs[Long]("n_chunks")
+      // FULL coverage: the clamped last window always reaches the tail
+      assert(r.getAs[Long]("covered_to") === tokens, s"doc ${r.get(0)}")
+      // every window is nonempty and at most the window size
+      assert(r.getAs[Long]("min_len") >= 1)
+      assert(r.getAs[Long]("chunk_tokens") <= n * 256)
+      // window count formula: 1 window iff the doc fits
+      assert((n == 1) === (tokens <= 256))
+    }
+  }
+
   test("stratified sample keeps a subset at roughly the configured rate") {
     val out = PipelineQueries.queries("d_stratified_sample")(spark, dir).collect()
     out.foreach { r =>
