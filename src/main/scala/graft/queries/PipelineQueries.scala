@@ -309,14 +309,14 @@ object PipelineQueries extends QueryModule {
           least(col("chunk_idx") * stride,
             greatest(col("tokens") - win, lit(0L))))
         .withColumn("tok_len", least(lit(win), col("tokens") - col("tok_start")))
-      chunks.groupBy(col("doc_id"))
+      // tokens is functionally dependent on doc_id and already rides
+      // every pre-aggregation row — grouping by both (exactly the
+      // oracle's GROUP BY 1,2) keeps the query one-scan, one-exchange
+      chunks.groupBy(col("doc_id"), col("tokens"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("tok_len")).as("chunk_tokens"),
           max(col("tok_start") + col("tok_len")).as("covered_to"),
           min(col("tok_len")).as("min_len"))
-        .join(Tables.documents(s, dir)
-          .select(col("doc_id"), expr("n_chars DIV 4 + 1").as("tokens")),
-          "doc_id")
         // invariants the oracle re-derives: full coverage, overlap
         // accounting exact
         .select(col("doc_id"), col("tokens"), col("n_chunks"),

@@ -1309,7 +1309,20 @@ object H5Lite {
       val dsPos = r.pos
       val dims = parseDataspace(r)
       r.at(dsPos + padded(dsSize))
-      val count = dims.product.max(1).toInt
+      // overflow-checked, file-bounded element count — same rule as
+      // readDataMembers: attribute values are raw in-file, so their
+      // count is bounded by the bytes that exist; a corrupt dim must
+      // degrade (UnsupportedH5 → empty attr), never allocate by it
+      val countL = dims.foldLeft(1L) { (a, b) =>
+        val p = a * b
+        if (b < 0 || (b != 0 && p / b != a) ||
+          p > r.bytes.length.toLong / math.max(dt.size, 1))
+          throw new UnsupportedH5(
+            s"h5: attribute '$name' element count ${dims.mkString("x")} " +
+              "exceeds the file")
+        p
+      }
+      val count = countL.max(1L).toInt
       dt.clazz match {
         case C_STRING =>
           val raw = r.take(dt.size * count)

@@ -121,7 +121,10 @@ object NetcdfClassic {
     }
     def skipPad(n: Long): Unit = {
       val p = (pad4(n) - n).toInt
-      if (p > 0) buf.position(buf.position() + p)
+      // clamp at EOF: the single-record-variable special case stores
+      // record slabs UNPADDED, so a spec-valid file's last slab can
+      // end exactly at the buffer limit with no pad bytes to skip
+      if (p > 0) buf.position(math.min(buf.limit(), buf.position() + p))
     }
     /** Decode `n` values of `t` at the current position to doubles.
       * Classic data is raw in-file, so the count is bounded EXACTLY by
@@ -254,16 +257,34 @@ object NetcdfClassic {
       ds.map(i => rawDims(i).length).product.max(1)
     }
 
+    // a corrupt numrecs must fail HERE, before the record loop sizes
+    // any output by it — record data is raw in-file, so the exact
+    // bound is the file length
+    require(recHdrs.isEmpty || numrecs == 0 ||
+      (numrecs > 0 && recSize > 0 &&
+        numrecs.toLong * recSize <= bytes.length),
+      s"netcdf: $numrecs records of $recSize bytes exceed the " +
+        s"${bytes.length}-byte file")
+
     val vars = hdrs.filter(h => h.dimIds.length <= 1 || keep(h.name)).map { h =>
       val isRec = h.dimIds.headOption.contains(recDimIdx)
       val n = slabElems(h)
+      // every value of this variable occupies raw in-file bytes, so
+      // the total count is bounded exactly by the file length — a
+      // corrupt dim or numrecs fails loudly before any allocation
+      val totalL = n.toLong * (if (isRec) numrecs.toLong.max(0L) else 1L)
+      // divide instead of multiplying: the product could overflow Long
+      require(n >= 0 && totalL >= 0 &&
+        totalL <= bytes.length.toLong / typeSize(h.ncType),
+        s"netcdf: variable '${h.name}' declares $totalL values of type " +
+          s"${h.ncType} — more than the ${bytes.length}-byte file holds")
       val data =
         if (!isRec) {
           r.buf.position(h.begin.toInt)
           val total = n
           r.values(h.ncType, total)
         } else {
-          val out = new ArrayBuffer[Double](n * numrecs)
+          val out = new ArrayBuffer[Double](totalL.toInt)
           (0 until numrecs).foreach { rec =>
             r.buf.position((h.begin + rec * recSize).toInt)
             out ++= r.values(h.ncType, n)

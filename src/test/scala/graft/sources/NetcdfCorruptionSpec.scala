@@ -9,7 +9,9 @@ import graft.sources.NetcdfClassic._
   * Exception promptly — never an OutOfMemoryError from a
   * file-controlled count (classic counts are bounded EXACTLY by the
   * bytes left, since classic data is raw in-file) and never a hang.
-  * Covers all three versions: CDF-1, CDF-2, CDF-5.
+  * Covers all three versions: CDF-1 (writer output, incl. a
+  * record-variable image built by hand since the writer refuses
+  * record dims), CDF-2 (64-bit begins), and CDF-5 (64-bit counts).
   */
 class NetcdfCorruptionSpec extends AnyFunSuite {
 
@@ -46,8 +48,52 @@ class NetcdfCorruptionSpec extends AnyFunSuite {
     java.util.Arrays.copyOf(buf.array(), buf.position())
   }
 
-  test("single-bit flips fail cleanly across CDF-1 and CDF-5") {
-    val images = Seq(baseFile, cdf5File)
+  private def cdf2File: Array[Byte] = {
+    // NetcdfClassicSpec's CDF-2 layout: 64-bit begin offsets
+    val buf = java.nio.ByteBuffer.allocate(120)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(2.toByte)
+    buf.putInt(0)
+    buf.putInt(0x0A).putInt(1)
+    buf.putInt(1).put('n'.toByte).put(Array[Byte](0, 0, 0)).putInt(2)
+    buf.putInt(0).putInt(0)
+    buf.putInt(0x0B).putInt(1)
+    buf.putInt(1).put('a'.toByte).put(Array[Byte](0, 0, 0))
+    buf.putInt(1).putInt(0)
+    buf.putInt(0).putInt(0)
+    buf.putInt(NC_DOUBLE).putInt(16).putLong(84L)
+    buf.putDouble(3.25).putDouble(-1.0)
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  private def recordFile: Array[Byte] = {
+    // NetcdfClassicSpec's record-variable CDF-1 image: t(record) x(2),
+    // xs(x) fixed + v(t,x) record, numrecs 3 — exercises the record
+    // loop's numrecs/recSize bounds under corruption
+    val buf = java.nio.ByteBuffer.allocate(200)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(1.toByte)
+    buf.putInt(3)
+    buf.putInt(0x0A).putInt(2)
+    buf.putInt(1).put('t'.toByte).put(Array[Byte](0, 0, 0)).putInt(0)
+    buf.putInt(1).put('x'.toByte).put(Array[Byte](0, 0, 0)).putInt(2)
+    buf.putInt(0).putInt(0)
+    buf.putInt(0x0B).putInt(2)
+    buf.putInt(2).put('x'.toByte).put('s'.toByte).put(Array[Byte](0, 0))
+    buf.putInt(1).putInt(1)
+    buf.putInt(0).putInt(0)
+    buf.putInt(NC_FLOAT).putInt(8).putInt(132)
+    buf.putInt(1).put('v'.toByte).put(Array[Byte](0, 0, 0))
+    buf.putInt(2).putInt(0).putInt(1)
+    buf.putInt(0).putInt(0)
+    buf.putInt(NC_FLOAT).putInt(8).putInt(140)
+    buf.putFloat(0.5f).putFloat(1.5f)
+    (1 to 6).foreach(i => buf.putFloat(i.toFloat))
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  test("single-bit flips fail cleanly across CDF-1/2/5 incl. record vars") {
+    val images = Seq(baseFile, cdf2File, recordFile, cdf5File)
     val rnd = new scala.util.Random(14L)
     for (img <- images; _ <- 1 to 400) {
       val b = img.clone()
