@@ -1470,6 +1470,14 @@ object H5Lite {
       p
     }
     val n = nL.max(1L).toInt
+    // the member count is ALSO file-controlled (a 64 KiB compound
+    // datatype message can declare thousands of members), so bound
+    // the TOTAL output allocation — n elements x members doubles —
+    // by the same 2 GiB envelope before any array is allocated
+    require(members.nonEmpty &&
+      n.toLong * members.length <= (1L << 28),
+      s"h5: dataset '${d.name}' with ${members.length} members x $n " +
+        "elements exceeds the in-memory codec's envelope")
     d.layout.clazz match {
       case 0 =>
         r.at(d.layout.compactPos)
@@ -1498,6 +1506,14 @@ object H5Lite {
     // read+unfilter+decode ONE chunk at `addr` and copy it into place,
     // clipping edge chunks — shared by every chunk-index flavor
     def loadChunk(addr: Long, sz: Long, mask: Long, offs: Seq[Long]): Unit = {
+      // the stored chunk size is a file-controlled 64-bit field: a
+      // value with high bits set would narrow in `take(sz.toInt)` and
+      // silently decode partial data — bound it against the file
+      // extent before narrowing (sz <= length also makes toInt exact)
+      require(sz >= 0 && sz <= r.bytes.length &&
+        addr >= 0 && addr + sz <= r.bytes.length,
+        s"h5: chunk at $addr with stored size $sz exceeds the " +
+          s"${r.bytes.length}-byte file")
       r.at(addr)
       val raw = applyFilters(r.take(sz.toInt), d.filters, mask, d.dtype.size)
       val vals = decodeMembers(raw, d.dtype,
@@ -1676,31 +1692,40 @@ object H5Lite {
       (0L until expected).map(entryAt)
     } else {
       // paged: bitmap + checksum in the block, then per-page payloads
-      // (each page = up-to-pageSize entries + its own checksum). A
-      // CLEAR bitmap bit means the page was never initialized — its
-      // chunks do not exist (fill values), and its on-disk bytes are
-      // not entries; parsing them would turn zero-filled regions into
-      // chunk address 0 and decode the superblock as data.
+      // (each page = up-to-pageSize entries + its own checksum). Real
+      // HDF5 (H5FAdblock.c) allocates EVERY page slot when the data
+      // block is created and addresses pages arithmetically:
+      // page p starts at pagesBase + p * (pageSize*entrySize + 4),
+      // full stride even for the truncated last page. A CLEAR bitmap
+      // bit means the page was never written — its chunks are fill —
+      // but its slot still occupies the full stride on disk, so a
+      // clear page must be stepped over, not treated as zero bytes:
+      // otherwise every later page parses from the wrong offset and
+      // decodes allocation slack as chunk addresses.
+      require(pageBits <= 20,
+        s"h5: fixed-array page_bits $pageBits out of range")
       val npages = (nelmts + pageSize - 1) / pageSize
       val bitmap = r.take(((npages + 7) / 8).toInt)
       def pageInit(p: Long): Boolean =
         ((bitmap((p / 8).toInt) >> (p % 8).toInt) & 1) != 0
       r.skip(4) // data-block checksum
+      val pagesBase = r.pos
+      val stride = pageSize * entrySize + 4
       val out = Seq.newBuilder[(Long, Long, Long, Long)]
-      var i = 0L
       var page = 0L
-      while (page < npages && i < expected) {
-        val inPage = math.min(pageSize, nelmts - page * pageSize)
+      while (page < npages && page * pageSize < expected) {
         if (pageInit(page)) {
-          var j = 0L
-          while (j < inPage && i < expected) {
+          val inPage = math.min(pageSize, nelmts - page * pageSize)
+          val start = pagesBase + page * stride
+          require(start + inPage * entrySize + 4 <= r.bytes.length,
+            s"h5: fixed-array page $page extends past end of file")
+          r.at(start)
+          var i = page * pageSize
+          val end = math.min(i + inPage, expected)
+          while (i < end) {
             out += entryAt(i)
-            i += 1; j += 1
+            i += 1
           }
-          // skip any unread tail of the page plus its checksum
-          r.skip(((inPage - j) * entrySize + 4).toInt)
-        } else {
-          i += inPage // absent page: no bytes on disk, chunks are fill
         }
         page += 1
       }

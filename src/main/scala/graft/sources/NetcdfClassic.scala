@@ -278,6 +278,20 @@ object NetcdfClassic {
         totalL <= bytes.length.toLong / typeSize(h.ncType),
         s"netcdf: variable '${h.name}' declares $totalL values of type " +
           s"${h.ncType} — more than the ${bytes.length}-byte file holds")
+      // `begin` is a 64-bit field in CDF-2/5: a corrupt value of form
+      // 2^32*k + small would wrap in `.toInt` and silently decode the
+      // wrong region — bound the variable's LAST byte against the
+      // file extent before any positioning (this also makes every
+      // toInt below exact)
+      val lastByte =
+        if (!isRec) h.begin + n.toLong * typeSize(h.ncType)
+        else if (numrecs <= 0) h.begin
+        else h.begin + (numrecs - 1).toLong * recSize +
+          n.toLong * typeSize(h.ncType)
+      require(h.begin >= 0 && lastByte >= h.begin &&
+        lastByte <= bytes.length,
+        s"netcdf: variable '${h.name}' at begin=${h.begin} extends to " +
+          s"byte $lastByte — outside the ${bytes.length}-byte file")
       val data =
         if (!isRec) {
           r.buf.position(h.begin.toInt)

@@ -38,6 +38,34 @@ class H5CorruptionSpec extends AnyFunSuite {
     }
   }
 
+  test("compound member count bounds the TOTAL output allocation") {
+    // tools/make_h5_fixture.py build_compound_bomb: 300 members x
+    // 2^20 elements = 2.5 GiB of doubles. Element count and member
+    // count are each file-controlled and individually in-range; only
+    // their product is absurd — the refusal must come from the total
+    // bound, BEFORE any array is allocated (the layout address is
+    // UNDEF, so reaching storage would mean allocating it all first)
+    val e = intercept[Exception](H5Lite.read(fixture("/h5/hand_compound_bomb.h5")))
+    assert(e.getMessage.contains("exceeds the in-memory codec's envelope"),
+      e.getMessage)
+  }
+
+  test("v4 single-chunk stored size with high bits set fails loudly") {
+    // the stored chunk byte size is a 64-bit field: 2^32 + true_size
+    // narrows to true_size in a bare `.toInt` and decodes silently —
+    // the size must be bounded against the file extent BEFORE the
+    // narrow. Patch hand_v4_single.h5's filtered-size field (u64 LE
+    // at +18 past the v4 layout message prefix 04 02 02 03 04).
+    val b = fixture("/h5/hand_v4_single.h5")
+    val pat = Array[Byte](4, 2, 2, 3, 4)
+    val at = b.indices.indexWhere(i => i + 5 <= b.length &&
+      pat.indices.forall(j => b(i + j) == pat(j)))
+    assert(at > 0, "v4 layout message not found")
+    b(at + 18 + 4) = 1 // size += 2^32 (5th LE byte of the u64)
+    val e = intercept[Exception](H5Lite.read(b))
+    assert(e.getMessage.contains("stored size"), e.getMessage)
+  }
+
   test("single-bit flips fail cleanly across the external-link pair") {
     // flip bits in BOTH the linking file and the link target — the
     // cross-file graft must degrade or fail cleanly, never hang

@@ -425,13 +425,16 @@ class H5LiteSpec extends SparkSpec {
         f)
     }
     // a PAGED fixed array with an UNINITIALIZED page (bitmap bit
-    // clear): page-0 chunks decode, page-1 chunks stay fill (NaN) —
-    // the sparse appendable shape; parsing the absent page's region
-    // would have decoded garbage
+    // clear) BEFORE an initialized one: page-0 chunks stay fill
+    // (NaN), page-1 chunks decode. Real HDF5 allocates every page
+    // slot and addresses pages arithmetically (H5FAdblock.c), so the
+    // clear page's full-stride slot (garbage bytes in the fixture)
+    // must be stepped over — a reader that treats it as zero on-disk
+    // bytes parses page 1 from the slack and fails
     val fs = H5Lite.read(res("hand_v4_fa_sparse.h5")).variable("fs").get
-    assert(fs.data.take(12).toSeq ===
-      (0 until 12).map(i => ((7 * i) % 23).toDouble))
-    assert(fs.data.drop(12).forall(_.isNaN))
+    assert(fs.data.take(12).forall(_.isNaN))
+    assert(fs.data.drop(12).toSeq ===
+      (12 until 20).map(i => ((7 * i) % 23).toDouble))
     // v2-B-tree chunk index (record type 11: filtered chunks at
     // scaled offsets) — the >1-unlimited-dims shape
     val bt = H5Lite.read(res("hand_v4_btree.h5")).variable("bt").get

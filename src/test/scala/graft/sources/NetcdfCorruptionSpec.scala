@@ -92,6 +92,20 @@ class NetcdfCorruptionSpec extends AnyFunSuite {
     java.util.Arrays.copyOf(buf.array(), buf.position())
   }
 
+  test("64-bit begin with high bits set fails loudly, never wraps") {
+    // CDF-2/5 begins are 64-bit: a corrupt 2^32 + true_begin wraps to
+    // true_begin in a bare `.toInt` and decodes the wrong (here, by
+    // coincidence the right) region SILENTLY — the variable's extent
+    // must be bounded against the file before any positioning. The
+    // cdf2 image stores var 'a''s begin=84 as a big-endian u64 at
+    // byte 76; setting its high word to 1 makes it 2^32 + 84.
+    val b = cdf2File
+    assert(b(76 + 7) == 84.toByte, "begin field moved — update offset")
+    b(76 + 3) = 1 // begin += 2^32 (low byte of the BE high word)
+    val e = intercept[Exception](NetcdfClassic.read(b))
+    assert(e.getMessage.contains("outside the"), e.getMessage)
+  }
+
   test("single-bit flips fail cleanly across CDF-1/2/5 incl. record vars") {
     val images = Seq(baseFile, cdf2File, recordFile, cdf5File)
     val rnd = new scala.util.Random(14L)

@@ -2024,25 +2024,35 @@ def build_v4_btree():
 open('/root/repo/src/test/resources/h5/hand_v4_btree.h5','wb').write(build_v4_btree())
 print("v4 btree fixture written", len(build_v4_btree()))
 
-# ---------------- paged fixed array with an UNINITIALIZED page: the
-# bitmap's clear bit means the page has no on-disk bytes and its
-# chunks are fill — parsing the region anyway would decode garbage
+# ---------------- paged fixed array with an UNINITIALIZED page.
+# Real HDF5 (H5FAdblock.c) allocates EVERY page slot when the data
+# block is created and addresses pages arithmetically:
+#   page p at pages_base + p * (page_nelmts*entry_size + 4)
+# with full stride even for the truncated last page. A clear bitmap
+# bit means the page was never WRITTEN (its chunks are fill), but its
+# slot still occupies the full stride on disk. The fixture puts the
+# CLEAR page FIRST (page 0 garbage slack, page 1 initialized) so a
+# reader that treats a clear page as zero on-disk bytes parses page 1
+# from page 0's slack and fails — the shape that discriminates.
 def build_v4_fa_sparse():
     page_bits = 2      # 4 entries/page; 7 chunks -> 2 pages
-    chunks = []
-    for ci in range(4):   # only page 0's chunks exist
+    chunks = []        # only page 1's chunks (ci 4..6) exist
+    for ci in range(4, 7):
         vals = (V4_FA_VALS + [0.0, 0.0])[ci*3:(ci+1)*3]
         raw = b''.join(struct.pack('<f', v) for v in vals)
         m = len(raw)//4
         shuf = bytes(raw[k*4 + j] for j in range(4) for k in range(m))
         chunks.append(zlib.compress(shuf, 6))
     ENTRY = 8 + 4 + 4
+    PAGE_STRIDE = 4*ENTRY + 4          # full page: 4 entries + checksum
     def msgs(tail_addr):
         fahd_addr = tail_addr
         fadb_addr = fahd_addr + 4+1+1+1+1+8+8+4
         nelmts = 7
-        # body: sig+ver+cid+hdr + bitmap(1) + checksum + page0 only
-        body_len = 4+1+1+8 + 1 + 4 + 4*ENTRY + 4
+        # body: sig+ver+cid+hdr + bitmap(1) + checksum + BOTH page
+        # slots at full stride (page 1's image is 3 entries + checksum
+        # = 52 bytes inside its 68-byte slot; the rest is alloc slack)
+        body_len = 4+1+1+8 + 1 + 4 + 2*PAGE_STRIDE
         data_addr = fadb_addr + body_len
         addrs = []
         a = data_addr
@@ -2051,12 +2061,14 @@ def build_v4_fa_sparse():
         fahd = b'FAHD'+u8(0)+u8(1)+u8(ENTRY)+u8(page_bits)+u64(nelmts)+u64(fadb_addr)
         fahd += u32(lookup3(fahd))
         fadb = b'FADB'+u8(0)+u8(1)+u64(fahd_addr)
-        fadb += u8(0b01)            # page 0 initialized, page 1 NOT
+        fadb += u8(0b10)            # page 0 NOT initialized, page 1 is
         fadb += u32(lookup3(fadb))
+        fadb += b'\xa5' * PAGE_STRIDE   # page 0 slot: allocated, unwritten
         pg = b''
-        for ci in range(4):
-            pg += u64(addrs[ci]) + u32(len(chunks[ci])) + u32(0)
+        for k in range(3):              # last page truncated: 3 entries
+            pg += u64(addrs[k]) + u32(len(chunks[k])) + u32(0)
         fadb += pg + u32(lookup3(pg))
+        fadb += b'\xa5' * (PAGE_STRIDE - len(pg) - 4)  # page 1 slot slack
         tail = fahd + fadb + b''.join(chunks)
         assert fadb_addr + len(fadb) == data_addr
         return ([(0x01, dataspace([20])), (0x03, dt_f32()),
@@ -2085,4 +2097,21 @@ def build_external_root():
     return out
 
 open('/root/repo/src/test/resources/h5/hand_external_root.h5','wb').write(build_external_root())
+
+# ---------------- allocation-bomb fixture: a compound datatype with
+# 300 members over a 2^20-element dataspace. Element count (2^20) and
+# per-member size are individually modest, but members x elements =
+# 3.1e8 doubles (2.5 GiB) — a reader that bounds only the element
+# count allocates it all before touching storage. The layout address
+# is UNDEF so a correct reader refuses BEFORE any data is read.
+def build_compound_bomb():
+    nmem = 300
+    dt = dt_compound_v3(4, [('m%d' % i, 0, dt_f32()) for i in range(nmem)])
+    def msgs(tail_addr):
+        return ([(0x01, dataspace([1 << 20])), (0x03, dt),
+                 (0x08, layout_contiguous(UNDEF, 0))], b'')
+    return v4_scaffold('bm', msgs)
+
+open('/root/repo/src/test/resources/h5/hand_compound_bomb.h5','wb').write(build_compound_bomb())
+print("compound bomb fixture written", len(build_compound_bomb()))
 print("root external-link fixture written", len(build_external_root()))
