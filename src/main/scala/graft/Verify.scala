@@ -41,6 +41,18 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(o => keep(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // pinned-fixture verdicts for the rows-only gates (no DuckDB
+    // oracle): rows + fingerprint + pass/fail against the sf0.01 pins,
+    // so value drift is visible in the round's verify artifacts and
+    // not only inside `sbt test`
+    if (nameFilter.isEmpty &&
+        new java.io.File(graft.tools.FixturePin.pinSfDir).isDirectory) {
+      val pj = graft.tools.FixturePin.verdicts(spark)
+        .map { case (g, rows, md5, ok) =>
+          s"${q(g)}: {\"rows\": $rows, \"md5\": ${q(md5)}, \"ok\": $ok}"
+        }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/pinned.json"), pj)
+    }
     spark.stop()
   }
 }

@@ -16,6 +16,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FixturePin {
 
+  /** The pinned sf0.01 fixtures for the four rows-only gates.
+    * Computed once by this object's main, verified bit-identical under
+    * local[8]/32 and local[3]/7 partitionings (the 6-decimal canon
+    * absorbs summation-order jitter). PinnedFixturesSpec asserts them
+    * in `sbt test`; Verify and Bench ALSO emit the comparison into
+    * their per-round JSON artifacts so value drift is visible to the
+    * driver, not just locally.
+    */
+  val pinSfDir = "/root/testdata/sf0.01"
+  val pins: Map[String, (Long, String)] = Map(
+    "a17_approx_sketch" -> (5L, "f22b0bd46c2600fc65bd461d0811ff17"),
+    "e_ivf_trained" -> (12L, "c8c7a4da42a5d925fead5477af9eb54e"),
+    "e_pca_project" -> (500L, "6ee943dcd7628b499c6f99a91e8e1cdf"),
+    "j5b_regression_pvalue" -> (1L, "2773f3f97321ecb73e082a1cc2ca390f"))
+
+  /** Evaluate every pinned gate at the pin scale factor: gate ->
+    * (rows, md5, ok). Queries that fail to run report ok=false with
+    * the error in place of the fingerprint (the drift must be VISIBLE
+    * in the artifact, never a silent skip).
+    */
+  def verdicts(spark: SparkSession): Seq[(String, Long, String, Boolean)] =
+    pins.toSeq.sortBy(_._1).map { case (gate, (expRows, expMd5)) =>
+      try {
+        val df = graft.SparkEntry.queries(gate)(spark, pinSfDir)
+        val rows = df.count()
+        val md5 = fingerprint(df)
+        (gate, rows, md5, rows == expRows && md5 == expMd5)
+      } catch {
+        case e: Throwable => (gate, -1L, s"error: ${e.getMessage}", false)
+      }
+    }
+
   def canonical(df: DataFrame): String = {
     val cols = df.columns.sorted
     val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
