@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsofJoin, GeoMatchup, ToleranceJoin}
+import graft.ops.{AsofJoin, BucketedSort, GeoMatchup, ToleranceJoin}
 
 /** Join operators re-expressed over the driver testdata (SURVEY §2.3).
   * J1–J3: the matchup family (tolerance join → match-once / match-all);
@@ -41,14 +41,36 @@ object JoinQueries extends QueryModule {
       // the shuffle-hash form is within noise at 1× and scales
       broadcastRight = false)
 
+  /** j1's unordered pair projection — the gate adds the total order;
+    * SortProbe times the order's cost in isolation.
+    */
+  private[graft] def j1Pairs(s: SparkSession, dir: String): DataFrame =
+    matchPairs(s, dir)
+      .select(col("pid"), col("eid"),
+        round(abs(col("pv") - col("ev")) + lit(1e-9), 4).as("dv"),
+        abs(col("pts") - col("ets")).as("dt_us"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // J1: spatio-temporal tolerance matchup join (Matchup.py:429-592)
+    // J1: spatio-temporal tolerance matchup join (Matchup.py:429-592).
+    // The output's total (pid, eid) order comes from BucketedSort, not
+    // orderBy: a sampled range exchange re-executes the pair
+    // enumeration to learn its bounds (the join probe runs ~twice —
+    // the dominant cost of this gate at 100×, SCALING.md r8), while
+    // the pid span is available from the SMALL primary side for the
+    // cost of one min/max scan.
     "j1_tolerance_join" -> { (s, dir) =>
-      matchPairs(s, dir)
-        .select(col("pid"), col("eid"),
-          round(abs(col("pv") - col("ev")) + lit(1e-9), 4).as("dv"),
-          abs(col("pts") - col("ets")).as("dt_us"))
-        .orderBy("pid", "eid")
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // span from events.parquet footer stats (metadata-only; the
+      // all-events id range bounds the purchase ids), falling back to
+      // a min/max scan of the primary when stats are unavailable
+      BucketedSort.parquetSpan(s, s"$dir/events.parquet", "event_id") match {
+        case Some((lo, hi)) =>
+          BucketedSort.byUniformBuckets(j1Pairs(s, dir), col("pid"),
+            lo, hi, n, col("eid"))
+        case None =>
+          BucketedSort.byKeySpanOf(j1Pairs(s, dir), col("pid"),
+            primary(s, dir), col("pid"), n, col("eid"))
+      }
     },
 
     // J2: match-once — nearest match per primary (Matchup.py:456-473)
@@ -84,7 +106,7 @@ object JoinQueries extends QueryModule {
             ((col("user_id") % 120) - 60 + 0.005).as(s"${pfx}lat"),
             (col("value") / 4 - 90 + 0.005).as(s"${pfx}lon"),
             expr("unix_micros(ts) DIV 1000000").as(s"${pfx}t"))
-      GeoMatchup.matchup(
+      val pairs = GeoMatchup.matchup(
           side("purchase", "pid", "p"), side("error", "sid", "s"),
           col("plat"), col("plon"), col("pt"),
           col("slat"), col("slon"), col("st"),
@@ -92,7 +114,18 @@ object JoinQueries extends QueryModule {
           broadcastSecondary = false) // see matchPairs: broadcast died at 100×
         .select(col("pid"), col("sid"),
           round(col("dist_km") + lit(1e-9), 4).as("dist_km"), col("dt_s"))
-        .orderBy("pid", "sid")
+      // total (pid, sid) order via BucketedSort — same rationale as j1
+      // (this gate's 100× cost was its output sort, not the matchup)
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      BucketedSort.parquetSpan(s, s"$dir/events.parquet", "event_id") match {
+        case Some((lo, hi)) =>
+          BucketedSort.byUniformBuckets(pairs, col("pid"), lo, hi, n, col("sid"))
+        case None =>
+          BucketedSort.byKeySpanOf(pairs, col("pid"),
+            Tables.events(s, dir).where(col("event_type") === "purchase")
+              .select(col("event_id")),
+            col("event_id"), n, col("sid"))
+      }
     },
 
     // J4: as-of join — latest click at-or-before each purchase, per user

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BucketedSort must reproduce orderBy's total order EXACTLY — it
+  * backs oracle-hashed gates (j1, j7) where any row out of place is a
+  * driver hash mismatch — while planning a hash exchange instead of a
+  * sampled range exchange.
+  */
+class BucketedSortSpec extends SparkSpec {
+
+  test("route values land bucket i in partition i for every n") {
+    // end-to-end against Spark's own exchange, not our arithmetic: a
+    // one-column frame of the n route sentinels, hash-repartitioned by
+    // Spark, must place sentinel i in partition i
+    for (n <- Seq(1, 2, 3, 4, 7, 16, 32, 61)) {
+      val route = BucketedSort.routeValues(n)
+      import spark.implicits._
+      val placed = route.toSeq.toDF("v").repartition(n, col("v"))
+        .select(spark_partition_id().as("p"), col("v"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(placed.size === n, s"n=$n lost sentinels")
+      route.zipWithIndex.foreach { case (v, i) =>
+        assert(placed(i) === v, s"n=$n: partition $i holds ${placed(i)}, not $v")
+      }
+    }
+  }
+
+  test("total order matches orderBy exactly, including ties and clamps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8L)
+    // keys deliberately wider than the declared span (clamping), with
+    // heavy ties so the tie-break column carries the order
+    val rows = Seq.tabulate(5000)(i =>
+      (rnd.nextInt(400).toLong - 50, rnd.nextInt(20), i))
+    val df = rows.toDF("k", "tie", "payload")
+    val expected = df.orderBy("k", "tie", "payload").collect().toSeq
+    for (n <- Seq(1, 3, 8, 32)) {
+      val got = BucketedSort.byUniformBuckets(df, col("k"), 0L, 299L, n,
+        col("tie"), col("payload")).collect().toSeq
+      assert(got === expected, s"numParts=$n diverged from orderBy")
+    }
+  }
+
+  test("byKeySpanOf takes its bounds from the span relation; empty span passes through") {
+    import spark.implicits._
+    val df = Seq((5L, "a"), (1L, "b"), (9L, "c"), (1L, "a")).toDF("k", "t")
+    val span = Seq(1L, 9L).toDF("sk")
+    val got = BucketedSort.byKeySpanOf(df, col("k"), span, col("sk"), 4, col("t"))
+      .collect().toSeq
+    assert(got === df.orderBy("k", "t").collect().toSeq)
+    val empty = span.where(lit(false))
+    // nothing to bound: the frame passes through un-reordered
+    assert(BucketedSort.byKeySpanOf(df, col("k"), empty, col("sk"), 4)
+      .count() === 4)
+  }
+
+  test("plans one hash exchange and no range exchange") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong, i)).toDF("k", "v")
+    val plan = BucketedSort.byUniformBuckets(df, col("k"), 0L, 99L, 4, col("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("hashpartitioning"), plan)
+  }
+}
