@@ -83,15 +83,31 @@ object Bench {
     // pinned-fixture verdicts (the 4 rows-only gates the driver can
     // only row-count): computed at the pin SF, UNTIMED, so value drift
     // in sketch/eigen/t-CDF algebra shows up in the per-round bench
-    // artifact instead of only inside `sbt test`
+    // artifact instead of only inside `sbt test`. Skipped under the
+    // dev-only SKIP/ONLY probe filters — a single-gate 100x probe
+    // must not pay 4 sf0.01 evaluations per invocation.
     val pinned =
-      if (new java.io.File(graft.tools.FixturePin.pinSfDir).isDirectory)
+      if (skip.isEmpty && only.isEmpty &&
+          new java.io.File(graft.tools.FixturePin.pinSfDir).isDirectory)
         graft.tools.FixturePin.verdicts(spark)
       else Nil
+    // JSON string escape (same contract as Verify's): a failed pinned
+    // gate carries its ERROR MESSAGE in the md5 slot, and Spark error
+    // text routinely contains quotes/newlines — spliced raw it would
+    // corrupt the one artifact line the driver tail-parses
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def pinnedJson(full: Boolean) = pinned.map { case (g, rows, md5, ok) =>
-      val m = if (full) md5 else md5.take(8)
-      "\"" + g + "\":{\"rows\":" + rows + ",\"md5\":\"" + m +
-        "\",\"ok\":" + ok + "}"
+      val m = if (full) md5 else md5.take(40)
+      jq(g) + ":{\"rows\":" + rows + ",\"md5\":" + jq(m) +
+        ",\"ok\":" + ok + "}"
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
@@ -116,8 +132,9 @@ object Bench {
     // its bounded stdout tail, and the full per-query line above can
     // overflow it (BENCH_r04 parsed as null that way) — the tail must
     // always end with a record small enough to survive any truncation.
-    // Pinned verdicts ride here with truncated fingerprints (~8 chars
-    // discriminate fine; full md5s are in BENCH_FULL.json).
+    // Pinned verdicts ride here with values capped at 40 chars (a
+    // full md5 fits; error text truncates — the rest is in
+    // BENCH_FULL.json).
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +

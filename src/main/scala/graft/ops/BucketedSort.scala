@@ -54,9 +54,12 @@ object BucketedSort {
   /** Globally order `df` by (key, tieBreaks...) using uniform
     * arithmetic buckets over the long key's [lo, hi] span instead of a
     * sampled range exchange. Keys outside [lo, hi] clamp to the edge
-    * buckets (order still total — clamping is monotone). The combined
-    * (key, tieBreaks) must be a total order for a deterministic
-    * result, exactly as with orderBy.
+    * buckets (order still total — clamping is monotone, applied to
+    * the KEY before any arithmetic so far-out keys cannot overflow);
+    * null keys take bucket 0 and sort first, matching orderBy's
+    * ascending nulls-first default. The combined (key, tieBreaks)
+    * must be a total order for a deterministic result, exactly as
+    * with orderBy.
     */
   def byUniformBuckets(df: DataFrame, key: Column, lo: Long, hi: Long,
                        numParts: Int, tieBreaks: Column*): DataFrame = {
@@ -67,11 +70,25 @@ object BucketedSort {
       s"bucketed sort span $span x $numParts buckets overflows")
     val n = numParts
     val route = routeValues(n)
-    // (key - lo) * n / span is monotone non-decreasing in key for
-    // positive span (integer floor division), so bucket order = key
-    // order; clamp instead of failing on out-of-span keys
-    val bucket = least(lit(n - 1), greatest(lit(0),
-      (((key.cast("long") - lit(lo)) * lit(n.toLong)) / lit(span)).cast("int")))
+    // clamp the KEY into [lo, hi] FIRST — clamping is monotone, and it
+    // bounds (clamped - lo) in [0, span) so the bucket arithmetic
+    // below can never overflow (span * numParts is require-bounded);
+    // bucketing before clamping would wrap (key - lo) * n for keys far
+    // outside the span and silently misroute them. Null keys take
+    // bucket 0: with the ascending nulls-first within-partition sort
+    // below they come out first globally, exactly like orderBy.
+    val clamped = least(lit(hi), greatest(lit(lo), key.cast("long")))
+    // (clamped - lo) * n / span is monotone non-decreasing in the key
+    // (Spark divides longs in DOUBLE; long->double conversion,
+    // division by a positive constant, and truncation are each
+    // monotone, so bucket order = key order even with precision loss
+    // at >2^53 numerators). The least(n-1) guard stays REQUIRED: for
+    // huge spans the double quotient of the top key can round up to
+    // exactly n, and an element_at past the array end would misroute
+    // the largest keys to bucket 0 via the null-coalesce.
+    val bucket = least(lit(n - 1), greatest(lit(0), coalesce(
+      (((clamped - lit(lo)) * lit(n.toLong)) / lit(span)).cast("int"),
+      lit(0))))
     val routeCol = element_at(array(route.map(lit).toIndexedSeq: _*), bucket + lit(1))
     df.withColumn("__graft_route", routeCol)
       .repartition(n, col("__graft_route"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{AsofJoin, BucketedSort, GeoMatchup, ToleranceJoin}
@@ -41,6 +41,27 @@ object JoinQueries extends QueryModule {
       // the shuffle-hash form is within noise at 1× and scales
       broadcastRight = false)
 
+  /** Shared total-order tail for the big matchup outputs (j1, j7):
+    * BucketedSort keyed on the primary event id, span from
+    * events.parquet footer stats (metadata-only; the all-events id
+    * range bounds the purchase ids), falling back to a min/max scan
+    * of the purchase side when stats are unavailable.
+    */
+  private def orderedByEventSpan(s: SparkSession, dir: String,
+                                 pairs: DataFrame, key: Column,
+                                 tie: Column): DataFrame = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    BucketedSort.parquetSpan(s, s"$dir/events.parquet", "event_id") match {
+      case Some((lo, hi)) =>
+        BucketedSort.byUniformBuckets(pairs, key, lo, hi, n, tie)
+      case None =>
+        BucketedSort.byKeySpanOf(pairs, key,
+          Tables.events(s, dir).where(col("event_type") === "purchase")
+            .select(col("event_id")),
+          col("event_id"), n, tie)
+    }
+  }
+
   /** j1's unordered pair projection — the gate adds the total order;
     * SortProbe times the order's cost in isolation.
     */
@@ -59,18 +80,7 @@ object JoinQueries extends QueryModule {
     // the pid span is available from the SMALL primary side for the
     // cost of one min/max scan.
     "j1_tolerance_join" -> { (s, dir) =>
-      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // span from events.parquet footer stats (metadata-only; the
-      // all-events id range bounds the purchase ids), falling back to
-      // a min/max scan of the primary when stats are unavailable
-      BucketedSort.parquetSpan(s, s"$dir/events.parquet", "event_id") match {
-        case Some((lo, hi)) =>
-          BucketedSort.byUniformBuckets(j1Pairs(s, dir), col("pid"),
-            lo, hi, n, col("eid"))
-        case None =>
-          BucketedSort.byKeySpanOf(j1Pairs(s, dir), col("pid"),
-            primary(s, dir), col("pid"), n, col("eid"))
-      }
+      orderedByEventSpan(s, dir, j1Pairs(s, dir), col("pid"), col("eid"))
     },
 
     // J2: match-once — nearest match per primary (Matchup.py:456-473)
@@ -116,16 +126,7 @@ object JoinQueries extends QueryModule {
           round(col("dist_km") + lit(1e-9), 4).as("dist_km"), col("dt_s"))
       // total (pid, sid) order via BucketedSort — same rationale as j1
       // (this gate's 100× cost was its output sort, not the matchup)
-      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-      BucketedSort.parquetSpan(s, s"$dir/events.parquet", "event_id") match {
-        case Some((lo, hi)) =>
-          BucketedSort.byUniformBuckets(pairs, col("pid"), lo, hi, n, col("sid"))
-        case None =>
-          BucketedSort.byKeySpanOf(pairs, col("pid"),
-            Tables.events(s, dir).where(col("event_type") === "purchase")
-              .select(col("event_id")),
-            col("event_id"), n, col("sid"))
-      }
+      orderedByEventSpan(s, dir, pairs, col("pid"), col("sid"))
     },
 
     // J4: as-of join — latest click at-or-before each purchase, per user

@@ -34,21 +34,26 @@ object FixturePin {
   /** Evaluate every pinned gate at the pin scale factor: gate ->
     * (rows, md5, ok). Queries that fail to run report ok=false with
     * the error in place of the fingerprint (the drift must be VISIBLE
-    * in the artifact, never a silent skip).
+    * in the artifact, never a silent skip). One execution per gate:
+    * the row count is the canonical collect's length, not a second
+    * count() job.
     */
   def verdicts(spark: SparkSession): Seq[(String, Long, String, Boolean)] =
     pins.toSeq.sortBy(_._1).map { case (gate, (expRows, expMd5)) =>
       try {
         val df = graft.SparkEntry.queries(gate)(spark, pinSfDir)
-        val rows = df.count()
-        val md5 = fingerprint(df)
-        (gate, rows, md5, rows == expRows && md5 == expMd5)
+        val lines = canonicalLines(df)
+        val md5 = md5Of(lines.mkString("\n"))
+        (gate, lines.length.toLong, md5,
+          lines.length.toLong == expRows && md5 == expMd5)
       } catch {
         case e: Throwable => (gate, -1L, s"error: ${e.getMessage}", false)
       }
     }
 
-  def canonical(df: DataFrame): String = {
+  def canonical(df: DataFrame): String = canonicalLines(df).mkString("\n")
+
+  private def canonicalLines(df: DataFrame): Array[String] = {
     val cols = df.columns.sorted
     val proj = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
     proj.collect().map { r =>
@@ -66,13 +71,15 @@ object FixturePin {
           case v => String.valueOf(v)
         }
       }.mkString("|")
-    }.mkString("\n")
+    }
   }
 
-  def fingerprint(df: DataFrame): String = {
+  private def md5Of(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(canonical(df).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+
+  def fingerprint(df: DataFrame): String = md5Of(canonical(df))
 
   /** Dev tool: print the fingerprints to pin.
     * Usage: runMain graft.tools.FixturePin <sfDir> <gate> [gate ...]

@@ -31,9 +31,14 @@ class BucketedSortSpec extends SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(8L)
     // keys deliberately wider than the declared span (clamping), with
-    // heavy ties so the tie-break column carries the order
+    // heavy ties so the tie-break column carries the order, plus
+    // FAR-out-of-span extremes: (key - lo) * n on Long.MaxValue would
+    // wrap negative and silently misroute if clamping ran after the
+    // arithmetic instead of before
     val rows = Seq.tabulate(5000)(i =>
-      (rnd.nextInt(400).toLong - 50, rnd.nextInt(20), i))
+      (rnd.nextInt(400).toLong - 50, rnd.nextInt(20), i)) ++
+      Seq((Long.MaxValue, 0, 5000), (Long.MinValue, 0, 5001),
+        (Long.MaxValue - 1, 3, 5002))
     val df = rows.toDF("k", "tie", "payload")
     val expected = df.orderBy("k", "tie", "payload").collect().toSeq
     for (n <- Seq(1, 3, 8, 32)) {
@@ -41,6 +46,16 @@ class BucketedSortSpec extends SparkSpec {
         col("tie"), col("payload")).collect().toSeq
       assert(got === expected, s"numParts=$n diverged from orderBy")
     }
+  }
+
+  test("null keys sort first globally, matching orderBy") {
+    import spark.implicits._
+    val rows: Seq[(Option[Long], Int)] =
+      Seq((Some(7L), 1), (None, 2), (Some(1L), 3), (None, 1), (Some(99L), 0))
+    val df = rows.toDF("k", "tie")
+    val got = BucketedSort.byUniformBuckets(df, col("k"), 0L, 99L, 4, col("tie"))
+      .collect().toSeq
+    assert(got === df.orderBy("k", "tie").collect().toSeq)
   }
 
   test("byKeySpanOf takes its bounds from the span relation; empty span passes through") {
