@@ -91,19 +91,11 @@ object Bench {
           new java.io.File(graft.tools.FixturePin.pinSfDir).isDirectory)
         graft.tools.FixturePin.verdicts(spark)
       else Nil
-    // JSON string escape (same contract as Verify's): a failed pinned
-    // gate carries its ERROR MESSAGE in the md5 slot, and Spark error
-    // text routinely contains quotes/newlines — spliced raw it would
-    // corrupt the one artifact line the driver tail-parses
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // a failed pinned gate carries its ERROR MESSAGE in the md5 slot,
+    // and Spark error text routinely contains quotes/newlines —
+    // spliced raw it would corrupt the one artifact line the driver
+    // tail-parses, hence the shared escaper
+    import graft.tools.Jsons.{quote => jq}
     def pinnedJson(full: Boolean) = pinned.map { case (g, rows, md5, ok) =>
       val m = if (full) md5 else md5.take(40)
       jq(g) + ":{\"rows\":" + rows + ",\"md5\":" + jq(m) +

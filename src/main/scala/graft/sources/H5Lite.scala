@@ -1480,14 +1480,32 @@ object H5Lite {
         "elements exceeds the in-memory codec's envelope")
     d.layout.clazz match {
       case 0 =>
+        // compact size and position are file-controlled: bound the
+        // extent before the Int narrow (same contract as loadChunk)
+        require(d.layout.compactPos >= 0 &&
+          d.layout.compactPos <= r.bytes.length &&
+          d.layout.size >= 0 &&
+          d.layout.size <= r.bytes.length - d.layout.compactPos,
+          s"h5: dataset '${d.name}' compact data of ${d.layout.size} " +
+            s"bytes at ${d.layout.compactPos} exceeds the " +
+            s"${r.bytes.length}-byte file")
         r.at(d.layout.compactPos)
         decodeMembers(r.take(d.layout.size.toInt), d.dtype, n, members)
       case 1 =>
         if (d.layout.addr == UNDEF)
           Array.fill(members.length)(Array.fill(n)(Double.NaN))
         else {
+          // n * elemSize in LONG: n <= 2^28 but the element size is a
+          // file-controlled u32, and an Int product wraps a large
+          // compound stride past the envelope into an uncontrolled
+          // mid-decode failure instead of this loud refusal
+          val byteLen = n.toLong * d.dtype.size
+          require(d.layout.addr >= 0 && d.layout.addr <= r.bytes.length &&
+            byteLen >= 0 && byteLen <= r.bytes.length - d.layout.addr,
+            s"h5: dataset '${d.name}' contiguous data of $byteLen bytes " +
+              s"at ${d.layout.addr} exceeds the ${r.bytes.length}-byte file")
           r.at(d.layout.addr)
-          decodeMembers(r.take(n * d.dtype.size), d.dtype, n, members)
+          decodeMembers(r.take(byteLen.toInt), d.dtype, n, members)
         }
       case 2 => readChunked(r, d, n, members)
       case c => sys.error(s"h5: layout class $c unsupported")

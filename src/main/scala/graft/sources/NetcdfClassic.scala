@@ -251,10 +251,23 @@ object NetcdfClassic {
 
     // elements per record slab (record vars) / total elements (fixed
     // vars): the record dim, if present, is always outermost and is
-    // dropped here
+    // dropped here. The product is overflow-checked in Long and
+    // bounded by the file length (slab data is raw in-file, so one
+    // byte per element is a hard floor) — an Int product would wrap a
+    // corrupt multi-dim header to a small positive count that passes
+    // every later bound and silently under-reads the variable
     def slabElems(h: VarHdr): Int = {
       val ds = if (h.dimIds.headOption.contains(recDimIdx)) h.dimIds.tail else h.dimIds
-      ds.map(i => rawDims(i).length).product.max(1)
+      val nL = ds.foldLeft(1L) { (a, i) =>
+        val len = rawDims(i).length.toLong
+        val p = a * len
+        require(len >= 0 && (len == 0 || p / len == a) && p <= bytes.length,
+          s"netcdf: variable '${h.name}' declares " +
+            s"${ds.map(rawDims(_).length).mkString("x")} elements — more " +
+            s"than the ${bytes.length}-byte file holds")
+        p
+      }
+      nL.max(1L).toInt
     }
 
     // a corrupt numrecs must fail HERE, before the record loop sizes
@@ -370,10 +383,13 @@ object NetcdfClassic {
   def write(f: NcFile): Array[Byte] = {
     require(!f.dims.exists(_.isRecord), "netcdf write: record dim unsupported")
     f.vars.foreach { v =>
+      // Long product (caller-controlled shapes; an Int wrap could
+      // collide with data.length and write a corrupt header)
       val n = v.dims.map(d => f.dim(d).getOrElse(
-        sys.error(s"netcdf write: var ${v.name} references unknown dim $d")).length)
-        .product.max(1)
-      require(v.data.length == n,
+          sys.error(s"netcdf write: var ${v.name} references unknown dim $d"))
+          .length.toLong)
+        .product.max(1L)
+      require(v.data.length.toLong == n,
         s"netcdf write: var ${v.name} has ${v.data.length} values, shape wants $n")
     }
     val dimIdx = f.dims.zipWithIndex.map { case (d, i) => d.name -> i }.toMap
@@ -395,8 +411,8 @@ object NetcdfClassic {
     val headerLen = 4L + 4L + dimBytes + attrBytes(f.attrs) + varHdrBytes
 
     val sizes = f.vars.map { v =>
-      val n = v.dims.map(d => f.dim(d).get.length).product.max(1)
-      pad4(n.toLong * typeSize(v.ncType))
+      val n = v.dims.map(d => f.dim(d).get.length.toLong).product.max(1L)
+      pad4(n * typeSize(v.ncType))
     }
     val begins = sizes.scanLeft(headerLen)(_ + _).init
 

@@ -50,6 +50,15 @@ class H5CorruptionSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("contiguous n x elem_size bounds in Long — a wrapped 32-bit product cannot escape") {
+    // tools/make_h5_fixture.py build_compound_stride: 2^20 elements of
+    // a 4100-byte compound element = 4.3 GB, which wraps a 32-bit
+    // product to ~4 MB; the extent must be bounded in Long before the
+    // take() narrow, refusing loudly instead of failing mid-decode
+    val e = intercept[Exception](H5Lite.read(fixture("/h5/hand_compound_stride.h5")))
+    assert(e.getMessage.contains("exceeds the"), e.getMessage)
+  }
+
   test("v4 single-chunk stored size with high bits set fails loudly") {
     // the stored chunk byte size is a 64-bit field: 2^32 + true_size
     // narrows to true_size in a bare `.toInt` and decodes silently —

@@ -106,6 +106,29 @@ class NetcdfCorruptionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("outside the"), e.getMessage)
   }
 
+  test("multi-dim element product bounds in Long — a wrapped Int count cannot under-read") {
+    // dims [65536, 65537]: the Int product wraps to exactly 65536, a
+    // small positive count that would pass every downstream bound and
+    // silently return 65536 of the declared ~4.3e9 values; the Long
+    // product must refuse loudly against the file length instead
+    val buf = java.nio.ByteBuffer.allocate(160)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(1.toByte)
+    buf.putInt(0)
+    buf.putInt(0x0A).putInt(2)
+    buf.putInt(1).put('a'.toByte).put(Array[Byte](0, 0, 0)).putInt(65536)
+    buf.putInt(1).put('b'.toByte).put(Array[Byte](0, 0, 0)).putInt(65537)
+    buf.putInt(0).putInt(0)
+    buf.putInt(0x0B).putInt(1)
+    buf.putInt(1).put('v'.toByte).put(Array[Byte](0, 0, 0))
+    buf.putInt(2).putInt(0).putInt(1)
+    buf.putInt(0).putInt(0)
+    buf.putInt(NC_FLOAT).putInt(100).putInt(100)
+    val img = java.util.Arrays.copyOf(buf.array(), buf.position())
+    val e = intercept[Exception](NetcdfClassic.read(img))
+    assert(e.getMessage.contains("more than the"), e.getMessage)
+  }
+
   test("single-bit flips fail cleanly across CDF-1/2/5 incl. record vars") {
     val images = Seq(baseFile, cdf2File, recordFile, cdf5File)
     val rnd = new scala.util.Random(14L)

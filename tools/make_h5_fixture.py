@@ -2114,4 +2114,32 @@ def build_compound_bomb():
 
 open('/root/repo/src/test/resources/h5/hand_compound_bomb.h5','wb').write(build_compound_bomb())
 print("compound bomb fixture written", len(build_compound_bomb()))
+
+# ---------------- contiguous stride-bomb: ONE member but a 4100-byte
+# element over 2^20 elements. n (2^20) and members (1) each pass their
+# envelopes; only n x elem_size (4.3 GB, wrapping a 32-bit product to
+# ~4 MB) is absurd — the refusal must come from the Long extent bound
+# on the contiguous read, not from an uncontrolled mid-decode index
+# error after a wrapped take().
+def dt_compound_v3_wide(size, members):
+    # same as dt_compound_v3 but 2-byte member offsets (the v3 width
+    # for 256 <= size < 65536, H5VM_limit_enc_size)
+    n = len(members)
+    assert 256 <= size < 65536
+    b = u8((3<<4)|6)+u8(n & 0xff)+u8((n >> 8) & 0xff)+u8(0)+u32(size)
+    for name, off, dtb in members:
+        b += name.encode()+b'\0' + u8(off & 0xff) + u8((off >> 8) & 0xff) + dtb
+    return b
+
+def build_compound_stride():
+    dt = dt_compound_v3_wide(4100, [('a', 0, dt_f32())])
+    def msgs(tail_addr):
+        # a VALID in-file address: the extent bound, not the address
+        # check, must be what refuses
+        return ([(0x01, dataspace([1 << 20])), (0x03, dt),
+                 (0x08, layout_contiguous(96, 0))], b'')
+    return v4_scaffold('st', msgs)
+
+open('/root/repo/src/test/resources/h5/hand_compound_stride.h5','wb').write(build_compound_stride())
+print("compound stride fixture written", len(build_compound_stride()))
 print("root external-link fixture written", len(build_external_root()))
