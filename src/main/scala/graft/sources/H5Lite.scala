@@ -115,7 +115,15 @@ object H5Lite {
 
   private class R(val bytes: Array[Byte]) {
     val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    def at(pos: Long): Unit = buf.position(pos.toInt)
+    // EVERY file-controlled 64-bit position funnels through here: a
+    // bare pos.toInt would wrap 2^32 + k to k — a VALID position — and
+    // silently decode the wrong region (the class of defect reviews
+    // kept finding one site at a time; bounding centrally closes it)
+    def at(pos: Long): Unit = {
+      require(pos >= 0 && pos <= bytes.length,
+        s"h5: position $pos outside the ${bytes.length}-byte file")
+      buf.position(pos.toInt)
+    }
     def pos: Long = buf.position().toLong
     def u8(): Int = buf.get() & 0xff
     def u16(): Int = buf.getShort() & 0xffff
@@ -123,10 +131,21 @@ object H5Lite {
     def u64(): Long = buf.getLong()
     def skip(n: Int): Unit = buf.position(buf.position() + n)
     def take(n: Int): Array[Byte] = { val b = new Array[Byte](n); buf.get(b); b }
+    // the Long-length twin for file-controlled sizes: bounds BEFORE
+    // the Int narrow (take(sz.toInt) on a wrapped size reads a small
+    // prefix silently instead of refusing)
+    def takeL(n: Long): Array[Byte] = {
+      require(n >= 0 && n <= buf.remaining(),
+        s"h5: read of $n bytes at ${buf.position()} exceeds the " +
+          s"${bytes.length}-byte file")
+      take(n.toInt)
+    }
     def sig4(pos: Long, s: String): Boolean =
-      pos >= 0 && pos + 4 <= bytes.length &&
+      pos >= 0 && pos + 4 <= bytes.length && pos + 4 > pos &&
         s.zipWithIndex.forall { case (c, i) => bytes(pos.toInt + i) == c.toByte }
     def cstring(pos: Long): String = {
+      require(pos >= 0 && pos <= bytes.length,
+        s"h5: string position $pos outside the ${bytes.length}-byte file")
       var e = pos.toInt
       while (e < bytes.length && bytes(e) != 0) e += 1
       new String(bytes, pos.toInt, e - pos.toInt, "UTF-8")
@@ -736,7 +755,7 @@ object H5Lite {
         } else {
           require(storedSize != UNDEF, "h5: filtered direct block without size")
           r.at(a)
-          val raw = applyFilters(r.take(storedSize.toInt), filters,
+          val raw = applyFilters(r.takeL(storedSize), filters,
             filterMask, elemSize = 1)
           require(raw.length == size,
             s"h5: filtered block decoded ${raw.length} of $size bytes")
@@ -825,7 +844,10 @@ object H5Lite {
           else (leBytes(rec, 0, 8), leBytes(rec, 8, 8), 0L,
             leBytes(rec, 8, 8))
         }
-      require(addr >= 0 && storedLen >= 0 && addr + storedLen <= r.bytes.length,
+      // addr bounded FIRST: addr + storedLen could wrap Long for two
+      // huge values and slip a negative sum past the extent check
+      require(addr >= 0 && addr <= r.bytes.length && storedLen >= 0 &&
+        storedLen <= r.bytes.length - addr,
         s"h5: huge object at $addr+$storedLen out of bounds")
       if (!filtered) {
         val rr = new R(r.bytes)
@@ -980,6 +1002,10 @@ object H5Lite {
           val ca = r.u64()
           val n = readUInt(nrecSize)
           if (level > 1) readUInt(encSize(cumMaxNrec(level - 1))) // subtree total
+          // nrecSize can be wide enough to encode counts past Int
+          // range; a wrapped count would silently read fewer records
+          require(n >= 0 && n <= Int.MaxValue,
+            s"h5: v2 B-tree child record count $n out of range")
           (ca, n.toInt)
         }
         children.flatMap { case (ca, n) => readNode(ca, n, level - 1) } ++ sepIds
@@ -1019,7 +1045,7 @@ object H5Lite {
       case 2 => r.u32()
       case _ => r.u64()
     }
-    val name = new String(r.take(nameLen.toInt), "UTF-8")
+    val name = new String(r.takeL(nameLen), "UTF-8")
     linkType match {
       case 0 => Some((name, Hard(r.u64())))
       case 1 => // soft: length(2) + path bytes (not NUL-terminated)
@@ -1067,7 +1093,14 @@ object H5Lite {
     val clazz = b0 & 0xf
     val version = (b0 >> 4) & 0xf
     val bits0 = r.u8(); val bits1 = r.u8(); r.u8()
-    val size = r.u32().toInt
+    // the element size is a file-controlled u32: a value past Int
+    // range would wrap NEGATIVE in toInt and poison every downstream
+    // stride computation; an element larger than the file can never
+    // decode, so that is the natural loud bound
+    val sizeL = r.u32()
+    require(sizeL <= r.bytes.length,
+      s"h5: datatype element size $sizeL exceeds the ${r.bytes.length}-byte file")
+    val size = sizeL.toInt
     clazz match {
       case C_FIXED =>
         r.skip(4) // properties: bit offset + bit precision

@@ -431,6 +431,11 @@ object NetcdfClassic {
         v.dims.foreach(d => w.int(dimIdx(d)))
         w.attrs(v.attrs)
         w.int(v.ncType)
+        // CDF-1 stores 32-bit sizes/offsets: a layout past 2 GiB must
+        // refuse loudly, not wrap into a corrupt header
+        require(vsize <= Int.MaxValue && begin <= Int.MaxValue,
+          s"netcdf write: var ${v.name} at begin=$begin size=$vsize " +
+            "exceeds the CDF-1 32-bit offset format")
         w.int(vsize.toInt)
         w.int(begin.toInt)
       }
