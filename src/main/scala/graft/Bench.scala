@@ -80,7 +80,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // pinned-fixture verdicts (the 4 rows-only gates the driver can
+    // pinned-fixture verdicts (the 5 rows-only gates the driver can
     // only row-count): computed at the pin SF, UNTIMED, so value drift
     // in sketch/eigen/t-CDF algebra shows up in the per-round bench
     // artifact instead of only inside `sbt test`. Skipped under the

@@ -127,6 +127,28 @@ object SimilarityQueries extends QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // IVF ASSIGNMENT with FIXED centroids — the oracled companion to
+    // e_ivf_trained (same e_pca_project_fixed pattern): the nearest-
+    // centroid argmin algebra gets a true DuckDB gate by pinning the
+    // centroids to exact binary fractions (quarters), which makes the
+    // per-element (v-c)² accumulation bit-identical across engines —
+    // no rounding tolerance needed on the argmin itself, so a flipped
+    // assignment CANNOT hide. The trained gate then only leaves
+    // Lloyd's summation-order-sensitive averaging un-oracled.
+    "e_ivf_assign_fixed" -> { (s, dir) =>
+      val d = 64
+      val cents = (0 until 4).map { k =>
+        (k, Array.tabulate(d)(i => ((i * (k + 2)) % 8) * 0.25 - 1.0))
+      }
+      val cdf = s.createDataFrame(cents).toDF("list_id", "centroid")
+      IvfIndex.assign(
+          Tables.embeddingsSpread(s, dir)
+            .select(col("vec_id").as("vid"),
+              col("embedding").cast("array<double>").as("v")), cdf)
+        .select(col("vid").as("vec_id"), col("list_id").cast("long").as("list_id"))
+        .orderBy("vec_id")
+    },
+
     // Symmetric per-vector int8 quantization (the storage/shuffle
     // compression step of a 100 TB vector pipeline — 4× fewer bytes
     // than float32 on every scan and exchange): scale = max|x|/127,
@@ -450,6 +472,23 @@ object SimilarityQueries extends QueryModule {
     // ::DOUBLE keeps the ramp literals binary-float on both engines
     // (DuckDB's bare 0.1 is DECIMAL, whose 0.1*(i-1) differs from the
     // double product by an ulp — enough to flip a 4-decimal boundary)
+    // centroid c_k[i] = ((i*(k+2)) % 8)/4 - 1 — exact binary quarters,
+    // so d² sums (sequential in list order in both engines) are
+    // bit-identical and the argmin needs no tolerance
+    "e_ivf_assign_fixed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |c AS (SELECT k, list_transform(range(1, 65),
+        |        i -> CAST(((i - 1) * (k + 2)) % 8 AS DOUBLE) * 0.25 - 1.0) AS cent
+        |      FROM (SELECT unnest(range(0, 4)) AS k)),
+        |d AS (SELECT vec_id, k,
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (v[i] - cent[i]) * (v[i] - cent[i]))) AS d2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, k,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        |      FROM d)
+        |SELECT vec_id, k AS list_id FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     "e_pca_project_fixed" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
         |           FROM embeddings)

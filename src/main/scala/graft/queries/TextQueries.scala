@@ -548,6 +548,36 @@ object TextQueries extends QueryModule {
         .select(col("media_id").as("doc_id"), col("n_bytes"), col("n_segs"),
           col("seg_bytes_total"), col("res_bytes"), col("res_digest"))
         .orderBy("doc_id")
+    },
+
+    // BPE tokenizer training, step 0: char-level adjacent-pair counts
+    // over the distinct-word table (weighted by word frequency, with
+    // the </w> end marker) — the fully declarative half of Bpe.train,
+    // oracled directly. Top 50 pairs by (cnt DESC, pair ASC).
+    "t_bpe_pairs" -> { (s, dir) =>
+      import graft.text.Bpe
+      Bpe.initialPairCounts(
+          Bpe.wordCounts(Tables.documentsSpread(s, dir), col("text")))
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(50)
+    },
+
+    // BPE tokenizer training, full loop: the learned merge table after
+    // 24 iterations (rank, pair, fused token, pair count at selection
+    // time). The iterative argmax-merge loop is not SQL-expressible —
+    // rows-only gate, value-pinned in PinnedFixturesSpec and
+    // differentially tested against a single-machine reference
+    // implementation in BpeSpec.
+    "t_bpe_vocab" -> { (s, dir) =>
+      import graft.text.Bpe
+      val merges = Bpe.train(
+        Bpe.wordCounts(Tables.documentsSpread(s, dir), col("text")),
+        numMerges = 24)
+      s.createDataFrame(merges)
+        .select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), concat(col("left"), col("right")).as("merged"),
+          col("cnt"))
+        .orderBy("rank")
     }
   )
 
@@ -920,6 +950,22 @@ object TextQueries extends QueryModule {
          |     + ((doc_id*31 + ((p//4)*2+1)*8 + (p%4)*2 + 1) % 256)) // 4),
          |    '-') AS res_pixels
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // same decomposition as the engine: words → counts → per-position
+    // (char, next-char-or-</w>) pairs weighted by word count
+    "t_bpe_pairs" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, i, 1) AS "left",
+        |         CASE WHEN i = length(w) THEN '</w>'
+        |              ELSE substr(w, i + 1, 1) END AS "right",
+        |         cnt
+        |  FROM (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS i FROM wc))
+        |SELECT "left", "right", CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, "left", "right" LIMIT 50""".stripMargin
   )
 }

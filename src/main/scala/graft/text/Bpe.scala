@@ -1,0 +1,217 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training — the vocabulary
+  * step of a training-data pipeline, expressed so the CORPUS is
+  * scanned exactly once and every merge iteration runs over the
+  * distinct-WORD table instead.
+  *
+  * The standard scalable decomposition (Sennrich et al. 2016 operate
+  * on word frequencies, not the raw stream): one `groupBy(word)` pass
+  * compresses the corpus to `(word, count)` — at web scale a table
+  * orders of magnitude smaller than the text, at 100 TB still far too
+  * large to collect, so it stays distributed. Each merge iteration is
+  * then one map (apply the previous merge to the symbol arrays), one
+  * adjacent-pair count (`flatMap` → `reduceByKey`, weighted by
+  * word count — map-side partial aggregation keeps the exchange at
+  * #distinct-pairs, not #words), and one map-side top-1 argmax
+  * (count DESC, then lexicographic pair — a total, deterministic
+  * tie-break, so training is reproducible across partitionings). The
+  * driver ever holds only the merge table itself (`numMerges` rows).
+  *
+  * Encoding with a learned merge list is row-local: merges broadcast
+  * in the task closure, applied per word with a PER-PARTITION memo
+  * (real corpora repeat words massively — the memo turns per-token
+  * cost into per-distinct-word cost inside each task).
+  *
+  * Reference scope: the reference engine has no tokenizer-training
+  * operator; this is part of the training-data extension set the
+  * builder brief asks for (token counting "BPE-ish", vocabulary
+  * construction at corpus scale).
+  */
+object Bpe {
+
+  /** End-of-word marker appended to every word's symbol sequence —
+    * merges can therefore learn word-final units ("ing</w>") and
+    * encoded tokens re-segment unambiguously.
+    */
+  val Eow = "</w>"
+
+  /** One learned merge: at `rank`, the adjacent pair (`left`,`right`)
+    * had the highest corpus frequency `cnt` and fuses to `left+right`.
+    */
+  final case class Merge(rank: Int, left: String, right: String, cnt: Long) {
+    def merged: String = left + right
+  }
+
+  /** The single corpus scan: whitespace words → `(w, cnt)`. */
+  def wordCounts(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(text, " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Iteration-0 adjacent-pair counts (chars + [[Eow]]) as a fully
+    * declarative plan — no typed map, codegen end-to-end — so the
+    * pair-counting algebra has a direct SQL oracle. `(left, right)`
+    * where `right` is the next char or [[Eow]] at word end, weighted
+    * by word count.
+    */
+  def initialPairCounts(words: DataFrame): DataFrame = {
+    val L = length(col("w"))
+    val prs = transform(sequence(lit(1), L), i =>
+      struct(col("w").substr(i, lit(1)).as("left"),
+        when(i === L, lit(Eow))
+          .otherwise(col("w").substr(i + lit(1), lit(1))).as("right")))
+    words.select(explode(prs).as("p"), col("cnt"))
+      .select(col("p.left").as("left"), col("p.right").as("right"), col("cnt"))
+      .groupBy("left", "right").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Learn `numMerges` merges from a `(w, cnt)` word table. Stops
+    * early when no adjacent pair remains (every word fused to one
+    * symbol). Deterministic: argmax ties break on (left, right).
+    *
+    * Lineage discipline: the symbol table is re-persisted per
+    * iteration and localCheckpoint-ed every 8th so the plan never
+    * accumulates an O(numMerges)-deep map chain (on a real cluster a
+    * reliable `checkpoint` to the job's storage would replace
+    * localCheckpoint — same call site, executor-loss-safe).
+    */
+  def train(words: DataFrame, numMerges: Int): Seq[Merge] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // size the symbol table's partitioning to ITS row count, not the
+    // corpus's: after the word-count groupBy the table is tiny at gate
+    // scale (one partition — iteration jobs stay sub-100ms) and spans
+    // partitions again exactly when the distinct-word count does
+    val base = words.select(col("w").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)]
+    val nWords = base.count()
+    val sc = spark.sparkContext
+    val parts = math.max(1, math.min(sc.defaultParallelism,
+      (nWords / 65536L).toInt + 1))
+    // the LOOP runs on RDDs, deliberately: a DataFrame body re-analyzes
+    // and Janino-recompiles a brand-new plan every merge (the merge
+    // literals live in the closure), a measured ~0.15 s/iteration
+    // CONSTANT at any data size — 24 merges paid 3.8 s of pure plan
+    // compilation on a 60-row symbol table. The body is procedural
+    // per-element symbol rewriting with zero relational structure to
+    // optimize, i.e. the documented imperative-loop niche for RDDs;
+    // the RDD form's per-iteration cost is one scheduled job (pair
+    // reduceByKey + map-side top-1), ~3× faster end-to-end. Everything
+    // around the loop (word counts, the oracled pair algebra, encode)
+    // stays DataFrame.
+    var cur = base.rdd
+      .map { case (w, c) => (w.map(_.toString).toArray :+ Eow, c) }
+      .repartition(parts)
+      .persist(sl)
+    // one job per iteration: the pair-count argmax below also
+    // materializes `cur` into its cache, so the previous table is
+    // released one step deferred instead of via an extra count()
+    var prev: org.apache.spark.rdd.RDD[(Array[String], Long)] = null
+    implicit val topOrd: Ordering[((String, String), Long)] =
+      Ordering.by { case ((l, r), c) => (-c, l, r) }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = cur.flatMap { case (s, c) =>
+        if (s.length < 2) Iterator.empty
+        else s.iterator.zip(s.iterator.drop(1)).map(p => (p, c))
+      }.reduceByKey(_ + _, parts)
+        .takeOrdered(1)(topOrd)
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      if (top.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = top(0)
+        merges += Merge(rank, l, r, c)
+        prev = cur
+        val mapped = prev.map { case (s, cc) => (mergePairArr(s, l, r), cc) }
+          .persist(sl)
+        // truncate lineage periodically so a large merge budget cannot
+        // accumulate an unboundedly deep recompute chain (on a real
+        // cluster a reliable checkpoint would replace localCheckpoint)
+        if (rank % 8 == 0) mapped.localCheckpoint()
+        cur = mapped
+        rank += 1
+      }
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    cur.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** Left-to-right non-overlapping fuse of one adjacent pair — the
+    * BPE merge step ("aaa" under merge (a,a) → ["aa","a"], never
+    * ["a","aa"] or an overlapped double-consume).
+    */
+  private[text] def mergePair(s: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Array twin of [[mergePair]] for the RDD training loop (no
+    * wrapper allocation on the hot path).
+    */
+  private[text] def mergePairArr(s: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode one word (no [[Eow]]) through the merge list in rank
+    * order. Row-local; exposed for the per-partition memo in
+    * [[encode]] and for differential tests.
+    */
+  private[text] def encodeWord(w: String, merges: Seq[Merge]): Seq[String] = {
+    var syms: Seq[String] = w.map(_.toString) :+ Eow
+    merges.foreach { m =>
+      if (syms.length > 1) syms = mergePair(syms, m.left, m.right)
+    }
+    syms
+  }
+
+  /** Tokenize `text` of every row with a learned merge list: output
+    * columns of `docs` plus `bpe_tokens: array<string>` and
+    * `n_bpe_tokens: long`. mapPartitions with a per-partition
+    * word→tokens memo: the merge loop runs once per DISTINCT word per
+    * task, not once per token — at corpus scale that is the difference
+    * between O(tokens × merges) and O(task-vocabulary × merges).
+    */
+  def encode(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inSchema = docs.schema
+    val outSchema = inSchema
+      .add(StructField("bpe_tokens", ArrayType(StringType, containsNull = false)))
+      .add(StructField("n_bpe_tokens", LongType))
+    val ti = inSchema.fieldIndex(textCol)
+    val ms = merges // serialize the small merge table in the closure
+    val out = docs.rdd.mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+      it.map { row =>
+        val text = row.getString(ti)
+        val toks =
+          if (text == null) Seq.empty[String]
+          else text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+            memo.getOrElseUpdate(w, encodeWord(w, ms))
+          }.toSeq
+        Row.fromSeq(row.toSeq :+ toks :+ toks.length.toLong)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+}

@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Canonical fingerprint of a gate result for pinned-fixture
-  * regression checks (the 4 rows-only gates have no DuckDB oracle —
-  * engine-specific sketch/eigen/t-CDF algorithms — so the driver can
+  * regression checks (the 5 rows-only gates have no DuckDB oracle —
+  * engine-specific sketch/eigen/t-CDF/BPE-merge-loop algorithms — so the driver can
   * only count their rows; these fingerprints let the spec suite catch
   * VALUE regressions).
   *
@@ -16,7 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FixturePin {
 
-  /** The pinned sf0.01 fixtures for the four rows-only gates.
+  /** The pinned sf0.01 fixtures for the five rows-only gates.
     * Computed once by this object's main, verified bit-identical under
     * local[8]/32 and local[3]/7 partitionings (the 6-decimal canon
     * absorbs summation-order jitter). PinnedFixturesSpec asserts them
@@ -29,7 +29,8 @@ object FixturePin {
     "a17_approx_sketch" -> (5L, "f22b0bd46c2600fc65bd461d0811ff17"),
     "e_ivf_trained" -> (12L, "c8c7a4da42a5d925fead5477af9eb54e"),
     "e_pca_project" -> (500L, "6ee943dcd7628b499c6f99a91e8e1cdf"),
-    "j5b_regression_pvalue" -> (1L, "2773f3f97321ecb73e082a1cc2ca390f"))
+    "j5b_regression_pvalue" -> (1L, "2773f3f97321ecb73e082a1cc2ca390f"),
+    "t_bpe_vocab" -> (24L, "a55d0fe191e649d3609cf569fa2bc55c"))
 
   /** Evaluate every pinned gate at the pin scale factor: gate ->
     * (rows, md5, ok). Queries that fail to run report ok=false with

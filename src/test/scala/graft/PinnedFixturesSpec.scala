@@ -2,9 +2,9 @@ package graft
 
 import graft.tools.FixturePin
 
-/** Value-level regression pins for the four gates the driver can only
+/** Value-level regression pins for the gates the driver can only
   * row-count (`no_oracle` in CORRECTNESS: engine-specific HLL/t-digest,
-  * Lloyd's k-means, eigen decomposition, t-CDF — no DuckDB-expressible
+  * Lloyd's k-means, eigen decomposition, t-CDF, the BPE merge loop — no DuckDB-expressible
   * oracle). Fingerprints were computed once at sf0.01 (FixturePin main)
   * and verified bit-identical under local[8]/32 and local[3]/7
   * partitionings — the 6-decimal canon absorbs summation-order jitter.

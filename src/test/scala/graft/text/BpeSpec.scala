@@ -1,0 +1,161 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Differential + unit coverage for the distributed BPE trainer: the
+  * engine (word-count table + per-iteration pair aggregation + argmax)
+  * must reproduce, merge for merge, an independent single-machine
+  * reference implementation written the textbook way (mutable pair
+  * map over a word-frequency dictionary).
+  */
+class BpeSpec extends SparkSpec {
+
+  // ---- independent single-machine reference -------------------------
+
+  /** Textbook BPE on a word-frequency map — intentionally a different
+    * shape from the engine (in-memory pair map, no Spark).
+    */
+  private def refTrain(freq: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var words: Map[List[String], Long] =
+      freq.map { case (w, c) => (w.map(_.toString).toList :+ Bpe.Eow) -> c }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var k = 0
+    var stop = false
+    while (k < n && !stop) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      if (pc.isEmpty) stop = true
+      else {
+        val ((l, r), c) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        words = words.toSeq.map { case (syms, cc) =>
+          (refMerge(syms, l, r), cc)
+        }.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Reference merge via recursion (different shape from the engine's
+    * while-loop).
+    */
+  private def refMerge(s: List[String], l: String, r: String): List[String] = s match {
+    case a :: b :: rest if a == l && b == r => (l + r) :: refMerge(rest, l, r)
+    case a :: rest => a :: refMerge(rest, l, r)
+    case Nil => Nil
+  }
+
+  private val corpus = Seq(
+    (0L, "low lower lowest low low"),
+    (1L, "new newer newest new"),
+    (2L, "wide wider widest new low"),
+    (3L, "low low newer wider"))
+
+  private def corpusDf = {
+    import spark.implicits._
+    corpus.toDF("doc_id", "text")
+  }
+
+  private val refFreq: Map[String, Long] = corpus
+    .flatMap(_._2.split(" ")).filter(_.nonEmpty)
+    .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+
+  // ---- mergePair unit semantics --------------------------------------
+
+  test("mergePair fuses left-to-right without overlap") {
+    assert(Bpe.mergePair(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(Bpe.mergePair(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(Bpe.mergePair(Seq("x", "a", "b", "a", "b"), "a", "b") === Seq("x", "ab", "ab"))
+    assert(Bpe.mergePair(Seq("a", "b"), "b", "a") === Seq("a", "b"))
+    assert(Bpe.mergePair(Seq.empty, "a", "b") === Seq.empty)
+    // the fused symbol does NOT re-match within the same pass
+    assert(Bpe.mergePair(Seq("a", "a", "b"), "a", "ab") === Seq("a", "a", "b"))
+  }
+
+  // ---- wordCounts / initialPairCounts vs brute force ------------------
+
+  test("wordCounts matches a brute-force frequency map") {
+    val got = Bpe.wordCounts(corpusDf, col("text")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === refFreq)
+  }
+
+  test("initialPairCounts matches the reference's iteration-0 pair map") {
+    val ref = {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      refFreq.foreach { case (w, c) =>
+        val syms = w.map(_.toString) :+ Bpe.Eow
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      pc.toMap
+    }
+    val got = Bpe.initialPairCounts(Bpe.wordCounts(corpusDf, col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === ref)
+  }
+
+  // ---- train: differential against the reference ----------------------
+
+  test("train reproduces the reference merge sequence exactly") {
+    val got = Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 12)
+      .map(m => (m.left, m.right, m.cnt))
+    val ref = refTrain(refFreq, 12)
+    assert(got === ref)
+    // ranks are 1..n in order
+    val ranks = Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 3).map(_.rank)
+    assert(ranks === Seq(1, 2, 3))
+  }
+
+  test("train exhausts gracefully when every word fuses to one symbol") {
+    import spark.implicits._
+    val tiny = Seq((0L, "ab ab b")).toDF("doc_id", "text")
+    // "ab</w>" needs 3 merges, "b</w>" 1 — 10 asked, ≤4 learnable
+    val merges = Bpe.train(Bpe.wordCounts(tiny, col("text")), 10)
+    assert(merges.length <= 4 && merges.nonEmpty)
+    val fused = merges.map(m => m.merged)
+    assert(fused.contains("ab</w>") || fused.contains("b</w>"))
+  }
+
+  // ---- encode ---------------------------------------------------------
+
+  test("encodeWord concatenation is lossless and matches refMerge chain") {
+    val merges = Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 8)
+    refFreq.keys.foreach { w =>
+      val toks = Bpe.encodeWord(w, merges)
+      assert(toks.mkString === w + Bpe.Eow, s"lossy encode of '$w'")
+      // reference: fold the merge list over the reference merge fn
+      val ref = merges.foldLeft(w.map(_.toString).toList :+ Bpe.Eow) {
+        (s, m) => refMerge(s, m.left, m.right)
+      }
+      assert(toks === ref, s"encode of '$w' diverges from reference")
+    }
+  }
+
+  test("encode adds bpe_tokens/n_bpe_tokens and respects word boundaries") {
+    val merges = Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 8)
+    val enc = Bpe.encode(corpusDf, "text", merges)
+    assert(enc.columns.toSeq === Seq("doc_id", "text", "bpe_tokens", "n_bpe_tokens"))
+    enc.collect().foreach { r =>
+      val text = r.getString(1)
+      val toks = r.getSeq[String](2)
+      assert(r.getLong(3) === toks.length.toLong)
+      // concatenating tokens and splitting on the markers restores the text
+      val rebuilt = toks.mkString.split(java.util.regex.Pattern.quote(Bpe.Eow))
+      assert(toks.mkString ===
+        text.split(" ").filter(_.nonEmpty).map(_ + Bpe.Eow).mkString,
+        s"doc '$text' did not round-trip")
+      assert(rebuilt.toSeq === text.split(" ").filter(_.nonEmpty).toSeq)
+    }
+  }
+
+  test("train is invariant to the input partitioning") {
+    val words = Bpe.wordCounts(corpusDf, col("text"))
+    val a = Bpe.train(words.repartition(7), 6)
+    val b = Bpe.train(words.coalesce(1), 6)
+    assert(a === b)
+  }
+}
