@@ -550,6 +550,24 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Rolling-hash document fingerprinting (Rabin–Karp under every
+    // 8-byte window; one compiled codegen pass per row): window count,
+    // content-defined boundary count (hash ≡ 0 mod 64 — the CDC
+    // primitive), winnowing min-hash fingerprint, first boundary
+    // position. The oracle recomputes every window NON-rolling from
+    // power literals, so equality proves the O(1) rolling update.
+    "t_rolling_fingerprint" -> { (s, dir) =>
+      import graft.functions.TextExpressions
+      Tables.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          TextExpressions.rollingFingerprint(col("text")).as("f"))
+        .select(col("doc_id"), col("f.n_windows").as("n_windows"),
+          col("f.n_boundaries").as("n_boundaries"),
+          col("f.min_hash").as("min_hash"),
+          col("f.first_boundary").as("first_boundary"))
+        .orderBy("doc_id")
+    },
+
     // BPE tokenizer training, step 0: char-level adjacent-pair counts
     // over the distinct-word table (weighted by word frequency, with
     // the </w> end marker) — the fully declarative half of Bpe.train,
@@ -950,6 +968,31 @@ object TextQueries extends QueryModule {
          |     + ((doc_id*31 + ((p//4)*2+1)*8 + (p%4)*2 + 1) % 256)) // 4),
          |    '-') AS res_pixels
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // every window recomputed directly (non-rolling) from precomputed
+    // B^(w-1-j) mod M literals — equality proves the engine's rolling
+    // update; char positions ≡ byte positions on the ASCII corpus
+    "t_rolling_fingerprint" -> {
+      val M = 1000000007L; val B = 257L; val W = 8
+      val P = (0 until W).map { j =>
+        var p = 1L; (0 until (W - 1 - j)).foreach(_ => p = p * B % M); p
+      }
+      val terms = (0 until W).map(j =>
+        s"CAST(ord(substr(text, CAST(i+$j AS INT), 1)) AS BIGINT) * ${P(j)}")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(length(text) - ${W - 2}, 1)),
+         |      i -> ($terms) % $M) AS hs,
+         |    list_filter(range(1, greatest(length(text) - ${W - 2}, 1)),
+         |      i -> (($terms) % $M) % 64 = 0) AS bpos
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_windows,
+         |  CAST(len(list_filter(hs, x -> x % 64 = 0)) AS BIGINT) AS n_boundaries,
+         |  COALESCE(list_min(hs), -1) AS min_hash,
+         |  COALESCE(list_min(bpos), 0) AS first_boundary
+         |FROM h ORDER BY doc_id""".stripMargin
     },
 
     // same decomposition as the engine: words → counts → per-position
