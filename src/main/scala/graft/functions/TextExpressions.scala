@@ -163,28 +163,36 @@ case class RollingHashExpr(child: Expression, window: Int, base: Long,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
+    nullSafeCodeGen(ctx, ev, a => {
+      // fresh local names: when the child is non-nullable the emitted
+      // code is NOT wrapped in its own block, so two instances in one
+      // projection would otherwise redeclare the same Java locals
+      val bs = ctx.freshName("bs"); val len = ctx.freshName("len")
+      val nW = ctx.freshName("nW"); val nB = ctx.freshName("nB")
+      val mh = ctx.freshName("mh"); val fb = ctx.freshName("fb")
+      val h = ctx.freshName("h"); val pw = ctx.freshName("pw")
       s"""
-         |byte[] bs = $a.getBytes();
-         |int len = bs.length;
-         |long nW = 0L; long nB = 0L; long mh = -1L; long fb = 0L;
-         |if (len >= $window) {
-         |  nW = len - $window + 1L;
-         |  long h = 0L;
-         |  for (int j = 0; j < $window; j++) h = (h * ${base}L + (bs[j] & 0xffL)) % ${mod}L;
-         |  long pw = 1L;
-         |  for (int j = 0; j < $window - 1; j++) pw = pw * ${base}L % ${mod}L;
+         |byte[] $bs = $a.getBytes();
+         |int $len = $bs.length;
+         |long $nW = 0L; long $nB = 0L; long $mh = -1L; long $fb = 0L;
+         |if ($len >= $window) {
+         |  $nW = $len - $window + 1L;
+         |  long $h = 0L;
+         |  for (int j = 0; j < $window; j++) $h = ($h * ${base}L + ($bs[j] & 0xffL)) % ${mod}L;
+         |  long $pw = 1L;
+         |  for (int j = 0; j < $window - 1; j++) $pw = $pw * ${base}L % ${mod}L;
          |  for (int i = 0; ; i++) {
-         |    if (mh < 0 || h < mh) mh = h;
-         |    if (h % ${divisor}L == 0L) { nB++; if (fb == 0L) fb = i + 1L; }
-         |    if (i + $window >= len) break;
-         |    h = ((h - (bs[i] & 0xffL) * pw % ${mod}L + ${mod}L) % ${mod}L * ${base}L
-         |      + (bs[i + $window] & 0xffL)) % ${mod}L;
+         |    if ($mh < 0 || $h < $mh) $mh = $h;
+         |    if ($h % ${divisor}L == 0L) { $nB++; if ($fb == 0L) $fb = i + 1L; }
+         |    if (i + $window >= $len) break;
+         |    $h = (($h - ($bs[i] & 0xffL) * $pw % ${mod}L + ${mod}L) % ${mod}L * ${base}L
+         |      + ($bs[i + $window] & 0xffL)) % ${mod}L;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{nW, nB, mh, fb});
-       """.stripMargin)
+         |  new Object[]{$nW, $nB, $mh, $fb});
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

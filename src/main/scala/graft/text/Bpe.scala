@@ -87,8 +87,13 @@ object Bpe {
     // corpus's: after the word-count groupBy the table is tiny at gate
     // scale (one partition — iteration jobs stay sub-100ms) and spans
     // partitions again exactly when the distinct-word count does
+    // persist the word-count table BEFORE the sizing count: the count
+    // and the symbol table's first materialization would otherwise
+    // EACH re-run the corpus-wide word groupBy — the one genuinely
+    // data-sized stage of training, paid twice at 100 TB for nothing
     val base = words.select(col("w").cast("string"), col("cnt").cast("long"))
       .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nWords = base.count()
     val sc = spark.sparkContext
     val parts = math.max(1, math.min(sc.defaultParallelism,
@@ -108,6 +113,7 @@ object Bpe {
       .map { case (w, c) => (w.map(_.toString).toArray :+ Eow, c) }
       .repartition(parts)
       .persist(sl)
+    var baseLive = true // released after cur's first materialization
     // one job per iteration: the pair-count argmax below also
     // materializes `cur` into its cache, so the previous table is
     // released one step deferred instead of via an extra count()
@@ -123,6 +129,7 @@ object Bpe {
         else s.iterator.zip(s.iterator.drop(1)).map(p => (p, c))
       }.reduceByKey(_ + _, parts)
         .takeOrdered(1)(topOrd)
+      if (baseLive) { base.unpersist(); baseLive = false }
       if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) exhausted = true
       else {
@@ -139,6 +146,7 @@ object Bpe {
         rank += 1
       }
     }
+    if (baseLive) base.unpersist()
     if (prev != null) prev.unpersist(blocking = false)
     cur.unpersist(blocking = false)
     merges.result()

@@ -43,7 +43,15 @@ class PlanAuditSpec extends SparkSpec {
       "t_heavy_hitters" -> (7, 2),
       "w13_rolling_dau" -> (4, 1),
       "j1_tolerance_join" -> (3, 0),
-      "a1_daily_stats" -> (2, 0))
+      "a1_daily_stats" -> (2, 0),
+      // r8 gates: spread + word-count + pair-count (argmax collapses
+      // to TakeOrderedAndProject, no range exchange)
+      "t_bpe_pairs" -> (3, 0),
+      // spread + output range sort only — the fingerprint itself is
+      // one codegen'd projection, zero exchanges
+      "t_rolling_fingerprint" -> (2, 0),
+      // spread + centroid global-agg + output sort; centroids broadcast
+      "e_ivf_assign_fixed" -> (3, 1))
     val got = pinned.keys.toSeq.sorted.map { name =>
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan
