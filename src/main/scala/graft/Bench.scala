@@ -114,8 +114,14 @@ object Bench {
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullJson.getBytes("UTF-8"))
+    // the TRACKED artifact records the full-suite driver-shape run
+    // ONLY: a dev probe (SKIP/ONLY filters) or a scale-sweep on a
+    // replica dir must never clobber the committed sf0.1 record —
+    // an ONLY=1-gate probe once rewrote it to a 1-query map that the
+    // next round commit would have swept in silently
+    if (skip.isEmpty && only.isEmpty && sfDir.startsWith("/root/testdata"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        fullJson.getBytes("UTF-8"))
     // human summary on stderr (stdout carries ONLY the JSON lines)
     System.err.println(f"[bench] ${results.size} queries, total ${total}%.1f s, " +
       s"slowest: ${results.sortBy(-_._2).take(5).map { case (k, v) => f"$k=${v}%.2f" }.mkString(", ")}")

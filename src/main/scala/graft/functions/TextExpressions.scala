@@ -179,8 +179,7 @@ case class RollingHashExpr(child: Expression, window: Int, base: Long,
          |  $nW = $len - $window + 1L;
          |  long $h = 0L;
          |  for (int j = 0; j < $window; j++) $h = ($h * ${base}L + ($bs[j] & 0xffL)) % ${mod}L;
-         |  long $pw = 1L;
-         |  for (int j = 0; j < $window - 1; j++) $pw = $pw * ${base}L % ${mod}L;
+         |  long $pw = ${pw}L; // B^(w-1) mod M, driver-precomputed
          |  for (int i = 0; ; i++) {
          |    if ($mh < 0 || $h < $mh) $mh = $h;
          |    if ($h % ${divisor}L == 0L) { $nB++; if ($fb == 0L) $fb = i + 1L; }

@@ -108,7 +108,14 @@ object BucketedSort {
                   spanKey: Column, numParts: Int,
                   tieBreaks: Column*): DataFrame = {
     val r = spanOf.agg(min(spanKey).cast("long"), max(spanKey).cast("long")).head()
-    if (r.isNullAt(0)) df
+    if (r.isNullAt(0))
+      // no usable span (empty or all-NULL bounding relation): the
+      // TOTAL-ORDER contract must hold regardless — fall back to the
+      // sampled range sort rather than passing rows through unsorted
+      // (df is usually empty too when spanOf is, and orderBy on an
+      // empty frame is free; when it is not, correct-but-sampled
+      // beats silently unordered)
+      df.orderBy(key +: tieBreaks: _*)
     else byUniformBuckets(df, key, r.getLong(0), r.getLong(1), numParts, tieBreaks: _*)
   }
 

@@ -252,19 +252,28 @@ object NetcdfClassic {
     // elements per record slab (record vars) / total elements (fixed
     // vars): the record dim, if present, is always outermost and is
     // dropped here. The product is overflow-checked in Long and
-    // bounded by the file length (slab data is raw in-file, so one
-    // byte per element is a hard floor) — an Int product would wrap a
-    // corrupt multi-dim header to a small positive count that passes
-    // every later bound and silently under-reads the variable
+    // bounded — an Int product would wrap a corrupt multi-dim header
+    // to a small positive count that passes every later bound and
+    // silently under-reads the variable. The FILE-LENGTH floor (slab
+    // data is raw in-file, one byte per element) applies only when
+    // the slab exists on disk: fixed vars always, record vars once
+    // numrecs >= 1. A header-only file (numrecs == 0 — the state
+    // every appending writer passes through before the first record
+    // lands) legitimately declares slabs larger than the file; it
+    // must decode to zero records, not refuse. The Int ceiling stays
+    // unconditional because the count narrows to Int below.
     def slabElems(h: VarHdr): Int = {
-      val ds = if (h.dimIds.headOption.contains(recDimIdx)) h.dimIds.tail else h.dimIds
+      val isRec = h.dimIds.headOption.contains(recDimIdx)
+      val ds = if (isRec) h.dimIds.tail else h.dimIds
+      val ceil =
+        if (!isRec || numrecs > 0) bytes.length.toLong else Int.MaxValue.toLong
       val nL = ds.foldLeft(1L) { (a, i) =>
         val len = rawDims(i).length.toLong
         val p = a * len
-        require(len >= 0 && (len == 0 || p / len == a) && p <= bytes.length,
+        require(len >= 0 && (len == 0 || p / len == a) && p <= ceil,
           s"netcdf: variable '${h.name}' declares " +
             s"${ds.map(rawDims(_).length).mkString("x")} elements — more " +
-            s"than the ${bytes.length}-byte file holds")
+            s"than the $ceil-byte decode bound")
         p
       }
       nL.max(1L).toInt

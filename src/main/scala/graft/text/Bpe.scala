@@ -156,18 +156,12 @@ object Bpe {
     * BPE merge step ("aaa" under merge (a,a) → ["aa","a"], never
     * ["a","aa"] or an overlapped double-consume).
     */
-  private[text] def mergePair(s: Seq[String], l: String, r: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < s.length) {
-      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
-      else { out += s(i); i += 1 }
-    }
-    out.toSeq
-  }
+  private[text] def mergePair(s: Seq[String], l: String, r: String): Seq[String] =
+    mergePairArr(s.toArray, l, r).toSeq
 
-  /** Array twin of [[mergePair]] for the RDD training loop (no
-    * wrapper allocation on the hot path).
+  /** Single implementation of the fuse rule (the RDD training loop
+    * calls it directly on arrays; [[mergePair]] delegates) — the
+    * training and encode paths can never drift.
     */
   private[text] def mergePairArr(s: Array[String], l: String, r: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -27,6 +27,22 @@ class BucketedSortSpec extends SparkSpec {
     }
   }
 
+  test("byKeySpanOf keeps the total order when the span relation is unusable") {
+    import spark.implicits._
+    val df = Seq((3L, 1), (1L, 2), (2L, 3), (1L, 1)).toDF("k", "t")
+    // empty bounding relation
+    val emptySpan = Seq.empty[Long].toDF("sk")
+    val a = BucketedSort.byKeySpanOf(df, col("k"), emptySpan, col("sk"), 4, col("t"))
+      .select("k", "t").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // all-NULL bounding key
+    val nullSpan = Seq[java.lang.Long](null, null).toDF("sk")
+    val b = BucketedSort.byKeySpanOf(df, col("k"), nullSpan, col("sk"), 4, col("t"))
+      .select("k", "t").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val expect = Seq((1L, 1), (1L, 2), (2L, 3), (3L, 1))
+    assert(a === expect, "empty span relation must still yield the total order")
+    assert(b === expect, "all-NULL span key must still yield the total order")
+  }
+
   test("total order matches orderBy exactly, including ties and clamps") {
     import spark.implicits._
     val rnd = new scala.util.Random(8L)

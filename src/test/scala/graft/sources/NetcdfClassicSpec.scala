@@ -102,6 +102,34 @@ class NetcdfClassicSpec extends AnyFunSuite {
     assert(f.shape(f.variable("v").get) === Seq(3, 2))
   }
 
+  /** Header-only record file: numrecs = 0 with a per-record slab far
+    * larger than the file — the state every appending writer passes
+    * through before the first record lands. Must decode to zero
+    * records, not refuse (a review pass found the r8 slab bound
+    * applied the file-length floor to a slab that never hit disk).
+    */
+  test("reads a header-only record file (numrecs=0, slab > file)") {
+    val buf = ByteBuffer.allocate(120).order(ByteOrder.BIG_ENDIAN)
+    buf.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(1.toByte)
+    buf.putInt(0) // numrecs = 0
+    buf.putInt(0x0A).putInt(2) // dim list
+    buf.putInt(1).put('t'.toByte).put(Array[Byte](0, 0, 0)).putInt(0) // t: record
+    buf.putInt(1).put('x'.toByte).put(Array[Byte](0, 0, 0)).putInt(1000000) // x: 1M
+    buf.putInt(0).putInt(0) // no global attrs
+    buf.putInt(0x0B).putInt(1) // var list
+    // v(t, x) float: per-record slab = 4 MB >> the ~80-byte file
+    buf.putInt(1).put('v'.toByte).put(Array[Byte](0, 0, 0))
+    buf.putInt(2).putInt(0).putInt(1) // dims: t, x
+    buf.putInt(0).putInt(0)
+    buf.putInt(NC_FLOAT).putInt(4000000).putInt(buf.position() + 4)
+    val bytes = java.util.Arrays.copyOf(buf.array(), buf.position())
+
+    val f = NetcdfClassic.read(bytes)
+    assert(f.dim("t").get.length === 0 && f.dim("t").get.isRecord)
+    assert(f.variable("v").get.data.isEmpty)
+    assert(f.shape(f.variable("v").get) === Seq(0, 1000000))
+  }
+
   /** CDF-2 (64-bit offsets): same as CDF-1 but version byte 2 and
     * 8-byte begin fields.
     */
