@@ -85,7 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
   import graft.functions.{DotProductExpr, GeodesicKmExpr, MinHashExpr,
-    QuantizeStatsExpr, RepStatsExpr, SimHash16Expr}
+    QuantizeStatsExpr, RepStatsExpr, RollingHashExpr, SimHash16Expr}
 
   private def d(e: Expression) = Cast(e, DoubleType)
   private def vd(e: Expression) = Cast(e, ArrayType(DoubleType))
@@ -123,6 +123,21 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"minhash_sig k must be an integer literal, got $other")
       }
+    },
+    "rolling_fingerprint" -> { args: Seq[Expression] =>
+      require(args.length == 1 || args.length == 5,
+        "rolling_fingerprint(text[, window, base, mod, divisor])")
+      def intLit(e: Expression, what: String): Long = e match {
+        case Literal(v: Int, IntegerType) => v.toLong
+        case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+        case other => throw new IllegalArgumentException(
+          s"rolling_fingerprint $what must be an integer literal, got $other")
+      }
+      val text = Cast(args(0), org.apache.spark.sql.types.StringType)
+      if (args.length == 1) RollingHashExpr(text, 8, 257L, 1000000007L, 64L)
+      else RollingHashExpr(text, intLit(args(1), "window").toInt,
+        intLit(args(2), "base"), intLit(args(3), "mod"),
+        intLit(args(4), "divisor"))
     })
 
   /** Attach the rule + SQL functions to an already-running session. */

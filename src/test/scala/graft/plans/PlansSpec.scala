@@ -94,6 +94,8 @@ class PlansSpec extends SparkSpec {
         |       rep_stats(txt).n_distinct_tokens AS rf,
         |       simhash16(toks) AS sh,
         |       minhash_sig(toks, 4) AS mh,
+        |       rolling_fingerprint(txt).min_hash AS rh,
+        |       rolling_fingerprint(txt, 4, 31, 1000003, 5).n_boundaries AS rhp,
         |       polygon_contains('POLYGON ((0 0, -80 0, -80 45, 0 45, 0 0))',
         |                        lon1, lat1) AS pc
         |FROM fx""".stripMargin).collect()(0)
@@ -104,6 +106,9 @@ class PlansSpec extends SparkSpec {
       graft.functions.TextExpressions.repStatsCol($"txt").getField("n_distinct_tokens"),
       graft.functions.TextExpressions.simhash16Col($"toks"),
       graft.functions.TextExpressions.minhashSigCol($"toks", 4),
+      graft.functions.TextExpressions.rollingFingerprint($"txt").getField("min_hash"),
+      graft.functions.TextExpressions.rollingFingerprint($"txt", 4, 31L, 1000003L, 5L)
+        .getField("n_boundaries"),
       GraftExtensions.polygonContains(
         "POLYGON ((0 0, -80 0, -80 45, 0 45, 0 0))", $"lon1", $"lat1")).collect()(0)
     assert(sql.getDouble(0) === api.getDouble(0))
@@ -112,6 +117,8 @@ class PlansSpec extends SparkSpec {
     assert(sql.getLong(3) === api.getLong(3) && sql.getLong(3) === 3L)
     assert(sql.getString(4) === api.getString(4))
     assert(sql.getSeq[String](5) === api.getSeq[String](5))
-    assert(sql.getBoolean(6) === api.getBoolean(6) && sql.getBoolean(6))
+    assert(sql.getLong(6) === api.getLong(6))
+    assert(sql.getLong(7) === api.getLong(7))
+    assert(sql.getBoolean(8) === api.getBoolean(8) && sql.getBoolean(8))
   }
 }
