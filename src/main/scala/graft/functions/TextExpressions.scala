@@ -164,13 +164,19 @@ case class RollingHashExpr(child: Expression, window: Int, base: Long,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      // fresh local names: when the child is non-nullable the emitted
-      // code is NOT wrapped in its own block, so two instances in one
-      // projection would otherwise redeclare the same Java locals
+      // EVERY local (including loop counters) is a freshName: when the
+      // child is non-nullable the emitted code is NOT wrapped in its
+      // own block, so fixed names would collide with the enclosing
+      // whole-stage-codegen method's locals or a second instance in
+      // the same projection. `pwv` splices the DRIVER-precomputed
+      // B^(w-1) mod M (the lazy val) — an earlier version shadowed it
+      // with the freshName and emitted a variable name as a "literal";
+      // the strict-codegen spec case (fallback disabled) pins both.
       val bs = ctx.freshName("bs"); val len = ctx.freshName("len")
       val nW = ctx.freshName("nW"); val nB = ctx.freshName("nB")
       val mh = ctx.freshName("mh"); val fb = ctx.freshName("fb")
-      val h = ctx.freshName("h"); val pw = ctx.freshName("pw")
+      val h = ctx.freshName("h"); val pwv = ctx.freshName("pw")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
       s"""
          |byte[] $bs = $a.getBytes();
          |int $len = $bs.length;
@@ -178,14 +184,14 @@ case class RollingHashExpr(child: Expression, window: Int, base: Long,
          |if ($len >= $window) {
          |  $nW = $len - $window + 1L;
          |  long $h = 0L;
-         |  for (int j = 0; j < $window; j++) $h = ($h * ${base}L + ($bs[j] & 0xffL)) % ${mod}L;
-         |  long $pw = ${pw}L; // B^(w-1) mod M, driver-precomputed
-         |  for (int i = 0; ; i++) {
+         |  for (int $j = 0; $j < $window; $j++) $h = ($h * ${base}L + ($bs[$j] & 0xffL)) % ${mod}L;
+         |  long $pwv = ${pw}L; // B^(w-1) mod M, driver-precomputed
+         |  for (int $i = 0; ; $i++) {
          |    if ($mh < 0 || $h < $mh) $mh = $h;
-         |    if ($h % ${divisor}L == 0L) { $nB++; if ($fb == 0L) $fb = i + 1L; }
-         |    if (i + $window >= $len) break;
-         |    $h = (($h - ($bs[i] & 0xffL) * $pw % ${mod}L + ${mod}L) % ${mod}L * ${base}L
-         |      + ($bs[i + $window] & 0xffL)) % ${mod}L;
+         |    if ($h % ${divisor}L == 0L) { $nB++; if ($fb == 0L) $fb = $i + 1L; }
+         |    if ($i + $window >= $len) break;
+         |    $h = (($h - ($bs[$i] & 0xffL) * $pwv % ${mod}L + ${mod}L) % ${mod}L * ${base}L
+         |      + ($bs[$i + $window] & 0xffL)) % ${mod}L;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
