@@ -31,15 +31,22 @@ case class DotProductExpr(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName locals: with non-nullable children the emitted code
+      // is not block-scoped, and fixed names would collide with a
+      // second instance or the enclosing codegen method (the silent-
+      // fallback class RollingHashExpr hit — see SCALING.md r8)
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = acc;
-       """.stripMargin)
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -90,27 +97,34 @@ case class QuantizeStatsExpr(child: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
+    nullSafeCodeGen(ctx, ev, a => {
+      // freshName locals — same unscoped-collision hazard as vec_dot
+      val n = ctx.freshName("n"); val amax = ctx.freshName("amax")
+      val scale = ctx.freshName("scale"); val qsum = ctx.freshName("qsum")
+      val maxe = ctx.freshName("maxe"); val sse = ctx.freshName("sse")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      val q = ctx.freshName("q"); val e = ctx.freshName("e")
       s"""
-         |int n = $a.numElements();
-         |double amax = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = java.lang.Math.abs($a.getDouble(i));
-         |  if (x > amax) amax = x;
+         |int $n = $a.numElements();
+         |double $amax = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = java.lang.Math.abs($a.getDouble($i));
+         |  if ($x > $amax) $amax = $x;
          |}
-         |double scale = java.lang.Math.max(amax, 1e-30) / 127.0;
-         |double qsum = 0.0; double maxe = 0.0; double sse = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = $a.getDouble(i);
-         |  double q = java.lang.Math.floor(x / scale + 0.5);
-         |  qsum += q;
-         |  double e = java.lang.Math.abs(x - q * scale);
-         |  if (e > maxe) maxe = e;
-         |  sse += e * e;
+         |double $scale = java.lang.Math.max($amax, 1e-30) / 127.0;
+         |double $qsum = 0.0; double $maxe = 0.0; double $sse = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $q = java.lang.Math.floor($x / $scale + 0.5);
+         |  $qsum += $q;
+         |  double $e = java.lang.Math.abs($x - $q * $scale);
+         |  if ($e > $maxe) $maxe = $e;
+         |  $sse += $e * $e;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{scale, (long) qsum, maxe, java.lang.Math.sqrt(sse / n)});
-       """.stripMargin)
+         |  new Object[]{$scale, (long) $qsum, $maxe, java.lang.Math.sqrt($sse / $n)});
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

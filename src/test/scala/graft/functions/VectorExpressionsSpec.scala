@@ -117,6 +117,35 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(viaExpr === viaRel)
   }
 
+  test("strict codegen: non-nullable two-instance projections compile") {
+    // fallback disabled: a Janino error (fixed-name local collision in
+    // the unscoped non-nullable shape) fails here instead of silently
+    // running interpreted — the RollingHashExpr lesson, applied to the
+    // other loop-emitting expressions
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // arrays depend on a COLUMN: all-literal children would
+      // constant-fold at optimize time and never reach codegen
+      val va = array(col("one").cast("double"), lit(2.0), lit(3.0))
+      val vb = array(lit(4.0), col("one").cast("double") * 0.5, lit(-1.0))
+      val r = Seq(1).toDF("one").select(
+        VectorExpressions.vecDot(va, vb).as("d1"),
+        VectorExpressions.vecDot(vb, vb).as("d2"),
+        VectorExpressions.quantizeStats(va).getField("qsum").as("q1"),
+        VectorExpressions.quantizeStats(vb).getField("qsum").as("q2"))
+        .collect()(0)
+      assert(r.getDouble(0) === 1.0 * 4 + 2 * 0.5 + 3 * -1)
+      assert(r.getDouble(1) === 16.0 + 0.25 + 1.0)
+      // qsum of [1,2,3] at scale 3/127: codes 42+85+127
+      assert(r.getLong(2) === 42L + 85L + 127L)
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("quantization bounds: every code fits int8, max_err ≤ scale/2") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
