@@ -550,6 +550,31 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // END-TO-END curation pipeline in one oracled gate — the "switch
+    // your corpus pipeline to this library" composition: exact
+    // first-doc-wins dedup (ONE shuffle: min_by over the content
+    // fingerprint, no join-back), language gate, length gate, then the
+    // per-source audit aggregate. Every stage is the same algebra its
+    // standalone gate verifies; the composition itself is what this
+    // gate pins.
+    "d_curation_pipeline" -> { (s, dir) =>
+      val d = Tables.documentsSpread(s, dir)
+      val kept = d
+        .select(md5(col("text")).as("fp"),
+          struct(col("doc_id"), col("text"), col("source"), col("n_chars")).as("r"))
+        .groupBy("fp").agg(min_by(col("r"), col("r.doc_id")).as("r"))
+        .select(col("r.*"))
+      val toks = tokens(col("text"))
+      kept
+        .where(size(filter(toks, w => w === "the")) >= 1 &&
+          col("n_chars") >= 100)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks)).cast("long").as("n_tokens"),
+          round(avg(col("n_chars")) + lit(1e-9), 4).as("avg_chars"))
+        .orderBy("source")
+    },
+
     // Rolling-hash document fingerprinting (Rabin–Karp under every
     // 8-byte window; one compiled codegen pass per row): window count,
     // content-defined boundary count (hash ≡ 0 mod 64 — the CDC
@@ -969,6 +994,20 @@ object TextQueries extends QueryModule {
          |    '-') AS res_pixels
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // stage mirror: arg-min dedup via min(doc_id) per md5(text), then
+    // the same lang/length predicates and audit aggregate
+    "d_curation_pipeline" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |k AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        |f AS (SELECT * FROM k
+        |      WHERE len(list_filter(string_split(text, ' '), w -> w = 'the')) >= 1
+        |        AND n_chars >= 100)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  round(avg(n_chars) + 1e-9, 4) AS avg_chars
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // every window recomputed directly (non-rolling) from precomputed
     // B^(w-1-j) mod M literals — equality proves the engine's rolling
