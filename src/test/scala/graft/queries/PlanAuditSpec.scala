@@ -51,7 +51,10 @@ class PlanAuditSpec extends SparkSpec {
       // one codegen'd projection, zero exchanges
       "t_rolling_fingerprint" -> (2, 0),
       // spread + centroid global-agg + output sort; centroids broadcast
-      "e_ivf_assign_fixed" -> (3, 1))
+      "e_ivf_assign_fixed" -> (3, 1),
+      // spread + ONE dedup exchange (min_by sort-aggregate — no
+      // join-back) + audit agg + output sort
+      "d_curation_pipeline" -> (4, 0))
     val got = pinned.keys.toSeq.sorted.map { name =>
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan
