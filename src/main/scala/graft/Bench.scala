@@ -114,12 +114,13 @@ object Bench {
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
-    // the TRACKED artifact records the full-suite driver-shape run
-    // ONLY: a dev probe (SKIP/ONLY filters) or a scale-sweep on a
-    // replica dir must never clobber the committed sf0.1 record —
-    // an ONLY=1-gate probe once rewrote it to a 1-query map that the
-    // next round commit would have swept in silently
-    if (skip.isEmpty && only.isEmpty && sfDir.startsWith("/root/testdata"))
+    // the TRACKED artifact records the full-suite run at the driver's
+    // exact SF ONLY: a dev probe (SKIP/ONLY filters), a replica-dir
+    // sweep, or a full run at another /root/testdata SF must never
+    // clobber the committed sf0.1 record — an ONLY=1-gate probe once
+    // rewrote it to a 1-query map, and a prefix-only guard would have
+    // let an sf0.001 run sweep wrong-SF timings in silently
+    if (skip.isEmpty && only.isEmpty && sfDir == "/root/testdata/sf0.1")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         fullJson.getBytes("UTF-8"))
     // human summary on stderr (stdout carries ONLY the JSON lines)

@@ -101,8 +101,9 @@ object BucketedSort {
     * join whose output is being ordered by the primary's id). The
     * aggregate is a driver action — call it on inputs, never on the
     * huge intermediate this operator exists to avoid re-executing.
-    * Returns `df` unchanged when the bounding relation is empty (no
-    * rows to order anyway).
+    * When the bounding relation is empty or its key all-NULL, falls
+    * back to a sampled-range `orderBy` so the total-order contract
+    * holds regardless.
     */
   def byKeySpanOf(df: DataFrame, key: Column, spanOf: DataFrame,
                   spanKey: Column, numParts: Int,

@@ -135,9 +135,17 @@ object GraftExtensions {
       }
       val text = Cast(args(0), org.apache.spark.sql.types.StringType)
       if (args.length == 1) RollingHashExpr(text, 8, 257L, 1000000007L, 64L)
-      else RollingHashExpr(text, intLit(args(1), "window").toInt,
-        intLit(args(2), "base"), intLit(args(3), "mod"),
-        intLit(args(4), "divisor"))
+      else {
+        val w = intLit(args(1), "window")
+        // bound BEFORE the Int narrow: a BIGINT window like 2^33+2
+        // would wrap to a small valid value and silently fingerprint
+        // with the wrong window
+        require(w >= 2 && w <= 65536,
+          s"rolling_fingerprint window $w out of range [2, 65536]")
+        RollingHashExpr(text, w.toInt,
+          intLit(args(2), "base"), intLit(args(3), "mod"),
+          intLit(args(4), "divisor"))
+      }
     })
 
   /** Attach the rule + SQL functions to an already-running session. */

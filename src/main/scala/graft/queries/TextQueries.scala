@@ -564,13 +564,16 @@ object TextQueries extends QueryModule {
           struct(col("doc_id"), col("text"), col("source"), col("n_chars")).as("r"))
         .groupBy("fp").agg(min_by(col("r"), col("r.doc_id")).as("r"))
         .select(col("r.*"))
-      val toks = tokens(col("text"))
+      // tokenize ONCE: toks as an inline expression would re-split the
+      // text in the Filter and again in the Aggregate (Catalyst does
+      // not share subexpressions across operators)
       kept
-        .where(size(filter(toks, w => w === "the")) >= 1 &&
+        .withColumn("toks", tokens(col("text")))
+        .where(size(filter(col("toks"), w => w === "the")) >= 1 &&
           col("n_chars") >= 100)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(toks)).cast("long").as("n_tokens"),
+          sum(size(col("toks"))).cast("long").as("n_tokens"),
           round(avg(col("n_chars")) + lit(1e-9), 4).as("avg_chars"))
         .orderBy("source")
     },

@@ -8,6 +8,20 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sql = spark.sqlContext
+
+  /** Run `body` with codegen fallback DISABLED: a Janino compile error
+    * fails the test instead of silently executing the interpreted path
+    * (how a shadowed-literal codegen bug once hid behind green runs).
+    */
+  def withStrictCodegen[T](body: => T): T = {
+    val prior = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }
 
 object SparkSpec {

@@ -123,9 +123,7 @@ class VectorExpressionsSpec extends SparkSpec {
     // running interpreted — the RollingHashExpr lesson, applied to the
     // other loop-emitting expressions
     import spark.implicits._
-    val prior = spark.conf.getOption("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
+    withStrictCodegen {
       // arrays depend on a COLUMN: all-literal children would
       // constant-fold at optimize time and never reach codegen
       val va = array(col("one").cast("double"), lit(2.0), lit(3.0))
@@ -140,9 +138,6 @@ class VectorExpressionsSpec extends SparkSpec {
       assert(r.getDouble(1) === 16.0 + 0.25 + 1.0)
       // qsum of [1,2,3] at scale 3/127: codes 42+85+127
       assert(r.getLong(2) === 42L + 85L + 127L)
-    } finally prior match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-      case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
 
