@@ -26,7 +26,10 @@ class H5CorruptionSpec extends AnyFunSuite {
       "/h5/hand_fletcher.h5", "/h5/hand_szip.h5",
       "/h5/hand_v4_single.h5", "/h5/hand_v4_implicit.h5",
       "/h5/hand_v4_fixedarray.h5", "/h5/hand_v4_fa_paged.h5",
-      "/h5/hand_v4_btree.h5", "/h5/hand_v4_fa_sparse.h5")
+      "/h5/hand_v4_btree.h5", "/h5/hand_v4_fa_sparse.h5",
+      "/h5/hand_v4_fa_q0.h5", "/h5/hand_v4_fa_q1.h5",
+      "/h5/hand_v4_fa_q2.h5", "/h5/hand_v4_fa_q3.h5",
+      "/h5/hand_v4_fa_q4.h5", "/h5/hand_v4_fa_q5.h5")
     val rnd = new scala.util.Random(20260814L)
     for (nm <- files; _ <- 1 to 300) {
       val b = fixture(nm)

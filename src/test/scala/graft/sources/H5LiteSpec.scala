@@ -454,6 +454,39 @@ class H5LiteSpec extends SparkSpec {
     assert(e.getMessage.contains("chunk index type 4"), e.getMessage)
   }
 
+  test("paged fixed-array page-pattern sweep: every init/clear layout decodes") {
+    // tools/make_h5_fixture.py build_v4_fa_pattern: full arithmetic
+    // page strides per H5FAdblock.c with the initialized-page set
+    // swept over every pattern class (clear first/middle/last/all,
+    // alternating two-entry pages, all-init at an exact page
+    // boundary) — a page-addressing regression cannot hide behind
+    // any single layout (the r8 HIGH fix was caught by exactly one)
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/h5/$name")
+      assert(in != null, s"missing test resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val patterns = Seq(
+      ("q0", 2, 10, Set(1, 2)),          // clear FIRST page
+      ("q1", 2, 10, Set(0, 2)),          // clear MIDDLE page
+      ("q2", 2, 10, Set(0, 1)),          // clear LAST (truncated) page
+      ("q3", 2, 10, Set.empty[Int]),     // ALL pages clear
+      ("q4", 1, 9, Set(0, 2, 4)),        // alternating two-entry pages
+      ("q5", 2, 16, Set(0, 1, 2, 3)))    // all init, exact boundary
+    for ((tag, pb, nchunks, init) <- patterns) {
+      val v = H5Lite.read(res(s"hand_v4_fa_$tag.h5")).variable(tag).get
+      val page = 1 << pb
+      val exp = (0 until nchunks * 3).map { e =>
+        if (init((e / 3) / page)) ((7 * e) % 23).toDouble else Double.NaN
+      }
+      assert(v.data.length === exp.length, tag)
+      v.data.zip(exp).zipWithIndex.foreach { case ((g, x), i) =>
+        if (x.isNaN) assert(g.isNaN, s"$tag[$i]")
+        else assert(g === x, s"$tag[$i]")
+      }
+    }
+  }
+
   test("szip chunks from an independent python encoder decode") {
     // tools/make_h5_fixture.py build_szip: CCSDS 121.0 Rice bitstreams
     // encoded by an independent python implementation that makes its

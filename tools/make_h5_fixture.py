@@ -2143,3 +2143,77 @@ def build_compound_stride():
 open('/root/repo/src/test/resources/h5/hand_compound_stride.h5','wb').write(build_compound_stride())
 print("compound stride fixture written", len(build_compound_stride()))
 print("root external-link fixture written", len(build_external_root()))
+
+# ---------------- parameterized sparse-paged fixed arrays: a sweep of
+# initialized-page patterns (clear-first / clear-middle / clear-last /
+# all-clear / alternating / all-init) over page sizes, all with full
+# arithmetic page strides per H5FAdblock.c. The single hand fixture
+# above caught the r8 page-addressing fix; this sweep pins the
+# addressing for every pattern class so a future regression cannot
+# hide behind one layout.
+def build_v4_fa_pattern(page_bits, nchunks, init_pages, tag, fname):
+    page = 1 << page_bits
+    assert nchunks > page, "paged form requires nelmts > page"
+    npages = (nchunks + page - 1)//page
+    chunks = {}
+    for ci in range(nchunks):
+        if ci // page in init_pages:
+            vals = [float((7*(ci*3+j)) % 23) for j in range(3)]
+            raw = b''.join(struct.pack('<f', v) for v in vals)
+            m = len(raw)//4
+            shuf = bytes(raw[k*4 + j] for j in range(4) for k in range(m))
+            chunks[ci] = zlib.compress(shuf, 6)
+    ENTRY = 16
+    STRIDE = page*ENTRY + 4
+    def msgs(tail_addr):
+        fahd_addr = tail_addr
+        fadb_addr = fahd_addr + 4+1+1+1+1+8+8+4
+        nelmts = nchunks
+        bitmap_len = (npages+7)//8
+        body_len = 4+1+1+8 + bitmap_len + 4 + npages*STRIDE
+        data_addr = fadb_addr + body_len
+        addrs = {}
+        a = data_addr
+        for ci in sorted(chunks):
+            addrs[ci] = a; a += len(chunks[ci])
+        fahd = b'FAHD'+u8(0)+u8(1)+u8(ENTRY)+u8(page_bits)+u64(nelmts)+u64(fadb_addr)
+        fahd += u32(lookup3(fahd))
+        fadb = b'FADB'+u8(0)+u8(1)+u64(fahd_addr)
+        bm = bytearray(bitmap_len)
+        for p in init_pages: bm[p//8] |= (1 << (p % 8))
+        fadb += bytes(bm)
+        fadb += u32(lookup3(fadb))
+        for p in range(npages):
+            inp = min(page, nelmts - p*page)
+            if p in init_pages:
+                pg = b''
+                for k in range(inp):
+                    ci = p*page + k
+                    pg += u64(addrs[ci]) + u32(len(chunks[ci])) + u32(0)
+                fadb += pg + u32(lookup3(pg))
+                fadb += b'\xa5' * (STRIDE - len(pg) - 4)
+            else:
+                fadb += b'\xa5' * STRIDE   # allocated, never written
+        tail = fahd + fadb + b''.join(chunks[ci] for ci in sorted(chunks))
+        assert fadb_addr + len(fadb) == data_addr
+        return ([(0x01, dataspace([nchunks*3])), (0x03, dt_f32()),
+                 (0x0B, filters_shuffle_deflate(4, 6)),
+                 (0x08, layout_v4_fixedarray(fahd_addr, [3], 4, page_bits))],
+                tail)
+    out = v4_scaffold(tag, msgs)
+    open(fname, 'wb').write(out)
+    return out
+
+FA_PATTERNS = [
+    (2, 10, {1, 2}, 'q0'),       # clear FIRST page
+    (2, 10, {0, 2}, 'q1'),       # clear MIDDLE page
+    (2, 10, {0, 1}, 'q2'),       # clear LAST (truncated) page
+    (2, 10, set(), 'q3'),        # ALL pages clear
+    (1, 9, {0, 2, 4}, 'q4'),     # alternating over 5 two-entry pages
+    (2, 16, {0, 1, 2, 3}, 'q5'), # all init, exact page boundary
+]
+for pb, n, init, tag in FA_PATTERNS:
+    build_v4_fa_pattern(pb, n, init, tag,
+        f'/root/repo/src/test/resources/h5/hand_v4_fa_{tag}.h5')
+print("sparse paged FA pattern sweep written:",
+      [t for _, _, _, t in FA_PATTERNS])
