@@ -152,6 +152,38 @@ object Bpe {
     merges.result()
   }
 
+  /** Persist a learned merge table (rank-ordered) as parquet — the
+    * train-once / encode-everywhere handoff: training is one corpus
+    * job, encoding runs in every downstream job against the saved
+    * table. Round-trips through [[loadMerges]].
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], path: String): Unit =
+    spark.createDataFrame(merges)
+      .select(col("rank"), col("left"), col("right"), col("cnt"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a merge table written by [[saveMerges]], rank order
+    * restored. Refuses loudly on a malformed table (missing ranks) —
+    * encoding with a hole in the merge sequence silently produces a
+    * different tokenization.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[Merge] = {
+    val rows = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("cnt").cast("long"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank)
+    require(rows.zipWithIndex.forall { case (m, i) => m.rank == i + 1 },
+      s"bpe: merge table at $path has ${rows.length} rows but ranks " +
+        s"${rows.headOption.map(_.rank)}..${rows.lastOption.map(_.rank)} — " +
+        "not the contiguous 1..n sequence encode requires")
+    rows.toSeq
+  }
+
   /** Left-to-right non-overlapping fuse of one adjacent pair — the
     * BPE merge step ("aaa" under merge (a,a) → ["aa","a"], never
     * ["a","aa"] or an overlapped double-consume).

@@ -152,6 +152,28 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("merge table round-trips through parquet; a hole fails loudly") {
+    val merges = Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 8)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    Bpe.saveMerges(spark, merges, s"$dir/m.parquet")
+    assert(Bpe.loadMerges(spark, s"$dir/m.parquet") === merges)
+    // encode with the reloaded table = encode with the in-memory one
+    val enc1 = Bpe.encode(corpusDf, "text", merges)
+      .select("doc_id", "n_bpe_tokens").collect().toSeq
+    val enc2 = Bpe.encode(corpusDf, "text",
+        Bpe.loadMerges(spark, s"$dir/m.parquet"))
+      .select("doc_id", "n_bpe_tokens").collect().toSeq
+    assert(enc1.map(_.toString) === enc2.map(_.toString))
+    // drop rank 3: loading must refuse, not silently re-tokenize
+    import org.apache.spark.sql.functions.{col => c}
+    spark.read.parquet(s"$dir/m.parquet").where(c("rank") =!= 3)
+      .write.mode("overwrite").parquet(s"$dir/holey.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.loadMerges(spark, s"$dir/holey.parquet")
+    }
+    assert(e.getMessage.contains("contiguous"))
+  }
+
   test("train is invariant to the input partitioning") {
     val words = Bpe.wordCounts(corpusDf, col("text"))
     val a = Bpe.train(words.repartition(7), 6)
