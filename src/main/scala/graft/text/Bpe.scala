@@ -165,16 +165,25 @@ object Bpe {
       .write.mode("overwrite").parquet(path)
 
   /** Load a merge table written by [[saveMerges]], rank order
-    * restored. Refuses loudly on a malformed table (missing ranks) —
-    * encoding with a hole in the merge sequence silently produces a
-    * different tokenization.
+    * restored. Refuses loudly on the malformations it CAN detect —
+    * an empty table, null symbols, or an interior rank hole (each
+    * silently re-tokenizes downstream). A tail-truncated table
+    * (ranks 1..k of a longer save) is indistinguishable from a valid
+    * k-merge vocabulary by construction; pipelines that must detect
+    * it should compare the table's max rank to their configured
+    * merge budget.
     */
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
                  path: String): Seq[Merge] = {
-    val rows = spark.read.parquet(path)
+    val raw = spark.read.parquet(path)
       .select(col("rank").cast("int"), col("left"), col("right"),
         col("cnt").cast("long"))
       .collect()
+    require(raw.nonEmpty, s"bpe: merge table at $path is empty")
+    require(raw.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        !r.isNullAt(2) && !r.isNullAt(3)),
+      s"bpe: merge table at $path carries null ranks or symbols")
+    val rows = raw
       .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_.rank)
     require(rows.zipWithIndex.forall { case (m, i) => m.rank == i + 1 },

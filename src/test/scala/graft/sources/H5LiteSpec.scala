@@ -10,6 +10,13 @@ import NetcdfClassic.{NC_CHAR, NC_DOUBLE, NC_FLOAT, NC_INT, NC_SHORT}
   */
 class H5LiteSpec extends SparkSpec {
 
+  /** Load a checked-in /h5 fixture (shared by every fixture test). */
+  private def res(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/h5/$name")
+    assert(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
   private def grid2x3(name: String = "sst") = NcFile(
     dims = Seq(NcDim("lat", 2), NcDim("lon", 3)),
     attrs = Seq(NcAttr("title", NC_CHAR, text = "h5lite test"),
@@ -291,11 +298,6 @@ class H5LiteSpec extends SparkSpec {
     // 'prof' (depth f64, temp f32) in [2]-element chunks behind
     // shuffle+deflate with a clipped edge chunk — the full filter
     // stack striding compound elements.
-    def res(name: String): Array[Byte] = {
-      val in = getClass.getResourceAsStream(s"/h5/$name")
-      assert(in != null, s"missing test resource $name")
-      try in.readAllBytes() finally in.close()
-    }
     val f = H5Lite.read(res("hand_compound.h5"))
     assert(f.vars.map(_.name).sorted ===
       Seq("obs.lat", "obs.lon", "obs.qc", "obs.time"))
@@ -338,11 +340,6 @@ class H5LiteSpec extends SparkSpec {
     // checksum computed by an INDEPENDENT python implementation of the
     // public H5checksum.c algorithm — so verification no longer rests
     // on the Scala implementation agreeing with itself
-    def res(name: String): Array[Byte] = {
-      val in = getClass.getResourceAsStream(s"/h5/$name")
-      assert(in != null, s"missing test resource $name")
-      try in.readAllBytes() finally in.close()
-    }
     val bytes = res("hand_fletcher.h5")
     val f = H5Lite.read(bytes)
     assert(f.variable("w").get.data.toSeq ===
@@ -372,11 +369,6 @@ class H5LiteSpec extends SparkSpec {
     // own address space and grafts under the link's name with
     // synthetic dims; without one, externals drop exactly like h5py
     // with the target file absent.
-    def res(name: String): Array[Byte] = {
-      val in = getClass.getResourceAsStream(s"/h5/$name")
-      assert(in != null, s"missing test resource $name")
-      try in.readAllBytes() finally in.close()
-    }
     val aux = res("hand_contiguous.h5")
     val main = res("hand_external.h5")
     val f = H5Lite.read(main,
@@ -410,11 +402,6 @@ class H5LiteSpec extends SparkSpec {
     // deflate-filtered single chunk, packed implicit chunks (edge
     // chunk clipped), and shuffle+deflate fixed-array chunks in both
     // the inline and PAGED data-block forms
-    def res(name: String): Array[Byte] = {
-      val in = getClass.getResourceAsStream(s"/h5/$name")
-      assert(in != null, s"missing test resource $name")
-      try in.readAllBytes() finally in.close()
-    }
     val sc = H5Lite.read(res("hand_v4_single.h5")).variable("sc").get
     assert(sc.data.toSeq === (0 until 12).map(i => 3.5 * i - 7.0))
     val im = H5Lite.read(res("hand_v4_implicit.h5")).variable("im").get
@@ -461,11 +448,6 @@ class H5LiteSpec extends SparkSpec {
     // alternating two-entry pages, all-init at an exact page
     // boundary) — a page-addressing regression cannot hide behind
     // any single layout (the r8 HIGH fix was caught by exactly one)
-    def res(name: String): Array[Byte] = {
-      val in = getClass.getResourceAsStream(s"/h5/$name")
-      assert(in != null, s"missing test resource $name")
-      try in.readAllBytes() finally in.close()
-    }
     val patterns = Seq(
       ("q0", 2, 10, Set(1, 2)),          // clear FIRST page
       ("q1", 2, 10, Set(0, 2)),          // clear MIDDLE page
@@ -509,11 +491,6 @@ class H5LiteSpec extends SparkSpec {
     // bytes hand-assembled from the HDF5 spec by tools/make_h5_fixture.py
     // (python, written independently of the Scala writer) — breaks the
     // writer↔reader round-trip circularity
-    def res(name: String): Array[Byte] = {
-      val in = getClass.getResourceAsStream(s"/h5/$name")
-      assert(in != null, s"missing test resource $name")
-      try in.readAllBytes() finally in.close()
-    }
     val f1 = H5Lite.read(res("hand_contiguous.h5"))
     val temp = f1.variable("temp").get
     assert(f1.shape(temp) === Seq(2, 3))
@@ -583,11 +560,6 @@ class H5LiteSpec extends SparkSpec {
 
   test("DIMENSION_LIST references resolve to real shared dim names; " +
     "vlen strings decode through the global heap") {
-    def res(name: String): Array[Byte] = {
-      val in = getClass.getResourceAsStream(s"/h5/$name")
-      assert(in != null, s"missing test resource $name")
-      try in.readAllBytes() finally in.close()
-    }
     val f = H5Lite.read(res("hand_dimension_list.h5"))
     val sst = f.variable("sst").get
     // vlen-of-object-reference attr → the lat/lon datasets by identity,

@@ -172,6 +172,14 @@ class BpeSpec extends SparkSpec {
       Bpe.loadMerges(spark, s"$dir/holey.parquet")
     }
     assert(e.getMessage.contains("contiguous"))
+    // an empty table refuses too (a half-written save must not load
+    // as a valid zero-merge vocabulary)
+    spark.read.parquet(s"$dir/m.parquet").where(c("rank") < 0)
+      .write.mode("overwrite").parquet(s"$dir/empty.parquet")
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.loadMerges(spark, s"$dir/empty.parquet")
+    }
+    assert(e2.getMessage.contains("empty"))
   }
 
   test("train is invariant to the input partitioning") {
