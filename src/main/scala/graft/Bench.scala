@@ -119,10 +119,20 @@ object Bench {
     // sweep, or a full run at another /root/testdata SF must never
     // clobber the committed sf0.1 record — an ONLY=1-gate probe once
     // rewrote it to a 1-query map, and a prefix-only guard would have
-    // let an sf0.001 run sweep wrong-SF timings in silently
-    if (skip.isEmpty && only.isEmpty && sfDir == "/root/testdata/sf0.1")
+    // let an sf0.001 run sweep wrong-SF timings in silently. The
+    // compare is on the CANONICAL path (symlinks/trailing slashes
+    // resolved) so a spelled-differently sf0.1 dir still updates the
+    // record, and a skipped write says so on stderr instead of
+    // silently leaving a stale artifact.
+    val canonicalSf =
+      try java.nio.file.Paths.get(sfDir).toRealPath().toString
+      catch { case _: Exception => sfDir }
+    if (skip.isEmpty && only.isEmpty && canonicalSf == "/root/testdata/sf0.1")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         fullJson.getBytes("UTF-8"))
+    else
+      System.err.println(s"[bench] BENCH_FULL.json not refreshed " +
+        s"(sf=$canonicalSf, skip=${skip.size}, only=${only.map(_.size)})")
     // human summary on stderr (stdout carries ONLY the JSON lines)
     System.err.println(f"[bench] ${results.size} queries, total ${total}%.1f s, " +
       s"slowest: ${results.sortBy(-_._2).take(5).map { case (k, v) => f"$k=${v}%.2f" }.mkString(", ")}")

@@ -469,9 +469,6 @@ object SimilarityQueries extends QueryModule {
         |    + 1e-9, 6) AS rmse
         |FROM s ORDER BY vec_id""".stripMargin,
 
-    // ::DOUBLE keeps the ramp literals binary-float on both engines
-    // (DuckDB's bare 0.1 is DECIMAL, whose 0.1*(i-1) differs from the
-    // double product by an ulp — enough to flip a 4-decimal boundary)
     // centroid c_k[i] = ((i*(k+2)) % 8)/4 - 1 — exact binary quarters,
     // so d² sums (sequential in list order in both engines) are
     // bit-identical and the argmin needs no tolerance
@@ -489,6 +486,9 @@ object SimilarityQueries extends QueryModule {
         |      FROM d)
         |SELECT vec_id, k AS list_id FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    // ::DOUBLE keeps the ramp literals binary-float on both engines
+    // (DuckDB's bare 0.1 is DECIMAL, whose 0.1*(i-1) differs from the
+    // double product by an ulp — enough to flip a 4-decimal boundary)
     "e_pca_project_fixed" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
         |           FROM embeddings)

@@ -680,7 +680,7 @@ class H5LiteSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       H5Lite.read(Array[Byte](1, 2, 3))
     }
-    assert(!H5Lite.isHdf5("CDFjunk".getBytes("ASCII")))
+    assert(!H5Lite.isHdf5("CDF\u0001junk".getBytes("ASCII")))
     val good = H5Lite.write(grid2x3())
     assertThrows[Exception] { H5Lite.read(good.take(64)) }
   }
