@@ -624,6 +624,34 @@ object TextQueries extends QueryModule {
           col("right"), concat(col("left"), col("right")).as("merged"),
           col("cnt"))
         .orderBy("rank")
+    },
+
+    // BPE merge APPLICATION with a FIXED two-merge table — the
+    // iterative half of t_bpe_vocab that IS SQL-expressible once the
+    // merges are pinned: apply (t,h) then (th,e) — rank order matters,
+    // the second consumes the first's output — through the REAL encode
+    // path (mergePairArr + per-partition memo), then count adjacent
+    // token pairs. Within-word pairs only: </w> terminates every word
+    // and merged tokens can carry it only as a suffix, so dropping
+    // pairs whose left token ends with </w> is exactly the word
+    // boundary. Fully DuckDB-oracled (recursive-CTE replace fixpoint);
+    // both fixed merges have left ≠ right, which the oracle's
+    // delimiter-sharing replace requires for exactness.
+    "t_bpe_step_fixed" -> { (s, dir) =>
+      import graft.text.Bpe
+      val fixed = Seq(Bpe.Merge(1, "t", "h", 0L), Bpe.Merge(2, "th", "e", 0L))
+      val enc = Bpe.encode(
+        Tables.documentsSpread(s, dir).select("doc_id", "text"), "text", fixed)
+      val toks = col("bpe_tokens")
+      val prs = transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("left"),
+          element_at(toks, i + 1).as("right")))
+      enc.select(explode(prs).as("p"))
+        .where(!col("p.left").endsWith(Bpe.Eow))
+        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(50)
     }
   )
 
@@ -1051,6 +1079,45 @@ object TextQueries extends QueryModule {
         |         cnt
         |  FROM (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS i FROM wc))
         |SELECT "left", "right", CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, "left", "right" LIMIT 50""".stripMargin,
+
+    // BPE non-overlapping leftmost fusion as a replace() fixpoint on
+    // the space-joined symbol string: one replace pass skips an
+    // occurrence that shares a delimiter with the previous match, so
+    // each word iterates (recursive CTE) until its string stops
+    // changing. For merges with left ≠ right, (l,r) occurrences can
+    // never overlap, so the fused grouping is order-independent and
+    // the fixpoint equals the engine's single left-to-right pass.
+    // Merge 2 runs on merge 1's OUTPUT (rank order), matching encode.
+    "t_bpe_step_fixed" ->
+      """WITH RECURSIVE wc AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |init AS (
+        |  SELECT w, cnt,
+        |    ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+        |                           i -> substr(w, i, 1)), ' ') || ' </w> ' AS s
+        |  FROM wc),
+        |m1 AS (
+        |  SELECT w, cnt, s FROM init
+        |  UNION ALL
+        |  SELECT w, cnt, replace(s, ' t h ', ' th ') FROM m1
+        |  WHERE s <> replace(s, ' t h ', ' th ')),
+        |f1 AS (SELECT w, cnt, s FROM m1 WHERE s = replace(s, ' t h ', ' th ')),
+        |m2 AS (
+        |  SELECT w, cnt, s FROM f1
+        |  UNION ALL
+        |  SELECT w, cnt, replace(s, ' th e ', ' the ') FROM m2
+        |  WHERE s <> replace(s, ' th e ', ' the ')),
+        |f2 AS (SELECT w, cnt, s FROM m2 WHERE s = replace(s, ' th e ', ' the ')),
+        |p AS (
+        |  SELECT syms[i] AS "left", syms[i + 1] AS "right", cnt
+        |  FROM (SELECT string_split(trim(s), ' ') AS syms, cnt,
+        |               unnest(range(1, len(string_split(trim(s), ' ')))) AS i
+        |        FROM f2))
+        |SELECT "left", "right", CAST(sum(cnt) AS BIGINT) AS cnt FROM p
+        |GROUP BY 1, 2
         |ORDER BY cnt DESC, "left", "right" LIMIT 50""".stripMargin
   )
 }

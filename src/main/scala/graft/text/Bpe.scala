@@ -12,19 +12,32 @@ import org.apache.spark.sql.functions._
   * on word frequencies, not the raw stream): one `groupBy(word)` pass
   * compresses the corpus to `(word, count)` — at web scale a table
   * orders of magnitude smaller than the text, at 100 TB still far too
-  * large to collect, so it stays distributed. Each merge iteration is
-  * then one map (apply the previous merge to the symbol arrays), one
-  * adjacent-pair count (`flatMap` → `reduceByKey`, weighted by
-  * word count — map-side partial aggregation keeps the exchange at
-  * #distinct-pairs, not #words), and one map-side top-1 argmax
-  * (count DESC, then lexicographic pair — a total, deterministic
-  * tie-break, so training is reproducible across partitionings). The
-  * driver ever holds only the merge table itself (`numMerges` rows).
+  * large to collect, so it stays distributed.
+  *
+  * Training then runs INCREMENTALLY (see [[train]]): the adjacent-pair
+  * frequency table lives on the driver (its size is
+  * #distinct-adjacent-pairs — alphabet²-bounded at start, growing by a
+  * handful of neighbor pairs per learned merge, orders of magnitude
+  * below the word table), and each distributed pass rewrites only the
+  * words a merge touches while emitting the exact pair-count DELTAS
+  * that rewrite caused. A speculative batch of symbol-disjoint top
+  * pairs rides each pass, validated merge-by-merge on the driver
+  * against the true sequential argmax, so one corpus pass typically
+  * commits many merges yet the learned sequence is bit-identical to
+  * one-merge-at-a-time greedy training ([[trainSequential]], kept as
+  * the differential reference). Total shuffle volume across an entire
+  * training run is proportional to the symbols actually fused, not
+  * merges × corpus.
   *
   * Encoding with a learned merge list is row-local: merges broadcast
   * in the task closure, applied per word with a PER-PARTITION memo
   * (real corpora repeat words massively — the memo turns per-token
   * cost into per-distinct-word cost inside each task).
+  *
+  * Symbols are Unicode CODE POINTS (surrogate pairs stay whole), the
+  * same segmentation the declarative [[initialPairCounts]] oracle path
+  * gets from SQL `substr`, so the two halves of the algebra agree on
+  * supplementary-plane text.
   *
   * Reference scope: the reference engine has no tokenizer-training
   * operator; this is part of the training-data extension set the
@@ -69,17 +82,279 @@ object Bpe {
       .groupBy("left", "right").agg(sum("cnt").as("cnt"))
   }
 
+  /** One word as an array of code-point symbols (a surrogate pair is
+    * ONE symbol — matching SQL `substr` segmentation in the oracled
+    * [[initialPairCounts]], and never emitting lone-surrogate tokens).
+    */
+  private[text] def symbolsOf(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0
+    var k = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out(k) = new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+      k += 1
+    }
+    out
+  }
+
   /** Learn `numMerges` merges from a `(w, cnt)` word table. Stops
     * early when no adjacent pair remains (every word fused to one
     * symbol). Deterministic: argmax ties break on (left, right).
+    * Exactly equal, merge for merge and count for count, to
+    * [[trainSequential]] — the incremental machinery below is a pure
+    * execution strategy, pinned by differential tests.
     *
-    * Lineage discipline: the symbol table is re-persisted per
-    * iteration and localCheckpoint-ed every 8th so the plan never
-    * accumulates an O(numMerges)-deep map chain (on a real cluster a
-    * reliable `checkpoint` to the job's storage would replace
-    * localCheckpoint — same call site, executor-loss-safe).
+    * Mechanics (one distributed job per PASS, not per merge):
+    *
+    *  1. One pass computes the full adjacent-pair frequency table,
+    *     collected into a driver map + lazy-deletion max-heap. Its
+    *     size is #distinct adjacent pairs — alphabet²-bounded before
+    *     any merge and growing by at most the distinct neighbors of
+    *     each merged symbol per merge — NOT corpus-sized; a corpus
+    *     whose distinct-pair table outgrows the driver has a
+    *     vocabulary problem long before an engine problem.
+    *  2. Each pass speculatively selects up to `maxBatch` top pairs
+    *     that are pairwise SYMBOL-DISJOINT (and whose fused strings
+    *     are fresh — see un-merge below). Disjointness makes the
+    *     batch order-independent within a word and keeps every
+    *     selected pair's own count unchanged by its batch-mates, so
+    *     per-merge effects are well defined.
+    *  3. One distributed map rewrites only the words containing a
+    *     batch pair and emits pair-count deltas TAGGED by batch
+    *     position, pre-aggregated per partition (the shuffle carries
+    *     only pairs around actual fuse sites — across a whole
+    *     training run that totals O(symbols fused), not
+    *     O(merges × corpus)).
+    *  4. The driver REPLAYS the batch against the exact pair table:
+    *     position j commits only if it is the true argmax after
+    *     deltas 1..j-1 — i.e. precisely what one-merge-at-a-time
+    *     greedy would have picked (a freshly created pair can
+    *     overtake the speculation; the replay catches it). Rejected
+    *     tail merges are UN-MERGED (their fused strings are fresh by
+    *     construction, so splitting them back is unambiguous) at the
+    *     start of the next pass's map — no extra job.
+    *
+    * Lineage discipline: the symbol table is re-persisted per pass
+    * and localCheckpoint-ed every 8th so the plan never accumulates
+    * an unboundedly deep map chain (on a real cluster a reliable
+    * `checkpoint` to the job's storage would replace localCheckpoint
+    * — same call site, executor-loss-safe).
     */
-  def train(words: DataFrame, numMerges: Int): Seq[Merge] = {
+  def train(words: DataFrame, numMerges: Int, maxBatch: Int = 32): Seq[Merge] = {
+    require(maxBatch >= 1, s"bpe: maxBatch must be >= 1, got $maxBatch")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the word-count table BEFORE the sizing count: the count
+    // and the symbol table's first materialization would otherwise
+    // EACH re-run the corpus-wide word groupBy — the one genuinely
+    // data-sized stage of training, paid twice at 100 TB for nothing
+    val base = words.select(col("w").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)]
+      .persist(sl)
+    val nWords = base.count()
+    val sc = spark.sparkContext
+    val parts = math.max(1, math.min(sc.defaultParallelism,
+      (nWords / 65536L).toInt + 1))
+    var cur: org.apache.spark.rdd.RDD[(Array[String], Long)] = base.rdd
+      .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
+      .repartition(parts)
+      .persist(sl)
+    // the PERSISTED rdd backing `cur` (after the first pass `cur` is a
+    // flatMap view over the staged rdd — unpersisting the view would
+    // silently leak the cache)
+    var curStore: org.apache.spark.rdd.RDD[_] = cur
+
+    // ---- driver pair state: exact counts + lazy-deletion max-heap ----
+    type Pair = (String, String)
+    val pairCounts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    // every symbol string alive in the corpus (or ever fused): a
+    // speculative merge whose fused string collides with one of these
+    // could not be un-merged unambiguously, so it never joins a batch
+    // at position > 1 (position 1 commits unconditionally — argmax of
+    // the exact table — and needs no un-merge)
+    val knownSymbols = scala.collection.mutable.HashSet.empty[String]
+    // max-heap over (cnt, left, right) with the sequential trainer's
+    // exact total order: cnt DESC, then (left, right) ASC. Entries go
+    // stale when counts change; validity = entry count equals the live
+    // map count (lazy deletion)
+    val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val l = b._2.compareTo(a._2) // smaller lex = higher priority
+            if (l != 0) l else b._3.compareTo(a._3)
+          }
+        }
+      }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    def bump(p: Pair, d: Long): Unit = {
+      val n = pairCounts.getOrElse(p, 0L) + d
+      require(n >= 0L, s"bpe: pair count for $p went negative ($n) — delta accounting bug")
+      if (n == 0L) pairCounts.remove(p)
+      else { pairCounts(p) = n; heap.enqueue((n, p._1, p._2)) }
+    }
+    /** Exact argmax of the live pair table, or None when no pair remains. */
+    def argmax(): Option[(Pair, Long)] = {
+      while (heap.nonEmpty &&
+        !pairCounts.get((heap.head._2, heap.head._3)).contains(heap.head._1))
+        heap.dequeue()
+      heap.headOption.map(e => ((e._2, e._3), e._1))
+    }
+
+    // pass 0: the one full pair count (same algebra as the oracled
+    // initialPairCounts, over the already-segmented symbol table)
+    cur.flatMap { case (s, c) =>
+      if (s.length < 2) Iterator.empty
+      else s.iterator.zip(s.iterator.drop(1)).map(p => (p, c))
+    }.reduceByKey(_ + _, parts).collect().foreach { case (p, c) =>
+      pairCounts(p) = c
+      heap.enqueue((c, p._1, p._2))
+      knownSymbols += p._1
+      knownSymbols += p._2
+    }
+    base.unpersist()
+
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var pendingUnmerge: Seq[Merge] = Nil
+    var pass = 0
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // ---- speculative batch selection (exact table, stale-free) ----
+      val budget = math.min(maxBatch, numMerges - rank + 1)
+      val batch = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      val blocked = scala.collection.mutable.HashSet.empty[String]
+      argmax() match {
+        case None => exhausted = true
+        case Some(((l0, r0), c0)) =>
+          batch += Merge(rank, l0, r0, c0)
+          blocked ++= Seq(l0, r0, l0 + r0)
+          if (budget > 1) {
+            // scan the heap's valid entries in exact order, skipping
+            // conflicts (replay below re-checks every position anyway)
+            val popped = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+            var scanned = 0
+            while (batch.size < budget && scanned < 4096 && heap.nonEmpty) {
+              val e = heap.dequeue()
+              popped += e
+              scanned += 1
+              val p = (e._2, e._3)
+              if (pairCounts.get(p).contains(e._1) && p != ((l0, r0)) &&
+                  !batch.exists(m => (m.left, m.right) == p)) {
+                val fused = e._2 + e._3
+                if (!blocked(e._2) && !blocked(e._3) && !blocked(fused) &&
+                    !knownSymbols(fused)) {
+                  batch += Merge(rank + batch.size, e._2, e._3, e._1)
+                  blocked ++= Seq(e._2, e._3, fused)
+                }
+              }
+            }
+            heap.enqueue(popped.toSeq: _*) // restore (duplicates are lazy-deleted)
+          }
+      }
+      if (!exhausted) {
+        // ---- one distributed pass: un-merge rejects, apply batch, tag deltas ----
+        val unmergeMap: Map[String, (String, String)] =
+          pendingUnmerge.map(m => m.merged -> ((m.left, m.right))).toMap
+        val batchSeq: Seq[(String, String)] = batch.toSeq.map(m => (m.left, m.right))
+        val staged = cur.mapPartitions { it =>
+          val delta = scala.collection.mutable.HashMap.empty[(Int, String, String), Long]
+          def pairsInto(s: Array[String], idx: Int, sign: Long, c: Long): Unit = {
+            var i = 0
+            while (i < s.length - 1) {
+              val k = (idx, s(i), s(i + 1))
+              val n = delta.getOrElse(k, 0L) + sign * c
+              if (n == 0L) delta.remove(k) else delta(k) = n
+              i += 1
+            }
+          }
+          def containsAdj(s: Array[String], l: String, r: String): Boolean = {
+            var i = 0
+            while (i < s.length - 1) {
+              if (s(i) == l && s(i + 1) == r) return true
+              i += 1
+            }
+            false
+          }
+          val mapped = it.map { case (s0, c) =>
+            // un-merge the previous pass's rejected speculation (fused
+            // strings are fresh ⇒ every occurrence came from that fuse;
+            // the driver table was never advanced past the accepted
+            // prefix, so no deltas are owed for this restore)
+            var s = s0
+            if (unmergeMap.nonEmpty && s.exists(unmergeMap.contains))
+              s = s.flatMap(sym => unmergeMap.get(sym) match {
+                case Some((l, r)) => Array(l, r)
+                case None => Array(sym)
+              })
+            // apply the batch in rank order, attributing each merge's
+            // exact pair delta to its batch position
+            var idx = 0
+            batchSeq.foreach { case (l, r) =>
+              if (containsAdj(s, l, r)) {
+                pairsInto(s, idx, -1L, c)
+                s = mergePairArr(s, l, r)
+                pairsInto(s, idx, +1L, c)
+              }
+              idx += 1
+            }
+            (s, c, null: Array[((Int, String, String), Long)])
+          }
+          mapped ++ Iterator.single(0).map(_ =>
+            (null: Array[String], 0L, delta.toArray))
+        }.persist(sl)
+        if (pass % 8 == 7) staged.localCheckpoint()
+        val deltas = staged
+          .flatMap(t => if (t._3 != null) t._3.iterator else Iterator.empty)
+          .reduceByKey(_ + _, math.min(parts, 8))
+          .collect()
+        curStore.unpersist(blocking = false)
+        curStore = staged
+        cur = staged.flatMap(t =>
+          if (t._1 != null) Iterator.single((t._1, t._2)) else Iterator.empty)
+        val byIdx: Map[Int, Array[((Int, String, String), Long)]] =
+          deltas.groupBy(_._1._1)
+        // ---- replay: commit exactly the prefix sequential greedy picks ----
+        var j = 0
+        var valid = true
+        while (j < batch.size && valid) {
+          val m = batch(j)
+          val am = argmax()
+          if (am.map(_._1).contains((m.left, m.right))) {
+            val cnt = am.get._2
+            merges += Merge(rank, m.left, m.right, cnt)
+            knownSymbols += m.merged
+            rank += 1
+            byIdx.getOrElse(j, Array.empty).foreach { case ((_, l, r), d) =>
+              bump((l, r), d)
+            }
+            j += 1
+          } else valid = false
+        }
+        require(j > 0, "bpe: replay rejected the exact-table argmax — " +
+          "delta accounting bug")
+        pendingUnmerge = batch.drop(j).toSeq
+        if (pairCounts.isEmpty) exhausted = true
+        pass += 1
+      }
+    }
+    curStore.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** The one-merge-per-job reference form of [[train]]: full adjacent
+    * pair recount + distributed argmax every iteration. Kept as the
+    * differential anchor for the incremental trainer (BpeSpec pins
+    * `train ≡ trainSequential` across randomized corpora) and as the
+    * shape to reach for if the driver-resident pair table ever became
+    * the bottleneck.
+    */
+  private[text] def trainSequential(words: DataFrame, numMerges: Int): Seq[Merge] = {
     val spark = words.sparkSession
     import spark.implicits._
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -110,7 +385,7 @@ object Bpe {
     // around the loop (word counts, the oracled pair algebra, encode)
     // stays DataFrame.
     var cur = base.rdd
-      .map { case (w, c) => (w.map(_.toString).toArray :+ Eow, c) }
+      .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
       .repartition(parts)
       .persist(sl)
     var baseLive = true // released after cur's first materialization
@@ -219,7 +494,7 @@ object Bpe {
     * [[encode]] and for differential tests.
     */
   private[text] def encodeWord(w: String, merges: Seq[Merge]): Seq[String] = {
-    var syms: Seq[String] = w.map(_.toString) :+ Eow
+    var syms: Seq[String] = symbolsOf(w).toSeq :+ Eow
     merges.foreach { m =>
       if (syms.length > 1) syms = mergePair(syms, m.left, m.right)
     }

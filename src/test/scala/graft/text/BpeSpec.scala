@@ -188,4 +188,71 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.train(words.coalesce(1), 6)
     assert(a === b)
   }
+
+  // ---- incremental/batched trainer vs the sequential reference --------
+
+  /** Tiny alphabets force exactly the adversarial shapes the
+    * speculative batch must survive: freshly created pairs overtaking
+    * the speculation (replay truncation + un-merge on the next pass),
+    * heavy count ties resolved by the lexicographic tie-break, and
+    * fused-string aliasing (("a","ab") and ("aa","b") both produce
+    * "aab").
+    */
+  test("incremental batched train ≡ one-merge-per-job sequential train") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { trial =>
+      val alpha = if (trial % 2 == 0) "ab" else "abc"
+      val words = (1 to 45).map { _ =>
+        val n = rnd.nextInt(7) + 1
+        (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val docs = words.grouped(9).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val wc = Bpe.wordCounts(docs, col("text"))
+      val seqRef = Bpe.trainSequential(wc, 16)
+      Seq(1, 3, 32).foreach { mb =>
+        val got = Bpe.train(wc, 16, maxBatch = mb)
+        assert(got === seqRef,
+          s"trial $trial maxBatch=$mb diverged from sequential greedy")
+      }
+    }
+  }
+
+  test("batched train matches the textbook reference on the word corpus") {
+    val got = Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 12, maxBatch = 32)
+      .map(m => (m.left, m.right, m.cnt))
+    assert(got === refTrain(refFreq, 12))
+  }
+
+  // ---- code-point segmentation (supplementary-plane text) -------------
+
+  test("supplementary-plane text segments by code point on every path") {
+    import spark.implicits._
+    val df = Seq((0L, "𝕏a 𝕏a b𝄞 𝕏a b𝄞"))
+      .toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(df, col("text"))
+    // the declarative (SQL-substr, code-point) pair algebra and the
+    // trainer's first argmax agree — the two halves of the same algebra
+    val decl = Bpe.initialPairCounts(wc).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val best = decl.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+    val m1 = Bpe.train(wc, 1).head
+    assert((m1.left, m1.right, m1.cnt) === (best._1._1, best._1._2, best._2))
+    // no path ever emits a lone-surrogate token
+    val merges = Bpe.train(wc, 8)
+    assert(merges === Bpe.trainSequential(wc, 8))
+    Seq("𝕏a", "b𝄞").foreach { w =>
+      val toks = Bpe.encodeWord(w, merges)
+      assert(toks.mkString === w + Bpe.Eow, s"lossy encode of '$w'")
+      toks.foreach { t =>
+        val cps = t.replace(Bpe.Eow, "").codePoints().toArray
+        assert(cps.forall(cp => cp < 0xD800 || cp > 0xDFFF),
+          s"token '$t' carries a lone surrogate")
+      }
+    }
+    assert(Bpe.symbolsOf("𝕏a") ===
+      Array("𝕏", "a"))
+  }
 }
