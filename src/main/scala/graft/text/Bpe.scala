@@ -354,7 +354,7 @@ object Bpe {
     * shape to reach for if the driver-resident pair table ever became
     * the bottleneck.
     */
-  private[text] def trainSequential(words: DataFrame, numMerges: Int): Seq[Merge] = {
+  private[graft] def trainSequential(words: DataFrame, numMerges: Int): Seq[Merge] = {
     val spark = words.sparkSession
     import spark.implicits._
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

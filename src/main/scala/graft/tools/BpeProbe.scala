@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure BPE training cost vs merge budget — the evidence
+  * behind the incremental trainer's "shuffle is O(symbols fused), one
+  * pass commits many merges" scaling claim (SCALING.md). Reports wall
+  * time and the number of Spark jobs scheduled (for the incremental
+  * trainer, jobs ≈ corpus passes + 2; for the sequential reference,
+  * jobs ≈ merges + 2).
+  *
+  * Usage: runMain graft.tools.BpeProbe <sfDir> <numMerges> <fast|seq>
+  *          [maxBatch] [unigram|bigram]
+  *
+  * `bigram` trains on space-joined adjacent word pairs instead of
+  * words: the replica-scaled corpora add rows but no DISTINCT words
+  * (the unigram vocabulary exhausts after ~100 merges), while bigrams
+  * give the tens-of-thousands-strong, longer-word vocabulary a real
+  * 1k-merge budget needs.
+  */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val n = args(1).toInt
+    val mode = args(2)
+    val maxBatch = if (args.length > 3) args(3).toInt else 64
+    val corpus = if (args.length > 4) args(4) else "unigram"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
+
+    val docs = graft.Tables.documentsSpread(spark, sfDir)
+    val wc =
+      if (corpus == "bigram") {
+        val ws = docs.select(split(col("text"), " ").as("ws"))
+        val prs = transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          concat(element_at(col("ws"), i), lit("_"),
+            element_at(col("ws"), i + 1)))
+        ws.select(explode(prs).as("w"))
+          .where(length(col("w")) > 1)
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+      } else graft.text.Bpe.wordCounts(docs, col("text"))
+    wc.count() // warm the corpus scan out of the measurement
+    jobs.set(0)
+    val t0 = System.nanoTime()
+    val merges = mode match {
+      case "seq" => graft.text.Bpe.trainSequential(wc, n)
+      case _ => graft.text.Bpe.train(wc, n, maxBatch = maxBatch)
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[bpeprobe] mode=$mode asked=$n learned=${merges.length} " +
+      f"maxBatch=$maxBatch jobs=${jobs.get()} time=$dt%.1f s " +
+      f"(${dt / math.max(1, merges.length) * 1000}%.1f ms/merge)")
+    spark.stop()
+  }
+}
