@@ -79,10 +79,69 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
       case c => c.toString
     } + "\""
 
+  private sealed trait Outcome
+  private final case class TooBig(limit: Long) extends Outcome
+  private final case class Buffered(rows: Array[org.apache.spark.sql.Row],
+                                    schema: org.apache.spark.sql.types.StructType)
+    extends Outcome
+  private case object Streamed extends Outcome
+
+  /** Stream a result as a chunked JSON array of row objects — the
+    * `limit=0` (unlimited, the reference's resultSizeLimit=0 contract,
+    * webmodel.py:298-302) path. `toLocalIterator` materializes one
+    * PARTITION at a time on the driver, so memory is bounded by the
+    * largest partition instead of the whole result; the response goes
+    * out with chunked transfer encoding (length 0 to
+    * sendResponseHeaders). Mid-stream failures can only truncate the
+    * body — the 200 status is already on the wire — so they are logged
+    * and swallowed rather than re-raised into the error handler (which
+    * could not send a second status line anyway).
+    */
+  private def streamJson(ex: HttpExchange, df: DataFrame): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0L)
+    val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+    try {
+      os.write('[')
+      val it = df.toJSON.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) os.write(',')
+        first = false
+        os.write(it.next().getBytes(UTF_8))
+      }
+      os.write(']')
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[http] stream truncated: ${e.getMessage}")
+    } finally os.close()
+  }
+
+  /** Chunked CSV twin of [[streamJson]], sharing [[Encoders.csvLine]]
+    * with the buffered encoder.
+    */
+  private def streamCsv(ex: HttpExchange, df: DataFrame): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "text/csv")
+    ex.sendResponseHeaders(200, 0L)
+    val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+    try {
+      os.write((df.columns.mkString(",") + "\n").getBytes(UTF_8))
+      val it = df.toLocalIterator()
+      while (it.hasNext)
+        os.write((Encoders.csvLine(it.next()) + "\n").getBytes(UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[http] stream truncated: ${e.getMessage}")
+    } finally os.close()
+  }
+
   /** Execute a handler's plan and encode it. `output`: JSON (default,
     * an array of row objects — webmodel.py:425-431's JSON rendition),
     * CSV, NETCDF, or ZIP (CSV + NetCDF bundle, the subsetter's
-    * download format).
+    * download format). `limit=0` means UNLIMITED (the reference's
+    * resultSizeLimit=0): JSON/CSV stream chunked with bounded driver
+    * memory; the artifact formats (PNG/NETCDF/ZIP) buffer by nature —
+    * a raster is pixel-bounded, an archive needs its full bytes.
     */
   private def run(ex: HttpExchange, path: String,
                   handler: Handlers.Handler): Unit = {
@@ -102,27 +161,37 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     def gated[T](body: => T): Option[T] =
       if (HttpServer.gatelessPaths.contains(path)) Some(body)
       else gate.tryRun(spark)(body)
+    val defaultOutput =
+      if (path == "/domsplot") "PNG" else "JSON" // a plot endpoint IS an image
+    val output = q.getOrElse("output", defaultOutput).toUpperCase
+    val lim = q.get("limit").map(_.toInt).getOrElse(resultLimit)
     gated {
       val plan = handler(params, tiles)
-      Handlers.sizeGated(plan,
-        q.get("limit").map(_.toInt).getOrElse(resultLimit)) match {
-        case Left(l) => Left(l)
-        case Right(rows) => Right((rows, plan.schema))
+      if (lim <= 0) output match {
+        // unlimited: the data-plane formats stream INSIDE the gate
+        // (toLocalIterator schedules Spark jobs partition by partition
+        // for the whole write)
+        case "CSV" => streamCsv(ex, plan); Streamed
+        case "JSON" => streamJson(ex, plan); Streamed
+        case _ => Buffered(plan.collect(), plan.schema)
+      }
+      else Handlers.sizeGated(plan, lim) match {
+        case Left(l) => TooBig(l)
+        case Right(rows) => Buffered(rows, plan.schema)
       }
     } match {
       case None =>
         jsonError(ex, 503, s"max concurrent jobs ($maxConcurrentJobs) in flight")
-      case Some(Left(limit)) =>
+      case Some(TooBig(limit)) =>
         jsonError(ex, 413, s"result exceeds $limit rows; narrow the query " +
           "or raise limit=")
-      case Some(Right((rows, schema))) =>
+      case Some(Streamed) => ()
+      case Some(Buffered(rows, schema)) =>
         // re-wrap the collected rows as a LOCAL relation for the
         // encoders — their collect() runs no cluster job, so this
         // happens outside the gate
         val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        val defaultOutput =
-          if (path == "/domsplot") "PNG" else "JSON" // a plot endpoint IS an image
-        q.getOrElse("output", defaultOutput).toUpperCase match {
+        output match {
           case "CSV" =>
             respond(ex, 200, "text/csv", Encoders.toCsvBytes(df))
           case "NETCDF" =>

@@ -368,14 +368,20 @@ object Encoders {
   def toCsvBytes(df: DataFrame): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(df.columns.mkString(",")).append('\n')
-    df.collect().foreach { r =>
-      sb.append((0 until r.length).map { i =>
-        val v = if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
-        if (v.contains(",") || v.contains("\"") || v.contains("\n"))
-          "\"" + v.replace("\"", "\"\"") + "\""
-        else v
-      }.mkString(",")).append('\n')
-    }
+    df.collect().foreach(r => sb.append(csvLine(r)).append('\n'))
     sb.toString.getBytes("UTF-8")
   }
+
+  /** One row in the same CSV dialect as [[toCsvBytes]] (no trailing
+    * newline) — shared with the serving layer's STREAMING csv path,
+    * which formats rows off `toLocalIterator` instead of a collected
+    * array, so the two paths cannot drift.
+    */
+  def csvLine(r: org.apache.spark.sql.Row): String =
+    (0 until r.length).map { i =>
+      val v = if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
+      if (v.contains(",") || v.contains("\"") || v.contains("\n"))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    }.mkString(",")
 }

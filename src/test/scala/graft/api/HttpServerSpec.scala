@@ -110,6 +110,25 @@ class HttpServerSpec extends SparkSpec {
     assert(r.body().contains("narrow the query"))
   }
 
+  test("limit=0 streams the unlimited result chunked (resultSizeLimit=0)") {
+    // the query that 413s at limit=5 serves fully at limit=0 — and
+    // CHUNKED (no Content-Length), i.e. the toLocalIterator path, not
+    // a whole-result driver buffer
+    val r = get("/datainbounds?ds=sst&limit=0")
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("Content-Length").isEmpty,
+      "unlimited JSON must stream chunked, not buffer to a sized body")
+    val direct = Handlers.registry("/datainbounds")(
+      Handlers.QueryParams("sst"), tiles)
+    val expected = "[" + direct.toJSON.collect().mkString(",") + "]"
+    assert(r.body() === expected)
+    // CSV twin: same rows, shared row dialect, streamed
+    val c = get("/datainbounds?ds=sst&limit=0&output=CSV")
+    assert(c.statusCode() === 200)
+    assert(c.headers().firstValue("Content-Length").isEmpty)
+    assert(c.body().linesIterator.size === direct.count() + 1)
+  }
+
   test("DOMS execute-store-retrieve loop over HTTP") {
     // matchup with a pinned execution id; rt 5 km, tt 1 hour
     val exec = get("/domsmatchup?ds=sst&b=0,0,4,4&rt=5000&tt=3600&matchOnce=true" +
