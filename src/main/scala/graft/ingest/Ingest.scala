@@ -173,6 +173,7 @@ object Ingest {
   def compactTiles(spark: org.apache.spark.sql.SparkSession, path: String,
                    targetBytes: Long = 128L * 1024 * 1024,
                    zorder: Boolean = true): Unit = {
+    recoverStore(spark, path)
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(src).getLength
@@ -220,12 +221,33 @@ object Ingest {
     * partitions that CONTAIN matches are read and rewritten —
     * everything else is untouched on disk, so a delete bounded to one
     * dataset/month costs one partition's IO regardless of store size.
-    * Each affected partition is rewritten without its matching rows
-    * and swapped in (same rewrite-then-swap as compaction); partitions
-    * left empty are removed. Returns the number of rows deleted.
+    * Returns the number of rows deleted.
+    *
+    * ATOMIC across partitions (manifest-last commit): every affected
+    * partition's survivor rewrite is STAGED under the hidden
+    * `_delete_staging/` root first (underscore-prefixed — invisible to
+    * Spark readers), then one manifest file is renamed into place —
+    * the commit point — and only then are partitions swapped, in
+    * manifest order, each swap idempotent. A crash anywhere leaves a
+    * state [[recoverStore]] resolves deterministically: manifest
+    * present → roll FORWARD (finish every swap/drop; staged files are
+    * complete by construction since the manifest is written last);
+    * manifest absent → roll BACK (discard staging; the delete never
+    * happened). Both entry points call recovery first, so a torn
+    * earlier run completes before a new one begins.
     */
   def deleteTiles(spark: org.apache.spark.sql.SparkSession, path: String,
-                  predicate: Column): Long = {
+                  predicate: Column): Long =
+    deleteTilesImpl(spark, path, predicate, Int.MaxValue)
+
+  /** Test seam: `killAfter` = crash (exception) after that many
+    * manifest entries have been applied — the kill-point the
+    * IngestSpec recovery test drives. Production path passes MaxValue.
+    */
+  private[graft] def deleteTilesImpl(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, predicate: Column,
+                                     killAfter: Int): Long = {
+    recoverStore(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val affected = spark.read.parquet(path).where(predicate)
@@ -233,43 +255,172 @@ object Ingest {
       .agg(count(lit(1)).as("n_matches"))
       .collect()
     var deleted = 0L
-    affected.foreach { r =>
-      // escape partition values the same way Spark's writer does (it
-      // URL-escapes space/':'/'%' etc. in dir names) — raw
-      // interpolation would point at a nonexistent path for such
-      // values and abort mid-loop after some partitions were rewritten
-      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      val partDir = new org.apache.hadoop.fs.Path(
-        s"$path/${esc.getPartitionPathString("dataset", String.valueOf(r.get(0)))}/" +
-          esc.getPartitionPathString("time_bucket", String.valueOf(r.get(1))))
+    // ---- stage: write every survivor set under _delete_staging ----
+    val entries = affected.map { r =>
+      val ds = String.valueOf(r.get(0))
+      val bucket = String.valueOf(r.get(1))
       deleted += r.getLong(2)
       // basePath keeps the partition columns visible to the predicate.
       // NULL-predicate rows must SURVIVE: where(!predicate) alone drops
       // them (NULL is not true), silently deleting rows the query never
       // matched (they are also absent from n_matches above).
       val survivors = spark.read.option("basePath", path)
-        .parquet(partDir.toString)
+        .parquet(partitionDir(path, ds, bucket).toString)
         .where(!coalesce(predicate, lit(false)))
         .drop("dataset", "time_bucket") // constant within the partition
-      if (survivors.isEmpty) {
-        fs.delete(partDir, true)
-        // prune the dataset= parent too once its last bucket is gone
-        val parent = partDir.getParent
-        if (fs.listStatus(parent).isEmpty) fs.delete(parent, true)
-      } else {
-        val tmp = new org.apache.hadoop.fs.Path(partDir.toString + "__delete_tmp")
-        survivors.write.mode("overwrite").parquet(tmp.toString)
-        val bak = new org.apache.hadoop.fs.Path(partDir.toString + "__delete_old")
-        if (fs.exists(bak)) fs.delete(bak, true)
-        if (!fs.rename(partDir, bak)) sys.error(s"deleteTiles: cannot displace $partDir")
-        if (!fs.rename(tmp, partDir)) {
-          fs.rename(bak, partDir)
-          sys.error(s"deleteTiles: cannot install $tmp")
-        }
-        fs.delete(bak, true)
+      if (survivors.isEmpty) s"drop\t$ds\t$bucket"
+      else {
+        survivors.write.mode("overwrite")
+          .parquet(stagedTmpDir(path, ds, bucket).toString)
+        s"swap\t$ds\t$bucket"
       }
     }
+    if (entries.nonEmpty) {
+      // ---- commit point: manifest renamed into place atomically ----
+      val inProgress = new org.apache.hadoop.fs.Path(path, ManifestName + ".inprogress")
+      val manifest = new org.apache.hadoop.fs.Path(path, ManifestName)
+      val out = fs.create(inProgress, true)
+      try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(inProgress, manifest))
+        sys.error(s"deleteTiles: cannot commit manifest $manifest")
+      // ---- apply (same code recovery replays), then clear manifest ----
+      applyManifest(fs, path, entries.toSeq, killAfter)
+      fs.delete(manifest, false)
+      fs.delete(new org.apache.hadoop.fs.Path(path, StagingName), true)
+    }
     deleted
+  }
+
+  private val StagingName = "_delete_staging"
+  private val ManifestName = "_delete_manifest"
+
+  /** Escape partition values the same way Spark's writer does (it
+    * URL-escapes space/':'/'%' etc. in dir names) — raw interpolation
+    * would point at a nonexistent path for such values.
+    */
+  private def partitionDir(path: String, ds: String,
+                           bucket: String): org.apache.hadoop.fs.Path = {
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    new org.apache.hadoop.fs.Path(
+      s"$path/${esc.getPartitionPathString("dataset", ds)}/" +
+        esc.getPartitionPathString("time_bucket", bucket))
+  }
+
+  private def stagedTmpDir(path: String, ds: String,
+                           bucket: String): org.apache.hadoop.fs.Path = {
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    new org.apache.hadoop.fs.Path(
+      s"$path/$StagingName/tmp/${esc.getPartitionPathString("dataset", ds)}/" +
+        esc.getPartitionPathString("time_bucket", bucket))
+  }
+
+  private def stagedOldDir(path: String, ds: String,
+                           bucket: String): org.apache.hadoop.fs.Path = {
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    new org.apache.hadoop.fs.Path(
+      s"$path/$StagingName/old/${esc.getPartitionPathString("dataset", ds)}/" +
+        esc.getPartitionPathString("time_bucket", bucket))
+  }
+
+  /** Apply manifest entries in order — IDEMPOTENT per entry, so a
+    * crashed apply replays from the top on recovery:
+    *  - swap: tmp present → displace the live partition to old/ and
+    *    install tmp (a missing live dir means the previous attempt
+    *    died between the two renames — just install); tmp absent →
+    *    already applied, clear any leftover old/.
+    *  - drop: delete the partition if still present; prune an emptied
+    *    dataset= parent.
+    */
+  private def applyManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                            entries: Seq[String], killAfter: Int): Unit = {
+    var applied = 0
+    entries.foreach { e =>
+      if (applied >= killAfter)
+        sys.error(s"deleteTiles: injected kill after $applied entries")
+      val Array(action, ds, bucket) = e.split("\t", 3)
+      val partDir = partitionDir(path, ds, bucket)
+      action match {
+        case "drop" =>
+          if (fs.exists(partDir)) fs.delete(partDir, true)
+          // prune the dataset= parent too once its last bucket is gone
+          val parent = partDir.getParent
+          if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+            fs.delete(parent, true)
+        case "swap" =>
+          val tmp = stagedTmpDir(path, ds, bucket)
+          val old = stagedOldDir(path, ds, bucket)
+          if (fs.exists(tmp)) {
+            if (fs.exists(partDir)) {
+              if (fs.exists(old)) fs.delete(old, true)
+              fs.mkdirs(old.getParent)
+              if (!fs.rename(partDir, old))
+                sys.error(s"deleteTiles: cannot displace $partDir")
+            }
+            if (!fs.rename(tmp, partDir))
+              sys.error(s"deleteTiles: cannot install $tmp")
+          }
+          if (fs.exists(old)) fs.delete(old, true)
+        case other => sys.error(s"deleteTiles: unknown manifest action '$other'")
+      }
+      applied += 1
+    }
+  }
+
+  /** Crash recovery for the tile store's two multi-step mutations —
+    * called on entry by [[deleteTiles]] and [[compactTiles]], and
+    * callable directly at store open:
+    *
+    *  - torn COMPACTION (the store root itself was mid-swap): the
+    *    store dir missing with `__compact_old` present → the rewrite
+    *    had fully completed (renames only start after the write
+    *    returns), so install `__compact_tmp` if it carries _SUCCESS,
+    *    else restore the old store; a stray tmp/old beside an intact
+    *    store is discarded (the swap never started — tmp may be a
+    *    partial write).
+    *  - torn DELETE: manifest present → staged files are complete
+    *    (manifest is written last), so replay [[applyManifest]] to
+    *    the end and clear; no manifest → any staging dir or
+    *    in-progress manifest is a pre-commit crash, discarded whole.
+    */
+  def recoverStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (!fs.exists(root) && fs.exists(bak)) {
+      val success = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      if (fs.exists(tmp) && fs.exists(success)) {
+        if (!fs.rename(tmp, root)) sys.error(s"recoverStore: cannot install $tmp")
+        fs.delete(bak, true)
+      } else {
+        if (!fs.rename(bak, root)) sys.error(s"recoverStore: cannot restore $bak")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
+    } else if (fs.exists(root)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(bak)) fs.delete(bak, true)
+    }
+    if (!fs.exists(root)) return
+    val manifest = new org.apache.hadoop.fs.Path(path, ManifestName)
+    val staging = new org.apache.hadoop.fs.Path(path, StagingName)
+    val inProgress = new org.apache.hadoop.fs.Path(path, ManifestName + ".inprogress")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val text =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](8192)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          buf.toString("UTF-8")
+        } finally in.close()
+      val entries = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      applyManifest(fs, path, entries, Int.MaxValue)
+      fs.delete(manifest, false)
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(inProgress)) fs.delete(inProgress, false)
   }
 
   /** Bucketed sink for co-located joins: two tables bucketed the same

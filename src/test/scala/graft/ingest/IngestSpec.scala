@@ -202,6 +202,82 @@ class IngestSpec extends SparkSpec {
     assert(back.select("tile_id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("deleteTiles kill-point: crash between partition swaps recovers whole") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delkill").toString + "/tiles"
+    // 4 affected partitions (2 datasets x 2 time buckets), matches and
+    // survivors in every one
+    val rows = (1 to 120).map { i =>
+      (i.toLong, if (i <= 60) "ds1" else "ds2", (i % 10).toDouble,
+        (i % 2) * Ingest.TimeBucketSeconds)
+    }
+    rows.toDF("tile_id", "dataset", "min_lat", "min_time")
+      .withColumn("time_bucket", Ingest.timeBucket(col("min_time")))
+      .write.partitionBy("dataset", "time_bucket").parquet(dir)
+    val pred = col("min_lat") < 5.0
+    val expected = spark.read.parquet(dir)
+      .where(!coalesce(pred, lit(false)))
+      .select("tile_id").as[Long].collect().toSet
+    // crash after ONE of the four manifest entries was applied
+    val e = intercept[RuntimeException] {
+      Ingest.deleteTilesImpl(spark, dir, pred, killAfter = 1)
+    }
+    assert(e.getMessage.contains("injected kill"))
+    // torn state: commit manifest on disk, delete only partially applied
+    assert(new java.io.File(s"$dir/_delete_manifest").exists())
+    val torn = spark.read.parquet(dir).select("tile_id").as[Long].collect().toSet
+    assert((torn !== expected) && expected.subsetOf(torn),
+      "kill-point should leave some partitions unrewritten")
+    // reopen-time recovery rolls the commit FORWARD to full application
+    Ingest.recoverStore(spark, dir)
+    assert(spark.read.parquet(dir).select("tile_id").as[Long].collect().toSet
+      === expected)
+    assert(!new java.io.File(s"$dir/_delete_manifest").exists())
+    assert(!new java.io.File(s"$dir/_delete_staging").exists())
+    // recovery is idempotent; a fresh delete runs clean afterwards
+    Ingest.recoverStore(spark, dir)
+    assert(Ingest.deleteTiles(spark, dir, col("min_lat") >= 9.0) === 12)
+  }
+
+  test("recoverStore: pre-commit staging rolls back; torn compaction resolves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_recov").toString + "/tiles"
+    (1 to 20).map(i => (i.toLong, "ds1", i.toDouble, 0L))
+      .toDF("tile_id", "dataset", "min_lat", "min_time")
+      .withColumn("time_bucket", lit(0L))
+      .write.partitionBy("dataset", "time_bucket").parquet(dir)
+    val expected = spark.read.parquet(dir).select("tile_id")
+      .as[Long].collect().toSet
+    // (1) crash BEFORE the manifest commit: staging + in-progress
+    // manifest present, no manifest — the delete never happened
+    val staging = new java.io.File(s"$dir/_delete_staging/tmp")
+    staging.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_delete_manifest.inprogress"),
+      "swap\tds1\t0\n".getBytes("UTF-8"))
+    Ingest.recoverStore(spark, dir)
+    assert(!new java.io.File(s"$dir/_delete_staging").exists())
+    assert(!new java.io.File(s"$dir/_delete_manifest.inprogress").exists())
+    assert(spark.read.parquet(dir).select("tile_id").as[Long].collect().toSet
+      === expected)
+    // (2) torn compaction, mid-swap: store dir missing, old + completed
+    // tmp (_SUCCESS) present — recovery installs the rewrite
+    spark.read.parquet(dir).write.parquet(dir + "__compact_tmp")
+    assert(new java.io.File(dir + "__compact_tmp/_SUCCESS").exists())
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__compact_old")))
+    Ingest.recoverStore(spark, dir)
+    assert(spark.read.parquet(dir).select("tile_id").as[Long].collect().toSet
+      === expected)
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+    assert(!new java.io.File(dir + "__compact_old").exists())
+    // (3) stray tmp beside an INTACT store (write crashed pre-swap,
+    // possibly partial): discarded, store untouched
+    new java.io.File(dir + "__compact_tmp").mkdirs()
+    Ingest.recoverStore(spark, dir)
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+    assert(spark.read.parquet(dir).count() === 20)
+  }
+
   test("zorder2 interleaves and orders 2-D neighbors together") {
     import spark.implicits._
     val df = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0))
