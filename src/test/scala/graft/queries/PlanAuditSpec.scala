@@ -54,7 +54,12 @@ class PlanAuditSpec extends SparkSpec {
       "e_ivf_assign_fixed" -> (3, 1),
       // spread + ONE dedup exchange (min_by sort-aggregate — no
       // join-back) + audit agg + output sort
-      "d_curation_pipeline" -> (4, 0))
+      "d_curation_pipeline" -> (4, 0),
+      // r9 gate: encode runs in the RDD scan (spread + memoized merge
+      // application live in its lineage, outside the SQL plan); the
+      // relational tail is one pair-count aggregate, argmax-50 as
+      // TakeOrderedAndProject (no range exchange)
+      "t_bpe_step_fixed" -> (1, 0))
     val got = pinned.keys.toSeq.sorted.map { name =>
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan
