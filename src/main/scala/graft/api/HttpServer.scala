@@ -98,12 +98,16 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     * could not send a second status line anyway).
     */
   private def streamJson(ex: HttpExchange, df: DataFrame): Unit = {
+    // prime the iterator BEFORE committing the status: the first
+    // partition's Spark job runs here, so an analysis/runtime failure
+    // still surfaces as a clean 400 instead of a 200 + truncated body
+    val it = df.toJSON.toLocalIterator()
+    it.hasNext
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0L)
     val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
     try {
       os.write('[')
-      val it = df.toJSON.toLocalIterator()
       var first = true
       while (it.hasNext) {
         if (!first) os.write(',')
@@ -114,25 +118,32 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     } catch {
       case e: Throwable =>
         System.err.println(s"[http] stream truncated: ${e.getMessage}")
-    } finally os.close()
+    } finally {
+      // a broken client socket throws again on the close's flush — the
+      // truncation is already logged, a second status line impossible
+      try os.close() catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Chunked CSV twin of [[streamJson]], sharing [[Encoders.csvLine]]
     * with the buffered encoder.
     */
   private def streamCsv(ex: HttpExchange, df: DataFrame): Unit = {
+    val it = df.toLocalIterator()
+    it.hasNext // first partition's job before the status commits
     ex.getResponseHeaders.set("Content-Type", "text/csv")
     ex.sendResponseHeaders(200, 0L)
     val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
     try {
       os.write((df.columns.mkString(",") + "\n").getBytes(UTF_8))
-      val it = df.toLocalIterator()
       while (it.hasNext)
         os.write((Encoders.csvLine(it.next()) + "\n").getBytes(UTF_8))
     } catch {
       case e: Throwable =>
         System.err.println(s"[http] stream truncated: ${e.getMessage}")
-    } finally os.close()
+    } finally {
+      try os.close() catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Execute a handler's plan and encode it. `output`: JSON (default,
@@ -170,10 +181,13 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
       if (lim <= 0) output match {
         // unlimited: the data-plane formats stream INSIDE the gate
         // (toLocalIterator schedules Spark jobs partition by partition
-        // for the whole write)
+        // for the whole write). Only the three artifact formats buffer;
+        // an unrecognized output= falls to streaming JSON exactly as
+        // the limited path falls to buffered JSON — never to an
+        // unbounded whole-result collect
         case "CSV" => streamCsv(ex, plan); Streamed
-        case "JSON" => streamJson(ex, plan); Streamed
-        case _ => Buffered(plan.collect(), plan.schema)
+        case "PNG" | "NETCDF" | "ZIP" => Buffered(plan.collect(), plan.schema)
+        case _ => streamJson(ex, plan); Streamed
       }
       else Handlers.sizeGated(plan, lim) match {
         case Left(l) => TooBig(l)

@@ -256,23 +256,29 @@ object Ingest {
       .collect()
     var deleted = 0L
     // ---- stage: write every survivor set under _delete_staging ----
+    // manifest lines carry the ESCAPED partition path segments
+    // (dataset=a%09b), never raw values: escaping guarantees no tab or
+    // newline survives into the tab/newline-delimited manifest format
+    // (a raw tab would silently mis-split; a raw newline would crash
+    // every recovery attempt)
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val entries = affected.map { r =>
-      val ds = String.valueOf(r.get(0))
-      val bucket = String.valueOf(r.get(1))
+      val dsSeg = esc.getPartitionPathString("dataset", String.valueOf(r.get(0)))
+      val bSeg = esc.getPartitionPathString("time_bucket", String.valueOf(r.get(1)))
       deleted += r.getLong(2)
       // basePath keeps the partition columns visible to the predicate.
       // NULL-predicate rows must SURVIVE: where(!predicate) alone drops
       // them (NULL is not true), silently deleting rows the query never
       // matched (they are also absent from n_matches above).
       val survivors = spark.read.option("basePath", path)
-        .parquet(partitionDir(path, ds, bucket).toString)
+        .parquet(s"$path/$dsSeg/$bSeg")
         .where(!coalesce(predicate, lit(false)))
         .drop("dataset", "time_bucket") // constant within the partition
-      if (survivors.isEmpty) s"drop\t$ds\t$bucket"
+      if (survivors.isEmpty) s"drop\t$dsSeg\t$bSeg"
       else {
         survivors.write.mode("overwrite")
-          .parquet(stagedTmpDir(path, ds, bucket).toString)
-        s"swap\t$ds\t$bucket"
+          .parquet(s"$path/$StagingName/tmp/$dsSeg/$bSeg")
+        s"swap\t$dsSeg\t$bSeg"
       }
     }
     if (entries.nonEmpty) {
@@ -295,42 +301,19 @@ object Ingest {
   private val StagingName = "_delete_staging"
   private val ManifestName = "_delete_manifest"
 
-  /** Escape partition values the same way Spark's writer does (it
-    * URL-escapes space/':'/'%' etc. in dir names) — raw interpolation
-    * would point at a nonexistent path for such values.
-    */
-  private def partitionDir(path: String, ds: String,
-                           bucket: String): org.apache.hadoop.fs.Path = {
-    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    new org.apache.hadoop.fs.Path(
-      s"$path/${esc.getPartitionPathString("dataset", ds)}/" +
-        esc.getPartitionPathString("time_bucket", bucket))
-  }
-
-  private def stagedTmpDir(path: String, ds: String,
-                           bucket: String): org.apache.hadoop.fs.Path = {
-    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    new org.apache.hadoop.fs.Path(
-      s"$path/$StagingName/tmp/${esc.getPartitionPathString("dataset", ds)}/" +
-        esc.getPartitionPathString("time_bucket", bucket))
-  }
-
-  private def stagedOldDir(path: String, ds: String,
-                           bucket: String): org.apache.hadoop.fs.Path = {
-    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    new org.apache.hadoop.fs.Path(
-      s"$path/$StagingName/old/${esc.getPartitionPathString("dataset", ds)}/" +
-        esc.getPartitionPathString("time_bucket", bucket))
-  }
-
-  /** Apply manifest entries in order — IDEMPOTENT per entry, so a
-    * crashed apply replays from the top on recovery:
+  /** Apply manifest entries (action + ESCAPED path segments) in order —
+    * IDEMPOTENT per entry, so a crashed apply replays from the top on
+    * recovery:
     *  - swap: tmp present → displace the live partition to old/ and
     *    install tmp (a missing live dir means the previous attempt
     *    died between the two renames — just install); tmp absent →
     *    already applied, clear any leftover old/.
-    *  - drop: delete the partition if still present; prune an emptied
-    *    dataset= parent.
+    *  - drop: delete the partition if still present.
+    * Emptied dataset= parents are pruned only AFTER every entry
+    * applied: pruning inline could remove a parent a later swap still
+    * installs into, and rename into a missing parent fails on
+    * HDFS-semantics filesystems (mkdirs before the install guards the
+    * same window on replay).
     */
   private def applyManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
                             entries: Seq[String], killAfter: Int): Unit = {
@@ -338,18 +321,16 @@ object Ingest {
     entries.foreach { e =>
       if (applied >= killAfter)
         sys.error(s"deleteTiles: injected kill after $applied entries")
-      val Array(action, ds, bucket) = e.split("\t", 3)
-      val partDir = partitionDir(path, ds, bucket)
+      val Array(action, dsSeg, bSeg) = e.split("\t", 3)
+      val partDir = new org.apache.hadoop.fs.Path(s"$path/$dsSeg/$bSeg")
       action match {
         case "drop" =>
           if (fs.exists(partDir)) fs.delete(partDir, true)
-          // prune the dataset= parent too once its last bucket is gone
-          val parent = partDir.getParent
-          if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
-            fs.delete(parent, true)
         case "swap" =>
-          val tmp = stagedTmpDir(path, ds, bucket)
-          val old = stagedOldDir(path, ds, bucket)
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$path/$StagingName/tmp/$dsSeg/$bSeg")
+          val old = new org.apache.hadoop.fs.Path(
+            s"$path/$StagingName/old/$dsSeg/$bSeg")
           if (fs.exists(tmp)) {
             if (fs.exists(partDir)) {
               if (fs.exists(old)) fs.delete(old, true)
@@ -357,6 +338,7 @@ object Ingest {
               if (!fs.rename(partDir, old))
                 sys.error(s"deleteTiles: cannot displace $partDir")
             }
+            fs.mkdirs(partDir.getParent)
             if (!fs.rename(tmp, partDir))
               sys.error(s"deleteTiles: cannot install $tmp")
           }
@@ -364,6 +346,13 @@ object Ingest {
         case other => sys.error(s"deleteTiles: unknown manifest action '$other'")
       }
       applied += 1
+    }
+    // prune dataset= dirs an applied drop emptied (post-pass, see doc)
+    entries.foreach { e =>
+      val parent = new org.apache.hadoop.fs.Path(
+        s"$path/${e.split("\t", 3)(1)}")
+      if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+        fs.delete(parent, true)
     }
   }
 

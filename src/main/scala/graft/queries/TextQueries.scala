@@ -643,9 +643,15 @@ object TextQueries extends QueryModule {
       val enc = Bpe.encode(
         Tables.documentsSpread(s, dir).select("doc_id", "text"), "text", fixed)
       val toks = col("bpe_tokens")
-      val prs = transform(sequence(lit(1), size(toks) - 1), i =>
-        struct(element_at(toks, i).as("left"),
-          element_at(toks, i + 1).as("right")))
+      // size < 2 guard: sequence(1, 0) would generate a DESCENDING
+      // range (Spark defaults step to -1) and element_at(toks, 0)
+      // throws — an empty/null-text doc must contribute no pairs, not
+      // kill the query
+      val prs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1), i =>
+          struct(element_at(toks, i).as("left"),
+            element_at(toks, i + 1).as("right"))))
+        .otherwise(array().cast("array<struct<left:string,right:string>>"))
       enc.select(explode(prs).as("p"))
         .where(!col("p.left").endsWith(Bpe.Eow))
         .groupBy(col("p.left").as("left"), col("p.right").as("right"))

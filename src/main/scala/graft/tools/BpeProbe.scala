@@ -47,9 +47,13 @@ object BpeProbe {
     val wc =
       if (corpus == "bigram") {
         val ws = docs.select(split(col("text"), " ").as("ws"))
-        val prs = transform(sequence(lit(1), size(col("ws")) - 1), i =>
-          concat(element_at(col("ws"), i), lit("_"),
-            element_at(col("ws"), i + 1)))
+        // size < 2 guard: sequence(1, 0) generates a descending range
+        // and element_at(ws, 0) throws on a one-word document
+        val prs = when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            concat(element_at(col("ws"), i), lit("_"),
+              element_at(col("ws"), i + 1))))
+          .otherwise(array().cast("array<string>"))
         ws.select(explode(prs).as("w"))
           .where(length(col("w")) > 1)
           .groupBy("w").agg(count(lit(1)).as("cnt"))

@@ -187,19 +187,26 @@ class IngestSpec extends SparkSpec {
     // dataset value with a space and colon: Spark URL-escapes these in
     // the partition dir name; min_lat NULL on some rows makes the
     // delete predicate evaluate to NULL there
+    // the tab/newline dataset exercises the manifest encoding: raw
+    // values would mis-split the tab-delimited manifest (silent
+    // non-delete) or crash recovery on the newline — escaped path
+    // segments in the manifest keep both well-formed
     val rows = Seq(
       (1L, "sst v2:final", Some(1.0), 86400L),
       (2L, "sst v2:final", Some(9.0), 86400L),
-      (3L, "sst v2:final", None, 86400L))
+      (3L, "sst v2:final", None, 86400L),
+      (4L, "sst\tv3\nnightly", Some(1.0), 86400L),
+      (5L, "sst\tv3\nnightly", Some(9.0), 86400L))
     rows.toDF("tile_id", "dataset", "min_lat", "min_time")
       .withColumn("time_bucket", lit(0L))
       .write.partitionBy("dataset", "time_bucket").parquet(dir)
     val n = Ingest.deleteTiles(spark, dir, col("min_lat") < 5.0)
-    assert(n === 1)
+    assert(n === 2)
     val back = spark.read.parquet(dir)
     // the NULL-stat row SURVIVES: the predicate never matched it
-    assert(back.count() === 2)
-    assert(back.select("tile_id").as[Long].collect().toSet === Set(2L, 3L))
+    assert(back.count() === 3)
+    assert(back.select("tile_id").as[Long].collect().toSet === Set(2L, 3L, 5L))
+    assert(back.select("dataset").distinct().count() === 2)
   }
 
   test("deleteTiles kill-point: crash between partition swaps recovers whole") {
