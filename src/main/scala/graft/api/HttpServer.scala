@@ -86,64 +86,67 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     extends Outcome
   private case object Streamed extends Outcome
 
-  /** Stream a result as a chunked JSON array of row objects — the
-    * `limit=0` (unlimited, the reference's resultSizeLimit=0 contract,
-    * webmodel.py:298-302) path. `toLocalIterator` materializes one
-    * PARTITION at a time on the driver, so memory is bounded by the
-    * largest partition instead of the whole result; the response goes
-    * out with chunked transfer encoding (length 0 to
-    * sendResponseHeaders). Mid-stream failures can only truncate the
-    * body — the 200 status is already on the wire — so they are logged
-    * and swallowed rather than re-raised into the error handler (which
-    * could not send a second status line anyway).
+  /** Unlimited (`limit=0`, the reference's resultSizeLimit=0 contract,
+    * webmodel.py:298-302) responses stream chunked: `toLocalIterator`
+    * materializes one PARTITION at a time on the driver, so memory is
+    * bounded by the largest partition instead of the whole result.
+    *
+    * [[streamChunked]] is the single copy of the streaming policy both
+    * formats share. The iterator is PRIMED (first partition's Spark
+    * job) before the 200 commits, so execution failures still surface
+    * as clean 400s. A MID-stream failure can only truncate — the
+    * status is on the wire — so the body is left DETECTABLY
+    * incomplete: the suffix (JSON's closing bracket) is withheld and
+    * the format's truncation marker appended best-effort (CSV has no
+    * framing of its own, so it gets an explicit `__TRUNCATED__` final
+    * line; JSON stays malformed, which any parser flags). close() is
+    * guarded — a broken client socket would otherwise throw a second
+    * time out of the finally.
     */
-  private def streamJson(ex: HttpExchange, df: DataFrame): Unit = {
-    // prime the iterator BEFORE committing the status: the first
-    // partition's Spark job runs here, so an analysis/runtime failure
-    // still surfaces as a clean 400 instead of a 200 + truncated body
-    val it = df.toJSON.toLocalIterator()
-    it.hasNext
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+  private def streamChunked(ex: HttpExchange, contentType: String,
+                            prefix: String, sep: String, suffix: String,
+                            truncationMarker: String,
+                            rows: Iterator[String]): Unit = {
+    rows.hasNext // prime: first partition's job before the status commits
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(200, 0L)
     val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
     try {
-      os.write('[')
-      var first = true
-      while (it.hasNext) {
-        if (!first) os.write(',')
-        first = false
-        os.write(it.next().getBytes(UTF_8))
+      try {
+        os.write(prefix.getBytes(UTF_8))
+        var first = true
+        while (rows.hasNext) {
+          if (!first) os.write(sep.getBytes(UTF_8))
+          first = false
+          os.write(rows.next().getBytes(UTF_8))
+        }
+        os.write(suffix.getBytes(UTF_8))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[http] stream truncated: ${e.getMessage}")
+          try os.write(truncationMarker.getBytes(UTF_8))
+          catch { case _: java.io.IOException => () }
       }
-      os.write(']')
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[http] stream truncated: ${e.getMessage}")
     } finally {
-      // a broken client socket throws again on the close's flush — the
-      // truncation is already logged, a second status line impossible
       try os.close() catch { case _: java.io.IOException => () }
     }
+  }
+
+  private def streamJson(ex: HttpExchange, df: DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    streamChunked(ex, "application/json", "[", ",", "]",
+      truncationMarker = "", df.toJSON.toLocalIterator().asScala)
   }
 
   /** Chunked CSV twin of [[streamJson]], sharing [[Encoders.csvLine]]
     * with the buffered encoder.
     */
   private def streamCsv(ex: HttpExchange, df: DataFrame): Unit = {
-    val it = df.toLocalIterator()
-    it.hasNext // first partition's job before the status commits
-    ex.getResponseHeaders.set("Content-Type", "text/csv")
-    ex.sendResponseHeaders(200, 0L)
-    val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
-    try {
-      os.write((df.columns.mkString(",") + "\n").getBytes(UTF_8))
-      while (it.hasNext)
-        os.write((Encoders.csvLine(it.next()) + "\n").getBytes(UTF_8))
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[http] stream truncated: ${e.getMessage}")
-    } finally {
-      try os.close() catch { case _: java.io.IOException => () }
-    }
+    import scala.jdk.CollectionConverters._
+    streamChunked(ex, "text/csv",
+      prefix = df.columns.mkString(",") + "\n", sep = "", suffix = "",
+      truncationMarker = "__TRUNCATED__\n",
+      df.toLocalIterator().asScala.map(r => Encoders.csvLine(r) + "\n"))
   }
 
   /** Execute a handler's plan and encode it. `output`: JSON (default,
@@ -178,13 +181,22 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     val lim = q.get("limit").map(_.toInt).getOrElse(resultLimit)
     gated {
       val plan = handler(params, tiles)
-      if (lim <= 0) output match {
-        // unlimited: the data-plane formats stream INSIDE the gate
-        // (toLocalIterator schedules Spark jobs partition by partition
-        // for the whole write). Only the three artifact formats buffer;
-        // an unrecognized output= falls to streaming JSON exactly as
-        // the limited path falls to buffered JSON — never to an
-        // unbounded whole-result collect
+      // EXACTLY 0 is unlimited (the reference contract defines only
+      // 0); a negative limit stays on the sizeGated path and fails
+      // loudly there instead of silently widening to a full download
+      if (lim == 0) output match {
+        // unlimited: the data-plane formats stream INSIDE the gate —
+        // toLocalIterator schedules Spark jobs partition by partition
+        // for the whole write, so the slot is genuinely executing for
+        // most of the transfer. Deliberate tradeoff: a slow reader
+        // holds its slot through the socket-bound gaps too, exactly
+        // like the reference's handler slot spanning the whole calc;
+        // shedding stays the job of the gate, and a starved-by-
+        // downloads deployment should raise maxConcurrentJobs rather
+        // than let unbounded concurrent full-store scans through.
+        // Only the three artifact formats buffer; an unrecognized
+        // output= falls to streaming JSON exactly as the limited path
+        // falls to buffered JSON — never to an unbounded collect
         case "CSV" => streamCsv(ex, plan); Streamed
         case "PNG" | "NETCDF" | "ZIP" => Buffered(plan.collect(), plan.schema)
         case _ => streamJson(ex, plan); Streamed

@@ -129,6 +129,42 @@ class HttpServerSpec extends SparkSpec {
     assert(c.body().linesIterator.size === direct.count() + 1)
   }
 
+  test("streaming failures: first-job errors 400, mid-stream truncates detectably") {
+    import org.apache.spark.sql.functions.udf
+    val midBoom = udf((i: Long) =>
+      if (i > 50) throw new RuntimeException("mid-stream boom") else i)
+    val allBoom = udf((i: Long) =>
+      if (i >= 0) throw new RuntimeException("first-partition boom") else i)
+    val mk: org.apache.spark.sql.Column => DataFrame = f =>
+      spark.range(0, 100, 1, 10).select(f.as("v"))
+    val srv = new HttpServer(spark, tiles, Map(
+      "/boomMid" -> ((_: Handlers.QueryParams, _: DataFrame) =>
+        mk(midBoom(col("id")))),
+      "/boomFirst" -> ((_: Handlers.QueryParams, _: DataFrame) =>
+        mk(allBoom(col("id")))))).start()
+    def g(pq: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.boundPort}$pq")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      // priming runs the first partition before the status commits:
+      // an immediate failure is a clean 400, not a 200 + garbage
+      assert(g("/boomFirst?ds=x&limit=0").statusCode() === 400)
+      assert(g("/boomFirst?ds=x&limit=0&output=CSV").statusCode() === 400)
+      // a LATER partition failing can only truncate — CSV carries the
+      // explicit marker line, JSON is left detectably unterminated
+      val csv = g("/boomMid?ds=x&limit=0&output=CSV")
+      assert(csv.statusCode() === 200)
+      assert(csv.body().endsWith("__TRUNCATED__\n"))
+      val json = g("/boomMid?ds=x&limit=0")
+      assert(json.statusCode() === 200)
+      assert(json.body().startsWith("[") && !json.body().endsWith("]"))
+      // negative limits are NOT the unlimited path: loud, not a
+      // silent full download
+      assert(g("/boomMid?ds=x&limit=-1").statusCode() !== 200)
+    } finally srv.stop()
+  }
+
   test("DOMS execute-store-retrieve loop over HTTP") {
     // matchup with a pinned execution id; rt 5 km, tt 1 hour
     val exec = get("/domsmatchup?ds=sst&b=0,0,4,4&rt=5000&tt=3600&matchOnce=true" +
