@@ -149,6 +149,36 @@ object SimilarityQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // One Lloyd's UPDATE step against the same fixed exact-binary
+    // centroids as e_ivf_assign_fixed — the other half of e_ivf_trained
+    // joins the oracled set (assignment + update are the whole
+    // iteration; only the iterate-to-convergence composition stays
+    // pinned-only). Real code path: IvfIndex.assign → IvfIndex
+    // .updateStep (the exact functions train loops over). Digest
+    // columns (element sum, first/last element) round at 6dp — the
+    // per-dimension means sum member doubles in engine-specific order.
+    "e_ivf_update_fixed" -> { (s, dir) =>
+      val d = 64
+      val cents = (0 until 4).map { k =>
+        (k, Array.tabulate(d)(i => ((i * (k + 2)) % 8) * 0.25 - 1.0))
+      }
+      val cdf = s.createDataFrame(cents).toDF("list_id", "centroid")
+      val corpus = Tables.embeddingsSpread(s, dir)
+        .select(col("vec_id").as("vid"),
+          col("embedding").cast("array<double>").as("v"))
+      val assigned = IvfIndex.assign(corpus, cdf)
+      val counts = assigned.groupBy("list_id").agg(count(lit(1)).as("n_members"))
+      IvfIndex.updateStep(assigned, cdf)
+        .join(counts, Seq("list_id"), "left")
+        .select(col("list_id").cast("long").as("list_id"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          round(aggregate(col("centroid"), lit(0.0), (a, x) => a + x)
+            + lit(1e-9), 6).as("csum"),
+          round(element_at(col("centroid"), 1) + lit(1e-9), 6).as("c_first"),
+          round(element_at(col("centroid"), d) + lit(1e-9), 6).as("c_last"))
+        .orderBy("list_id")
+    },
+
     // Symmetric per-vector int8 quantization (the storage/shuffle
     // compression step of a 100 TB vector pipeline — 4× fewer bytes
     // than float32 on every scan and exchange): scale = max|x|/127,
@@ -485,6 +515,40 @@ object SimilarityQueries extends QueryModule {
         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
         |      FROM d)
         |SELECT vec_id, k AS list_id FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // same fixed assignment, then the Lloyd's update: per-list
+    // per-dimension member means; digests rounded at 6dp like the
+    // Spark side (member summation order is engine-specific)
+    "e_ivf_update_fixed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |c AS (SELECT k, list_transform(range(1, 65),
+        |        i -> CAST(((i - 1) * (k + 2)) % 8 AS DOUBLE) * 0.25 - 1.0) AS cent
+        |      FROM (SELECT unnest(range(0, 4)) AS k)),
+        |d AS (SELECT vec_id, k,
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (v[i] - cent[i]) * (v[i] - cent[i]))) AS d2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, k FROM (
+        |        SELECT vec_id, k,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        |        FROM d) WHERE rn = 1),
+        |m AS (SELECT a.k, t.i, avg(e.v[t.i]) AS mi, count(*) AS cnt
+        |      FROM a JOIN e USING (vec_id), range(1, 65) t(i)
+        |      GROUP BY a.k, t.i),
+        |u AS (SELECT c.k,
+        |        coalesce(min(m.cnt), 0) AS cnt,
+        |        coalesce(sum(m.mi), list_sum(any_value(c.cent))) AS csum_raw,
+        |        coalesce(min(CASE WHEN m.i = 1 THEN m.mi END),
+        |                 any_value(c.cent)[1]) AS c1,
+        |        coalesce(min(CASE WHEN m.i = 64 THEN m.mi END),
+        |                 any_value(c.cent)[64]) AS c64
+        |      FROM c LEFT JOIN m ON m.k = c.k
+        |      GROUP BY c.k)
+        |SELECT k AS list_id, CAST(cnt AS BIGINT) AS n_members,
+        |       round(csum_raw + 1e-9, 6) AS csum,
+        |       round(c1 + 1e-9, 6) AS c_first,
+        |       round(c64 + 1e-9, 6) AS c_last
+        |FROM u ORDER BY k""".stripMargin,
 
     // ::DOUBLE keeps the ramp literals binary-float on both engines
     // (DuckDB's bare 0.1 is DECIMAL, whose 0.1*(i-1) differs from the

@@ -63,25 +63,7 @@ object IvfIndex {
         row_number().over(
           Window.partitionBy(pmod(col("vid"), lit(1))).orderBy("vid")) - 1)
       .select(col("list_id"), col("v").as("centroid"))
-    val meanAgg = udaf(new VecMeanAggregator, org.apache.spark.sql.Encoders.product[VecIn])
     (1 to iters).foreach { _ =>
-      val assigned = assign(base, centroids)
-      // centroid update = ONE vector-mean aggregation (VecMeanAggregator:
-      // fixed nlist×d partials). The previous posexplode form blew the
-      // corpus up to n×d element rows and re-assembled them with a
-      // second groupBy + array_sort — an extra shuffle and d× the
-      // aggregate input per Lloyd's iteration. At the probe's 200k×64
-      // corpus the two forms time identically (~3 s gate, explode cost
-      // hidden under job overhead); the aggregate form is kept because
-      // its exchange volume is d× smaller and at production d (512—
-      // 4096) the element explosion is the dominant train cost.
-      val updated = assigned
-        .groupBy("list_id")
-        .agg(meanAgg(col("v")).as("m"))
-        .select(col("list_id"), col("m.mean").as("next"))
-      // a list that received no vectors this iteration keeps its old
-      // centroid — otherwise it would silently vanish and the index
-      // would end up with fewer than nlist lists
       // localCheckpoint truncates the lineage — without it the plan
       // embeds the previous iteration's subtree twice and grows
       // exponentially in iters. EAGER: the blocking job per iteration
@@ -89,13 +71,41 @@ object IvfIndex {
       // and eager keeps the corpus persist/unpersist pairing sound —
       // with lazy, train would unpersist the corpus before any
       // checkpoint materialized
-      centroids = centroids
-        .join(updated, Seq("list_id"), "left")
-        .select(col("list_id"), coalesce(col("next"), col("centroid")).as("centroid"))
+      centroids = updateStep(assign(base, centroids), centroids)
         .localCheckpoint(true)
     }
     base.unpersist(blocking = false)
     centroids
+  }
+
+  /** One Lloyd's centroid-update step: element-wise mean of each
+    * list's members — the OTHER half of the training algebra beside
+    * [[assign]], exposed so the driver gate `e_ivf_update_fixed` can
+    * oracle it against a fixed assignment.
+    *
+    * Centroid update = ONE vector-mean aggregation (VecMeanAggregator:
+    * fixed nlist×d partials). The previous posexplode form blew the
+    * corpus up to n×d element rows and re-assembled them with a
+    * second groupBy + array_sort — an extra shuffle and d× the
+    * aggregate input per Lloyd's iteration. At the probe's 200k×64
+    * corpus the two forms time identically (~3 s gate, explode cost
+    * hidden under job overhead); the aggregate form is kept because
+    * its exchange volume is d× smaller and at production d (512—4096)
+    * the element explosion is the dominant train cost.
+    *
+    * A list that received no vectors keeps its old centroid —
+    * otherwise it would silently vanish and the index would end up
+    * with fewer than nlist lists.
+    */
+  def updateStep(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+    val meanAgg = udaf(new VecMeanAggregator, org.apache.spark.sql.Encoders.product[VecIn])
+    val updated = assigned
+      .groupBy("list_id")
+      .agg(meanAgg(col("v")).as("m"))
+      .select(col("list_id"), col("m.mean").as("next"))
+    centroids
+      .join(updated, Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("next"), col("centroid")).as("centroid"))
   }
 
   /** Assign each corpus vector to its nearest centroid (L2).
