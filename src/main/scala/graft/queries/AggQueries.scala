@@ -197,6 +197,26 @@ object AggQueries extends QueryModule {
             lit(0.0), lit(0.0)) + lit(1e-9), 4).as("hav_km"),
           md5(concat_ws("|", col("event_id"), col("user_id"))).as("tid"))
         .orderBy("event_id")
+    },
+
+    // The Student-t CDF kernel (A13's p-value numerics — Lentz
+    // continued fraction + Lanczos log-gamma) oracled against
+    // INDEPENDENT closed forms: at df=1/2/4 the regularized incomplete
+    // beta I_x(df/2, 1/2) reduces to elementary functions
+    // (df=1: (2/π)·asin(√x); df=2: 1−s with s=t/√(2+t²);
+    // df=4: 1−1.5s+0.5s³ with s=t/√(4+t²)). Fixed t-grid of exact
+    // binary quarters so the only thing compared IS the CDF numerics;
+    // j5b's pinned status narrows to the regression→p composition.
+    "f_tcdf_fixed" -> { (s, dir) =>
+      import s.implicits._
+      val p2 = udf((t: Double, df: Long) =>
+        graft.functions.StudentT.twoSidedP(t, df.toDouble))
+      (for { i <- 0 to 40; df <- Seq(1L, 2L, 4L) } yield (i.toLong, df))
+        .toDF("i", "df")
+        .select(col("i"), col("df"),
+          round(p2(col("i").cast("double") * 0.25, col("df")) + lit(1e-9), 6)
+            .as("p2"))
+        .orderBy("i", "df")
     }
   )
 
@@ -290,6 +310,22 @@ object AggQueries extends QueryModule {
         |         value * cos(radians(90 - (user_id * 37 % 360))) AS u,
         |         value * sin(radians(90 - (user_id * 37 % 360))) AS v
         |  FROM events)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // closed-form t-CDF special cases (elementary-function reductions
+    // of I_x(df/2, 1/2)); the t grid is exact binary quarters so both
+    // engines evaluate identical doubles
+    "f_tcdf_fixed" ->
+      """WITH g AS (
+        |  SELECT i, df, CAST(i AS DOUBLE) * 0.25 AS t
+        |  FROM range(0, 41) r(i) CROSS JOIN (VALUES (1), (2), (4)) d(df))
+        |SELECT CAST(i AS BIGINT) AS i, CAST(df AS BIGINT) AS df,
+        |  round(CASE df
+        |    WHEN 1 THEN (2.0 / pi()) * asin(sqrt(1.0 / (1.0 + t * t)))
+        |    WHEN 2 THEN 1.0 - t / sqrt(2.0 + t * t)
+        |    ELSE 1.0 - 1.5 * (t / sqrt(4.0 + t * t))
+        |         + 0.5 * pow(t / sqrt(4.0 + t * t), 3)
+        |  END + 1e-9, 6) AS p2
+        |FROM g ORDER BY i, df""".stripMargin
   )
 }
