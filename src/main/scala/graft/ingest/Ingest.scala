@@ -235,6 +235,12 @@ object Ingest {
     * manifest absent → roll BACK (discard staging; the delete never
     * happened). Both entry points call recovery first, so a torn
     * earlier run completes before a new one begins.
+    *
+    * Single-writer contract (same as compaction, and as the reference's
+    * one deletebyquery process): concurrent mutators of one store are
+    * not coordinated — run deletes/compactions from one scheduler
+    * slot. Readers stay safe throughout (staging is hidden, swaps are
+    * per-directory renames).
     */
   def deleteTiles(spark: org.apache.spark.sql.SparkSession, path: String,
                   predicate: Column): Long =

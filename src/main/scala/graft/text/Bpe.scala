@@ -207,16 +207,30 @@ object Bpe {
     }
 
     // pass 0: the one full pair count (same algebra as the oracled
-    // initialPairCounts, over the already-segmented symbol table)
-    cur.flatMap { case (s, c) =>
+    // initialPairCounts, over the already-segmented symbol table).
+    // The distinct-pair table must fit the driver — alphabet²-bounded
+    // at start — so its size is CHECKED before the collect instead of
+    // letting a pathological corpus (adversarial byte soup at a huge
+    // alphabet) OOM the driver mid-collect. 50M pairs ≈ a few GB of
+    // boxed tuples: far above any natural-language corpus (whose
+    // distinct-pair count tracks alphabet² then vocab-neighbor
+    // growth), and loud when crossed.
+    val initialPairs = cur.flatMap { case (s, c) =>
       if (s.length < 2) Iterator.empty
       else s.iterator.zip(s.iterator.drop(1)).map(p => (p, c))
-    }.reduceByKey(_ + _, parts).collect().foreach { case (p, c) =>
+    }.reduceByKey(_ + _, parts).persist(sl)
+    val nPairs = initialPairs.count()
+    require(nPairs <= 50000000L,
+      s"bpe: $nPairs distinct adjacent pairs exceeds the driver-resident " +
+        "pair-table bound (50M) — this corpus needs the distributed " +
+        "trainSequential form or a pre-normalization pass")
+    initialPairs.collect().foreach { case (p, c) =>
       pairCounts(p) = c
       heap.enqueue((c, p._1, p._2))
       knownSymbols += p._1
       knownSymbols += p._2
     }
+    initialPairs.unpersist(blocking = false)
     base.unpersist()
 
     val merges = Seq.newBuilder[Merge]

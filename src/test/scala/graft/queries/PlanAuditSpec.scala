@@ -59,7 +59,13 @@ class PlanAuditSpec extends SparkSpec {
       // application live in its lineage, outside the SQL plan); the
       // relational tail is one pair-count aggregate, argmax-50 as
       // TakeOrderedAndProject (no range exchange)
-      "t_bpe_step_fixed" -> (1, 0))
+      "t_bpe_step_fixed" -> (1, 0),
+      // r9 gate: the assigned relation feeds TWO aggregates (the real
+      // updateStep mean + the oracle's member count), each partial+
+      // final, plus the two left joins against the 4-row centroid side
+      // (broadcast) and the output sort — tiny relations throughout,
+      // the pin is against silent shape drift, not cost
+      "e_ivf_update_fixed" -> (7, 4))
     val got = pinned.keys.toSeq.sorted.map { name =>
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan

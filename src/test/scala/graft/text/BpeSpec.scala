@@ -220,6 +220,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("deep merge budget: long un-merge chains stay exactly greedy") {
+    // a two-letter alphabet at 40 merges forces MANY passes whose
+    // speculation is repeatedly truncated (freshly fused pairs keep
+    // overtaking), i.e. repeated un-merge → re-speculate cycles — the
+    // adversarial regime for the replay machinery
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val words = (1 to 60).map { _ =>
+      val n = rnd.nextInt(9) + 1
+      (0 until n).map(_ => "ab" (rnd.nextInt(2))).mkString
+    }
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs, col("text"))
+    assert(Bpe.train(wc, 40, maxBatch = 16) === Bpe.trainSequential(wc, 40))
+  }
+
   test("batched train matches the textbook reference on the word corpus") {
     val got = Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 12, maxBatch = 32)
       .map(m => (m.left, m.right, m.cnt))
