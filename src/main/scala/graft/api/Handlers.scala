@@ -499,9 +499,6 @@ object Handlers {
       else if (filtered.columns.contains("value"))
         Seq(col("value").cast("double").as("sv"))
       else Nil
-    val secondary = filtered.select(Seq(col("id").as("sid"),
-      col("latitude").as("slat"), col("longitude").as("slon"),
-      col("time").as("st")) ++ svCol: _*)
     // widest participating latitude: the bbox extreme PLUS the rt
     // tolerance (in-situ points up to rt poleward of the bbox still
     // match). Polar domains are fine: GeoMatchup routes latitudes
@@ -510,10 +507,31 @@ object Handlers {
     val padDeg = rtMeters / 111000.0
     val widestLat = (math.max(math.abs(p.minLat), math.abs(p.maxLat)) + padDeg)
       .max(1.0).min(90.0)
+    // ENFORCE the tolerance-padded envelope on the in-situ side — the
+    // reference queries EDGE with exactly this padded bbox + time
+    // window (Matchup.py:523-542), and the broadcast-sized claim below
+    // plus GeoMatchup's maxAbsLat cell-sizing contract both depend on
+    // it; a point outside the envelope can never be within rt/tt of a
+    // masked primary point, so results are unchanged
+    val lonPad = padDeg / math.cos(math.toRadians(math.min(widestLat, 85.0)))
+    // saturating time pad: the default open-ended request carries
+    // endTime = Long.MaxValue, which a naive + tt wraps NEGATIVE,
+    // silently emptying the envelope
+    val tLo =
+      if (p.startTime < Long.MinValue + ttSeconds) Long.MinValue
+      else p.startTime - ttSeconds
+    val tHi =
+      if (p.endTime > Long.MaxValue - ttSeconds) Long.MaxValue
+      else p.endTime + ttSeconds
+    val secondary = filtered.select(Seq(col("id").as("sid"),
+        col("latitude").as("slat"), col("longitude").as("slon"),
+        col("time").as("st")) ++ svCol: _*)
+      .where(col("slat").between(p.minLat - padDeg, p.maxLat + padDeg) &&
+        col("slon").between(p.minLon - lonPad, p.maxLon + lonPad) &&
+        col("st").between(tLo, tHi))
     // the secondary is the in-situ side: request-bounded in space and
-    // time (the reference pages it from EDGE per request), so it is
-    // broadcast-sized by construction and the ×27-exploded primary
-    // never shuffles
+    // time (envelope above), so it is broadcast-sized by construction
+    // and the ×27-exploded primary never shuffles
     // geodesic = reference parity: Matchup.py measures match distance
     // on the WGS84 ellipsoid, and boundary pairs flip membership if the
     // engine measures spherically instead

@@ -60,6 +60,11 @@ object SummaryPushdown {
     val borderPoints = TileOps.maskPointsToBBox(
       TileOps.toPoints(overlapping.where(!isInner)),
       minLat, maxLat, minLon, maxLon)
+    // sum(w) can never vanish for a surviving group: cos(radians(lat))
+    // is ≥ 6.1e-17 for every representable |lat| ≤ 90 (double cos of a
+    // rounded π/2 is not exactly 0), and NULL-coordinate points never
+    // pass the bbox mask — so sum_v NULL with cnt > 0 (a phantom-count
+    // bias in the combine) has no reachable input
     val w = GeoFunctions.cosLatWeight(col("latitude"))
     val borderPartials = borderPoints
       .groupBy(col("tile_id"), TileOps.dayStart(col("time")).as("day_start"))

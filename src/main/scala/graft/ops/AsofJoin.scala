@@ -38,6 +38,11 @@ object AsofJoin {
       keys.map(col) ++
         Seq(rightTime.as("__t"), lit(0).as("__tag"), col(rightTie).as("__tie"),
           struct(rightVals.map(col): _*).as("__rvals")): _*)
+      // a NULL-time right row has no position on the timeline; left
+      // unfiltered it sorts FIRST (asc = nulls-first) and its non-null
+      // value struct is carried into every left row that should have
+      // matched nothing — violating the at-or-before contract
+      .where(col("__t").isNotNull)
     val l2 = left.withColumn("__t", leftTime).withColumn("__tag", lit(1))
     val u = l2.unionByName(r2, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)

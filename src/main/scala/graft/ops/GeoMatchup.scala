@@ -105,6 +105,18 @@ object GeoMatchup {
     def cell(c: Column, step: Double): Column = floor(c / step).cast("long")
     def lonCell(c: Column): Column =
       pmod(floor((c + 180.0) / lonStep).cast("long"), lit(nLon.toLong))
+    // maxAbsLat is a CONTRACT about the data: lon cells are sized at
+    // cos(effLat), so a row between effLat and the cap would get
+    // under-sized cells and its admissible pairs could land 2+ cells
+    // apart — silently missing from the output. Fail loudly instead
+    // (with the cap active, cells are sized at CapLat and rows beyond
+    // it go through the cap passes, so every latitude is covered).
+    def guardLat(c: Column): Column =
+      if (capActive) c
+      else when(abs(c) <= lit(effLat), c).otherwise(raise_error(concat(
+        lit(s"geo matchup: |latitude| beyond maxAbsLat=$effLat would " +
+          "silently lose matches (lon cells are sized for it) — raise " +
+          "maxAbsLat to cover the domain, got lat="), c.cast("string"))))
 
     // haversine (spherical) is the oracle-reproducible default; the
     // geodesic option matches the reference's WGS84 measurement
@@ -129,7 +141,7 @@ object GeoMatchup {
     val pCells = explode(array_distinct(array((for {
       dLat <- neighbors; dLon <- neighbors; dT <- neighbors
     } yield struct(
-      (cell(pLat, latStep) + dLat).as("la"),
+      (cell(guardLat(pLat), latStep) + dLat).as("la"),
       pmod(lonCell(pLon) + dLon, lit(nLon.toLong)).as("lo"),
       (cell(pTime, ttSeconds.toDouble) + dT).as("t"))): _*)))
 
@@ -143,7 +155,7 @@ object GeoMatchup {
     val mainPairs = joined(
       pMain.withColumn("__cell", pCells),
       sMain.withColumn("__cell", struct(
-        cell(sLat, latStep).as("la"),
+        cell(guardLat(sLat), latStep).as("la"),
         lonCell(sLon).as("lo"),
         cell(sTime, ttSeconds.toDouble).as("t"))),
       "__cell")

@@ -40,9 +40,12 @@ object TileIndexOps {
     overlaps(minC, maxC, qlo, qhi) && !within(minC, maxC, qlo, qhi)
 
   /** As-of pick (find_tile_by_polygon_and_most_recent_day_of_year,
-    * SolrProxy.pyx:137-153): latest row per key with orderCol ≤ cutoff.
-    * One shuffle on the partition keys; ties broken by `tieBreak` so the
-    * result is deterministic.
+    * SolrProxy.pyx:137-153): the latest row per key by `orderCol`.
+    * The at-or-before cutoff is the CALLER's filter — apply
+    * `.where(orderCol <= cutoff)` before calling (as IndexQueries
+    * does); this function itself picks the global per-key latest.
+    * One shuffle on the partition keys; ties broken by `tieBreak` so
+    * the result is deterministic.
     */
   def asOfPick(df: DataFrame, keys: Seq[Column], orderCol: Column,
                tieBreak: Column): DataFrame = {

@@ -20,6 +20,16 @@ case class SignalEvent(event_type: String, us: Long, event_id: Long,
 case class RunState(bucket: Long, startUs: Long, lastUs: Long,
                     n: Long, sum: Double)
 
+/** Full streaming state: the open run, the NOT-YET-ORDERABLE events
+  * (event time still ahead of the watermark — a later batch may
+  * deliver something earlier, so folding them now would lock in a
+  * wrong order), and the watermark through which events have already
+  * been folded (arrivals at or before it are beyond-watermark late
+  * and dropped, the standard contract).
+  */
+case class TrackState(open: Option[RunState], pending: Seq[SignalEvent],
+                      foldedWmUs: Long)
+
 /** One completed run: a maximal stretch of consecutive events (per
   * event_type, event-time order) on the same side of the threshold.
   */
@@ -38,12 +48,15 @@ case class RunOut(event_type: String, bucket: Long, start_us: Long,
   *  - batch: one invocation per key with the full group; every run is
   *    final, so all are emitted and no state survives (`runsBatch` —
   *    this is the driver-gated form, oracle = gaps-and-islands SQL);
-  *  - streaming: invoked per key per micro-batch; the trailing run
-  *    stays open in `GroupState` (more events may extend it) until the
-  *    event-time timeout — watermark passing `lastUs + gap` — proves
-  *    no earlier event can arrive, then it is emitted and the state
-  *    evicted (`runsStream`). State is O(1) per key: two longs, a
-  *    count and a sum — nothing grows with stream length.
+  *  - streaming: invoked per key per micro-batch; events fold only
+  *    once the watermark has passed them (not-yet-orderable arrivals
+  *    buffer in state, so out-of-order delivery within the allowed
+  *    lateness cannot corrupt run boundaries), and the trailing run
+  *    stays open in `GroupState` until the event-time timeout —
+  *    watermark passing `lastUs + gap` — proves it final, then it is
+  *    emitted and the state evicted (`runsStream`). State per key =
+  *    one open run + the events inside the watermark-delay horizon —
+  *    bounded by lateness × event rate, never by stream length.
   */
 object StateTracker {
 
@@ -58,7 +71,11 @@ object StateTracker {
     var out = Vector.empty[RunOut]
     var cur = prior.orNull
     for (e <- events) {
-      val b = if (e.value >= threshold) 1L else 0L
+      // NaN buckets HIGH to match Spark SQL comparison semantics (SQL
+      // orders NaN above every number, so `value >= threshold` is true
+      // there) — the JVM fold and the sharded SQL form must segment
+      // identically or batch/streaming parity silently breaks on NaN
+      val b = if (e.value >= threshold || e.value.isNaN) 1L else 0L
       if (cur == null) cur = RunState(b, e.us, e.us, 1L, e.value)
       else if (cur.bucket == b)
         cur = RunState(b, cur.startUs, e.us, cur.n + 1, cur.sum + e.value)
@@ -74,10 +91,15 @@ object StateTracker {
     * sum — and therefore the rounded average — is reproducible; the
     * +1e-9 keeps round-half ties off the boundary vs the oracle.
     */
-  private def closed(key: String, r: RunState): RunOut =
+  private def closed(key: String, r: RunState): RunOut = {
+    val avg = r.sum / r.n + 1e-9
     RunOut(key, r.bucket, r.startUs, r.lastUs, r.n,
-      BigDecimal(r.sum / r.n + 1e-9)
+      // a NaN-bearing run averages to NaN in the SQL form too
+      // (round(NaN) = NaN); BigDecimal would throw on it
+      if (avg.isNaN || avg.isInfinite) avg
+      else BigDecimal(avg)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 
   /** Project any relation with (event_type, ts, event_id, value) to the
     * tracker's typed input. Event-time order is (us, event_id): µs
@@ -115,32 +137,65 @@ object StateTracker {
       }
   }
 
-  /** Streaming form: same fold, but the trailing run stays in
-    * `GroupState` until the watermark passes `lastUs + gap` (event-time
-    * timeout), at which point it is emitted and evicted. Requires
-    * `events` to carry a watermark on `ts`.
+  /** Streaming form: the same fold, made ORDER-CORRECT under
+    * out-of-order arrival by buffering. Events fold only once the
+    * watermark has passed their event time — anything still ahead of
+    * the watermark waits in state (a later micro-batch may deliver an
+    * earlier event; folding eagerly would lock in arrival order, which
+    * is exactly how a within-lateness event would corrupt run
+    * boundaries). Arrivals at or before the already-folded watermark
+    * are beyond-lateness and dropped — the standard watermark
+    * contract. Pending state is bounded by the watermark delay × event
+    * rate, not stream length.
+    *
+    * Run COMPLETION is the gap contract: the open run is emitted as
+    * final once the watermark passes `lastUs + gapUs` — event-time
+    * silence longer than the gap closes a run, so a later same-bucket
+    * event starts a NEW run. This is the deliberate streaming
+    * divergence from [[runsBatch]] (which merges same-bucket runs
+    * across any silence — it can see the whole history); the two agree
+    * exactly on streams whose intra-run spacing stays within `gapUs`.
+    * Without an eviction rule, open-run state would wait forever on
+    * keys that simply stopped emitting. Requires a watermark on `ts`.
     */
   def runsStream(events: Dataset[SignalEvent], threshold: Double,
                  gapUs: Long): Dataset[RunOut] = {
     val s = events.sparkSession
     import s.implicits._
     events.groupByKey(_.event_type)
-      .flatMapGroupsWithState[RunState, RunOut](
+      .flatMapGroupsWithState[TrackState, RunOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it, state) =>
-          if (state.hasTimedOut) {
-            val fin = state.getOption.map(closed(key, _))
-            state.remove()
-            fin.iterator
-          } else {
-            val evs = it.toArray.sortBy(e => (e.us, e.event_id))
-            val (closedRuns, open) = advance(key, evs, state.getOption, threshold)
-            open.foreach { o =>
-              state.update(o)
-              state.setTimeoutTimestamp((o.lastUs + gapUs) / 1000L)
-            }
-            closedRuns.iterator
+          // one code path for data and timeout invocations: fold
+          // whatever the watermark has made orderable, emit what the
+          // gap has made final, schedule the next wake-up
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(TrackState(None, Vector.empty, Long.MinValue))
+          val incoming = it.filter(_.us > st.foldedWmUs).toVector
+          val all = (st.pending ++ incoming)
+            .sortBy(e => (e.us, e.event_id))
+          val (ready, rest) = all.partition(_.us <= wmUs)
+          val (closedRuns, open) =
+            advance(key, ready.toArray, st.open, threshold)
+          val (emitted, openKeep) = open match {
+            case Some(o) if wmUs >= o.lastUs + gapUs =>
+              (closedRuns :+ closed(key, o), None)
+            case o => (closedRuns, o)
           }
+          if (openKeep.isEmpty && rest.isEmpty) state.remove()
+          else {
+            state.update(TrackState(openKeep, rest, math.max(wmUs, st.foldedWmUs)))
+            // wake when the gap closes the open run or the watermark
+            // reaches the earliest pending event, whichever is sooner;
+            // Spark requires the timeout to sit beyond the watermark
+            val wantUs = math.min(
+              openKeep.map(_.lastUs + gapUs).getOrElse(Long.MaxValue),
+              rest.headOption.map(_.us).getOrElse(Long.MaxValue))
+            state.setTimeoutTimestamp(
+              math.max(wantUs / 1000L, wmUs / 1000L + 1L))
+          }
+          emitted.iterator
       }
   }
 

@@ -153,12 +153,16 @@ object StreamingIngest {
             .withColumn("dataset", lit(dataset))
             .withColumn("time_bucket",
               graft.ingest.Ingest.timeBucket(col("time")))
-          // (granule, time_bucket) — not granule alone — so a replay
-          // after a partial cross-bucket commit rewrites exactly the
-          // buckets that are missing instead of dropping the whole
-          // granule's remainder
+          // ROW-level identity (granule + the point's own coordinates),
+          // not (granule, time_bucket): a crash inside the parquet job
+          // commit can leave a PARTIAL granule-bucket visible (task
+          // file moves are not atomic across a job), and a coarser key
+          // would make the replay anti-join treat the bucket as done
+          // and drop its missing remainder forever. Decode is
+          // deterministic, so the replay regenerates exactly the same
+          // point rows and the anti-join fills precisely the gap.
           appendDeduped(pts, outPath, dataset,
-            keyCols = Seq("granule", "time_bucket"))
+            keyCols = Seq("granule", "time", "latitude", "longitude"))
         } else {
           val pts = pointTransform(
             if (metaVars.isEmpty)

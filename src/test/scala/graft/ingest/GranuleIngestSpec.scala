@@ -304,7 +304,7 @@ class GranuleIngestSpec extends SparkSpec {
     val pts1 = spark.read.parquet(out)
     assert(pts1.count() === 6) // sparse points, NOT dense tiles
     assert(pts1.columns.contains("latitude") && pts1.columns.contains("value"))
-    // second granule + checkpoint loss: per-granule anti-join dedups
+    // second granule + checkpoint loss: row-identity anti-join dedups
     java.nio.file.Files.write(
       new java.io.File(watch, "s2.nc").toPath, swathGranule(50.0))
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_swck2")
@@ -313,6 +313,27 @@ class GranuleIngestSpec extends SparkSpec {
     val all = spark.read.parquet(out)
     assert(all.count() === 12)
     assert(all.select("granule").distinct().count() === 2)
+    // PARTIAL-commit window: a crash inside the parquet job commit can
+    // leave a strict subset of a granule's rows visible. Simulate by
+    // rewriting the store minus two of s1's points, then replay from a
+    // fresh checkpoint: the row-identity anti-join must fill exactly
+    // the gap — a (granule, bucket)-keyed join would see the bucket
+    // "done" and lose the two rows forever.
+    val partial = all.where(!(col("granule").contains("s1.nc") &&
+      col("value") >= 4.0))
+    assert(partial.count() === 10)
+    val tmpStore = out + "_partial"
+    partial.write.partitionBy("dataset", "time_bucket").parquet(tmpStore)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmpStore), new java.io.File(out))
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft_swck3")
+      .toFile.getAbsolutePath
+    run(ckpt3) // replays both granules against the partial store
+    val healed = spark.read.parquet(out)
+    assert(healed.count() === 12, "replay must restore the missing rows")
+    assert(healed.select("granule", "time", "latitude", "longitude")
+      .distinct().count() === 12, "and introduce no duplicates")
   }
 
   test("swath granules decode per-pixel geolocation and per-scan time") {

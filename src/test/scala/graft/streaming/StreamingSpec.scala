@@ -187,6 +187,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runsStream orders within-lateness late arrivals before folding") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SignalEvent]
+    val src = StateTracker.runsStream(
+      mem.toDS().withWatermark("ts", "10 seconds"), 100.0, gapUs = 1000000L)
+    val q = src.writeStream.format("memory").queryName("rle_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: t=100s high. batch 2: a LATE same-bucket event at
+      // t=95s (within the 10s lateness). An arrival-order fold would
+      // extend the open run BACKWARD (end_us 95s < start_us 100s); the
+      // watermark-buffered fold must produce ONE run [95s, 100s].
+      mem.addData(sig((100000000L, "x", 150.0, 1)): _*)
+      q.processAllAvailable()
+      mem.addData(sig((95000000L, "x", 130.0, 2)): _*)
+      q.processAllAvailable()
+      // watermark advance (via another key) past lastUs + gap
+      mem.addData(sig((300000000L, "y", 50.0, 9)): _*)
+      q.processAllAvailable()
+      val x = spark.table("rle_ooo").as[RunOut].collect()
+        .filter(_.event_type == "x")
+      assert(x.map(r => (r.bucket, r.start_us, r.end_us, r.n_events, r.avg_v))
+        .toSeq === Seq((1L, 95000000L, 100000000L, 2L, 140.0)))
+    } finally q.stop()
+  }
+
+  test("NaN values bucket identically in the JVM fold and the SQL form") {
+    import spark.implicits._
+    // Spark SQL orders NaN above every number, so value >= threshold is
+    // TRUE there; the JVM fold must agree or the two batch forms (and
+    // batch vs streaming) segment differently around NaN events
+    val evs = sig(
+      (1000000L, "x", 150.0, 1), (2000000L, "x", Double.NaN, 2),
+      (3000000L, "x", 120.0, 3), (4000000L, "x", 10.0, 4))
+    val df = evs.toDF().select(col("event_type"), col("event_id"),
+      col("value"), col("ts"))
+    val sharded = StateTracker.highLowRunsSharded(df, 100.0).collect()
+    val stateful = StateTracker.highLowRunsStateful(spark, df, 100.0).collect()
+    // string compare: a NaN-bearing run's avg_v is NaN on both sides,
+    // and NaN never equals itself under value comparison
+    assert(sharded.map(_.toString).toSeq === stateful.map(_.toString).toSeq)
+    // one continuous high run over the NaN, then the low run
+    assert(sharded.map(r => (r.getLong(1), r.getLong(4))).toSeq ===
+      Seq((1L, 3L), (0L, 1L)))
+  }
+
   case class Px(pts: Timestamp, p_user: Long, pid: Long)
   case class Cx(cts: Timestamp, c_user: Long, cid: Long)
 
