@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.text.TextFunctions
 
 /** Deduplication operators for training-data pipelines: exact
   * (fingerprint group-by), MinHash+LSH near-dup, SimHash, and n-gram
@@ -118,18 +117,29 @@ object Dedup {
       .select("i", "j").distinct()
   }
 
-  /** Exact Jaccard over distinct-shingle relations for given candidate
+  /** Exact Jaccard over (id, shingle) relations for given candidate
     * pairs: |A∩B| via equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
+    * Distinctness is APPLIED, not assumed: duplicate shingle rows
+    * would inflate the intersection past the union bound (jaccard
+    * silently exceeding 1) — same guarantee as [[jaccardPairsByIndex]].
     */
   def jaccardOnCandidates(cands: DataFrame, shingled: DataFrame,
                           id: Column, shingle: Column): DataFrame = {
-    val tok = shingled.select(id.as("__id"), shingle.as("__sh"))
-    val sizes = tok.groupBy("__id").agg(count(lit(1)).as("n"))
+    val tok = shingled.select(id.as("__id"), shingle.as("__sh")).distinct()
     val inter = cands
       .join(tok.select(col("__id").as("i"), col("__sh")), "i")
       .join(tok.select(col("__id").as("j"), col("__sh").as("__sh2")), "j")
       .where(col("__sh") === col("__sh2"))
       .groupBy("i", "j").agg(count(lit(1)).as("m"))
+    jaccardOf(tok, inter)
+  }
+
+  /** Shared Jaccard tail: set sizes from the DISTINCT (id, shingle)
+    * relation joined onto (i, j, m) intersection counts — one copy of
+    * the |A|+|B|−|A∩B| algebra for both pair generators.
+    */
+  private def jaccardOf(tok: DataFrame, inter: DataFrame): DataFrame = {
+    val sizes = tok.groupBy("__id").agg(count(lit(1)).as("n"))
     inter
       .join(sizes.select(col("__id").as("i"), col("n").as("ni")), "i")
       .join(sizes.select(col("__id").as("j"), col("n").as("nj")), "j")
@@ -155,11 +165,19 @@ object Dedup {
     * band keys never match in the join, so token-less docs drop out,
     * matching the exploded pipeline.
     */
-  def lshClusterAssign(bands: DataFrame): DataFrame = {
-    val bucketMin = bands.groupBy("bidx", "bhash").agg(min(col("__id")).as("bmin"))
-    bands.join(bucketMin, Seq("bidx", "bhash"))
+  def lshClusterAssign(bands: DataFrame): DataFrame =
+    bandsWithBucketMin(bands)
       .groupBy(col("__id"))
       .agg(min(col("bmin")).as("cluster"))
+
+  /** Band rows joined with their bucket's minimum id (`bmin`) — the
+    * shared head of [[lshClusterAssign]] and [[bucketStarEdges]], so
+    * the mega-bucket rationale above (aggregate + join back, never a
+    * window) is implemented exactly once.
+    */
+  private def bandsWithBucketMin(bands: DataFrame): DataFrame = {
+    val bucketMin = bands.groupBy("bidx", "bhash").agg(min(col("__id")).as("bmin"))
+    bands.join(bucketMin, Seq("bidx", "bhash"))
   }
 
   /** True connected components over an undirected edge list —
@@ -248,13 +266,11 @@ object Dedup {
     * the full doc~doc co-bucket graph (all bucket members connect
     * through the min).
     */
-  def bucketStarEdges(bands: DataFrame): DataFrame = {
-    val bucketMin = bands.groupBy("bidx", "bhash").agg(min(col("__id")).as("bmin"))
-    bands.join(bucketMin, Seq("bidx", "bhash"))
+  def bucketStarEdges(bands: DataFrame): DataFrame =
+    bandsWithBucketMin(bands)
       .where(col("bmin") =!= col("__id"))
       .select(col("__id").as("src"), col("bmin").as("dst"))
       .distinct()
-  }
 
   /** All-pairs n-gram Jaccard via inverted index: self-equi-join the
     * (id, shingle) relation on shingle — pairs sharing no shingle never
@@ -265,18 +281,11 @@ object Dedup {
   def jaccardPairsByIndex(shingled: DataFrame, id: Column, shingle: Column,
                           minJaccard: Double): DataFrame = {
     val tok = shingled.select(id.as("__id"), shingle.as("__sh")).distinct()
-    val sizes = tok.groupBy("__id").agg(count(lit(1)).as("n"))
     val inter = tok.select(col("__id").as("i"), col("__sh"))
       .join(tok.select(col("__id").as("j"), col("__sh")), Seq("__sh"))
       .where(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("m"))
-    inter
-      .join(sizes.select(col("__id").as("i"), col("n").as("ni")), "i")
-      .join(sizes.select(col("__id").as("j"), col("n").as("nj")), "j")
-      .withColumn("jaccard",
-        col("m").cast("double") / (col("ni") + col("nj") - col("m")).cast("double"))
-      .where(col("jaccard") >= minJaccard)
-      .select("i", "j", "m", "jaccard")
+    jaccardOf(tok, inter).where(col("jaccard") >= minJaccard)
   }
 
   /** 16-bit SimHash over a (id, token) relation. Bit b of a token's
@@ -286,6 +295,10 @@ object Dedup {
     */
   def simhash16(tokenRows: DataFrame, id: Column, token: Column): DataFrame = {
     val bitRows = tokenRows
+      // a NULL token must contribute NOTHING: unfiltered, md5(null) is
+      // null and the when() below would weight every bit -1 for it,
+      // biasing the whole signature by the null count
+      .where(token.isNotNull)
       .select(id.as("__id"), md5(token).as("__h"))
       .select(col("__id"), explode(sequence(lit(0), lit(15))).as("b"), col("__h"))
       .withColumn("w",

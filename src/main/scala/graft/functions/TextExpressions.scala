@@ -220,6 +220,10 @@ object TextExpressions {
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
+      // null elements contribute nothing — the relational form filters
+      // them (md5(null) would otherwise bias every bit's weight)
+      if (tokens.isNullAt(i)) { i += 1 }
+      else {
       md.reset()
       val d = md.digest(tokens.getUTF8String(i).getBytes)
       var b = 0
@@ -229,6 +233,7 @@ object TextExpressions {
         b += 1
       }
       i += 1
+      }
     }
     val sb = new java.lang.StringBuilder(16)
     var b = 0
@@ -261,8 +266,10 @@ object TextExpressions {
     val seen = new java.util.HashSet[UTF8String](n * 2)
     var i = 0
     while (i < n) {
-      val u = tokens.getUTF8String(i)
-      if (seen.add(u)) {
+      // null elements contribute nothing (the relational min() skips
+      // nulls; hashing one here would NPE)
+      val u = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      if (u != null && seen.add(u)) {
         val tok = u.getBytes
         var s = 0
         while (s < k) {
@@ -276,6 +283,10 @@ object TextExpressions {
       }
       i += 1
     }
+    // an all-null array is an empty token set: empty signature, same
+    // as n == 0 (callers filter on size > 0)
+    if (mins(0) == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       mins.map(d => UTF8String.fromString(hex(d)): Any))
   }

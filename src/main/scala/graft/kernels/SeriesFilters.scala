@@ -40,14 +40,15 @@ object SeriesFilters {
     // single-series callers (one dataset's final daily series, bounded
     // by construction) key on a constant-but-non-foldable expression
     // (a plain literal constant-folds away, and `x * 0` is simplified
-    // out by the optimizer too — pmod(x, 1) survives): same
+    // out by the optimizer too — pmod(hash, 1) survives): same
     // one-partition execution, but out of Spark's "No Partition
     // Defined" warning, so a REAL unbounded global window elsewhere
-    // stays visible in logs. The bigint cast makes pmod(·,1) constant
-    // for FRACTIONAL time columns too (pmod of a raw double keeps the
-    // fractional part and would split the series).
+    // stays visible in logs. xxhash64 accepts ANY input type (a bare
+    // bigint cast of the time column failed analysis on DateType —
+    // date→numeric casts are illegal since Spark 3.0) and pmod(·,1)
+    // of its long output is always 0.
     val keys =
-      if (seriesKeys.isEmpty) Seq(pmod(col(timeCol).cast("bigint"), lit(1)))
+      if (seriesKeys.isEmpty) Seq(pmod(xxhash64(col(timeCol)), lit(1)))
       else seriesKeys.map(col)
     def smooth(df: DataFrame, c: String, out: String, reverse: Boolean): DataFrame = {
       val ord = if (reverse) col(timeCol).desc else col(timeCol).asc

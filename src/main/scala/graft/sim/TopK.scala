@@ -38,8 +38,18 @@ class TopKAggregator(k: Int)
     extends Aggregator[TopKCand, ArrayBuffer[TopKCand], TopKResult] {
   require(k > 0)
 
-  private def lt(a: TopKCand, b: TopKCand): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.cid < b.cid)
+  // TOTAL order (Double.compare, not the IEEE operators): the raw
+  // `a.sim > b.sim || (a.sim == b.sim && ...)` form is non-transitive
+  // once a NaN enters (NaN compares unequal AND non-greater to
+  // everything) — TimSort detects that and throws mid-job on buffers
+  // past 32 elements, or silently misplaces rows below that
+  private def lt(a: TopKCand, b: TopKCand): Boolean = {
+    // + 0.0 canonicalizes -0.0 (Double.compare would order it below
+    // +0.0, where SQL ORDER BY — the oracle's ranking — treats them
+    // equal and falls to the tie-break)
+    val c = java.lang.Double.compare(b.sim + 0.0, a.sim + 0.0) // sim DESC
+    c < 0 || (c == 0 && a.cid < b.cid)
+  }
 
   private def truncate(b: ArrayBuffer[TopKCand]): ArrayBuffer[TopKCand] = {
     val s = b.sortWith(lt)
@@ -49,6 +59,10 @@ class TopKAggregator(k: Int)
   override def zero: ArrayBuffer[TopKCand] = ArrayBuffer.empty
 
   override def reduce(b: ArrayBuffer[TopKCand], a: TopKCand): ArrayBuffer[TopKCand] = {
+    // a NaN similarity is "no similarity" — it must never occupy a
+    // top-k slot (under Double.compare NaN orders ABOVE +Inf, so
+    // unfiltered NaN candidates would win every ranking)
+    if (a.sim.isNaN) return b
     b += a
     // amortized: truncate every k inserts, bounding the buffer at 2k
     if (b.length >= 2 * k) truncate(b) else b

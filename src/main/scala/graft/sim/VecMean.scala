@@ -55,6 +55,12 @@ class VecMeanAggregator
     else if (b._2 == 0L) a
     else {
       val s = a._1
+      // same guard as reduce: partitions can be internally homogeneous
+      // yet mutually ragged (one file of d=64 vectors, one of d=128) —
+      // without it a shorter `a` would silently ignore b's tail while
+      // still summing counts, converging to wrong centroids
+      require(s.length == b._1.length,
+        "vector length mismatch in VecMeanAggregator merge")
       var i = 0
       while (i < s.length) { s(i) += b._1(i); i += 1 }
       (s, a._2 + b._2)

@@ -90,6 +90,46 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) !== sigs(4L))
   }
 
+  test("null tokens contribute nothing: simhash unbiased, minhash no NPE") {
+    import spark.implicits._
+    // simhash: the same token multiset with 5 interleaved nulls must
+    // produce the SAME signature (each null used to weight every bit
+    // -1); native expression agrees
+    val base = Seq((1L, "alpha"), (1L, "beta"), (1L, "gamma"))
+    val noisy = base ++ (1 to 5).map(_ => (1L, null: String))
+    def sig(rows: Seq[(Long, String)]): String =
+      Dedup.simhash16(rows.toDF("doc_id", "w"), col("doc_id"), col("w"))
+        .collect().head.getAs[String]("simhash")
+    assert(sig(noisy) === sig(base))
+    val nativeSig = Seq((1L, Seq("alpha", null, "beta", null, "gamma")))
+      .toDF("doc_id", "toks")
+      .select(graft.functions.TextExpressions.simhash16Col(col("toks")))
+      .collect().head.getString(0)
+    assert(nativeSig === sig(base))
+    // minhash native: null elements skipped like the relational min();
+    // an all-null array yields the empty signature (filtered out)
+    val mh = Dedup.minhashSignatureNative(
+      Seq((1L, Seq("alpha", null, "beta")),
+        (2L, Seq("alpha", "beta")),
+        (3L, Seq(null: String, null: String))).toDF("doc_id", "toks"),
+      col("doc_id"), col("toks"), k = 4)
+    val rows = mh.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows.keySet === Set(1L, 2L), "all-null doc must drop out")
+    assert(rows(1L) === rows(2L), "null elements must not move any min")
+  }
+
+  test("jaccardOnCandidates applies distinctness (duplicate shingles can't inflate jaccard past 1)") {
+    import spark.implicits._
+    val cands = Seq((1L, 2L)).toDF("i", "j")
+    // doc 1 repeats its shingle 3x; doc 2 has it once — raw counting
+    // would give m=3, n1=3, n2=1 → jaccard = 3/(3+1-3) = 3 (> 1!)
+    val sh = Seq((1L, "a b c"), (1L, "a b c"), (1L, "a b c"), (2L, "a b c"))
+      .toDF("doc_id", "sh")
+    val out = Dedup.jaccardOnCandidates(cands, sh, col("doc_id"), col("sh"))
+      .select("m", "jaccard").as[(Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 1.0)))
+  }
+
   test("jaccardPairsByIndex computes exact jaccard on shared-shingle pairs") {
     import spark.implicits._
     val sh = docs.select(col("doc_id"),

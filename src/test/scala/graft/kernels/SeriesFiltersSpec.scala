@@ -40,4 +40,17 @@ class SeriesFiltersSpec extends SparkSpec {
       .select("lowpass").as[Double].collect()
     assert(out.forall(v => math.abs(v - 7.0) < 1e-9))
   }
+
+  test("single-series lowPass accepts a DateType time column") {
+    import spark.implicits._
+    // the constant partition key must not numeric-cast the time column
+    // (date→bigint is an illegal cast since Spark 3.0 — the natural
+    // daily-series shape failed analysis)
+    val df = (0 until 20)
+      .map(i => (java.sql.Date.valueOf(f"2020-01-${i + 1}%02d"), 7.0))
+      .toDF("day", "v")
+    val out = SeriesFilters.lowPass(df, Nil, "day", "v", windowSize = 3)
+      .select("lowpass").as[Double].collect()
+    assert(out.length === 20 && out.forall(v => math.abs(v - 7.0) < 1e-9))
+  }
 }

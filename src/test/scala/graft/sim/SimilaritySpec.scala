@@ -33,6 +33,35 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("NaN-element vectors (NaN cosine) never occupy top-k slots") {
+    import spark.implicits._
+    // vec 9 carries NaN elements: dot and norm are NaN, so cosine is
+    // NaN with no division-by-zero (ANSI catches 0/0, not this).
+    // Unfiltered, NaN breaks the comparator's total order (TimSort can
+    // throw) and under Double.compare ranks ABOVE +Inf — either way it
+    // must never displace a real neighbor
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (9L, Array(Float.NaN, Float.NaN))
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.where($"vec_id" === 0L)
+    val top = Similarity.bruteForceTopK(corpus, probes,
+        $"vec_id", $"embedding", $"vec_id", $"embedding", k = 3)
+      .orderBy("rank").select("cid").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L), s"NaN candidate surfaced: ${top.toSeq}")
+    // and the aggregator survives NaN-heavy buffers (comparator is a
+    // total order even while 40 NaN candidates stream through)
+    val many = (10L to 50L).map(i => (i, Array(Float.NaN, 1.0f))) ++
+      Seq((1L, Array(0.9f, 0.1f)))
+    val top2 = Similarity.bruteForceTopK(
+        many.toDF("vec_id", "embedding"), probes,
+        $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)
+      .select("cid").as[Long].collect()
+    assert(top2.toSeq === Seq(1L))
+  }
+
   test("lshSignature buckets parallel vectors together, opposite apart") {
     import spark.implicits._
     val df = Seq(
