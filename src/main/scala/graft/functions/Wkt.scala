@@ -14,13 +14,22 @@ import org.apache.spark.sql.functions.udf
 object Wkt {
 
   /** Parse the outer ring of `POLYGON ((x y, x y, ...))`. Returns
-    * closed-or-open ring vertices as (x, y).
+    * closed-or-open ring vertices as (x, y). Whitespace between WKT
+    * tokens is legal (`POLYGON ( (30 10, ...) )`), so parens are
+    * located structurally rather than by exact-prefix match.
     */
   def parsePolygon(wkt: String): Array[(Double, Double)] = {
-    val inner = wkt.trim
-      .stripPrefix("POLYGON").trim
-      .stripPrefix("((").takeWhile(_ != ')')
-    inner.split(",").map { pair =>
+    val t = wkt.trim
+    require(t.toUpperCase.startsWith("POLYGON"),
+      s"not a WKT POLYGON: '${t.take(32)}'")
+    val body = t.drop("POLYGON".length)
+    // outer ring = text between the SECOND '(' and the next ')'
+    val open1 = body.indexOf('(')
+    val open2 = if (open1 < 0) -1 else body.indexOf('(', open1 + 1)
+    val close = if (open2 < 0) -1 else body.indexOf(')', open2 + 1)
+    require(open2 >= 0 && close > open2,
+      s"malformed WKT POLYGON ring: '${t.take(48)}'")
+    body.substring(open2 + 1, close).split(",").map { pair =>
       val parts = pair.trim.split("\\s+")
       (parts(0).toDouble, parts(1).toDouble)
     }
@@ -45,12 +54,16 @@ object Wkt {
   def bbox(poly: Array[(Double, Double)]): (Double, Double, Double, Double) =
     (poly.map(_._1).min, poly.map(_._1).max, poly.map(_._2).min, poly.map(_._2).max)
 
-  private val containsFn =
-    udf((wkt: String, x: Double, y: Double) => contains(parsePolygon(wkt), x, y))
-
   /** Exact point-in-polygon Column predicate (UDF — apply it *after* a
-    * bbox prefilter so it never sees pruned rows).
+    * bbox prefilter so it never sees pruned rows). The ring parses
+    * ONCE at Column construction — the wkt argument is a constant per
+    * query, and re-parsing the string inside the per-row hot loop was
+    * pure waste (it also means a malformed polygon fails at plan
+    * build, not per-task).
     */
-  def containsCol(wkt: String, x: Column, y: Column): Column =
-    containsFn(org.apache.spark.sql.functions.lit(wkt), x, y)
+  def containsCol(wkt: String, x: Column, y: Column): Column = {
+    val ring = parsePolygon(wkt)
+    val f = udf((px: Double, py: Double) => contains(ring, px, py))
+    f(x, y)
+  }
 }

@@ -122,6 +122,13 @@ object Avi {
       (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
         ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
     var width = 0; var height = 0; var uspf = 0L
+    // video-stream format (from the 'vids' stream's strf
+    // BITMAPINFOHEADER): the raw-DIB branch below is only valid for
+    // 8-bit uncompressed rasters — a 24-bpp file passes the size
+    // check (3w·h > w·h) and would silently decode garbage pixels
+    var vidsBits = -1
+    var vidsCompression = -1L
+    var lastStrhType = ""
     val frames = ArrayBuffer.empty[Array[Int]]
 
     def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
@@ -143,8 +150,21 @@ object Avi {
           uspf = le32(pos + 8)
           width = le32(pos + 8 + 32).toInt
           height = le32(pos + 8 + 36).toInt
+        } else if (id == "strh") {
+          require(size >= 4, s"avi: strh chunk too short ($size bytes)")
+          lastStrhType = new String(bytes, pos + 8, 4, "ASCII")
+        } else if (id == "strf" && lastStrhType == "vids") {
+          require(size >= 20, s"avi: video strf too short ($size bytes)")
+          vidsBits = ((bytes(pos + 8 + 14) & 0xff) |
+            ((bytes(pos + 8 + 15) & 0xff) << 8))
+          vidsCompression = le32(pos + 8 + 16)
         } else if (inMovi && id.length == 4 && id.endsWith("db")) {
           require(width > 0 && height > 0, "avi: frame before avih header")
+          require(vidsBits == 8 && vidsCompression == 0L,
+            s"avi: raw '??db' frames require an 8-bit BI_RGB video " +
+              s"stream (strf says bits=$vidsBits compression=" +
+              s"$vidsCompression) — decoding another depth as 8-bit " +
+              "would produce silently wrong pixels")
           // same overflow class as the chunk walk: corrupt avih
           // dimensions make stride*height (and width*height) wrap Int,
           // so the raster-allocation product must be checked in Long

@@ -300,6 +300,15 @@ object Mp4 {
           else sys.error("mp4: trun with zero-size defaulted samples")
         require(rawCount >= 0 && rawCount <= have,
           s"mp4: trun declares $rawCount entries but only $have fit")
+        // the physical bound above degenerates at tfhd
+        // default_sample_size=1 (bound = file length), which would let
+        // a crafted fragment allocate file-length Sample objects —
+        // ~56 bytes each, a 100x blowup. 2^20 samples per trun is 30x
+        // any real fragment (a 10-minute 60fps fragment is 36k); a
+        // file beyond it refuses loudly, the subset-cap convention
+        require(rawCount <= (1L << 20),
+          s"mp4: trun declares $rawCount samples — beyond the 2^20 " +
+            "per-fragment subset cap")
         // trun data-offset is SIGNED per spec
         val off0 =
           if ((flags & 0x01) != 0) baseOff + r.u32().toInt.toLong

@@ -122,6 +122,10 @@ object Multimodal {
     */
   def decodeImageFeatures(media: Dataset[MediaRow], gridW: Int,
                           gridH: Int): Dataset[ImageFeatures] = {
+    // validate driver-side: a bad grid would otherwise surface as an
+    // opaque NegativeArraySizeException inside an executor task
+    require(gridW >= 1 && gridH >= 1,
+      s"feature grid must be positive: ${gridW}x$gridH")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -163,6 +167,8 @@ object Multimodal {
   def mp4DecodeFrames(media: Dataset[MediaRow], gridW: Int, gridH: Int,
                       every: Int = 1): DataFrame = {
     require(every >= 1, s"sampling stride must be >= 1: $every")
+    require(gridW >= 1 && gridH >= 1,
+      s"feature grid must be positive: ${gridW}x$gridH")
     import media.sparkSession.implicits._
     val decodable = Set("jpeg", "mjpa", "mjpb", "png ")
     media.flatMap { r =>
@@ -320,6 +326,7 @@ object Multimodal {
     */
   def decodeAudioFeatures(media: Dataset[MediaRow],
                           bins: Int): Dataset[AudioFeatures] = {
+    require(bins >= 1, s"energy bins must be positive: $bins")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -568,7 +575,8 @@ object Multimodal {
     * segments (stand-in for video frame extraction) — generator, no
     * shuffle; each segment row carries (media_id, seg_idx, seg_bytes).
     */
-  def segmentPayload(media: DataFrame, segBytes: Int): DataFrame =
+  def segmentPayload(media: DataFrame, segBytes: Int): DataFrame = {
+    require(segBytes >= 1, s"segment size must be positive: $segBytes")
     media
       .withColumn("n_segs",
         ceil(octet_length(col("payload")).cast("double") / segBytes).cast("int"))
@@ -580,4 +588,5 @@ object Multimodal {
             i => col("payload").substr(i * segBytes + 1, lit(segBytes))))
           .otherwise(array().cast("array<binary>")))
           .as(Seq("seg_idx", "seg_bytes")))
+  }
 }

@@ -98,24 +98,38 @@ case class AsofJoinExec(
 
       lIter.map { l =>
         val lk = lKeyProj(l)
-        val lt = lTimeProj(l).getLong(0)
+        val ltRow = lTimeProj(l)
+        // a NULL left time has no position on the timeline: nothing is
+        // at-or-before it, so it matches nothing (getLong on a null
+        // slot would read 0 and silently join at epoch 0)
+        val ltNull = ltRow.isNullAt(0)
+        val lt = if (ltNull) Long.MinValue else ltRow.getLong(0)
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val rk = rKeyProj(rBuf.head)
           val c = ordering.compare(rk, lk)
-          if (c < 0 || (c == 0 && rTimeProj(rBuf.head).getLong(0) <= lt)) {
-            val r = rBuf.next()
-            if (c == 0) {
+          if (c < 0) {
+            rBuf.next()
+            lastMatch = null
+            lastMatchKey = null
+          } else if (c == 0) {
+            val rtRow = rTimeProj(rBuf.head)
+            if (rtRow.isNullAt(0)) {
+              // timeless right rows sort first in the run; consume and
+              // discard — they can never be an at-or-before match
+              // (ops.AsofJoin.lastEarlier filters them identically)
+              rBuf.next()
+              ()
+            } else if (!ltNull && rtRow.getLong(0) <= lt) {
+              val r = rBuf.next()
               lastMatch = r.copy()
               lastMatchKey = rKeyProj(r).copy()
-            } else {
-              lastMatch = null
-              lastMatchKey = null
-            }
+            } else advancing = false
           } else advancing = false
         }
         val matched =
-          if (lastMatchKey != null && ordering.compare(lastMatchKey, lk) == 0) lastMatch
+          if (!ltNull && lastMatchKey != null &&
+              ordering.compare(lastMatchKey, lk) == 0) lastMatch
           else nullRight
         resultProj(joined(l, matched))
       }
@@ -150,10 +164,22 @@ object AsofJoinPhysical {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         sys.error(s"column $name not found in ${plan.output.map(_.name)}"))
+    // the exec reads time slots with getLong: only 8-byte-backed types
+    // are sound (an int/date-backed column would zero-extend negatives
+    // into garbage longs and match silently wrong rows)
+    def timeAttr(plan: LogicalPlan, name: String): Attribute = {
+      val a = attr(plan, name)
+      require(a.dataType == org.apache.spark.sql.types.LongType ||
+        a.dataType == org.apache.spark.sql.types.TimestampType ||
+        a.dataType == org.apache.spark.sql.types.TimestampNTZType,
+        s"as-of merge time column $name must be long-backed " +
+          s"(LONG/TIMESTAMP), got ${a.dataType} — cast it explicitly")
+      a
+    }
     val node = AsofJoinNode(
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"r_$k")),
-      attr(lPlan, leftTime), attr(rPlan, s"r_$rightTime"),
+      timeAttr(lPlan, leftTime), timeAttr(rPlan, s"r_$rightTime"),
       attr(rPlan, s"r_$rightTie"))
     GraftSqlBridge.ofRows(spark, node)
   }

@@ -17,14 +17,30 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
 case class PolygonContains(wkt: Expression, x: Expression, y: Expression)
     extends TernaryExpression with CodegenFallback {
 
+  // the ring caches at plan time from wkt.eval(null) — sound ONLY for
+  // foldable wkt; a per-row wkt column would silently evaluate against
+  // one cached ring (and NPE at eval). checkInputDataTypes (not a
+  // constructor require) is where analysis-time validation belongs:
+  // the analyzer copies expressions through intermediate states where
+  // a constructor assertion misfires
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!wkt.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "polygon_contains: the wkt argument must be a literal (the " +
+          "ring parses once at plan time, not per row)")
+    else super.checkInputDataTypes()
+
   override def first: Expression = wkt
   override def second: Expression = x
   override def third: Expression = y
   override def dataType: DataType = BooleanType
   override def prettyName: String = "polygon_contains"
 
-  @transient lazy val ring: Array[(Double, Double)] =
-    Wkt.parsePolygon(wkt.eval(null).toString)
+  @transient lazy val ring: Array[(Double, Double)] = {
+    val w = wkt.eval(null)
+    require(w != null, "polygon_contains: wkt is NULL")
+    Wkt.parsePolygon(w.toString)
+  }
 
   override def nullSafeEval(w: Any, xv: Any, yv: Any): Any =
     Wkt.contains(ring, xv.asInstanceOf[Double], yv.asInstanceOf[Double])
@@ -52,7 +68,10 @@ object PolygonBBoxPushdown extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) =>
       val cs = conjuncts(cond)
       val extra = cs.collect {
-        case pc @ PolygonContains(Literal(_, _), x, y) =>
+        // a NULL wkt literal stays out of the rewrite (its predicate is
+        // null for every row — the filter already drops everything;
+        // touching pc.ring here would throw during optimization)
+        case pc @ PolygonContains(Literal(v, _), x, y) if v != null =>
           val (minX, maxX, minY, maxY) = Wkt.bbox(pc.ring)
           Seq(
             GreaterThanOrEqual(x, Literal(minX)), LessThanOrEqual(x, Literal(maxX)),

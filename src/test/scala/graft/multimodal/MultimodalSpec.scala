@@ -216,6 +216,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI raw frames at a non-8-bit depth refuse loudly") {
+    // patch the written file's strf biBitCount to 24: a 24-bpp raw
+    // stream must not be decoded as 8-bit gray (silently wrong pixels)
+    val avi = Avi.synthAviGray(6, 5,
+      Seq(Array.tabulate(30)(identity))).clone()
+    val strfAt = {
+      var i = -1
+      (0 until avi.length - 4).find(p =>
+        avi(p) == 's' && avi(p + 1) == 't' && avi(p + 2) == 'r' &&
+          avi(p + 3) == 'f').foreach(i = _)
+      i
+    }
+    assert(strfAt > 0)
+    avi(strfAt + 8 + 14) = 24.toByte // biBitCount low byte
+    val e = intercept[IllegalArgumentException](Avi.decode(avi))
+    assert(e.getMessage.contains("8-bit"))
+  }
+
   test("AVI with corrupt avih geometry fails cleanly, and the header " +
     "does not advertise an index it never writes") {
     val base = Avi.synthAviGray(4, 4, Seq(Array.fill(16)(0)))

@@ -53,4 +53,41 @@ class AsofJoinPhysicalSpec extends SparkSpec {
     assert(out.count() === 2)
     assert(out.where(col("r_rid").isNotNull).count() === 0)
   }
+
+  test("NULL times never match (exec agrees with the window form)") {
+    import spark.implicits._
+    // right (k=1, t=NULL) sorts first in the run and used to read as
+    // t=0 via getLong, matching left rows that should get NULLs; a
+    // NULL left time likewise has nothing at-or-before it
+    val left = Seq((1L, Some(5L), "a"), (1L, None, "b"), (2L, Some(9L), "c"))
+      .toDF("k", "t", "pid")
+    val right = Seq((1L, None, "rNull"), (1L, Some(7L), "rLate"),
+        (2L, Some(3L), "rOk"))
+      .toDF("k", "t", "rid")
+    val out = AsofJoinPhysical
+      .lastEarlierMerge(left, right, Seq("k"), "t", "t", rightTie = "rid")
+      .select("pid", "r_rid")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out === Map("a" -> null, "b" -> null, "c" -> "rOk"))
+    // differential vs the union+window form on the same data
+    val win = AsofJoin.lastEarlier(left,
+        right.select($"k", $"t".as("rt2"), $"rid"),
+        Seq("k"), col("t"), col("rt2"), Seq("rid"), rightTie = "rid")
+      .select("pid", "matched_rid")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(win === out)
+  }
+
+  test("int/date-backed time columns are rejected loudly") {
+    import spark.implicits._
+    val left = Seq((1L, 10, "a")).toDF("k", "t", "pid") // t is INT
+    val right = Seq((1L, 5, "r")).toDF("k", "t", "rid")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinPhysical.lastEarlierMerge(left, right, Seq("k"), "t", "t",
+        rightTie = "rid")
+    }
+    assert(e.getMessage.contains("long-backed"))
+  }
 }
