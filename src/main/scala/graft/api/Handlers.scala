@@ -513,7 +513,6 @@ object Handlers {
     // plus GeoMatchup's maxAbsLat cell-sizing contract both depend on
     // it; a point outside the envelope can never be within rt/tt of a
     // masked primary point, so results are unchanged
-    val lonPad = padDeg / math.cos(math.toRadians(math.min(widestLat, 85.0)))
     // saturating time pad: the default open-ended request carries
     // endTime = Long.MaxValue, which a naive + tt wraps NEGATIVE,
     // silently emptying the envelope
@@ -523,12 +522,28 @@ object Handlers {
     val tHi =
       if (p.endTime > Long.MaxValue - ttSeconds) Long.MaxValue
       else p.endTime + ttSeconds
+    // longitude envelope, WRAP-AWARE: a padded range crossing ±180
+    // becomes a disjunction (GeoMatchup's modular cells are seam-
+    // correct — a naive between() here would drop the matches the
+    // kernel then finds). Above the polar cap the cos-based pad is
+    // meaningless (30° of longitude is ~6 km at 89.9°), so polar
+    // domains keep every longitude and rely on the lat+time bounds.
+    val lonFilter: org.apache.spark.sql.Column =
+      if (widestLat > 85.0) lit(true)
+      else {
+        val lonPad = padDeg / math.cos(math.toRadians(widestLat))
+        val lo = p.minLon - lonPad
+        val hi = p.maxLon + lonPad
+        if (hi - lo >= 360.0) lit(true)
+        else if (lo < -180.0) col("slon") >= lo + 360.0 || col("slon") <= hi
+        else if (hi > 180.0) col("slon") >= lo || col("slon") <= hi - 360.0
+        else col("slon").between(lo, hi)
+      }
     val secondary = filtered.select(Seq(col("id").as("sid"),
         col("latitude").as("slat"), col("longitude").as("slon"),
         col("time").as("st")) ++ svCol: _*)
       .where(col("slat").between(p.minLat - padDeg, p.maxLat + padDeg) &&
-        col("slon").between(p.minLon - lonPad, p.maxLon + lonPad) &&
-        col("st").between(tLo, tHi))
+        lonFilter && col("st").between(tLo, tHi))
     // the secondary is the in-situ side: request-bounded in space and
     // time (envelope above), so it is broadcast-sized by construction
     // and the ×27-exploded primary never shuffles
@@ -614,9 +629,26 @@ object Handlers {
           s"$resultsPath/execution_id=$execId")
         val fs = execDir.getFileSystem(
           tiles.sparkSession.sparkContext.hadoopConfiguration)
+        // ATOMIC claim, not check-then-write: two concurrent requests
+        // with the same id would both pass an exists() check (the
+        // matchup takes seconds) and both append, doubling every pair.
+        // create(overwrite=false) is the filesystem's atomic
+        // first-writer-wins primitive.
         if (fs.exists(execDir))
           sys.error(s"executionId '$execId' already exists; executions " +
             "are immutable — fetch it via /domsresults or omit executionId")
+        // claims live under the hidden _claims/ dir (underscore-
+        // prefixed — invisible to Spark's partition discovery; a bare
+        // file beside the partition dirs would break whole-store reads)
+        val claim = new org.apache.hadoop.fs.Path(
+          s"$resultsPath/_claims/$execId")
+        fs.mkdirs(claim.getParent)
+        try fs.create(claim, false).close()
+        catch {
+          case _: java.io.IOException =>
+            sys.error(s"executionId '$execId' already exists; executions " +
+              "are immutable — fetch it via /domsresults or omit executionId")
+        }
         val pairs = matchSpark(p, tiles, insitu, p.rtMeters, p.ttSeconds,
           p.matchOnce)
         graft.sources.ResultsStore.write(pairs, resultsPath, execId)
@@ -801,7 +833,11 @@ object Handlers {
     * separate count() job that would run the whole plan twice.
     */
   def sizeGated(df: DataFrame, limit: Int): Either[Long, Array[org.apache.spark.sql.Row]] = {
+    require(limit >= 1, s"sizeGated limit must be positive, got $limit")
     val rows = df.limit(limit + 1).collect()
-    if (rows.length > limit) Left(limit + 1L) else Right(rows)
+    // Left carries the LIMIT itself (the number the client should
+    // raise), not limit+1 — the old off-by-one made the 413 message
+    // name a threshold the result only EQUALLED
+    if (rows.length > limit) Left(limit.toLong) else Right(rows)
   }
 }

@@ -179,11 +179,12 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
       if (path == "/domsplot") "PNG" else "JSON" // a plot endpoint IS an image
     val output = q.getOrElse("output", defaultOutput).toUpperCase
     val lim = q.get("limit").map(_.toInt).getOrElse(resultLimit)
+    // loud, not lenient: a negative limit is caller confusion (0 is
+    // the documented unlimited sentinel) — fail before running a job
+    require(lim >= 0, s"limit must be >= 0 (0 = unlimited), got $lim")
     gated {
       val plan = handler(params, tiles)
-      // EXACTLY 0 is unlimited (the reference contract defines only
-      // 0); a negative limit stays on the sizeGated path and fails
-      // loudly there instead of silently widening to a full download
+      // EXACTLY 0 is unlimited (the reference contract defines only 0)
       if (lim == 0) output match {
         // unlimited: the data-plane formats stream INSIDE the gate —
         // toLocalIterator schedules Spark jobs partition by partition

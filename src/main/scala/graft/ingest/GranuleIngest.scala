@@ -77,10 +77,15 @@ object GranuleIngest {
       s"granule $granule: $valueVar has ${data.length} cells, " +
         s"grid wants ${nT * nLat * nLon} (time=$nT lat=$nLat lon=$nLon)")
     val idx = gridIndexer(nc, v, nT, nLat, nLon, latVar, lonVar, timeVar)
+    // fill-masked COORDINATE/TIME axis entries (unpacked to NaN) have
+    // no usable position: their points are skipped at the source —
+    // letting a NaN time through would silently land the whole slice
+    // at epoch 0 (NaN.toLong), and a NaN lat/lon would form a garbage
+    // floor(NaN) tile cell downstream
     for {
-      t <- Iterator.range(0, nT)
-      i <- Iterator.range(0, nLat)
-      j <- Iterator.range(0, nLon)
+      t <- Iterator.range(0, nT) if !times(t).isNaN
+      i <- Iterator.range(0, nLat) if !lats(i).isNaN
+      j <- Iterator.range(0, nLon) if !lons(j).isNaN
       fi = idx(t, i, j)
     } yield (GranulePoint(granule, toEpoch(times(t)), lats(i), lons(j),
       data(fi)), fi)
@@ -164,26 +169,47 @@ object GranuleIngest {
         s"(value=${data.length} lat=${lats.length} lon=${lons.length})")
     val shape = nc.shape(v)
     val toEpoch = CfTime.converter(nc.variable(timeVar), dayEpoch(nc, dayAttr))
-    val timeAt: Int => Long = nc.variable(timeVar) match {
+    // RAW axis value per point (NaN = fill-masked, filtered below);
+    // the epoch conversion runs only on surviving values
+    val rawTimeAt: Int => Double = nc.variable(timeVar) match {
       case Some(t) if t.data.length == data.length =>
-        val ts = t.unpacked; k => toEpoch(ts(k))
+        val ts = t.unpacked; k => ts(k)
       case Some(t) if t.data.length > 0 =>
         // a 1-D time spanning ONE axis of the swath: find that axis by
-        // shared dim name (real dim identity) or, with synthetic
-        // per-variable dims, by the unique axis whose length matches —
-        // leading axis (per-scan-row time, the common L2 layout) on a
-        // tie. Row-major stride maps flat index → axis index.
+        // shared dim name (real dim identity, confirmed against the
+        // axis length) or, with synthetic per-variable dims, by the
+        // unique axis whose length matches — leading axis (per-scan-
+        // row time, the common L2 layout) on a tie. A single-element
+        // time BROADCASTS to every point, and a length matching no
+        // axis fails loudly (the old axis-0 fallback indexed past the
+        // array on legitimately-shaped granules).
         val ts = t.unpacked
-        val axis: Int = t.dims.headOption.map(v.dims.indexOf).filter(_ >= 0)
-          .orElse(shape.zipWithIndex.find(_._1 == ts.length).map(_._2))
-          .getOrElse(0)
-        val stride = shape.drop(axis + 1).product.max(1)
-        val axisLen = shape.lift(axis).getOrElse(ts.length).max(1)
-        k => toEpoch(ts((k / stride) % axisLen))
-      case _ => _ => 0L
+        if (ts.length == 1) { _ => ts(0) }
+        else {
+          val axis: Int = t.dims.headOption.map(v.dims.indexOf)
+            .filter(a => a >= 0 && shape.lift(a).contains(ts.length))
+            .orElse(shape.zipWithIndex.find(_._1 == ts.length).map(_._2))
+            .getOrElse(sys.error(s"granule $granule: time axis length " +
+              s"${ts.length} matches no axis of $valueVar " +
+              s"(shape ${shape.mkString("x")})"))
+          val stride = shape.drop(axis + 1).product.max(1)
+          val axisLen = shape(axis)
+          k => ts((k / stride) % axisLen)
+        }
+      case _ => _ => 0.0
     }
-    Iterator.range(0, data.length).map(k =>
-      GranulePoint(granule, timeAt(k), lats(k), lons(k), data(k)))
+    val hasTime = nc.variable(timeVar).exists(_.data.length > 0)
+    // NaN GEOLOCATION is preserved (the reference's reader yields the
+    // raw masked arrays — RealGranuleSpec pins the full cell count per
+    // its test expectations; downstream masking drops them), but a
+    // fill-masked TIME has no Long representation and would silently
+    // convert to epoch 0, misdating the whole point — those points skip
+    Iterator.range(0, data.length).flatMap { k =>
+      val rt = rawTimeAt(k)
+      if (rt.isNaN) Iterator.empty
+      else Iterator.single(GranulePoint(granule,
+        if (hasTime) toEpoch(rt) else 0L, lats(k), lons(k), data(k)))
+    }
   }
 
   private def coord(nc: NcFile, name: String, granule: String): Array[Double] = {

@@ -92,8 +92,14 @@ final class EdgeScanBuilder(tableSchema: StructType, url: String,
     var (minLat, maxLat) = (Option.empty[Double], Option.empty[Double])
     var (minLon, maxLon) = (Option.empty[Double], Option.empty[Double])
     var (startT, endT) = (Option.empty[Long], Option.empty[Long])
-    def d(v: Any): Double = v.asInstanceOf[Number].doubleValue()
-    def l(v: Any): Long = v.asInstanceOf[Number].longValue()
+    // a user-supplied schema can type time/x/y as non-numeric (the
+    // source allows external metadata); such filter literals simply
+    // stay untranslated (they remain residual anyway) instead of
+    // ClassCastException-ing the whole plan
+    def num(v: Any): Option[Number] = v match {
+      case n: Number => Some(n)
+      case _ => None
+    }
     // multiple bounds on one column FOLD (max of lower bounds, min of
     // upper) — last-write-wins would push the looser bound and defeat
     // the transfer reduction
@@ -102,18 +108,30 @@ final class EdgeScanBuilder(tableSchema: StructType, url: String,
     def hi[T](cur: Option[T], v: T)(implicit o: Ordering[T]): Option[T] =
       Some(cur.fold(v)(o.min(_, v)))
     val taken = filters.filter {
-      case GreaterThanOrEqual("time", v) => startT = lo(startT, l(v)); true
-      case GreaterThan("time", v) => startT = lo(startT, l(v)); true
-      case LessThanOrEqual("time", v) => endT = hi(endT, l(v)); true
-      case LessThan("time", v) => endT = hi(endT, l(v)); true
-      case GreaterThanOrEqual("y", v) => minLat = lo(minLat, d(v)); true
-      case GreaterThan("y", v) => minLat = lo(minLat, d(v)); true
-      case LessThanOrEqual("y", v) => maxLat = hi(maxLat, d(v)); true
-      case LessThan("y", v) => maxLat = hi(maxLat, d(v)); true
-      case GreaterThanOrEqual("x", v) => minLon = lo(minLon, d(v)); true
-      case GreaterThan("x", v) => minLon = lo(minLon, d(v)); true
-      case LessThanOrEqual("x", v) => maxLon = hi(maxLon, d(v)); true
-      case LessThan("x", v) => maxLon = hi(maxLon, d(v)); true
+      case GreaterThanOrEqual("time", v) =>
+        num(v).exists { n => startT = lo(startT, n.longValue()); true }
+      case GreaterThan("time", v) =>
+        num(v).exists { n => startT = lo(startT, n.longValue()); true }
+      case LessThanOrEqual("time", v) =>
+        num(v).exists { n => endT = hi(endT, n.longValue()); true }
+      case LessThan("time", v) =>
+        num(v).exists { n => endT = hi(endT, n.longValue()); true }
+      case GreaterThanOrEqual("y", v) =>
+        num(v).exists { n => minLat = lo(minLat, n.doubleValue()); true }
+      case GreaterThan("y", v) =>
+        num(v).exists { n => minLat = lo(minLat, n.doubleValue()); true }
+      case LessThanOrEqual("y", v) =>
+        num(v).exists { n => maxLat = hi(maxLat, n.doubleValue()); true }
+      case LessThan("y", v) =>
+        num(v).exists { n => maxLat = hi(maxLat, n.doubleValue()); true }
+      case GreaterThanOrEqual("x", v) =>
+        num(v).exists { n => minLon = lo(minLon, n.doubleValue()); true }
+      case GreaterThan("x", v) =>
+        num(v).exists { n => minLon = lo(minLon, n.doubleValue()); true }
+      case LessThanOrEqual("x", v) =>
+        num(v).exists { n => maxLon = hi(maxLon, n.doubleValue()); true }
+      case LessThan("x", v) =>
+        num(v).exists { n => maxLon = hi(maxLon, n.doubleValue()); true }
       case _ => false
     }
     // a user option with the same key WINS over the derived param:
@@ -167,7 +185,7 @@ final class EdgeScan(readSchema0: StructType, url: String,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (step, starts) = EdgeSource.pageStarts(url, params, itemsPerPage, maxTries)
+    val (step, starts, _) = EdgeSource.pageStarts(url, params, itemsPerPage, maxTries)
     if (starts.isEmpty) return Array.empty
     val slices = math.min(starts.length,
       SparkSession.active.sparkContext.defaultParallelism).max(1)
@@ -207,8 +225,13 @@ final class EdgeReaderFactory(schema: StructType, maxTries: Int)
             val c = node.get(f.name)
             if (c == null || c.isNull) null
             else f.dataType match {
-              case LongType if c.canConvertToLong => c.asLong()
-              case IntegerType if c.canConvertToInt => c.asInt()
+              // isIntegralNumber too: canConvertToLong is RANGE-only,
+              // so a fractional 1430000000.7 would truncate into a
+              // fabricated integer where from_json yields NULL
+              case LongType if c.isIntegralNumber && c.canConvertToLong =>
+                c.asLong()
+              case IntegerType if c.isIntegralNumber && c.canConvertToInt =>
+                c.asInt()
               case DoubleType if c.isNumber => c.asDouble()
               case FloatType if c.isNumber => c.asDouble().toFloat
               case BooleanType if c.isBoolean => c.asBoolean()

@@ -9,13 +9,13 @@ import org.apache.spark.sql.types.StructType
   * `fetch`/`getCount`/`__doQuery`).
   *
   * The reference fetches pages on the driver with a thread pool. Here
-  * the driver issues ONE count-probe request (`itemsPerPage=0`, the
-  * reference's `getCount` trick) to learn `totalResults` and the
-  * server-confirmed page size, then ships the page list — just
-  * `startIndex` offsets — to executors, which fetch and parse their
-  * pages independently. Fetch parallelism scales with the cluster
-  * instead of a driver thread pool, and no page's payload ever
-  * transits the driver.
+  * the driver issues one count probe (`itemsPerPage=0`, the
+  * reference's `getCount` trick) plus one page-size confirmation fetch
+  * whose items are REUSED as page 0, then ships the remaining page
+  * list — just `startIndex` offsets — to executors, which fetch and
+  * parse their pages independently. Fetch parallelism scales with the
+  * cluster instead of a driver thread pool; at most one page's payload
+  * ever sits on the driver, and it is never fetched twice.
   *
   * Parsing is `from_json` with an EXPLICIT caller schema: one pass,
   * no sampling/inference job, and (crucially) no second fetch — a
@@ -38,8 +38,13 @@ object EdgeSource {
   /** GET `url?params…` returning the body, with the reference's retry
     * loop (any failure → retry, `maxtries` cap).
     */
+  // ONE client per JVM: HttpClient is thread-safe and owns a selector
+  // thread + connection pool — constructing one per page fetch churned
+  // threads/file descriptors with zero connection reuse
+  private lazy val httpClient = java.net.http.HttpClient.newHttpClient()
+
   private def fetchWithRetry(url: String, maxTries: Int): String = {
-    val client = java.net.http.HttpClient.newHttpClient()
+    val client = httpClient
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofSeconds(500)).GET().build()
     var attempt = 0
@@ -102,39 +107,47 @@ object EdgeSource {
            schema: StructType = insituSchema,
            itemsPerPage: Int = 1000, maxTries: Int = 5): DataFrame = {
     import spark.implicits._
-    val (step, starts) = pageStarts(url, params, itemsPerPage, maxTries)
+    val (step, starts, firstItems) = pageStarts(url, params, itemsPerPage, maxTries)
     if (starts.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val nParts = math.min(starts.length,
+    // the size-confirmation probe already carried page 0's items to
+    // the driver — reuse them instead of refetching the page on an
+    // executor (they are at most one page; every LATER page still goes
+    // executor-side only)
+    val rest = if (firstItems.nonEmpty) starts.drop(1) else starts
+    val nParts = math.min(math.max(rest.length, 1),
       spark.sparkContext.defaultParallelism).max(1)
-    val jsonRows: Dataset[String] = spark.createDataset(starts)
+    val fetched: Dataset[String] = spark.createDataset(rest)
       .repartition(nParts)
       .mapPartitions { it =>
         it.flatMap(s => fetchPageItems(pageUrl(url, params, step, s), maxTries))
       }
+    val jsonRows = spark.createDataset(firstItems).union(fetched)
     jsonRows.select(from_json(col("value"), schema).as("r")).select("r.*")
   }
 
   /** Driver probe: count (`itemsPerPage=0`, the reference's getCount
-    * trick) then page-size confirmation. Returns (server-confirmed
-    * step, page start offsets) — empty starts for a zero-result query.
-    * Shared by the function API and the DataSourceV2 scan planner.
+    * trick) then page-size confirmation — whose items ride back for
+    * reuse as page 0. Returns (server-confirmed step, page start
+    * offsets, page-0 items) — empty starts for a zero-result query.
+    * Shared by the function API and the DataSourceV2 scan planner
+    * (which ignores the items: a DSv2 partition refetches page 0).
     */
   private[sources] def pageStarts(url: String, params: Map[String, String],
                                   itemsPerPage: Int,
-                                  maxTries: Int): (Int, Seq[Long]) = {
+                                  maxTries: Int): (Int, Seq[Long], Seq[String]) = {
     val (total, _, _) = parsePage(fetchWithRetry(
       withParams(url, params + ("itemsPerPage" -> "0", "startIndex" -> "0")),
       maxTries))
-    if (total == 0) return (itemsPerPage, Nil)
+    if (total == 0) return (itemsPerPage, Nil, Nil)
     val (_, confirmed, firstItems) = parsePage(fetchWithRetry(
       withParams(url, params +
         ("itemsPerPage" -> itemsPerPage.toString, "startIndex" -> "0")),
       maxTries))
     val step = (if (confirmed > 0) confirmed
       else math.max(1L, firstItems.length.toLong)).toInt
-    (step, (0L until total by step.toLong).toSeq)
+    (step, (0L until total by step.toLong).toSeq, firstItems)
   }
 
   /** Full URL of one page. */

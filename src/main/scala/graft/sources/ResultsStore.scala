@@ -380,7 +380,10 @@ object Encoders {
   def csvLine(r: org.apache.spark.sql.Row): String =
     (0 until r.length).map { i =>
       val v = if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
-      if (v.contains(",") || v.contains("\"") || v.contains("\n"))
+      // \r quotes too: a bare carriage return splits the row in
+      // RFC-4180 parsers just like \n does
+      if (v.contains(",") || v.contains("\"") || v.contains("\n") ||
+          v.contains("\r"))
         "\"" + v.replace("\"", "\"\"") + "\""
       else v
     }.mkString(",")
