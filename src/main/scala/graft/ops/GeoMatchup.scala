@@ -111,12 +111,16 @@ object GeoMatchup {
     // apart — silently missing from the output. Fail loudly instead
     // (with the cap active, cells are sized at CapLat and rows beyond
     // it go through the cap passes, so every latitude is covered).
-    def guardLat(c: Column): Column =
-      if (capActive) c
-      else when(abs(c) <= lit(effLat), c).otherwise(raise_error(concat(
-        lit(s"geo matchup: |latitude| beyond maxAbsLat=$effLat would " +
-          "silently lose matches (lon cells are sized for it) — raise " +
-          "maxAbsLat to cover the domain, got lat="), c.cast("string"))))
+    // The check rides as a FILTER evaluated once per input row — an
+    // inline wrap of the cell expression evaluated 27x inside the
+    // exploded neighbor array and measured +25% on the j7 gate at 10x.
+    def latGuard(in: DataFrame, latC: Column): DataFrame =
+      if (capActive) in
+      else in.where(when(abs(latC) <= lit(effLat), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"geo matchup: |latitude| beyond maxAbsLat=$effLat would " +
+            "silently lose matches (lon cells are sized for it) — raise " +
+            "maxAbsLat to cover the domain, got lat="), latC.cast("string")))))
 
     // haversine (spherical) is the oracle-reproducible default; the
     // geodesic option matches the reference's WGS84 measurement
@@ -141,7 +145,7 @@ object GeoMatchup {
     val pCells = explode(array_distinct(array((for {
       dLat <- neighbors; dLon <- neighbors; dT <- neighbors
     } yield struct(
-      (cell(guardLat(pLat), latStep) + dLat).as("la"),
+      (cell(pLat, latStep) + dLat).as("la"),
       pmod(lonCell(pLon) + dLon, lit(nLon.toLong)).as("lo"),
       (cell(pTime, ttSeconds.toDouble) + dT).as("t"))): _*)))
 
@@ -151,11 +155,11 @@ object GeoMatchup {
     val (pMain, sMain) =
       if (capActive)
         (primary.where(abs(pLat) <= CapLat), secondary.where(abs(sLat) <= CapLat))
-      else (primary, secondary)
+      else (latGuard(primary, pLat), latGuard(secondary, sLat))
     val mainPairs = joined(
       pMain.withColumn("__cell", pCells),
       sMain.withColumn("__cell", struct(
-        cell(guardLat(sLat), latStep).as("la"),
+        cell(sLat, latStep).as("la"),
         lonCell(sLon).as("lo"),
         cell(sTime, ttSeconds.toDouble).as("t"))),
       "__cell")
