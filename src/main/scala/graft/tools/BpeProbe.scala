@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * trainer, jobs ≈ corpus passes + 2; for the sequential reference,
   * jobs ≈ merges + 2).
   *
-  * Usage: runMain graft.tools.BpeProbe <sfDir> <numMerges> <fast|seq>
+  * Usage: runMain graft.tools.BpeProbe <sfDir> <numMerges> <fast|seq|diff>
   *          [maxBatch] [unigram|bigram]
+  * (`diff` trains BOTH and requires merge-for-merge equality — the
+  * scale differential over the real corpus.)
   *
   * `bigram` trains on space-joined adjacent word pairs instead of
   * words: the replica-scaled corpora add rows but no DISTINCT words
@@ -59,6 +61,21 @@ object BpeProbe {
           .groupBy("w").agg(count(lit(1)).as("cnt"))
       } else graft.text.Bpe.wordCounts(docs, col("text"))
     wc.count() // warm the corpus scan out of the measurement
+    if (mode == "diff") {
+      // scale differential: the incremental trainer must reproduce the
+      // sequential reference merge for merge AND count for count on
+      // the real corpus, not just BpeSpec's synthetic ones
+      val a = graft.text.Bpe.train(wc, n, maxBatch = maxBatch)
+      val b = graft.text.Bpe.trainSequential(wc, n)
+      val diverge = a.zip(b).indexWhere { case (x, y) => x != y }
+      println(s"[bpeprobe] mode=diff asked=$n fast=${a.length} " +
+        s"seq=${b.length} equal=${a == b}" +
+        (if (diverge >= 0) s" FIRST-DIVERGENCE at rank ${diverge + 1}: " +
+          s"${a(diverge)} vs ${b(diverge)}" else ""))
+      require(a == b, "incremental trainer diverged from sequential greedy")
+      spark.stop()
+      return
+    }
     jobs.set(0)
     val t0 = System.nanoTime()
     val merges = mode match {
