@@ -649,12 +649,35 @@ object Handlers {
             sys.error(s"executionId '$execId' already exists; executions " +
               "are immutable — fetch it via /domsresults or omit executionId")
         }
-        val pairs = matchSpark(p, tiles, insitu, p.rtMeters, p.ttSeconds,
-          p.matchOnce)
-        graft.sources.ResultsStore.write(pairs, resultsPath, execId)
+        val n = try {
+          val pairs = matchSpark(p, tiles, insitu, p.rtMeters, p.ttSeconds,
+            p.matchOnce)
+          graft.sources.ResultsStore.write(pairs, resultsPath, execId)
+          graft.sources.ResultsStore.read(tiles.sparkSession,
+            resultsPath, execId).count()
+        } catch {
+          case e: Throwable =>
+            // RECLAIM on failure: we hold the claim (sole writer for
+            // this id), so any partially-materialized execDir is ours
+            // to remove — a failed parquet job can leave the dir
+            // existing with no committed data, and without this
+            // cleanup a client retrying its own id would get 'already
+            // exists' forever while /domsresults has nothing (the id
+            // permanently burned). Cleanup failure must not mask the
+            // real error.
+            try { fs.delete(execDir, true); fs.delete(claim, false) }
+            catch { case _: java.io.IOException => () }
+            throw e
+        }
+        // success: the execution's partition dir now guards
+        // immutability by itself (the exists() gate above), so the
+        // claim is DROPPED — _claims/ holds only in-flight requests,
+        // never unbounded history. (A claim orphaned by driver death
+        // mid-matchup needs manual removal; an exception path never
+        // leaves one.)
+        fs.delete(claim, false)
         val s = tiles.sparkSession
         import s.implicits._
-        val n = graft.sources.ResultsStore.read(s, resultsPath, execId).count()
         Seq((execId, n)).toDF("execution_id", "n_pairs")
       }),
       // /domsresults (ResultsRetrieval.py:28): the DEFAULT shape is the

@@ -20,6 +20,13 @@ case class GranulePoint(granule: String, time: Long, latitude: Double,
 case class GranulePointM(granule: String, time: Long, latitude: Double,
                          longitude: Double, value: Double, meta: Seq[Double])
 
+/** A swath point carrying its flat decode index — the per-row identity
+  * the streaming replay anti-join keys on (see
+  * [[GranuleIngest.swathPointsWithIndex]]).
+  */
+case class GranulePointI(granule: String, time: Long, latitude: Double,
+                         longitude: Double, value: Double, point_index: Int)
+
 /** S1/S2 — direct NetCDF granule ingest
   * (`tilereadingprocessor.py:130-190`: `read_grid_data` for
   * (time, lat, lon) grids, `read_swath_data` for 2-D swaths).
@@ -154,7 +161,23 @@ object GranuleIngest {
   def swathPointsOf(nc: NcFile, granule: String, valueVar: String,
                     latVar: String = "lat", lonVar: String = "lon",
                     timeVar: String = "time",
-                    dayAttr: Option[(String, String)] = None): Iterator[GranulePoint] = {
+                    dayAttr: Option[(String, String)] = None): Iterator[GranulePoint] =
+    swathPointsWithIndex(nc, granule, valueVar, latVar, lonVar, timeVar,
+      dayAttr).map(_._1)
+
+  /** Like [[swathPointsOf]] but each point carries its flat decode
+    * index. Swath keys (granule, time, lat, lon) are NOT unique per
+    * row — all fill-masked pixels of a scan row share one per-scan-row
+    * time and NaN geolocation compares equal under Spark's join
+    * semantics, and two real pixels can coincide — so replay-exact
+    * idempotency (the streaming ingest's anti-join) needs the decode
+    * position itself: (granule, point_index) IS the row identity, and
+    * decode determinism makes it stable across replays.
+    */
+  def swathPointsWithIndex(nc: NcFile, granule: String, valueVar: String,
+                    latVar: String = "lat", lonVar: String = "lon",
+                    timeVar: String = "time",
+                    dayAttr: Option[(String, String)] = None): Iterator[(GranulePoint, Int)] = {
     val v = nc.variable(valueVar).getOrElse(
       sys.error(s"granule $granule: no variable $valueVar"))
     val lat = nc.variable(latVar).getOrElse(
@@ -207,8 +230,8 @@ object GranuleIngest {
     Iterator.range(0, data.length).flatMap { k =>
       val rt = rawTimeAt(k)
       if (rt.isNaN) Iterator.empty
-      else Iterator.single(GranulePoint(granule,
-        if (hasTime) toEpoch(rt) else 0L, lats(k), lons(k), data(k)))
+      else Iterator.single((GranulePoint(granule,
+        if (hasTime) toEpoch(rt) else 0L, lats(k), lons(k), data(k)), k))
     }
   }
 
@@ -267,6 +290,23 @@ object GranuleIngest {
       (granule, nc) =>
         if (swath) swathPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
         else gridPointsOf(nc, granule, valueVar, latVar, lonVar, timeVar)
+    }
+  }
+
+  /** Swath decode carrying the flat decode index as `point_index` —
+    * the streaming pipeline's replay-identity column (unique per
+    * granule; stable across replays because decode is deterministic).
+    */
+  def decodeFilesIndexed(files: DataFrame, valueVar: String,
+                         latVar: String = "lat", lonVar: String = "lon",
+                         timeVar: String = "time"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    granuleRows[GranulePointI](files, Set(valueVar, latVar, lonVar, timeVar)) {
+      (granule, nc) =>
+        swathPointsWithIndex(nc, granule, valueVar, latVar, lonVar, timeVar)
+          .map { case (p, k) => GranulePointI(p.granule, p.time,
+            p.latitude, p.longitude, p.value, k) }
     }
   }
 

@@ -64,9 +64,19 @@ object StateTracker {
     * every run CLOSED by a threshold crossing inside the slice.
     * Returns the completed runs plus the still-open trailing run (None
     * only when `events` is empty and there was no prior state).
+    *
+    * `gapUs` applies the streaming gap contract INSIDE the fold: a
+    * same-bucket event arriving more than `gapUs` of event time after
+    * the run's last event closes the run and starts a new one. Without
+    * this, segmentation would depend on HOW the watermark advanced — a
+    * catch-up batch whose watermark jumps past both sides of a long
+    * silence would merge what gradual advance emits as two runs. Batch
+    * callers pass `Long.MaxValue` (batch merges across any silence by
+    * contract — it sees the whole history).
     */
   private def advance(key: String, events: Array[SignalEvent],
-                      prior: Option[RunState], threshold: Double
+                      prior: Option[RunState], threshold: Double,
+                      gapUs: Long = Long.MaxValue
                      ): (Vector[RunOut], Option[RunState]) = {
     var out = Vector.empty[RunOut]
     var cur = prior.orNull
@@ -77,7 +87,7 @@ object StateTracker {
       // identically or batch/streaming parity silently breaks on NaN
       val b = if (e.value >= threshold || e.value.isNaN) 1L else 0L
       if (cur == null) cur = RunState(b, e.us, e.us, 1L, e.value)
-      else if (cur.bucket == b)
+      else if (cur.bucket == b && e.us - cur.lastUs <= gapUs)
         cur = RunState(b, cur.startUs, e.us, cur.n + 1, cur.sum + e.value)
       else {
         out = out :+ closed(key, cur)
@@ -176,8 +186,12 @@ object StateTracker {
           val all = (st.pending ++ incoming)
             .sortBy(e => (e.us, e.event_id))
           val (ready, rest) = all.partition(_.us <= wmUs)
+          // gapUs applied inside the fold: segmentation is a function
+          // of the EVENT STREAM alone, not of watermark pacing — a
+          // catch-up batch jumping the watermark past a long silence
+          // yields the same runs gradual advance would
           val (closedRuns, open) =
-            advance(key, ready.toArray, st.open, threshold)
+            advance(key, ready.toArray, st.open, threshold, gapUs)
           val (emitted, openKeep) = open match {
             case Some(o) if wmUs >= o.lastUs + gapUs =>
               (closedRuns :+ closed(key, o), None)

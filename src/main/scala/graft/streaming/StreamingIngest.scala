@@ -146,23 +146,29 @@ object StreamingIngest {
           // TypedTileOps.swathToPoints filter masks before emitting):
           // fill-valued pixels and fill-valued geolocation never land
           // as rows
-          val pts = pointTransform(graft.ingest.GranuleIngest.decodeFiles(
-              batch, valueVar, latVar, lonVar, timeVar, swath = true))
+          val pts = pointTransform(graft.ingest.GranuleIngest
+              .decodeFilesIndexed(batch, valueVar, latVar, lonVar, timeVar))
             .where(!isnan(col("value")) && !isnan(col("latitude")) &&
               !isnan(col("longitude")))
             .withColumn("dataset", lit(dataset))
             .withColumn("time_bucket",
               graft.ingest.Ingest.timeBucket(col("time")))
-          // ROW-level identity (granule + the point's own coordinates),
-          // not (granule, time_bucket): a crash inside the parquet job
-          // commit can leave a PARTIAL granule-bucket visible (task
-          // file moves are not atomic across a job), and a coarser key
-          // would make the replay anti-join treat the bucket as done
-          // and drop its missing remainder forever. Decode is
-          // deterministic, so the replay regenerates exactly the same
-          // point rows and the anti-join fills precisely the gap.
+          // ROW-level identity (granule, point_index) — the flat decode
+          // position, unique per row — not (granule, time_bucket): a
+          // crash inside the parquet job commit can leave a PARTIAL
+          // granule-bucket visible (task file moves are not atomic
+          // across a job), and a coarser key would make the replay
+          // anti-join treat the bucket as done and drop its missing
+          // remainder forever. Nor (granule, time, lat, lon): swath
+          // keys are not unique per row (per-scan-row time is shared
+          // by a whole scan line, and coincident pixels exist), so a
+          // partial commit that persisted one of two same-key siblings
+          // would silently drop the other on replay. Decode is
+          // deterministic, so the replay regenerates the same
+          // (granule, point_index) rows and the anti-join fills
+          // precisely the gap.
           appendDeduped(pts, outPath, dataset,
-            keyCols = Seq("granule", "time", "latitude", "longitude"))
+            keyCols = Seq("granule", "point_index"))
         } else {
           val pts = pointTransform(
             if (metaVars.isEmpty)

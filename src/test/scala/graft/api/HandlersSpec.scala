@@ -216,6 +216,34 @@ class HandlersSpec extends SparkSpec {
     assert(qp.startTime === 10L && qp.endTime === 100L)
   }
 
+  test("/domsmatchup reclaims its execution id when the matchup fails " +
+    "(claim deleted, same id retryable; success also drops the claim)") {
+    import spark.implicits._
+    val pm = p.copy(minLat = -10, maxLat = 10, minLon = -10, maxLon = 10)
+    val insitu = Seq((100L, 0.5, 0.5, 10L))
+      .toDF("id", "latitude", "longitude", "time")
+    val dir = java.nio.file.Files.createTempDirectory("graft-claim").toString
+    val reg = Handlers.domsRegistry(insitu, dir)
+    val withId = pm.copy(executionId = Some("exec-retry"))
+    // parameter=wind is valid but the relation lacks wind_speed → the
+    // matchup throws AFTER the claim is created
+    val e = intercept[RuntimeException](reg("/domsmatchup")(
+      withId.copy(extra = Map("parameter" -> "wind")), tiles).collect())
+    assert(e.getMessage.contains("wind_speed"))
+    // the failed claim must NOT burn the id: the client's retry without
+    // the bad parameter succeeds
+    val retry = reg("/domsmatchup")(withId, tiles).collect()
+    assert(retry.head.getAs[String]("execution_id") === "exec-retry")
+    assert(retry.head.getAs[Long]("n_pairs") > 0L)
+    // a successful execution drops its claim too (bounded _claims/),
+    // while the partition dir still enforces immutability
+    val claims = new java.io.File(dir, "_claims")
+    assert(!new java.io.File(claims, "exec-retry").exists())
+    val e2 = intercept[RuntimeException](reg("/domsmatchup")(
+      withId, tiles).collect())
+    assert(e2.getMessage.contains("already exists"))
+  }
+
   test("/datainbounds labels the value by `parameter` and attaches the " +
     "meta map with includemeta") {
     import spark.implicits._

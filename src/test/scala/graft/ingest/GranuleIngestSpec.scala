@@ -336,6 +336,52 @@ class GranuleIngestSpec extends SparkSpec {
       .distinct().count() === 12, "and introduce no duplicates")
   }
 
+  test("granulePipeline(swath=true) replay restores a dropped sibling " +
+    "of two points sharing (granule, time, lat, lon)") {
+    import graft.streaming.StreamingIngest
+    // one scan row: per-scan-row time, and pixels 0 and 2 COINCIDE in
+    // geolocation with different values — (granule, time, lat, lon) is
+    // the same key for both, only point_index tells them apart
+    val granule = NetcdfClassic.write(NcFile(
+      dims = Seq(NcDim("y", 1), NcDim("x", 3)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("time", Seq("y"), NC_INT, Nil, Array(100.0)),
+        NcVar("lat", Seq("y", "x"), NC_FLOAT, Nil, Array(1.0, 1.5, 1.0)),
+        NcVar("lon", Seq("y", "x"), NC_FLOAT, Nil, Array(30.0, 30.5, 30.0)),
+        NcVar("wind", Seq("y", "x"), NC_FLOAT, Nil, Array(5.0, 6.0, 7.0)))))
+    val watch = java.nio.file.Files.createTempDirectory("graft_swsib").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_swsibstore")
+      .toFile.getAbsolutePath + "/points"
+    def run(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_swsibck")
+        .toFile.getAbsolutePath
+      val q = StreamingIngest.granulePipeline(spark, watch.getAbsolutePath,
+        out, ckpt, "wind", "wind_swath", 30.0, 30.0, swath = true).start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(
+      new java.io.File(watch, "sib.nc").toPath, granule)
+    run()
+    val all = spark.read.parquet(out)
+    assert(all.count() === 3)
+    // partial commit persisted ONE of the two same-key siblings
+    val partial = all.where(col("value") =!= 7.0)
+    assert(partial.count() === 2)
+    val tmpStore = out + "_partial"
+    partial.write.partitionBy("dataset", "time_bucket").parquet(tmpStore)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmpStore), new java.io.File(out))
+    run() // fresh checkpoint replays the granule against the partial store
+    val healed = spark.read.parquet(out)
+    // a coordinate-keyed anti-join would see value=5.0's key present
+    // and silently drop the regenerated 7.0 sibling forever
+    assert(healed.count() === 3, "replay must restore the same-key sibling")
+    assert(healed.select("granule", "point_index").distinct().count() === 3)
+    assert(healed.agg(sum(col("value"))).head.getDouble(0) === 18.0)
+  }
+
   test("swath granules decode per-pixel geolocation and per-scan time") {
     val nc = NcFile(
       dims = Seq(NcDim("y", 2), NcDim("x", 3)),

@@ -191,8 +191,10 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SignalEvent]
+    // gap (10s) exceeds the 5s event spacing, so the gap rule stays
+    // out of the way — this test is about ORDERING of late arrivals
     val src = StateTracker.runsStream(
-      mem.toDS().withWatermark("ts", "10 seconds"), 100.0, gapUs = 1000000L)
+      mem.toDS().withWatermark("ts", "10 seconds"), 100.0, gapUs = 10000000L)
     val q = src.writeStream.format("memory").queryName("rle_ooo")
       .outputMode("append").start()
     try {
@@ -211,6 +213,36 @@ class StreamingSpec extends SparkSpec {
         .filter(_.event_type == "x")
       assert(x.map(r => (r.bucket, r.start_us, r.end_us, r.n_events, r.avg_v))
         .toSeq === Seq((1L, 95000000L, 100000000L, 2L, 140.0)))
+    } finally q.stop()
+  }
+
+  test("runsStream applies the gap rule inside the fold — a watermark " +
+    "jump over a long same-bucket silence still yields two runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SignalEvent]
+    val src = StateTracker.runsStream(
+      mem.toDS().withWatermark("ts", "0 seconds"), 100.0, gapUs = 1000000L)
+    val q = src.writeStream.format("memory").queryName("rle_jump")
+      .outputMode("append").start()
+    try {
+      // one catch-up batch carries BOTH sides of a 10s silence (gap =
+      // 1s) in the same bucket, and the watermark jumps past both at
+      // once. A timeout-only gap rule would fold them into ONE run;
+      // the gap applied inside the fold must emit two — the same
+      // segmentation gradual watermark advance produces.
+      mem.addData(sig(
+        (1000000L, "x", 150.0, 1), (2000000L, "x", 130.0, 2),
+        (12000000L, "x", 110.0, 3), (12500000L, "x", 120.0, 4)): _*)
+      q.processAllAvailable()
+      // advance the watermark past lastUs + gap to flush the tail
+      mem.addData(sig((60000000L, "y", 50.0, 9)): _*)
+      q.processAllAvailable()
+      val x = spark.table("rle_jump").as[RunOut].collect()
+        .filter(_.event_type == "x").sortBy(_.start_us)
+      assert(x.map(r => (r.bucket, r.start_us, r.end_us, r.n_events))
+        .toSeq === Seq((1L, 1000000L, 2000000L, 2L),
+          (1L, 12000000L, 12500000L, 2L)))
     } finally q.stop()
   }
 
