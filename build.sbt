@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
   "java.base/java.util.concurrent.atomic",
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
+  // HttpServer's stalled-stream watchdog closes the exchange's raw
+  // socket channel (the only close that can't itself block on the
+  // stalled socket) — same move the JDK server's own timers make
+  "jdk.httpserver/sun.net.httpserver",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

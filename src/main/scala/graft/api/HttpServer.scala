@@ -26,7 +26,8 @@ import graft.sources.Encoders
 final class HttpServer(spark: SparkSession, tiles: DataFrame,
                        registry: Map[String, Handlers.Handler],
                        port: Int = 0, maxConcurrentJobs: Int = 10,
-                       resultLimit: Int = 100000) {
+                       resultLimit: Int = 100000,
+                       streamWriteTimeoutMs: Long = 60000) {
 
   private val gate = new Handlers.JobGate(maxConcurrentJobs)
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
@@ -111,6 +112,25 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(200, 0L)
     val os = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
+    // IDLE-PROGRESS DEADLINE: a streaming transfer runs inside a
+    // JobGate slot, so a reader that stops draining its socket would
+    // otherwise pin the slot forever (the r9 slow-reader caveat). A
+    // socket-blocked write makes no progress; when none has been made
+    // for streamWriteTimeoutMs the watchdog closes the exchange from
+    // its own thread, the blocked write throws, the truncation path
+    // runs, and the slot frees. Buffered writes count as progress —
+    // only a genuinely backpressured socket can trip the deadline.
+    val progress = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val period = math.max(1L, streamWriteTimeoutMs / 2)
+    val watchdog = HttpServer.streamWatchdog.scheduleAtFixedRate(
+      () => if ((System.nanoTime() - progress.get()) / 1000000L
+                  > streamWriteTimeoutMs && fired.compareAndSet(false, true)) {
+        System.err.println(s"[http] streaming reader made no progress for " +
+          s">${streamWriteTimeoutMs} ms; disconnecting")
+        HttpServer.forceDisconnect(ex)
+      },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try {
       try {
         os.write(prefix.getBytes(UTF_8))
@@ -119,6 +139,7 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
           if (!first) os.write(sep.getBytes(UTF_8))
           first = false
           os.write(rows.next().getBytes(UTF_8))
+          progress.set(System.nanoTime())
         }
         os.write(suffix.getBytes(UTF_8))
       } catch {
@@ -129,6 +150,8 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
       }
     } finally {
       try os.close() catch { case _: java.io.IOException => () }
+      watchdog.cancel(false)
+      ()
     }
   }
 
@@ -189,12 +212,15 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
         // unlimited: the data-plane formats stream INSIDE the gate —
         // toLocalIterator schedules Spark jobs partition by partition
         // for the whole write, so the slot is genuinely executing for
-        // most of the transfer. Deliberate tradeoff: a slow reader
-        // holds its slot through the socket-bound gaps too, exactly
-        // like the reference's handler slot spanning the whole calc;
-        // shedding stays the job of the gate, and a starved-by-
-        // downloads deployment should raise maxConcurrentJobs rather
-        // than let unbounded concurrent full-store scans through.
+        // most of the transfer. A slow-but-progressing reader holds
+        // its slot through the socket-bound gaps too, exactly like the
+        // reference's handler slot spanning the whole calc — but the
+        // hold is now BOUNDED: a reader that stops draining entirely
+        // is disconnected by streamChunked's idle-progress deadline
+        // (streamWriteTimeoutMs) and its slot freed. Shedding stays
+        // the job of the gate; a starved-by-downloads deployment
+        // should raise maxConcurrentJobs rather than let unbounded
+        // concurrent full-store scans through.
         // Only the three artifact formats buffer; an unrecognized
         // output= falls to streaming JSON exactly as the limited path
         // falls to buffered JSON — never to an unbounded collect
@@ -322,6 +348,53 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
 }
 
 object HttpServer {
+  /** One shared daemon watchdog thread for all servers' streaming
+    * idle-progress deadlines — it only ever compares a timestamp and
+    * (rarely) closes a stalled exchange, so a single thread serves any
+    * number of concurrent streams; daemon so it never pins the JVM.
+    */
+  private val streamWatchdog = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val th = new Thread(r, "http-stream-watchdog")
+        th.setDaemon(true)
+        th
+      })
+    t.setRemoveOnCancelPolicy(true)
+    t
+  }
+
+  /** Force-close a stalled exchange's raw socket CHANNEL. The polite
+    * `HttpExchange.close()` is unusable from the watchdog: it flushes
+    * the chunk terminator into the very socket that is blocked, and
+    * wedges the closer too. Closing the channel asynchronously is the
+    * one operation that unblocks the writer thread (with an
+    * AsynchronousCloseException → truncation path → gate slot freed) —
+    * the same move the JDK server's own idle/maxRspTime timers make
+    * (`ServerImpl` closes the `Connection` directly). The internals
+    * are reached reflectively; the build opens
+    * `jdk.httpserver/sun.net.httpserver` for it, and a runtime missing
+    * that flag logs loudly instead of silently never disconnecting.
+    */
+  private def forceDisconnect(ex: HttpExchange): Unit =
+    try {
+      val implField = ex.getClass.getDeclaredField("impl")
+      implField.setAccessible(true)
+      val impl = implField.get(ex)
+      val getConn = impl.getClass.getDeclaredMethod("getConnection")
+      getConn.setAccessible(true)
+      val conn = getConn.invoke(impl)
+      val close = conn.getClass.getDeclaredMethod("close")
+      close.setAccessible(true)
+      close.invoke(conn)
+      ()
+    } catch {
+      case e: Throwable =>
+        System.err.println("[http] cannot force-disconnect stalled stream " +
+          "(is --add-opens jdk.httpserver/sun.net.httpserver=ALL-UNNAMED " +
+          s"set?): $e")
+    }
+
   /** Endpoints whose results are 1-D series — output=PNG defaults to
     * the line plot for these (heatmap everywhere else).
     */

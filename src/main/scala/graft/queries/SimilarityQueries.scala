@@ -322,6 +322,134 @@ object SimilarityQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
+    // PRODUCTION near-dup form: autoPlanes — the plane count grows
+    // with the corpus (⌈log₂(n/256)⌉) so bucket occupancy stays flat
+    // and the same-bucket pair cost stays linear-ish at any scale.
+    // The fixed-4 gate keeps the pinned-occupancy correctness role;
+    // THIS gate is the form a 100 TB run uses, fully oracled too (the
+    // plane count is count-derived on both engines, and the sin-plane
+    // signature is deterministic IEEE math).
+    "e_near_dup_auto" -> { (s, dir) =>
+      val e0 = emb(s, dir)
+      val planes = Similarity.autoPlanes(e0.count())
+      val withSig = e0.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          Similarity.lshSignature(col("embedding"), planes).as("bucket"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val a = withSig.select(col("bucket"), col("vec_id").as("i"),
+        col("v").as("vi"), col("nrm").as("ni"))
+      val b = withSig.select(col("bucket"), col("vec_id").as("j"),
+        col("v").as("vj"), col("nrm").as("nj"))
+      a.join(b, "bucket").where(col("i") < col("j"))
+        .withColumn("sim",
+          Similarity.dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
+        .where(col("sim") >= 0.45)
+        .select(col("i"), col("j"), round(col("sim") + lit(1e-9), 6).as("sim"))
+        .orderBy("i", "j")
+    },
+
+    // PRODUCTION semantic-dedup form: the autoPlanes twin of
+    // e_semantic_dedup (same keeper-assignment algebra, scale-correct
+    // bucket count), fully oracled like e_near_dup_auto.
+    "e_semantic_dedup_auto" -> { (s, dir) =>
+      val e0 = emb(s, dir)
+      val planes = Similarity.autoPlanes(e0.count())
+      val withSig = e0.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          Similarity.lshSignature(col("embedding"), planes).as("bucket"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val later = withSig.select(col("bucket"), col("vec_id").as("i"),
+        col("v").as("vi"), col("nrm").as("ni"))
+      val earlier = withSig.select(col("bucket"), col("vec_id").as("j"),
+        col("v").as("vj"), col("nrm").as("nj"))
+      val matches = later.join(earlier, "bucket").where(col("j") < col("i"))
+        .where(Similarity.dot(col("vi"), col("vj"))
+          / (col("ni") * col("nj")) >= 0.45)
+        .groupBy(col("i")).agg(min(col("j")).as("dup_of"))
+      withSig.select(col("vec_id")).join(matches,
+          col("vec_id") === col("i"), "left")
+        .select(col("vec_id"),
+          coalesce(col("dup_of"), col("vec_id")).as("keeper"),
+          (col("dup_of").isNotNull).as("is_dup"))
+        .orderBy("vec_id")
+    },
+
+    // Eigen PROPERTY gate (closes the e_pca_project pinned-only gap
+    // from the r9 verdict): the eigendecomposition itself has no
+    // engine-independent value oracle (sign/order conventions,
+    // iterative solvers), but its DEFINING PROPERTIES are checkable —
+    // against the exact covariance the fit decomposed (same
+    // distributed meansAndCov the hash-oracled e_embed_covariance gate
+    // verifies): per component, ‖C·v − λv‖ ≈ 0, ‖v‖ = 1, pairwise
+    // orthogonality, λ ≥ 0 (C is PSD), eigenvalues descending, AND the
+    // distributed projection's population variance equals λ (ties the
+    // codegen'd projection path to the model). Each property lands as
+    // a boolean the DuckDB oracle pins to true — a broken eigen, a
+    // drifted covariance, or a mis-wired projection flips one loudly.
+    "e_pca_eigen_check" -> { (s, dir) =>
+      import graft.sim.Pca
+      val d = 16
+      val k = 2
+      val e = Tables.embeddingsSpread(s, dir)
+      val (means, cov) = Pca.meansAndCov(e, col("embedding"), d)
+      val model = Pca.fitFromMoments(means, cov, k)
+      val projVarRow = Pca.project(e, col("embedding"), model)
+        .select((0 until k).map(c =>
+          var_pop(element_at(col("pc"), c + 1)).as(s"v$c")): _*)
+        .head
+      import breeze.linalg.{norm, DenseVector}
+      val rows = (0 until k).map { c =>
+        val vC = DenseVector(model.components(c))
+        val lam = model.variances(c)
+        val resid = norm(cov * vC - vC * lam)
+        val ortho = (0 until k).filter(_ != c)
+          .map(o => math.abs(vC dot DenseVector(model.components(o))))
+          .foldLeft(0.0)(math.max)
+        val projVar = projVarRow.getDouble(c)
+        ((c + 1).toLong,
+          math.abs(norm(vC) - 1.0) <= 1e-10,
+          ortho <= 1e-10,
+          resid <= 1e-8,
+          math.abs(projVar - lam) <= 1e-6 * math.max(1.0, math.abs(lam)),
+          lam >= -1e-12,
+          c == 0 || model.variances(c - 1) >= lam)
+      }
+      import s.implicits._
+      rows.toDF("component", "unit_norm_ok", "ortho_ok", "residual_ok",
+          "var_matches", "eig_nonneg", "descending_ok")
+        .orderBy("component")
+    },
+
+    // IVF FIXPOINT gate (closes the e_ivf_trained pinned-only gap from
+    // the r9 verdict): Lloyd's averaging is summation-order sensitive,
+    // so trained centroid VALUES have no cross-engine oracle — but the
+    // convergence property does. Train to convergence
+    // (IvfIndex.trainConverged), then run ONE MORE assign→update over
+    // the converged centroids through the exact production functions:
+    // at a Lloyd's fixpoint the assignment is unchanged, so the update
+    // must reproduce every centroid (within float-summation noise).
+    // Per list the movement bound lands as a boolean DuckDB pins true;
+    // a non-converging trainer (maxIters exit) or a drifting
+    // assign/update pair flips it loudly.
+    "e_ivf_fixpoint" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val (cents, iters, _) = IvfIndex.trainConverged(
+        e, col("vec_id"), col("embedding"),
+        nlist = 8, maxIters = 60, tol = 1e-9)
+      val corpus = e.select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("v"))
+      val next = IvfIndex.updateStep(IvfIndex.assign(corpus, cents), cents)
+      val converged = iters < 60
+      cents.select(col("list_id"), col("centroid").as("c0"))
+        .join(next.select(col("list_id"), col("centroid").as("c1")), "list_id")
+        .select(col("list_id").cast("long").as("list_id"),
+          (sqrt(aggregate(zip_with(col("c0"), col("c1"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+            <= 1e-6).as("fixpoint_ok"),
+          lit(converged).as("converged"))
+        .orderBy("list_id")
+    },
+
     // Embedding near-dup pairs: LSH candidates (same bucket), exact
     // cosine ≥ 0.45
     "e_near_dup" -> { (s, dir) =>
@@ -341,6 +469,24 @@ object SimilarityQueries extends QueryModule {
         .orderBy("i", "j")
     }
   )
+
+  /** Shared oracle CTE: embeddings as doubles + the AUTO-PLANES LSH
+    * bucket signature — the plane count derives from count(*) exactly
+    * like Similarity.autoPlanes (⌈log₂(n/256)⌉ clamped to [1, 30]), so
+    * the oracle tracks the production form at any SF.
+    */
+  private def autoSigCte: String =
+    """np AS (SELECT least(greatest(CAST(ceil(log2(count(*) / 256.0)) AS INT), 1), 30) p
+      |       FROM embeddings),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |bits AS (SELECT e.vec_id, t.p,
+      |  CASE WHEN list_sum(list_transform(range(1,65),
+      |    i -> e.v[i]*sin((t.p*97+(i-1))*0.1))) > 0 THEN '1' ELSE '0' END b
+      | FROM e, range(0, 30) t(p), np WHERE t.p < np.p),
+      |sigb AS (SELECT vec_id, string_agg(b, '' ORDER BY p) bucket
+      |         FROM bits GROUP BY vec_id),
+      |sig AS (SELECT e.vec_id, e.v, sigb.bucket
+      |        FROM e JOIN sigb USING (vec_id))""".stripMargin
 
   /** Shared oracle CTE: embeddings as doubles + LSH bucket signature
     * (4 sin-hyperplanes, identical math to Similarity.lshSignature).
@@ -573,6 +719,42 @@ object SimilarityQueries extends QueryModule {
         |    sqrt(list_sum(list_transform(range(1,65), i2 -> b.v[i2]*b.v[i2])))) sim
         | FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT i, j, round(sim + 1e-9, 6) AS sim FROM p
-        |WHERE sim >= 0.45 ORDER BY i, j""".stripMargin
+        |WHERE sim >= 0.45 ORDER BY i, j""".stripMargin,
+
+    "e_near_dup_auto" ->
+      s"""WITH $autoSigCte,
+        |p AS (SELECT a.vec_id i, b.vec_id j,
+        |   list_sum(list_transform(range(1,65), i2 -> a.v[i2]*b.v[i2])) /
+        |   (sqrt(list_sum(list_transform(range(1,65), i2 -> a.v[i2]*a.v[i2]))) *
+        |    sqrt(list_sum(list_transform(range(1,65), i2 -> b.v[i2]*b.v[i2])))) sim
+        | FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT i, j, round(sim + 1e-9, 6) AS sim FROM p
+        |WHERE sim >= 0.45 ORDER BY i, j""".stripMargin,
+
+    "e_semantic_dedup_auto" ->
+      s"""WITH $autoSigCte,
+        |m AS (SELECT a.vec_id i, min(b.vec_id) dup_of
+        |      FROM sig a JOIN sig b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+        |      WHERE list_sum(list_transform(range(1,65), i2 -> a.v[i2]*b.v[i2])) /
+        |        (sqrt(list_sum(list_transform(range(1,65), i2 -> a.v[i2]*a.v[i2]))) *
+        |         sqrt(list_sum(list_transform(range(1,65), i2 -> b.v[i2]*b.v[i2])))) >= 0.45
+        |      GROUP BY 1)
+        |SELECT e.vec_id, coalesce(m.dup_of, e.vec_id) AS keeper,
+        |       m.dup_of IS NOT NULL AS is_dup
+        |FROM e LEFT JOIN m ON m.i = e.vec_id ORDER BY e.vec_id""".stripMargin,
+
+    // property gates: the Spark side computes real residuals/bounds
+    // and thresholds them; the oracle pins every property TRUE — a
+    // broken eigen / non-converging trainer flips a boolean and the
+    // hash mismatches loudly
+    "e_pca_eigen_check" ->
+      """SELECT range AS component, true AS unit_norm_ok, true AS ortho_ok,
+        |       true AS residual_ok, true AS var_matches,
+        |       true AS eig_nonneg, true AS descending_ok
+        |FROM range(1, 3) ORDER BY component""".stripMargin,
+
+    "e_ivf_fixpoint" ->
+      """SELECT range AS list_id, true AS fixpoint_ok, true AS converged
+        |FROM range(0, 8) ORDER BY list_id""".stripMargin
   )
 }

@@ -78,6 +78,93 @@ object IvfIndex {
     centroids
   }
 
+  /** Lloyd's run to CONVERGENCE: iterate assign→update until no
+    * centroid moves more than `tol` (L2), or `maxIters`. Returns the
+    * converged centroids plus the iteration count and the final max
+    * movement — the `e_ivf_fixpoint` gate's inputs (Lloyd's is a
+    * descent on a finite partition lattice, so with tol > 0 it always
+    * terminates; a maxIters exit leaves finalMove > tol, which the
+    * gate turns into a loud false). The per-iteration movement check
+    * is a join of two nlist-row frames — model-sized, not data-sized.
+    */
+  def trainConverged(corpus: DataFrame, id: Column, vec: Column,
+                     nlist: Int, maxIters: Int, tol: Double)
+      : (DataFrame, Int, Double) = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(id.as("vid"), vec.cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The ITERATION core runs on RDDs, deliberately (the documented
+    // imperative-loop niche, same as Bpe.trainSequential): a DataFrame
+    // body re-analyzes and codegen-compiles a brand-new plan every
+    // iteration because the centroid literals live in the plan —
+    // measured ~0.3 s/iteration of pure compilation, 10× the actual
+    // work at convergence-scale iteration counts. Each RDD iteration
+    // is ONE job: map-side per-list (sum, count) partials with the
+    // centroids captured in the closure (model-sized), combined on the
+    // driver. Semantics mirror assign/updateStep exactly — argmin with
+    // (d2 ASC, list_id ASC) tie-break, empty list keeps its old
+    // centroid — and the `e_ivf_fixpoint` gate re-verifies the result
+    // through the PRODUCTION assign→updateStep pair, so a drift
+    // between the twins flips the gate loudly.
+    val vecs = base.select(col("v")).rdd
+      .map(_.getSeq[Double](0).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[Array[Double]] =
+      train(base, col("vid"), col("v"), nlist, iters = 0)
+        .select(col("list_id").cast("int"), col("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+    val k = cents.length // may be < nlist on a tiny corpus
+    var iters = 0
+    var move = Double.MaxValue
+    while (iters < maxIters && move > tol) {
+      val cbc = cents
+      val partials = vecs.mapPartitions { it =>
+        val d = if (cbc.isEmpty) 0 else cbc(0).length
+        val sums = Array.ofDim[Double](cbc.length, d)
+        val counts = new Array[Long](cbc.length)
+        it.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cbc.length) {
+            var s = 0.0
+            var i = 0
+            while (i < d) { val t = v(i) - cbc(c)(i); s += t * t; i += 1 }
+            if (s < bestD) { bestD = s; best = c } // ties keep lower c
+            c += 1
+          }
+          var i = 0
+          while (i < d) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1L
+        }
+        Iterator.single((sums, counts))
+      }.collect()
+      val next = Array.tabulate(k) { c =>
+        val n = partials.iterator.map(_._2(c)).sum
+        if (n == 0L) cents(c)
+        else {
+          val d = cents(c).length
+          val s = new Array[Double](d)
+          partials.foreach { case (ps, _) =>
+            var i = 0
+            while (i < d) { s(i) += ps(c)(i); i += 1 }
+          }
+          s.map(_ / n)
+        }
+      }
+      move = cents.zip(next).map { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      cents = next
+      iters += 1
+    }
+    vecs.unpersist(blocking = false)
+    base.unpersist(blocking = false)
+    (spark.createDataFrame(cents.toSeq.zipWithIndex.map(_.swap))
+      .toDF("list_id", "centroid"), iters, move)
+  }
+
   /** One Lloyd's centroid-update step: element-wise mean of each
     * list's members — the OTHER half of the training algebra beside
     * [[assign]], exposed so the driver gate `e_ivf_update_fixed` can

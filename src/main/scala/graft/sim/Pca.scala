@@ -28,12 +28,15 @@ object Pca {
                          components: Array[Array[Double]],
                          variances: Array[Double])
 
-  /** Dimension means + upper-triangle covariance, then a driver-side
-    * symmetric eigendecomposition. `vec` must be an array column with
-    * at least `d` entries per row.
+  /** Dimension means + the d×d covariance, computed distributed (the
+    * same row-local centered-outer-product + fixed-size hash-aggregate
+    * algebra the oracled `e_embed_covariance` gate verifies) and
+    * collected driver-side — both are model-sized. Shared by [[fit]]
+    * and the `e_pca_eigen_check` property gate so the eigen properties
+    * are checked against the exact covariance the fit decomposed.
     */
-  def fit(df: DataFrame, vec: Column, d: Int, k: Int): Model = {
-    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+  private[graft] def meansAndCov(df: DataFrame, vec: Column, d: Int)
+      : (Array[Double], breeze.linalg.DenseMatrix[Double]) = {
     val v = vec.cast("array<double>")
     val ex = df.select(posexplode(slice(v, 1, d)).as(Seq("i0", "x")))
     val means = ex.groupBy(col("i0")).agg(avg(col("x")).as("m"))
@@ -57,6 +60,28 @@ object Pca {
       cov(i, j) = c
       cov(j, i) = c
     }
+    (means, cov)
+  }
+
+  /** Dimension means + upper-triangle covariance, then a driver-side
+    * symmetric eigendecomposition. `vec` must be an array column with
+    * at least `d` entries per row.
+    */
+  def fit(df: DataFrame, vec: Column, d: Int, k: Int): Model = {
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val (means, cov) = meansAndCov(df, vec, d)
+    fitFromMoments(means, cov, k)
+  }
+
+  /** The driver-side eigen step alone, from precomputed moments —
+    * split out so the eigen property gate decomposes the SAME
+    * covariance it verifies the model against (fit ≡
+    * fitFromMoments ∘ meansAndCov).
+    */
+  private[graft] def fitFromMoments(means: Array[Double],
+                                    cov: breeze.linalg.DenseMatrix[Double],
+                                    k: Int): Model = {
+    val d = means.length
     val eig = breeze.linalg.eigSym(cov)
     // eigSym returns ascending eigenvalues; take the top k, and fix the
     // sign convention (largest-|loading| entry positive) so the model

@@ -99,6 +99,207 @@ object Bpe {
     out
   }
 
+  /** Per-partition word store for incremental training: the symbol
+    * sequences, their (immutable) counts, and an INVERTED pair→slot
+    * index so a merge pass touches only the words that actually
+    * contain a batch pair — cost proportional to fuse sites, not
+    * vocabulary. The index is stale-INCLUSIVE and monotone (postings
+    * are added when a rewrite creates a pair, never removed; a posting
+    * whose word no longer holds the pair just fails the cheap
+    * containsAdj re-check), which keeps maintenance O(new pairs) with
+    * no global bookkeeping. `words` is a Vector and `index` an
+    * immutable Map so a pass's new block STRUCTURALLY SHARES the
+    * untouched slots/postings of the old one — blocks across passes
+    * cost O(changes), not O(block), in both time and cache memory.
+    * `applied` records which slots each batch position fused last
+    * pass, so a rejected speculation un-merges by direct slot lookup.
+    */
+  private[text] final case class Block(
+      words: Vector[Array[String]],
+      counts: Array[Long],
+      index: Map[(String, String), List[Int]],
+      applied: Map[Int, List[Int]])
+
+  /** Executor-RESIDENT block store: blocks live in the executor JVM
+    * between passes, keyed by (trainId, partition), instead of riding
+    * the RDD cache. Measured motivation: re-persisting a block RDD
+    * costs a SizeEstimator walk + cache write of the whole (largely
+    * shared) object graph — ~4 s per persist on a 27k-word table, 10×
+    * the genuine pass work — and NOT persisting grows task lineage
+    * until closure serialization overflows the stack. With the store,
+    * every pass is one flat job over the stable base symbol RDD (depth-
+    * 2 lineage forever), and per-pass cost is exactly the fuse-site
+    * work plus scheduling.
+    *
+    * Failure contract (the RDD cache's recompute guarantee, re-built
+    * by hand): entries are tagged with the pass number that produced
+    * them, the pass result (the delta array) is stored beside the
+    * block, and a pass task is IDEMPOTENT — a retry that finds its own
+    * pass already applied returns the saved deltas instead of
+    * re-fusing (which would see no sites and emit wrong zeros). A
+    * task that finds its partition MISSING (executor restart) emits a
+    * rebuild-request sentinel; the driver re-runs the same pass
+    * carrying the committed merge list, and the task reconstructs the
+    * block deterministically from the base symbols (base + committed
+    * prefix ≡ current state: rejected speculations were never
+    * committed, so a rebuilt block is exactly the un-merged state, and
+    * its freshly rebuilt index satisfies the postings invariant).
+    * Blocks mutate only by atomic whole-value replacement of immutable
+    * structures, so an interrupted task can never expose a half-
+    * stepped block. Entries are cleared by trainId when training ends
+    * (driver-side for local mode, best-effort foreachPartition for a
+    * cluster).
+    */
+  private[text] object TrainStore {
+    val blocks = new java.util.concurrent.ConcurrentHashMap[
+      (String, Int), (Int, Block, Array[((Int, String, String), Long)])]()
+    def clear(trainId: String): Unit = {
+      val it = blocks.keySet.iterator
+      while (it.hasNext) if (it.next()._1 == trainId) it.remove()
+    }
+    private[text] def size(trainId: String): Int = {
+      var n = 0
+      val it = blocks.keySet.iterator
+      while (it.hasNext) if (it.next()._1 == trainId) n += 1
+      n
+    }
+  }
+
+  /** Build a partition's block from its base symbol sequences: the
+    * word/count columns plus the full inverted pair→slot index.
+    */
+  private def buildBlock(it: Iterator[(Array[String], Long)]): Block = {
+    val ws = Vector.newBuilder[Array[String]]
+    val cs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val idx = scala.collection.mutable.HashMap
+      .empty[(String, String), List[Int]]
+    var slot = 0
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    it.foreach { case (s, c) =>
+      ws += s
+      cs += c
+      seen.clear()
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        if (seen.add(p)) idx(p) = slot :: idx.getOrElse(p, Nil)
+        i += 1
+      }
+      slot += 1
+    }
+    Block(ws.result(), cs.toArray, idx.toMap, Map.empty)
+  }
+
+  /** One training pass over one block: un-merge last pass's rejected
+    * speculation, apply the batch at the slots the inverted index
+    * lists, and return the new block plus the pair-count deltas tagged
+    * by batch position (with the fuse-site count under the `-1`
+    * sentinel). Pure: never mutates `b0` or anything reachable from it.
+    */
+  private def stepBlock(b0: Block, batchSeq: Seq[(String, String)],
+                        unmergeMap: Map[String, (String, String)],
+                        unmergeIdx: Set[Int])
+      : (Block, Array[((Int, String, String), Long)]) = {
+    val delta = scala.collection.mutable.HashMap.empty[(Int, String, String), Long]
+    def pairsInto(s: Array[String], idx: Int, sign: Long, c: Long): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        val k = (idx, s(i), s(i + 1))
+        val n = delta.getOrElse(k, 0L) + sign * c
+        if (n == 0L) delta.remove(k) else delta(k) = n
+        i += 1
+      }
+    }
+    def containsAdj(s: Array[String], l: String, r: String): Boolean = {
+      var i = 0
+      while (i < s.length - 1) {
+        if (s(i) == l && s(i + 1) == r) return true
+        i += 1
+      }
+      false
+    }
+    // 1) un-merge the previous pass's rejected speculation at exactly
+    // the slots it fused (fused strings are fresh ⇒ every occurrence
+    // came from that fuse; the driver table was never advanced past
+    // the accepted prefix, so no deltas are owed, and the restored
+    // word's pairs all predate the fuse ⇒ their index postings still
+    // stand)
+    var words = b0.words
+    unmergeIdx.foreach { j =>
+      b0.applied.getOrElse(j, Nil).foreach { slot =>
+        val s = words(slot)
+        if (s.exists(unmergeMap.contains))
+          words = words.updated(slot, s.flatMap(sym =>
+            unmergeMap.get(sym) match {
+              case Some((l, r)) => Array(l, r)
+              case None => Array(sym)
+            }))
+      }
+    }
+    // 2) gather candidate slots per batch position from the inverted
+    // index, then apply per slot in batch-rank order, attributing each
+    // merge's exact whole-word pair delta to its position. Batch pairs
+    // are symbol-disjoint, so an earlier batch merge can neither
+    // create nor destroy a later pair's sites — index candidacy
+    // computed up front stays complete. Gathering is array-indexed by
+    // slot (no sorted map, no boxing): O(postings consulted) =
+    // O(fuse-site candidates), not O(vocabulary).
+    var index = b0.index
+    var applied = Map.empty[Int, List[Int]]
+    val nSlots = b0.counts.length
+    val slotPositions = new Array[List[Int]](nSlots)
+    val touched = new scala.collection.mutable.ArrayBuffer[Int]
+    var idx = 0
+    batchSeq.foreach { p =>
+      index.getOrElse(p, Nil).foreach { slot =>
+        val cur = slotPositions(slot)
+        // within one pair's posting walk a duplicate slot shows up
+        // with this idx already at head — skip it there
+        if (cur == null) {
+          slotPositions(slot) = idx :: Nil
+          touched += slot
+        } else if (cur.head != idx) slotPositions(slot) = idx :: cur
+      }
+      idx += 1
+    }
+    touched.foreach { slot =>
+      var s = words(slot)
+      val c = b0.counts(slot)
+      var changed = false
+      slotPositions(slot).reverse.foreach { j =>
+        val (l, r) = batchSeq(j)
+        if (containsAdj(s, l, r)) {
+          pairsInto(s, j, -1L, c)
+          s = mergePairArr(s, l, r)
+          pairsInto(s, j, +1L, c)
+          changed = true
+          applied += j -> (slot :: applied.getOrElse(j, Nil))
+          // index maintenance: the rewrite's NEW pairs are exactly
+          // those adjacent to a fused occurrence — post this slot
+          // under each (once per distinct pair)
+          val fused = l + r
+          val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+          var i = 0
+          while (i < s.length - 1) {
+            if (s(i) == fused || s(i + 1) == fused) {
+              val np = (s(i), s(i + 1))
+              if (seen.add(np))
+                index = index.updated(np, slot :: index.getOrElse(np, Nil))
+            }
+            i += 1
+          }
+        }
+      }
+      if (changed) words = words.updated(slot, s)
+    }
+    // fuse-site instrumentation rides the delta channel (zero extra
+    // jobs): fuse applications this pass, under a sentinel position
+    // the replay never reads
+    val touchedN = applied.valuesIterator.map(_.size.toLong).sum
+    if (touchedN > 0) delta((-1, "", "")) = touchedN
+    (Block(words, b0.counts, index, applied), delta.toArray)
+  }
+
   /** Learn `numMerges` merges from a `(w, cnt)` word table. Stops
     * early when no adjacent pair remains (every word fused to one
     * symbol). Deterministic: argmax ties break on (left, right).
@@ -113,36 +314,45 @@ object Bpe {
     *     size is #distinct adjacent pairs — alphabet²-bounded before
     *     any merge and growing by at most the distinct neighbors of
     *     each merged symbol per merge — NOT corpus-sized; a corpus
-    *     whose distinct-pair table outgrows the driver has a
-    *     vocabulary problem long before an engine problem.
+    *     whose distinct-pair table outgrows the driver bound falls
+    *     back to the distributed [[trainSequential]] form (slower,
+    *     unbounded) with a loud log line.
     *  2. Each pass speculatively selects up to `maxBatch` top pairs
     *     that are pairwise SYMBOL-DISJOINT (and whose fused strings
     *     are fresh — see un-merge below). Disjointness makes the
     *     batch order-independent within a word and keeps every
     *     selected pair's own count unchanged by its batch-mates, so
     *     per-merge effects are well defined.
-    *  3. One distributed map rewrites only the words containing a
-    *     batch pair and emits pair-count deltas TAGGED by batch
-    *     position, pre-aggregated per partition (the shuffle carries
-    *     only pairs around actual fuse sites — across a whole
-    *     training run that totals O(symbols fused), not
-    *     O(merges × corpus)).
+    *  3. One distributed map over the per-partition [[Block]]s
+    *     rewrites ONLY the words the inverted index lists for a batch
+    *     pair (a block containing no batch pair returns itself by
+    *     reference — near-zero work) and emits pair-count deltas
+    *     TAGGED by batch position, pre-aggregated per partition (the
+    *     shuffle carries only pairs around actual fuse sites — across
+    *     a whole training run that totals O(symbols fused), not
+    *     O(merges × corpus); with the index the MAP cost is
+    *     O(fuse sites) too, where it used to scan every distinct word
+    *     every pass).
     *  4. The driver REPLAYS the batch against the exact pair table:
     *     position j commits only if it is the true argmax after
     *     deltas 1..j-1 — i.e. precisely what one-merge-at-a-time
     *     greedy would have picked (a freshly created pair can
     *     overtake the speculation; the replay catches it). Rejected
     *     tail merges are UN-MERGED (their fused strings are fresh by
-    *     construction, so splitting them back is unambiguous) at the
-    *     start of the next pass's map — no extra job.
+    *     construction, so splitting them back is unambiguous; the
+    *     block's `applied` slots say exactly where) at the start of
+    *     the next pass's map — no extra job.
     *
-    * Lineage discipline: the symbol table is re-persisted per pass
-    * and localCheckpoint-ed every 8th so the plan never accumulates
-    * an unboundedly deep map chain (on a real cluster a reliable
-    * `checkpoint` to the job's storage would replace localCheckpoint
-    * — same call site, executor-loss-safe).
+    * Execution shape: blocks live in the EXECUTOR-RESIDENT
+    * [[TrainStore]] between passes (see its failure contract), so
+    * every pass is one flat two-stage-free job over the stable base
+    * symbol RDD — no per-pass caching, no lineage growth, no
+    * SizeEstimator walks (each measured to dominate pass cost when
+    * blocks rode the RDD cache).
     */
-  def train(words: DataFrame, numMerges: Int, maxBatch: Int = 32): Seq[Merge] = {
+  def train(words: DataFrame, numMerges: Int, maxBatch: Int = 32,
+            driverPairBound: Long = 50000000L,
+            passHook: (Int, Int, Long, Double) => Unit = null): Seq[Merge] = {
     require(maxBatch >= 1, s"bpe: maxBatch must be >= 1, got $maxBatch")
     val spark = words.sparkSession
     import spark.implicits._
@@ -158,14 +368,14 @@ object Bpe {
     val sc = spark.sparkContext
     val parts = math.max(1, math.min(sc.defaultParallelism,
       (nWords / 65536L).toInt + 1))
-    var cur: org.apache.spark.rdd.RDD[(Array[String], Long)] = base.rdd
+    val trainId = java.util.UUID.randomUUID().toString
+    // the stable anchor every pass maps over: symbol sequences, many
+    // elements per partition (cache size-tracking samples instead of
+    // walking), persisted once for the whole run
+    val baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)] = base.rdd
       .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
       .repartition(parts)
       .persist(sl)
-    // the PERSISTED rdd backing `cur` (after the first pass `cur` is a
-    // flatMap view over the staged rdd — unpersisting the view would
-    // silently leak the cache)
-    var curStore: org.apache.spark.rdd.RDD[_] = cur
 
     // ---- driver pair state: exact counts + lazy-deletion max-heap ----
     type Pair = (String, String)
@@ -211,19 +421,37 @@ object Bpe {
     // The distinct-pair table must fit the driver — alphabet²-bounded
     // at start — so its size is CHECKED before the collect instead of
     // letting a pathological corpus (adversarial byte soup at a huge
-    // alphabet) OOM the driver mid-collect. 50M pairs ≈ a few GB of
-    // boxed tuples: far above any natural-language corpus (whose
-    // distinct-pair count tracks alphabet² then vocab-neighbor
-    // growth), and loud when crossed.
-    val initialPairs = cur.flatMap { case (s, c) =>
-      if (s.length < 2) Iterator.empty
-      else s.iterator.zip(s.iterator.drop(1)).map(p => (p, c))
+    // alphabet) OOM the driver mid-collect. The default bound (50M
+    // pairs ≈ a few GB of boxed tuples) is far above any
+    // natural-language corpus (whose distinct-pair count tracks
+    // alphabet² then vocab-neighbor growth); a corpus that crosses it
+    // FALLS BACK to the fully distributed sequential form instead of
+    // refusing — slower (one recount job per merge) but unbounded.
+    val initialPairs = baseSyms.mapPartitions { it =>
+      val local = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      it.foreach { case (s, c) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          local(p) = local.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      local.iterator
     }.reduceByKey(_ + _, parts).persist(sl)
     val nPairs = initialPairs.count()
-    require(nPairs <= 50000000L,
-      s"bpe: $nPairs distinct adjacent pairs exceeds the driver-resident " +
-        "pair-table bound (50M) — this corpus needs the distributed " +
-        "trainSequential form or a pre-normalization pass")
+    if (nPairs > driverPairBound) {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"bpe: $nPairs distinct adjacent pairs exceeds the " +
+        s"driver-resident pair-table bound ($driverPairBound) — falling " +
+        "back to the distributed sequential trainer (one pair-recount " +
+        "job per merge; raise driverPairBound if the driver has room)")
+      initialPairs.unpersist(blocking = false)
+      baseSyms.unpersist(blocking = false)
+      val out = trainSequential(words, numMerges)
+      base.unpersist()
+      return out
+    }
     initialPairs.collect().foreach { case (p, c) =>
       pairCounts(p) = c
       heap.enqueue((c, p._1, p._2))
@@ -232,10 +460,23 @@ object Bpe {
     }
     initialPairs.unpersist(blocking = false)
     base.unpersist()
+    // pass -1: build the blocks into the executor store (one job; the
+    // store tags them as produced by pass -1 so pass 0 steps them)
+    baseSyms.mapPartitionsWithIndex { (pid, it) =>
+      TrainStore.blocks.put((trainId, pid),
+        (-1, buildBlock(it), Array.empty))
+      Iterator.single(0)
+    }.count()
 
     val merges = Seq.newBuilder[Merge]
+    // committed (left, right) pairs in rank order — the rebuild path's
+    // deterministic replay input
+    val committedPairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rank = 1
     var pendingUnmerge: Seq[Merge] = Nil
+    // their batch POSITIONS in the pass that speculated them — the
+    // key space of the blocks' `applied` maps
+    var pendingUnmergePos: Set[Int] = Set.empty
     var pass = 0
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
@@ -275,62 +516,61 @@ object Bpe {
         // ---- one distributed pass: un-merge rejects, apply batch, tag deltas ----
         val unmergeMap: Map[String, (String, String)] =
           pendingUnmerge.map(m => m.merged -> ((m.left, m.right))).toMap
+        // batch positions rejected last pass, in LAST pass's indexing —
+        // the block's `applied` slots are keyed by them
+        val unmergeIdx: Set[Int] = pendingUnmergePos
         val batchSeq: Seq[(String, String)] = batch.toSeq.map(m => (m.left, m.right))
-        val staged = cur.mapPartitions { it =>
-          val delta = scala.collection.mutable.HashMap.empty[(Int, String, String), Long]
-          def pairsInto(s: Array[String], idx: Int, sign: Long, c: Long): Unit = {
-            var i = 0
-            while (i < s.length - 1) {
-              val k = (idx, s(i), s(i + 1))
-              val n = delta.getOrElse(k, 0L) + sign * c
-              if (n == 0L) delta.remove(k) else delta(k) = n
-              i += 1
-            }
-          }
-          def containsAdj(s: Array[String], l: String, r: String): Boolean = {
-            var i = 0
-            while (i < s.length - 1) {
-              if (s(i) == l && s(i + 1) == r) return true
-              i += 1
-            }
-            false
-          }
-          val mapped = it.map { case (s0, c) =>
-            // un-merge the previous pass's rejected speculation (fused
-            // strings are fresh ⇒ every occurrence came from that fuse;
-            // the driver table was never advanced past the accepted
-            // prefix, so no deltas are owed for this restore)
-            var s = s0
-            if (unmergeMap.nonEmpty && s.exists(unmergeMap.contains))
-              s = s.flatMap(sym => unmergeMap.get(sym) match {
-                case Some((l, r)) => Array(l, r)
-                case None => Array(sym)
-              })
-            // apply the batch in rank order, attributing each merge's
-            // exact pair delta to its batch position
-            var idx = 0
-            batchSeq.foreach { case (l, r) =>
-              if (containsAdj(s, l, r)) {
-                pairsInto(s, idx, -1L, c)
-                s = mergePairArr(s, l, r)
-                pairsInto(s, idx, +1L, c)
+        val passNo = pass
+        val tid = trainId
+        val passT0 = System.nanoTime()
+        // one flat job over the stable base RDD; the block comes from
+        // (and returns to) the executor store. See TrainStore for the
+        // idempotent-retry / rebuild protocol the branches implement.
+        def runPass(rebuildInfo: Option[Seq[(String, String)]])
+            : Array[Array[((Int, String, String), Long)]] =
+          baseSyms.mapPartitionsWithIndex { (pid, it) =>
+            val key = (tid, pid)
+            val prev = TrainStore.blocks.get(key)
+            val out =
+              if (prev != null && prev._1 == passNo) prev._3 // retried task
+              else if (prev != null && prev._1 == passNo - 1) {
+                val (nb, d) = stepBlock(prev._2, batchSeq, unmergeMap, unmergeIdx)
+                TrainStore.blocks.put(key, (passNo, nb, d))
+                d
+              } else rebuildInfo match {
+                case Some(committed) =>
+                  // deterministic rebuild: base symbols + the committed
+                  // merge prefix ≡ the current block state (rejected
+                  // speculations were never committed, so the rebuilt
+                  // block is exactly the un-merged state — unmergeIdx
+                  // must not run against its empty `applied`)
+                  var b = buildBlock(it)
+                  committed.foreach { case (l, r) =>
+                    b = stepBlock(b, Seq((l, r)), Map.empty, Set.empty)._1
+                  }
+                  val (nb, d) = stepBlock(b, batchSeq, unmergeMap, Set.empty)
+                  TrainStore.blocks.put(key, (passNo, nb, d))
+                  d
+                case None =>
+                  // missing/stale block (executor restart): ask the
+                  // driver to re-run this pass with rebuild info
+                  Array[((Int, String, String), Long)](
+                    ((-2, pid.toString, ""), 0L))
               }
-              idx += 1
-            }
-            (s, c, null: Array[((Int, String, String), Long)])
-          }
-          mapped ++ Iterator.single(0).map(_ =>
-            (null: Array[String], 0L, delta.toArray))
-        }.persist(sl)
-        if (pass % 8 == 7) staged.localCheckpoint()
-        val deltas = staged
-          .flatMap(t => if (t._3 != null) t._3.iterator else Iterator.empty)
-          .reduceByKey(_ + _, math.min(parts, 8))
-          .collect()
-        curStore.unpersist(blocking = false)
-        curStore = staged
-        cur = staged.flatMap(t =>
-          if (t._1 != null) Iterator.single((t._1, t._2)) else Iterator.empty)
+            Iterator.single(out)
+          }.collect()
+        var partDeltas = runPass(None)
+        if (partDeltas.exists(_.exists(_._1._1 == -2)))
+          partDeltas = runPass(Some(committedPairs.toSeq))
+        // merge per-partition delta maps on the driver (they are
+        // fuse-site-sized; the driver already holds the full pair
+        // table, so this is strictly smaller than the init collect)
+        val agg = scala.collection.mutable.HashMap.empty[(Int, String, String), Long]
+        partDeltas.foreach(_.foreach { case (k, v) =>
+          if (k._1 >= -1) agg(k) = agg.getOrElse(k, 0L) + v
+        })
+        val deltas = agg.toArray
+        val passSecs = (System.nanoTime() - passT0) / 1e9
         val byIdx: Map[Int, Array[((Int, String, String), Long)]] =
           deltas.groupBy(_._1._1)
         // ---- replay: commit exactly the prefix sequential greedy picks ----
@@ -342,6 +582,7 @@ object Bpe {
           if (am.map(_._1).contains((m.left, m.right))) {
             val cnt = am.get._2
             merges += Merge(rank, m.left, m.right, cnt)
+            committedPairs += ((m.left, m.right))
             knownSymbols += m.merged
             rank += 1
             byIdx.getOrElse(j, Array.empty).foreach { case ((_, l, r), d) =>
@@ -352,12 +593,23 @@ object Bpe {
         }
         require(j > 0, "bpe: replay rejected the exact-table argmax — " +
           "delta accounting bug")
+        if (passHook != null)
+          passHook(pass, j,
+            deltas.collectFirst { case ((-1, "", ""), n) => n }
+              .getOrElse(0L), passSecs)
         pendingUnmerge = batch.drop(j).toSeq
+        pendingUnmergePos = (j until batch.size).toSet
         if (pairCounts.isEmpty) exhausted = true
         pass += 1
       }
     }
-    curStore.unpersist(blocking = false)
+    // release the executor store (best-effort per-executor job for a
+    // cluster; the driver-side clear covers local mode) and the base
+    // cache
+    baseSyms.foreachPartition((_: Iterator[(Array[String], Long)]) =>
+      TrainStore.clear(trainId))
+    TrainStore.clear(trainId)
+    baseSyms.unpersist(blocking = false)
     merges.result()
   }
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * jobs ≈ merges + 2).
   *
   * Usage: runMain graft.tools.BpeProbe <sfDir> <numMerges> <fast|seq|diff>
-  *          [maxBatch] [unigram|bigram]
+  *          [maxBatch] [unigram|bigram|trigram]
   * (`diff` trains BOTH and requires merge-for-merge equality — the
   * scale differential over the real corpus.)
   *
@@ -46,20 +46,27 @@ object BpeProbe {
       })
 
     val docs = graft.Tables.documentsSpread(spark, sfDir)
-    val wc =
-      if (corpus == "bigram") {
-        val ws = docs.select(split(col("text"), " ").as("ws"))
-        // size < 2 guard: sequence(1, 0) generates a descending range
-        // and element_at(ws, 0) throws on a one-word document
-        val prs = when(size(col("ws")) >= 2,
-          transform(sequence(lit(1), size(col("ws")) - 1), i =>
-            concat(element_at(col("ws"), i), lit("_"),
-              element_at(col("ws"), i + 1))))
-          .otherwise(array().cast("array<string>"))
-        ws.select(explode(prs).as("w"))
-          .where(length(col("w")) > 1)
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-      } else graft.text.Bpe.wordCounts(docs, col("text"))
+    // n-gram corpora scale the DISTINCT-WORD count (replica-scaled
+    // corpora add rows but no distinct words): unigram ~5k, bigram
+    // ~48k, trigram ~200k+ — the axis the inverted-index trainer's
+    // "pass cost sublinear in vocabulary" claim is measured against
+    def ngrams(n: Int) = {
+      val ws = docs.select(split(col("text"), " ").as("ws"))
+      // size guard: sequence(1, 0) generates a descending range and
+      // element_at(ws, 0) throws on a too-short document
+      val prs = when(size(col("ws")) >= n,
+        transform(sequence(lit(1), size(col("ws")) - (n - 1)), i =>
+          concat_ws("_", (0 until n).map(k => element_at(col("ws"), i + k)): _*)))
+        .otherwise(array().cast("array<string>"))
+      ws.select(explode(prs).as("w"))
+        .where(length(col("w")) > 1)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+    }
+    val wc = corpus match {
+      case "bigram" => ngrams(2)
+      case "trigram" => ngrams(3)
+      case _ => graft.text.Bpe.wordCounts(docs, col("text"))
+    }
     wc.count() // warm the corpus scan out of the measurement
     if (mode == "diff") {
       // scale differential: the incremental trainer must reproduce the
@@ -80,6 +87,14 @@ object BpeProbe {
     val t0 = System.nanoTime()
     val merges = mode match {
       case "seq" => graft.text.Bpe.trainSequential(wc, n)
+      case "passes" =>
+        // per-pass fuse-site instrumentation: the evidence that pass
+        // cost tracks TOUCHED words (fuse sites), not the size of the
+        // distinct-word table
+        graft.text.Bpe.train(wc, n, maxBatch = maxBatch,
+          passHook = (pass, committed, touched, secs) =>
+            println(f"[bpepass] pass=$pass%4d committed=$committed%3d " +
+              f"touched=$touched%8d secs=$secs%7.3f"))
       case _ => graft.text.Bpe.train(wc, n, maxBatch = maxBatch)
     }
     val dt = (System.nanoTime() - t0) / 1e9

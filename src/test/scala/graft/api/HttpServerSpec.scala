@@ -165,6 +165,106 @@ class HttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("a stalled streaming reader is disconnected at the idle-progress " +
+    "deadline and its JobGate slot freed") {
+    val srv = new HttpServer(spark, tiles, Map(
+      "/big" -> ((_: Handlers.QueryParams, _: DataFrame) =>
+        spark.range(0, 400000, 1, 8).toDF("id"))),
+      maxConcurrentJobs = 1, streamWriteTimeoutMs = 400).start()
+    def g(pq: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.boundPort}$pq")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    val sock = new java.net.Socket()
+    try {
+      // small client window so the server's writes backpressure fast
+      sock.setReceiveBufferSize(8192)
+      sock.connect(new java.net.InetSocketAddress("127.0.0.1", srv.boundPort))
+      sock.getOutputStream.write(
+        "GET /big?ds=x&limit=0 HTTP/1.1\r\nHost: t\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      sock.getOutputStream.flush()
+      val in = sock.getInputStream
+      assert(in.read(new Array[Byte](1024)) > 0) // response started…
+      // …then STALL: stop draining entirely. The ~4 MB body overflows
+      // every buffer, the server's write blocks, progress stops.
+      // While the reader stalls inside the deadline, the single gate
+      // slot is held: a second gated request sheds with 503
+      assert(g("/big?ds=x&limit=5").statusCode() === 503)
+      // within ~2× the deadline the watchdog disconnects the stalled
+      // exchange and the slot frees: the same request now EXECUTES
+      // (413 = ran the size gate, i.e. got a slot — not 503)
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      var status = 503
+      while (status == 503 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        status = g("/big?ds=x&limit=5").statusCode()
+      }
+      assert(status === 413,
+        s"slot not freed after stalled-reader deadline (last status $status)")
+    } finally {
+      try sock.close() catch { case _: java.io.IOException => () }
+      srv.stop()
+    }
+  }
+
+  test("soak: slow-but-progressing streams and fast queries interleave — " +
+    "fast queries keep executing and every stream completes intact") {
+    val nRows = 200000
+    val srv = new HttpServer(spark, tiles,
+      Handlers.registry + ("/big" -> ((_: Handlers.QueryParams, _: DataFrame) =>
+        spark.range(0, nRows.toLong, 1, 8).toDF("id"))),
+      maxConcurrentJobs = 4, streamWriteTimeoutMs = 10000).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    def g(pq: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base$pq")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    val rt = Runtime.getRuntime
+    def usedMb: Long = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    val before = { System.gc(); usedMb }
+    // two TRICKLE readers: drain slowly (progressing — the deadline
+    // must NOT fire) while counting the full body
+    val streamResults = (1 to 2).map { _ =>
+      val t = new java.util.concurrent.CompletableFuture[Long]()
+      new Thread(() => {
+        try {
+          val conn = new java.net.URL(s"$base/big?ds=x&limit=0")
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          val in = conn.getInputStream
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          var n = in.read(buf)
+          while (n >= 0) {
+            total += n
+            Thread.sleep(5) // trickle, ~1.6 MB/s
+            n = in.read(buf)
+          }
+          t.complete(total)
+        } catch { case e: Throwable => t.completeExceptionally(e) }
+      }).start()
+      t
+    }
+    // fast gated queries interleave while the streams are still open
+    Thread.sleep(300) // let the streams start and take their slots
+    val fast = (1 to 6).map(_ => g("/timeSeriesSpark?ds=sst"))
+    assert(fast.forall(_.statusCode() == 200),
+      s"fast queries failed during streaming: ${fast.map(_.statusCode())}")
+    assert(streamResults.exists(!_.isDone),
+      "streams finished before the fast queries — soak did not overlap")
+    // every stream completes INTACT (no truncation: progress kept the
+    // watchdog quiet) …
+    val sizes = streamResults.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    // body = "[" + rows joined by "," + "]"; each row ≈ {"id":N}
+    val minBytes = nRows.toLong * 8
+    assert(sizes.forall(_ >= minBytes), s"truncated stream bodies: $sizes")
+    // …with driver memory bounded: streaming 2 full results must not
+    // have materialized them (generous bound — suites run in parallel)
+    val after = { System.gc(); usedMb }
+    assert(after - before < 1500, s"driver heap grew ${after - before} MB " +
+      "during streaming — results may be materializing")
+    srv.stop()
+  }
+
   test("DOMS execute-store-retrieve loop over HTTP") {
     // matchup with a pinned execution id; rt 5 km, tt 1 hour
     val exec = get("/domsmatchup?ds=sst&b=0,0,4,4&rt=5000&tt=3600&matchOnce=true" +

@@ -25,6 +25,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(arr.forall(c => c.count(_ > 5.0) == 1))
   }
 
+  test("trainConverged reaches a genuine fixpoint of the production " +
+    "assign→updateStep pair (twin-drift guard)") {
+    val (cents, iters, move) = IvfIndex.trainConverged(
+      corpus, col("vec_id"), col("embedding"),
+      nlist = 3, maxIters = 50, tol = 1e-9)
+    assert(iters < 50, s"did not converge in 50 iterations (move=$move)")
+    assert(move <= 1e-9)
+    // one more step through the PRODUCTION functions must reproduce
+    // every centroid — this is what e_ivf_fixpoint gates; it also
+    // pins the RDD iteration twin to assign/updateStep semantics
+    val base = corpus.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("v"))
+    val next = IvfIndex.updateStep(IvfIndex.assign(base, cents), cents)
+    val moved = cents.select(col("list_id"), col("centroid").as("c0"))
+      .join(next.select(col("list_id"), col("centroid").as("c1")), "list_id")
+      .select(sqrt(aggregate(zip_with(col("c0"), col("c1"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)).as("mv"))
+      .agg(max(col("mv"))).head.getDouble(0)
+    assert(moved <= 1e-9, s"production step moved a converged centroid by $moved")
+    // and the converged centroids still sit on the cluster prototypes
+    val arr = cents.collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")))
+    assert(arr.forall(c => c.count(_ > 5.0) == 1))
+  }
+
   test("assignment is a map-only plan: no Window, no corpus Exchange") {
     // the VERDICT-r2 scale fix: argmin-centroid must NOT be a per-key
     // window over the corpus×centroid relation — it is a row-local

@@ -244,6 +244,24 @@ class BpeSpec extends SparkSpec {
     assert(got === refTrain(refFreq, 12))
   }
 
+  test("train survives losing the executor-resident blocks mid-run " +
+    "(rebuild protocol) and still equals sequential greedy") {
+    val wc = Bpe.wordCounts(corpusDf, col("text"))
+    val expected = Bpe.trainSequential(wc, 12)
+    // simulate an executor restart: after passes 1 and 3, wipe EVERY
+    // block from the store — the next pass must detect the missing
+    // partitions, request a rebuild, and reconstruct deterministically
+    // from the base symbols + the committed merge prefix
+    val got = Bpe.train(wc, 12, maxBatch = 3,
+      passHook = (pass, _, _, _) =>
+        if (pass == 1 || pass == 3) Bpe.TrainStore.blocks.clear())
+    assert(got === expected)
+    // NOTE: no global-emptiness assert — suites run in parallel and
+    // another suite's training may legitimately hold store entries;
+    // per-train cleanup is covered by the clear-by-trainId calls in
+    // train() (and a wiped concurrent train just rebuilds, by design)
+  }
+
   // ---- code-point segmentation (supplementary-plane text) -------------
 
   test("supplementary-plane text segments by code point on every path") {
