@@ -244,6 +244,17 @@ class BpeSpec extends SparkSpec {
     assert(got === refTrain(refFreq, 12))
   }
 
+  test("a corpus whose pair table exceeds the driver bound falls back " +
+    "to the distributed sequential trainer and still trains to completion") {
+    val wc = Bpe.wordCounts(corpusDf, col("text"))
+    // this corpus has far more than 3 distinct adjacent pairs, so a
+    // bound of 3 trips the fallback — which must produce the exact
+    // greedy sequence (it IS trainSequential), not refuse
+    val got = Bpe.train(wc, 10, driverPairBound = 3)
+    assert(got === Bpe.trainSequential(wc, 10))
+    assert(got.length === 10)
+  }
+
   test("train survives losing the executor-resident blocks mid-run " +
     "(rebuild protocol) and still equals sequential greedy") {
     val wc = Bpe.wordCounts(corpusDf, col("text"))
