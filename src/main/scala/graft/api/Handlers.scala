@@ -629,17 +629,18 @@ object Handlers {
           s"$resultsPath/execution_id=$execId")
         val fs = execDir.getFileSystem(
           tiles.sparkSession.sparkContext.hadoopConfiguration)
+        // fast-path reject before any claim bookkeeping
+        if (fs.exists(execDir))
+          sys.error(s"executionId '$execId' already exists; executions " +
+            "are immutable — fetch it via /domsresults or omit executionId")
         // ATOMIC claim, not check-then-write: two concurrent requests
         // with the same id would both pass an exists() check (the
         // matchup takes seconds) and both append, doubling every pair.
         // create(overwrite=false) is the filesystem's atomic
-        // first-writer-wins primitive.
-        if (fs.exists(execDir))
-          sys.error(s"executionId '$execId' already exists; executions " +
-            "are immutable — fetch it via /domsresults or omit executionId")
-        // claims live under the hidden _claims/ dir (underscore-
-        // prefixed — invisible to Spark's partition discovery; a bare
-        // file beside the partition dirs would break whole-store reads)
+        // first-writer-wins primitive. Claims live under the hidden
+        // _claims/ dir (underscore-prefixed — invisible to Spark's
+        // partition discovery; a bare file beside the partition dirs
+        // would break whole-store reads).
         val claim = new org.apache.hadoop.fs.Path(
           s"$resultsPath/_claims/$execId")
         fs.mkdirs(claim.getParent)
@@ -649,33 +650,51 @@ object Handlers {
             sys.error(s"executionId '$execId' already exists; executions " +
               "are immutable — fetch it via /domsresults or omit executionId")
         }
-        val n = try {
+        // RE-CHECK under the claim: claims are dropped after success
+        // (bounded _claims/), so the exists() above can be stale — a
+        // request that passed it before a same-id predecessor
+        // committed, then won the claim AFTER the predecessor dropped
+        // it, would append every pair a second time. Holding the claim
+        // while checking closes that window: the predecessor's dir is
+        // committed before its claim is released, so whoever owns the
+        // claim sees the truth.
+        if (fs.exists(execDir)) {
+          try fs.delete(claim, false)
+          catch { case _: java.io.IOException => () }
+          sys.error(s"executionId '$execId' already exists; executions " +
+            "are immutable — fetch it via /domsresults or omit executionId")
+        }
+        try {
           val pairs = matchSpark(p, tiles, insitu, p.rtMeters, p.ttSeconds,
             p.matchOnce)
           graft.sources.ResultsStore.write(pairs, resultsPath, execId)
-          graft.sources.ResultsStore.read(tiles.sparkSession,
-            resultsPath, execId).count()
         } catch {
           case e: Throwable =>
-            // RECLAIM on failure: we hold the claim (sole writer for
-            // this id), so any partially-materialized execDir is ours
-            // to remove — a failed parquet job can leave the dir
-            // existing with no committed data, and without this
-            // cleanup a client retrying its own id would get 'already
-            // exists' forever while /domsresults has nothing (the id
-            // permanently burned). Cleanup failure must not mask the
-            // real error.
+            // RECLAIM on failure BEFORE the write committed: we hold
+            // the claim (sole writer for this id), so any partially-
+            // materialized execDir is ours to remove — a failed
+            // parquet job can leave the dir existing with no committed
+            // data, and without this cleanup a client retrying its own
+            // id would get 'already exists' forever while /domsresults
+            // has nothing (the id permanently burned). Cleanup failure
+            // must not mask the real error.
             try { fs.delete(execDir, true); fs.delete(claim, false) }
             catch { case _: java.io.IOException => () }
             throw e
         }
-        // success: the execution's partition dir now guards
-        // immutability by itself (the exists() gate above), so the
-        // claim is DROPPED — _claims/ holds only in-flight requests,
-        // never unbounded history. (A claim orphaned by driver death
-        // mid-matchup needs manual removal; an exception path never
-        // leaves one.)
-        fs.delete(claim, false)
+        // COMMITTED past this point: the execution dir now guards
+        // immutability by itself and must never be deleted — even if
+        // the read-back count below fails transiently, the data is
+        // durable and a /domsresults retry serves it. Only the claim
+        // is dropped (bounded _claims/ — it holds in-flight requests,
+        // never history; a claim orphaned by driver death mid-matchup
+        // needs manual removal, an exception path never leaves one).
+        val n = try graft.sources.ResultsStore.read(tiles.sparkSession,
+            resultsPath, execId).count()
+          finally {
+            try fs.delete(claim, false)
+            catch { case _: java.io.IOException => () }
+          }
         val s = tiles.sparkSession
         import s.implicits._
         Seq((execId, n)).toDF("execution_id", "n_pairs")

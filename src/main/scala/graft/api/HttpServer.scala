@@ -131,14 +131,31 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
         HttpServer.forceDisconnect(ex)
       },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    // COMPUTE counts as progress too: toLocalIterator's hasNext/next
+    // schedule a Spark job per partition, and a straggling partition
+    // (retry, GC, skew) would otherwise read as a stalled CLIENT and
+    // get disconnected mid-body. Bumping around the iterator pulls
+    // means only a socket-blocked write can let the deadline lapse.
+    val tracked = new Iterator[String] {
+      def hasNext: Boolean = {
+        val h = rows.hasNext
+        progress.set(System.nanoTime())
+        h
+      }
+      def next(): String = {
+        val n = rows.next()
+        progress.set(System.nanoTime())
+        n
+      }
+    }
     try {
       try {
         os.write(prefix.getBytes(UTF_8))
         var first = true
-        while (rows.hasNext) {
+        while (tracked.hasNext) {
           if (!first) os.write(sep.getBytes(UTF_8))
           first = false
-          os.write(rows.next().getBytes(UTF_8))
+          os.write(tracked.next().getBytes(UTF_8))
           progress.set(System.nanoTime())
         }
         os.write(suffix.getBytes(UTF_8))

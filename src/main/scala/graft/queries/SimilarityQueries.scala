@@ -435,11 +435,11 @@ object SimilarityQueries extends QueryModule {
       val e = emb(s, dir)
       val (cents, iters, _) = IvfIndex.trainConverged(
         e, col("vec_id"), col("embedding"),
-        nlist = 8, maxIters = 60, tol = 1e-9)
+        nlist = 8, maxIters = 100, tol = 0.0)
       val corpus = e.select(col("vec_id").as("vid"),
         col("embedding").cast("array<double>").as("v"))
       val next = IvfIndex.updateStep(IvfIndex.assign(corpus, cents), cents)
-      val converged = iters < 60
+      val converged = iters < 100
       cents.select(col("list_id"), col("centroid").as("c0"))
         .join(next.select(col("list_id"), col("centroid").as("c1")), "list_id")
         .select(col("list_id").cast("long").as("list_id"),

@@ -116,7 +116,16 @@ object IvfIndex {
         .sortBy(_._1).map(_._2)
     val k = cents.length // may be < nlist on a tiny corpus
     var iters = 0
-    var move = Double.MaxValue
+    // an empty corpus yields zero centroids: nothing to iterate (and
+    // the movement max below would throw on the empty set)
+    var move = if (k == 0) 0.0 else Double.MaxValue
+    // tol = 0.0 demands an EXACT fixpoint, and is reachable: the RDD
+    // core's per-partition summation order is fixed by the cached
+    // partitioning, so once the (deterministically tie-broken)
+    // assignment stops changing, the next means are bit-identical and
+    // move == 0.0 exactly. A merely sub-tol move with tol > 0 is NOT
+    // an assignment fixpoint — a near-equidistant vector can still
+    // flip on the next step — so fixpoint callers (the gate) pass 0.0.
     while (iters < maxIters && move > tol) {
       val cbc = cents
       val partials = vecs.mapPartitions { it =>

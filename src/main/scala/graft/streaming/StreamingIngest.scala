@@ -153,6 +153,12 @@ object StreamingIngest {
             .withColumn("dataset", lit(dataset))
             .withColumn("time_bucket",
               graft.ingest.Ingest.timeBucket(col("time")))
+          // the replay identity must SURVIVE the processor chain: a
+          // transform that projects point_index away would silently
+          // turn every replay into a duplicating append
+          require(pts.columns.contains("point_index"),
+            "granulePipeline(swath): pointTransform must preserve the " +
+              "point_index column — it is the replay row identity")
           // ROW-level identity (granule, point_index) — the flat decode
           // position, unique per row — not (granule, time_bucket): a
           // crash inside the parquet job commit can leave a PARTIAL
@@ -168,7 +174,11 @@ object StreamingIngest {
           // (granule, point_index) rows and the anti-join fills
           // precisely the gap.
           appendDeduped(pts, outPath, dataset,
-            keyCols = Seq("granule", "point_index"))
+            keyCols = Seq("granule", "point_index"),
+            // stores written before point_index existed dedup on the
+            // coordinate key they carry (the pre-upgrade behavior —
+            // no worse than before; compaction migrates them)
+            legacyKeyCols = Seq("granule", "time", "latitude", "longitude"))
         } else {
           val pts = pointTransform(
             if (metaVars.isEmpty)
@@ -199,7 +209,8 @@ object StreamingIngest {
     * existed with no data files yet (unschemable).
     */
   private def appendDeduped(rows: DataFrame, outPath: String,
-                            dataset: String, keyCols: Seq[String]): Unit = {
+                            dataset: String, keyCols: Seq[String],
+                            legacyKeyCols: Seq[String] = Nil): Unit = {
     val s = rows.sparkSession
     val cached = rows.persist()
     try {
@@ -215,11 +226,36 @@ object StreamingIngest {
           .exists(_.getPath.getName.endsWith(".parquet")))
       val fresh =
         if (partDirs.isEmpty) cached
-        else cached.join(
-          s.read.option("basePath", outPath)
+        else {
+          val store = s.read.option("basePath", outPath)
             .parquet(partDirs.map(_.toString).toIndexedSeq: _*)
-            .select(keyCols.map(col): _*).distinct(),
-          keyCols, "left_anti")
+          // a store written before the current key columns existed
+          // (schema evolution — e.g. pre-point_index swath stores)
+          // dedups on its legacy key: the pre-upgrade behavior, loudly,
+          // rather than an AnalysisException that wedges the pipeline
+          // or a null-keyed anti-join that silently duplicates.
+          // (A MIXED store — some files carrying the new column, some
+          // not — resolves to the new key; its old files' null keys
+          // can re-append on a checkpoint-loss replay of old granules.
+          // Compaction migrates either shape.)
+          val useKeys =
+            if (keyCols.forall(store.columns.contains)) keyCols
+            else {
+              require(legacyKeyCols.nonEmpty &&
+                legacyKeyCols.forall(store.columns.contains),
+                s"store at $outPath lacks replay key columns " +
+                  s"${keyCols.mkString(",")} and no legacy key applies — " +
+                  "compact the store to the current schema")
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"store at $outPath predates ${keyCols.mkString(",")}; " +
+                  s"replay dedup falls back to ${legacyKeyCols.mkString(",")} " +
+                  "for this batch — compact the store to upgrade")
+              legacyKeyCols
+            }
+          cached.join(
+            store.select(useKeys.map(col): _*).distinct(),
+            useKeys, "left_anti")
+        }
       fresh.write.mode("append")
         .partitionBy("dataset", "time_bucket")
         .parquet(outPath)

@@ -376,6 +376,11 @@ object Bpe {
       .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
       .repartition(parts)
       .persist(sl)
+    // the whole training loop runs under one finally (below): the
+    // executor-resident blocks and the base cache are released on
+    // EVERY exit — normal, fallback, or any exception (a require trip
+    // or failed job must not leak the word table in the static store)
+    try {
 
     // ---- driver pair state: exact counts + lazy-deletion max-heap ----
     type Pair = (String, String)
@@ -603,14 +608,18 @@ object Bpe {
         pass += 1
       }
     }
-    // release the executor store (best-effort per-executor job for a
-    // cluster; the driver-side clear covers local mode) and the base
-    // cache
-    baseSyms.foreachPartition((_: Iterator[(Array[String], Long)]) =>
-      TrainStore.clear(trainId))
-    TrainStore.clear(trainId)
-    baseSyms.unpersist(blocking = false)
     merges.result()
+    } finally {
+      // release the executor store (best-effort per-executor job for a
+      // cluster — guarded, a broken context must not mask the real
+      // error; the driver-side clear covers local mode) and the base
+      // cache
+      try baseSyms.foreachPartition(
+        (_: Iterator[(Array[String], Long)]) => TrainStore.clear(trainId))
+      catch { case _: Throwable => () }
+      TrainStore.clear(trainId)
+      baseSyms.unpersist(blocking = false)
+    }
   }
 
   /** The one-merge-per-job reference form of [[train]]: full adjacent

@@ -382,6 +382,46 @@ class GranuleIngestSpec extends SparkSpec {
     assert(healed.agg(sum(col("value"))).head.getDouble(0) === 18.0)
   }
 
+  test("granulePipeline(swath=true) replays against a PRE-point_index " +
+    "store via the legacy coordinate key instead of wedging") {
+    import graft.streaming.StreamingIngest
+    val granule = NetcdfClassic.write(NcFile(
+      dims = Seq(NcDim("y", 1), NcDim("x", 3)),
+      attrs = Nil,
+      vars = Seq(
+        NcVar("time", Seq("y"), NC_INT, Nil, Array(100.0)),
+        NcVar("lat", Seq("y", "x"), NC_FLOAT, Nil, Array(1.0, 1.5, 2.0)),
+        NcVar("lon", Seq("y", "x"), NC_FLOAT, Nil, Array(30.0, 30.5, 31.0)),
+        NcVar("wind", Seq("y", "x"), NC_FLOAT, Nil, Array(5.0, 6.0, 7.0)))))
+    val watch = java.nio.file.Files.createTempDirectory("graft_swleg").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_swlegstore")
+      .toFile.getAbsolutePath + "/points"
+    def run(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_swlegck")
+        .toFile.getAbsolutePath
+      val q = StreamingIngest.granulePipeline(spark, watch.getAbsolutePath,
+        out, ckpt, "wind", "wind_swath", 30.0, 30.0, swath = true).start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(
+      new java.io.File(watch, "leg.nc").toPath, granule)
+    run()
+    // simulate a store written by the previous version: rewrite it
+    // WITHOUT the point_index column
+    val old = spark.read.parquet(out).drop("point_index")
+    val tmp = out + "_old"
+    old.write.partitionBy("dataset", "time_bucket").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmp), new java.io.File(out))
+    run() // fresh checkpoint replays the granule against the legacy store
+    val healed = spark.read.parquet(out)
+    // legacy-key dedup: nothing duplicated, nothing lost, no exception
+    assert(healed.count() === 3)
+    assert(healed.select("granule", "time", "latitude", "longitude")
+      .distinct().count() === 3)
+  }
+
   test("swath granules decode per-pixel geolocation and per-scan time") {
     val nc = NcFile(
       dims = Seq(NcDim("y", 2), NcDim("x", 3)),

@@ -29,9 +29,14 @@ class IvfIndexSpec extends SparkSpec {
     "assign→updateStep pair (twin-drift guard)") {
     val (cents, iters, move) = IvfIndex.trainConverged(
       corpus, col("vec_id"), col("embedding"),
-      nlist = 3, maxIters = 50, tol = 1e-9)
+      nlist = 3, maxIters = 50, tol = 0.0)
     assert(iters < 50, s"did not converge in 50 iterations (move=$move)")
-    assert(move <= 1e-9)
+    assert(move === 0.0)
+    // an empty corpus must return an empty centroid frame, not crash
+    val empty = corpus.where(col("vec_id") < 0)
+    val (c0, i0, m0) = IvfIndex.trainConverged(empty, col("vec_id"),
+      col("embedding"), nlist = 3, maxIters = 5, tol = 0.0)
+    assert(c0.count() === 0 && i0 === 0 && m0 === 0.0)
     // one more step through the PRODUCTION functions must reproduce
     // every centroid — this is what e_ivf_fixpoint gates; it also
     // pins the RDD iteration twin to assign/updateStep semantics
