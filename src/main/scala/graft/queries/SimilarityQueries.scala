@@ -476,8 +476,9 @@ object SimilarityQueries extends QueryModule {
     * the oracle tracks the production form at any SF.
     */
   private def autoSigCte: String =
-    """np AS (SELECT least(greatest(CAST(ceil(log2(count(*) / 256.0)) AS INT), 1), 30) p
-      |       FROM embeddings),
+    """n AS (SELECT count(*) c FROM embeddings),
+      |np AS (SELECT coalesce(min(t.p), 30) p FROM range(1, 31) t(p), n
+      |       WHERE power(2, t.p) * 256 >= n.c),
       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       |bits AS (SELECT e.vec_id, t.p,
       |  CASE WHEN list_sum(list_transform(range(1,65),

@@ -119,9 +119,12 @@ object Similarity {
     */
   def autoPlanes(corpusSize: Long, targetBucket: Int = 256): Int = {
     require(corpusSize > 0 && targetBucket > 0)
-    val planes = math.ceil(
-      math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt
-    math.min(math.max(planes, 1), 30)
+    // EXACT integer form of ⌈log₂(n / target)⌉ — smallest p with
+    // 2^p · target ≥ n. The floating log quotient it replaces can land
+    // an ulp above an integer at exact powers of two and ceil one
+    // plane too high on ONE engine only, silently desyncing the
+    // count-derived oracle (`e_near_dup_auto`) from production.
+    (1 to 30).find(p => (1L << p) * targetBucket >= corpusSize).getOrElse(30)
   }
 
   /** Sign-of-dot-product bucket signature over `nPlanes` hyperplanes,

@@ -123,5 +123,13 @@ class SimilaritySpec extends SparkSpec {
     // degenerate inputs clamp instead of exploding
     assert(Similarity.autoPlanes(1L) === 1)
     assert(Similarity.autoPlanes(Long.MaxValue) === 30)
+    // EXACT powers of two: the integer form gives ⌈log₂(n/256)⌉ with
+    // no float-ulp drift — the boundary where the count-derived oracle
+    // (e_near_dup_auto) could otherwise disagree with production
+    assert(Similarity.autoPlanes(256L) === 1)   // log₂(1) = 0, clamps to 1
+    assert(Similarity.autoPlanes(512L) === 1)
+    assert(Similarity.autoPlanes(513L) === 2)
+    assert(Similarity.autoPlanes(131072L) === 9) // n/256 = 2^9 exactly
+    assert(Similarity.autoPlanes(131073L) === 10)
   }
 }
