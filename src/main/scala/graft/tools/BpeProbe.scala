@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * jobs ≈ merges + 2).
   *
   * Usage: runMain graft.tools.BpeProbe <sfDir> <numMerges> <fast|seq|diff>
-  *          [maxBatch] [unigram|bigram|trigram]
+  *          [maxBatch] [unigram|bigram|trigram|fourgram]
   * (`diff` trains BOTH and requires merge-for-merge equality — the
   * scale differential over the real corpus.)
   *
@@ -65,6 +65,7 @@ object BpeProbe {
     val wc = corpus match {
       case "bigram" => ngrams(2)
       case "trigram" => ngrams(3)
+      case "fourgram" => ngrams(4)
       case _ => graft.text.Bpe.wordCounts(docs, col("text"))
     }
     wc.count() // warm the corpus scan out of the measurement
