@@ -629,10 +629,11 @@ object Handlers {
           s"$resultsPath/execution_id=$execId")
         val fs = execDir.getFileSystem(
           tiles.sparkSession.sparkContext.hadoopConfiguration)
-        // fast-path reject before any claim bookkeeping
-        if (fs.exists(execDir))
+        def rejectExisting(): Nothing =
           sys.error(s"executionId '$execId' already exists; executions " +
             "are immutable — fetch it via /domsresults or omit executionId")
+        // fast-path reject before any claim bookkeeping
+        if (fs.exists(execDir)) rejectExisting()
         // ATOMIC claim, not check-then-write: two concurrent requests
         // with the same id would both pass an exists() check (the
         // matchup takes seconds) and both append, doubling every pair.
@@ -645,11 +646,7 @@ object Handlers {
           s"$resultsPath/_claims/$execId")
         fs.mkdirs(claim.getParent)
         try fs.create(claim, false).close()
-        catch {
-          case _: java.io.IOException =>
-            sys.error(s"executionId '$execId' already exists; executions " +
-              "are immutable — fetch it via /domsresults or omit executionId")
-        }
+        catch { case _: java.io.IOException => rejectExisting() }
         // RE-CHECK under the claim: claims are dropped after success
         // (bounded _claims/), so the exists() above can be stale — a
         // request that passed it before a same-id predecessor
@@ -661,8 +658,7 @@ object Handlers {
         if (fs.exists(execDir)) {
           try fs.delete(claim, false)
           catch { case _: java.io.IOException => () }
-          sys.error(s"executionId '$execId' already exists; executions " +
-            "are immutable — fetch it via /domsresults or omit executionId")
+          rejectExisting()
         }
         try {
           val pairs = matchSpark(p, tiles, insitu, p.rtMeters, p.ttSeconds,
@@ -678,7 +674,15 @@ object Handlers {
             // id would get 'already exists' forever while /domsresults
             // has nothing (the id permanently burned). Cleanup failure
             // must not mask the real error.
-            try { fs.delete(execDir, true); fs.delete(claim, false) }
+            // INDEPENDENT catches: a transient failure deleting the
+            // partial dir must not skip freeing the claim, or the id
+            // is burned with nothing behind it (the dir delete's own
+            // failure leaves a partial dir the re-check treats as
+            // committed — a double-failure corner needing manual
+            // cleanup, but the claim is never the thing that wedges)
+            try fs.delete(execDir, true)
+            catch { case _: java.io.IOException => () }
+            try fs.delete(claim, false)
             catch { case _: java.io.IOException => () }
             throw e
         }

@@ -121,31 +121,36 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     // runs, and the slot frees. Buffered writes count as progress —
     // only a genuinely backpressured socket can trip the deadline.
     val progress = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    // while the writer thread is inside the ITERATOR (a toLocalIterator
+    // hasNext/next runs one Spark job per partition), the deadline must
+    // not count: a straggling partition — task retry, skew, GC — is
+    // engine time, not a stalled client, and post-hoc progress bumps
+    // alone can't distinguish a long compute from a blocked write
+    val inCompute = new java.util.concurrent.atomic.AtomicBoolean(false)
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val period = math.max(1L, streamWriteTimeoutMs / 2)
     val watchdog = HttpServer.streamWatchdog.scheduleAtFixedRate(
-      () => if ((System.nanoTime() - progress.get()) / 1000000L
+      () => if (!inCompute.get() &&
+                (System.nanoTime() - progress.get()) / 1000000L
                   > streamWriteTimeoutMs && fired.compareAndSet(false, true)) {
         System.err.println(s"[http] streaming reader made no progress for " +
           s">${streamWriteTimeoutMs} ms; disconnecting")
         HttpServer.forceDisconnect(ex)
       },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    // COMPUTE counts as progress too: toLocalIterator's hasNext/next
-    // schedule a Spark job per partition, and a straggling partition
-    // (retry, GC, skew) would otherwise read as a stalled CLIENT and
-    // get disconnected mid-body. Bumping around the iterator pulls
-    // means only a socket-blocked write can let the deadline lapse.
+    // the deadline is suspended for the DURATION of each iterator
+    // pull (inCompute) and the progress clock restarts when the pull
+    // returns — so only a socket-blocked write can let it lapse
     val tracked = new Iterator[String] {
       def hasNext: Boolean = {
-        val h = rows.hasNext
-        progress.set(System.nanoTime())
-        h
+        inCompute.set(true)
+        try rows.hasNext
+        finally { progress.set(System.nanoTime()); inCompute.set(false) }
       }
       def next(): String = {
-        val n = rows.next()
-        progress.set(System.nanoTime())
-        n
+        inCompute.set(true)
+        try rows.next()
+        finally { progress.set(System.nanoTime()); inCompute.set(false) }
       }
     }
     try {

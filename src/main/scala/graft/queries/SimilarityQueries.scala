@@ -433,13 +433,16 @@ object SimilarityQueries extends QueryModule {
     // assign/update pair flips it loudly.
     "e_ivf_fixpoint" -> { (s, dir) =>
       val e = emb(s, dir)
-      val (cents, iters, _) = IvfIndex.trainConverged(
+      val (cents, _, finalMove) = IvfIndex.trainConverged(
         e, col("vec_id"), col("embedding"),
         nlist = 8, maxIters = 100, tol = 0.0)
       val corpus = e.select(col("vec_id").as("vid"),
         col("embedding").cast("array<double>").as("v"))
       val next = IvfIndex.updateStep(IvfIndex.assign(corpus, cents), cents)
-      val converged = iters < 100
+      // convergence = the loop's own exit condition (final movement
+      // exactly zero), not an iteration-count inference — reaching the
+      // fixpoint ON the last allowed iteration is still converged
+      val converged = finalMove == 0.0
       cents.select(col("list_id"), col("centroid").as("c0"))
         .join(next.select(col("list_id"), col("centroid").as("c1")), "list_id")
         .select(col("list_id").cast("long").as("list_id"),

@@ -227,7 +227,14 @@ object StreamingIngest {
       val fresh =
         if (partDirs.isEmpty) cached
         else {
+          // mergeSchema, deliberately: the default samples ONE file's
+          // footer, so a MIXED store (old files without the key column
+          // beside new files with it) would flip between key choices
+          // per batch depending on which footer was sampled. The merged
+          // schema is deterministic: the new key column is visible iff
+          // ANY file carries it.
           val store = s.read.option("basePath", outPath)
+            .option("mergeSchema", "true")
             .parquet(partDirs.map(_.toString).toIndexedSeq: _*)
           // a store written before the current key columns existed
           // (schema evolution — e.g. pre-point_index swath stores)
@@ -235,9 +242,9 @@ object StreamingIngest {
           // rather than an AnalysisException that wedges the pipeline
           // or a null-keyed anti-join that silently duplicates.
           // (A MIXED store — some files carrying the new column, some
-          // not — resolves to the new key; its old files' null keys
-          // can re-append on a checkpoint-loss replay of old granules.
-          // Compaction migrates either shape.)
+          // not — deterministically resolves to the new key; its old
+          // files' null keys can re-append on a checkpoint-loss replay
+          // of old granules. Compaction migrates either shape.)
           val useKeys =
             if (keyCols.forall(store.columns.contains)) keyCols
             else {

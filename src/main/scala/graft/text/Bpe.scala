@@ -364,7 +364,8 @@ object Bpe {
     val base = words.select(col("w").cast("string"), col("cnt").cast("long"))
       .as[(String, Long)]
       .persist(sl)
-    val nWords = base.count()
+    val nWords = try base.count()
+      catch { case e: Throwable => base.unpersist(blocking = false); throw e }
     val sc = spark.sparkContext
     val parts = math.max(1, math.min(sc.defaultParallelism,
       (nWords / 65536L).toInt + 1))
@@ -376,10 +377,16 @@ object Bpe {
       .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
       .repartition(parts)
       .persist(sl)
+    // set once the pass -1 build job has stored blocks on executors:
+    // before that, the per-executor clear job below would recompute
+    // the whole (possibly already-unpersisted) symbol lineage just to
+    // clear nothing — a corpus-scale job on the fallback/early-error
+    // exits
+    var blocksBuilt = false
     // the whole training loop runs under one finally (below): the
-    // executor-resident blocks and the base cache are released on
-    // EVERY exit — normal, fallback, or any exception (a require trip
-    // or failed job must not leak the word table in the static store)
+    // executor-resident blocks and both caches are released on EVERY
+    // exit — normal, fallback, or any exception (a require trip or
+    // failed job must not leak the word table in the static store)
     try {
 
     // ---- driver pair state: exact counts + lazy-deletion max-heap ----
@@ -472,6 +479,7 @@ object Bpe {
         (-1, buildBlock(it), Array.empty))
       Iterator.single(0)
     }.count()
+    blocksBuilt = true
 
     val merges = Seq.newBuilder[Merge]
     // committed (left, right) pairs in rank order — the rebuild path's
@@ -612,13 +620,15 @@ object Bpe {
     } finally {
       // release the executor store (best-effort per-executor job for a
       // cluster — guarded, a broken context must not mask the real
-      // error; the driver-side clear covers local mode) and the base
-      // cache
-      try baseSyms.foreachPartition(
-        (_: Iterator[(Array[String], Long)]) => TrainStore.clear(trainId))
-      catch { case _: Throwable => () }
+      // error, and only run if blocks were ever BUILT; the driver-side
+      // clear covers local mode) and both caches
+      if (blocksBuilt)
+        try baseSyms.foreachPartition(
+          (_: Iterator[(Array[String], Long)]) => TrainStore.clear(trainId))
+        catch { case _: Throwable => () }
       TrainStore.clear(trainId)
       baseSyms.unpersist(blocking = false)
+      base.unpersist(blocking = false)
     }
   }
 
