@@ -158,6 +158,34 @@ object AggQueries extends QueryModule {
         .orderBy("event_type")
     },
 
+    // Sketch ERROR-BOUND gate (r10, same pattern as e_pca_eigen_check):
+    // the sketch VALUES have no engine-independent oracle (HLL++
+    // register layout and t-digest centroiding are implementation-
+    // specific — that's why a17 is pinned-only), but their accuracy
+    // CONTRACTS are checkable against exact aggregates DuckDB computes
+    // too: the HLL estimate within 3×rsd of the exact distinct count
+    // (exact value itself hash-oracled), and the approximate median
+    // inside the exact p45–p55 band (rank error at accuracy=10000 is
+    // orders of magnitude tighter). Distinct-count and percentile
+    // aggregates are SPLIT into two aggregations joined on the key —
+    // mixing them in one .agg forces Expand row-multiplication.
+    "a17b_sketch_bounds" -> { (s, dir) =>
+      val ev = Tables.eventsSpread(s, dir)
+      val d = ev.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("hll"))
+      val p = ev.groupBy(col("event_type")).agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"))
+      d.join(p, "event_type")
+        .select(col("event_type"), col("n_users"),
+          (abs(col("hll") - col("n_users"))
+            <= col("n_users") * lit(0.15)).as("hll_ok"),
+          (col("p50a") >= col("p45") && col("p50a") <= col("p55")).as("p50_ok"))
+        .orderBy("event_type")
+    },
+
     // A18 (beyond the reference): multi-dimensional CUBE rollup — all
     // 2^d grouping sets in ONE pass (Expand + single hash aggregate),
     // vs d separate scans+aggregations. The reference computes its
@@ -221,6 +249,13 @@ object AggQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // the exact distinct count is hash-oracled; the sketch bounds are
+    // booleans pinned true (a drifting HLL/t-digest flips one loudly)
+    "a17b_sketch_bounds" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       true AS hll_ok, true AS p50_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "a18_cube_rollup" ->
       """SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS src_g,
         |       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
