@@ -40,6 +40,15 @@ object Bench {
       !skip(k) && only.forall(_.contains(k))
     }
 
+    // Host calibration (fixed-work CPU probe, see tools.HostCal):
+    // measured BEFORE the warmup and again AFTER the timed pass so
+    // host drift inside the bench window (r10's adjudicated failure
+    // mode) is visible as pre≠post; the normalized total divides by
+    // the mean multi-thread probe time, making round-over-round
+    // totals mechanically comparable on a shared host.
+    val calThreads = cpus.toInt
+    val (calSinglePre, calMultiPre) = graft.tools.HostCal.probe(calThreads)
+
     // Warmup: one untimed pass over EVERY query. Each query's
     // WholeStageCodegen unit Janino-compiles on first execution (1-3 s
     // for the larger plans) — a one-time JVM cost, not execution. The
@@ -72,6 +81,7 @@ object Bench {
       }
       name -> times.min
     }
+    val (calSinglePost, calMultiPost) = graft.tools.HostCal.probe(calThreads)
     // 4-decimal values (0.1 ms resolution — far below run-to-run noise)
     // keep the one-line JSON well inside the driver's capture window;
     // full-precision doubles overflowed it in earlier rounds and the
@@ -80,6 +90,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // host-independent total: suite seconds per multi-thread probe
+    // second ("probe-units"); comparable across rounds because the
+    // probe's WORK is a fixed constant (HostCal.ItersPerThread)
+    val calMulti = (calMultiPre + calMultiPost) / 2
+    val totalNorm = if (calMulti > 0) total / calMulti else 0.0
+    val calJson =
+      s"""{"single_pre":${fmt(calSinglePre)},"multi_pre":${fmt(calMultiPre)},""" +
+        s""""single_post":${fmt(calSinglePost)},"multi_post":${fmt(calMultiPost)},""" +
+        s""""threads":$calThreads,"iters_per_thread":${graft.tools.HostCal.ItersPerThread}}"""
     // pinned-fixture verdicts (the 5 rows-only gates the driver can
     // only row-count): computed at the pin SF, UNTIMED, so value drift
     // in sketch/eigen/t-CDF algebra shows up in the per-round bench
@@ -102,7 +121,8 @@ object Bench {
         ",\"ok\":" + ok + "}"
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""calibration":$calJson,"value_normalized":${fmt(totalNorm)},"sf":"$sfDir"}"""
     // durable full copy for round-over-round comparison, independent
     // of any stdout capture limit: the driver keeps only a bounded
     // stdout tail (2000 chars as of r7) which the ~2.8 KB 114-gate
@@ -110,7 +130,8 @@ object Bench {
     // TRACKED repo-root file the driver's round commit sweeps in
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
-        s""""queries":$qs,"pinned":${pinnedJson(full = true)},"sf":"$sfDir"}"""
+        s""""queries":$qs,"pinned":${pinnedJson(full = true)},""" +
+        s""""calibration":$calJson,"value_normalized":${fmt(totalNorm)},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
@@ -134,6 +155,9 @@ object Bench {
       System.err.println(s"[bench] BENCH_FULL.json not refreshed " +
         s"(sf=$canonicalSf, skip=${skip.size}, only=${only.map(_.size)})")
     // human summary on stderr (stdout carries ONLY the JSON lines)
+    System.err.println(f"[bench] calibration single ${calSinglePre}%.2f/${calSinglePost}%.2f s, " +
+      f"multi($calThreads) ${calMultiPre}%.2f/${calMultiPost}%.2f s (pre/post), " +
+      f"normalized total ${totalNorm}%.2f probe-units")
     System.err.println(f"[bench] ${results.size} queries, total ${total}%.1f s, " +
       s"slowest: ${results.sortBy(-_._2).take(5).map { case (k, v) => f"$k=${v}%.2f" }.mkString(", ")}")
     println(json)
@@ -148,6 +172,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
       s""""slowest":$slowest,"pinned":${pinnedJson(full = false)},""" +
+      s""""calibration":$calJson,"value_normalized":${fmt(totalNorm)},""" +
       s""""full_map":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }

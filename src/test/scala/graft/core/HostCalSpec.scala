@@ -1,0 +1,39 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.HostCal
+
+/** The calibration probe is only a valid cross-round yardstick if its
+  * work is deterministic (same iters+seed ⇒ same mixing result, so a
+  * JIT can never strength-reduce differently round to round) and its
+  * fixed-work constant never drifts.
+  */
+class HostCalSpec extends AnyFunSuite {
+
+  test("work() is deterministic and seed/iters-sensitive") {
+    val a = HostCal.work(100000L, 42L)
+    val b = HostCal.work(100000L, 42L)
+    val c = HostCal.work(100000L, 43L)
+    val d = HostCal.work(100001L, 42L)
+    assert(a === b)
+    assert(a !== c)
+    assert(a !== d)
+  }
+
+  test("the fixed-work constant is pinned (comparability contract)") {
+    // Changing this constant silently breaks probe-unit comparability
+    // across rounds; a deliberate change must update this pin AND be
+    // called out in SCALING.md.
+    assert(HostCal.ItersPerThread === 400L * 1000 * 1000)
+  }
+
+  test("probe returns positive times with multi bounded by work") {
+    val (single, multi) = HostCal.probe(threads = 2, reps = 1)
+    assert(single > 0.0)
+    assert(multi > 0.0)
+    // 2 threads of fixed work can never beat half a perfectly-scaled
+    // single thread; catches a probe that forgot to join its workers
+    assert(multi > single / 4)
+  }
+}
