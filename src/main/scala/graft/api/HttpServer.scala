@@ -128,6 +128,16 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     // alone can't distinguish a long compute from a blocked write
     val inCompute = new java.util.concurrent.atomic.AtomicBoolean(false)
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the writer thread, for the NON-REFLECTIVE disconnect backstop:
+    // the JDK server writes through a blocking SocketChannel, which is
+    // an InterruptibleChannel — interrupting a thread blocked in its
+    // write closes the channel (ClosedByInterruptException) with zero
+    // JDK-internal access. Guarded by a lock so a late watchdog firing
+    // can never interrupt the pool thread after it moved on to another
+    // request; the finally clears the ref under the same lock and then
+    // swallows any already-delivered interrupt flag.
+    val writerLock = new Object
+    var writer: Thread = Thread.currentThread()
     val period = math.max(1L, streamWriteTimeoutMs / 2)
     val watchdog = HttpServer.streamWatchdog.scheduleAtFixedRate(
       () => if (!inCompute.get() &&
@@ -135,7 +145,15 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
                   > streamWriteTimeoutMs && fired.compareAndSet(false, true)) {
         System.err.println(s"[http] streaming reader made no progress for " +
           s">${streamWriteTimeoutMs} ms; disconnecting")
-        HttpServer.forceDisconnect(ex)
+        // preferred: close the connection via the server's own internals
+        // (unblocks the writer AND tears the socket down immediately);
+        // when the reflective path is unavailable (JDK internals moved,
+        // --add-opens absent at deploy), fall back to interrupting the
+        // blocked writer — the interruptible-channel close gives the
+        // same end state instead of degrading to a log line
+        if (!HttpServer.forceDisconnect(ex)) writerLock.synchronized {
+          if (writer != null) writer.interrupt()
+        }
       },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     // the deadline is suspended for the DURATION of each iterator
@@ -173,6 +191,11 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     } finally {
       try os.close() catch { case _: java.io.IOException => () }
       watchdog.cancel(false)
+      // detach from the interrupt backstop BEFORE this thread returns
+      // to the pool, then drop any interrupt the watchdog already
+      // delivered — a poisoned pool thread would break its next request
+      writerLock.synchronized { writer = null }
+      Thread.interrupted()
       ()
     }
   }
@@ -395,11 +418,23 @@ object HttpServer {
     * the same move the JDK server's own idle/maxRspTime timers make
     * (`ServerImpl` closes the `Connection` directly). The internals
     * are reached reflectively; the build opens
-    * `jdk.httpserver/sun.net.httpserver` for it, and a runtime missing
-    * that flag logs loudly instead of silently never disconnecting.
+    * `jdk.httpserver/sun.net.httpserver` for it. Returns false when
+    * the internals are unreachable (JDK layout changed, --add-opens
+    * absent at deploy time) so the caller can fall back to the
+    * non-reflective writer-interrupt path instead of degrading to a
+    * log line — slot reclamation must never depend on reflection
+    * alone.
     */
-  private def forceDisconnect(ex: HttpExchange): Unit =
+  /** Test hook: force the reflective path to report failure so specs
+    * can prove the interrupt backstop frees slots on its own (there is
+    * no portable way to simulate a JDK whose internals moved).
+    */
+  @volatile private[api] var reflectiveDisconnectEnabled = true
+
+  private def forceDisconnect(ex: HttpExchange): Boolean =
     try {
+      require(reflectiveDisconnectEnabled,
+        "test hook: reflective disconnect disabled")
       val implField = ex.getClass.getDeclaredField("impl")
       implField.setAccessible(true)
       val impl = implField.get(ex)
@@ -409,12 +444,13 @@ object HttpServer {
       val close = conn.getClass.getDeclaredMethod("close")
       close.setAccessible(true)
       close.invoke(conn)
-      ()
+      true
     } catch {
       case e: Throwable =>
-        System.err.println("[http] cannot force-disconnect stalled stream " +
+        System.err.println("[http] reflective force-disconnect unavailable " +
           "(is --add-opens jdk.httpserver/sun.net.httpserver=ALL-UNNAMED " +
-          s"set?): $e")
+          s"set?), falling back to writer interrupt: $e")
+        false
     }
 
   /** Endpoints whose results are 1-D series — output=PNG defaults to

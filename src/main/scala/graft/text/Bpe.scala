@@ -151,8 +151,21 @@ object Bpe {
     * cluster).
     */
   private[text] object TrainStore {
-    val blocks = new java.util.concurrent.ConcurrentHashMap[
-      (String, Int), (Int, Block, Array[((Int, String, String), Long)])]()
+    /** One stored block: the pass that produced it, its saved pass
+      * result (for idempotent retries), and a touch timestamp — the
+      * eviction backstop's aging signal. Every pass's put refreshes
+      * `touched`, so a LIVE training's entries never age out; entries
+      * stranded by an aborted training (executor kept alive, cleanup
+      * job never landed) stop refreshing and become evictable.
+      */
+    final case class Entry(pass: Int, block: Block,
+        deltas: Array[((Int, String, String), Long)], touched: Long)
+    val blocks =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int), Entry]()
+    def put(trainId: String, pid: Int, pass: Int, block: Block,
+            deltas: Array[((Int, String, String), Long)]): Unit =
+      blocks.put((trainId, pid),
+        Entry(pass, block, deltas, System.currentTimeMillis()))
     def clear(trainId: String): Unit = {
       val it = blocks.keySet.iterator
       while (it.hasNext) if (it.next()._1 == trainId) it.remove()
@@ -163,7 +176,39 @@ object Bpe {
       while (it.hasNext) if (it.next()._1 == trainId) n += 1
       n
     }
+    /** Backstop for the best-effort end-of-training clear: blocks live
+      * OUTSIDE Spark's memory manager, so an aborted training on a
+      * long-lived executor would otherwise hold its word tables until
+      * JVM exit. Each new training's block-build job evicts entries of
+      * OTHER trainIds untouched for `ttlMs` (a live concurrent
+      * training refreshes every pass, far inside any sane TTL; a
+      * wrongly evicted block would anyway rebuild deterministically).
+      * Returns (entries evicted, word slots freed) for the log line.
+      */
+    def evictStale(current: String, ttlMs: Long): (Int, Long) = {
+      val now = System.currentTimeMillis()
+      var n = 0
+      var slots = 0L
+      val it = blocks.entrySet.iterator
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 != current && now - e.getValue.touched > ttlMs) {
+          slots += e.getValue.block.counts.length
+          it.remove()
+          n += 1
+        }
+      }
+      (n, slots)
+    }
   }
+
+  /** TrainStore eviction TTL (driver-side property, captured in the
+    * block-build closure so it reaches executor JVMs): entries of
+    * other trainIds untouched this long are evicted when a new
+    * training builds its blocks. A live training refreshes every pass.
+    */
+  private def storeTtlMs: Long =
+    java.lang.Long.getLong("graft.bpe.trainstore.ttl.ms", 30L * 60 * 1000)
 
   /** Build a partition's block from its base symbol sequences: the
     * word/count columns plus the full inverted pair→slot index.
@@ -300,6 +345,92 @@ object Bpe {
     (Block(words, b0.counts, index, applied), delta.toArray)
   }
 
+  /** Pass -1: build every partition's block into the executor store
+    * (one job). Doubles as the store's eviction point: before storing,
+    * each task sweeps entries of OTHER trainIds untouched past the TTL
+    * — the backstop that bounds leakage from an aborted training whose
+    * best-effort cleanup job never landed on this executor.
+    */
+  private def buildBlocks(
+      baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)],
+      trainId: String): Unit = {
+    val tid = trainId
+    val ttl = storeTtlMs
+    baseSyms.mapPartitionsWithIndex { (pid, it) =>
+      val (evicted, slots) = TrainStore.evictStale(tid, ttl)
+      if (evicted > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.text.Bpe").warn(
+          s"bpe: evicted $evicted stale TrainStore block(s) ($slots word " +
+            s"slots) from finished/aborted trainings older than ${ttl}ms")
+      TrainStore.put(tid, pid, -1, buildBlock(it), Array.empty)
+      Iterator.single(0)
+    }.count()
+  }
+
+  /** One distributed training pass over the executor-resident blocks,
+    * returning the driver-aggregated pair-count deltas tagged by batch
+    * position (fuse-site count under position -1). Shared by [[train]]
+    * and [[trainDistributed]] — the idempotent-retry / rebuild protocol
+    * documented on [[TrainStore]] lives here: a retried task returns
+    * its saved deltas, a task whose block is missing (executor restart)
+    * emits a rebuild-request sentinel and the pass re-runs carrying the
+    * committed merge prefix for a deterministic reconstruction.
+    */
+  private def runStorePass(
+      baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)],
+      trainId: String, pass: Int,
+      batchSeq: Seq[(String, String)],
+      unmergeMap: Map[String, (String, String)],
+      unmergeIdx: Set[Int],
+      committedSoFar: () => Seq[(String, String)])
+      : Array[((Int, String, String), Long)] = {
+    val passNo = pass
+    val tid = trainId
+    def runPass(rebuildInfo: Option[Seq[(String, String)]])
+        : Array[Array[((Int, String, String), Long)]] =
+      baseSyms.mapPartitionsWithIndex { (pid, it) =>
+        val key = (tid, pid)
+        val prev = TrainStore.blocks.get(key)
+        val out =
+          if (prev != null && prev.pass == passNo) prev.deltas // retried task
+          else if (prev != null && prev.pass == passNo - 1) {
+            val (nb, d) = stepBlock(prev.block, batchSeq, unmergeMap, unmergeIdx)
+            TrainStore.put(tid, pid, passNo, nb, d)
+            d
+          } else rebuildInfo match {
+            case Some(committed) =>
+              // deterministic rebuild: base symbols + the committed
+              // merge prefix ≡ the current block state (rejected
+              // speculations were never committed, so the rebuilt
+              // block is exactly the un-merged state — unmergeIdx
+              // must not run against its empty `applied`)
+              var b = buildBlock(it)
+              committed.foreach { case (l, r) =>
+                b = stepBlock(b, Seq((l, r)), Map.empty, Set.empty)._1
+              }
+              val (nb, d) = stepBlock(b, batchSeq, unmergeMap, Set.empty)
+              TrainStore.put(tid, pid, passNo, nb, d)
+              d
+            case None =>
+              // missing/stale block (executor restart): ask the
+              // driver to re-run this pass with rebuild info
+              Array[((Int, String, String), Long)](
+                ((-2, pid.toString, ""), 0L))
+          }
+        Iterator.single(out)
+      }.collect()
+    var partDeltas = runPass(None)
+    if (partDeltas.exists(_.exists(_._1._1 == -2)))
+      partDeltas = runPass(Some(committedSoFar()))
+    // merge per-partition delta maps on the driver (they are
+    // fuse-site-sized; strictly smaller than the init pair collect)
+    val agg = scala.collection.mutable.HashMap.empty[(Int, String, String), Long]
+    partDeltas.foreach(_.foreach { case (k, v) =>
+      if (k._1 >= -1) agg(k) = agg.getOrElse(k, 0L) + v
+    })
+    agg.toArray
+  }
+
   /** Learn `numMerges` merges from a `(w, cnt)` word table. Stops
     * early when no adjacent pair remains (every word fused to one
     * symbol). Deterministic: argmax ties break on (left, right).
@@ -315,8 +446,9 @@ object Bpe {
     *     any merge and growing by at most the distinct neighbors of
     *     each merged symbol per merge — NOT corpus-sized; a corpus
     *     whose distinct-pair table outgrows the driver bound falls
-    *     back to the distributed [[trainSequential]] form (slower,
-    *     unbounded) with a loud log line.
+    *     back to [[trainDistributed]] — the same incremental machinery
+    *     with the pair table kept as a distributed RDD (jobs still
+    *     ∝ passes) — with a loud log line.
     *  2. Each pass speculatively selects up to `maxBatch` top pairs
     *     that are pairwise SYMBOL-DISJOINT (and whose fused strings
     *     are fresh — see un-merge below). Disjointness makes the
@@ -372,10 +504,19 @@ object Bpe {
     val trainId = java.util.UUID.randomUUID().toString
     // the stable anchor every pass maps over: symbol sequences, many
     // elements per partition (cache size-tracking samples instead of
-    // walking), persisted once for the whole run
+    // walking), persisted once for the whole run. Partitioned by a
+    // DETERMINISTIC content key (hash of the word), NOT round-robin
+    // repartition: the TrainStore rebuild protocol reconstructs a lost
+    // partition from its recomputed base iterator, and a round-robin
+    // assignment depends on upstream row order — not a Spark contract
+    // after a shuffle-file loss (SPARK-23207 class), so a rebuilt
+    // partition could otherwise hold a different word subset than the
+    // live blocks of its peers, silently double-counting words. With
+    // hash(word) placement a recomputed partition is content-identical
+    // regardless of upstream order (words are distinct post-groupBy).
     val baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)] = base.rdd
+      .partitionBy(new org.apache.spark.HashPartitioner(parts))
       .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
-      .repartition(parts)
       .persist(sl)
     // set once the pass -1 build job has stored blocks on executors:
     // before that, the per-executor clear job below would recompute
@@ -456,13 +597,15 @@ object Bpe {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"bpe: $nPairs distinct adjacent pairs exceeds the " +
         s"driver-resident pair-table bound ($driverPairBound) — falling " +
-        "back to the distributed sequential trainer (one pair-recount " +
-        "job per merge; raise driverPairBound if the driver has room)")
+        "back to the INCREMENTAL trainer with a distributed pair table " +
+        "(jobs scale with passes, not merges; raise driverPairBound if " +
+        "the driver has room)")
       initialPairs.unpersist(blocking = false)
       baseSyms.unpersist(blocking = false)
-      val out = trainSequential(words, numMerges)
-      base.unpersist()
-      return out
+      // base stays persisted while trainDistributed re-derives the same
+      // plan (cache hit); train's finally releases it afterwards
+      return trainDistributed(words, numMerges, maxBatch,
+        passHook = passHook)
     }
     initialPairs.collect().foreach { case (p, c) =>
       pairCounts(p) = c
@@ -474,11 +617,7 @@ object Bpe {
     base.unpersist()
     // pass -1: build the blocks into the executor store (one job; the
     // store tags them as produced by pass -1 so pass 0 steps them)
-    baseSyms.mapPartitionsWithIndex { (pid, it) =>
-      TrainStore.blocks.put((trainId, pid),
-        (-1, buildBlock(it), Array.empty))
-      Iterator.single(0)
-    }.count()
+    buildBlocks(baseSyms, trainId)
     blocksBuilt = true
 
     val merges = Seq.newBuilder[Merge]
@@ -533,56 +672,9 @@ object Bpe {
         // the block's `applied` slots are keyed by them
         val unmergeIdx: Set[Int] = pendingUnmergePos
         val batchSeq: Seq[(String, String)] = batch.toSeq.map(m => (m.left, m.right))
-        val passNo = pass
-        val tid = trainId
         val passT0 = System.nanoTime()
-        // one flat job over the stable base RDD; the block comes from
-        // (and returns to) the executor store. See TrainStore for the
-        // idempotent-retry / rebuild protocol the branches implement.
-        def runPass(rebuildInfo: Option[Seq[(String, String)]])
-            : Array[Array[((Int, String, String), Long)]] =
-          baseSyms.mapPartitionsWithIndex { (pid, it) =>
-            val key = (tid, pid)
-            val prev = TrainStore.blocks.get(key)
-            val out =
-              if (prev != null && prev._1 == passNo) prev._3 // retried task
-              else if (prev != null && prev._1 == passNo - 1) {
-                val (nb, d) = stepBlock(prev._2, batchSeq, unmergeMap, unmergeIdx)
-                TrainStore.blocks.put(key, (passNo, nb, d))
-                d
-              } else rebuildInfo match {
-                case Some(committed) =>
-                  // deterministic rebuild: base symbols + the committed
-                  // merge prefix ≡ the current block state (rejected
-                  // speculations were never committed, so the rebuilt
-                  // block is exactly the un-merged state — unmergeIdx
-                  // must not run against its empty `applied`)
-                  var b = buildBlock(it)
-                  committed.foreach { case (l, r) =>
-                    b = stepBlock(b, Seq((l, r)), Map.empty, Set.empty)._1
-                  }
-                  val (nb, d) = stepBlock(b, batchSeq, unmergeMap, Set.empty)
-                  TrainStore.blocks.put(key, (passNo, nb, d))
-                  d
-                case None =>
-                  // missing/stale block (executor restart): ask the
-                  // driver to re-run this pass with rebuild info
-                  Array[((Int, String, String), Long)](
-                    ((-2, pid.toString, ""), 0L))
-              }
-            Iterator.single(out)
-          }.collect()
-        var partDeltas = runPass(None)
-        if (partDeltas.exists(_.exists(_._1._1 == -2)))
-          partDeltas = runPass(Some(committedPairs.toSeq))
-        // merge per-partition delta maps on the driver (they are
-        // fuse-site-sized; the driver already holds the full pair
-        // table, so this is strictly smaller than the init collect)
-        val agg = scala.collection.mutable.HashMap.empty[(Int, String, String), Long]
-        partDeltas.foreach(_.foreach { case (k, v) =>
-          if (k._1 >= -1) agg(k) = agg.getOrElse(k, 0L) + v
-        })
-        val deltas = agg.toArray
+        val deltas = runStorePass(baseSyms, trainId, pass, batchSeq,
+          unmergeMap, unmergeIdx, () => committedPairs.toSeq)
         val passSecs = (System.nanoTime() - passT0) / 1e9
         val byIdx: Map[Int, Array[((Int, String, String), Long)]] =
           deltas.groupBy(_._1._1)
@@ -632,12 +724,239 @@ object Bpe {
     }
   }
 
+  /** The over-driver-bound form of [[train]]: identical incremental
+    * block machinery (executor-resident [[TrainStore]], inverted-index
+    * passes, speculative batches, un-merge), but the adjacent-pair
+    * frequency table stays a DISTRIBUTED RDD — nothing pair-table-sized
+    * ever reaches the driver. Jobs scale with PASSES, not merges: each
+    * pass is one `takeOrdered(candK)` over the live table (exact
+    * distributed argmax + candidate pool), one block-pass job, and one
+    * narrow co-partitioned delta update of the table.
+    *
+    * Exactness (pinned ≡ [[trainSequential]] by BpeSpec differentials):
+    * position 1 of each batch is the exact global argmax (takeOrdered's
+    * total order is the trainer's). Later positions replay against a
+    * driver-local view holding the top-`candK` candidates (exact
+    * counts) plus pairs freshly created this pass (exact — a pair
+    * containing a just-fused FRESH symbol cannot pre-exist, so its
+    * absolute count is the delta itself). Pairs OUTSIDE the view can
+    * only lose count within a pass (a positive delta requires a fresh
+    * fused symbol), so they stay bounded by the view's K-th original
+    * count: a position commits only while it is the view argmax AND
+    * strictly above that bound (or the view holds the whole table).
+    * The one soundness hole — position 1's fused string colliding with
+    * a pre-existing symbol, making a positive delta land on an
+    * unknown-count outside pair — TAINTS the pass: the remaining tail
+    * is rejected (un-merged next pass, [[train]]'s normal truncation
+    * path) and the next takeOrdered re-syncs. Never wrong, at worst a
+    * shorter committed prefix per pass.
+    */
+  private[graft] def trainDistributed(words: DataFrame, numMerges: Int,
+      maxBatch: Int = 32, candK: Int = 512,
+      passHook: (Int, Int, Long, Double) => Unit = null): Seq[Merge] = {
+    require(maxBatch >= 1, s"bpe: maxBatch must be >= 1, got $maxBatch")
+    require(candK >= 1, s"bpe: candK must be >= 1, got $candK")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = words.select(col("w").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)]
+      .persist(sl)
+    val nWords = try base.count()
+      catch { case e: Throwable => base.unpersist(blocking = false); throw e }
+    val sc = spark.sparkContext
+    val parts = math.max(1, math.min(sc.defaultParallelism,
+      (nWords / 65536L).toInt + 1))
+    val trainId = java.util.UUID.randomUUID().toString
+    // deterministic content-key placement — same rebuild-correctness
+    // argument as train's baseSyms
+    val baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)] = base.rdd
+      .partitionBy(new org.apache.spark.HashPartitioner(parts))
+      .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
+      .persist(sl)
+    // the live pair table, co-partitioned across passes so each delta
+    // update cogroups NARROWLY (only the fuse-site-sized delta RDD
+    // shuffles; the table itself never moves between passes)
+    val pairPart = new org.apache.spark.HashPartitioner(parts)
+    type Pair = (String, String)
+    var pairTable: org.apache.spark.rdd.RDD[(Pair, Long)] =
+      baseSyms.mapPartitions { it =>
+        val local = scala.collection.mutable.HashMap.empty[Pair, Long]
+        it.foreach { case (s, c) =>
+          var i = 0
+          while (i < s.length - 1) {
+            val p = (s(i), s(i + 1))
+            local(p) = local.getOrElse(p, 0L) + c
+            i += 1
+          }
+        }
+        local.iterator
+      }.reduceByKey(pairPart, _ + _).persist(sl)
+    var prevTable: org.apache.spark.rdd.RDD[(Pair, Long)] = null
+    var blocksBuilt = false
+    try {
+      // every symbol alive in the corpus or ever fused — ALPHABET-sized
+      // (code points + one entry per merge), not pair-table-sized, so it
+      // is driver-safe even when the pair table is not. Guards batch
+      // positions > 1 against un-ambiguous un-merge (as in train) and
+      // the replay's fresh-pair reasoning.
+      val knownSymbols = scala.collection.mutable.HashSet.empty[String]
+      knownSymbols ++= baseSyms.flatMap(_._1.iterator).distinct().collect()
+      buildBlocks(baseSyms, trainId)
+      blocksBuilt = true
+
+      // takeOrdered's head = the trainer's argmax: cnt DESC, (l, r) ASC
+      val topOrd: Ordering[(Pair, Long)] =
+        Ordering.by { case ((l, r), c) => (-c, l, r) }
+      val merges = Seq.newBuilder[Merge]
+      val committedPairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
+      var rank = 1
+      var pass = 0
+      var exhausted = false
+      var pendingUnmerge: Seq[Merge] = Nil
+      var pendingUnmergePos: Set[Int] = Set.empty
+      while (rank <= numMerges && !exhausted) {
+        val passT0 = System.nanoTime()
+        val cands = pairTable.takeOrdered(candK)(topOrd)
+        // the previous table is now materialized past — release it
+        if (prevTable != null) {
+          prevTable.unpersist(blocking = false)
+          prevTable = null
+        }
+        if (cands.isEmpty) exhausted = true
+        else {
+          // view completeness: fewer than candK rows means the WHOLE
+          // table is on the driver this pass and replay is exact;
+          // otherwise outside pairs are bounded by the K-th count
+          val fullTable = cands.length < candK
+          val threshold = if (fullTable) Long.MinValue else cands.last._2
+          // ---- batch selection (same rules as train) ----
+          val budget = math.min(maxBatch, numMerges - rank + 1)
+          val batch = scala.collection.mutable.ArrayBuffer.empty[Merge]
+          val blocked = scala.collection.mutable.HashSet.empty[String]
+          val ((l0, r0), c0) = cands(0)
+          batch += Merge(rank, l0, r0, c0)
+          blocked ++= Seq(l0, r0, l0 + r0)
+          var ci = 1
+          while (batch.size < budget && ci < cands.length) {
+            val ((l, r), c) = cands(ci)
+            val fused = l + r
+            if (!blocked(l) && !blocked(r) && !blocked(fused) &&
+                !knownSymbols(fused)) {
+              batch += Merge(rank + batch.size, l, r, c)
+              blocked ++= Seq(l, r, fused)
+            }
+            ci += 1
+          }
+          val unmergeMap: Map[String, Pair] =
+            pendingUnmerge.map(m => m.merged -> ((m.left, m.right))).toMap
+          val batchSeq: Seq[Pair] = batch.toSeq.map(m => (m.left, m.right))
+          val deltas = runStorePass(baseSyms, trainId, pass, batchSeq,
+            unmergeMap, pendingUnmergePos, () => committedPairs.toSeq)
+          val byIdx: Map[Int, Array[((Int, String, String), Long)]] =
+            deltas.groupBy(_._1._1)
+          // ---- replay against the candidate view ----
+          val local = scala.collection.mutable.HashMap.empty[Pair, Long]
+          cands.foreach { case (p, c) => local(p) = c }
+          val freshSyms = scala.collection.mutable.HashSet.empty[String]
+          var taint = false
+          var j = 0
+          var valid = true
+          while (j < batch.size && valid) {
+            val m = batch(j)
+            val pj = (m.left, m.right)
+            val ok =
+              if (j == 0) true // exact distributed argmax
+              else if (taint || !local.contains(pj)) false
+              else {
+                val best = local.minBy { case ((l, r), c) => (-c, l, r) }
+                best._1 == pj && (fullTable || best._2 > threshold)
+              }
+            if (ok) {
+              merges += Merge(rank, m.left, m.right, local(pj))
+              committedPairs += pj
+              if (!knownSymbols(m.merged)) freshSyms += m.merged
+              knownSymbols += m.merged
+              rank += 1
+              byIdx.getOrElse(j, Array.empty).foreach { case ((_, l, r), d) =>
+                val p = (l, r)
+                local.get(p) match {
+                  case Some(cur) =>
+                    val n = cur + d
+                    require(n >= 0L, s"bpe: pair count for $p went " +
+                      s"negative ($n) — delta accounting bug")
+                    if (n == 0L) local.remove(p) else local(p) = n
+                  case None =>
+                    if (d > 0L) {
+                      // a freshly created pair has base count 0 ⇒ d is
+                      // its exact count; a positive delta on a pair of
+                      // PRE-EXISTING symbols (possible only via a
+                      // position-1 fused-string collision) lands on an
+                      // unknown base — taint the pass, reject the tail
+                      if (freshSyms(l) || freshSyms(r)) local(p) = d
+                      else taint = true
+                    }
+                  // negative delta on an unknown outside pair: it only
+                  // sinks further below the threshold bound — ignore
+                }
+              }
+              j += 1
+            } else valid = false
+          }
+          require(j > 0, "bpe: distributed replay rejected the " +
+            "takeOrdered argmax — delta accounting bug")
+          // ---- apply the committed prefix's deltas to the table ----
+          val tableDelta = scala.collection.mutable.HashMap.empty[Pair, Long]
+          (0 until j).foreach { jj =>
+            byIdx.getOrElse(jj, Array.empty).foreach { case ((_, l, r), d) =>
+              val p = (l, r)
+              val n = tableDelta.getOrElse(p, 0L) + d
+              if (n == 0L) tableDelta.remove(p) else tableDelta(p) = n
+            }
+          }
+          if (tableDelta.nonEmpty) {
+            val dRdd = sc.parallelize(tableDelta.toSeq,
+              math.min(parts, 4)).partitionBy(pairPart)
+            val next = pairTable.cogroup(dRdd)
+              .mapValues { case (cs, ds) => cs.sum + ds.sum }
+              .filter(_._2 > 0L)
+              .persist(sl)
+            // truncate lineage periodically: a long training would
+            // otherwise chain one cogroup per pass into an unbounded
+            // recompute graph (a reliable checkpoint on a real cluster)
+            if (pass % 8 == 7) next.localCheckpoint()
+            prevTable = pairTable
+            pairTable = next
+          }
+          if (passHook != null)
+            passHook(pass, j,
+              deltas.collectFirst { case ((-1, "", ""), n) => n }
+                .getOrElse(0L),
+              (System.nanoTime() - passT0) / 1e9)
+          pendingUnmerge = batch.drop(j).toSeq
+          pendingUnmergePos = (j until batch.size).toSet
+          pass += 1
+        }
+      }
+      merges.result()
+    } finally {
+      if (blocksBuilt)
+        try baseSyms.foreachPartition(
+          (_: Iterator[(Array[String], Long)]) => TrainStore.clear(trainId))
+        catch { case _: Throwable => () }
+      TrainStore.clear(trainId)
+      if (prevTable != null) prevTable.unpersist(blocking = false)
+      pairTable.unpersist(blocking = false)
+      baseSyms.unpersist(blocking = false)
+      base.unpersist(blocking = false)
+    }
+  }
+
   /** The one-merge-per-job reference form of [[train]]: full adjacent
     * pair recount + distributed argmax every iteration. Kept as the
-    * differential anchor for the incremental trainer (BpeSpec pins
-    * `train ≡ trainSequential` across randomized corpora) and as the
-    * shape to reach for if the driver-resident pair table ever became
-    * the bottleneck.
+    * differential anchor for the incremental trainers (BpeSpec pins
+    * `train ≡ trainSequential` and `trainDistributed ≡ trainSequential`
+    * across randomized corpora).
     */
   private[graft] def trainSequential(words: DataFrame, numMerges: Int): Seq[Merge] = {
     val spark = words.sparkSession
@@ -669,9 +988,12 @@ object Bpe {
     // reduceByKey + map-side top-1), ~3× faster end-to-end. Everything
     // around the loop (word counts, the oracled pair algebra, encode)
     // stays DataFrame.
+    // deterministic content-key placement (see train's baseSyms note):
+    // a recomputed partition after shuffle-file loss must hold the same
+    // word subset or the per-iteration pair counts double-count
     var cur = base.rdd
+      .partitionBy(new org.apache.spark.HashPartitioner(parts))
       .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
-      .repartition(parts)
       .persist(sl)
     var baseLive = true // released after cur's first materialization
     // one job per iteration: the pair-count argmax below also

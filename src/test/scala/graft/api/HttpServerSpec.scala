@@ -208,6 +208,106 @@ class HttpServerSpec extends SparkSpec {
     }
   }
 
+  test("watchdog under partition stragglers: an iterator pull 3x the " +
+    "deadline is NOT disconnected while a stalled reader alongside IS") {
+    import spark.implicits._
+    // each of the 4 partitions takes ~1.2 s of ENGINE time (task sleep)
+    // before yielding rows — 3x the 400 ms idle-progress deadline; the
+    // compute-suspend logic must keep the watchdog quiet through it
+    val slowDf = spark.range(0, 40000L, 1, 4).as[Long]
+      .mapPartitions { it => Thread.sleep(1200); it }.toDF("id")
+    val srv = new HttpServer(spark, tiles, Map(
+      "/slowpart" -> ((_: Handlers.QueryParams, _: DataFrame) => slowDf),
+      "/big" -> ((_: Handlers.QueryParams, _: DataFrame) =>
+        spark.range(0, 400000, 1, 8).toDF("id"))),
+      maxConcurrentJobs = 2, streamWriteTimeoutMs = 400).start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    def g(pq: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base$pq")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    val sock = new java.net.Socket()
+    try {
+      // slot 1: a genuinely stalled reader on /big
+      sock.setReceiveBufferSize(8192)
+      sock.connect(new java.net.InetSocketAddress("127.0.0.1", srv.boundPort))
+      sock.getOutputStream.write(
+        "GET /big?ds=x&limit=0 HTTP/1.1\r\nHost: t\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      sock.getOutputStream.flush()
+      assert(sock.getInputStream.read(new Array[Byte](1024)) > 0)
+      // slot 2: a healthy client draining the slow-partition stream
+      val slow = new java.util.concurrent.CompletableFuture[String]()
+      new Thread(() => {
+        try slow.complete(g("/slowpart?ds=x&limit=0").body())
+        catch { case e: Throwable => slow.completeExceptionally(e) }
+      }).start()
+      Thread.sleep(300) // both slots taken
+      assert(g("/big?ds=x&limit=5").statusCode() === 503)
+      // the stalled reader must be disconnected (slot freed → 413 runs)
+      // WHILE the straggling stream is still mid-transfer
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      var status = 503
+      while (status == 503 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        status = g("/big?ds=x&limit=5").statusCode()
+      }
+      assert(status === 413,
+        s"stalled reader's slot not freed (last status $status)")
+      assert(!slow.isDone,
+        "slow-partition stream already over — straggler scenario not hit")
+      // and the straggler completes INTACT: its pulls suspended the
+      // deadline, so it was never disconnected despite 1.2 s gaps
+      val body = slow.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(body.startsWith("[") && body.endsWith("]"),
+        s"slow-partition stream truncated (len ${body.length})")
+      assert(body.count(_ == ',') === 39999, "slow-partition stream lost rows")
+    } finally {
+      try sock.close() catch { case _: java.io.IOException => () }
+      srv.stop()
+    }
+  }
+
+  test("interrupt backstop: a stalled reader's slot frees even when the " +
+    "reflective disconnect path is unavailable") {
+    // the global hook briefly disables reflection for every stream;
+    // within this suite tests run sequentially, and no other suite
+    // streams concurrently — restored in finally either way
+    HttpServer.reflectiveDisconnectEnabled = false
+    val srv = new HttpServer(spark, tiles, Map(
+      "/big" -> ((_: Handlers.QueryParams, _: DataFrame) =>
+        spark.range(0, 400000, 1, 8).toDF("id"))),
+      maxConcurrentJobs = 1, streamWriteTimeoutMs = 400).start()
+    def g(pq: String): HttpResponse[String] = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.boundPort}$pq")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    val sock = new java.net.Socket()
+    try {
+      sock.setReceiveBufferSize(8192)
+      sock.connect(new java.net.InetSocketAddress("127.0.0.1", srv.boundPort))
+      sock.getOutputStream.write(
+        "GET /big?ds=x&limit=0 HTTP/1.1\r\nHost: t\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      sock.getOutputStream.flush()
+      assert(sock.getInputStream.read(new Array[Byte](1024)) > 0)
+      assert(g("/big?ds=x&limit=5").statusCode() === 503)
+      // the interrupt path (InterruptibleChannel close) must free the
+      // slot — no JDK internals involved
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      var status = 503
+      while (status == 503 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        status = g("/big?ds=x&limit=5").statusCode()
+      }
+      assert(status === 413,
+        s"slot not freed via interrupt backstop (last status $status)")
+    } finally {
+      HttpServer.reflectiveDisconnectEnabled = true
+      try sock.close() catch { case _: java.io.IOException => () }
+      srv.stop()
+    }
+  }
+
   test("soak: slow-but-progressing streams and fast queries interleave — " +
     "fast queries keep executing and every stream completes intact") {
     val nRows = 200000

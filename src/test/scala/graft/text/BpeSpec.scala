@@ -245,14 +245,100 @@ class BpeSpec extends SparkSpec {
   }
 
   test("a corpus whose pair table exceeds the driver bound falls back " +
-    "to the distributed sequential trainer and still trains to completion") {
+    "to the distributed-pair-table incremental trainer: exact greedy, " +
+    "jobs proportional to passes not merges") {
     val wc = Bpe.wordCounts(corpusDf, col("text"))
-    // this corpus has far more than 3 distinct adjacent pairs, so a
-    // bound of 3 trips the fallback — which must produce the exact
-    // greedy sequence (it IS trainSequential), not refuse
-    val got = Bpe.train(wc, 10, driverPairBound = 3)
-    assert(got === Bpe.trainSequential(wc, 10))
-    assert(got.length === 10)
+    // count THIS thread's Spark jobs via the job-group id (suites run
+    // in parallel against the shared session — a raw job count would
+    // absorb other suites' work)
+    val group = "bpe-fallback-" + java.util.UUID.randomUUID()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    var passes = 0
+    val got =
+      try {
+        spark.sparkContext.setJobGroup(group, "bpe fallback probe")
+        // far more than 3 distinct adjacent pairs here, so a bound of 3
+        // trips the fallback — which must produce the exact greedy
+        // sequence via the DISTRIBUTED incremental trainer, not refuse
+        try Bpe.train(wc, 12, driverPairBound = 3,
+          passHook = (_, _, _, _) => passes += 1)
+        finally spark.sparkContext.clearJobGroup()
+      } finally {
+        // listener events post asynchronously (no public drain): give
+        // the bus a beat. A lagging bus can only UNDERCOUNT, which the
+        // upper-bound assertion below tolerates by construction.
+        Thread.sleep(1000)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(got === Bpe.trainSequential(wc, 12))
+    assert(got.length === 12)
+    // the whole point of the incremental fallback: speculation commits
+    // several merges per pass, and per-pass job count is a constant
+    // (takeOrdered + block pass + init/cleanup) — NOT one recount job
+    // per merge like the old sequential fallback
+    assert(passes < 12, s"batching ineffective: $passes passes for 12 merges")
+    assert(jobs.get <= 3 * passes + 14,
+      s"jobs (${jobs.get}) not proportional to passes ($passes)")
+  }
+
+  test("trainDistributed ≡ sequential greedy on adversarial corpora, " +
+    "including candidate views far smaller than the pair table") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val alpha = if (trial % 2 == 0) "ab" else "abc"
+      val words = (1 to 45).map { _ =>
+        val n = rnd.nextInt(7) + 1
+        (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val docs = words.grouped(9).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val wc = Bpe.wordCounts(docs, col("text"))
+      val seqRef = Bpe.trainSequential(wc, 16)
+      // candK=3 keeps the driver view a tiny window onto the table —
+      // the threshold guard and taint path must reject (not mis-commit)
+      // every position it cannot prove, then re-sync via takeOrdered;
+      // candK=512 holds the whole table (exact replay). Both must
+      // reproduce one-merge-at-a-time greedy bit-exactly.
+      Seq((3, 4), (512, 32)).foreach { case (candK, mb) =>
+        val got = Bpe.trainDistributed(wc, 16, maxBatch = mb, candK = candK)
+        assert(got === seqRef,
+          s"trial $trial candK=$candK maxBatch=$mb diverged from greedy")
+      }
+    }
+  }
+
+  test("a dead training's stranded TrainStore entries are evicted by " +
+    "the next training's block build; live foreign entries survive") {
+    val blk = Bpe.Block(Vector(Array("a", Bpe.Eow)), Array(1L),
+      Map.empty, Map.empty)
+    val deadId = "dead-" + java.util.UUID.randomUUID()
+    val liveId = "live-" + java.util.UUID.randomUUID()
+    // an aborted training's entry, last touched 31 min ago (past the
+    // 30-min TTL); and a concurrent LIVE training's entry (fresh touch)
+    Bpe.TrainStore.blocks.put((deadId, 0), Bpe.TrainStore.Entry(
+      -1, blk, Array.empty, System.currentTimeMillis() - 31L * 60 * 1000))
+    Bpe.TrainStore.blocks.put((liveId, 0), Bpe.TrainStore.Entry(
+      -1, blk, Array.empty, System.currentTimeMillis()))
+    try {
+      Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 4)
+      assert(!Bpe.TrainStore.blocks.containsKey((deadId, 0)),
+        "stale entry of an aborted training survived the eviction sweep")
+      assert(Bpe.TrainStore.blocks.containsKey((liveId, 0)),
+        "recently-touched entry of a live training was wrongly evicted")
+    } finally {
+      Bpe.TrainStore.blocks.remove((deadId, 0))
+      Bpe.TrainStore.blocks.remove((liveId, 0))
+    }
   }
 
   test("train survives losing the executor-resident blocks mid-run " +
