@@ -163,10 +163,14 @@ object AggQueries extends QueryModule {
     // register layout and t-digest centroiding are implementation-
     // specific — that's why a17 is pinned-only), but their accuracy
     // CONTRACTS are checkable against exact aggregates DuckDB computes
-    // too: the HLL estimate within 3×rsd of the exact distinct count
-    // (exact value itself hash-oracled), and the approximate median
-    // inside the exact p45–p55 band (rank error at accuracy=10000 is
-    // orders of magnitude tighter). Distinct-count and percentile
+    // too: the HLL estimate within 5×rsd of the exact distinct count
+    // (exact value itself hash-oracled; the TIGHT 1×rsd band lives in
+    // SketchSpec — this gate's band is wide because HLL error is
+    // statistical and a 3×rsd tail outlier at some SF/seed would flip
+    // the oracle-pinned boolean as a false failure, while real drift
+    // is gross), and the approximate median inside the exact p45–p55
+    // band (rank error at accuracy=10000 is orders of magnitude
+    // tighter). Distinct-count and percentile
     // aggregates are SPLIT into two aggregations joined on the key —
     // mixing them in one .agg forces Expand row-multiplication.
     "a17b_sketch_bounds" -> { (s, dir) =>
@@ -181,7 +185,7 @@ object AggQueries extends QueryModule {
       d.join(p, "event_type")
         .select(col("event_type"), col("n_users"),
           (abs(col("hll") - col("n_users"))
-            <= col("n_users") * lit(0.15)).as("hll_ok"),
+            <= col("n_users") * lit(0.25)).as("hll_ok"),
           (col("p50a") >= col("p45") && col("p50a") <= col("p55")).as("p50_ok"))
         .orderBy("event_type")
     },

@@ -428,9 +428,12 @@ object SimilarityQueries extends QueryModule {
     // the converged centroids through the exact production functions:
     // at a Lloyd's fixpoint the assignment is unchanged, so the update
     // must reproduce every centroid (within float-summation noise).
-    // Per list the movement bound lands as a boolean DuckDB pins true;
-    // a non-converging trainer (maxIters exit) or a drifting
-    // assign/update pair flips it loudly.
+    // Per list the movement bound lands as a boolean DuckDB pins true.
+    // The two failure modes stay distinguishable by column: a twin
+    // drift (assign/update disagreeing with the trainer) flips
+    // fixpoint_ok; a legitimately slow corpus exhausting maxIters
+    // flips only `converged` (with tol=0 the loop exits exactly on
+    // fixpoint or cap, so converged IS the iteration-budget verdict).
     "e_ivf_fixpoint" -> { (s, dir) =>
       val e = emb(s, dir)
       val (cents, _, finalMove) = IvfIndex.trainConverged(
@@ -757,8 +760,13 @@ object SimilarityQueries extends QueryModule {
         |       true AS eig_nonneg, true AS descending_ok
         |FROM range(1, 3) ORDER BY component""".stripMargin,
 
+    // list count derived from the CORPUS (min(8, count) — the trainer
+    // seeds one centroid per vector when the corpus is smaller than
+    // nlist), not pinned to a literal 8: a tiny SF must fail on real
+    // assign/update drift only, never on data-scale variance
     "e_ivf_fixpoint" ->
-      """SELECT range AS list_id, true AS fixpoint_ok, true AS converged
-        |FROM range(0, 8) ORDER BY list_id""".stripMargin
+      """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+        |       true AS fixpoint_ok, true AS converged
+        |FROM embeddings ORDER BY list_id LIMIT 8""".stripMargin
   )
 }
