@@ -45,9 +45,15 @@ object Bench {
     // host drift inside the bench window (r10's adjudicated failure
     // mode) is visible as pre≠post; the normalized total divides by
     // the mean multi-thread probe time, making round-over-round
-    // totals mechanically comparable on a shared host.
+    // totals mechanically comparable on a shared host. Skipped (zeros)
+    // under the dev-only SKIP/ONLY probe filters, like the pinned
+    // block: a single-gate 100x probe must not pay ~6 s of fixed-work
+    // burn per invocation, and the calibration only matters for the
+    // full-suite artifact anyway.
+    val devProbe = skip.nonEmpty || only.nonEmpty
     val calThreads = cpus.toInt
-    val (calSinglePre, calMultiPre) = graft.tools.HostCal.probe(calThreads)
+    val (calSinglePre, calMultiPre) =
+      if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probe(calThreads)
 
     // Warmup: one untimed pass over EVERY query. Each query's
     // WholeStageCodegen unit Janino-compiles on first execution (1-3 s
@@ -81,7 +87,8 @@ object Bench {
       }
       name -> times.min
     }
-    val (calSinglePost, calMultiPost) = graft.tools.HostCal.probe(calThreads)
+    val (calSinglePost, calMultiPost) =
+      if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probe(calThreads)
     // 4-decimal values (0.1 ms resolution — far below run-to-run noise)
     // keep the one-line JSON well inside the driver's capture window;
     // full-precision doubles overflowed it in earlier rounds and the

@@ -139,12 +139,23 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     val writerLock = new Object
     var writer: Thread = Thread.currentThread()
     val period = math.max(1L, streamWriteTimeoutMs / 2)
+    // NOT one-shot: the watchdog keeps firing every period while the
+    // deadline stays lapsed. A single latched firing can be CONSUMED
+    // without killing the stream — e.g. the interrupt lands while the
+    // writer just re-entered a Spark iterator pull (InterruptedException
+    // clears the flag without closing the channel), after which the
+    // truncation path's os.close() can block on the same stalled socket
+    // with no watchdog left to free it. Re-firing makes the teardown
+    // converge: eventually a close/interrupt lands in a channel write
+    // and the socket dies. `fired` only de-duplicates the log line;
+    // repeat disconnects on an already-closed connection are no-ops.
     val watchdog = HttpServer.streamWatchdog.scheduleAtFixedRate(
       () => if (!inCompute.get() &&
                 (System.nanoTime() - progress.get()) / 1000000L
-                  > streamWriteTimeoutMs && fired.compareAndSet(false, true)) {
-        System.err.println(s"[http] streaming reader made no progress for " +
-          s">${streamWriteTimeoutMs} ms; disconnecting")
+                  > streamWriteTimeoutMs) {
+        if (fired.compareAndSet(false, true))
+          System.err.println(s"[http] streaming reader made no progress " +
+            s"for >${streamWriteTimeoutMs} ms; disconnecting")
         // preferred: close the connection via the server's own internals
         // (unblocks the writer AND tears the socket down immediately);
         // when the reflective path is unavailable (JDK internals moved,

@@ -176,25 +176,57 @@ object Bpe {
       while (it.hasNext) if (it.next()._1 == trainId) n += 1
       n
     }
+    /** trainIds whose training ENDED (normally or by exception) —
+      * recorded driver-side in every trainer's finally, snapshotted
+      * into each new training's block-build closure, so executors the
+      * best-effort cleanup job never landed on still evict those
+      * entries promptly and deterministically (no cadence guessing).
+      * Size-bounded: ids are random UUIDs, so after `FinishedCap`
+      * entries the oldest are dropped — their blocks then age out via
+      * the TTL backstop instead.
+      */
+    private val FinishedCap = 4096
+    val finished: java.util.Map[String, java.lang.Boolean] =
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+            size() > FinishedCap
+        })
+    def markFinished(trainId: String): Unit = finished.put(trainId, true)
+    def finishedSnapshot(): Set[String] = finished.synchronized {
+      import scala.jdk.CollectionConverters._
+      finished.keySet.asScala.toSet
+    }
     /** Backstop for the best-effort end-of-training clear: blocks live
       * OUTSIDE Spark's memory manager, so an aborted training on a
       * long-lived executor would otherwise hold its word tables until
-      * JVM exit. Each new training's block-build job evicts entries of
-      * OTHER trainIds untouched for `ttlMs` (a live concurrent
-      * training refreshes every pass, far inside any sane TTL; a
-      * wrongly evicted block would anyway rebuild deterministically).
-      * Returns (entries evicted, word slots freed) for the log line.
+      * JVM exit. Each new training's block-build job evicts entries
+      * whose trainId the driver has marked FINISHED (prompt path — the
+      * snapshot travels in the job closure), plus entries of other
+      * trainIds untouched for `ttlMs` (backstop for a crashed driver;
+      * deliberately hours, NOT pass-cadence-scale: `touched` refreshes
+      * only once per pass, and a live 100 TB training's pass can
+      * legitimately take tens of minutes — a wrongly evicted block
+      * forces a full committed-prefix rebuild on that partition).
+      * Removal is CONDITIONAL on the observed entry, so a concurrent
+      * put (refreshing a live block between the staleness read and the
+      * remove) is never clobbered. Returns (entries evicted, word
+      * slots freed) for the log line.
       */
-    def evictStale(current: String, ttlMs: Long): (Int, Long) = {
+    def evictStale(current: String, finishedIds: Set[String],
+                   ttlMs: Long): (Int, Long) = {
       val now = System.currentTimeMillis()
       var n = 0
       var slots = 0L
       val it = blocks.entrySet.iterator
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey._1 != current && now - e.getValue.touched > ttlMs) {
+        val tid = e.getKey._1
+        if (tid != current &&
+            (finishedIds(tid) || now - e.getValue.touched > ttlMs) &&
+            blocks.remove(e.getKey, e.getValue)) {
           slots += e.getValue.block.counts.length
-          it.remove()
           n += 1
         }
       }
@@ -202,13 +234,15 @@ object Bpe {
     }
   }
 
-  /** TrainStore eviction TTL (driver-side property, captured in the
+  /** TrainStore TTL backstop (driver-side property, captured in the
     * block-build closure so it reaches executor JVMs): entries of
     * other trainIds untouched this long are evicted when a new
-    * training builds its blocks. A live training refreshes every pass.
+    * training builds its blocks — the safety net for trainings whose
+    * driver crashed before marking them finished. Hours by design;
+    * prompt cleanup is the finished-id path.
     */
   private def storeTtlMs: Long =
-    java.lang.Long.getLong("graft.bpe.trainstore.ttl.ms", 30L * 60 * 1000)
+    java.lang.Long.getLong("graft.bpe.trainstore.ttl.ms", 6L * 3600 * 1000)
 
   /** Build a partition's block from its base symbol sequences: the
     * word/count columns plus the full inverted pair→slot index.
@@ -356,12 +390,15 @@ object Bpe {
       trainId: String): Unit = {
     val tid = trainId
     val ttl = storeTtlMs
+    // snapshot, not live reference: the driver's finished set must be
+    // SERIALIZED into the closure to reach executor JVMs on a cluster
+    val finishedIds = TrainStore.finishedSnapshot()
     baseSyms.mapPartitionsWithIndex { (pid, it) =>
-      val (evicted, slots) = TrainStore.evictStale(tid, ttl)
+      val (evicted, slots) = TrainStore.evictStale(tid, finishedIds, ttl)
       if (evicted > 0)
         org.slf4j.LoggerFactory.getLogger("graft.text.Bpe").warn(
           s"bpe: evicted $evicted stale TrainStore block(s) ($slots word " +
-            s"slots) from finished/aborted trainings older than ${ttl}ms")
+            s"slots) from finished/aborted trainings")
       TrainStore.put(tid, pid, -1, buildBlock(it), Array.empty)
       Iterator.single(0)
     }.count()
@@ -600,12 +637,13 @@ object Bpe {
         "back to the INCREMENTAL trainer with a distributed pair table " +
         "(jobs scale with passes, not merges; raise driverPairBound if " +
         "the driver has room)")
-      initialPairs.unpersist(blocking = false)
-      baseSyms.unpersist(blocking = false)
-      // base stays persisted while trainDistributed re-derives the same
-      // plan (cache hit); train's finally releases it afterwards
-      return trainDistributed(words, numMerges, maxBatch,
-        passHook = passHook)
+      // hand the ALREADY-persisted symbol table and pair table to the
+      // distributed core (it takes ownership of unpersisting both) —
+      // recomputing them would cost three corpus-scale jobs on exactly
+      // the path where the corpus is enormous. train's finally still
+      // releases base and re-unpersists baseSyms (idempotent).
+      return trainDistributedCore(baseSyms, initialPairs, parts,
+        numMerges, maxBatch, candK = 512, passHook = passHook)
     }
     initialPairs.collect().foreach { case (p, c) =>
       pairCounts(p) = c
@@ -713,7 +751,10 @@ object Bpe {
       // release the executor store (best-effort per-executor job for a
       // cluster — guarded, a broken context must not mask the real
       // error, and only run if blocks were ever BUILT; the driver-side
-      // clear covers local mode) and both caches
+      // clear covers local mode) and both caches; the finished mark
+      // makes any executor the clear job missed evict these entries at
+      // the NEXT training's block build
+      TrainStore.markFinished(trainId)
       if (blocksBuilt)
         try baseSyms.foreachPartition(
           (_: Iterator[(Array[String], Long)]) => TrainStore.clear(trainId))
@@ -754,34 +795,25 @@ object Bpe {
   private[graft] def trainDistributed(words: DataFrame, numMerges: Int,
       maxBatch: Int = 32, candK: Int = 512,
       passHook: (Int, Int, Long, Double) => Unit = null): Seq[Merge] = {
-    require(maxBatch >= 1, s"bpe: maxBatch must be >= 1, got $maxBatch")
-    require(candK >= 1, s"bpe: candK must be >= 1, got $candK")
     val spark = words.sparkSession
     import spark.implicits._
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val base = words.select(col("w").cast("string"), col("cnt").cast("long"))
       .as[(String, Long)]
       .persist(sl)
-    val nWords = try base.count()
-      catch { case e: Throwable => base.unpersist(blocking = false); throw e }
-    val sc = spark.sparkContext
-    val parts = math.max(1, math.min(sc.defaultParallelism,
-      (nWords / 65536L).toInt + 1))
-    val trainId = java.util.UUID.randomUUID().toString
-    // deterministic content-key placement — same rebuild-correctness
-    // argument as train's baseSyms
-    val baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)] = base.rdd
-      .partitionBy(new org.apache.spark.HashPartitioner(parts))
-      .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
-      .persist(sl)
-    // the live pair table, co-partitioned across passes so each delta
-    // update cogroups NARROWLY (only the fuse-site-sized delta RDD
-    // shuffles; the table itself never moves between passes)
-    val pairPart = new org.apache.spark.HashPartitioner(parts)
-    type Pair = (String, String)
-    var pairTable: org.apache.spark.rdd.RDD[(Pair, Long)] =
-      baseSyms.mapPartitions { it =>
-        val local = scala.collection.mutable.HashMap.empty[Pair, Long]
+    try {
+      val nWords = base.count()
+      val parts = math.max(1,
+        math.min(spark.sparkContext.defaultParallelism,
+          (nWords / 65536L).toInt + 1))
+      // deterministic content-key placement — same rebuild-correctness
+      // argument as train's baseSyms
+      val baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)] = base.rdd
+        .partitionBy(new org.apache.spark.HashPartitioner(parts))
+        .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
+        .persist(sl)
+      val pairTable0 = baseSyms.mapPartitions { it =>
+        val local = scala.collection.mutable.HashMap.empty[(String, String), Long]
         it.foreach { case (s, c) =>
           var i = 0
           while (i < s.length - 1) {
@@ -791,7 +823,37 @@ object Bpe {
           }
         }
         local.iterator
-      }.reduceByKey(pairPart, _ + _).persist(sl)
+      }.reduceByKey(new org.apache.spark.HashPartitioner(parts), _ + _)
+        .persist(sl)
+      trainDistributedCore(baseSyms, pairTable0, parts, numMerges,
+        maxBatch, candK, passHook)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** The loop of [[trainDistributed]], factored so [[train]]'s
+    * over-bound fallback can hand over its ALREADY-persisted symbol
+    * table and initial pair table instead of recomputing both (plus a
+    * corpus scan for the alphabet) — three redundant corpus-scale jobs
+    * on exactly the path where the corpus is enormous. Takes ownership
+    * of unpersisting `baseSyms` and the `initialTable` chain.
+    */
+  private def trainDistributedCore(
+      baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)],
+      initialTable: org.apache.spark.rdd.RDD[((String, String), Long)],
+      parts: Int, numMerges: Int, maxBatch: Int, candK: Int,
+      passHook: (Int, Int, Long, Double) => Unit): Seq[Merge] = {
+    require(maxBatch >= 1, s"bpe: maxBatch must be >= 1, got $maxBatch")
+    require(candK >= 1, s"bpe: candK must be >= 1, got $candK")
+    val sc = baseSyms.sparkContext
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val trainId = java.util.UUID.randomUUID().toString
+    // the live pair table, co-partitioned across passes so each delta
+    // update cogroups NARROWLY (only the fuse-site-sized delta RDD
+    // shuffles; the table itself never moves between passes)
+    val pairPart = initialTable.partitioner
+      .getOrElse(new org.apache.spark.HashPartitioner(parts))
+    type Pair = (String, String)
+    var pairTable: org.apache.spark.rdd.RDD[(Pair, Long)] = initialTable
     var prevTable: org.apache.spark.rdd.RDD[(Pair, Long)] = null
     var blocksBuilt = false
     try {
@@ -799,9 +861,13 @@ object Bpe {
       // (code points + one entry per merge), not pair-table-sized, so it
       // is driver-safe even when the pair table is not. Guards batch
       // positions > 1 against un-ambiguous un-merge (as in train) and
-      // the replay's fresh-pair reasoning.
+      // the replay's fresh-pair reasoning. Derived from the pair
+      // table's keys (every symbol occurs in some pair — words always
+      // carry the Eow terminal), not a separate corpus scan.
       val knownSymbols = scala.collection.mutable.HashSet.empty[String]
-      knownSymbols ++= baseSyms.flatMap(_._1.iterator).distinct().collect()
+      knownSymbols ++= pairTable
+        .flatMap { case ((l, r), _) => Iterator(l, r) }
+        .distinct().collect()
       buildBlocks(baseSyms, trainId)
       blocksBuilt = true
 
@@ -919,7 +985,13 @@ object Bpe {
               math.min(parts, 4)).partitionBy(pairPart)
             val next = pairTable.cogroup(dRdd)
               .mapValues { case (cs, ds) => cs.sum + ds.sum }
-              .filter(_._2 > 0L)
+              .filter { case (p, n) =>
+                // a negative count is a delta-accounting bug — fail the
+                // job loudly rather than silently dropping the row
+                require(n >= 0L,
+                  s"bpe: distributed pair count for $p went negative ($n)")
+                n > 0L
+              }
               .persist(sl)
             // truncate lineage periodically: a long training would
             // otherwise chain one cogroup per pass into an unbounded
@@ -940,6 +1012,7 @@ object Bpe {
       }
       merges.result()
     } finally {
+      TrainStore.markFinished(trainId)
       if (blocksBuilt)
         try baseSyms.foreachPartition(
           (_: Iterator[(Array[String], Long)]) => TrainStore.clear(trainId))
@@ -947,8 +1020,8 @@ object Bpe {
       TrainStore.clear(trainId)
       if (prevTable != null) prevTable.unpersist(blocking = false)
       pairTable.unpersist(blocking = false)
+      if (pairTable ne initialTable) initialTable.unpersist(blocking = false)
       baseSyms.unpersist(blocking = false)
-      base.unpersist(blocking = false)
     }
   }
 

@@ -317,27 +317,55 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("a dead training's stranded TrainStore entries are evicted by " +
-    "the next training's block build; live foreign entries survive") {
+  test("a finished training's stranded TrainStore entries are evicted " +
+    "by the next training's block build; live foreign entries survive") {
     val blk = Bpe.Block(Vector(Array("a", Bpe.Eow)), Array(1L),
       Map.empty, Map.empty)
     val deadId = "dead-" + java.util.UUID.randomUUID()
     val liveId = "live-" + java.util.UUID.randomUUID()
-    // an aborted training's entry, last touched 31 min ago (past the
-    // 30-min TTL); and a concurrent LIVE training's entry (fresh touch)
+    // the abort path: the trainer's finally marked the id finished but
+    // the best-effort cleanup job never landed on this "executor" —
+    // its entry is FRESH (touch time is not the liveness signal here)
     Bpe.TrainStore.blocks.put((deadId, 0), Bpe.TrainStore.Entry(
-      -1, blk, Array.empty, System.currentTimeMillis() - 31L * 60 * 1000))
+      -1, blk, Array.empty, System.currentTimeMillis()))
+    Bpe.TrainStore.markFinished(deadId)
+    // a concurrent LIVE (unfinished) training's entry must survive
     Bpe.TrainStore.blocks.put((liveId, 0), Bpe.TrainStore.Entry(
       -1, blk, Array.empty, System.currentTimeMillis()))
     try {
       Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 4)
       assert(!Bpe.TrainStore.blocks.containsKey((deadId, 0)),
-        "stale entry of an aborted training survived the eviction sweep")
+        "stranded entry of a finished training survived the eviction sweep")
       assert(Bpe.TrainStore.blocks.containsKey((liveId, 0)),
-        "recently-touched entry of a live training was wrongly evicted")
+        "entry of a live unfinished training was wrongly evicted")
     } finally {
       Bpe.TrainStore.blocks.remove((deadId, 0))
       Bpe.TrainStore.blocks.remove((liveId, 0))
+    }
+  }
+
+  test("TrainStore TTL backstop evicts only past the age bound " +
+    "(crashed-driver path, no finished mark)") {
+    val blk = Bpe.Block(Vector(Array("a", Bpe.Eow)), Array(1L),
+      Map.empty, Map.empty)
+    val oldId = "crashed-" + java.util.UUID.randomUUID()
+    val freshId = "fresh-" + java.util.UUID.randomUUID()
+    Bpe.TrainStore.blocks.put((oldId, 0), Bpe.TrainStore.Entry(
+      -1, blk, Array.empty, System.currentTimeMillis() - 7L * 3600 * 1000))
+    Bpe.TrainStore.blocks.put((freshId, 0), Bpe.TrainStore.Entry(
+      -1, blk, Array.empty, System.currentTimeMillis()))
+    try {
+      // 6 h TTL, neither id marked finished: only the 7-h-old entry
+      // goes; a fresh-but-unfinished one must NOT be treated as dead
+      // (a live 100TB training's pass can take tens of minutes)
+      val (n, slots) = Bpe.TrainStore.evictStale(
+        "someone-else", Set.empty, 6L * 3600 * 1000)
+      assert(n >= 1 && slots >= 1)
+      assert(!Bpe.TrainStore.blocks.containsKey((oldId, 0)))
+      assert(Bpe.TrainStore.blocks.containsKey((freshId, 0)))
+    } finally {
+      Bpe.TrainStore.blocks.remove((oldId, 0))
+      Bpe.TrainStore.blocks.remove((freshId, 0))
     }
   }
 
