@@ -156,14 +156,20 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
         if (fired.compareAndSet(false, true))
           System.err.println(s"[http] streaming reader made no progress " +
             s"for >${streamWriteTimeoutMs} ms; disconnecting")
-        // preferred: close the connection via the server's own internals
-        // (unblocks the writer AND tears the socket down immediately);
-        // when the reflective path is unavailable (JDK internals moved,
-        // --add-opens absent at deploy), fall back to interrupting the
-        // blocked writer — the interruptible-channel close gives the
-        // same end state instead of degrading to a log line
-        if (!HttpServer.forceDisconnect(ex)) writerLock.synchronized {
-          if (writer != null) writer.interrupt()
+        // BOTH teardown paths run under the writer lock and only while
+        // the stream is still live (writer != null): a late fire racing
+        // the stream's completion must never close a keep-alive
+        // connection the JDK server already recycled for a NEW request.
+        // Preferred: close the connection via the server's own
+        // internals (unblocks the writer AND tears the socket down
+        // immediately); when the reflective path is unavailable (JDK
+        // internals moved, --add-opens absent at deploy), fall back to
+        // interrupting the blocked writer — the interruptible-channel
+        // close gives the same end state instead of degrading to a log
+        // line.
+        writerLock.synchronized {
+          if (writer != null && !HttpServer.forceDisconnect(ex))
+            writer.interrupt()
         }
       },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -442,10 +448,17 @@ object HttpServer {
     */
   @volatile private[api] var reflectiveDisconnectEnabled = true
 
+  /** Latched after the first genuine reflective failure: the JDK's
+    * internals don't come back mid-process, and the re-firing watchdog
+    * would otherwise re-throw + re-log the same 3-line error every
+    * period per stalled stream. (The test hook above deliberately does
+    * NOT latch — it bypasses before the try.)
+    */
+  @volatile private var reflectiveBroken = false
+
   private def forceDisconnect(ex: HttpExchange): Boolean =
-    try {
-      require(reflectiveDisconnectEnabled,
-        "test hook: reflective disconnect disabled")
+    if (!reflectiveDisconnectEnabled || reflectiveBroken) false
+    else try {
       val implField = ex.getClass.getDeclaredField("impl")
       implField.setAccessible(true)
       val impl = implField.get(ex)
@@ -458,9 +471,10 @@ object HttpServer {
       true
     } catch {
       case e: Throwable =>
+        reflectiveBroken = true
         System.err.println("[http] reflective force-disconnect unavailable " +
           "(is --add-opens jdk.httpserver/sun.net.httpserver=ALL-UNNAMED " +
-          s"set?), falling back to writer interrupt: $e")
+          s"set?), falling back to writer interrupt from now on: $e")
         false
     }
 

@@ -643,7 +643,8 @@ object Bpe {
       // the path where the corpus is enormous. train's finally still
       // releases base and re-unpersists baseSyms (idempotent).
       return trainDistributedCore(baseSyms, initialPairs, parts,
-        numMerges, maxBatch, candK = 512, passHook = passHook)
+        numMerges, maxBatch, candK = 512, passHook = passHook,
+        releaseAfterInit = () => base.unpersist(blocking = false))
     }
     initialPairs.collect().foreach { case (p, c) =>
       pairCounts(p) = c
@@ -826,7 +827,8 @@ object Bpe {
       }.reduceByKey(new org.apache.spark.HashPartitioner(parts), _ + _)
         .persist(sl)
       trainDistributedCore(baseSyms, pairTable0, parts, numMerges,
-        maxBatch, candK, passHook)
+        maxBatch, candK, passHook,
+        releaseAfterInit = () => base.unpersist(blocking = false))
     } finally base.unpersist(blocking = false)
   }
 
@@ -841,7 +843,8 @@ object Bpe {
       baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)],
       initialTable: org.apache.spark.rdd.RDD[((String, String), Long)],
       parts: Int, numMerges: Int, maxBatch: Int, candK: Int,
-      passHook: (Int, Int, Long, Double) => Unit): Seq[Merge] = {
+      passHook: (Int, Int, Long, Double) => Unit,
+      releaseAfterInit: () => Unit = () => ()): Seq[Merge] = {
     require(maxBatch >= 1, s"bpe: maxBatch must be >= 1, got $maxBatch")
     require(candK >= 1, s"bpe: candK must be >= 1, got $candK")
     val sc = baseSyms.sparkContext
@@ -870,6 +873,10 @@ object Bpe {
         .distinct().collect()
       buildBlocks(baseSyms, trainId)
       blocksBuilt = true
+      // baseSyms and the pair table are both materialized into their
+      // caches now — the caller's upstream corpus-scale inputs (the
+      // word-count Dataset) can be released for the (long) merge loop
+      releaseAfterInit()
 
       // takeOrdered's head = the trainer's argmax: cnt DESC, (l, r) ASC
       val topOrd: Ordering[(Pair, Long)] =
@@ -969,8 +976,11 @@ object Bpe {
               j += 1
             } else valid = false
           }
-          require(j > 0, "bpe: distributed replay rejected the " +
-            "takeOrdered argmax — delta accounting bug")
+          // progress is guaranteed structurally: position 0 commits
+          // unconditionally because takeOrdered's head IS the exact
+          // global argmax under the trainer's total order (unlike
+          // train's driver-table replay, there is no cheaper exact
+          // re-check to assert against here — the table is distributed)
           // ---- apply the committed prefix's deltas to the table ----
           val tableDelta = scala.collection.mutable.HashMap.empty[Pair, Long]
           (0 until j).foreach { jj =>

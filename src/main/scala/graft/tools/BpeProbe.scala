@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * trainer, jobs ≈ corpus passes + 2; for the sequential reference,
   * jobs ≈ merges + 2).
   *
-  * Usage: runMain graft.tools.BpeProbe <sfDir> <numMerges> <fast|seq|diff>
+  * Usage: runMain graft.tools.BpeProbe <sfDir> <numMerges>
+  *          <fast|seq|dist|passes|diff|distdiff>
   *          [maxBatch] [unigram|bigram|trigram|fourgram]
-  * (`diff` trains BOTH and requires merge-for-merge equality — the
-  * scale differential over the real corpus.)
+  * (`diff`/`distdiff` train BOTH the driver-table/distributed-table
+  * incremental trainer and the sequential reference and require
+  * merge-for-merge equality — the scale differential over the real
+  * corpus. `dist` times the distributed-pair-table fallback alone:
+  * its jobs must track passes, ~3/pass.)
   *
   * `bigram` trains on space-joined adjacent word pairs instead of
   * words: the replica-scaled corpora add rows but no DISTINCT words
@@ -69,14 +73,17 @@ object BpeProbe {
       case _ => graft.text.Bpe.wordCounts(docs, col("text"))
     }
     wc.count() // warm the corpus scan out of the measurement
-    if (mode == "diff") {
-      // scale differential: the incremental trainer must reproduce the
+    if (mode == "diff" || mode == "distdiff") {
+      // scale differential: the incremental trainers must reproduce the
       // sequential reference merge for merge AND count for count on
       // the real corpus, not just BpeSpec's synthetic ones
-      val a = graft.text.Bpe.train(wc, n, maxBatch = maxBatch)
+      val a =
+        if (mode == "distdiff")
+          graft.text.Bpe.trainDistributed(wc, n, maxBatch = maxBatch)
+        else graft.text.Bpe.train(wc, n, maxBatch = maxBatch)
       val b = graft.text.Bpe.trainSequential(wc, n)
       val diverge = a.zip(b).indexWhere { case (x, y) => x != y }
-      println(s"[bpeprobe] mode=diff asked=$n fast=${a.length} " +
+      println(s"[bpeprobe] mode=$mode asked=$n fast=${a.length} " +
         s"seq=${b.length} equal=${a == b}" +
         (if (diverge >= 0) s" FIRST-DIVERGENCE at rank ${diverge + 1}: " +
           s"${a(diverge)} vs ${b(diverge)}" else ""))
@@ -88,6 +95,8 @@ object BpeProbe {
     val t0 = System.nanoTime()
     val merges = mode match {
       case "seq" => graft.text.Bpe.trainSequential(wc, n)
+      case "dist" => graft.text.Bpe.trainDistributed(wc, n,
+        maxBatch = maxBatch)
       case "passes" =>
         // per-pass fuse-site instrumentation: the evidence that pass
         // cost tracks TOUCHED words (fuse sites), not the size of the
