@@ -128,6 +128,10 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     // alone can't distinguish a long compute from a blocked write
     val inCompute = new java.util.concurrent.atomic.AtomicBoolean(false)
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // flips the instant os.close() returns: the stream is complete and
+    // the JDK server may recycle the keep-alive socket for a NEW
+    // request, so no teardown may run past this point
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     // the writer thread, for the NON-REFLECTIVE disconnect backstop:
     // the JDK server writes through a blocking SocketChannel, which is
     // an InterruptibleChannel — interrupting a thread blocked in its
@@ -150,26 +154,34 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
     // and the socket dies. `fired` only de-duplicates the log line;
     // repeat disconnects on an already-closed connection are no-ops.
     val watchdog = HttpServer.streamWatchdog.scheduleAtFixedRate(
-      () => if (!inCompute.get() &&
+      () => if (!done.get() && !inCompute.get() &&
                 (System.nanoTime() - progress.get()) / 1000000L
                   > streamWriteTimeoutMs) {
-        if (fired.compareAndSet(false, true))
-          System.err.println(s"[http] streaming reader made no progress " +
-            s"for >${streamWriteTimeoutMs} ms; disconnecting")
-        // BOTH teardown paths run under the writer lock and only while
-        // the stream is still live (writer != null): a late fire racing
-        // the stream's completion must never close a keep-alive
-        // connection the JDK server already recycled for a NEW request.
-        // Preferred: close the connection via the server's own
-        // internals (unblocks the writer AND tears the socket down
-        // immediately); when the reflective path is unavailable (JDK
-        // internals moved, --add-opens absent at deploy), fall back to
-        // interrupting the blocked writer — the interruptible-channel
-        // close gives the same end state instead of degrading to a log
-        // line.
+        // BOTH teardown paths run under the writer lock, and the WHOLE
+        // stall condition is re-checked inside it: this task can be
+        // descheduled between the outer check and the lock, and in that
+        // gap the client may drain (progress resumes — interrupting
+        // then would truncate a now-healthy stream, possibly inside a
+        // Spark iterator pull) or the stream may complete (`done` — a
+        // teardown then could close a keep-alive connection the JDK
+        // server already recycled for a NEW request; recycling needs a
+        // further client round-trip, so re-checking `done` under the
+        // lock closes that window). Preferred teardown: close the
+        // connection via the server's own internals (unblocks the
+        // writer AND tears the socket down immediately); when the
+        // reflective path is unavailable (JDK internals moved,
+        // --add-opens absent at deploy), fall back to interrupting the
+        // blocked writer — the interruptible-channel close gives the
+        // same end state instead of degrading to a log line.
         writerLock.synchronized {
-          if (writer != null && !HttpServer.forceDisconnect(ex))
-            writer.interrupt()
+          if (writer != null && !done.get() && !inCompute.get() &&
+              (System.nanoTime() - progress.get()) / 1000000L
+                > streamWriteTimeoutMs) {
+            if (fired.compareAndSet(false, true))
+              System.err.println(s"[http] streaming reader made no " +
+                s"progress for >${streamWriteTimeoutMs} ms; disconnecting")
+            if (!HttpServer.forceDisconnect(ex)) writer.interrupt()
+          }
         }
       },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -207,6 +219,13 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
       }
     } finally {
       try os.close() catch { case _: java.io.IOException => () }
+      // completion flips the moment close() returns — BEFORE the
+      // watchdog can next acquire the lock — so a fire descheduled
+      // between its outer check and the lock sees the stream as done
+      // instead of closing a recycled connection (while close() itself
+      // BLOCKS on a stalled socket, done stays false and the watchdog
+      // correctly tears it down)
+      done.set(true)
       watchdog.cancel(false)
       // detach from the interrupt backstop BEFORE this thread returns
       // to the pool, then drop any interrupt the watchdog already
@@ -455,6 +474,8 @@ object HttpServer {
     * NOT latch — it bypasses before the try.)
     */
   @volatile private var reflectiveBroken = false
+  private val invokeFailLogged =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def forceDisconnect(ex: HttpExchange): Boolean =
     if (!reflectiveDisconnectEnabled || reflectiveBroken) false
@@ -470,7 +491,22 @@ object HttpServer {
       close.invoke(conn)
       true
     } catch {
+      case e: java.lang.reflect.InvocationTargetException =>
+        // reflection itself WORKED — the connection's own close() threw
+        // (e.g. one half-torn socket racing the client's RST). That is
+        // transient and per-connection: fall back to the writer
+        // interrupt for THIS fire only, without latching the preferred
+        // path off for the rest of the process lifetime.
+        if (invokeFailLogged.compareAndSet(false, true))
+          System.err.println("[http] reflective disconnect: connection " +
+            "close threw (transient; this stream falls back to the " +
+            s"writer interrupt): ${e.getCause}")
+        false
       case e: Throwable =>
+        // NoSuchField/NoSuchMethod/IllegalAccess/InaccessibleObject —
+        // the JDK's internals moved or --add-opens is absent; that
+        // verdict cannot change mid-process, so latch it and stop
+        // re-logging every watchdog period
         reflectiveBroken = true
         System.err.println("[http] reflective force-disconnect unavailable " +
           "(is --add-opens jdk.httpserver/sun.net.httpserver=ALL-UNNAMED " +

@@ -188,9 +188,10 @@ object Dedup {
     *
     * Each round is one message shuffle + one min-aggregate, converging
     * in O(component diameter) rounds — with star edges (doc →
-    * bucket-min) diameters are tiny. `localCheckpoint` truncates the
+    * bucket-min) diameters are tiny. `Lineage.truncate` cuts the
     * growing plan lineage each round (an iterative-algorithm
-    * necessity: without it round N replans rounds 1..N−1). The
+    * necessity: without it round N replans rounds 1..N−1; reliable
+    * checkpoint on clusters, localCheckpoint in local mode). The
     * convergence check is one count per round; at 100 TB that action
     * is the cheap part of the loop, and maxIter bounds the worst case.
     *
@@ -222,8 +223,8 @@ object Dedup {
                                     jumpAfter: Int = 3): (DataFrame, Int) = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = nodes.select(col("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    var labels = graft.core.Lineage.truncate(nodes.select(col("id")).distinct()
+      .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -251,7 +252,7 @@ object Dedup {
                 .as("label"),
               col("old"))
         }
-      val done = stepped.localCheckpoint()
+      val done = graft.core.Lineage.truncate(stepped)
       val improved = done.where(col("label") < col("old")).count()
       labels = done.select("id", "label")
       converged = improved == 0

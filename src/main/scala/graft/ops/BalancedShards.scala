@@ -59,12 +59,12 @@ object BalancedShards {
       if (nb < 2) keyed.withColumn("_bkt", lit(0))
       else {
         // ONE approx-percentile sketch row (mergeable partials — no
-        // global value collection), pinned by localCheckpoint so every
+        // global value collection), pinned by Lineage.truncate so every
         // consumer subtree sees byte-identical boundaries
         val qs = array((1 until nb).map(i => lit(i.toDouble / nb)): _*)
-        val bounds = keyed
-          .agg(percentile_approx(col("_bs_size"), qs, lit(10000)).as("_bs_bounds"))
-          .localCheckpoint(true)
+        val bounds = graft.core.Lineage.truncate(keyed
+          .agg(percentile_approx(col("_bs_size"), qs, lit(10000)).as("_bs_bounds")),
+          eager = true)
         keyed.crossJoin(broadcast(bounds))
           .withColumn("_bkt", aggregate(col("_bs_bounds"), lit(0),
             (acc, b) => acc + when(b < col("_bs_size"), 1).otherwise(0)))

@@ -216,7 +216,7 @@ object PipelineQueries extends QueryModule {
         .select(col("doc_id"), col("w"),
           (col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
             .as("wt"))
-        .localCheckpoint(false)
+        .transform(graft.core.Lineage.truncate(_, eager = false))
       val norms = wts.groupBy(col("doc_id"))
         .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
       val a = wts.select(col("w"), col("doc_id").as("i"), col("wt").as("wi"))

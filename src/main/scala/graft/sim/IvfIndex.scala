@@ -64,15 +64,15 @@ object IvfIndex {
           Window.partitionBy(pmod(col("vid"), lit(1))).orderBy("vid")) - 1)
       .select(col("list_id"), col("v").as("centroid"))
     (1 to iters).foreach { _ =>
-      // localCheckpoint truncates the lineage — without it the plan
+      // Lineage.truncate cuts the lineage — without it the plan
       // embeds the previous iteration's subtree twice and grows
       // exponentially in iters. EAGER: the blocking job per iteration
       // is not the gate's cost (lazy checkpointing measured identical),
       // and eager keeps the corpus persist/unpersist pairing sound —
       // with lazy, train would unpersist the corpus before any
       // checkpoint materialized
-      centroids = updateStep(assign(base, centroids), centroids)
-        .localCheckpoint(true)
+      centroids = graft.core.Lineage.truncate(
+        updateStep(assign(base, centroids), centroids), eager = true)
     }
     base.unpersist(blocking = false)
     centroids

@@ -385,6 +385,43 @@ object Bpe {
     * — the backstop that bounds leakage from an aborted training whose
     * best-effort cleanup job never landed on this executor.
     */
+  /** One full adjacent-pair count over a segmented symbol table — the
+    * shared pass-0 algebra of the driver-table ([[train]]) and
+    * distributed-table ([[trainDistributed]]) trainers. ONE definition
+    * on purpose: BpeSpec's differentials assume the trainers share this
+    * algebra, and a fix applied to a private copy would silently
+    * diverge them. The result is hash-partitioned on the pair key so
+    * the distributed trainer's per-pass delta cogroups stay narrow.
+    */
+  private def adjacentPairCounts(
+      baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)],
+      parts: Int): org.apache.spark.rdd.RDD[((String, String), Long)] =
+    baseSyms.mapPartitions { it =>
+      val local = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      it.foreach { case (s, c) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          local(p) = local.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      local.iterator
+    }.reduceByKey(new org.apache.spark.HashPartitioner(parts), _ + _)
+
+  /** Truncate an iterated RDD's lineage. On a cluster deployment (a
+    * checkpoint dir is configured) this is a RELIABLE checkpoint: a
+    * localCheckpoint would pin the only copy of the table to
+    * executor-local blocks, so any executor loss after the first
+    * truncation aborts the whole (multi-hour) training — the exact
+    * failure the TrainStore rebuild protocol exists to survive. In
+    * local mode (no checkpoint dir) executor-local IS driver-local and
+    * localCheckpoint is the cheap correct form.
+    */
+  private def truncateLineage(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    if (rdd.sparkContext.getCheckpointDir.isDefined) rdd.checkpoint()
+    else { rdd.localCheckpoint(); () }
+
   private def buildBlocks(
       baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)],
       trainId: String): Unit = {
@@ -617,18 +654,7 @@ object Bpe {
     // alphabet² then vocab-neighbor growth); a corpus that crosses it
     // FALLS BACK to the fully distributed sequential form instead of
     // refusing — slower (one recount job per merge) but unbounded.
-    val initialPairs = baseSyms.mapPartitions { it =>
-      val local = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      it.foreach { case (s, c) =>
-        var i = 0
-        while (i < s.length - 1) {
-          val p = (s(i), s(i + 1))
-          local(p) = local.getOrElse(p, 0L) + c
-          i += 1
-        }
-      }
-      local.iterator
-    }.reduceByKey(_ + _, parts).persist(sl)
+    val initialPairs = adjacentPairCounts(baseSyms, parts).persist(sl)
     val nPairs = initialPairs.count()
     if (nPairs > driverPairBound) {
       org.slf4j.LoggerFactory.getLogger(getClass)
@@ -813,19 +839,7 @@ object Bpe {
         .partitionBy(new org.apache.spark.HashPartitioner(parts))
         .map { case (w, c) => (symbolsOf(w) :+ Eow, c) }
         .persist(sl)
-      val pairTable0 = baseSyms.mapPartitions { it =>
-        val local = scala.collection.mutable.HashMap.empty[(String, String), Long]
-        it.foreach { case (s, c) =>
-          var i = 0
-          while (i < s.length - 1) {
-            val p = (s(i), s(i + 1))
-            local(p) = local.getOrElse(p, 0L) + c
-            i += 1
-          }
-        }
-        local.iterator
-      }.reduceByKey(new org.apache.spark.HashPartitioner(parts), _ + _)
-        .persist(sl)
+      val pairTable0 = adjacentPairCounts(baseSyms, parts).persist(sl)
       trainDistributedCore(baseSyms, pairTable0, parts, numMerges,
         maxBatch, candK, passHook,
         releaseAfterInit = () => base.unpersist(blocking = false))
@@ -1005,8 +1019,10 @@ object Bpe {
               .persist(sl)
             // truncate lineage periodically: a long training would
             // otherwise chain one cogroup per pass into an unbounded
-            // recompute graph (a reliable checkpoint on a real cluster)
-            if (pass % 8 == 7) next.localCheckpoint()
+            // recompute graph (reliable when a checkpoint dir exists —
+            // this path targets real clusters, where a localCheckpoint
+            // would die with the first lost executor)
+            if (pass % 8 == 7) truncateLineage(next)
             prevTable = pairTable
             pairTable = next
           }
@@ -1104,9 +1120,10 @@ object Bpe {
         val mapped = prev.map { case (s, cc) => (mergePairArr(s, l, r), cc) }
           .persist(sl)
         // truncate lineage periodically so a large merge budget cannot
-        // accumulate an unboundedly deep recompute chain (on a real
-        // cluster a reliable checkpoint would replace localCheckpoint)
-        if (rank % 8 == 0) mapped.localCheckpoint()
+        // accumulate an unboundedly deep recompute chain (reliable
+        // checkpoint when a dir is configured, localCheckpoint in
+        // local mode — see truncateLineage)
+        if (rank % 8 == 0) truncateLineage(mapped)
         cur = mapped
         rank += 1
       }
