@@ -40,7 +40,8 @@ object Bench {
       !skip(k) && only.forall(_.contains(k))
     }
 
-    // Host calibration (fixed-work CPU probe, see tools.HostCal):
+    // Host calibration (fixed-work CPU + memory-bandwidth probes, see
+    // tools.HostCal):
     // measured BEFORE the warmup and again AFTER the timed pass so
     // host drift inside the bench window (r10's adjudicated failure
     // mode) is visible as pre≠post; the normalized total divides by
@@ -54,6 +55,12 @@ object Bench {
     val calThreads = cpus.toInt
     val (calSinglePre, calMultiPre) =
       if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probe(calThreads)
+    // memory-bandwidth twin: output-materialization-bound gates scale
+    // with THIS axis, not the CPU one (r11: 2.0× on j1/j7 while the
+    // CPU probe read 1.2× — a hypervisor neighbor can degrade DRAM
+    // bandwidth independently of CPU)
+    val (calMemSinglePre, calMemMultiPre) =
+      if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probeMem(calThreads)
 
     // Warmup: one untimed pass over EVERY query. Each query's
     // WholeStageCodegen unit Janino-compiles on first execution (1-3 s
@@ -89,6 +96,8 @@ object Bench {
     }
     val (calSinglePost, calMultiPost) =
       if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probe(calThreads)
+    val (calMemSinglePost, calMemMultiPost) =
+      if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probeMem(calThreads)
     // 4-decimal values (0.1 ms resolution — far below run-to-run noise)
     // keep the one-line JSON well inside the driver's capture window;
     // full-precision doubles overflowed it in earlier rounds and the
@@ -105,7 +114,10 @@ object Bench {
     val calJson =
       s"""{"single_pre":${fmt(calSinglePre)},"multi_pre":${fmt(calMultiPre)},""" +
         s""""single_post":${fmt(calSinglePost)},"multi_post":${fmt(calMultiPost)},""" +
-        s""""threads":$calThreads,"iters_per_thread":${graft.tools.HostCal.ItersPerThread}}"""
+        s""""mem_single_pre":${fmt(calMemSinglePre)},"mem_multi_pre":${fmt(calMemMultiPre)},""" +
+        s""""mem_single_post":${fmt(calMemSinglePost)},"mem_multi_post":${fmt(calMemMultiPost)},""" +
+        s""""threads":$calThreads,"iters_per_thread":${graft.tools.HostCal.ItersPerThread},""" +
+        s""""mem_longs":${graft.tools.HostCal.MemLongs},"mem_passes":${graft.tools.HostCal.MemPassesPerThread}}"""
     // pinned-fixture verdicts (the 5 rows-only gates the driver can
     // only row-count): computed at the pin SF, UNTIMED, so value drift
     // in sketch/eigen/t-CDF algebra shows up in the per-round bench
@@ -163,7 +175,9 @@ object Bench {
         s"(sf=$canonicalSf, skip=${skip.size}, only=${only.map(_.size)})")
     // human summary on stderr (stdout carries ONLY the JSON lines)
     System.err.println(f"[bench] calibration single ${calSinglePre}%.2f/${calSinglePost}%.2f s, " +
-      f"multi($calThreads) ${calMultiPre}%.2f/${calMultiPost}%.2f s (pre/post), " +
+      f"multi($calThreads) ${calMultiPre}%.2f/${calMultiPost}%.2f s, " +
+      f"mem ${calMemSinglePre}%.2f/${calMemSinglePost}%.2f s, " +
+      f"mem-multi ${calMemMultiPre}%.2f/${calMemMultiPost}%.2f s (pre/post), " +
       f"normalized total ${totalNorm}%.2f probe-units")
     System.err.println(f"[bench] ${results.size} queries, total ${total}%.1f s, " +
       s"slowest: ${results.sortBy(-_._2).take(5).map { case (k, v) => f"$k=${v}%.2f" }.mkString(", ")}")

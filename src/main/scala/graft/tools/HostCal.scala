@@ -13,11 +13,16 @@ package graft.tools
   * total by its multi-thread probe seconds yields a host-independent
   * "probe-units" figure that IS comparable across rounds.
   *
-  * No allocation, no memory traffic beyond registers — deliberately a
-  * pure-CPU yardstick (it does not model GC or memory bandwidth, which
-  * is fine: the dominant observed noise source is CPU contention from
-  * noisy neighbors, which scales this loop the same way it scales
-  * whole-stage-codegen loops).
+  * TWO yardsticks, because shared-host noise has two independent
+  * axes (r11 measurement: output-materialization gates ran 2.0× a
+  * prior window while compute-bound gates ran 1.2× — a single CPU
+  * probe cannot explain both):
+  *   - CPU: a register-only integer-mixing loop (no allocation, no
+  *     memory traffic) — scales like whole-stage-codegen loops.
+  *   - MEMORY BANDWIDTH: a fixed-traffic strided sweep over a block
+  *     far larger than LLC (one cache line per step) — scales like
+  *     row materialization, shuffle writes, and copy-heavy operators,
+  *     which a hypervisor neighbor can degrade independently of CPU.
   */
 object HostCal {
 
@@ -76,5 +81,90 @@ object HostCal {
     val single = (1 to reps).map(_ => timeSingle()).min
     val multi = (1 to reps).map(_ => timeMulti(threads)).min
     (single, multi)
+  }
+
+  // ---- memory-bandwidth probe ----
+
+  /** Shared read-only block, far larger than any LLC so the strided
+    * sweep below is DRAM-bound, not cache-bound. 256 MB — allocated
+    * once (lazily) and reused by the pre- and post-suite probes.
+    * Constant across rounds, like ItersPerThread.
+    */
+  val MemLongs: Int = 32 * 1024 * 1024
+  /** Fixed per-thread sweep count: traffic = passes × 256 MB = 6 GB —
+    * sized so the single-thread probe runs ~0.6 s (a 0.2 s probe is
+    * itself noise-dominated). Constant across rounds.
+    */
+  val MemPassesPerThread: Int = 24
+
+  private lazy val memBlock: Array[Long] = {
+    val a = new Array[Long](MemLongs)
+    var h = 0x6a09e667f3bcc908L
+    var i = 0
+    while (i < MemLongs) {
+      h += 0x9e3779b97f4a7c15L
+      a(i) = h
+      i += 1
+    }
+    a
+  }
+
+  /** Deterministic strided sweep: one 64-byte cache line per step
+    * (stride 8 longs), the whole block per pass — a pure-bandwidth
+    * workload shaped like row materialization / shuffle buffer
+    * writes. The rotating start lane keeps passes from being
+    * trivially foldable; the return value is consumed via `sink`.
+    */
+  def memWork(passes: Int, seed: Long): Long = {
+    val a = memBlock
+    var acc = seed
+    var p = 0
+    while (p < passes) {
+      var i = (p * 7) & 7
+      while (i < a.length) { acc ^= a(i); i += 8 }
+      p += 1
+    }
+    acc
+  }
+
+  private def timeMemSingle(): Double = {
+    val t0 = System.nanoTime()
+    sink ^= memWork(MemPassesPerThread, 3L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def timeMemMulti(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => { sink ^= memWork(MemPassesPerThread, 3L + i) })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** min-of-`reps` single- and multi-thread MEMORY probe seconds.
+    * Per-thread work is fixed (like the CPU probe), so the multi
+    * figure is bandwidth-saturated by construction; round-over-round
+    * comparability comes from the work being CONSTANT, and a
+    * memory-degraded window shows as this ratio moving while the CPU
+    * probe holds.
+    */
+  def probeMem(threads: Int, reps: Int = 2): (Double, Double) = {
+    sink ^= memWork(1, 11L) // touch + JIT warm (also faults the block in)
+    val single = (1 to reps).map(_ => timeMemSingle()).min
+    val multi = (1 to reps).map(_ => timeMemMulti(threads)).min
+    (single, multi)
+  }
+
+  /** Standalone probe (dev): `runMain graft.tools.HostCal [threads]` —
+    * the same numbers Bench records, without running the suite.
+    */
+  def main(args: Array[String]): Unit = {
+    val threads = args.headOption.map(_.toInt).getOrElse(32)
+    val (s, m) = probe(threads)
+    val (ms, mm) = probeMem(threads)
+    println(f"[hostcal] cpu single $s%.3f s, multi($threads) $m%.3f s; " +
+      f"mem single $ms%.3f s, mem multi($threads) $mm%.3f s")
   }
 }

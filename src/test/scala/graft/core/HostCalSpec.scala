@@ -36,4 +36,25 @@ class HostCalSpec extends AnyFunSuite {
     // single thread; catches a probe that forgot to join its workers
     assert(multi > single / 4)
   }
+
+  test("memWork() is deterministic, seed/passes-sensitive, and pinned") {
+    val a = HostCal.memWork(2, 3L)
+    val b = HostCal.memWork(2, 3L)
+    val c = HostCal.memWork(2, 4L)
+    val d = HostCal.memWork(3, 3L)
+    assert(a === b)
+    assert(a !== c)
+    assert(a !== d)
+    // the memory probe's comparability contract: block size and
+    // per-thread sweep count never drift (traffic = passes × 256 MB)
+    assert(HostCal.MemLongs === 32 * 1024 * 1024)
+    assert(HostCal.MemPassesPerThread === 24)
+  }
+
+  test("probeMem returns positive times with multi bounded by work") {
+    val (single, multi) = HostCal.probeMem(threads = 2, reps = 1)
+    assert(single > 0.0)
+    assert(multi > 0.0)
+    assert(multi > single / 4)
+  }
 }
