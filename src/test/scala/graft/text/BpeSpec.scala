@@ -309,12 +309,29 @@ class BpeSpec extends SparkSpec {
       // every position it cannot prove, then re-sync via takeOrdered;
       // candK=512 holds the whole table (exact replay). Both must
       // reproduce one-merge-at-a-time greedy bit-exactly.
-      Seq((3, 4), (512, 32)).foreach { case (candK, mb) =>
+      // candK=1 is the degenerate view: only the exact global argmax is
+      // visible, so every pass can commit exactly one merge (maximum
+      // pass count — the replay must never guess past position 0)
+      Seq((1, 8), (3, 4), (512, 32)).foreach { case (candK, mb) =>
         val got = Bpe.trainDistributed(wc, 16, maxBatch = mb, candK = candK)
         assert(got === seqRef,
           s"trial $trial candK=$candK maxBatch=$mb diverged from greedy")
       }
     }
+  }
+
+  test("trainDistributed survives losing the executor-resident blocks " +
+    "mid-run (rebuild protocol) and still equals sequential greedy") {
+    val wc = Bpe.wordCounts(corpusDf, col("text"))
+    val expected = Bpe.trainSequential(wc, 12)
+    // same executor-restart simulation as train's wipe test, but with
+    // the pair table DISTRIBUTED: the rebuild replays base symbols +
+    // the committed prefix while the table-side delta accounting must
+    // stay consistent with the reconstructed blocks
+    val got = Bpe.trainDistributed(wc, 12, maxBatch = 3,
+      passHook = (pass, _, _, _) =>
+        if (pass == 1 || pass == 3) Bpe.TrainStore.blocks.clear())
+    assert(got === expected)
   }
 
   test("a finished training's stranded TrainStore entries are evicted " +
