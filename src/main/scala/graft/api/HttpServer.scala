@@ -165,8 +165,11 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
         // Spark iterator pull) or the stream may complete (`done` — a
         // teardown then could close a keep-alive connection the JDK
         // server already recycled for a NEW request; recycling needs a
-        // further client round-trip, so re-checking `done` under the
-        // lock closes that window). Preferred teardown: close the
+        // further client round-trip, so the under-lock `done` re-check
+        // NARROWS that window to the instructions between the re-check
+        // and the invoke — a residual any async teardown design has,
+        // requiring this task descheduled mid-lock for a full client
+        // RTT). Preferred teardown: close the
         // connection via the server's own internals (unblocks the
         // writer AND tears the socket down immediately); when the
         // reflective path is unavailable (JDK internals moved,
@@ -499,8 +502,9 @@ object HttpServer {
         // path off for the rest of the process lifetime.
         if (invokeFailLogged.compareAndSet(false, true))
           System.err.println("[http] reflective disconnect: connection " +
-            "close threw (transient; this stream falls back to the " +
-            s"writer interrupt): ${e.getCause}")
+            "close threw (transient; the affected stream falls back to " +
+            "the writer interrupt — further occurrences are not " +
+            s"logged): ${e.getCause}")
         false
       case e: Throwable =>
         // NoSuchField/NoSuchMethod/IllegalAccess/InaccessibleObject —

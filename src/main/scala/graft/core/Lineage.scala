@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage truncation for iterative/multi-consumer plans, picked by
   * deployment: a RELIABLE checkpoint when the SparkContext has a
@@ -14,10 +15,40 @@ import org.apache.spark.sql.DataFrame
   * BPE passes) that localCheckpoints on a real cluster pins the ONLY
   * copy of its state to executor blocks with no lineage left to
   * recompute it — the first lost executor aborts the whole run.
+  *
+  * Cluster operational note: reliable checkpoint files are NOT deleted
+  * by default when the RDD goes out of scope — long iterative runs
+  * should set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * so each round's superseded checkpoint is GC-reclaimed, or point the
+  * checkpoint dir at job-scoped storage cleaned on exit. (A library
+  * must not mutate the session's conf behind the caller's back, so
+  * this is documented rather than forced.)
   */
 object Lineage {
+  /** Truncate a DataFrame's lineage. On the reliable path the frame is
+    * persisted first so the eager materialization and the checkpoint
+    * write don't EACH compute the plan (RDD.checkpoint's documented
+    * contract: checkpoint without persist runs the computation twice);
+    * the cache is dropped once the checkpoint is materialized. The
+    * lazy reliable form stays persisted — like localCheckpoint(false),
+    * materialization happens at the first action and the cache backs
+    * the checkpoint write then.
+    */
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = persisted.checkpoint(eager)
+      if (eager) persisted.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(eager)
+
+  /** RDD twin of [[truncate]] — ONE definition of the deployment
+    * policy (the BPE trainers iterate on RDDs). CONTRACT: the caller
+    * persists the RDD before its first action (both trainers do), so
+    * the reliable checkpoint write reads the cache instead of
+    * recomputing; callers own the unpersist.
+    */
+  def truncate(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    if (rdd.sparkContext.getCheckpointDir.isDefined) rdd.checkpoint()
+    else { rdd.localCheckpoint(); () }
 }

@@ -409,19 +409,6 @@ object Bpe {
       local.iterator
     }.reduceByKey(new org.apache.spark.HashPartitioner(parts), _ + _)
 
-  /** Truncate an iterated RDD's lineage. On a cluster deployment (a
-    * checkpoint dir is configured) this is a RELIABLE checkpoint: a
-    * localCheckpoint would pin the only copy of the table to
-    * executor-local blocks, so any executor loss after the first
-    * truncation aborts the whole (multi-hour) training — the exact
-    * failure the TrainStore rebuild protocol exists to survive. In
-    * local mode (no checkpoint dir) executor-local IS driver-local and
-    * localCheckpoint is the cheap correct form.
-    */
-  private def truncateLineage(rdd: org.apache.spark.rdd.RDD[_]): Unit =
-    if (rdd.sparkContext.getCheckpointDir.isDefined) rdd.checkpoint()
-    else { rdd.localCheckpoint(); () }
-
   private def buildBlocks(
       baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)],
       trainId: String): Unit = {
@@ -1022,7 +1009,7 @@ object Bpe {
             // recompute graph (reliable when a checkpoint dir exists —
             // this path targets real clusters, where a localCheckpoint
             // would die with the first lost executor)
-            if (pass % 8 == 7) truncateLineage(next)
+            if (pass % 8 == 7) graft.core.Lineage.truncate(next)
             prevTable = pairTable
             pairTable = next
           }
@@ -1122,8 +1109,9 @@ object Bpe {
         // truncate lineage periodically so a large merge budget cannot
         // accumulate an unboundedly deep recompute chain (reliable
         // checkpoint when a dir is configured, localCheckpoint in
-        // local mode — see truncateLineage)
-        if (rank % 8 == 0) truncateLineage(mapped)
+        // local mode — see Lineage.truncate; `mapped` is persisted
+        // above, per its RDD contract)
+        if (rank % 8 == 0) graft.core.Lineage.truncate(mapped)
         cur = mapped
         rank += 1
       }

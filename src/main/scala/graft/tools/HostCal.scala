@@ -97,31 +97,57 @@ object HostCal {
     */
   val MemPassesPerThread: Int = 24
 
-  private lazy val memBlock: Array[Long] = {
-    val a = new Array[Long](MemLongs)
-    var h = 0x6a09e667f3bcc908L
-    var i = 0
-    while (i < MemLongs) {
-      h += 0x9e3779b97f4a7c15L
-      a(i) = h
-      i += 1
+  /** Probe block, held only WHILE probing: a lazy val would pin
+    * 256 MB of driver heap through the whole timed suite between the
+    * pre and post probes, perturbing the GC behavior of the very
+    * measurement the probe calibrates. probeMem releases it; refill
+    * is deterministic and ~100 ms.
+    */
+  @volatile private var memBlockRef: Array[Long] = null
+
+  private def memBlock: Array[Long] = {
+    var a = memBlockRef
+    if (a == null) {
+      a = new Array[Long](MemLongs)
+      var h = 0x6a09e667f3bcc908L
+      var i = 0
+      while (i < MemLongs) {
+        h += 0x9e3779b97f4a7c15L
+        a(i) = h
+        i += 1
+      }
+      memBlockRef = a
     }
     a
   }
 
+  /** Release the probe block between probe windows. */
+  def releaseMemBlock(): Unit = { memBlockRef = null }
+
   /** Deterministic strided sweep: one 64-byte cache line per step
     * (stride 8 longs), the whole block per pass — a pure-bandwidth
     * workload shaped like row materialization / shuffle buffer
-    * writes. The rotating start lane keeps passes from being
-    * trivially foldable; the return value is consumed via `sink`.
+    * writes. `startLong` rotates where in the block the sweep begins
+    * (wrapping once), so CONCURRENT sweeps with disjoint starts do
+    * not convoy behind one DRAM stream and get served from a sibling
+    * thread's LLC fills — without disjoint phases a 32-thread "multi"
+    * run measured an implied ~240 GB/s, i.e. cache hits, blind to the
+    * DRAM degradation the probe exists to detect. The rotating start
+    * lane keeps passes from being trivially foldable; the return
+    * value is consumed via `sink`.
     */
-  def memWork(passes: Int, seed: Long): Long = {
+  def memWork(passes: Int, seed: Long, startLong: Int = 0): Long = {
     val a = memBlock
+    val n = a.length
+    val start = ((startLong % n) + n) % n & ~7 // line-aligned, in range
     var acc = seed
     var p = 0
     while (p < passes) {
-      var i = (p * 7) & 7
-      while (i < a.length) { acc ^= a(i); i += 8 }
+      val lane = (p * 7) & 7
+      var i = start + lane
+      while (i < n) { acc ^= a(i); i += 8 }
+      i = lane
+      while (i < start) { acc ^= a(i); i += 8 }
       p += 1
     }
     acc
@@ -134,9 +160,15 @@ object HostCal {
   }
 
   private def timeMemMulti(threads: Int): Double = {
+    // disjoint, evenly spaced starting offsets: each thread streams
+    // its own region of the block at any instant, so the aggregate is
+    // a genuine DRAM-bandwidth measurement rather than LLC reuse
+    val step = MemLongs / math.max(1, threads)
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { i =>
-      val t = new Thread(() => { sink ^= memWork(MemPassesPerThread, 3L + i) })
+      val t = new Thread(() => {
+        sink ^= memWork(MemPassesPerThread, 3L + i, startLong = i * step)
+      })
       t.start(); t
     }
     ts.foreach(_.join())
@@ -150,12 +182,13 @@ object HostCal {
     * memory-degraded window shows as this ratio moving while the CPU
     * probe holds.
     */
-  def probeMem(threads: Int, reps: Int = 2): (Double, Double) = {
-    sink ^= memWork(1, 11L) // touch + JIT warm (also faults the block in)
-    val single = (1 to reps).map(_ => timeMemSingle()).min
-    val multi = (1 to reps).map(_ => timeMemMulti(threads)).min
-    (single, multi)
-  }
+  def probeMem(threads: Int, reps: Int = 2): (Double, Double) =
+    try {
+      sink ^= memWork(1, 11L) // touch + JIT warm (also faults the block in)
+      val single = (1 to reps).map(_ => timeMemSingle()).min
+      val multi = (1 to reps).map(_ => timeMemMulti(threads)).min
+      (single, multi)
+    } finally releaseMemBlock()
 
   /** Standalone probe (dev): `runMain graft.tools.HostCal [threads]` —
     * the same numbers Bench records, without running the suite.

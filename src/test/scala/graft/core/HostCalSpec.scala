@@ -38,17 +38,24 @@ class HostCalSpec extends AnyFunSuite {
   }
 
   test("memWork() is deterministic, seed/passes-sensitive, and pinned") {
-    val a = HostCal.memWork(2, 3L)
-    val b = HostCal.memWork(2, 3L)
-    val c = HostCal.memWork(2, 4L)
-    val d = HostCal.memWork(3, 3L)
-    assert(a === b)
-    assert(a !== c)
-    assert(a !== d)
-    // the memory probe's comparability contract: block size and
-    // per-thread sweep count never drift (traffic = passes × 256 MB)
-    assert(HostCal.MemLongs === 32 * 1024 * 1024)
-    assert(HostCal.MemPassesPerThread === 24)
+    try {
+      val a = HostCal.memWork(2, 3L)
+      val b = HostCal.memWork(2, 3L)
+      val c = HostCal.memWork(2, 4L)
+      val d = HostCal.memWork(3, 3L)
+      assert(a === b)
+      assert(a !== c)
+      assert(a !== d)
+      // a rotated start visits the same lanes once each (wrap-around),
+      // so the XOR result — and the WORK — is offset-independent: the
+      // multi-thread probe's disjoint per-thread phases change memory
+      // access interleaving, never the computation
+      assert(HostCal.memWork(2, 3L, startLong = 12345 * 8) === a)
+      // the memory probe's comparability contract: block size and
+      // per-thread sweep count never drift (traffic = passes × 256 MB)
+      assert(HostCal.MemLongs === 32 * 1024 * 1024)
+      assert(HostCal.MemPassesPerThread === 24)
+    } finally HostCal.releaseMemBlock()
   }
 
   test("probeMem returns positive times with multi bounded by work") {

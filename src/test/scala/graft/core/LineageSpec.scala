@@ -23,7 +23,10 @@ class LineageSpec extends SparkSpec {
   }
 
   test("no checkpoint dir: local path, rows preserved, lineage cut") {
-    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    // force the known base state rather than asserting it: suites run
+    // sequentially today, but another spec setting a dir must not make
+    // this one flaky (the session is shared global state)
+    setCheckpointDirRaw(None)
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
       .where($"id" > 1)
     val out = Lineage.truncate(df)
