@@ -98,7 +98,13 @@ object Ingest {
         col("granule"), col("section_spec"),
         col("min_lat"), col("max_lat"), col("min_lon"), col("max_lon"),
         col("time").as("min_time"), col("time").as("max_time"),
-        dayofyear(timestamp_seconds(col("time"))).as("day_of_year"),
+        // zone-FREE day-of-year: dayofyear over a timestamp extracts in
+        // the session timezone, so the same granule ingested on a
+        // non-UTC cluster would store a different value near midnight;
+        // date arithmetic from the epoch day is deterministic (UTC
+        // sessions — all of ours — get the identical result)
+        dayofyear(date_add(lit("1970-01-01").cast("date"),
+          floor(col("time") / 86400L).cast("int"))).as("day_of_year"),
         col("stats_min"), col("stats_max"), col("stats_mean"), col("stats_count"),
         col("lats_d").cast("array<float>").as("latitudes"),
         col("lons_d").cast("array<float>").as("longitudes"),
@@ -126,11 +132,17 @@ object Ingest {
 
   /** S6 — partitioned columnar sink: `dataset` + time-bucket partition
     * keys give partition pruning for every P-layer predicate.
+    * DYNAMIC partition overwrite: only the partitions present in THIS
+    * batch are replaced — the default static mode deletes the whole
+    * root first, which on the shared batch+stream store layout
+    * documented at [[timeBucket]] would silently destroy every other
+    * dataset's ingested tiles.
     */
   def writeTiles(tiles: DataFrame, path: String): Unit =
     tiles
       .withColumn("time_bucket", timeBucket(col("min_time")))
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("dataset", "time_bucket")
       .parquet(path)
 
@@ -178,7 +190,11 @@ object Ingest {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(src).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    // suffix() builds the sibling from the NORMALIZED path — raw string
+    // concatenation with a trailing slash on `path` would nest the tmp
+    // dir inside the store, and the final swap rename (a dir into its
+    // own subdirectory) then fails after the whole rewrite completed
+    val tmp = src.suffix("__compact_tmp")
     // partition columns lead the sort: the dynamic-partition writer
     // requires rows ordered by them and would otherwise inject its own
     // sort on JUST those columns, destroying the spatial order
@@ -205,7 +221,7 @@ object Ingest {
       .write.mode("overwrite")
       .partitionBy("dataset", "time_bucket")
       .parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    val bak = src.suffix("__compact_old") // sibling via normalized path
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(src, bak)) sys.error(s"compactTiles: cannot displace $src")
     if (!fs.rename(tmp, src)) { // roll back, never leave the store missing
@@ -272,17 +288,26 @@ object Ingest {
       val dsSeg = esc.getPartitionPathString("dataset", String.valueOf(r.get(0)))
       val bSeg = esc.getPartitionPathString("time_bucket", String.valueOf(r.get(1)))
       deleted += r.getLong(2)
-      // basePath keeps the partition columns visible to the predicate.
-      // NULL-predicate rows must SURVIVE: where(!predicate) alone drops
-      // them (NULL is not true), silently deleting rows the query never
-      // matched (they are also absent from n_matches above).
-      val survivors = spark.read.option("basePath", path)
-        .parquet(s"$path/$dsSeg/$bSeg")
-        .where(!coalesce(predicate, lit(false)))
-        .drop("dataset", "time_bucket") // constant within the partition
-      if (survivors.isEmpty) s"drop\t$dsSeg\t$bSeg"
+      // survivors-empty ⟺ every partition row matched: compare
+      // n_matches against the partition's total row count, which
+      // parquet answers from footer metadata (a count() with no
+      // grouping/filter never scans data) — the previous isEmpty()
+      // probe re-scanned the partition once and the staging write then
+      // scanned it again; fully-deleted partitions now skip the
+      // survivor scan entirely
+      val total = spark.read.parquet(s"$path/$dsSeg/$bSeg").count()
+      if (r.getLong(2) == total) s"drop\t$dsSeg\t$bSeg"
       else {
-        survivors.write.mode("overwrite")
+        // basePath keeps the partition columns visible to the
+        // predicate. NULL-predicate rows must SURVIVE: where(!predicate)
+        // alone drops them (NULL is not true), silently deleting rows
+        // the query never matched (they are also absent from n_matches
+        // above).
+        spark.read.option("basePath", path)
+          .parquet(s"$path/$dsSeg/$bSeg")
+          .where(!coalesce(predicate, lit(false)))
+          .drop("dataset", "time_bucket") // constant within the partition
+          .write.mode("overwrite")
           .parquet(s"$path/$StagingName/tmp/$dsSeg/$bSeg")
         s"swap\t$dsSeg\t$bSeg"
       }
@@ -381,8 +406,10 @@ object Ingest {
   def recoverStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    // siblings from the NORMALIZED root (same trailing-slash reasoning
+    // as compactTiles — a raw-string concat would look INSIDE the store)
+    val tmp = root.suffix("__compact_tmp")
+    val bak = root.suffix("__compact_old")
     if (!fs.exists(root) && fs.exists(bak)) {
       val success = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
       if (fs.exists(tmp) && fs.exists(success)) {

@@ -391,6 +391,11 @@ object NetcdfClassic {
     */
   def write(f: NcFile): Array[Byte] = {
     require(!f.dims.exists(_.isRecord), "netcdf write: record dim unsupported")
+    // a ZERO length in the header is the record-dim marker — writing a
+    // fixed dim as 0 would produce a file that decodes as record-shaped
+    f.dims.foreach(d => require(d.length > 0,
+      s"netcdf write: dim ${d.name} has length 0 (classic encodes 0 as " +
+        "the record dimension; drop the dim/vars instead)"))
     f.vars.foreach { v =>
       // Long product (caller-controlled shapes; an Int wrap could
       // collide with data.length and write a corrupt header)

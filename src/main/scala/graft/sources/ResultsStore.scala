@@ -11,15 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object ResultsStore {
 
-  def write(results: DataFrame, path: String, executionId: String): Unit =
-    results.withColumn("execution_id", lit(executionId))
-      .write.mode("append").partitionBy("execution_id").parquet(path)
+  /** Append one execution's rows. Writes DIRECTLY into the execution's
+    * own hive-style partition directory rather than `partitionBy` into
+    * the shared root: concurrent Spark jobs writing the same output
+    * root share `<root>/_temporary`, and the first job's commit
+    * cleanup deletes it wholesale — destroying the other execution's
+    * in-flight task files. One directory per execution gives each
+    * write its own staging area, making the documented "concurrent
+    * executions never conflict" contract actually hold. Readers
+    * recover `execution_id` through partition discovery on the root.
+    */
+  def write(results: DataFrame, path: String, executionId: String): Unit = {
+    require(executionId.matches("[A-Za-z0-9_-]+"),
+      s"execution id must be directory-safe, got '$executionId'")
+    results.write.mode("append").parquet(s"$path/execution_id=$executionId")
+  }
 
   def read(spark: SparkSession, path: String, executionId: String): DataFrame =
-    spark.read.parquet(path).where(col("execution_id") === executionId)
+    // cast guards against partition-type inference turning an all-digit
+    // id into an int column (ids are UUIDs today; the cast is a no-op
+    // then and pruning still applies)
+    spark.read.parquet(path)
+      .where(col("execution_id").cast("string") === executionId)
 
   def listExecutions(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select("execution_id").distinct()
+    spark.read.parquet(path)
+      .select(col("execution_id").cast("string").as("execution_id"))
+      .distinct()
 }
 
 /** S11 — MERGE-style upsert (beyond the reference, which rewrites whole
@@ -87,18 +105,30 @@ object Encoders {
   def toNetcdf(df: DataFrame): Array[Byte] = {
     import NetcdfClassic._
     val rows = df.collect()
+    if (rows.isEmpty)
+      // CDF classic cannot express a 0-length FIXED dimension (a zero
+      // dim length in the header designates the record dimension, which
+      // the writer doesn't emit) — an empty result is a valid file with
+      // no variables and an explicit rows=0 marker, not a 500
+      return NetcdfClassic.write(NcFile(Nil,
+        Seq(NcAttr("source", NC_CHAR, text = "graft"),
+          NcAttr("rows", NC_CHAR, text = "0")), Nil))
     val dim = NcDim("row", rows.length)
     val schema = df.schema
     val vars = schema.fields.zipWithIndex.flatMap { case (f, i) =>
       f.dataType match {
         case org.apache.spark.sql.types.DoubleType |
-             org.apache.spark.sql.types.FloatType =>
+             org.apache.spark.sql.types.FloatType |
+             (_: org.apache.spark.sql.types.DecimalType) =>
+          // decimals ride the double variable (java.math.BigDecimal is
+          // a Number) — the JSON/CSV renditions keep full precision
           Some(NcVar(f.name, Seq("row"), NC_DOUBLE, Nil,
             rows.map(r => if (r.isNullAt(i)) Double.NaN
               else r.get(i).asInstanceOf[Number].doubleValue())))
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType =>
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType =>
           val vs = rows.map(r => if (r.isNullAt(i)) Double.NaN
             else r.get(i).asInstanceOf[Number].doubleValue())
           // a NULL cell needs NaN, which an int variable can't carry —
@@ -146,8 +176,23 @@ object Encoders {
     * Driver-side on a collected result, like toNetcdf — maps are
     * result-shaped (one row per grid cell), never data-shaped.
     */
+  /** Hard ceiling on any rendered image edge: caller parameters reach
+    * this layer straight from HTTP query params (`pngscale`, `pngw`,
+    * `pngh`), and an unbounded BufferedImage allocation is a one-
+    * request driver OOM. 16384² ARGB is ~1 GiB — already generous.
+    */
+  val MaxPngEdge: Int = 16384
+
+  private def boundEdge(what: String, v: Long): Int = {
+    // Long so a cells×scale product can't Int-wrap past the check
+    require(v > 0 && v <= MaxPngEdge,
+      s"$what must be in 1..$MaxPngEdge, got $v")
+    v.toInt
+  }
+
   def toPng(df: DataFrame, xCol: String, yCol: String, valueCol: String,
             scale: Int = 8): Array[Byte] = {
+    require(scale > 0, s"pngscale must be positive, got $scale")
     val rows = df.select(xCol, yCol, valueCol).collect()
     val cell = rows.flatMap { r =>
       if (r.isNullAt(0) || r.isNullAt(1)) None
@@ -166,7 +211,8 @@ object Encoders {
       if (finite.isEmpty) (0.0, 1.0) else (finite.min, finite.max)
     val span = if (hi > lo) hi - lo else 1.0
     val img = new java.awt.image.BufferedImage(
-      xs.length * scale, ys.length * scale,
+      boundEdge("png width (cells*pngscale)", xs.length.toLong * scale),
+      boundEdge("png height (cells*pngscale)", ys.length.toLong * scale),
       java.awt.image.BufferedImage.TYPE_INT_ARGB)
     for (xi <- xs.indices; yi <- ys.indices) {
       val argb = cell.get((xs(xi), ys(yi))) match {
@@ -205,9 +251,17 @@ object Encoders {
                   width: Int = 800, height: Int = 400,
                   style: String = "line"): Array[Byte] = {
     require(yCols.nonEmpty, "toPngSeries needs at least one y column")
+    boundEdge("pngw", width.toLong)
+    boundEdge("pngh", height.toLong)
     val rows = df.select((xCol +: yCols).map(org.apache.spark.sql.functions.col): _*)
       .collect()
-      .filter(!_.isNullAt(0))
+      // a NaN x would poison xs.max (NaN sorts HIGHEST under the total
+      // ordering), collapsing the x scale to [min, min+1] and drawing
+      // every real point off-canvas — drop non-finite x like null x
+      .filter(r => !r.isNullAt(0) && {
+        val x = r.get(0).asInstanceOf[Number].doubleValue()
+        !x.isNaN && !x.isInfinite
+      })
       .map(r => (r.get(0).asInstanceOf[Number].doubleValue(),
         yCols.indices.map(i => if (r.isNullAt(i + 1)) Double.NaN
           else r.get(i + 1).asInstanceOf[Number].doubleValue())))
@@ -352,9 +406,12 @@ object Encoders {
       case _: org.apache.spark.sql.types.NumericType => true
       case _ => false
     }).map(_.name)
+    // defaults must ALSO respect `taken`, or pngx=lat on a frame with a
+    // lat column silently resolves y to the same column (x == y, a
+    // degenerate diagonal plot); an EXPLICIT want is honored as given
     def pick(want: Option[String], defaults: Seq[String], taken: Set[String]) =
       want.getOrElse(
-        defaults.find(numeric.contains).getOrElse(
+        defaults.find(d => numeric.contains(d) && !taken(d)).getOrElse(
           numeric.filterNot(taken).headOption.getOrElse(
             throw new IllegalArgumentException(
               s"no numeric column for PNG axis (have: ${df.columns.mkString(",")})"))))

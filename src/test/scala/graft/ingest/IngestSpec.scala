@@ -345,4 +345,30 @@ class IngestSpec extends SparkSpec {
       .where(col("min_lon").between(10.0, 13.0)).count()
     assert(zRows === 32L * 4)
   }
+
+  test("writeTiles dynamic overwrite: a second dataset's batch does not wipe the first") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dynow").toString
+    Ingest.writeTiles(Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "ds_a"), out)
+    // a LATER batch for a different dataset must replace only its own
+    // partitions — static overwrite mode deleted the whole root first
+    Ingest.writeTiles(Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "ds_b"), out)
+    val back = spark.read.parquet(out)
+    assert(back.where(col("dataset") === "ds_a").count() === 4, "ds_a wiped")
+    assert(back.where(col("dataset") === "ds_b").count() === 4)
+    // re-writing ds_b replaces ds_b's partitions without duplicating
+    Ingest.writeTiles(Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "ds_b"), out)
+    assert(spark.read.parquet(out).where(col("dataset") === "ds_b").count() === 4)
+  }
+
+  test("compactTiles and recoverStore tolerate a trailing slash on the store path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_slash").toString
+    Ingest.writeTiles(Ingest.pointsToTiles(gridPoints, 2.0, 2.0, "ds_s"), dir)
+    val before = spark.read.parquet(dir).count()
+    // raw string concatenation made tmp/bak CHILDREN of the store for a
+    // "store/" spelling, failing the swap rename after the full rewrite
+    Ingest.compactTiles(spark, dir + "/", targetBytes = 1L << 30, zorder = false)
+    assert(spark.read.parquet(dir).count() === before)
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+    assert(!new java.io.File(dir + "__compact_old").exists())
+  }
 }

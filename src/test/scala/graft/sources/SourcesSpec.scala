@@ -208,4 +208,103 @@ class SourcesSpec extends SparkSpec {
     }
     assert(present.forall(_ > 20), "expected two plotted series")
   }
+
+  test("ResultsStore: CONCURRENT writes to distinct executions both land") {
+    import spark.implicits._
+    // each execution writes into its own partition directory, so two
+    // concurrent Spark write jobs never share a _temporary staging dir
+    // (shared-root partitionBy writes did — the first job's commit
+    // cleanup deleted the other's in-flight task files)
+    val path = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 4).map { i =>
+      val t = new Thread(() => {
+        try ResultsStore.write(
+          (1 to 50).map(k => (k, s"v$i")).toDF("k", "v"), path, s"exec$i")
+        catch { case e: Throwable => errs.add(e); () }
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent write failed: ${errs.peek()}")
+    (1 to 4).foreach { i =>
+      assert(ResultsStore.read(spark, path, s"exec$i").count() === 50, s"exec$i")
+    }
+    assert(ResultsStore.listExecutions(spark, path).count() === 4)
+  }
+
+  test("toNetcdf on an EMPTY result is a valid file, not a 500") {
+    import spark.implicits._
+    // CDF classic encodes dim length 0 as "the record dimension", so an
+    // empty result must not emit a 0-length fixed dim — it emits a
+    // variable-less file with a rows=0 marker instead
+    val df = Seq((1L, 1.5)).toDF("id", "score").where($"id" < 0)
+    val nc = NetcdfClassic.read(Encoders.toNetcdf(df))
+    assert(nc.vars.isEmpty)
+    assert(nc.attrs.exists(a => a.name == "rows" && a.text == "0"))
+    // and the writer refuses an explicit 0-length fixed dim loudly
+    val e = intercept[IllegalArgumentException] {
+      NetcdfClassic.write(NetcdfClassic.NcFile(
+        Seq(NetcdfClassic.NcDim("row", 0)), Nil,
+        Seq(NetcdfClassic.NcVar("x", Seq("row"), NetcdfClassic.NC_DOUBLE,
+          Nil, Array.empty[Double]))))
+    }
+    assert(e.getMessage.contains("length 0"))
+  }
+
+  test("toNetcdf carries byte and decimal columns as numeric variables") {
+    import spark.implicits._
+    val df = Seq((1.toByte, BigDecimal("2.50")), (2.toByte, BigDecimal("3.25")))
+      .toDF("flag", "price")
+    val nc = NetcdfClassic.read(Encoders.toNetcdf(df))
+    assert(nc.variable("flag").get.data.toSeq === Seq(1.0, 2.0))
+    assert(nc.variable("price").get.data.toSeq === Seq(2.5, 3.25))
+  }
+
+  test("toPngAuto never resolves two axes to the same column") {
+    import spark.implicits._
+    val df = Seq((0.0, 1.0, 5.0), (1.0, 2.0, 6.0), (2.0, 1.0, 7.0))
+      .toDF("lat", "lon", "mean")
+    // pngx=lat takes the y-default's column: y must skip "lat" (taken)
+    // and fall through to lon, not plot lat against itself
+    val bytes = Encoders.toPngAuto(df, xCol = Some("lat"))
+    assert(bytes.nonEmpty)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // lat has 3 distinct values, lon 2: x=lat,y=lon ⇒ 24x16 at scale 8;
+    // the broken x==y resolution gave a square 24x24 diagonal
+    assert(img.getWidth === 24 && img.getHeight === 16,
+      s"got ${img.getWidth}x${img.getHeight}")
+  }
+
+  test("toPngSeries drops non-finite x instead of collapsing the scale") {
+    import spark.implicits._
+    val df = Seq((Double.NaN, 1.0), (0.0, 1.0), (10.0, 2.0))
+      .toDF("t", "mean")
+    val bytes = Encoders.toPngSeries(df, "t", Seq("mean"), width = 200, height = 100)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // with the NaN row poisoning xs.max the x-scale collapsed to
+    // [0, 1] and the x=10 point fell off-canvas; a drawn polyline
+    // reaching the right plot edge proves the full span is in frame
+    // probe: any series-colored pixel in the right third of the image
+    val right = for {
+      x <- (img.getWidth * 2 / 3) until img.getWidth
+      y <- 0 until img.getHeight
+      if img.getRGB(x, y) == Encoders.seriesColors(0)
+    } yield (x, y)
+    assert(right.nonEmpty, "no series pixels in the right third of the plot")
+  }
+
+  test("PNG encoders bound caller-supplied dimensions (driver-OOM guard)") {
+    import spark.implicits._
+    val grid = Seq((0.0, 0.0, 1.0), (1.0, 1.0, 2.0)).toDF("lon", "lat", "mean")
+    val e1 = intercept[IllegalArgumentException] {
+      Encoders.toPng(grid, "lon", "lat", "mean", scale = 1000000)
+    }
+    assert(e1.getMessage.contains("1.." + Encoders.MaxPngEdge))
+    val series = Seq((0.0, 1.0), (1.0, 2.0)).toDF("t", "mean")
+    val e2 = intercept[IllegalArgumentException] {
+      Encoders.toPngSeries(series, "t", Seq("mean"), width = 2000000000)
+    }
+    assert(e2.getMessage.contains("pngw"))
+  }
 }
