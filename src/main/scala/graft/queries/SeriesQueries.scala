@@ -194,7 +194,7 @@ object SeriesQueries extends QueryModule {
     // streaming form (runsStream) and is spec-covered; its batch twin
     // is ≤#keys-way parallel and is no longer the default.
     "st_state_rle" -> { (s, dir) =>
-      graft.streaming.StateTracker.highLowRuns(s, Tables.events(s, dir), 100.0)
+      graft.streaming.StateTracker.highLowRuns(Tables.events(s, dir), 100.0)
     },
 
     // Same RLE over the round-robin-spread input (the single-row-group

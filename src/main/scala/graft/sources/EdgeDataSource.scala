@@ -141,18 +141,31 @@ final class EdgeScanBuilder(tableSchema: StructType, url: String,
     // recover it
     def userHas(k: String): Boolean =
       userParams.keys.exists(_.equalsIgnoreCase(k))
-    startT.filter(_ => !userHas("startTime"))
-      .foreach(t => pushedParams += ("startTime" -> t.toString))
-    endT.filter(_ => !userHas("endTime"))
-      .foreach(t => pushedParams += ("endTime" -> t.toString))
-    if (Seq(minLat, maxLat, minLon, maxLon).exists(_.isDefined) &&
-        !userHas("bbox")) {
+    val startEmitted = startT.isDefined && !userHas("startTime")
+    val endEmitted = endT.isDefined && !userHas("endTime")
+    val bboxEmitted = Seq(minLat, maxLat, minLon, maxLon)
+      .exists(_.isDefined) && !userHas("bbox")
+    if (startEmitted) pushedParams += ("startTime" -> startT.get.toString)
+    if (endEmitted) pushedParams += ("endTime" -> endT.get.toString)
+    if (bboxEmitted) {
       // EDGE order: minLon,minLat,maxLon,maxLat
       val bbox = s"${minLon.getOrElse(-180.0)},${minLat.getOrElse(-90.0)}," +
         s"${maxLon.getOrElse(180.0)},${maxLat.getOrElse(90.0)}"
       pushedParams += ("bbox" -> bbox)
     }
-    accepted = taken
+    // EXPLAIN honesty: report as pushed ONLY the filters whose derived
+    // param actually reached the HTTP query — a user-pinned
+    // startTime/endTime/bbox option suppresses the derived value, and
+    // claiming the filter pushed would make the plan's PushedFilters
+    // disagree with the scan's own PushedParams when debugging
+    // transfer volume (correctness is unaffected; all filters stay
+    // residual either way)
+    accepted = taken.filter {
+      case GreaterThanOrEqual("time", _) | GreaterThan("time", _) =>
+        startEmitted
+      case LessThanOrEqual("time", _) | LessThan("time", _) => endEmitted
+      case _ => bboxEmitted // the x/y bounds all fold into bbox
+    }
     filters // all residual: Spark re-applies — server filtering is advisory
   }
 

@@ -43,26 +43,34 @@ object EdgeSource {
   // threads/file descriptors with zero connection reuse
   private lazy val httpClient = java.net.http.HttpClient.newHttpClient()
 
-  private def fetchWithRetry(url: String, maxTries: Int): String = {
-    val client = httpClient
+  /** GET + parse one page under ONE retry loop, honoring the
+    * documented contract (non-200 OR bad JSON → retry up to
+    * `maxTries`): a 200 with a truncated body or an HTML error page is
+    * as transient as a 503, and parsing outside the loop gave it zero
+    * retries. Exponential backoff (100 ms doubling, 2 s cap) so a
+    * briefly unavailable endpoint is not hammered with back-to-back
+    * retries from every page task at once — amplification that defeats
+    * exactly the recovery the retries exist for.
+    */
+  private def fetchPageWithRetry(url: String,
+                                 maxTries: Int): (Long, Long, Seq[String]) = {
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofSeconds(500)).GET().build()
     var attempt = 0
-    var out: String = null
     var last: Throwable = null
-    while (out == null && attempt < maxTries) {
+    while (attempt < maxTries) {
       attempt += 1
       try {
-        val resp = client.send(req,
+        val resp = httpClient.send(req,
           java.net.http.HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() == 200) out = resp.body()
-        else last = new java.io.IOException(
+        if (resp.statusCode() == 200) return parsePage(resp.body())
+        last = new java.io.IOException(
           s"HTTP ${resp.statusCode()} from $url")
       } catch { case e: Exception => last = e }
+      if (attempt < maxTries)
+        Thread.sleep(math.min(2000L, 100L << math.min(attempt - 1, 10)))
     }
-    if (out == null)
-      throw new java.io.IOException(s"max retries ($maxTries) for $url", last)
-    out
+    throw new java.io.IOException(s"max retries ($maxTries) for $url", last)
   }
 
   private def withParams(base: String, params: Map[String, String]): String = {
@@ -137,14 +145,14 @@ object EdgeSource {
   private[sources] def pageStarts(url: String, params: Map[String, String],
                                   itemsPerPage: Int,
                                   maxTries: Int): (Int, Seq[Long], Seq[String]) = {
-    val (total, _, _) = parsePage(fetchWithRetry(
+    val (total, _, _) = fetchPageWithRetry(
       withParams(url, params + ("itemsPerPage" -> "0", "startIndex" -> "0")),
-      maxTries))
+      maxTries)
     if (total == 0) return (itemsPerPage, Nil, Nil)
-    val (_, confirmed, firstItems) = parsePage(fetchWithRetry(
+    val (_, confirmed, firstItems) = fetchPageWithRetry(
       withParams(url, params +
         ("itemsPerPage" -> itemsPerPage.toString, "startIndex" -> "0")),
-      maxTries))
+      maxTries)
     val step = (if (confirmed > 0) confirmed
       else math.max(1L, firstItems.length.toLong)).toInt
     (step, (0L until total by step.toLong).toSeq, firstItems)
@@ -161,5 +169,5 @@ object EdgeSource {
     */
   private[sources] def fetchPageItems(pageUrl: String,
                                       maxTries: Int): Seq[String] =
-    parsePage(fetchWithRetry(pageUrl, maxTries))._3
+    fetchPageWithRetry(pageUrl, maxTries)._3
 }

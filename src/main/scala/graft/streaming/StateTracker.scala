@@ -192,8 +192,16 @@ object StateTracker {
           // yields the same runs gradual advance would
           val (closedRuns, open) =
             advance(key, ready.toArray, st.open, threshold, gapUs)
+          // SATURATING gap deadline: gapUs may legitimately be huge
+          // (advance() documents Long.MaxValue as the batch "no gap"
+          // sentinel) and lastUs + gapUs would wrap negative, making
+          // EVERY open run read as final — one continuous run would
+          // then emit as one fragment per micro-batch
+          def gapDeadline(lastUs: Long): Long =
+            if (gapUs > Long.MaxValue - lastUs) Long.MaxValue
+            else lastUs + gapUs
           val (emitted, openKeep) = open match {
-            case Some(o) if wmUs >= o.lastUs + gapUs =>
+            case Some(o) if wmUs >= gapDeadline(o.lastUs) =>
               (closedRuns :+ closed(key, o), None)
             case o => (closedRuns, o)
           }
@@ -204,7 +212,7 @@ object StateTracker {
             // reaches the earliest pending event, whichever is sooner;
             // Spark requires the timeout to sit beyond the watermark
             val wantUs = math.min(
-              openKeep.map(_.lastUs + gapUs).getOrElse(Long.MaxValue),
+              openKeep.map(o => gapDeadline(o.lastUs)).getOrElse(Long.MaxValue),
               rest.headOption.map(_.us).getOrElse(Long.MaxValue))
             state.setTimeoutTimestamp(
               math.max(wantUs / 1000L, wmUs / 1000L + 1L))
@@ -222,7 +230,7 @@ object StateTracker {
     * the wall the sharded plan removes (measured 16.4 s → 9.8 s at
     * 100×, SCALING.md).
     */
-  def highLowRuns(spark: SparkSession, events: DataFrame, threshold: Double): DataFrame =
+  def highLowRuns(events: DataFrame, threshold: Double): DataFrame =
     highLowRunsSharded(events, threshold)
 
   /** Stateful batch form (one task per key — parallelism bounded by
@@ -230,7 +238,7 @@ object StateTracker {
     * batch twin of [[runsStream]] so the state-machine fold itself is
     * testable without a streaming harness.
     */
-  def highLowRunsStateful(spark: SparkSession, events: DataFrame, threshold: Double): DataFrame =
+  def highLowRunsStateful(events: DataFrame, threshold: Double): DataFrame =
     runsBatch(signals(events), threshold)
       .toDF()
       .select(col("event_type"), col("bucket"), col("start_us"),

@@ -120,7 +120,8 @@ object StreamingIngest {
                       timeVar: String = "time",
                       swath: Boolean = false,
                       metaVars: Seq[String] = Nil,
-                      pointTransform: DataFrame => DataFrame = identity): DataStreamWriter[Row] = {
+                      pointTransform: DataFrame => DataFrame = identity,
+                      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
     require(metaVars.isEmpty || !swath,
       "granulePipeline: metaVars applies to grid granules only")
     // streaming file sources demand an explicit schema; binaryFile's
@@ -195,7 +196,13 @@ object StreamingIngest {
         ()
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      // AvailableNow by default: process everything present, then stop
+      // (the run-to-completion / scheduler-restart contract — also what
+      // the specs drive). A WATCHING deployment that should keep
+      // polling watchDir passes Trigger.ProcessingTime(...) — the
+      // reference's fixedDelay=60 poll — since AvailableNow terminates
+      // once caught up and later granules would wait for a restart.
+      .trigger(trigger)
   }
 
   /** Append `rows` to the partitioned store, dropping rows whose

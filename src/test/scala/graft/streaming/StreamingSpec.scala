@@ -136,8 +136,8 @@ class StreamingSpec extends SparkSpec {
       (1000000L, "y", 5.0, 6), (86400000001L, "y", 6.0, 7)).toDS()
     val df = evs.toDF().select(col("event_type"), col("event_id"),
       col("value"), col("ts"))
-    val sharded = StateTracker.highLowRuns(spark, df, 100.0).collect()
-    val stateful = StateTracker.highLowRunsStateful(spark, df, 100.0).collect()
+    val sharded = StateTracker.highLowRuns(df, 100.0).collect()
+    val stateful = StateTracker.highLowRunsStateful(df, 100.0).collect()
     assert(sharded.map(_.toSeq).toSeq === stateful.map(_.toSeq).toSeq)
     // x: high×2 / low×2 / high×1, y: one low run merged across the
     // day boundary = 4 runs total
@@ -184,6 +184,38 @@ class StreamingSpec extends SparkSpec {
         .sortBy(_.start_us)
       assert(afterB2.map(r => (r.event_type, r.bucket, r.start_us, r.n_events)).toSeq ===
         Seq(("x", 1L, 1000000L, 2L), ("x", 0L, 3000000L, 1L)))
+    } finally q.stop()
+  }
+
+  test("runsStream with gapUs=Long.MaxValue (the no-gap sentinel) keeps " +
+    "open runs open instead of emitting a fragment per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SignalEvent]
+    // lastUs + Long.MaxValue wraps negative without the saturating
+    // deadline, making every open run read as final on every batch
+    val src = StateTracker.runsStream(
+      mem.toDS().withWatermark("ts", "0 seconds"), 100.0,
+      gapUs = Long.MaxValue)
+    val q = src.writeStream.format("memory").queryName("rle_nogap")
+      .outputMode("append").start()
+    try {
+      mem.addData(sig((1000000L, "x", 150.0, 1), (2000000L, "x", 130.0, 2)): _*)
+      q.processAllAvailable()
+      // a far-future same-bucket event: the continuous high run must
+      // NOT have been split by the earlier batch boundary
+      mem.addData(sig((3600000000L, "x", 140.0, 3)): _*)
+      q.processAllAvailable()
+      // nothing is final while the run stays open under an infinite gap
+      assert(spark.table("rle_nogap").as[RunOut].collect().isEmpty)
+      // a crossing closes the run: ONE run spanning all three events
+      mem.addData(sig((3600001000L, "x", 10.0, 4)): _*)
+      mem.addData(sig((7200000000L, "y", 50.0, 9)): _*)
+      q.processAllAvailable()
+      val runs = spark.table("rle_nogap").as[RunOut].collect()
+        .filter(r => r.event_type == "x" && r.bucket == 1L)
+      assert(runs.map(r => (r.start_us, r.n_events)).toSeq ===
+        Seq((1000000L, 3L)))
     } finally q.stop()
   }
 
@@ -257,7 +289,7 @@ class StreamingSpec extends SparkSpec {
     val df = evs.toDF().select(col("event_type"), col("event_id"),
       col("value"), col("ts"))
     val sharded = StateTracker.highLowRunsSharded(df, 100.0).collect()
-    val stateful = StateTracker.highLowRunsStateful(spark, df, 100.0).collect()
+    val stateful = StateTracker.highLowRunsStateful(df, 100.0).collect()
     // string compare: a NaN-bearing run's avg_v is NaN on both sides,
     // and NaN never equals itself under value comparison
     assert(sharded.map(_.toString).toSeq === stateful.map(_.toString).toSeq)
