@@ -556,8 +556,15 @@ object Handlers {
       geodesic = true)
     val matched =
       if (matchOnce)
+        // the primary's identity includes tile_id + pv: multi-dataset
+        // requests (and reprocessed granules) carry DISTINCT primary
+        // records tied on every geometric key, and a coords-only key
+        // would collapse them to one row — silently dropping the other
+        // record's closest match (same reasoning as the total-order
+        // comment on the limit below)
         graft.ops.ToleranceJoin.matchOnce(pairs,
-          struct(col("plat"), col("plon"), col("pt")), col("dist_km"), col("sid"))
+          struct(col("tile_id"), col("plat"), col("plon"), col("pt"),
+            col("pv")), col("dist_km"), col("sid"))
       else pairs
     // resultSizeLimit (Matchup.py:187): reference default 500 pairs,
     // 0 = unlimited — the cap that keeps a wide-open request from

@@ -85,6 +85,13 @@ object GeoMatchup {
               maxAbsLat: Double = 66.0,
               broadcastSecondary: Boolean = false,
               geodesic: Boolean = false): DataFrame = {
+    // tt=0 arrives straight from the HTTP 'tt' param and would divide
+    // by zero in the time-cell key (a raw ANSI ArithmeticException deep
+    // in the plan, or NULL keys matching nothing with ANSI off);
+    // negative tolerances would silently return empty — fail loudly at
+    // entry like the maxAbsLat contract below
+    require(rtMeters > 0, s"geo matchup: rtMeters must be positive, got $rtMeters")
+    require(ttSeconds > 0, s"geo matchup: ttSeconds must be positive, got $ttSeconds")
     val effLat = math.min(maxAbsLat, CapLat)
     val capActive = maxAbsLat > CapLat
     val margin = StepMargin * (if (geodesic) GeodesicMargin else 1.0)
@@ -116,7 +123,13 @@ object GeoMatchup {
     // exploded neighbor array and measured +25% on the j7 gate at 10x.
     def latGuard(in: DataFrame, latC: Column): DataFrame =
       if (capActive) in
-      else in.where(when(abs(latC) <= lit(effLat), lit(true))
+      // a NULL latitude is a non-matching ROW (dropped, same as the
+      // cap passes' filters treat it), never a query abort: without
+      // the isNull arm the when falls through to raise_error on NULL
+      // and one record with a missing coordinate kills the whole job
+      // with a misleading beyond-maxAbsLat message
+      else in.where(when(latC.isNull, lit(false))
+        .when(abs(latC) <= lit(effLat), lit(true))
         .otherwise(raise_error(concat(
           lit(s"geo matchup: |latitude| beyond maxAbsLat=$effLat would " +
             "silently lose matches (lon cells are sized for it) — raise " +
@@ -131,7 +144,13 @@ object GeoMatchup {
     def admit(pairs: DataFrame): DataFrame = pairs
       .withColumn("dist_km", dist)
       .withColumn("dt_s", abs(pTime - sTime))
-      .where(col("dist_km") * 1000.0 <= rtMeters && col("dt_s") <= ttSeconds)
+      // time predicate FIRST: And short-circuits left-to-right and
+      // Catalyst does not cost-reorder deterministic conjuncts, so the
+      // iterative WGS84 geodesic solve (the dominant per-candidate cost
+      // in geodesic mode) is skipped for every candidate the cheap
+      // |dt| check already rejects (+/-1 time-cell adjacency admits
+      // dt up to ~2x tt, so that is a large fraction)
+      .where(col("dt_s") <= ttSeconds && col("dist_km") * 1000.0 <= rtMeters)
 
     def joined(p: DataFrame, sKeyed: DataFrame, key: String): DataFrame = {
       val s = if (broadcastSecondary) broadcast(sKeyed)

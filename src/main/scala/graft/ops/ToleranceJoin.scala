@@ -38,9 +38,15 @@ object ToleranceJoin {
   def bandJoin(left: DataFrame, right: DataFrame,
                leftKey: Column, rightKey: Column, tol: Long,
                exact: Column, broadcastRight: Boolean = false): DataFrame = {
+    require(tol > 0, s"bandJoin: tol must be positive, got $tol")
+    // floor, not cast-truncation: truncation toward zero makes band 0
+    // span (-tol, +tol) — twice every other band's width — so keys
+    // clustered around zero (signed deltas) pile into ONE skewed
+    // shuffle bucket with ~4x the candidate pairs; floor keeps every
+    // band exactly tol wide (adjacency and pair coverage unchanged)
     val lBanded = left.withColumn("__band",
-      explode(array(Seq(-1, 0, 1).map(i => (leftKey / tol).cast("long") + i): _*)))
-    val rBanded = right.withColumn("__band", (rightKey / tol).cast("long"))
+      explode(array(Seq(-1, 0, 1).map(i => floor(leftKey / tol).cast("long") + i): _*)))
+    val rBanded = right.withColumn("__band", floor(rightKey / tol).cast("long"))
     val r = if (broadcastRight) broadcast(rBanded) else rBanded.hint("shuffle_hash")
     lBanded.join(r, "__band").where(exact).drop("__band")
   }
@@ -58,13 +64,16 @@ object ToleranceJoin {
                 leftKey1: Column, rightKey1: Column, tol1: Long,
                 leftKey2: Column, rightKey2: Column, tol2: Double,
                 exact: Column, broadcastRight: Boolean = false): DataFrame = {
+    require(tol1 > 0, s"bandJoin2: tol1 must be positive, got $tol1")
+    require(tol2 > 0, s"bandJoin2: tol2 must be positive, got $tol2")
+    // floor for the same uniform-band-width reason as bandJoin
     val cells = for { d1 <- Seq(-1, 0, 1); d2 <- Seq(-1, 0, 1) } yield
-      struct(((leftKey1 / tol1).cast("long") + d1).as("b1"),
-        ((leftKey2 / tol2).cast("long") + d2).as("b2"))
+      struct((floor(leftKey1 / tol1).cast("long") + d1).as("b1"),
+        (floor(leftKey2 / tol2).cast("long") + d2).as("b2"))
     val l = left.withColumn("__band", explode(array(cells: _*)))
     val rBanded = right.withColumn("__band", struct(
-      (rightKey1 / tol1).cast("long").as("b1"),
-      (rightKey2 / tol2).cast("long").as("b2")))
+      floor(rightKey1 / tol1).cast("long").as("b1"),
+      floor(rightKey2 / tol2).cast("long").as("b2")))
     val r = if (broadcastRight) broadcast(rBanded) else rBanded.hint("shuffle_hash")
     l.join(r, "__band").where(exact).drop("__band")
   }

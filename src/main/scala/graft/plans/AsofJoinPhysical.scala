@@ -64,10 +64,16 @@ case class AsofJoinExec(
   // right side additionally ordered by the tie-break column, so rows
   // tied on (key, time) are consumed in a deterministic order and the
   // carried match is always the one with the LARGEST tie value —
-  // matching ops.AsofJoin.lastEarlier's rightTie semantics
+  // matching ops.AsofJoin.lastEarlier's rightTie semantics. The tie
+  // sort must be NULLS LAST explicitly: lastEarlier orders __tie
+  // asc_nulls_last and carries the final row, so a null-tie row tied
+  // on (key, time) must ALSO be consumed last here — Ascending's
+  // default NullsFirst would make the two "identical semantics"
+  // implementations return different matches on null ties
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime :+ rightTie).map(SortOrder(_, Ascending)))
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)) :+
+      SortOrder(rightTie, Ascending, NullsLast, Seq.empty))
 
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))

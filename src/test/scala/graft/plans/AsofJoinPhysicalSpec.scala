@@ -80,6 +80,27 @@ class AsofJoinPhysicalSpec extends SparkSpec {
     assert(win === out)
   }
 
+  test("NULL tie rows tied on (key, time): exec agrees with the window form") {
+    import spark.implicits._
+    // lastEarlier orders __tie asc_nulls_last and carries the LAST row,
+    // so a null-tie row tied on (key, time) wins; the exec's required
+    // ordering must be NullsLast too (Ascending's default NullsFirst
+    // made the two implementations disagree here)
+    val left = Seq((1L, 6L, "p")).toDF("k", "t", "pid")
+    val right = Seq((1L, 5L, Option.empty[Long], "A"),
+      (1L, 5L, Some(3L), "B")).toDF("k", "t", "tie", "rid")
+
+    val merge = AsofJoinPhysical.lastEarlierMerge(
+      left, right, Seq("k"), "t", "t", rightTie = "tie")
+      .select($"pid", $"r_rid").as[(String, String)].collect().toMap
+    val window = graft.ops.AsofJoin.lastEarlier(left,
+        right.select($"k", $"t".as("rt2"), $"tie", $"rid"),
+        Seq("k"), col("t"), col("rt2"), Seq("rt2", "rid"), rightTie = "tie")
+      .select($"pid", $"matched_rid").as[(String, String)].collect().toMap
+    assert(window("p") === "A", "window form should carry the null-tie row")
+    assert(merge === window)
+  }
+
   test("int/date-backed time columns are rejected loudly") {
     import spark.implicits._
     val left = Seq((1L, 10, "a")).toDF("k", "t", "pid") // t is INT
