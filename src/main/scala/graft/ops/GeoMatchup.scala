@@ -85,13 +85,15 @@ object GeoMatchup {
               maxAbsLat: Double = 66.0,
               broadcastSecondary: Boolean = false,
               geodesic: Boolean = false): DataFrame = {
-    // tt=0 arrives straight from the HTTP 'tt' param and would divide
-    // by zero in the time-cell key (a raw ANSI ArithmeticException deep
-    // in the plan, or NULL keys matching nothing with ANSI off);
     // negative tolerances would silently return empty — fail loudly at
-    // entry like the maxAbsLat contract below
+    // entry like the maxAbsLat contract below. tt=0 is VALID (the
+    // reference's Matchup.py get_int_arg('tt') has no lower bound and
+    // an exact-time matchup is a real request): the admit predicate
+    // dt_s <= 0 keeps only identical timestamps, and the time-cell
+    // divisor clamps to 1 s so the cell key never divides by zero.
     require(rtMeters > 0, s"geo matchup: rtMeters must be positive, got $rtMeters")
-    require(ttSeconds > 0, s"geo matchup: ttSeconds must be positive, got $ttSeconds")
+    require(ttSeconds >= 0, s"geo matchup: ttSeconds must be non-negative, got $ttSeconds")
+    val tCellSec = math.max(1L, ttSeconds).toDouble
     val effLat = math.min(maxAbsLat, CapLat)
     val capActive = maxAbsLat > CapLat
     val margin = StepMargin * (if (geodesic) GeodesicMargin else 1.0)
@@ -166,7 +168,7 @@ object GeoMatchup {
     } yield struct(
       (cell(pLat, latStep) + dLat).as("la"),
       pmod(lonCell(pLon) + dLon, lit(nLon.toLong)).as("lo"),
-      (cell(pTime, ttSeconds.toDouble) + dT).as("t"))): _*)))
+      (cell(pTime, tCellSec) + dT).as("t"))): _*)))
 
     // main pass: when the cap is active, BOTH sides restrict to the
     // sub-cap domain — every pair with a capward member is owned by
@@ -180,7 +182,7 @@ object GeoMatchup {
       sMain.withColumn("__cell", struct(
         cell(sLat, latStep).as("la"),
         lonCell(sLon).as("lo"),
-        cell(sTime, ttSeconds.toDouble).as("t"))),
+        cell(sTime, tCellSec).as("t"))),
       "__cell")
 
     if (!capActive) mainPairs
@@ -194,9 +196,9 @@ object GeoMatchup {
       def hemi(latC: Column): Column = when(latC >= 0, 1).otherwise(-1)
       def pKeyed(in: DataFrame): DataFrame = in.withColumn("__cap", explode(
         array(neighbors.map(d => struct(hemi(pLat).as("h"),
-          (cell(pTime, ttSeconds.toDouble) + d).as("t"))): _*)))
+          (cell(pTime, tCellSec) + d).as("t"))): _*)))
       def sKeyed(in: DataFrame): DataFrame = in.withColumn("__cap", struct(
-        hemi(sLat).as("h"), cell(sTime, ttSeconds.toDouble).as("t")))
+        hemi(sLat).as("h"), cell(sTime, tCellSec).as("t")))
       // pass A owns every pair whose SECONDARY is in the cap; pass B
       // owns cap-primary × sub-cap-secondary. A ∩ B = ∅ (s side), and
       // neither overlaps the main pass (one member is capward).

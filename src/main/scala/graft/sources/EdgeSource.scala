@@ -52,7 +52,7 @@ object EdgeSource {
     * retries from every page task at once — amplification that defeats
     * exactly the recovery the retries exist for.
     */
-  private def fetchPageWithRetry(url: String,
+  private[sources] def fetchPageWithRetry(url: String,
                                  maxTries: Int): (Long, Long, Seq[String]) = {
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofSeconds(500)).GET().build()
@@ -68,7 +68,19 @@ object EdgeSource {
           s"HTTP ${resp.statusCode()} from $url")
       } catch { case e: Exception => last = e }
       if (attempt < maxTries)
-        Thread.sleep(math.min(2000L, 100L << math.min(attempt - 1, 10)))
+        // a task-kill interrupt landing during the backoff must exit
+        // under the SAME failure contract as every other path out of
+        // this loop (an IOException carrying the last transport cause,
+        // not a bare InterruptedException) — and the interrupt flag is
+        // restored so Spark's task-kill machinery still sees it
+        try Thread.sleep(math.min(2000L, 100L << math.min(attempt - 1, 10)))
+        catch {
+          case ie: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw new java.io.IOException(
+              s"interrupted during retry backoff for $url (attempt $attempt)",
+              if (last != null) last else ie)
+        }
     }
     throw new java.io.IOException(s"max retries ($maxTries) for $url", last)
   }

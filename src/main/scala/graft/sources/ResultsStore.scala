@@ -27,17 +27,41 @@ object ResultsStore {
     results.write.mode("append").parquet(s"$path/execution_id=$executionId")
   }
 
-  def read(spark: SparkSession, path: String, executionId: String): DataFrame =
-    // cast guards against partition-type inference turning an all-digit
-    // id into an int column (ids are UUIDs today; the cast is a no-op
-    // then and pruning still applies)
-    spark.read.parquet(path)
-      .where(col("execution_id").cast("string") === executionId)
+  /** Read one execution's rows by opening its partition DIRECTORY
+    * directly. Reading the root and filtering on the inferred
+    * `execution_id` column silently loses all-digit ids with leading
+    * zeros: partition inference types the column int, '0123' becomes
+    * 123, and a cast-to-string filter compares '123' ≠ '0123' → empty.
+    * Path addressing sidesteps inference entirely — the id is matched
+    * as the literal directory name the write created. A missing id is
+    * a loud error (the reference 404s an unknown execution), never a
+    * silent empty frame.
+    */
+  def read(spark: SparkSession, path: String, executionId: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/execution_id=$executionId")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"no results for execution id '$executionId'")
+    spark.read.parquet(dir.toString)
+      .withColumn("execution_id", lit(executionId))
+  }
 
-  def listExecutions(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
-      .select(col("execution_id").cast("string").as("execution_id"))
-      .distinct()
+  /** Executions are the child directory names — listed from the
+    * filesystem, not via partition discovery, for the same
+    * leading-zero-id reason as [[read]].
+    */
+  def listExecutions(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("execution_id="))
+        .map(_.stripPrefix("execution_id="))
+    import spark.implicits._
+    ids.toDF("execution_id")
+  }
 }
 
 /** S11 — MERGE-style upsert (beyond the reference, which rewrites whole

@@ -168,6 +168,24 @@ object StateTracker {
     * Without an eviction rule, open-run state would wait forever on
     * keys that simply stopped emitting. Requires a watermark on `ts`.
     */
+  /** SATURATING gap deadline: gapUs may legitimately be huge
+    * (advance() documents Long.MaxValue as the batch "no gap"
+    * sentinel) and lastUs + gapUs would wrap negative, making EVERY
+    * open run read as final — one continuous run would then emit as
+    * one fragment per micro-batch. The guard only applies when
+    * lastUs > 0: with a NEGATIVE lastUs, `Long.MaxValue - lastUs`
+    * itself overflows and the comparison would saturate spuriously —
+    * the deadline would then never fire for that run; negative +
+    * positive cannot overflow, so the plain sum is exact there.
+    * (Negative lastUs cannot reach this through [[runsStream]] today —
+    * Spark's watermark initializes at 0 ms and drops pre-epoch rows as
+    * late before the stateful operator sees them — but the arithmetic
+    * must not be the thing that breaks if that ever changes.)
+    */
+  private[streaming] def gapDeadline(lastUs: Long, gapUs: Long): Long =
+    if (lastUs > 0 && gapUs > Long.MaxValue - lastUs) Long.MaxValue
+    else lastUs + gapUs
+
   def runsStream(events: Dataset[SignalEvent], threshold: Double,
                  gapUs: Long): Dataset[RunOut] = {
     val s = events.sparkSession
@@ -192,16 +210,8 @@ object StateTracker {
           // yields the same runs gradual advance would
           val (closedRuns, open) =
             advance(key, ready.toArray, st.open, threshold, gapUs)
-          // SATURATING gap deadline: gapUs may legitimately be huge
-          // (advance() documents Long.MaxValue as the batch "no gap"
-          // sentinel) and lastUs + gapUs would wrap negative, making
-          // EVERY open run read as final — one continuous run would
-          // then emit as one fragment per micro-batch
-          def gapDeadline(lastUs: Long): Long =
-            if (gapUs > Long.MaxValue - lastUs) Long.MaxValue
-            else lastUs + gapUs
           val (emitted, openKeep) = open match {
-            case Some(o) if wmUs >= gapDeadline(o.lastUs) =>
+            case Some(o) if wmUs >= gapDeadline(o.lastUs, gapUs) =>
               (closedRuns :+ closed(key, o), None)
             case o => (closedRuns, o)
           }
@@ -212,7 +222,7 @@ object StateTracker {
             // reaches the earliest pending event, whichever is sooner;
             // Spark requires the timeout to sit beyond the watermark
             val wantUs = math.min(
-              openKeep.map(o => gapDeadline(o.lastUs)).getOrElse(Long.MaxValue),
+              openKeep.map(o => gapDeadline(o.lastUs, gapUs)).getOrElse(Long.MaxValue),
               rest.headOption.map(_.us).getOrElse(Long.MaxValue))
             state.setTimeoutTimestamp(
               math.max(wantUs / 1000L, wmUs / 1000L + 1L))

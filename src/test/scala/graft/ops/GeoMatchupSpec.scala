@@ -28,6 +28,16 @@ class GeoMatchupSpec extends SparkSpec {
     assert(ids(200, 86400) === Set(10L, 12L))
     assert(ids(100, 86400) === Set(10L))
     assert(ids(150000, 60) === Set(10L, 11L, 12L)) // 14 excluded by time
+    // tt=0 is a valid EXACT-TIME matchup (the reference's Matchup.py
+    // accepts it — get_int_arg('tt') has no lower bound): only the
+    // same-timestamp candidates survive, and the time-cell key must
+    // not divide by zero
+    assert(ids(150000, 0) === Set(10L, 11L, 12L)) // all at t=1000 exactly
+    assert(ids(100, 0) === Set(10L))
+    val negTt = intercept[IllegalArgumentException] {
+      ids(150000, -1)
+    }
+    assert(negTt.getMessage.contains("non-negative"))
   }
 
   test("matches survive at high latitude (lon cells shrink with cos)") {

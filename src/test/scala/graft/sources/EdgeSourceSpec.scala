@@ -93,6 +93,36 @@ class EdgeSourceSpec extends SparkSpec {
     assert(failures.containsKey("p7")) // the retry path actually ran
   }
 
+  test("an interrupt during retry backoff exits under the IOException " +
+    "contract with the interrupt flag restored") {
+    server.createContext("/always503", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(503, -1)
+      ex.close()
+    })
+    @volatile var thrown: Throwable = null
+    @volatile var flagRestored = false
+    val t = new Thread(() => {
+      try EdgeSource.fetchPageWithRetry(base("/always503"), maxTries = 50)
+      catch {
+        case e: Throwable =>
+          thrown = e
+          flagRestored = Thread.currentThread().isInterrupted
+      }
+    })
+    t.start()
+    Thread.sleep(300) // let it land in a backoff sleep (100ms+ doubling)
+    t.interrupt()
+    t.join(5000)
+    assert(!t.isAlive)
+    // the documented contract: an IOException carrying the last
+    // transport cause — never a bare InterruptedException
+    assert(thrown.isInstanceOf[java.io.IOException], s"got $thrown")
+    assert(thrown.getMessage.contains("interrupted during retry backoff"))
+    assert(thrown.getCause != null &&
+      thrown.getCause.getMessage.contains("HTTP 503"))
+    assert(flagRestored)
+  }
+
   test("zero-result query yields an empty frame with the full schema") {
     val df = EdgeSource.read(spark, base("/empty"))
     assert(df.count() === 0)

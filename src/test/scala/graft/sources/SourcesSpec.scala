@@ -35,6 +35,27 @@ class SourcesSpec extends SparkSpec {
     assert(ResultsStore.read(spark, path, "exec1").count() === 2)
     assert(ResultsStore.read(spark, path, "exec2").count() === 1)
     assert(ResultsStore.listExecutions(spark, path).count() === 2)
+    assert(ResultsStore.read(spark, path, "exec1")
+      .select("execution_id").distinct().as[String].collect().toSeq === Seq("exec1"))
+    // an unknown id is a loud error, never a silent empty frame
+    intercept[IllegalArgumentException] {
+      ResultsStore.read(spark, path, "nope")
+    }
+  }
+
+  test("ResultsStore round-trips all-digit ids with leading zeros") {
+    import spark.implicits._
+    // partition-type inference on the root would type execution_id as
+    // int and read '0123' back as 123 — path addressing must not
+    val path = java.nio.file.Files.createTempDirectory("graft_results0").toString
+    ResultsStore.write(Seq((1, "a")).toDF("k", "v"), path, "0123")
+    ResultsStore.write(Seq((2, "b")).toDF("k", "v"), path, "123")
+    assert(ResultsStore.read(spark, path, "0123")
+      .select("v").as[String].collect().toSeq === Seq("a"))
+    assert(ResultsStore.read(spark, path, "123")
+      .select("v").as[String].collect().toSeq === Seq("b"))
+    assert(ResultsStore.listExecutions(spark, path)
+      .as[String].collect().toSet === Set("0123", "123"))
   }
 
   test("Merge.upsert classifies insert/update/keep and survives NULL values") {

@@ -219,6 +219,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapDeadline saturates for huge gaps but stays exact for " +
+    "negative (pre-epoch) lastUs") {
+    // the saturation guard's own subtraction (Long.MaxValue - lastUs)
+    // overflows when lastUs is negative — the deadline would read
+    // Long.MaxValue and never fire. (Spark's watermark-0 init keeps
+    // pre-epoch rows out of runsStream today, so this pins the
+    // arithmetic contract directly.)
+    assert(StateTracker.gapDeadline(-5000000L, 1000000L) === -4000000L)
+    assert(StateTracker.gapDeadline(Long.MinValue + 1, Long.MaxValue) === 0L)
+    // positive-side saturation (the no-gap sentinel) still holds
+    assert(StateTracker.gapDeadline(1000000L, Long.MaxValue) === Long.MaxValue)
+    assert(StateTracker.gapDeadline(Long.MaxValue - 1, 2L) === Long.MaxValue)
+    // plain sums stay exact
+    assert(StateTracker.gapDeadline(3000000L, 1000000L) === 4000000L)
+  }
+
   test("runsStream orders within-lateness late arrivals before folding") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
