@@ -80,20 +80,63 @@ object Bench {
     // queries, SCALING.md); the min over two steady-state runs is the
     // standard noise-robust estimator and every rep still materializes
     // every output row in output order.
+    //
+    // Structure (r12): the reps run as FULL PASSES over the suite with
+    // alternating direction (pass 0 A→Z, pass 1 Z→A), not as
+    // back-to-back reps of each gate — one gate's reps then sit far
+    // apart in wall time, so a transient contention burst cannot hit
+    // both reps of a gate, and (because the burst meets each pass at a
+    // DIFFERENT alphabetical position) cannot masquerade as a
+    // contiguous gate-family regression, the r11 adjudication problem.
+    // A ~0.1 s saturated CPU+mem mini-probe (HostCal.miniProbe) runs
+    // immediately before each timed execution and rides into
+    // BENCH_FULL.json as that measurement's host context: a slow gate
+    // time next to an elevated probe is host noise, next to a nominal
+    // probe it is code.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // a failed query must be VISIBLE (stderr — stdout carries only
-        // the JSON line), or its near-zero time reads as a fast success
-        try { run(fn(spark, sfDir)) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    final case class Rep(sec: Double, cpuProbe: Double, memProbe: Double)
+    def timedRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
+      val (cp, mp) =
+        if (devProbe) (0.0, 0.0) else graft.tools.HostCal.miniProbe(calThreads)
+      val t0 = System.nanoTime()
+      // a failed query must be VISIBLE (stderr — stdout carries only
+      // the JSON line), or its near-zero time reads as a fast success
+      try { run(fn(spark, sfDir)) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> times.min
+      Rep((System.nanoTime() - t0) / 1e9, cp, mp)
     }
+    val ordered = selected.toSeq.sortBy(_._1)
+    val byGate = scala.collection.mutable.Map.empty[String, Vector[Rep]]
+      .withDefaultValue(Vector.empty)
+    for (p <- 0 until reps) {
+      val passOrder = if (p % 2 == 0) ordered else ordered.reverse
+      passOrder.foreach { case (name, fn) =>
+        byGate(name) = byGate(name) :+ timedRep(name, fn)
+      }
+    }
+    // Rep-spread self-check: two reps of the same plan on the same
+    // data differing by >3× means at least one was contention-hit —
+    // run ONE more timed execution (with its own probe context) so the
+    // committed min is a real steady-state, not the less-bad of two
+    // noisy samples. The 0.2 s floor keeps sub-noise gates (where a
+    // 0.01 s vs 0.04 s scheduler wobble is a 4× "spread") from
+    // triggering re-runs that measure nothing.
+    val detail = ordered.map { case (name, fn) =>
+      val rs0 = byGate(name)
+      val secs0 = rs0.map(_.sec)
+      val spread = secs0.max / math.max(secs0.min, 1e-9)
+      val rerun = rs0.size > 1 && spread > 3.0 && secs0.max > 0.2
+      val rs = if (rerun) rs0 :+ timedRep(name, fn) else rs0
+      if (rerun)
+        System.err.println(f"[bench] $name rep spread ${spread}%.1fx " +
+          f"(${secs0.min}%.2f..${secs0.max}%.2f s) — re-ran once, " +
+          f"committed ${rs.map(_.sec).min}%.2f s")
+      (name, rs.map(_.sec).min, rs, rerun)
+    }
+    val results = detail.map { case (name, sec, _, _) => name -> sec }
+    if (!devProbe) graft.tools.HostCal.releaseMiniBlock()
     val (calSinglePost, calMultiPost) =
       if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probe(calThreads)
     val (calMemSinglePost, calMemMultiPost) =
@@ -118,6 +161,30 @@ object Bench {
         s""""mem_single_post":${fmt(calMemSinglePost)},"mem_multi_post":${fmt(calMemMultiPost)},""" +
         s""""threads":$calThreads,"iters_per_thread":${graft.tools.HostCal.ItersPerThread},""" +
         s""""mem_longs":${graft.tools.HostCal.MemLongs},"mem_passes":${graft.tools.HostCal.MemPassesPerThread}}"""
+    // per-gate detail: every rep's seconds plus the CPU/mem mini-probe
+    // seconds sampled immediately before it — the ride-along context
+    // the bracketing probes cannot provide (full map in
+    // BENCH_FULL.json only; the stdout lines stay bounded)
+    val gatesJson = detail.map { case (name, sec, rs, rerun) =>
+      "\"" + name + "\":{\"sec\":" + fmt(sec) +
+        ",\"reps\":[" + rs.map(r => fmt(r.sec)).mkString(",") + "]" +
+        ",\"cpu_probe\":[" + rs.map(r => fmt(r.cpuProbe)).mkString(",") + "]" +
+        ",\"mem_probe\":[" + rs.map(r => fmt(r.memProbe)).mkString(",") + "]" +
+        ",\"rerun\":" + rerun + "}"
+    }.mkString("{", ",", "}")
+    // compact ride summary (stdout-safe): a clean window reads
+    // cpu_max ≈ cpu_mean ≈ the nominal mini-probe time; a burst shows
+    // as cpu_max/mem_max spiking, and WHICH gates it hit is in the
+    // full map's per-gate arrays
+    val rideCpu = detail.flatMap(_._3.map(_.cpuProbe)).filter(_ > 0)
+    val rideMem = detail.flatMap(_._3.map(_.memProbe)).filter(_ > 0)
+    def meanOf(xs: Seq[Double]): Double = if (xs.isEmpty) 0.0 else xs.sum / xs.size
+    val rideJson =
+      s"""{"cpu_mean":${fmt(meanOf(rideCpu))},"cpu_max":${fmt(if (rideCpu.isEmpty) 0.0 else rideCpu.max)},""" +
+        s""""mem_mean":${fmt(meanOf(rideMem))},"mem_max":${fmt(if (rideMem.isEmpty) 0.0 else rideMem.max)},""" +
+        s""""n":${rideCpu.size},"flagged":${detail.count(_._4)},""" +
+        s""""mini_iters":${graft.tools.HostCal.MiniItersPerThread},""" +
+        s""""mini_mem_longs":${graft.tools.HostCal.MiniMemLongs}}"""
     // pinned-fixture verdicts (the 5 rows-only gates the driver can
     // only row-count): computed at the pin SF, UNTIMED, so value drift
     // in sketch/eigen/t-CDF algebra shows up in the per-round bench
@@ -141,7 +208,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""calibration":$calJson,"value_normalized":${fmt(totalNorm)},"sf":"$sfDir"}"""
+        s""""calibration":$calJson,"ride":$rideJson,""" +
+        s""""value_normalized":${fmt(totalNorm)},"sf":"$sfDir"}"""
     // durable full copy for round-over-round comparison, independent
     // of any stdout capture limit: the driver keeps only a bounded
     // stdout tail (2000 chars as of r7) which the ~2.8 KB 114-gate
@@ -149,7 +217,8 @@ object Bench {
     // TRACKED repo-root file the driver's round commit sweeps in
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
-        s""""queries":$qs,"pinned":${pinnedJson(full = true)},""" +
+        s""""queries":$qs,"gates":$gatesJson,"ride":$rideJson,""" +
+        s""""pinned":${pinnedJson(full = true)},""" +
         s""""calibration":$calJson,"value_normalized":${fmt(totalNorm)},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
@@ -179,6 +248,10 @@ object Bench {
       f"mem ${calMemSinglePre}%.2f/${calMemSinglePost}%.2f s, " +
       f"mem-multi ${calMemMultiPre}%.2f/${calMemMultiPost}%.2f s (pre/post), " +
       f"normalized total ${totalNorm}%.2f probe-units")
+    System.err.println(f"[bench] ride-along probes: cpu mean ${meanOf(rideCpu)}%.3f / " +
+      f"max ${if (rideCpu.isEmpty) 0.0 else rideCpu.max}%.3f s, " +
+      f"mem mean ${meanOf(rideMem)}%.3f / max ${if (rideMem.isEmpty) 0.0 else rideMem.max}%.3f s " +
+      s"(${rideCpu.size} samples), spread-flagged gates: ${detail.count(_._4)}")
     System.err.println(f"[bench] ${results.size} queries, total ${total}%.1f s, " +
       s"slowest: ${results.sortBy(-_._2).take(5).map { case (k, v) => f"$k=${v}%.2f" }.mkString(", ")}")
     println(json)
@@ -193,7 +266,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
       s""""slowest":$slowest,"pinned":${pinnedJson(full = false)},""" +
-      s""""calibration":$calJson,"value_normalized":${fmt(totalNorm)},""" +
+      s""""calibration":$calJson,"ride":$rideJson,"value_normalized":${fmt(totalNorm)},""" +
       s""""full_map":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -176,6 +176,36 @@ object Bpe {
       while (it.hasNext) if (it.next()._1 == trainId) n += 1
       n
     }
+    /** Approximate resident bytes of one stored entry — a flat
+      * walk-and-charge estimate (strings counted per occurrence,
+      * structural sharing across passes not discounted), so it reads
+      * as an upper bound. The store lives OUTSIDE Spark's memory
+      * manager; this figure is what makes that unaccounted executor
+      * heap OBSERVABLE (logged per pass by runStorePass, summed
+      * across partitions). Walk cost is O(block) but purely local
+      * arithmetic — microseconds against a pass's fuse work.
+      */
+    private[text] def approxBytesOf(key: (String, Int)): Long = {
+      val e = blocks.get(key)
+      if (e == null) return 0L
+      val b = e.block
+      var bytes = 64L + 8L * b.counts.length
+      b.words.foreach { w =>
+        bytes += 24L + 8L * w.length
+        var i = 0
+        while (i < w.length) { bytes += 40L + 2L * w(i).length; i += 1 }
+      }
+      b.index.foreach { case (p, posts) =>
+        bytes += 48L + 2L * (p._1.length + p._2.length) + 40L * posts.size
+      }
+      b.applied.valuesIterator.foreach(l => bytes += 48L + 40L * l.size)
+      bytes + 64L * e.deltas.length
+    }
+    /** Driver-side record of the latest per-pass footprint report:
+      * (trainId, pass, bytes summed over partitions). Written by
+      * runStorePass after each pass; read by BpeProbe / specs.
+      */
+    @volatile private[text] var lastReport: Option[(String, Int, Long)] = None
     /** trainIds whose training ENDED (normally or by exception) —
       * recorded driver-side in every trainer's finally, snapshotted
       * into each new training's block-build closure, so executors the
@@ -478,11 +508,22 @@ object Bpe {
               Array[((Int, String, String), Long)](
                 ((-2, pid.toString, ""), 0L))
           }
-        Iterator.single(out)
+        // footprint sentinel (-3): this partition's approximate store
+        // bytes ride back with the deltas, so the driver can log the
+        // trainId's total unaccounted executor heap per pass — the
+        // store lives outside Spark's memory manager and is otherwise
+        // invisible to an operator
+        Iterator.single(out :+ (((-3, "", ""), TrainStore.approxBytesOf(key))))
       }.collect()
     var partDeltas = runPass(None)
     if (partDeltas.exists(_.exists(_._1._1 == -2)))
       partDeltas = runPass(Some(committedSoFar()))
+    val storeBytes = partDeltas.iterator.flatten
+      .filter(_._1._1 == -3).map(_._2).sum
+    TrainStore.lastReport = Some((tid, passNo, storeBytes))
+    org.slf4j.LoggerFactory.getLogger("graft.text.Bpe").info(
+      f"bpe: trainId=$tid pass=$passNo TrainStore ≈ ${storeBytes / 1e6}%.1f MB " +
+        s"across ${partDeltas.length} partitions")
     // merge per-partition delta maps on the driver (they are
     // fuse-site-sized; strictly smaller than the init pair collect)
     val agg = scala.collection.mutable.HashMap.empty[(Int, String, String), Long]
@@ -543,6 +584,14 @@ object Bpe {
     * SizeEstimator walks (each measured to dominate pass cost when
     * blocks rode the RDD cache).
     */
+  /** Latest per-pass TrainStore footprint report — (trainId, pass,
+    * approximate bytes summed over partitions). Public so probes and
+    * operators can read the store's unaccounted executor heap without
+    * reaching into [[TrainStore]]; refreshed by every pass of every
+    * training in this JVM.
+    */
+  def trainStoreLastReport: Option[(String, Int, Long)] = TrainStore.lastReport
+
   def train(words: DataFrame, numMerges: Int, maxBatch: Int = 32,
             driverPairBound: Long = 50000000L,
             passHook: (Int, Int, Long, Double) => Unit = null): Seq[Merge] = {

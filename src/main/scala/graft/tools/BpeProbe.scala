@@ -100,17 +100,25 @@ object BpeProbe {
       case "passes" =>
         // per-pass fuse-site instrumentation: the evidence that pass
         // cost tracks TOUCHED words (fuse sites), not the size of the
-        // distinct-word table
+        // distinct-word table. The store footprint rides along —
+        // TrainStore heap is invisible to Spark's memory manager, so
+        // this line is where an operator sees it move pass to pass.
         graft.text.Bpe.train(wc, n, maxBatch = maxBatch,
-          passHook = (pass, committed, touched, secs) =>
+          passHook = (pass, committed, touched, secs) => {
+            val storeMb = graft.text.Bpe.trainStoreLastReport
+              .map(_._3 / 1e6).getOrElse(0.0)
             println(f"[bpepass] pass=$pass%4d committed=$committed%3d " +
-              f"touched=$touched%8d secs=$secs%7.3f"))
+              f"touched=$touched%8d secs=$secs%7.3f store=$storeMb%.1f MB")
+          })
       case _ => graft.text.Bpe.train(wc, n, maxBatch = maxBatch)
     }
     val dt = (System.nanoTime() - t0) / 1e9
+    val store = graft.text.Bpe.trainStoreLastReport
+      .map { case (_, p, b) => f"store=${b / 1e6}%.1f MB (pass $p)" }
+      .getOrElse("store=n/a")
     println(f"[bpeprobe] mode=$mode asked=$n learned=${merges.length} " +
       f"maxBatch=$maxBatch jobs=${jobs.get()} time=$dt%.1f s " +
-      f"(${dt / math.max(1, merges.length) * 1000}%.1f ms/merge)")
+      f"(${dt / math.max(1, merges.length) * 1000}%.1f ms/merge) $store")
     spark.stop()
   }
 }

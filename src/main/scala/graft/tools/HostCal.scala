@@ -136,22 +136,8 @@ object HostCal {
     * lane keeps passes from being trivially foldable; the return
     * value is consumed via `sink`.
     */
-  def memWork(passes: Int, seed: Long, startLong: Int = 0): Long = {
-    val a = memBlock
-    val n = a.length
-    val start = ((startLong % n) + n) % n & ~7 // line-aligned, in range
-    var acc = seed
-    var p = 0
-    while (p < passes) {
-      val lane = (p * 7) & 7
-      var i = start + lane
-      while (i < n) { acc ^= a(i); i += 8 }
-      i = lane
-      while (i < start) { acc ^= a(i); i += 8 }
-      p += 1
-    }
-    acc
-  }
+  def memWork(passes: Int, seed: Long, startLong: Int = 0): Long =
+    sweepBlock(memBlock, passes, seed, startLong)
 
   private def timeMemSingle(): Double = {
     val t0 = System.nanoTime()
@@ -190,6 +176,112 @@ object HostCal {
       (single, multi)
     } finally releaseMemBlock()
 
+  // ---- ride-along mini-probe ----
+  //
+  // The r11 adjudication hole: the pre/post probes BRACKET the suite,
+  // so a contention burst in the middle of the window (which hit a
+  // contiguous block of gates 3-9× while the bracketing probes read
+  // nominal) is invisible to them. The mini-probe closes it: a ~0.1 s
+  // saturated CPU + memory sample taken immediately before each gate's
+  // timed execution, recorded per gate in BENCH_FULL.json — a gate
+  // whose time regressed WITH an elevated mini-probe is host noise; a
+  // regression on a nominal probe is code.
+
+  /** Pinned mini-probe work constants (comparability contract, like
+    * ItersPerThread): per-thread CPU iterations and the dedicated
+    * sweep block. The block is 128 MB — still past any LLC, but small
+    * enough to keep RESIDENT across the suite (see [[miniBlock]]).
+    */
+  val MiniItersPerThread: Long = ItersPerThread / 16
+  val MiniMemLongs: Int = 16 * 1024 * 1024
+  val MiniMemPassesPerThread: Int = 1
+
+  /** Unlike the big probe block (allocated/released around each probe
+    * window), the mini block stays ALIVE between gates: re-faulting
+    * 128 MB per gate would cost more than the probe itself and add
+    * page-fault noise to the very signal it measures. A read-only,
+    * once-tenured 128 MB array is a bounded, documented heap cost on
+    * the 128 GiB bench JVM; Bench releases it after the timed pass.
+    */
+  @volatile private var miniBlockRef: Array[Long] = null
+
+  private def miniBlock: Array[Long] = {
+    var a = miniBlockRef
+    if (a == null) {
+      a = new Array[Long](MiniMemLongs)
+      var h = 0x243f6a8885a308d3L
+      var i = 0
+      while (i < MiniMemLongs) {
+        h += 0x9e3779b97f4a7c15L
+        a(i) = h
+        i += 1
+      }
+      miniBlockRef = a
+    }
+    a
+  }
+
+  def releaseMiniBlock(): Unit = { miniBlockRef = null }
+
+  /** Same strided one-line-per-step sweep as [[memWork]], over the
+    * resident mini block.
+    */
+  def miniMemWork(passes: Int, seed: Long, startLong: Int = 0): Long =
+    sweepBlock(miniBlock, passes, seed, startLong)
+
+  private def sweepBlock(a: Array[Long], passes: Int, seed: Long,
+                         startLong: Int): Long = {
+    val n = a.length
+    val start = ((startLong % n) + n) % n & ~7
+    var acc = seed
+    var p = 0
+    while (p < passes) {
+      val lane = (p * 7) & 7
+      var i = start + lane
+      while (i < n) { acc ^= a(i); i += 8 }
+      i = lane
+      while (i < start) { acc ^= a(i); i += 8 }
+      p += 1
+    }
+    acc
+  }
+
+  @volatile private var miniWarm = false
+
+  /** One saturated (threads-wide) CPU + memory sample: the ride-along
+    * host context for ONE gate timing. Each axis is a single
+    * fixed-work multi-thread burst — saturated, because the gate
+    * executions it contextualizes run all `threads` cores, and a noisy
+    * neighbor shows first in saturated throughput. ~0.1 s total on a
+    * quiet host; elevation tracks contention at the instant the gate
+    * is about to run. Returns (cpuSec, memSec).
+    */
+  def miniProbe(threads: Int): (Double, Double) = {
+    if (!miniWarm) {
+      sink ^= work(MiniItersPerThread / 20, 9L)
+      sink ^= miniMemWork(1, 13L) // fill + fault the block, warm the sweep
+      miniWarm = true
+    }
+    val t0 = System.nanoTime()
+    val cts = (0 until threads).map { i =>
+      val t = new Thread(() => { sink ^= work(MiniItersPerThread, 17L + i) })
+      t.start(); t
+    }
+    cts.foreach(_.join())
+    val cpu = (System.nanoTime() - t0) / 1e9
+    val step = MiniMemLongs / math.max(1, threads)
+    val t1 = System.nanoTime()
+    val mts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        sink ^= miniMemWork(MiniMemPassesPerThread, 19L + i, startLong = i * step)
+      })
+      t.start(); t
+    }
+    mts.foreach(_.join())
+    val mem = (System.nanoTime() - t1) / 1e9
+    (cpu, mem)
+  }
+
   /** Standalone probe (dev): `runMain graft.tools.HostCal [threads]` —
     * the same numbers Bench records, without running the suite.
     */
@@ -197,7 +289,10 @@ object HostCal {
     val threads = args.headOption.map(_.toInt).getOrElse(32)
     val (s, m) = probe(threads)
     val (ms, mm) = probeMem(threads)
+    val (mc, mmem) = miniProbe(threads)
+    releaseMiniBlock()
     println(f"[hostcal] cpu single $s%.3f s, multi($threads) $m%.3f s; " +
-      f"mem single $ms%.3f s, mem multi($threads) $mm%.3f s")
+      f"mem single $ms%.3f s, mem multi($threads) $mm%.3f s; " +
+      f"mini cpu $mc%.3f s, mini mem $mmem%.3f s")
   }
 }

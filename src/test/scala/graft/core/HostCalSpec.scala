@@ -64,4 +64,55 @@ class HostCalSpec extends AnyFunSuite {
     assert(multi > 0.0)
     assert(multi > single / 4)
   }
+
+  test("mini-probe constants are pinned and miniMemWork is deterministic") {
+    try {
+      assert(HostCal.MiniItersPerThread === HostCal.ItersPerThread / 16)
+      assert(HostCal.MiniMemLongs === 16 * 1024 * 1024)
+      assert(HostCal.MiniMemPassesPerThread === 1)
+      val a = HostCal.miniMemWork(2, 3L)
+      assert(HostCal.miniMemWork(2, 3L) === a)
+      assert(HostCal.miniMemWork(2, 4L) !== a)
+      // offset-independence (same wrap-around sweep as the big probe)
+      assert(HostCal.miniMemWork(2, 3L, startLong = 999 * 8) === a)
+    } finally HostCal.releaseMiniBlock()
+  }
+
+  test("SYNTHETIC CONTENTION: the ride-along mini-probe attributes a " +
+    "host burst (reads elevated under load, nominal without)") {
+    // The r11 failure mode: a mid-window burst hit gate times while
+    // the bracketing probes read nominal. This drives the fix
+    // end-to-end — a deliberate CPU storm while the mini-probe runs
+    // must show up IN the probe value, because that elevation is
+    // exactly what separates "host noise" from "code regression" in
+    // BENCH_FULL.json's per-gate context.
+    val probeThreads = 4
+    def minCpu(n: Int): Double =
+      (1 to n).map(_ => HostCal.miniProbe(probeThreads)._1).min
+    try {
+      minCpu(1) // JIT/warm
+      val solo = minCpu(3)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // 2× oversubscription: enough runnable burners that the probe's
+      // threads measurably time-share even if other suites add load
+      val burners = (0 until 2 * Runtime.getRuntime.availableProcessors).map { i =>
+        val t = new Thread(() => {
+          var acc = 0L
+          while (!stop.get()) acc ^= HostCal.work(5L * 1000 * 1000, i.toLong)
+          if (acc == 42L) println("") // consume
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      try {
+        Thread.sleep(100) // let the storm reach steady state
+        val contended = minCpu(3)
+        assert(contended > solo * 1.3,
+          f"mini-probe blind to contention: solo $solo%.4f s vs " +
+            f"contended $contended%.4f s")
+      } finally {
+        stop.set(true)
+        burners.foreach(_.join(2000))
+      }
+    } finally HostCal.releaseMiniBlock()
+  }
 }

@@ -170,6 +170,49 @@ class DedupSpec extends SparkSpec {
       s"rounds, took $rounds")
   }
 
+  test("connectedComponents on the RELIABLE-checkpoint path (cluster " +
+    "deployment) equals the local-mode run; checkpoint files are " +
+    "job-scoped-cleanable") {
+    import spark.implicits._
+    // Lineage.truncate switches to rdd.checkpoint() the moment a
+    // checkpoint dir is configured — the path a real cluster run takes
+    // so loop state survives executor loss. LineageSpec proves the
+    // switch mechanics on toy frames; this drives a REAL iterative
+    // gate (pointer-jumping CC, multiple truncations per round)
+    // through it end to end.
+    val edges = ((0L until 7L).map(i => (i, i + 1)) ++ Seq((20L, 21L)))
+      .toDF("src", "dst")
+    val nodes = ((0L to 7L) ++ Seq(20L, 21L, 30L)).toDF("id")
+    def run() = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "precondition: suite default must be the localCheckpoint path")
+    val local = run()
+    assert(local.map(_._2) === Set(0L, 20L, 30L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      assert(run() === local)
+      // the reliable path really ran: checkpoint part-files landed
+      val files = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "no checkpoint files written — reliable path not taken")
+    } finally {
+      // restore the suite's local-mode default (SparkContext has no
+      // public unset; the private var is the documented-by-absence API)
+      classOf[org.apache.spark.SparkContext]
+        .getDeclaredMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(sc, None)
+      // the Lineage scaladoc's "job-scoped storage cleaned on exit"
+      // option, demonstrated: the dir deletes cleanly after the run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    assert(sc.getCheckpointDir.isEmpty)
+  }
+
   test("bucketStarEdges links every band member to the band minimum") {
     import spark.implicits._
     val bands = Seq((10L, 0, "x"), (11L, 0, "x"), (12L, 0, "x"),

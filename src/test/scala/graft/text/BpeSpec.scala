@@ -110,6 +110,21 @@ class BpeSpec extends SparkSpec {
     assert(ranks === Seq(1, 2, 3))
   }
 
+  test("every pass reports the TrainStore footprint (observable heap)") {
+    // the store lives outside Spark's memory manager — the per-pass
+    // report (trainId, pass, approx bytes over partitions) is the only
+    // way an operator sees that heap; it must be present and plausible
+    val merges = Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 5)
+    assert(merges.nonEmpty)
+    val rep = Bpe.trainStoreLastReport
+    assert(rep.nonEmpty, "no TrainStore footprint report after training")
+    val (_, pass, bytes) = rep.get
+    assert(pass >= 1)
+    // a handful of tiny words: more than bare object headers, far
+    // under a megabyte
+    assert(bytes > 1000L && bytes < 10L * 1000 * 1000, s"bytes=$bytes")
+  }
+
   test("train exhausts gracefully when every word fuses to one symbol") {
     import spark.implicits._
     val tiny = Seq((0L, "ab ab b")).toDF("doc_id", "text")
