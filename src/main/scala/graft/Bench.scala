@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   * codegen/JIT compilation (this warmup roughly doubles wall time).
   */
 object Bench {
+
+  /** Rep-spread self-check predicate: two reps of the same plan on the
+    * same data differing by >3× means at least one was contention-hit,
+    * so the gate earns one extra timed execution. The 0.2 s floor
+    * keeps sub-noise gates (where a 0.01 s vs 0.04 s scheduler wobble
+    * is a 4× "spread") from triggering re-runs that measure nothing.
+    */
+  private[graft] def needsRerun(secs: Seq[Double]): Boolean =
+    secs.size > 1 && secs.max > 0.2 &&
+      secs.max / math.max(secs.min, 1e-9) > 3.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -116,18 +127,15 @@ object Bench {
         byGate(name) = byGate(name) :+ timedRep(name, fn)
       }
     }
-    // Rep-spread self-check: two reps of the same plan on the same
-    // data differing by >3× means at least one was contention-hit —
-    // run ONE more timed execution (with its own probe context) so the
+    // Rep-spread self-check (see needsRerun): a flagged gate runs ONE
+    // more timed execution (with its own probe context) so the
     // committed min is a real steady-state, not the less-bad of two
-    // noisy samples. The 0.2 s floor keeps sub-noise gates (where a
-    // 0.01 s vs 0.04 s scheduler wobble is a 4× "spread") from
-    // triggering re-runs that measure nothing.
+    // noisy samples.
     val detail = ordered.map { case (name, fn) =>
       val rs0 = byGate(name)
       val secs0 = rs0.map(_.sec)
       val spread = secs0.max / math.max(secs0.min, 1e-9)
-      val rerun = rs0.size > 1 && spread > 3.0 && secs0.max > 0.2
+      val rerun = needsRerun(secs0)
       val rs = if (rerun) rs0 :+ timedRep(name, fn) else rs0
       if (rerun)
         System.err.println(f"[bench] $name rep spread ${spread}%.1fx " +

@@ -462,7 +462,7 @@ object Handlers {
         val ids = raw.split(",").map(_.trim).filter(_.nonEmpty).map(v =>
           scala.util.Try(v.toInt).getOrElse(sys.error(
             "platforms must be a comma-delimited list of integers")))
-        (df: DataFrame) => df.where(col("platform").isin(ids.map(Int.box): _*))
+        (df: DataFrame) => df.where(col("platform").isin(ids.map(Int.box).toIndexedSeq: _*))
       }
     ).flatten.foldLeft(insitu)((df, f) => f(df))
   }
@@ -734,7 +734,7 @@ object Handlers {
             .filterNot(primaryCols.toSet)
             .filterNot(_ == "execution_id")
           pairs.groupBy(primaryCols.map(col): _*)
-            .agg(sort_array(collect_list(struct(matchCols.map(col): _*)))
+            .agg(sort_array(collect_list(struct(matchCols.map(col).toIndexedSeq: _*)))
               .as("matches"))
             .orderBy(primaryCols.map(col): _*)
         }

@@ -396,7 +396,7 @@ object SimilarityQueries extends QueryModule {
       val projVarRow = Pca.project(e, col("embedding"), model)
         .select((0 until k).map(c =>
           var_pop(element_at(col("pc"), c + 1)).as(s"v$c")): _*)
-        .head
+        .head()
       import breeze.linalg.{norm, DenseVector}
       val rows = (0 until k).map { c =>
         val vC = DenseVector(model.components(c))

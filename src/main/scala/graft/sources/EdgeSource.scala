@@ -158,12 +158,12 @@ object EdgeSource {
                                   itemsPerPage: Int,
                                   maxTries: Int): (Int, Seq[Long], Seq[String]) = {
     val (total, _, _) = fetchPageWithRetry(
-      withParams(url, params + ("itemsPerPage" -> "0", "startIndex" -> "0")),
+      withParams(url, params ++ Seq("itemsPerPage" -> "0", "startIndex" -> "0")),
       maxTries)
     if (total == 0) return (itemsPerPage, Nil, Nil)
     val (_, confirmed, firstItems) = fetchPageWithRetry(
-      withParams(url, params +
-        ("itemsPerPage" -> itemsPerPage.toString, "startIndex" -> "0")),
+      withParams(url, params ++
+        Seq("itemsPerPage" -> itemsPerPage.toString, "startIndex" -> "0")),
       maxTries)
     val step = (if (confirmed > 0) confirmed
       else math.max(1L, firstItems.length.toLong)).toInt
@@ -173,8 +173,8 @@ object EdgeSource {
   /** Full URL of one page. */
   private[sources] def pageUrl(url: String, params: Map[String, String],
                                step: Int, startIndex: Long): String =
-    withParams(url, params +
-      ("itemsPerPage" -> step.toString, "startIndex" -> startIndex.toString))
+    withParams(url, params ++
+      Seq("itemsPerPage" -> step.toString, "startIndex" -> startIndex.toString))
 
   /** Executor-side: fetch one page (with the retry loop) and return
     * its result elements as standalone JSON strings.

@@ -118,7 +118,7 @@ object Szip {
         val b = bit + i
         val idx = (b >> 3).toInt
         require(idx < bytes.length, "szip: truncated stream")
-        v = (v << 1) | ((bytes(idx) >> (7 - (b & 7))) & 1)
+        v = (v << 1) | ((bytes(idx) >> (7 - (b & 7)).toInt) & 1)
         i += 1
       }
       bit += w

@@ -221,7 +221,7 @@ object Bpe {
         new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
           override def removeEldestEntry(
               e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
-            size() > FinishedCap
+            this.size() > FinishedCap
         })
     def markFinished(trainId: String): Unit = finished.put(trainId, true)
     def finishedSnapshot(): Set[String] = finished.synchronized {
@@ -591,6 +591,13 @@ object Bpe {
     * training in this JVM.
     */
   def trainStoreLastReport: Option[(String, Int, Long)] = TrainStore.lastReport
+
+  /** Probe/test hook: drop every executor-resident block — simulates
+    * an executor restart for rebuild-protocol drills (BpeProbe's
+    * `distwipe` mode and the BpeSpec wipe tests). Local-mode only by
+    * nature (clears THIS JVM's store).
+    */
+  def wipeTrainStore(): Unit = TrainStore.blocks.clear()
 
   def train(words: DataFrame, numMerges: Int, maxBatch: Int = 32,
             driverPairBound: Long = 50000000L,

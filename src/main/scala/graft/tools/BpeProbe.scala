@@ -73,6 +73,38 @@ object BpeProbe {
       case _ => graft.text.Bpe.wordCounts(docs, col("text"))
     }
     wc.count() // warm the corpus scan out of the measurement
+    if (mode == "distwipe") {
+      // forced executor-loss rebuild differential AT SCALE: train the
+      // distributed trainer twice — once undisturbed, once with the
+      // whole TrainStore wiped after two MID-RUN passes (the executor
+      // restart the rebuild protocol exists for; late wipes make the
+      // rebuild replay a long committed prefix — the expensive case;
+      // a too-short run simply fires fewer wipes, see `wipes=`) — and
+      // require both to equal sequential greedy. The wall-clock delta
+      // estimates the rebuild cost (base-symbol replay +
+      // committed-prefix re-merge on every partition, per wipe).
+      val seqRef = graft.text.Bpe.trainSequential(wc, n)
+      val t0 = System.nanoTime()
+      val clean = graft.text.Bpe.trainDistributed(wc, n, maxBatch = maxBatch)
+      val tClean = (System.nanoTime() - t0) / 1e9
+      var wipes = 0
+      val t1 = System.nanoTime()
+      val wiped = graft.text.Bpe.trainDistributed(wc, n, maxBatch = maxBatch,
+        passHook = (pass, _, _, _) =>
+          if (pass == 20 || pass == 60) {
+            graft.text.Bpe.wipeTrainStore(); wipes += 1
+          })
+      val tWiped = (System.nanoTime() - t1) / 1e9
+      println(f"[bpeprobe] mode=distwipe asked=$n clean=${clean.length} " +
+        f"wiped=${wiped.length} cleanEq=${clean == seqRef} " +
+        f"wipedEq=${wiped == seqRef} wipes=$wipes " +
+        f"tClean=$tClean%.1f s tWiped=$tWiped%.1f s " +
+        f"rebuildCost=${tWiped - tClean}%.1f s")
+      require(clean == seqRef && wiped == seqRef,
+        "distributed trainer diverged from sequential greedy")
+      spark.stop()
+      return
+    }
     if (mode == "diff" || mode == "distdiff") {
       // scale differential: the incremental trainers must reproduce the
       // sequential reference merge for merge AND count for count on
