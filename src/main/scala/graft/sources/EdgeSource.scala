@@ -66,7 +66,19 @@ object EdgeSource {
         if (resp.statusCode() == 200) return parsePage(resp.body())
         last = new java.io.IOException(
           s"HTTP ${resp.statusCode()} from $url")
-      } catch { case e: Exception => last = e }
+      } catch {
+        // a task-kill interrupt lands in the SEND window far more
+        // often than in a backoff sleep (the request timeout is
+        // 500 s) — swallowing it as a generic transport error would
+        // clear the flag and keep retrying for minutes; same exit
+        // contract as the backoff-interrupt path below
+        case ie: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw new java.io.IOException(
+            s"interrupted during page fetch for $url (attempt $attempt)",
+            if (last != null) last else ie)
+        case e: Exception => last = e
+      }
       if (attempt < maxTries)
         // a task-kill interrupt landing during the backoff must exit
         // under the SAME failure contract as every other path out of

@@ -38,12 +38,34 @@ object ResultsStore {
     * silent empty frame.
     */
   def read(spark: SparkSession, path: String, executionId: String): DataFrame = {
+    // the SAME directory-safe validation as write: the id reaches this
+    // point straight from an HTTP query param and is spliced into a
+    // filesystem path — without the check, 'X/../../<anywhere>'
+    // resolves OUTSIDE the results root and any parquet directory on
+    // the host becomes readable over the results endpoint
+    require(executionId.matches("[A-Za-z0-9_-]+"),
+      s"execution id must be directory-safe, got '$executionId'")
     val dir = new org.apache.hadoop.fs.Path(s"$path/execution_id=$executionId")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(dir), s"no results for execution id '$executionId'")
+    require(fs.exists(dir) && hasDataFile(fs, dir),
+      s"no results for execution id '$executionId'")
     spark.read.parquet(dir.toString)
       .withColumn("execution_id", lit(executionId))
   }
+
+  /** A directory counts as a committed execution only once at least
+    * one non-hidden data file exists — an in-flight write's
+    * `_temporary` staging or a crashed write's empty dir must neither
+    * list nor read (the pre-r12 partition-discovery listing skipped
+    * them too; advertising an id whose read then fails with a schema
+    * error is worse than omitting it).
+    */
+  private def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(dir).exists { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
 
   /** Executions are the child directory names — listed from the
     * filesystem, not via partition discovery, for the same
@@ -55,7 +77,7 @@ object ResultsStore {
     val ids =
       if (!fs.exists(root)) Seq.empty[String]
       else fs.listStatus(root).toSeq
-        .filter(_.isDirectory)
+        .filter(d => d.isDirectory && hasDataFile(fs, d.getPath))
         .map(_.getPath.getName)
         .filter(_.startsWith("execution_id="))
         .map(_.stripPrefix("execution_id="))

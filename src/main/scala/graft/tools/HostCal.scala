@@ -221,7 +221,14 @@ object HostCal {
     a
   }
 
-  def releaseMiniBlock(): Unit = { miniBlockRef = null }
+  def releaseMiniBlock(): Unit = {
+    miniBlockRef = null
+    // re-warm on next use: without this, a probe after a release finds
+    // miniWarm still true and the 128 MB block lazily re-allocates
+    // INSIDE the timed mem section — racily from every probe thread —
+    // reading as a phantom contention spike
+    miniWarm = false
+  }
 
   /** Same strided one-line-per-step sweep as [[memWork]], over the
     * resident mini block.

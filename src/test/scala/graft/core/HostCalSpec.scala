@@ -91,7 +91,7 @@ class HostCalSpec extends AnyFunSuite {
       (1 to n).map(_ => HostCal.miniProbe(probeThreads)._1).min
     try {
       minCpu(1) // JIT/warm
-      val solo = minCpu(3)
+      val soloBefore = minCpu(3)
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       // 2× oversubscription: enough runnable burners that the probe's
       // threads measurably time-share even if other suites add load
@@ -103,16 +103,23 @@ class HostCalSpec extends AnyFunSuite {
         })
         t.setDaemon(true); t.start(); t
       }
-      try {
-        Thread.sleep(100) // let the storm reach steady state
-        val contended = minCpu(3)
-        assert(contended > solo * 1.3,
-          f"mini-probe blind to contention: solo $solo%.4f s vs " +
-            f"contended $contended%.4f s")
-      } finally {
-        stop.set(true)
-        burners.foreach(_.join(2000))
-      }
+      val contended =
+        try {
+          Thread.sleep(100) // let the storm reach steady state
+          minCpu(3)
+        } finally {
+          stop.set(true)
+          burners.foreach(_.join(2000))
+        }
+      // solo = min over samples BOTH before and after the storm: if
+      // external host load happened to elevate the pre-storm window,
+      // the post-storm samples give the quiet baseline a second chance
+      // (min over 6 wall-clock samples on an otherwise-quiet host),
+      // keeping the 1.3x assertion from flaking on shared hardware
+      val solo = math.min(soloBefore, minCpu(3))
+      assert(contended > solo * 1.3,
+        f"mini-probe blind to contention: solo $solo%.4f s vs " +
+          f"contended $contended%.4f s")
     } finally HostCal.releaseMiniBlock()
   }
 }

@@ -115,9 +115,11 @@ class EdgeSourceSpec extends SparkSpec {
     t.join(5000)
     assert(!t.isAlive)
     // the documented contract: an IOException carrying the last
-    // transport cause — never a bare InterruptedException
+    // transport cause — never a bare InterruptedException. The
+    // interrupt may land in the send window OR the backoff sleep;
+    // both exits share the contract and name their window
     assert(thrown.isInstanceOf[java.io.IOException], s"got $thrown")
-    assert(thrown.getMessage.contains("interrupted during retry backoff"))
+    assert(thrown.getMessage.contains("interrupted during"))
     assert(thrown.getCause != null &&
       thrown.getCause.getMessage.contains("HTTP 503"))
     assert(flagRestored)

@@ -43,6 +43,27 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("ResultsStore.read rejects path-traversal ids and neither lists " +
+    "nor reads uncommitted execution dirs") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_results_tr").toString
+    ResultsStore.write(Seq((1, "a")).toDF("k", "v"), path, "real")
+    // the id arrives from an HTTP param — '../' must never resolve
+    val e = intercept[IllegalArgumentException] {
+      ResultsStore.read(spark, path, "real/../../..")
+    }
+    assert(e.getMessage.contains("directory-safe"))
+    // an in-flight/crashed write: dir exists but holds only staging
+    val ghost = java.nio.file.Paths.get(path, "execution_id=ghost", "_temporary")
+    java.nio.file.Files.createDirectories(ghost.getParent)
+    java.nio.file.Files.write(ghost, Array[Byte](1))
+    assert(ResultsStore.listExecutions(spark, path)
+      .as[String].collect().toSeq === Seq("real"))
+    intercept[IllegalArgumentException] {
+      ResultsStore.read(spark, path, "ghost")
+    }
+  }
+
   test("ResultsStore round-trips all-digit ids with leading zeros") {
     import spark.implicits._
     // partition-type inference on the root would type execution_id as
