@@ -74,9 +74,9 @@ object EdgeSource {
         // contract as the backoff-interrupt path below
         case ie: InterruptedException =>
           Thread.currentThread().interrupt()
-          throw new java.io.IOException(
+          throw interruptFailure(
             s"interrupted during page fetch for $url (attempt $attempt)",
-            if (last != null) last else ie)
+            ie, last)
         case e: Exception => last = e
       }
       if (attempt < maxTries)
@@ -89,12 +89,25 @@ object EdgeSource {
         catch {
           case ie: InterruptedException =>
             Thread.currentThread().interrupt()
-            throw new java.io.IOException(
+            throw interruptFailure(
               s"interrupted during retry backoff for $url (attempt $attempt)",
-              if (last != null) last else ie)
+              ie, last)
         }
     }
     throw new java.io.IOException(s"max retries ($maxTries) for $url", last)
+  }
+
+  /** The interrupt-exit failure: the last transport error (when one
+    * exists) is the cause — it says WHY the task was still retrying —
+    * and the InterruptedException rides as suppressed so the log
+    * record keeps where the interrupt landed instead of discarding
+    * its stack.
+    */
+  private def interruptFailure(msg: String, ie: InterruptedException,
+                               last: Throwable): java.io.IOException = {
+    val ioe = new java.io.IOException(msg, if (last != null) last else ie)
+    if (last != null) ioe.addSuppressed(ie)
+    ioe
   }
 
   private def withParams(base: String, params: Map[String, String]): String = {

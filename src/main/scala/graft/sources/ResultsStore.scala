@@ -77,10 +77,12 @@ object ResultsStore {
     val ids =
       if (!fs.exists(root)) Seq.empty[String]
       else fs.listStatus(root).toSeq
-        .filter(d => d.isDirectory && hasDataFile(fs, d.getPath))
-        .map(_.getPath.getName)
-        .filter(_.startsWith("execution_id="))
-        .map(_.stripPrefix("execution_id="))
+        // name filter FIRST: hasDataFile costs one listStatus RPC per
+        // dir — stray non-execution dirs (_claims etc.) shouldn't pay
+        .filter(d => d.isDirectory &&
+          d.getPath.getName.startsWith("execution_id="))
+        .filter(d => hasDataFile(fs, d.getPath))
+        .map(_.getPath.getName.stripPrefix("execution_id="))
     import spark.implicits._
     ids.toDF("execution_id")
   }

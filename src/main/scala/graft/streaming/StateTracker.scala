@@ -147,6 +147,24 @@ object StateTracker {
       }
   }
 
+  /** SATURATING gap deadline: gapUs may legitimately be huge
+    * (advance() documents Long.MaxValue as the batch "no gap"
+    * sentinel) and lastUs + gapUs would wrap negative, making EVERY
+    * open run read as final — one continuous run would then emit as
+    * one fragment per micro-batch. The guard only applies when
+    * lastUs > 0: with a NEGATIVE lastUs, `Long.MaxValue - lastUs`
+    * itself overflows and the comparison would saturate spuriously —
+    * the deadline would then never fire for that run; negative +
+    * positive cannot overflow, so the plain sum is exact there.
+    * (Negative lastUs cannot reach this through [[runsStream]] today —
+    * Spark's watermark initializes at 0 ms and drops pre-epoch rows as
+    * late before the stateful operator sees them — but the arithmetic
+    * must not be the thing that breaks if that ever changes.)
+    */
+  private[streaming] def gapDeadline(lastUs: Long, gapUs: Long): Long =
+    if (lastUs > 0 && gapUs > Long.MaxValue - lastUs) Long.MaxValue
+    else lastUs + gapUs
+
   /** Streaming form: the same fold, made ORDER-CORRECT under
     * out-of-order arrival by buffering. Events fold only once the
     * watermark has passed their event time — anything still ahead of
@@ -168,24 +186,6 @@ object StateTracker {
     * Without an eviction rule, open-run state would wait forever on
     * keys that simply stopped emitting. Requires a watermark on `ts`.
     */
-  /** SATURATING gap deadline: gapUs may legitimately be huge
-    * (advance() documents Long.MaxValue as the batch "no gap"
-    * sentinel) and lastUs + gapUs would wrap negative, making EVERY
-    * open run read as final — one continuous run would then emit as
-    * one fragment per micro-batch. The guard only applies when
-    * lastUs > 0: with a NEGATIVE lastUs, `Long.MaxValue - lastUs`
-    * itself overflows and the comparison would saturate spuriously —
-    * the deadline would then never fire for that run; negative +
-    * positive cannot overflow, so the plain sum is exact there.
-    * (Negative lastUs cannot reach this through [[runsStream]] today —
-    * Spark's watermark initializes at 0 ms and drops pre-epoch rows as
-    * late before the stateful operator sees them — but the arithmetic
-    * must not be the thing that breaks if that ever changes.)
-    */
-  private[streaming] def gapDeadline(lastUs: Long, gapUs: Long): Long =
-    if (lastUs > 0 && gapUs > Long.MaxValue - lastUs) Long.MaxValue
-    else lastUs + gapUs
-
   def runsStream(events: Dataset[SignalEvent], threshold: Double,
                  gapUs: Long): Dataset[RunOut] = {
     val s = events.sparkSession

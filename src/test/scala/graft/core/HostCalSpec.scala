@@ -117,6 +117,14 @@ class HostCalSpec extends AnyFunSuite {
       // (min over 6 wall-clock samples on an otherwise-quiet host),
       // keeping the 1.3x assertion from flaking on shared hardware
       val solo = math.min(soloBefore, minCpu(3))
+      // if the HOST is already saturated through both solo windows
+      // (external load this test can't control), the storm can't add
+      // its 30% and the assertion would fail with no defect behind it
+      // — cancel instead of fail (assume), keeping the test meaningful
+      // exactly when its baseline is measurable
+      assume(solo < 0.5,
+        f"host already saturated (solo baseline $solo%.4f s) — " +
+          "contention attribution not measurable in this environment")
       assert(contended > solo * 1.3,
         f"mini-probe blind to contention: solo $solo%.4f s vs " +
           f"contended $contended%.4f s")
