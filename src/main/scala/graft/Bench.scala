@@ -79,9 +79,15 @@ object Bench {
     // timed pass below measures steady-state throughput, matching how
     // the baseline stack was measured (long-running webapp, caches
     // pre-warmed before the workshop; BASELINE.md).
-    selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try run(fn(spark, sfDir))
       catch { case _: Throwable => () }
+      // progress on stderr: a 100x sweep can run hours on a contended
+      // host, and a silent harness makes a slow gate indistinguishable
+      // from a hung one (learned from a 3 h opaque replica-dir run)
+      System.err.println(
+        f"[bench] warmup $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
     // Per-query time = MIN over SPARK_GRAFT_REPS (default 2) timed
@@ -124,7 +130,13 @@ object Bench {
     for (p <- 0 until reps) {
       val passOrder = if (p % 2 == 0) ordered else ordered.reverse
       passOrder.foreach { case (name, fn) =>
-        byGate(name) = byGate(name) :+ timedRep(name, fn)
+        val r = timedRep(name, fn)
+        byGate(name) = byGate(name) :+ r
+        // per-execution progress (stderr): gate second + its ride-along
+        // probe context, live — the artifact's per-gate attribution,
+        // readable while the suite still runs
+        System.err.println(f"[bench] pass=$p $name ${r.sec}%.2f s " +
+          f"(probe cpu ${r.cpuProbe}%.3f mem ${r.memProbe}%.3f)")
       }
     }
     // Rep-spread self-check (see needsRerun): a flagged gate runs ONE
