@@ -22,13 +22,23 @@ if [[ -z "$RECORDED" ]]; then
   exit 1
 fi
 
-PARENT=$(git rev-parse HEAD^)
 HEAD_SUBJ=$(git log -1 --format=%s HEAD)
 
 if [[ "$HEAD_SUBJ" != Record\ closing\ verification* ]]; then
   echo "check_closing: HEAD ($(git rev-parse --short HEAD) '$HEAD_SUBJ')" >&2
   echo "  is not the closing-record commit — commits follow the record" >&2
   echo "  (or it was never generated). Re-run tools/closing.sh." >&2
+  exit 1
+fi
+
+# guarded: a root commit (or depth-1 shallow clone) has no parent — under
+# set -e a bare rev-parse would die with a raw git error instead of the
+# diagnostic (the subject check above filters most such cases, but a
+# grafted record commit must still fail loudly, not crypticly)
+if ! PARENT=$(git rev-parse --verify --quiet HEAD^); then
+  echo "check_closing: HEAD has no parent (root commit / shallow clone)" >&2
+  echo "  — a closing record must sit immediately atop the verified" >&2
+  echo "  code commit. Re-run tools/closing.sh on the full history." >&2
   exit 1
 fi
 
@@ -44,4 +54,39 @@ if [[ -n "$(git status --porcelain)" ]]; then
   exit 1
 fi
 
-echo "check_closing: OK — record at HEAD verifies parent ${RECORDED:0:9}"
+# A QUICK record skips sbt test — legitimate ONLY when no code moved
+# since the last FULL sweep. Without this check a code commit could
+# acquire a passing freeze record by running closing.sh --quick, with
+# no test run ever touching it. Verifiable from git alone: find the
+# most recent FULL record among HEAD's ancestors and require the
+# src/build diff from its verified sha to THIS record's verified sha
+# to be empty.
+MODE=$(sed -n 's/.*\*\*mode\*\*: \([A-Z]*\).*/\1/p' CLOSING_RECORD.md | head -1)
+if [[ "$MODE" == "QUICK" ]]; then
+  LAST_FULL=""
+  for c in $(git log --format=%H --grep='^Record closing verification' HEAD^); do
+    if git show "$c:CLOSING_RECORD.md" 2>/dev/null | grep -q '\*\*mode\*\*: FULL'; then
+      LAST_FULL=$(git show "$c:CLOSING_RECORD.md" \
+        | sed -n 's/.*\*\*verified_sha\*\*: \([0-9a-f]\{40\}\).*/\1/p' | head -1)
+      break
+    fi
+  done
+  if [[ -z "$LAST_FULL" ]]; then
+    echo "check_closing: QUICK record with no prior FULL record in" >&2
+    echo "  history — the code state was never swept. Re-run" >&2
+    echo "  tools/closing.sh (full mode)." >&2
+    exit 1
+  fi
+  CODE_MOVED=$(git diff --name-only "$LAST_FULL" "$RECORDED" -- \
+    src/ build.sbt project/ tools/ || echo __DIFF_FAILED__)
+  if [[ -n "$CODE_MOVED" ]]; then
+    echo "check_closing: QUICK record sits atop CODE changes since the" >&2
+    echo "  last FULL sweep (${LAST_FULL:0:9}):" >&2
+    echo "$CODE_MOVED" | head -20 >&2
+    echo "  — sbt test never ran on this state. Re-run tools/closing.sh" >&2
+    echo "  (full mode)." >&2
+    exit 1
+  fi
+fi
+
+echo "check_closing: OK — record at HEAD verifies parent ${RECORDED:0:9}${MODE:+ (mode $MODE)}"
