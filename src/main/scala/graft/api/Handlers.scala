@@ -773,7 +773,7 @@ object Handlers {
         // here would execute it TWICE per request (once for the check,
         // once when the serving layer collects the returned plan)
         if (tiles.where(col("dataset") === ds).limit(1).isEmpty)
-          sys.error(s"Dataset '$ds' not found")
+          throw new graft.sources.NotFoundException(s"Dataset '$ds' not found")
         tiles.where(col("dataset") === ds)
           .groupBy(col("dataset"))
           .agg(countDistinct(col("granule")).as("n_granules"),

@@ -397,6 +397,11 @@ final class HttpServer(spark: SparkSession, tiles: DataFrame,
             jsonError(ex, 404, s"unknown path $path; see /capabilities")
         }
       } catch {
+        // resource-missing (unknown execution id / dataset) answers 404
+        // like the reference (webmodel.py:60 code=404); only malformed
+        // or failed requests fall to the generic 400
+        case e: graft.sources.NotFoundException =>
+          jsonError(ex, 404, Option(e.getMessage).getOrElse(e.getClass.getName))
         case e: Throwable =>
           jsonError(ex, 400, Option(e.getMessage).getOrElse(e.getClass.getName))
       } finally ex.close()

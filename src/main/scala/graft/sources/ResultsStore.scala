@@ -3,6 +3,15 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** "This resource does not exist" — distinct from a malformed request
+  * so the serving layer can answer 404 where the reference does
+  * (webmodel.py:60: DatasetNotFoundException carries code=404, vs the
+  * generic processing exception's 400/500). Thrown for an unknown
+  * execution id ([[ResultsStore.read]]) and an unknown dataset
+  * (Handlers /domsmetadata); everything else stays a 400.
+  */
+final class NotFoundException(msg: String) extends RuntimeException(msg)
+
 /** S8 — results persistence (the reference's Cassandra `doms_data`
   * store, algorithms/doms/ResultsStorage.py:58-174): execution-keyed
   * partitioned parquet, so retrieval by execution id is partition
@@ -47,8 +56,12 @@ object ResultsStore {
       s"execution id must be directory-safe, got '$executionId'")
     val dir = new org.apache.hadoop.fs.Path(s"$path/execution_id=$executionId")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(dir) && hasDataFile(fs, dir),
-      s"no results for execution id '$executionId'")
+    // typed, not require: an unknown id is a 404 at the serving layer
+    // (the reference 404s an unknown execution), while the malformed-id
+    // require above stays a 400 — the two failure classes must not
+    // collapse into one status
+    if (!(fs.exists(dir) && hasDataFile(fs, dir)))
+      throw new NotFoundException(s"no results for execution id '$executionId'")
     spark.read.parquet(dir.toString)
       .withColumn("execution_id", lit(executionId))
   }

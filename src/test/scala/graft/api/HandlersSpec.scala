@@ -244,6 +244,32 @@ class HandlersSpec extends SparkSpec {
     assert(e2.getMessage.contains("already exists"))
   }
 
+  test("zero-pair matchup commits and round-trips: empty write reads " +
+    "back 0 rows (never missing-id), and the id lists") {
+    import spark.implicits._
+    val insitu = Seq((100L, 0.5, 0.5, 10L))
+      .toDF("id", "latitude", "longitude", "time")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zero").toString
+    val reg = Handlers.domsRegistry(insitu, dir)
+    // a domain away from every tile and in-situ point ⇒ 0 pairs; the
+    // handler still writes the (empty) execution and its read-back
+    // count must succeed — this pins the empty-write/read-back
+    // behavior (a parquet data file exists even for 0 rows,
+    // SPARK-23271) the handler's post-write count depends on
+    val pm = p.copy(minLat = 50, maxLat = 60, minLon = 50, maxLon = 60,
+      executionId = Some("exec-zero"))
+    val out = reg("/domsmatchup")(pm, tiles).collect()
+    assert(out.head.getAs[String]("execution_id") === "exec-zero")
+    assert(out.head.getAs[Long]("n_pairs") === 0L)
+    val rb = graft.sources.ResultsStore.read(spark, dir, "exec-zero")
+    assert(rb.count() === 0L)
+    assert(graft.sources.ResultsStore.listExecutions(spark, dir)
+      .as[String].collect().contains("exec-zero"))
+    // an unknown id is the TYPED not-found (→ 404 at the serving layer)
+    intercept[graft.sources.NotFoundException](
+      graft.sources.ResultsStore.read(spark, dir, "never-was"))
+  }
+
   test("/datainbounds labels the value by `parameter` and attaches the " +
     "meta map with includemeta") {
     import spark.implicits._

@@ -405,9 +405,21 @@ class HttpServerSpec extends SparkSpec {
     val missing = get("/domsmetadata")
     assert(missing.statusCode() === 400)
     assert(missing.body().contains("'dataset' parameter not specified"))
+    // resource-missing is 404 like the reference (webmodel.py:60
+    // DatasetNotFoundException code=404), NOT the malformed-request 400
     val unknown = get("/domsmetadata?dataset=nope")
-    assert(unknown.statusCode() === 400)
+    assert(unknown.statusCode() === 404)
     assert(unknown.body().contains("not found"))
+  }
+
+  test("/domsresults for an unknown execution answers 404, malformed id 400") {
+    val unknown = get("/domsresults?executionId=never-was")
+    assert(unknown.statusCode() === 404)
+    assert(unknown.body().contains("no results for execution id"))
+    // a directory-unsafe id is a BAD REQUEST, not a missing resource —
+    // the two failure classes stay distinct statuses
+    val malformed = get("/domsresults?executionId=a%2F..%2Fb")
+    assert(malformed.statusCode() === 400)
   }
 
   test("/domsstats returns in-situ count + bounds for the domain") {
