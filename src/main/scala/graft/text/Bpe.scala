@@ -204,8 +204,27 @@ object Bpe {
     /** Driver-side record of the latest per-pass footprint report:
       * (trainId, pass, bytes summed over partitions). Written by
       * runStorePass after each pass; read by BpeProbe / specs.
+      * LAST-WRITER-WINS across trainings: with two concurrent
+      * trainings in one JVM this slot interleaves — any consumer that
+      * must attribute bytes to a SPECIFIC training reads the keyed
+      * [[reports]] map instead.
       */
     @volatile private[text] var lastReport: Option[(String, Int, Long)] = None
+    /** Per-trainId latest (pass, bytes) — the concurrent-safe form of
+      * [[lastReport]]. Bounded like `finished` (trainIds are random
+      * UUIDs; a long-lived JVM training thousands of vocabularies must
+      * not grow this map without bound — eldest entries drop, which is
+      * fine because a report is only meaningful while its training is
+      * observed).
+      */
+    private val ReportsCap = 64
+    private[text] val reports: java.util.Map[String, (Int, Long)] =
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[String, (Int, Long)](16, 0.75f, false) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, (Int, Long)]): Boolean =
+            this.size() > ReportsCap
+        })
     /** trainIds whose training ENDED (normally or by exception) —
       * recorded driver-side in every trainer's finally, snapshotted
       * into each new training's block-build closure, so executors the
@@ -521,6 +540,7 @@ object Bpe {
     val storeBytes = partDeltas.iterator.flatten
       .filter(_._1._1 == -3).map(_._2).sum
     TrainStore.lastReport = Some((tid, passNo, storeBytes))
+    TrainStore.reports.put(tid, (passNo, storeBytes))
     org.slf4j.LoggerFactory.getLogger("graft.text.Bpe").info(
       f"bpe: trainId=$tid pass=$passNo TrainStore ≈ ${storeBytes / 1e6}%.1f MB " +
         s"across ${partDeltas.length} partitions")
@@ -591,6 +611,23 @@ object Bpe {
     * training in this JVM.
     */
   def trainStoreLastReport: Option[(String, Int, Long)] = TrainStore.lastReport
+
+  /** The keyed form of [[trainStoreLastReport]]: latest (pass, bytes)
+    * for ONE training — immune to the last-writer-wins interleaving of
+    * the global slot when several trainings share a JVM. trainIds
+    * surface through the per-pass log line and [[trainStoreReportIds]].
+    */
+  def trainStoreReport(trainId: String): Option[(Int, Long)] =
+    Option(TrainStore.reports.get(trainId))
+
+  /** trainIds with a footprint report in this JVM (bounded, eldest
+    * drop) — lets a probe that didn't capture its trainId from the log
+    * diff before/after a training to find the new id.
+    */
+  def trainStoreReportIds: Set[String] = TrainStore.reports.synchronized {
+    import scala.jdk.CollectionConverters._
+    TrainStore.reports.keySet.asScala.toSet
+  }
 
   /** Probe/test hook: drop every executor-resident block — simulates
     * an executor restart for rebuild-protocol drills (BpeProbe's

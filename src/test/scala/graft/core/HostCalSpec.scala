@@ -93,16 +93,29 @@ class HostCalSpec extends AnyFunSuite {
       minCpu(1) // JIT/warm
       val soloBefore = minCpu(3)
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val nBurn = 2 * Runtime.getRuntime.availableProcessors
+      val burnChunk = 5L * 1000 * 1000
+      // per-burner chunk counters: the storm is only a storm if the
+      // burners actually got CPU — on a cgroup-quota'd or heavily
+      // shared box the scheduler can starve 2×nproc background
+      // threads relative to the probe, and then the 1.3× assertion
+      // fails with no defect behind it. Counting chunks makes that
+      // under-scheduling measurable (see the assume below).
+      val burned = new java.util.concurrent.atomic.AtomicLongArray(nBurn)
       // 2× oversubscription: enough runnable burners that the probe's
       // threads measurably time-share even if other suites add load
-      val burners = (0 until 2 * Runtime.getRuntime.availableProcessors).map { i =>
+      val burners = (0 until nBurn).map { i =>
         val t = new Thread(() => {
           var acc = 0L
-          while (!stop.get()) acc ^= HostCal.work(5L * 1000 * 1000, i.toLong)
+          while (!stop.get()) {
+            acc ^= HostCal.work(burnChunk, i.toLong)
+            burned.incrementAndGet(i)
+          }
           if (acc == 42L) println("") // consume
         })
         t.setDaemon(true); t.start(); t
       }
+      val stormT0 = System.nanoTime()
       val contended =
         try {
           Thread.sleep(100) // let the storm reach steady state
@@ -111,6 +124,9 @@ class HostCalSpec extends AnyFunSuite {
           stop.set(true)
           burners.foreach(_.join(2000))
         }
+      val stormSecs = (System.nanoTime() - stormT0) / 1e9
+      val burnedIters =
+        (0 until nBurn).map(burned.get).sum * burnChunk
       // solo = min over samples BOTH before and after the storm: if
       // external host load happened to elevate the pre-storm window,
       // the post-storm samples give the quiet baseline a second chance
@@ -125,6 +141,19 @@ class HostCalSpec extends AnyFunSuite {
       assume(solo < 0.5,
         f"host already saturated (solo baseline $solo%.4f s) — " +
           "contention attribution not measurable in this environment")
+      // second measurability gate: the burners must have consumed at
+      // least `probeThreads` cores' worth of CPU over the storm
+      // window (per-core rate estimated from the solo probe itself:
+      // probeThreads threads did probeThreads×MiniIters in `solo`
+      // seconds ⇒ one core ≈ MiniIters/solo iters/s). Under-scheduled
+      // burners — CPU quota, competing suites — can't contend the
+      // probe, so cancel rather than fail.
+      val perCoreRate = HostCal.MiniItersPerThread / solo
+      val wantIters = (perCoreRate * probeThreads * stormSecs).toLong
+      assume(burnedIters >= wantIters,
+        f"burners under-scheduled (${burnedIters / 1e9}%.1fG iters over " +
+          f"$stormSecs%.2f s, wanted ≥ ${wantIters / 1e9}%.1fG) — " +
+          "contention storm not achievable in this environment")
       assert(contended > solo * 1.3,
         f"mini-probe blind to contention: solo $solo%.4f s vs " +
           f"contended $contended%.4f s")

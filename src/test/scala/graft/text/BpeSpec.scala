@@ -114,11 +114,17 @@ class BpeSpec extends SparkSpec {
     // the store lives outside Spark's memory manager — the per-pass
     // report (trainId, pass, approx bytes over partitions) is the only
     // way an operator sees that heap; it must be present and plausible
+    // attribute through the KEYED reports map, not the global
+    // last-writer-wins slot: suites run in parallel in one JVM, so a
+    // concurrent training elsewhere could overwrite lastReport between
+    // our last pass and the read — the before/after id diff pins a
+    // report from THIS training
+    val before = Bpe.trainStoreReportIds
     val merges = Bpe.train(Bpe.wordCounts(corpusDf, col("text")), 5)
     assert(merges.nonEmpty)
-    val rep = Bpe.trainStoreLastReport
-    assert(rep.nonEmpty, "no TrainStore footprint report after training")
-    val (_, pass, bytes) = rep.get
+    val fresh = Bpe.trainStoreReportIds -- before
+    assert(fresh.nonEmpty, "no TrainStore footprint report after training")
+    val (pass, bytes) = fresh.flatMap(Bpe.trainStoreReport).maxBy(_._2)
     assert(pass >= 1)
     // a handful of tiny words: more than bare object headers, far
     // under a megabyte
