@@ -25,4 +25,37 @@ class BenchSpec extends AnyFunSuite {
     assert(!graft.Bench.needsRerun(Seq(5.0)))
     assert(!graft.Bench.needsRerun(Nil))
   }
+
+  test("repClean: a rep is clean only when BOTH probe axes are within " +
+    "2x the run median") {
+    assert(graft.Bench.repClean(0.10, 0.05, 0.10, 0.05))
+    assert(graft.Bench.repClean(0.19, 0.09, 0.10, 0.05)) // under 2x both
+    assert(!graft.Bench.repClean(0.21, 0.05, 0.10, 0.05)) // cpu elevated
+    assert(!graft.Bench.repClean(0.10, 0.11, 0.10, 0.05)) // mem elevated
+    assert(!graft.Bench.repClean(0.30, 0.20, 0.10, 0.05)) // both
+  }
+
+  test("needsProbeRerun flags the r12 a12b signature: both reps " +
+    "probe-elevated with spread under 3x") {
+    val medCpu = 0.10
+    val medMem = 0.05
+    // the adjudicated gap: reps 4.99/12.5 s (spread 2.5x — no spread
+    // rerun), probes 0.19/0.39 s vs ~0.1 s nominal → both reps dirty
+    assert(graft.Bench.needsProbeRerun(Seq(4.99, 12.5),
+      Seq((0.25, 0.05), (0.39, 0.06)), medCpu, medMem))
+    // one clean rep ⇒ the min can be trusted, no rerun
+    assert(!graft.Bench.needsProbeRerun(Seq(4.99, 12.5),
+      Seq((0.10, 0.05), (0.39, 0.06)), medCpu, medMem))
+    // mem-axis-only contention counts too (r11: DRAM degradation with
+    // a nominal CPU probe)
+    assert(graft.Bench.needsProbeRerun(Seq(1.0, 1.2),
+      Seq((0.10, 0.20), (0.11, 0.22)), medCpu, medMem))
+    // sub-noise committed min never earns a rerun
+    assert(!graft.Bench.needsProbeRerun(Seq(0.05, 0.08),
+      Seq((0.39, 0.20), (0.39, 0.22)), medCpu, medMem))
+    // devProbe runs (zero probes / zero medians) never flag
+    assert(!graft.Bench.needsProbeRerun(Seq(4.99, 12.5),
+      Seq((0.0, 0.0), (0.0, 0.0)), 0.0, 0.0))
+    assert(!graft.Bench.needsProbeRerun(Nil, Nil, medCpu, medMem))
+  }
 }
