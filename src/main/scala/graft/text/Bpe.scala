@@ -636,8 +636,31 @@ object Bpe {
     */
   def wipeTrainStore(): Unit = TrainStore.blocks.clear()
 
+  /** Auto-derived driver pair-table bound: what THIS driver's heap can
+    * actually hold, instead of a universal constant a caller must
+    * out-guess. Budget 20% of max heap for the pair table (the rest
+    * stays free for the heap-of-pairs' lazy-deletion duplicates,
+    * knownSymbols, task results, and Spark's own driver state) at a
+    * conservative ~300 bytes per distinct pair (HashMap entry ≈48 +
+    * boxed tuple ≈40 + two short symbol strings ≈2×56 + that pair's
+    * share of stale priority-queue entries). Floored at 1M pairs so a
+    * small test JVM doesn't push byte-alphabet corpora (alphabet² ≈
+    * 65k initial pairs) onto the distributed path for nothing.
+    * Default -Xmx8g ⇒ ~5.7M pairs; the old fixed 50M default would
+    * have needed ~15 GB — an OOM, not a bound — on that same driver.
+    */
+  private[text] def autoDriverPairBound(maxHeapBytes: Long): Long =
+    math.max(1000000L, maxHeapBytes / 5 / 300)
+
+  /** @param driverPairBound OVERRIDE for the driver-resident pair-table
+    *   bound; the default 0 means "measure": the bound derives from
+    *   the running driver's max heap ([[autoDriverPairBound]]), and the
+    *   measured distinct-pair count of the first pass decides the
+    *   driver-vs-distributed path against it. Pass a positive value
+    *   only to force the choice (tests pass 3 to drill the fallback).
+    */
   def train(words: DataFrame, numMerges: Int, maxBatch: Int = 32,
-            driverPairBound: Long = 50000000L,
+            driverPairBound: Long = 0L,
             passHook: (Int, Int, Long, Double) => Unit = null): Seq[Merge] = {
     require(maxBatch >= 1, s"bpe: maxBatch must be >= 1, got $maxBatch")
     val spark = words.sparkSession
@@ -728,21 +751,28 @@ object Bpe {
     // The distinct-pair table must fit the driver — alphabet²-bounded
     // at start — so its size is CHECKED before the collect instead of
     // letting a pathological corpus (adversarial byte soup at a huge
-    // alphabet) OOM the driver mid-collect. The default bound (50M
-    // pairs ≈ a few GB of boxed tuples) is far above any
-    // natural-language corpus (whose distinct-pair count tracks
-    // alphabet² then vocab-neighbor growth); a corpus that crosses it
-    // FALLS BACK to the fully distributed sequential form instead of
-    // refusing — slower (one recount job per merge) but unbounded.
+    // alphabet) OOM the driver mid-collect. The bound is a MEASUREMENT
+    // by default — what this driver's heap holds (autoDriverPairBound)
+    // vs the counted distinct pairs — not a constant the caller must
+    // know in advance; natural-language corpora (distinct pairs track
+    // alphabet² then vocab-neighbor growth) stay far under it. A
+    // corpus that crosses it FALLS BACK to the fully distributed
+    // incremental form instead of refusing — same merges, pair table
+    // kept as an RDD.
     val initialPairs = adjacentPairCounts(baseSyms, parts).persist(sl)
     val nPairs = initialPairs.count()
-    if (nPairs > driverPairBound) {
+    val pairBound =
+      if (driverPairBound > 0L) driverPairBound
+      else autoDriverPairBound(Runtime.getRuntime.maxMemory)
+    if (nPairs > pairBound) {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"bpe: $nPairs distinct adjacent pairs exceeds the " +
-        s"driver-resident pair-table bound ($driverPairBound) — falling " +
-        "back to the INCREMENTAL trainer with a distributed pair table " +
-        "(jobs scale with passes, not merges; raise driverPairBound if " +
-        "the driver has room)")
+        s"driver-resident pair-table bound ($pairBound" +
+        (if (driverPairBound > 0L) ", caller override"
+         else ", auto from driver max heap") +
+        ") — falling back to the INCREMENTAL trainer with a " +
+        "distributed pair table (jobs scale with passes, not merges; " +
+        "pass driverPairBound explicitly if the driver has room)")
       // hand the ALREADY-persisted symbol table and pair table to the
       // distributed core (it takes ownership of unpersisting both) —
       // recomputing them would cost three corpus-scale jobs on exactly

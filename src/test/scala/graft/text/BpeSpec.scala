@@ -265,6 +265,24 @@ class BpeSpec extends SparkSpec {
     assert(got === refTrain(refFreq, 12))
   }
 
+  test("the driver pair bound defaults to a heap measurement, with the " +
+    "knob kept as an override") {
+    // the auto bound scales with the driver's max heap: 20% of heap at
+    // ~300 B per distinct pair (see autoDriverPairBound's accounting)
+    assert(Bpe.autoDriverPairBound(8L << 30) === (8L << 30) / 5 / 300)
+    assert(Bpe.autoDriverPairBound(128L << 30) === (128L << 30) / 5 / 300)
+    assert(Bpe.autoDriverPairBound(16L << 30) ===
+      2 * Bpe.autoDriverPairBound(8L << 30))
+    // floored: a small test JVM must not push byte-alphabet corpora
+    // (alphabet² ≈ 65k initial pairs) onto the distributed path
+    assert(Bpe.autoDriverPairBound(64L << 20) === 1000000L)
+    // this JVM's auto bound comfortably holds the test corpus, so the
+    // DEFAULT (0 = auto) takes the driver path and matches greedy —
+    // the measured choice, with no knob supplied
+    val wc = Bpe.wordCounts(corpusDf, col("text"))
+    assert(Bpe.train(wc, 8) === Bpe.trainSequential(wc, 8))
+  }
+
   test("a corpus whose pair table exceeds the driver bound falls back " +
     "to the distributed-pair-table incremental trainer: exact greedy, " +
     "jobs proportional to passes not merges") {
