@@ -16,9 +16,10 @@ object AggQueries extends QueryModule {
   /** Fixed sketch-calibration corpus for `a17c_sketch_tight` —
     * generated inline (never from the SF dir), so it is IDENTICAL at
     * every SF and across rounds: 200k rows, grp = id%4, per-group
-    * user space d = grp*4000+3001 (odd ⇒ gcd(4,d)=1 ⇒ the ids of each
-    * group cover every residue ⇒ exact distinct users per group is
-    * exactly d: 3001/7001/11001/15001), v = (id*37)%10007 as double.
+    * user space d = grp*10000+15001 (odd ⇒ gcd(4,d)=1 ⇒ the 50k ids
+    * of each group cover every residue ⇒ exact distinct users per
+    * group is exactly d: 15001/25001/35001/45001 — the cardinalities
+    * SketchProbe measured the band on), v = (id*37)%10007 as double.
     * The DuckDB oracle regenerates the same rows via range().
     */
   private[graft] def sketchCorpus(s: SparkSession): DataFrame =

@@ -142,17 +142,25 @@ class HostCalSpec extends AnyFunSuite {
         f"host already saturated (solo baseline $solo%.4f s) — " +
           "contention attribution not measurable in this environment")
       // second measurability gate: the burners must have consumed at
-      // least `probeThreads` cores' worth of CPU over the storm
-      // window (per-core rate estimated from the solo probe itself:
-      // probeThreads threads did probeThreads×MiniIters in `solo`
-      // seconds ⇒ one core ≈ MiniIters/solo iters/s). Under-scheduled
-      // burners — CPU quota, competing suites — can't contend the
-      // probe, so cancel rather than fail.
+      // least HALF their fair share of the machine over the storm
+      // window. Fair share under round-robin = nproc × 2n/(2n+probe)
+      // cores (2n burner threads sharing with up to probeThreads probe
+      // threads) — demanding a fixed `probeThreads` cores' worth would
+      // silently cancel on ≤4-core hosts where fair share is under 3
+      // cores yet the storm genuinely contends. Per-core rate is
+      // estimated from the solo probe itself (probeThreads threads did
+      // probeThreads×MiniIters in `solo` seconds ⇒ one core ≈
+      // MiniIters/solo iters/s). Under-scheduled burners — CPU quota —
+      // land far below half fair share and cancel rather than fail.
       val perCoreRate = HostCal.MiniItersPerThread / solo
-      val wantIters = (perCoreRate * probeThreads * stormSecs).toLong
+      val nproc = Runtime.getRuntime.availableProcessors
+      val fairShareCores =
+        nproc.toDouble * (2.0 * nproc) / (2.0 * nproc + probeThreads)
+      val wantIters = (perCoreRate * fairShareCores * 0.5 * stormSecs).toLong
       assume(burnedIters >= wantIters,
         f"burners under-scheduled (${burnedIters / 1e9}%.1fG iters over " +
-          f"$stormSecs%.2f s, wanted ≥ ${wantIters / 1e9}%.1fG) — " +
+          f"$stormSecs%.2f s, wanted ≥ ${wantIters / 1e9}%.1fG = half of " +
+          f"$fairShareCores%.1f fair-share cores) — " +
           "contention storm not achievable in this environment")
       assert(contended > solo * 1.3,
         f"mini-probe blind to contention: solo $solo%.4f s vs " +

@@ -37,8 +37,9 @@ class SourcesSpec extends SparkSpec {
     assert(ResultsStore.listExecutions(spark, path).count() === 2)
     assert(ResultsStore.read(spark, path, "exec1")
       .select("execution_id").distinct().as[String].collect().toSeq === Seq("exec1"))
-    // an unknown id is a loud error, never a silent empty frame
-    intercept[IllegalArgumentException] {
+    // an unknown id is a loud TYPED error (404 at the serving layer),
+    // never a silent empty frame
+    intercept[NotFoundException] {
       ResultsStore.read(spark, path, "nope")
     }
   }
@@ -59,7 +60,9 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.write(ghost, Array[Byte](1))
     assert(ResultsStore.listExecutions(spark, path)
       .as[String].collect().toSeq === Seq("real"))
-    intercept[IllegalArgumentException] {
+    // uncommitted ⇒ the resource does not exist yet: NotFound, while
+    // the traversal reject above stays the malformed-request class
+    intercept[NotFoundException] {
       ResultsStore.read(spark, path, "ghost")
     }
   }

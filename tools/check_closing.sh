@@ -54,6 +54,20 @@ if [[ -n "$(git status --porcelain)" ]]; then
   exit 1
 fi
 
+# The record commit may carry ONLY the record artifacts: the sweep ran
+# on the PARENT, so any other file smuggled into the record commit
+# itself was never tested — that hole would otherwise defeat every
+# check above (subject matches, sha matches, tree clean).
+SMUGGLED=$(git diff --name-only HEAD^ HEAD \
+  | grep -v -e '^CLOSING_RECORD\.md$' -e '^BENCH_FULL\.json$' || true)
+if [[ -n "$SMUGGLED" ]]; then
+  echo "check_closing: the record commit carries files beyond the" >&2
+  echo "  record artifacts — those changes were never swept:" >&2
+  echo "$SMUGGLED" | head -20 >&2
+  echo "  Re-run tools/closing.sh from a clean code commit." >&2
+  exit 1
+fi
+
 # A QUICK record skips sbt test — legitimate ONLY when no code moved
 # since the last FULL sweep. Without this check a code commit could
 # acquire a passing freeze record by running closing.sh --quick, with
