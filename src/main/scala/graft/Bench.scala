@@ -21,15 +21,22 @@ object Bench {
       secs.max / math.max(secs.min, 1e-9) > 3.0
 
   /** A rep is probe-CLEAN when its ride-along mini-probe read at most
-    * 2× the run's median probe on BOTH axes — i.e. the host was near
-    * its typical-for-this-window state when the rep ran. Median, not
-    * nominal: the run's own probes define "typical", so a uniformly
-    * slow host doesn't flag everything (uniform slowdown is what the
-    * bracketing probes + normalization already account for).
+    * 2× the run's LOWER-QUARTILE probe on BOTH axes — i.e. the host
+    * was near its quietest-observed state when the rep ran. The
+    * reference comes from the run's own probes (not a nominal
+    * constant), so a uniformly slow host doesn't flag everything —
+    * uniform slowdown is what the bracketing probes + normalization
+    * already account for. Lower quartile, not median: a storm covering
+    * over half the window would drag the MEDIAN up to the storm level
+    * and classify storm reps as clean (the exact gap this check
+    * exists to close); p25 keeps the reference anchored to the quiet
+    * minority as long as a quarter of the probes saw quiet, while
+    * still tolerating a single anomalously fast sample the way a raw
+    * min would not.
     */
   private[graft] def repClean(cpu: Double, mem: Double,
-                              medCpu: Double, medMem: Double): Boolean =
-    cpu <= 2.0 * medCpu && mem <= 2.0 * medMem
+                              refCpu: Double, refMem: Double): Boolean =
+    cpu <= 2.0 * refCpu && mem <= 2.0 * refMem
 
   /** The r12 adjudication gap: the spread rule (>3×) misses a gate
     * whose reps were BOTH contended about equally (a12b in r12: reps
@@ -38,14 +45,14 @@ object Bench {
     * earns one extra timed execution even when spread is small; the
     * 0.2 s floor matches needsRerun (a sub-noise committed min isn't
     * worth another run). Requires real probe data (devProbe runs carry
-    * zeros) and a positive median on both axes.
+    * zeros) and a positive reference quartile on both axes.
     */
   private[graft] def needsProbeRerun(secs: Seq[Double],
                                      probes: Seq[(Double, Double)],
-                                     medCpu: Double, medMem: Double): Boolean =
-    secs.nonEmpty && secs.min > 0.2 && medCpu > 0 && medMem > 0 &&
+                                     refCpu: Double, refMem: Double): Boolean =
+    secs.nonEmpty && secs.min > 0.2 && refCpu > 0 && refMem > 0 &&
       probes.nonEmpty &&
-      probes.forall(p => !repClean(p._1, p._2, medCpu, medMem))
+      probes.forall(p => !repClean(p._1, p._2, refCpu, refMem))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -166,16 +173,17 @@ object Bench {
           f"(probe cpu ${r.cpuProbe}%.3f mem ${r.memProbe}%.3f)")
       }
     }
-    // Medians of the ride-along probes across the whole run: the
-    // reference point for "this rep ran on a typically-loaded host".
-    // Computed over the MAIN passes only (reruns below would bias the
-    // median toward whatever state triggered them).
-    def medianOf(xs: Seq[Double]): Double = {
+    // Lower quartile of the ride-along probes across the whole run:
+    // the reference point for "this rep ran on a quiet host" (see
+    // repClean for why p25 and not the median). Computed over the MAIN
+    // passes only (reruns below would bias it toward whatever state
+    // triggered them).
+    def p25Of(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      if (s.isEmpty) 0.0 else s(s.size / 2)
+      if (s.isEmpty) 0.0 else s(s.size / 4)
     }
-    val medCpu = medianOf(byGate.values.flatten.map(_.cpuProbe).filter(_ > 0).toSeq)
-    val medMem = medianOf(byGate.values.flatten.map(_.memProbe).filter(_ > 0).toSeq)
+    val refCpu = p25Of(byGate.values.flatten.map(_.cpuProbe).filter(_ > 0).toSeq)
+    val refMem = p25Of(byGate.values.flatten.map(_.memProbe).filter(_ > 0).toSeq)
     // Rep-spread self-check (see needsRerun) PLUS probe-elevation
     // check (see needsProbeRerun): a flagged gate runs ONE more timed
     // execution (with its own probe context) so the committed min is a
@@ -191,7 +199,7 @@ object Bench {
       val spread = secs0.max / math.max(secs0.min, 1e-9)
       val spreadRerun = needsRerun(secs0)
       val probeRerun = !spreadRerun && needsProbeRerun(secs0,
-        rs0.map(r => (r.cpuProbe, r.memProbe)), medCpu, medMem)
+        rs0.map(r => (r.cpuProbe, r.memProbe)), refCpu, refMem)
       val rerun = spreadRerun || probeRerun
       val rs = if (rerun) rs0 :+ timedRep(name, fn) else rs0
       if (spreadRerun)
@@ -201,11 +209,11 @@ object Bench {
       if (probeRerun)
         System.err.println(f"[bench] $name all reps probe-elevated " +
           f"(cpu ${rs0.map(_.cpuProbe).min}%.3f.. mem ${rs0.map(_.memProbe).min}%.3f.. " +
-          f"vs medians ${medCpu}%.3f/${medMem}%.3f) — re-ran once, " +
+          f"vs p25 ${refCpu}%.3f/${refMem}%.3f) — re-ran once, " +
           f"committed ${rs.map(_.sec).min}%.2f s")
-      val contended = medCpu > 0 && medMem > 0 &&
+      val contended = refCpu > 0 && refMem > 0 &&
         rs.map(_.sec).min > 0.2 &&
-        rs.forall(r => !repClean(r.cpuProbe, r.memProbe, medCpu, medMem))
+        rs.forall(r => !repClean(r.cpuProbe, r.memProbe, refCpu, refMem))
       if (contended)
         System.err.println(s"[bench] $name committed CONTENDED " +
           "(no probe-clean rep even after rerun — min is an under-load " +
@@ -259,7 +267,7 @@ object Bench {
     val rideJson =
       s"""{"cpu_mean":${fmt(meanOf(rideCpu))},"cpu_max":${fmt(if (rideCpu.isEmpty) 0.0 else rideCpu.max)},""" +
         s""""mem_mean":${fmt(meanOf(rideMem))},"mem_max":${fmt(if (rideMem.isEmpty) 0.0 else rideMem.max)},""" +
-        s""""cpu_median":${fmt(medCpu)},"mem_median":${fmt(medMem)},""" +
+        s""""cpu_p25":${fmt(refCpu)},"mem_p25":${fmt(refMem)},""" +
         s""""n":${rideCpu.size},"flagged":${detail.count(_.rerun)},""" +
         s""""contended_gates":${detail.count(_.contended)},""" +
         s""""mini_iters":${graft.tools.HostCal.MiniItersPerThread},""" +

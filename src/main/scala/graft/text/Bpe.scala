@@ -220,7 +220,11 @@ object Bpe {
     private val ReportsCap = 64
     private[text] val reports: java.util.Map[String, (Int, Long)] =
       java.util.Collections.synchronizedMap(
-        new java.util.LinkedHashMap[String, (Int, Long)](16, 0.75f, false) {
+        // accessOrder=true: a long-running ACTIVE training re-puts its
+        // report every pass and must refresh its recency — with
+        // insertion order its slot would be the ELDEST after 64 newer
+        // (even already-finished) trainings and get evicted mid-run
+        new java.util.LinkedHashMap[String, (Int, Long)](16, 0.75f, true) {
           override def removeEldestEntry(
               e: java.util.Map.Entry[String, (Int, Long)]): Boolean =
             this.size() > ReportsCap

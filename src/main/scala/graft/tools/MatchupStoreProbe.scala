@@ -28,7 +28,7 @@ object MatchupStoreProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val store = if (args.length > 1) args(1) else "/tmp/graft_matchup_store"
-    val reps = if (args.length > 2) args(2).toInt else 2
+    val reps = (if (args.length > 2) args(2).toInt else 2).max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

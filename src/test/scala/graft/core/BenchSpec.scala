@@ -27,7 +27,7 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("repClean: a rep is clean only when BOTH probe axes are within " +
-    "2x the run median") {
+    "2x the run reference quartile") {
     assert(graft.Bench.repClean(0.10, 0.05, 0.10, 0.05))
     assert(graft.Bench.repClean(0.19, 0.09, 0.10, 0.05)) // under 2x both
     assert(!graft.Bench.repClean(0.21, 0.05, 0.10, 0.05)) // cpu elevated
@@ -53,7 +53,7 @@ class BenchSpec extends AnyFunSuite {
     // sub-noise committed min never earns a rerun
     assert(!graft.Bench.needsProbeRerun(Seq(0.05, 0.08),
       Seq((0.39, 0.20), (0.39, 0.22)), medCpu, medMem))
-    // devProbe runs (zero probes / zero medians) never flag
+    // devProbe runs (zero probes / zero reference quartiles) never flag
     assert(!graft.Bench.needsProbeRerun(Seq(4.99, 12.5),
       Seq((0.0, 0.0), (0.0, 0.0)), 0.0, 0.0))
     assert(!graft.Bench.needsProbeRerun(Nil, Nil, medCpu, medMem))

@@ -77,22 +77,16 @@ fi
 # to be empty.
 MODE=$(sed -n 's/.*\*\*mode\*\*: \([A-Z]*\).*/\1/p' CLOSING_RECORD.md | head -1)
 if [[ "$MODE" == "QUICK" ]]; then
-  LAST_FULL=""
-  for c in $(git log --format=%H --grep='^Record closing verification' HEAD^); do
-    if git show "$c:CLOSING_RECORD.md" 2>/dev/null | grep -q '\*\*mode\*\*: FULL'; then
-      LAST_FULL=$(git show "$c:CLOSING_RECORD.md" \
-        | sed -n 's/.*\*\*verified_sha\*\*: \([0-9a-f]\{40\}\).*/\1/p' | head -1)
-      break
-    fi
-  done
+  source tools/closing_paths.sh
+  LAST_FULL=$(last_full_verified_sha HEAD^ || true)
   if [[ -z "$LAST_FULL" ]]; then
-    echo "check_closing: QUICK record with no prior FULL record in" >&2
-    echo "  history — the code state was never swept. Re-run" >&2
+    echo "check_closing: QUICK record with no prior parent-linked FULL" >&2
+    echo "  record in history — the code state was never swept. Re-run" >&2
     echo "  tools/closing.sh (full mode)." >&2
     exit 1
   fi
   CODE_MOVED=$(git diff --name-only "$LAST_FULL" "$RECORDED" -- \
-    src/ build.sbt project/ tools/ || echo __DIFF_FAILED__)
+    "${CODE_PATHS[@]}" || echo __DIFF_FAILED__)
   if [[ -n "$CODE_MOVED" ]]; then
     echo "check_closing: QUICK record sits atop CODE changes since the" >&2
     echo "  last FULL sweep (${LAST_FULL:0:9}):" >&2

@@ -40,21 +40,15 @@ echo "[closing] verifying HEAD=$SHA"
 # would pass check_closing.sh while sbt test never ran on that code.
 # (check_closing.sh independently re-verifies this from git alone.)
 if [[ "$QUICK" == "--quick" ]]; then
-  LAST_FULL=""
-  for c in $(git log --format=%H --grep='^Record closing verification'); do
-    if git show "$c:CLOSING_RECORD.md" 2>/dev/null | grep -q '\*\*mode\*\*: FULL'; then
-      LAST_FULL=$(git show "$c:CLOSING_RECORD.md" \
-        | sed -n 's/.*\*\*verified_sha\*\*: \([0-9a-f]\{40\}\).*/\1/p' | head -1)
-      break
-    fi
-  done
+  source tools/closing_paths.sh
+  LAST_FULL=$(last_full_verified_sha HEAD || true)
   if [[ -z "$LAST_FULL" ]]; then
-    echo "closing.sh: --quick needs a prior FULL record to anchor the" >&2
-    echo "  docs-only check — run the full sweep first" >&2
+    echo "closing.sh: --quick needs a prior parent-linked FULL record" >&2
+    echo "  to anchor the docs-only check — run the full sweep first" >&2
     exit 1
   fi
   CODE_MOVED=$(git diff --name-only "$LAST_FULL" HEAD -- \
-    src/ build.sbt project/ tools/ || echo __DIFF_FAILED__)
+    "${CODE_PATHS[@]}" || echo __DIFF_FAILED__)
   if [[ -n "$CODE_MOVED" ]]; then
     echo "closing.sh: --quick refused — code moved since the last FULL" >&2
     echo "  sweep (${LAST_FULL:0:9}):" >&2
