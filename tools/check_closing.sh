@@ -10,6 +10,7 @@
 # record with tools/closing.sh.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+source tools/closing_paths.sh
 
 if [[ ! -f CLOSING_RECORD.md ]]; then
   echo "check_closing: no CLOSING_RECORD.md — run tools/closing.sh" >&2
@@ -49,8 +50,29 @@ if [[ "$RECORDED" != "$PARENT" ]]; then
   exit 1
 fi
 
-if [[ -n "$(git status --porcelain)" ]]; then
+# Dirty-tree check, minus the driver's round artifacts: the round
+# driver writes BENCH_r*.json / CORRECTNESS_r*.json and refreshes
+# BENCH_FULL.json / LEAKCHECK.json / COPYCHECK.json AFTER the record
+# commit, every round, and the builder cannot prevent it — without
+# this carve-out the one-command adjudication ("exit 0 = ordering
+# held") fails on the judged snapshot from files the sweep never
+# covered anyway. ANY other dirty path (src/, tools/, docs, build)
+# still fails. Rename lines ("R  a -> b") are checked on both sides.
+DIRTY_NON_ARTIFACT=""
+while IFS= read -r line; do
+  [[ -z "$line" ]] && continue
+  entry=${line:3}
+  for f in "${entry%% -> *}" "${entry##* -> }"; do
+    if ! is_driver_artifact "$f"; then
+      DIRTY_NON_ARTIFACT+="$f"$'\n'
+      break
+    fi
+  done
+done < <(git status --porcelain)
+if [[ -n "$DIRTY_NON_ARTIFACT" ]]; then
   echo "check_closing: working tree dirty on top of the record" >&2
+  echo "  (beyond the driver's round artifacts):" >&2
+  echo "$DIRTY_NON_ARTIFACT" | head -20 >&2
   exit 1
 fi
 
@@ -76,8 +98,16 @@ fi
 # src/build diff from its verified sha to THIS record's verified sha
 # to be empty.
 MODE=$(sed -n 's/.*\*\*mode\*\*: \([A-Z]*\).*/\1/p' CLOSING_RECORD.md | head -1)
+# A missing/lowercase/malformed mode line must fail LOUDLY: an empty
+# MODE would otherwise fall through every branch below and be treated
+# as FULL — a hand-edited QUICK record could then evade the
+# "code moved since the last FULL sweep" gate entirely.
+if [[ "$MODE" != "FULL" && "$MODE" != "QUICK" ]]; then
+  echo "check_closing: CLOSING_RECORD.md mode is '${MODE:-<missing>}'" >&2
+  echo "  — must be exactly FULL or QUICK. Re-run tools/closing.sh." >&2
+  exit 1
+fi
 if [[ "$MODE" == "QUICK" ]]; then
-  source tools/closing_paths.sh
   LAST_FULL=$(last_full_verified_sha HEAD^ || true)
   if [[ -z "$LAST_FULL" ]]; then
     echo "check_closing: QUICK record with no prior parent-linked FULL" >&2

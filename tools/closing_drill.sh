@@ -82,5 +82,38 @@ code_commit D
 record QUICK
 expect "quick-anchored-past-unlinked-record fails" 1
 
+# 8. the driver's round artifacts dirty the tree AFTER the record —
+# the exact state every judged snapshot is in — and must NOT fail;
+# a dirtied CODE file alongside them still must (the carve-out is
+# is_driver_artifact exactly, nothing wider)
+git reset -q --hard HEAD~2   # back to a passing FULL-record state (drill 1+3 tail)
+code_commit F
+record FULL
+expect "clean-full-record-baseline passes" 0
+echo '{"drill":1}' > BENCH_r99.json
+echo '{"drill":1}' > CORRECTNESS_r99.json
+echo '{"drill":1}' >> BENCH_FULL.json
+echo '{"drill":1}' > LEAKCHECK.json
+expect "dirty-driver-artifacts-only passes" 0
+echo drill-dirty >> src/drill_marker.txt
+expect "dirty-src-beside-artifacts fails" 1
+git checkout -q -- src/drill_marker.txt
+expect "artifacts-still-pass-after-src-restore passes" 0
+rm -f BENCH_r99.json CORRECTNESS_r99.json
+git checkout -q -- BENCH_FULL.json LEAKCHECK.json
+
+# 9. a record with a malformed/missing **mode** line fails loudly
+# instead of silently degrading to FULL (which would skip the QUICK
+# anchoring enforcement on a hand-edited record)
+SHA=$(git rev-parse HEAD~1)
+printf -- "- **verified_sha**: %s\n- **mode**: quick\n" "$SHA" > CLOSING_RECORD.md
+git add CLOSING_RECORD.md
+git commit -q --amend -m "Record closing verification for ${SHA:0:9}"
+expect "lowercase-mode-record fails" 1
+printf -- "- **verified_sha**: %s\n" "$SHA" > CLOSING_RECORD.md
+git add CLOSING_RECORD.md
+git commit -q --amend -m "Record closing verification for ${SHA:0:9}"
+expect "missing-mode-record fails" 1
+
 echo "drill: $([[ $fail == 0 ]] && echo all scenarios behaved || echo FAILURES above)"
 exit $fail

@@ -4,6 +4,22 @@
 # agree on WHAT counts as code, or one drifts weaker than the other.
 CODE_PATHS=(src/ build.sbt project/ tools/)
 
+# Files the ROUND DRIVER writes into the repo root after the builder's
+# work ends: the per-round bench/correctness artifacts plus the two
+# committed records the driver refreshes in place. They land on top of
+# the closing-record commit by construction — outside the builder's
+# control — so the freeze-ordering dirty check ignores EXACTLY these
+# and nothing else (a dirty src/ file, doc, or tool still fails). Keep
+# this list tight: every added glob is a file a hostile edit could
+# hide in.
+is_driver_artifact() {
+  case $1 in
+    BENCH_r[0-9]*.json | CORRECTNESS_r[0-9]*.json | \
+    BENCH_FULL.json | LEAKCHECK.json | COPYCHECK.json) return 0 ;;
+    *) return 1 ;;
+  esac
+}
+
 # The most recent trustworthy FULL closing record reachable from $1
 # (exclusive of $1 itself when it has a ^ suffix): prints the
 # verified_sha of the newest 'Record closing verification' commit whose
