@@ -62,6 +62,14 @@ object JoinQueries extends QueryModule {
     }
   }
 
+  /** j1c's scratch results-store root: a fixed path under the JVM's
+    * tmpdir, wiped at each gate invocation (under [[j1cLock]]) so a
+    * 100× sweep's reps can't accumulate multi-GB pair executions.
+    */
+  private val j1cScratchRoot = new java.io.File(
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_j1c_store").getPath
+  private val j1cLock = new Object
+
   /** j1's unordered pair projection — the gate adds the total order;
     * SortProbe times the order's cost in isolation.
     */
@@ -81,6 +89,41 @@ object JoinQueries extends QueryModule {
     // cost of one min/max scan.
     "j1_tolerance_join" -> { (s, dir) =>
       orderedByEventSpan(s, dir, j1Pairs(s, dir), col("pid"), col("eid"))
+    },
+
+    // J1c: the PRODUCTION matchup shape as a permanent, oracled gate.
+    // j1 keeps its BucketedSort total order because the driver's hash
+    // needs one — but at real scale matchup pairs go UNORDERED into
+    // the results store (S8) and are read back path-addressed, exactly
+    // the reference's contract (ResultsStorage.py:58-204: plain
+    // per-row inserts, id-keyed retrieval, never a global sort).
+    // SCALING.md r13 measured that shape at 0.27× the gate shape at
+    // 100× in a dev probe; this gate re-measures it every round and
+    // pins the read-back CONTENT order-insensitively: pairs fold into
+    // pid-residue buckets with exact counts, id extrema, and integral
+    // sums (dv is 4-dec-rounded, so ×10⁴ is exact in long arithmetic —
+    // no float-sum order sensitivity can touch the hash).
+    "j1c_matchup_store" -> { (s, dir) =>
+      val execId = "gate-" + java.util.UUID.randomUUID().toString.take(8)
+      // one invocation at a time per JVM: every caller (Bench reps,
+      // Verify, specs) materializes its frame before the next fn call,
+      // so wiping the shared scratch root at entry can never race a
+      // live reader; the lock is insurance against a future parallel
+      // caller tearing a concurrent write's staging dir
+      j1cLock.synchronized {
+        val root = new org.apache.hadoop.fs.Path(j1cScratchRoot)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true)
+        graft.sources.ResultsStore.write(j1Pairs(s, dir), j1cScratchRoot, execId)
+      }
+      graft.sources.ResultsStore.read(s, j1cScratchRoot, execId)
+        .groupBy((col("pid") % 997).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("pid")).as("min_pid"), max(col("pid")).as("max_pid"),
+          min(col("eid")).as("min_eid"), max(col("eid")).as("max_eid"),
+          sum(col("dt_us")).as("sum_dt_us"),
+          sum(round(col("dv") * 10000).cast("long")).as("sum_dv_e4"))
+        .orderBy("bucket")
     },
 
     // J2: match-once — nearest match per primary (Matchup.py:456-473)
@@ -279,6 +322,22 @@ object JoinQueries extends QueryModule {
         |SELECT pid, eid, round(abs(pv - ev) + 1e-9, 4) AS dv, abs(pts - ets) AS dt_us
         |FROM p JOIN e ON abs(pts - ets) <= 7200000000 AND abs(pv - ev) <= 5.0
         |ORDER BY pid, eid""".stripMargin,
+
+    "j1c_matchup_store" ->
+      """WITH p AS (SELECT event_id pid, epoch_us(ts) pts, value pv FROM events
+        |           WHERE event_type = 'purchase'),
+        |     e AS (SELECT event_id eid, epoch_us(ts) ets, value ev FROM events
+        |           WHERE event_type = 'error'),
+        |     pairs AS (SELECT pid, eid, round(abs(pv - ev) + 1e-9, 4) AS dv,
+        |                      abs(pts - ets) AS dt_us
+        |               FROM p JOIN e ON abs(pts - ets) <= 7200000000
+        |                            AND abs(pv - ev) <= 5.0)
+        |SELECT pid % 997 AS bucket, count(*) AS n_pairs,
+        |       min(pid) AS min_pid, max(pid) AS max_pid,
+        |       min(eid) AS min_eid, max(eid) AS max_eid,
+        |       CAST(sum(dt_us) AS BIGINT) AS sum_dt_us,
+        |       CAST(sum(CAST(round(dv * 10000) AS BIGINT)) AS BIGINT) AS sum_dv_e4
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "j2_match_once" ->
       """WITH p AS (SELECT event_id pid, epoch_us(ts) pts, value pv FROM events

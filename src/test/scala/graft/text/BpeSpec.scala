@@ -124,7 +124,15 @@ class BpeSpec extends SparkSpec {
     assert(merges.nonEmpty)
     val fresh = Bpe.trainStoreReportIds -- before
     assert(fresh.nonEmpty, "no TrainStore footprint report after training")
-    val (pass, bytes) = fresh.flatMap(Bpe.trainStoreReport).maxBy(_._2)
+    // the keyed reports map is bounded (64 entries, eldest drop): with
+    // enough concurrent trainings in parallel suites our fresh id's
+    // report could be evicted between training end and this read — the
+    // failure must be the footprint-report assertion, not a bare
+    // maxBy UnsupportedOperationException
+    val reports = fresh.flatMap(Bpe.trainStoreReport)
+    assert(reports.nonEmpty,
+      "fresh trainId's footprint report missing (evicted from the bounded reports map?)")
+    val (pass, bytes) = reports.maxBy(_._2)
     assert(pass >= 1)
     // a handful of tiny words: more than bare object headers, far
     // under a megabyte

@@ -74,6 +74,16 @@ if [[ "$QUICK" != "--quick" ]]; then
     echo "closing.sh: could not find the test summary line in /tmp/closing_test.log" >&2
     exit 1
   fi
+  # one UNAMBIGUOUS tuple (suites / ScalaTest cases / sbt total tasks):
+  # rounds 12 and 13 recorded different counting methods (439 tasks vs
+  # 428 cases) and the delta needed adjudicating — recording all three
+  # names every round makes the comparison mechanical
+  SUITES=$(grep -E "Suites: completed" /tmp/closing_test.log | tail -1 \
+    | sed -n 's/.*Suites: completed \([0-9]*\).*/\1/p' || true)
+  CASES=$(echo "$TESTLINE" | sed -n 's/.*Tests: succeeded \([0-9]*\).*/\1/p' || true)
+  TASKS=$(grep -E "Passed: Total" /tmp/closing_test.log | tail -1 \
+    | sed -n 's/.*Passed: Total \([0-9]*\).*/\1/p' || true)
+  TESTLINE="$TESTLINE (tuple: suites=${SUITES:-?} cases=${CASES:-?} total_tasks=${TASKS:-?})"
 fi
 
 VERIFY_LINES=""
