@@ -44,13 +44,25 @@ object Bench {
     * inflated min with no marker). A gate with NO probe-clean rep
     * earns one extra timed execution even when spread is small; the
     * 0.2 s floor matches needsRerun (a sub-noise committed min isn't
-    * worth another run). Requires real probe data (devProbe runs carry
-    * zeros) and a positive reference quartile on both axes.
+    * worth another run). Requires real probe data (rides-off runs
+    * carry zeros) and a positive reference quartile on both axes.
+    *
+    * r14 calibration: the rerun additionally requires the reps to
+    * actually DISAGREE (spread > 1.25×). The rerun's sole purpose is
+    * a better committed min; when every rep already lands within a
+    * quarter of the fastest, a third execution cannot improve the number
+    * and the extra run only measures the same (possibly self-loaded)
+    * state again — the r13 closing window burned 45 such executions,
+    * most of them heavy gates whose own GC/background tail elevated
+    * their ride-along probes relative to the quiet quartile set by
+    * light gates. (The elevated-probe CONTENDED marker is independent
+    * of this predicate and still lands on tight-agreement gates.)
     */
   private[graft] def needsProbeRerun(secs: Seq[Double],
                                      probes: Seq[(Double, Double)],
                                      refCpu: Double, refMem: Double): Boolean =
     secs.nonEmpty && secs.min > 0.2 && refCpu > 0 && refMem > 0 &&
+      secs.max / math.max(secs.min, 1e-9) > 1.25 &&
       probes.nonEmpty &&
       probes.forall(p => !repClean(p._1, p._2, refCpu, refMem))
 
@@ -92,20 +104,31 @@ object Bench {
     // mode) is visible as pre≠post; the normalized total divides by
     // the mean multi-thread probe time, making round-over-round
     // totals mechanically comparable on a shared host. Skipped (zeros)
-    // under the dev-only SKIP/ONLY probe filters, like the pinned
-    // block: a single-gate 100x probe must not pay ~6 s of fixed-work
-    // burn per invocation, and the calibration only matters for the
-    // full-suite artifact anyway.
+    // under the dev-only SKIP/ONLY probe filters unless SPARK_GRAFT_CAL=1
+    // opts in (a single-gate probe must not pay ~6 s of fixed-work burn
+    // per invocation by default, but a round-over-round 100x sweep
+    // WANTS the normalized total).
     val devProbe = skip.nonEmpty || only.nonEmpty
+    // Ride-along mini-probes now run in SKIP/ONLY dev mode too
+    // (SPARK_GRAFT_RIDE=0 disables): the r13 100x sweep ran in ONLY
+    // mode with probes off by design, and the e_semantic_dedup_auto
+    // 42→62→94 s three-round trend could not be adjudicated as host
+    // vs code — exactly the gap the per-rep probe context closes. The
+    // ~0.1 s/exec cost is noise against 100x gate times. The HEAVY
+    // bracketing probes (~6 s of fixed-work burn per invocation) stay
+    // off in dev mode unless SPARK_GRAFT_CAL=1 asks for normalized
+    // round-over-round sweep totals.
+    val rideOn = sys.env.getOrElse("SPARK_GRAFT_RIDE", "1") != "0"
+    val calOn = !devProbe || sys.env.get("SPARK_GRAFT_CAL").contains("1")
     val calThreads = cpus.toInt
     val (calSinglePre, calMultiPre) =
-      if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probe(calThreads)
+      if (!calOn) (0.0, 0.0) else graft.tools.HostCal.probe(calThreads)
     // memory-bandwidth twin: output-materialization-bound gates scale
     // with THIS axis, not the CPU one (r11: 2.0× on j1/j7 while the
     // CPU probe read 1.2× — a hypervisor neighbor can degrade DRAM
     // bandwidth independently of CPU)
     val (calMemSinglePre, calMemMultiPre) =
-      if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probeMem(calThreads)
+      if (!calOn) (0.0, 0.0) else graft.tools.HostCal.probeMem(calThreads)
 
     // Warmup: one untimed pass over EVERY query. Each query's
     // WholeStageCodegen unit Janino-compiles on first execution (1-3 s
@@ -147,8 +170,19 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
     final case class Rep(sec: Double, cpuProbe: Double, memProbe: Double)
     def timedRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
+      // settle pause before the probe: the mini-probe otherwise runs
+      // back-to-back with the PREVIOUS gate's execution, whose decaying
+      // tail (async cleanup, scheduler backlog, GC catch-up) reads as
+      // an elevated probe and gets misattributed to host contention —
+      // the r13 closing window flagged 45/128 gates that way. 120 ms is
+      // untimed wall (outside the gate's t0) and lets a self-inflicted
+      // transient decay while a genuine host storm persists through it.
       val (cp, mp) =
-        if (devProbe) (0.0, 0.0) else graft.tools.HostCal.miniProbe(calThreads)
+        if (!rideOn) (0.0, 0.0)
+        else {
+          Thread.sleep(120)
+          graft.tools.HostCal.miniProbe(calThreads)
+        }
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE (stderr — stdout carries only
       // the JSON line), or its near-zero time reads as a fast success
@@ -221,11 +255,11 @@ object Bench {
       GateDetail(name, rs.map(_.sec).min, rs, rerun, contended)
     }
     val results = detail.map(d => d.name -> d.sec)
-    if (!devProbe) graft.tools.HostCal.releaseMiniBlock()
+    if (rideOn) graft.tools.HostCal.releaseMiniBlock()
     val (calSinglePost, calMultiPost) =
-      if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probe(calThreads)
+      if (!calOn) (0.0, 0.0) else graft.tools.HostCal.probe(calThreads)
     val (calMemSinglePost, calMemMultiPost) =
-      if (devProbe) (0.0, 0.0) else graft.tools.HostCal.probeMem(calThreads)
+      if (!calOn) (0.0, 0.0) else graft.tools.HostCal.probeMem(calThreads)
     // 4-decimal values (0.1 ms resolution — far below run-to-run noise)
     // keep the one-line JSON well inside the driver's capture window;
     // full-precision doubles overflowed it in earlier rounds and the
@@ -264,11 +298,22 @@ object Bench {
     val rideCpu = detail.flatMap(_.reps.map(_.cpuProbe)).filter(_ > 0)
     val rideMem = detail.flatMap(_.reps.map(_.memProbe)).filter(_ > 0)
     def meanOf(xs: Seq[Double]): Double = if (xs.isEmpty) 0.0 else xs.sum / xs.size
+    // flag-rate self-diagnosis: re-runs exist to catch the EXCEPTION
+    // (a contention burst hitting one gate), so a window where over a
+    // third of gates flag is more plausibly a miscalibrated criterion
+    // (or a storm covering most of the window — either way the
+    // committed numbers deserve suspicion) than 40 independent bursts.
+    // The artifact says so itself instead of leaving the rate to be
+    // re-derived from per-gate arrays each round.
+    val rerunRate =
+      if (detail.isEmpty) 0.0 else detail.count(_.rerun).toDouble / detail.size
     val rideJson =
       s"""{"cpu_mean":${fmt(meanOf(rideCpu))},"cpu_max":${fmt(if (rideCpu.isEmpty) 0.0 else rideCpu.max)},""" +
         s""""mem_mean":${fmt(meanOf(rideMem))},"mem_max":${fmt(if (rideMem.isEmpty) 0.0 else rideMem.max)},""" +
         s""""cpu_p25":${fmt(refCpu)},"mem_p25":${fmt(refMem)},""" +
         s""""n":${rideCpu.size},"flagged":${detail.count(_.rerun)},""" +
+        s""""rerun_rate":${fmt(rerunRate)},""" +
+        s""""calibration_suspect":${rerunRate > 1.0 / 3},""" +
         s""""contended_gates":${detail.count(_.contended)},""" +
         s""""mini_iters":${graft.tools.HostCal.MiniItersPerThread},""" +
         s""""mini_mem_longs":${graft.tools.HostCal.MiniMemLongs}}"""

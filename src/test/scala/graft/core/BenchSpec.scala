@@ -48,7 +48,17 @@ class BenchSpec extends AnyFunSuite {
       Seq((0.10, 0.05), (0.39, 0.06)), medCpu, medMem))
     // mem-axis-only contention counts too (r11: DRAM degradation with
     // a nominal CPU probe)
-    assert(graft.Bench.needsProbeRerun(Seq(1.0, 1.2),
+    assert(graft.Bench.needsProbeRerun(Seq(1.0, 1.3),
+      Seq((0.10, 0.20), (0.11, 0.22)), medCpu, medMem))
+    // r14: tight-agreement reps never earn a probe rerun — a third
+    // execution cannot improve a min the reps already agree on, and
+    // all-probes-elevated with agreeing reps is the self-load
+    // signature (heavy gate's own GC tail), not a burst that a rerun
+    // would dodge. 45/128 gates flagged this way in the r13 closing
+    // window. (The contended marker still lands independently.)
+    assert(!graft.Bench.needsProbeRerun(Seq(4.99, 5.20),
+      Seq((0.25, 0.05), (0.39, 0.06)), medCpu, medMem))
+    assert(!graft.Bench.needsProbeRerun(Seq(1.0, 1.2),
       Seq((0.10, 0.20), (0.11, 0.22)), medCpu, medMem))
     // sub-noise committed min never earns a rerun
     assert(!graft.Bench.needsProbeRerun(Seq(0.05, 0.08),
