@@ -640,32 +640,103 @@ object Bpe {
     */
   def wipeTrainStore(): Unit = TrainStore.blocks.clear()
 
+  /** MEASURED driver-heap bytes per distinct pair, from a bounded
+    * sample of actual table keys (≤4096 — the sample cost must stay
+    * trivial against a pass). Per pair: ~200 B of fixed structure
+    * (HashMap node + key tuple + boxed count + the pair's live
+    * max-heap entry and its share of stale lazy-deletion duplicates —
+    * the constant part of the old assumed-300 breakdown, same
+    * header-arithmetic style as TrainStore.approxBytesOf) plus the
+    * measured string payloads (object header + UTF-16 storage,
+    * 8-byte aligned). The strings are the part a constant gets wrong:
+    * at pass 0 every symbol is one code point and ~300 holds almost
+    * exactly (200 + 2×48 = 296), but merged symbols grow with
+    * training and a long-symbol table costs whatever factor the
+    * symbols grew — which is why [[train]] re-samples the LIVE keys
+    * every pass instead of trusting the pass-0 figure.
+    */
+  private[text] def measuredBytesPerPair(
+      sample: Iterator[(String, String)]): Long = {
+    def strBytes(s: String): Long = 40L + ((2L * s.length + 7L) & ~7L)
+    var n = 0L
+    var total = 0L
+    while (sample.hasNext && n < 4096) {
+      val (l, r) = sample.next()
+      total += 200L + strBytes(l) + strBytes(r)
+      n += 1
+    }
+    if (n == 0L) 300L else math.max(1L, total / n)
+  }
+
   /** Auto-derived driver pair-table bound: what THIS driver's heap can
     * actually hold, instead of a universal constant a caller must
     * out-guess. Budget 20% of max heap for the pair table (the rest
     * stays free for the heap-of-pairs' lazy-deletion duplicates,
-    * knownSymbols, task results, and Spark's own driver state) at a
-    * conservative ~300 bytes per distinct pair (HashMap entry ≈48 +
-    * boxed tuple ≈40 + two short symbol strings ≈2×56 + that pair's
-    * share of stale priority-queue entries). Floored at 1M pairs so a
-    * small test JVM doesn't push byte-alphabet corpora (alphabet² ≈
-    * 65k initial pairs) onto the distributed path for nothing.
-    * Default -Xmx8g ⇒ ~5.7M pairs; the old fixed 50M default would
-    * have needed ~15 GB — an OOM, not a bound — on that same driver.
+    * knownSymbols, task results, and Spark's own driver state) at the
+    * MEASURED bytes/pair of the table being admitted
+    * ([[measuredBytesPerPair]]; 300 ≈ the single-code-point figure is
+    * only the no-sample default). Floored at a 300 MB table (the byte
+    * budget the old fixed 1M-pair floor implied at 300 B/pair, so a
+    * small test JVM doesn't push byte-alphabet corpora — alphabet² ≈
+    * 65k initial pairs — onto the distributed path for nothing; the
+    * floor scales DOWN with measured bytes/pair, so long-symbol
+    * tables never ride it past the heap). Default -Xmx8g ⇒ ~5.7M
+    * single-code-point pairs; the old fixed 50M default would have
+    * needed ~15 GB — an OOM, not a bound — on that same driver.
     */
-  private[text] def autoDriverPairBound(maxHeapBytes: Long): Long =
-    math.max(1000000L, maxHeapBytes / 5 / 300)
+  private[text] def autoDriverPairBound(maxHeapBytes: Long,
+                                        bytesPerPair: Long = 300L): Long = {
+    val bpp = math.max(1L, bytesPerPair)
+    math.max(300L * 1000000L / bpp, maxHeapBytes / 5 / bpp)
+  }
+
+  /** Mid-train handover for [[train]]'s measured-footprint fallback:
+    * everything [[trainDistributedCore]] needs to CONTINUE a
+    * driver-table training from a pass boundary instead of starting
+    * over — the executor-resident blocks stay valid (same trainId,
+    * same pass counter, so the next runStorePass steps them normally
+    * and a lost partition rebuilds from `committed` exactly as
+    * before), the committed merge prefix seeds the result, and the
+    * exact live pair table becomes the distributed table's initial
+    * state. `committed` is handed BY REFERENCE: the core keeps
+    * appending to it so block rebuilds replay the full prefix.
+    */
+  private final case class Handover(
+      trainId: String,
+      rank0: Int,
+      pass0: Int,
+      merges0: Seq[Merge],
+      committed: scala.collection.mutable.ArrayBuffer[(String, String)],
+      knownSymbols0: scala.collection.mutable.HashSet[String],
+      pendingUnmerge0: Seq[Merge],
+      pendingUnmergePos0: Set[Int])
 
   /** @param driverPairBound OVERRIDE for the driver-resident pair-table
     *   bound; the default 0 means "measure": the bound derives from
-    *   the running driver's max heap ([[autoDriverPairBound]]), and the
-    *   measured distinct-pair count of the first pass decides the
-    *   driver-vs-distributed path against it. Pass a positive value
-    *   only to force the choice (tests pass 3 to drill the fallback).
+    *   the running driver's max heap ([[autoDriverPairBound]]) and the
+    *   MEASURED bytes/pair of a table sample
+    *   ([[measuredBytesPerPair]]), and the counted distinct pairs of
+    *   the first pass decide the driver-vs-distributed path against
+    *   it. The live table is then re-measured EVERY pass (merged
+    *   symbols grow, so the footprint can outgrow a bound the pass-0
+    *   sample satisfied) and a training that crosses the budget
+    *   mid-run MIGRATES to the distributed core at the pass boundary —
+    *   same blocks, same committed prefix, pair table re-homed as an
+    *   RDD. Pass a positive value only to force the choice (tests
+    *   pass 3 to drill the fallback); the override is enforced
+    *   mid-train too (it bounds the driver-resident pair COUNT).
+    * @param maxHeapForTest test seam: substitute for
+    *   Runtime.maxMemory in the budget derivation (0 = real heap), so
+    *   specs can drive the measured migration threshold at corpus
+    *   sizes a unit test can afford.
+    * @param onMigrate test observability hook, called once if the
+    *   mid-train migration fires.
     */
   def train(words: DataFrame, numMerges: Int, maxBatch: Int = 32,
             driverPairBound: Long = 0L,
-            passHook: (Int, Int, Long, Double) => Unit = null): Seq[Merge] = {
+            passHook: (Int, Int, Long, Double) => Unit = null,
+            maxHeapForTest: Long = 0L,
+            onMigrate: () => Unit = null): Seq[Merge] = {
     require(maxBatch >= 1, s"bpe: maxBatch must be >= 1, got $maxBatch")
     val spark = words.sparkSession
     import spark.implicits._
@@ -765,15 +836,22 @@ object Bpe {
     // kept as an RDD.
     val initialPairs = adjacentPairCounts(baseSyms, parts).persist(sl)
     val nPairs = initialPairs.count()
+    val heapBytes =
+      if (maxHeapForTest > 0L) maxHeapForTest else Runtime.getRuntime.maxMemory
+    // bytes/pair is a MEASUREMENT of the admitted table, not a
+    // constant: sampled from the persisted pair RDD's first partitions
+    // (hash-partitioned by reduce key, so the prefix is an unbiased
+    // length sample), one cheap job
+    val bpp0 = measuredBytesPerPair(initialPairs.take(4096).iterator.map(_._1))
     val pairBound =
       if (driverPairBound > 0L) driverPairBound
-      else autoDriverPairBound(Runtime.getRuntime.maxMemory)
+      else autoDriverPairBound(heapBytes, bpp0)
     if (nPairs > pairBound) {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"bpe: $nPairs distinct adjacent pairs exceeds the " +
         s"driver-resident pair-table bound ($pairBound" +
         (if (driverPairBound > 0L) ", caller override"
-         else ", auto from driver max heap") +
+         else s", auto: 20% of driver heap at measured $bpp0 B/pair") +
         ") — falling back to the INCREMENTAL trainer with a " +
         "distributed pair table (jobs scale with passes, not merges; " +
         "pass driverPairBound explicitly if the driver has room)")
@@ -811,6 +889,51 @@ object Bpe {
     var pass = 0
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
+      // ---- measured-footprint watchdog (every pass after the first):
+      // the pass-0 sample admitted a table of single-code-point
+      // symbols, but merges fuse arbitrarily long strings and the live
+      // table's bytes/pair GROWS — the exact axis the old assumed-300
+      // constant undershot. Re-measure on a bounded sample of live
+      // keys (hash-order, uncorrelated with length) and migrate to the
+      // distributed core at this pass boundary when the estimated
+      // footprint crosses the heap budget (or the live count crosses
+      // an explicit override). Migration hands over the same trainId —
+      // executor blocks stay valid, the committed prefix seeds the
+      // result, and the exact driver table becomes the initial RDD —
+      // so the merge sequence is unchanged (pinned by the migration
+      // differential in BpeSpec).
+      if (pass > 0) {
+        val bppLive = measuredBytesPerPair(pairCounts.keysIterator)
+        val estBytes = pairCounts.size.toLong * bppLive
+        val over =
+          if (driverPairBound > 0L) pairCounts.size > driverPairBound
+          else estBytes > heapBytes / 5
+        if (over) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"bpe: live pair table outgrew the driver budget mid-train " +
+              s"(pass $pass: ${pairCounts.size} pairs at measured " +
+              s"$bppLive B/pair ≈ ${estBytes / 1024} KiB" +
+              (if (driverPairBound > 0L) s", override $driverPairBound pairs"
+               else s", budget ${heapBytes / 5 / 1024} KiB") +
+              ") — migrating to the distributed pair table at this " +
+              "pass boundary (same blocks, same committed prefix)")
+          if (onMigrate != null) onMigrate()
+          val tableRdd = sc.parallelize(pairCounts.toSeq, parts)
+            .partitionBy(new org.apache.spark.HashPartitioner(parts))
+            .persist(sl)
+          // the core takes ownership of the trainId's blocks (its
+          // finally clears them); train's finally must not re-run the
+          // per-partition clear job over the by-then-unpersisted
+          // symbol RDD — that would recompute the corpus to clear
+          // nothing
+          blocksBuilt = false
+          return trainDistributedCore(baseSyms, tableRdd, parts,
+            numMerges, maxBatch, candK = 512, passHook = passHook,
+            handover = Some(Handover(trainId, rank, pass, merges.result(),
+              committedPairs, knownSymbols, pendingUnmerge,
+              pendingUnmergePos)))
+        }
+      }
       // ---- speculative batch selection (exact table, stale-free) ----
       val budget = math.min(maxBatch, numMerges - rank + 1)
       val batch = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -966,18 +1089,29 @@ object Bpe {
     * corpus scan for the alphabet) — three redundant corpus-scale jobs
     * on exactly the path where the corpus is enormous. Takes ownership
     * of unpersisting `baseSyms` and the `initialTable` chain.
+    *
+    * With a [[Handover]] (train's MID-RUN measured-footprint
+    * migration) the core CONTINUES instead of starting: the trainId's
+    * executor blocks are already built and stepped to `pass0 - 1`, so
+    * the first runStorePass steps them normally (and a lost partition
+    * rebuilds from the handed-over committed prefix, which this loop
+    * keeps appending to by reference); rank/pass/pending-unmerge state
+    * resume where the driver loop stopped, and `initialTable` is the
+    * exact live table it held.
     */
   private def trainDistributedCore(
       baseSyms: org.apache.spark.rdd.RDD[(Array[String], Long)],
       initialTable: org.apache.spark.rdd.RDD[((String, String), Long)],
       parts: Int, numMerges: Int, maxBatch: Int, candK: Int,
       passHook: (Int, Int, Long, Double) => Unit,
-      releaseAfterInit: () => Unit = () => ()): Seq[Merge] = {
+      releaseAfterInit: () => Unit = () => (),
+      handover: Option[Handover] = None): Seq[Merge] = {
     require(maxBatch >= 1, s"bpe: maxBatch must be >= 1, got $maxBatch")
     require(candK >= 1, s"bpe: candK must be >= 1, got $candK")
     val sc = baseSyms.sparkContext
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val trainId = java.util.UUID.randomUUID().toString
+    val trainId = handover.map(_.trainId)
+      .getOrElse(java.util.UUID.randomUUID().toString)
     // the live pair table, co-partitioned across passes so each delta
     // update cogroups NARROWLY (only the fuse-site-sized delta RDD
     // shuffles; the table itself never moves between passes)
@@ -995,12 +1129,23 @@ object Bpe {
       // the replay's fresh-pair reasoning. Derived from the pair
       // table's keys (every symbol occurs in some pair — words always
       // carry the Eow terminal), not a separate corpus scan.
-      val knownSymbols = scala.collection.mutable.HashSet.empty[String]
-      knownSymbols ++= pairTable
-        .flatMap { case ((l, r), _) => Iterator(l, r) }
-        .distinct().collect()
-      buildBlocks(baseSyms, trainId)
-      blocksBuilt = true
+      val knownSymbols = handover.map(_.knownSymbols0).getOrElse {
+        val ks = scala.collection.mutable.HashSet.empty[String]
+        ks ++= pairTable
+          .flatMap { case ((l, r), _) => Iterator(l, r) }
+          .distinct().collect()
+        ks
+      }
+      if (handover.isEmpty) {
+        buildBlocks(baseSyms, trainId)
+        blocksBuilt = true
+      } else {
+        // migration path: the driver loop built (and stepped) the
+        // blocks under this same trainId — rebuilding would both waste
+        // a corpus job and DESYNC the applied-slot state the pending
+        // un-merge below expects
+        blocksBuilt = true
+      }
       // baseSyms and the pair table are both materialized into their
       // caches now — the caller's upstream corpus-scale inputs (the
       // word-count Dataset) can be released for the (long) merge loop
@@ -1010,12 +1155,15 @@ object Bpe {
       val topOrd: Ordering[(Pair, Long)] =
         Ordering.by { case ((l, r), c) => (-c, l, r) }
       val merges = Seq.newBuilder[Merge]
-      val committedPairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
-      var rank = 1
-      var pass = 0
+      handover.foreach(h => merges ++= h.merges0)
+      val committedPairs = handover.map(_.committed)
+        .getOrElse(scala.collection.mutable.ArrayBuffer.empty[Pair])
+      var rank = handover.map(_.rank0).getOrElse(1)
+      var pass = handover.map(_.pass0).getOrElse(0)
       var exhausted = false
-      var pendingUnmerge: Seq[Merge] = Nil
-      var pendingUnmergePos: Set[Int] = Set.empty
+      var pendingUnmerge: Seq[Merge] = handover.map(_.pendingUnmerge0).getOrElse(Nil)
+      var pendingUnmergePos: Set[Int] =
+        handover.map(_.pendingUnmergePos0).getOrElse(Set.empty)
       while (rank <= numMerges && !exhausted) {
         val passT0 = System.nanoTime()
         val cands = pairTable.takeOrdered(candK)(topOrd)

@@ -291,6 +291,86 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(wc, 8) === Bpe.trainSequential(wc, 8))
   }
 
+  test("bytes/pair is MEASURED from the table keys, not assumed") {
+    // single-code-point pairs (the pass-0 shape) measure ≈ the old
+    // 300-byte constant — the assumption was right exactly there
+    val bppShort = Bpe.measuredBytesPerPair(Iterator.fill(100)(("a", "b")))
+    assert(bppShort >= 250 && bppShort <= 350, s"short-symbol bpp $bppShort")
+    // long merged symbols measure what they actually cost
+    val bppLong = Bpe.measuredBytesPerPair(
+      Iterator.fill(100)(("x" * 128, "y" * 128)))
+    assert(bppLong > 2 * bppShort, s"long-symbol bpp $bppLong vs $bppShort")
+    // the bound scales INVERSELY with measured bytes/pair…
+    assert(Bpe.autoDriverPairBound(8L << 30, bppLong) <
+      Bpe.autoDriverPairBound(8L << 30, bppShort))
+    // …including the small-heap floor (expressed as a 300 MB table
+    // budget, so a long-symbol table can never ride the old 1M-pair
+    // floor past the heap)
+    assert(Bpe.autoDriverPairBound(64L << 20, 3000) === 100000L)
+    // default bpp keeps the r13-pinned semantics bit-identical
+    assert(Bpe.autoDriverPairBound(8L << 30) === (8L << 30) / 5 / 300)
+    assert(Bpe.measuredBytesPerPair(Iterator.empty) === 300L)
+  }
+
+  test("mid-train migration: a live table that outgrows the driver " +
+    "bound flips to the distributed core and still equals sequential greedy") {
+    import spark.implicits._
+    // alphabet {a,b}: SIX distinct initial pairs (aa ab ba bb a< b<) —
+    // under the override bound of 8 so training starts on the driver —
+    // but the first merges fuse fresh symbols whose neighbor pairs push
+    // the live table past 8, tripping the per-pass watchdog
+    val tiny = Seq((0L, "abab aabb abba baba bbaa baab abbb aaab ab ba"))
+      .toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(tiny, col("text"))
+    var migrated = 0
+    val got = Bpe.train(wc, 10, maxBatch = 2, driverPairBound = 8,
+      onMigrate = () => migrated += 1)
+    assert(migrated === 1, "the measured watchdog never migrated")
+    assert(got === Bpe.trainSequential(wc, 10),
+      "migrated training diverged from sequential greedy")
+  }
+
+  test("an adversarial long-symbol corpus flips to trainDistributed at " +
+    "the MEASURED (not assumed) threshold") {
+    import spark.implicits._
+    // heap seam: 20% budget = 20_000 B. Corpus L's merges fuse
+    // geometrically longer symbols (words are a repeated two-letter
+    // pattern), so its live bytes/pair GROWS while the pair COUNT
+    // stays comparable to corpus S's (short distinct words, symbols
+    // capped at word length). Under the ASSUMED 300 B/pair both
+    // corpora would read alike; the MEASURED estimate pushes only L
+    // over the budget.
+    // budget = heap/5 = 6000 B. Measured trajectories (warn-line
+    // probed): L's table peaks around pass 10 at ~10 pairs whose
+    // symbols doubled toward 256 chars — ~711 B/pair, ≈7100 B, over
+    // the budget; S's table peaks at 16 single-code-point pairs ≈
+    // 4700 B (~300 B/pair) and shrinks as words fuse. Under the old
+    // ASSUMED 300 B/pair, L would read ~3000 B and never flip — the
+    // flip below is attributable to the MEASURED symbol length alone,
+    // since S carries MORE pairs than L and stays.
+    val heap = 30000L
+    val longWords = (121 to 128).map(k => "xy" * k).mkString(" ")
+    val corpusL = Seq((0L, longWords)).toDF("doc_id", "text")
+    val shortWords = "cd ef gh ij kl mn op qr"
+    val corpusS = Seq((0L, shortWords)).toDF("doc_id", "text")
+    var migL = 0
+    var migS = 0
+    val gotL = Bpe.train(Bpe.wordCounts(corpusL, col("text")), 24,
+      maxBatch = 2, maxHeapForTest = heap, onMigrate = () => migL += 1)
+    val gotS = Bpe.train(Bpe.wordCounts(corpusS, col("text")), 24,
+      maxBatch = 2, maxHeapForTest = heap, onMigrate = () => migS += 1)
+    assert(migL === 1,
+      "long-symbol corpus never crossed the measured threshold")
+    assert(migS === 0,
+      "short-symbol corpus of comparable pair count crossed it too — " +
+        "the threshold is reading count, not measured bytes")
+    // and the flip is SAFE on both sides of it
+    assert(gotL === Bpe.trainSequential(
+      Bpe.wordCounts(corpusL, col("text")), 24))
+    assert(gotS === Bpe.trainSequential(
+      Bpe.wordCounts(corpusS, col("text")), 24))
+  }
+
   test("a corpus whose pair table exceeds the driver bound falls back " +
     "to the distributed-pair-table incremental trainer: exact greedy, " +
     "jobs proportional to passes not merges") {
