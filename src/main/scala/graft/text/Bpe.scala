@@ -668,26 +668,35 @@ object Bpe {
     if (n == 0L) 300L else math.max(1L, total / n)
   }
 
+  /** The driver pair-table BYTE budget for a given max heap: 20% of
+    * the heap (the rest stays free for the heap-of-pairs' lazy-
+    * deletion duplicates, knownSymbols, task results, and Spark's own
+    * driver state), floored at a 300 MB table so a small-but-real JVM
+    * doesn't push byte-alphabet corpora (alphabet² ≈ 65k pairs ≈
+    * 19 MB) onto the distributed path for nothing — but the floor is
+    * itself capped at HALF the heap: a fixed floor above what the
+    * heap holds would be an OOM mandate, not a budget. SHARED by
+    * pass-0 admission ([[autoDriverPairBound]]) and [[train]]'s
+    * per-pass watchdog, so a table admitted via the floor can never
+    * read as "outgrown" without actually growing.
+    */
+  private[text] def driverTableByteBudget(maxHeapBytes: Long): Long =
+    math.max(math.min(300L * 1000000L, maxHeapBytes / 2), maxHeapBytes / 5)
+
   /** Auto-derived driver pair-table bound: what THIS driver's heap can
     * actually hold, instead of a universal constant a caller must
-    * out-guess. Budget 20% of max heap for the pair table (the rest
-    * stays free for the heap-of-pairs' lazy-deletion duplicates,
-    * knownSymbols, task results, and Spark's own driver state) at the
-    * MEASURED bytes/pair of the table being admitted
-    * ([[measuredBytesPerPair]]; 300 ≈ the single-code-point figure is
-    * only the no-sample default). Floored at a 300 MB table (the byte
-    * budget the old fixed 1M-pair floor implied at 300 B/pair, so a
-    * small test JVM doesn't push byte-alphabet corpora — alphabet² ≈
-    * 65k initial pairs — onto the distributed path for nothing; the
-    * floor scales DOWN with measured bytes/pair, so long-symbol
-    * tables never ride it past the heap). Default -Xmx8g ⇒ ~5.7M
-    * single-code-point pairs; the old fixed 50M default would have
-    * needed ~15 GB — an OOM, not a bound — on that same driver.
+    * out-guess — [[driverTableByteBudget]] at the MEASURED bytes/pair
+    * of the table being admitted ([[measuredBytesPerPair]]; 300 ≈ the
+    * single-code-point figure is only the no-sample default). The
+    * bound scales DOWN with measured bytes/pair, so long-symbol
+    * tables never ride the budget past the heap. Default -Xmx8g ⇒
+    * ~5.7M single-code-point pairs; the old fixed 50M default would
+    * have needed ~15 GB — an OOM, not a bound — on that same driver.
     */
   private[text] def autoDriverPairBound(maxHeapBytes: Long,
                                         bytesPerPair: Long = 300L): Long = {
     val bpp = math.max(1L, bytesPerPair)
-    math.max(300L * 1000000L / bpp, maxHeapBytes / 5 / bpp)
+    math.max(1L, driverTableByteBudget(maxHeapBytes) / bpp)
   }
 
   /** Mid-train handover for [[train]]'s measured-footprint fallback:
@@ -907,14 +916,14 @@ object Bpe {
         val estBytes = pairCounts.size.toLong * bppLive
         val over =
           if (driverPairBound > 0L) pairCounts.size > driverPairBound
-          else estBytes > heapBytes / 5
+          else estBytes > driverTableByteBudget(heapBytes)
         if (over) {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"bpe: live pair table outgrew the driver budget mid-train " +
               s"(pass $pass: ${pairCounts.size} pairs at measured " +
               s"$bppLive B/pair ≈ ${estBytes / 1024} KiB" +
               (if (driverPairBound > 0L) s", override $driverPairBound pairs"
-               else s", budget ${heapBytes / 5 / 1024} KiB") +
+               else s", budget ${driverTableByteBudget(heapBytes) / 1024} KiB") +
               ") — migrating to the distributed pair table at this " +
               "pass boundary (same blocks, same committed prefix)")
           if (onMigrate != null) onMigrate()

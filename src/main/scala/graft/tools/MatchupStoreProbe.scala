@@ -38,39 +38,40 @@ object MatchupStoreProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Wipe the scratch store (executions are immutable, so every rep
-    // writes a fresh id — stale dirs from a previous probe run would
-    // only grow the listing) — but NEVER a directory this probe didn't
-    // create: arg 2 pointed at a real results store (the same S8
-    // layout ResultsStore serves) would otherwise irreversibly destroy
-    // every stored execution. A marker file written when the probe
-    // creates the dir is the ownership proof; without it, only the
-    // probe's own execution_id=probe-* leftovers are removed and any
-    // other content refuses loudly.
+    // Clear stale probe leftovers (executions are immutable, so every
+    // rep writes a fresh id — stale dirs from a previous probe run
+    // would only grow the listing) — but NEVER touch content this
+    // probe didn't write: arg 2 pointed at a real results store (the
+    // same S8 layout ResultsStore serves) must not cost stored
+    // executions. Deletion is therefore ALWAYS restricted to the
+    // probe's own execution_id=probe-* entries — never a recursive
+    // wipe of the root — and anything else in the directory refuses
+    // loudly, marker or no marker: the breadcrumb marker (stamped only
+    // when the probe CREATED the directory; a pre-existing empty dir
+    // pressed into service never earns one) records provenance, it is
+    // not a license to destroy content that landed there later.
     val root = new org.apache.hadoop.fs.Path(store)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(root, "_GRAFT_PROBE_SCRATCH")
     if (fs.exists(root)) {
-      if (fs.exists(marker)) fs.delete(root, true)
-      else {
-        val entries = fs.listStatus(root)
-        val (mine, foreign) = entries.partition(
-          _.getPath.getName.startsWith("execution_id=probe-"))
-        if (foreign.nonEmpty) {
-          System.err.println(
-            s"[matchup-store] REFUSING to wipe $store — it exists, carries " +
-              s"no ${marker.getName} marker, and holds non-probe content " +
-              s"(${foreign.take(5).map(_.getPath.getName).mkString(", ")}" +
-              (if (foreign.length > 5) ", …" else "") + "). " +
-              "Point arg 2 at a scratch path instead.")
-          spark.stop()
-          sys.exit(2)
-        }
-        mine.foreach(e => fs.delete(e.getPath, true))
+      val entries = fs.listStatus(root)
+        .filterNot(_.getPath.getName == marker.getName)
+      val (mine, foreign) = entries.partition(
+        _.getPath.getName.startsWith("execution_id=probe-"))
+      if (foreign.nonEmpty) {
+        System.err.println(
+          s"[matchup-store] REFUSING to touch $store — it holds non-probe " +
+            s"content (${foreign.take(5).map(_.getPath.getName).mkString(", ")}" +
+            (if (foreign.length > 5) ", …" else "") + "). " +
+            "Point arg 2 at a scratch path instead.")
+        spark.stop()
+        sys.exit(2)
       }
+      mine.foreach(e => fs.delete(e.getPath, true))
+    } else {
+      fs.mkdirs(root)
+      fs.create(marker, true).close()
     }
-    fs.mkdirs(root)
-    fs.create(marker, true).close()
 
     // each store rep writes a fresh execution id (immutability), then
     // DELETES it untimed after the measurement: at 100× one execution

@@ -67,5 +67,12 @@ class BenchSpec extends AnyFunSuite {
     assert(!graft.Bench.needsProbeRerun(Seq(4.99, 12.5),
       Seq((0.0, 0.0), (0.0, 0.0)), 0.0, 0.0))
     assert(!graft.Bench.needsProbeRerun(Nil, Nil, medCpu, medMem))
+    // a REPS=1 run has no spread to consult: a single elevated rep
+    // still earns the rerun (the only chance at a clean min), a single
+    // clean rep doesn't
+    assert(graft.Bench.needsProbeRerun(Seq(4.99),
+      Seq((0.25, 0.05)), medCpu, medMem))
+    assert(!graft.Bench.needsProbeRerun(Seq(4.99),
+      Seq((0.10, 0.05)), medCpu, medMem))
   }
 }

@@ -25,15 +25,21 @@ class MatchupStoreGateSpec extends SparkSpec {
     val a = gate().collect().map(_.toSeq).toSeq
     val b = gate().collect().map(_.toSeq).toSeq
     assert(a === b, "store-backed summary not reproducible across invocations")
-    // cleanup actually held: exactly ONE execution lives in the
-    // scratch root after a run (a 100× sweep's reps must not stack
-    // multi-GB pair executions)
+    // cleanup actually held: the scratch root converges to exactly ONE
+    // execution after a run (a 100× sweep's reps must not stack
+    // multi-GB pair executions). The previous execution is deleted on
+    // a background daemon thread — off the gate's timed path — so poll
+    // briefly instead of asserting an instant.
     val root = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_j1c_store")
-    val execs = Option(root.listFiles()).getOrElse(Array.empty)
+    def execs() = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("execution_id="))
-    assert(execs.length === 1,
-      s"scratch root holds ${execs.length} executions — rewipe broken")
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (execs().length != 1 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(execs().length === 1,
+      s"scratch root holds ${execs().length} executions — " +
+        "background rewipe broken")
   }
 
   test("the summary never leaks the per-run execution id") {

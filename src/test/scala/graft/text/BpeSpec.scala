@@ -282,8 +282,12 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.autoDriverPairBound(16L << 30) ===
       2 * Bpe.autoDriverPairBound(8L << 30))
     // floored: a small test JVM must not push byte-alphabet corpora
-    // (alphabet² ≈ 65k initial pairs) onto the distributed path
-    assert(Bpe.autoDriverPairBound(64L << 20) === 1000000L)
+    // (alphabet² ≈ 65k initial pairs) onto the distributed path — but
+    // the 300 MB floor caps at HALF the heap (a floor above the heap
+    // would be an OOM mandate): 64 MB heap ⇒ 32 MB budget ⇒ ~112k
+    // pairs, still holding the 65k byte-alphabet table comfortably
+    assert(Bpe.autoDriverPairBound(64L << 20) === (64L << 20) / 2 / 300)
+    assert(Bpe.autoDriverPairBound(64L << 20) > 65536L)
     // this JVM's auto bound comfortably holds the test corpus, so the
     // DEFAULT (0 = auto) takes the driver path and matches greedy —
     // the measured choice, with no knob supplied
@@ -303,10 +307,10 @@ class BpeSpec extends SparkSpec {
     // the bound scales INVERSELY with measured bytes/pair…
     assert(Bpe.autoDriverPairBound(8L << 30, bppLong) <
       Bpe.autoDriverPairBound(8L << 30, bppShort))
-    // …including the small-heap floor (expressed as a 300 MB table
-    // budget, so a long-symbol table can never ride the old 1M-pair
+    // …including the small-heap floor (a BYTE budget — min(300 MB,
+    // heap/2) — so a long-symbol table can never ride the old 1M-pair
     // floor past the heap)
-    assert(Bpe.autoDriverPairBound(64L << 20, 3000) === 100000L)
+    assert(Bpe.autoDriverPairBound(64L << 20, 3000) === (64L << 20) / 2 / 3000)
     // default bpp keeps the r13-pinned semantics bit-identical
     assert(Bpe.autoDriverPairBound(8L << 30) === (8L << 30) / 5 / 300)
     assert(Bpe.measuredBytesPerPair(Iterator.empty) === 300L)
@@ -333,14 +337,14 @@ class BpeSpec extends SparkSpec {
   test("an adversarial long-symbol corpus flips to trainDistributed at " +
     "the MEASURED (not assumed) threshold") {
     import spark.implicits._
-    // heap seam: 20% budget = 20_000 B. Corpus L's merges fuse
+    // heap seam: budget = max(min(300 MB, heap/2), heap/5) = heap/2 =
+    // 6000 B at this tiny test heap. Corpus L's merges fuse
     // geometrically longer symbols (words are a repeated two-letter
     // pattern), so its live bytes/pair GROWS while the pair COUNT
     // stays comparable to corpus S's (short distinct words, symbols
     // capped at word length). Under the ASSUMED 300 B/pair both
     // corpora would read alike; the MEASURED estimate pushes only L
-    // over the budget.
-    // budget = heap/5 = 6000 B. Measured trajectories (warn-line
+    // over the budget. Measured trajectories (warn-line
     // probed): L's table peaks around pass 10 at ~10 pairs whose
     // symbols doubled toward 256 chars — ~711 B/pair, ≈7100 B, over
     // the budget; S's table peaks at 16 single-code-point pairs ≈
@@ -348,7 +352,7 @@ class BpeSpec extends SparkSpec {
     // ASSUMED 300 B/pair, L would read ~3000 B and never flip — the
     // flip below is attributable to the MEASURED symbol length alone,
     // since S carries MORE pairs than L and stays.
-    val heap = 30000L
+    val heap = 12000L
     val longWords = (121 to 128).map(k => "xy" * k).mkString(" ")
     val corpusL = Seq((0L, longWords)).toDF("doc_id", "text")
     val shortWords = "cd ef gh ij kl mn op qr"
