@@ -125,7 +125,12 @@ object Dedup {
     */
   def jaccardOnCandidates(cands: DataFrame, shingled: DataFrame,
                           id: Column, shingle: Column): DataFrame = {
-    val tok = shingled.select(id.as("__id"), shingle.as("__sh")).distinct()
+    // tok feeds three consumers (sizes + both intersection sides):
+    // truncate so the distinct (id, shingle) relation — and everything
+    // upstream of it — is computed once per execution, not three times
+    val tok = graft.core.Lineage.truncate(
+      shingled.select(id.as("__id"), shingle.as("__sh")).distinct(),
+      eager = false)
     val inter = cands
       .join(tok.select(col("__id").as("i"), col("__sh")), "i")
       .join(tok.select(col("__id").as("j"), col("__sh").as("__sh2")), "j")
@@ -176,8 +181,16 @@ object Dedup {
     * window) is implemented exactly once.
     */
   private def bandsWithBucketMin(bands: DataFrame): DataFrame = {
-    val bucketMin = bands.groupBy("bidx", "bhash").agg(min(col("__id")).as("bmin"))
-    bands.join(bucketMin, Seq("bidx", "bhash"))
+    // `bands` feeds BOTH the bucket-min aggregate and the join back —
+    // untruncated, the whole signature subtree (k md5s per document)
+    // is evaluated twice per execution (r14 profile: 2× ~300 ms
+    // single-task signature stages on the sf0.1 cluster gates). The
+    // truncated relation is (id, bidx, bhash) — bands/doc rows of ~50
+    // bytes, linear in the corpus and far cheaper to hold than to
+    // recompute.
+    val b = graft.core.Lineage.truncate(bands, eager = false)
+    val bucketMin = b.groupBy("bidx", "bhash").agg(min(col("__id")).as("bmin"))
+    b.join(bucketMin, Seq("bidx", "bhash"))
   }
 
   /** True connected components over an undirected edge list —
@@ -221,8 +234,16 @@ object Dedup {
   def connectedComponentsWithRounds(edges: DataFrame, nodes: DataFrame,
                                     maxIter: Int = 20,
                                     jumpAfter: Int = 3): (DataFrame, Int) = {
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // truncate the (doubled) edge relation ONCE before iterating: every
+    // round's message join re-reads it, and untruncated each round
+    // re-derived the whole upstream pipeline (for the LSH gate: the
+    // full MinHash of the corpus — r14 profile showed one ~2.6 s-CPU
+    // signature stage PER ROUND). Edges are the loop invariant; at any
+    // scale an iterative algorithm persists its invariant input.
+    val und = graft.core.Lineage.truncate(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))),
+      eager = false)
     var labels = graft.core.Lineage.truncate(nodes.select(col("id")).distinct()
       .withColumn("label", col("id")))
     var iter = 0
@@ -281,7 +302,10 @@ object Dedup {
     */
   def jaccardPairsByIndex(shingled: DataFrame, id: Column, shingle: Column,
                           minJaccard: Double): DataFrame = {
-    val tok = shingled.select(id.as("__id"), shingle.as("__sh")).distinct()
+    // same three-consumer truncate as jaccardOnCandidates
+    val tok = graft.core.Lineage.truncate(
+      shingled.select(id.as("__id"), shingle.as("__sh")).distinct(),
+      eager = false)
     val inter = tok.select(col("__id").as("i"), col("__sh"))
       .join(tok.select(col("__id").as("j"), col("__sh")), Seq("__sh"))
       .where(col("i") < col("j"))

@@ -203,6 +203,37 @@ case class RollingHashExpr(child: Expression, window: Int, base: Long,
     copy(child = newChild)
 }
 
+/** Native distinct word-shingle xxhash64 set over a text column: one
+  * pass per document producing ARRAY<LONG> of xxhash64(seed 42) values
+  * of the DISTINCT n-word shingles, in first-occurrence order — the
+  * exact multiset `explode(array_distinct(wordShingles(text, n)))` →
+  * `xxhash64(s)` produces. The HOF pipeline it replaces (split →
+  * sequence → transform(slice → array_join) → array_distinct) runs its
+  * lambdas interpreted and materializes a Catalyst string array per
+  * window per document — measured 47 s of task time on one
+  * t_decontaminate branch at sf0.1; this is one compiled pass, one
+  * HashSet, one hash per distinct shingle. Dedup is on the shingle
+  * STRING (like array_distinct), never the hash, so a hash collision
+  * between distinct shingles still yields two array entries exactly as
+  * the relational form would.
+  */
+case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width $n < 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    TextExpressions.shingleHashes(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextExpressions.shingleHashes($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   private val md5Local =
@@ -247,12 +278,25 @@ object TextExpressions {
 
   private val HexChars = "0123456789abcdef".toCharArray
 
+  /** Per-thread memo of token → its k salted md5 digests. A corpus's
+    * VOCABULARY is orders of magnitude smaller than its token stream
+    * (Zipf), so the same (salt ‖ token) digest recomputes millions of
+    * times across documents; md5 is a pure function of its input, so
+    * the memo is exact. Bounded (cleared past 2^16 entries ≈ ~11 MB a
+    * thread at 8 digests/token) so an adversarial unbounded vocabulary
+    * degrades to the uncached cost instead of an OOM.
+    */
+  private val tokenDigestCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, Array[Array[Byte]]]](() =>
+      new java.util.HashMap[String, Array[Array[Byte]]]())
+
   /** k-wide MinHash signature over a token array (called from codegen).
     * Duplicate tokens are skipped through a per-row hash set BEFORE
     * hashing — a duplicate can't move any min, and k digests per
     * duplicate is where the time goes (word-salad corpora repeat most
-    * tokens). Empty arrays yield an empty signature array (the
-    * relational form emits no row at all; callers filter either way).
+    * tokens); cross-document repeats hit [[tokenDigestCache]]. Empty
+    * arrays yield an empty signature array (the relational form emits
+    * no row at all; callers filter either way).
     */
   def minhashSig(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
                  k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
@@ -262,6 +306,7 @@ object TextExpressions {
     val salts = Array.tabulate(k)(s =>
       ("s" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val md = md5Local.get()
+    val cache = tokenDigestCache.get()
     val mins = Array.fill(k)(null: Array[Byte])
     val seen = new java.util.HashSet[UTF8String](n * 2)
     var i = 0
@@ -270,13 +315,22 @@ object TextExpressions {
       // nulls; hashing one here would NPE)
       val u = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
       if (u != null && seen.add(u)) {
-        val tok = u.getBytes
+        val key = u.toString
+        var digs = cache.get(key)
+        if (digs == null || digs.length < k) {
+          val tok = u.getBytes
+          digs = Array.tabulate(k) { s =>
+            md.reset()
+            md.update(salts(s))
+            md.update(tok)
+            md.digest()
+          }
+          if (cache.size() >= (1 << 16)) cache.clear()
+          cache.put(key, digs)
+        }
         var s = 0
         while (s < k) {
-          md.reset()
-          md.update(salts(s))
-          md.update(tok)
-          val d = md.digest()
+          val d = digs(s)
           if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d
           s += 1
         }
@@ -340,6 +394,53 @@ object TextExpressions {
     */
   def repStatsCol(text: Column): Column =
     GraftSqlBridge.column(RepStatsExpr(GraftSqlBridge.expression(text)))
+
+  /** Distinct n-word-shingle xxhash64 values (called from codegen).
+    * Same whitespace-regex split as `split(text, " ")`, same
+    * first-occurrence dedup as array_distinct, same hash as
+    * `xxhash64(shingle_string)` (XxHash64Function over the UTF-8
+    * bytes, seed 42).
+    */
+  def shingleHashes(text: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // LinkedHashSet: array_distinct keeps first occurrences in order
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.fromString(it.next()),
+        org.apache.spark.sql.types.StringType, 42L)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Codegen'd ARRAY<LONG> of xxhash64 values of the distinct n-word
+    * shingles of a text column — `xxhash64` of each element of
+    * `array_distinct(wordShingles(text, n))`, in one compiled pass.
+    */
+  def shingleHashesCol(text: Column, n: Int): Column =
+    GraftSqlBridge.column(ShingleHashExpr(
+      GraftSqlBridge.expression(text.cast("string")), n))
 
   /** Codegen'd rolling-hash fingerprint summary over a STRING column:
     * struct(n_windows, n_boundaries, min_hash, first_boundary).

@@ -130,7 +130,184 @@ case class QuantizeStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Native squared-L2 distance over two ARRAY<DOUBLE> columns: the
+  * assignment kernel of IVF/k-means. Replaces the interpreted
+  * `aggregate(zip_with(v, c, (x,y) => (x-y)*(x-y)), 0, acc+x)` fold —
+  * identical left-to-right summation over min(len) elements, so the
+  * fixed-centroid DuckDB oracles (e_ivf_assign_fixed/update_fixed) see
+  * bit-identical distances — compiled to one primitive loop instead of
+  * ~3 lambda dispatches and an intermediate array per element.
+  */
+case class L2DistanceExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val t = x.getDouble(i) - y.getDouble(i)
+      s += t * t
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $t = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $t * $t;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native hyperplane-LSH bucket signature over an ARRAY<DOUBLE>
+  * column: nPlanes sign bits as a '0'/'1' string. Bit p is the sign of
+  * Σᵢ v[i]·sin((p·97 + i)·0.1) accumulated left-to-right — the exact
+  * algebra of the HOF form it replaces (zip_with + aggregate per
+  * plane, interpreted), and of the DuckDB oracle's list_transform.
+  * java.lang.Math.sin is what Spark's own Sin expression calls, so the
+  * projections are bit-identical; one compiled pass computes all
+  * planes (the HOF form re-walked the vector once per plane through
+  * per-element lambda dispatch).
+  */
+case class LshSignatureExpr(child: Expression, nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes $nPlanes out of range")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "lsh_signature"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val bits = new Array[Byte](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      val p97 = (p * 97).toDouble
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += v.getDouble(i) * java.lang.Math.sin((p97 + i.toDouble) * 0.1)
+        i += 1
+      }
+      bits(p) = if (s > 0) '1' else '0'
+      p += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val bits = ctx.freshName("bits")
+      val p = ctx.freshName("p"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val p97 = ctx.freshName("p97")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $bits = new byte[$nPlanes];
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  double $p97 = (double) ($p * 97);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * java.lang.Math.sin(($p97 + (double) $i) * 0.1);
+         |  }
+         |  $bits[$p] = ($s > 0) ? (byte) '1' : (byte) '0';
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($bits);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native centered upper-triangle outer product over the first `d`
+  * dims of a vector against a means array: array of d(d+1)/2
+  * struct(i, j, xy) with xy = (v[i-1]−m[i-1])·(v[j-1]−m[j-1]), 1-based
+  * i ≤ j — the row-local covariance kernel of PCA / drift monitoring.
+  * Replaces the interpreted nested transform(sequence × sequence)
+  * pipeline (one lambda dispatch and struct allocation per pair per
+  * row through three HOF layers) with one compiled double loop; the
+  * per-pair doubles are bit-identical, and the downstream
+  * hash-aggregate is untouched, so the oracled e_embed_covariance
+  * values cannot move. Out-of-range element_at semantics preserved:
+  * i or j beyond either array yields a null xy (the struct is still
+  * emitted).
+  */
+case class UpperTriProductsExpr(left: Expression, right: Expression, d: Int)
+    extends BinaryExpression {
+  require(d >= 1, s"dimension count $d < 1")
+
+  private val structType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("i",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("j",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("xy", DoubleType, nullable = true)))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(structType, containsNull = false)
+  override def prettyName: String = "upper_tri_products"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExpressions.upperTriProducts(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorExpressions.upperTriProducts($a, $b, $d);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
+
+  /** Centered upper-triangle products (called from codegen): see
+    * [[UpperTriProductsExpr]].
+    */
+  def upperTriProducts(v: ArrayData, m: ArrayData, d: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val vn = v.numElements()
+    val mn = m.numElements()
+    val out = new Array[Any](d * (d + 1) / 2)
+    var k = 0
+    var i = 1
+    while (i <= d) {
+      // (v[i-1] − m[i-1]) hoisted per i like the HOF form's outer lambda
+      val okI = i <= vn && i <= mn
+      val ci = if (okI) v.getDouble(i - 1) - m.getDouble(i - 1) else 0.0
+      var j = i
+      while (j <= d) {
+        val ok = okI && j <= vn && j <= mn
+        val xy: Any =
+          if (ok) ci * (v.getDouble(j - 1) - m.getDouble(j - 1)) else null
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, j, xy))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
   /** Codegen'd Σ aᵢ·bᵢ over ARRAY<DOUBLE> columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProductExpr(
@@ -143,4 +320,25 @@ object VectorExpressions {
   def quantizeStats(v: Column): Column =
     GraftSqlBridge.column(QuantizeStatsExpr(
       GraftSqlBridge.expression(v.cast("array<double>"))))
+
+  /** Codegen'd Σ (aᵢ−bᵢ)² over ARRAY<DOUBLE> columns. */
+  def vecL2Sq(a: Column, b: Column): Column =
+    GraftSqlBridge.column(L2DistanceExpr(
+      GraftSqlBridge.expression(a.cast("array<double>")),
+      GraftSqlBridge.expression(b.cast("array<double>"))))
+
+  /** Codegen'd nPlanes-bit hyperplane-LSH signature string over an
+    * ARRAY<DOUBLE> column.
+    */
+  def lshSig(v: Column, nPlanes: Int): Column =
+    GraftSqlBridge.column(LshSignatureExpr(
+      GraftSqlBridge.expression(v.cast("array<double>")), nPlanes))
+
+  /** Codegen'd ARRAY<STRUCT<i, j, xy>> of centered upper-triangle
+    * products over the first d dims of `v` against the means array.
+    */
+  def upperTri(v: Column, means: Column, d: Int): Column =
+    GraftSqlBridge.column(UpperTriProductsExpr(
+      GraftSqlBridge.expression(v.cast("array<double>")),
+      GraftSqlBridge.expression(means.cast("array<double>")), d))
 }

@@ -205,9 +205,20 @@ object AggQueries extends QueryModule {
     // mixing them in one .agg forces Expand row-multiplication.
     "a17b_sketch_bounds" -> { (s, dir) =>
       val ev = Tables.eventsSpread(s, dir)
-      val d = ev.groupBy(col("event_type")).agg(
-        countDistinct(col("user_id")).as("n_users"),
+      // exact countDistinct and the HLL sketch in SEPARATE aggregations
+      // joined on the key (r14, guide §2.3 "aggregate before you
+      // shuffle" + the known Expand trap): mixed in one .agg, Spark
+      // plans the HLL partial KEYED BY (event_type, user_id) — one
+      // 512-register buffer allocated and zeroed per DISTINCT KEY PAIR,
+      // not per group. Split, the HLL partial is keyed by event_type
+      // alone (5 buffers per task) and the exact distinct keeps its
+      // two-level shape. HLL registers are merge-order-independent
+      // (elementwise max), so the estimate is bit-identical either way.
+      val dExact = ev.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("n_users"))
+      val dHll = ev.groupBy(col("event_type")).agg(
         approx_count_distinct(col("user_id")).as("hll"))
+      val d = dExact.join(dHll, "event_type")
       val p = ev.groupBy(col("event_type")).agg(
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
         expr("percentile(value, 0.45)").as("p45"),
@@ -236,12 +247,20 @@ object AggQueries extends QueryModule {
     // boolean holds under any partial-merge order.
     "a17c_sketch_tight" -> { (s, dir) =>
       val c = sketchCorpus(s)
-      val d = c.groupBy(col("grp")).agg(
-        countDistinct(col("u")).as("n_users"),
-        // rsd=0.02: 4096 registers instead of 512 — still a fixed-size
-        // mergeable partial (the 100 TB shape), bought for a 2.5×
-        // tighter measured band (see SketchTightBand)
+      // split exact-distinct from the HLL (r14, same rationale as
+      // a17b): mixed, the rsd=0.02 sketch's 4096-register buffer was
+      // allocated per distinct (grp, u) pair — ~200k buffers, measured
+      // 18.9 s of task time in the partial stage; split, 4 buffers per
+      // task. Register maxes are merge-order-independent, so the
+      // estimate (and the gate's booleans) are value-identical.
+      val dExact = c.groupBy(col("grp")).agg(
+        countDistinct(col("u")).as("n_users"))
+      // rsd=0.02: 4096 registers instead of 512 — still a fixed-size
+      // mergeable partial (the 100 TB shape), bought for a 2.5×
+      // tighter measured band (see SketchTightBand)
+      val dHll = c.groupBy(col("grp")).agg(
         approx_count_distinct(col("u"), 0.02).as("hll"))
+      val d = dExact.join(dHll, "grp")
       val p = c.groupBy(col("grp")).agg(
         percentile_approx(col("v"), lit(0.5), lit(10000)).as("p50a"),
         expr("percentile(v, 0.495)").as("p495"),

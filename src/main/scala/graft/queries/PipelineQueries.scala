@@ -102,11 +102,15 @@ object PipelineQueries extends QueryModule {
       // ~40, and per-test-doc distinct counts stay exact over the
       // hashed key (a cross-shingle collision is ~n²/2⁶⁵; the 3-SF
       // strict gate would surface one)
+      // r14: shingle+hash computed by the native ShingleHashExpr (one
+      // compiled pass, identical hash multiset) — the interpreted HOF
+      // chain (transform(slice→array_join) → array_distinct → xxhash64)
+      // measured 47 s of task time on this branch alone at sf0.1
       def sh(parity: Int) = Tables.documentsSpread(s, dir)
         .where(col("doc_id") % 2 === parity && tokenCount(col("text")) >= 5)
         .select(col("doc_id"),
-          explode(array_distinct(wordShingles(col("text"), 5))).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+          explode(graft.functions.TextExpressions
+            .shingleHashesCol(col("text"), 5)).as("h"))
       val train = sh(0).select(col("h"), col("doc_id").as("train_id"))
       val test = sh(1)
       // shuffle-hash, not broadcast: both sides are already spread, and
@@ -197,6 +201,9 @@ object PipelineQueries extends QueryModule {
     // fraction; TfidfPruneSpec measures the bound with a hot term
     // injected).
     "t_tfidf_cosine" -> { (s, dir) =>
+      // (r14: a lazy checkpoint of `tf` was measured and REJECTED,
+      // +0.25 s — `wts` below is already truncated, and the extra
+      // barrier on this cheap subtree cost more than its recompute)
       val tf = Tables.documentsSpread(s, dir)
         .where(col("doc_id") < 120)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -333,11 +340,18 @@ object PipelineQueries extends QueryModule {
     // travel as 64-bit hashes: the heavy joins shuffle 8-byte keys,
     // never span text (same inverted-index shape as t_decontaminate).
     "d_span_dedup" -> { (s, dir) =>
-      import graft.text.TextFunctions.wordShingles
-      val sh = Tables.documentsSpread(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(wordShingles(col("text"), 8))).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      // r14: native one-pass shingle hashing (see t_decontaminate) and
+      // a lazy lineage truncate: `sh` feeds BOTH the span-frequency
+      // aggregate and the join back, so untruncated the shingle pass
+      // ran twice (measured 31 s + 11 s of task time at sf0.1); the
+      // checkpointed relation is (long, long) rows — the span TEXT
+      // never persists, matching the operator's shuffle contract
+      val sh = graft.core.Lineage.truncate(
+        Tables.documentsSpread(s, dir)
+          .select(col("doc_id"),
+            explode(graft.functions.TextExpressions
+              .shingleHashesCol(col("text"), 8)).as("h")),
+        eager = false)
       val spanDocs = sh.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
       sh.join(spanDocs, Seq("h"))

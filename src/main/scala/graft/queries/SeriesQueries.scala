@@ -254,6 +254,14 @@ object SeriesQueries extends QueryModule {
     // rows out, the join key now carries the day. The sketch drop-in
     // at extreme scale is a per-day HLL merged across the frame (a17).
     "w13_rolling_dau" -> { (s, dir) =>
+      // r14: left in its r13 shape after three measured rewrites LOST:
+      // a second countDistinct in the frame join's .agg Expand-
+      // multiplies the joined rows ×2; a two-level (type, day, user)
+      // pre-aggregate costs as much as countDistinct's internal dedup;
+      // and a lazy checkpoint of `grain` (it has two consumers) traded
+      // a cheap pipelined recompute for a materialization barrier and
+      // benched +0.5 s. Recompute-vs-persist only pays here when the
+      // subtree is expensive — this one is a single scan + dedup.
       val grain = Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
         .distinct()

@@ -224,13 +224,12 @@ object SimilarityQueries extends QueryModule {
         .groupBy(col("i0")).agg(avg(col("x")).as("m"))
         .agg(transform(array_sort(collect_list(struct(col("i0"), col("m")))),
           s => s.getField("m")).as("marr"))
+      // r14: native UpperTriProductsExpr (identical per-pair doubles,
+      // same aggregate) — the interpreted transform×transform it
+      // replaces dispatched a lambda per pair per row
       val pairs = ex.crossJoin(broadcast(meansArr))
-        .select(explode(flatten(transform(sequence(lit(1), lit(d)), i =>
-          transform(sequence(i, lit(d)), j =>
-            struct(i.as("i"), j.as("j"),
-              ((element_at(col("v"), i) - element_at(col("marr"), i))
-                * (element_at(col("v"), j) - element_at(col("marr"), j)))
-                .as("xy")))))).as("p"))
+        .select(explode(graft.functions.VectorExpressions
+          .upperTri(col("v"), col("marr"), d)).as("p"))
       // sequence() yields INT; the oracle's range() yields BIGINT — align
       pairs.groupBy(col("p.i").cast("long").as("i"),
           col("p.j").cast("long").as("j"))

@@ -131,6 +131,9 @@ object TextQueries extends QueryModule {
     // relative to the corpus (Zipf), so it broadcasts and the scoring
     // join never shuffles the token stream.
     "t_unigram_logprob" -> { (s, dir) =>
+      // (r14: a lazy checkpoint of `tok` was measured and REJECTED,
+      // +0.18 s — the tokenize pass is cheap enough that the
+      // materialization barrier costs more than the recompute)
       val tok = Tables.documentsSpread(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("tf"))
@@ -204,10 +207,24 @@ object TextQueries extends QueryModule {
       // filter BEFORE the spread/explode: the bound must reach the
       // parquet scan (predicate pushdown), not sit above a shuffle of
       // the full corpus
-      val words = Tables.documents(s, dir).where(col("doc_id") < 300)
+      // r14: truncate — `words` feeds the signature aggregate AND the
+      // Jaccard verifier; untruncated, the tokenize+explode pass ran
+      // once per consumer
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 300)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
-      val sig = Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8)
+      // (with the native signature below, `words` has a single
+      // consumer — the Jaccard verifier, which truncates its own
+      // distinct projection — so no checkpoint here)
+      val words = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("w"))
+      // r14: native one-pass signature (MinHashExpr, the d_minhash_lsh
+      // path — value-identical to the exploded hash-aggregate form,
+      // VectorExpressionsSpec differential): the exploded form ran 8
+      // Catalyst md5() calls per (doc, word) row, each constructing a
+      // MessageDigest; the native expression reuses one digest per
+      // task. `words` stays (truncated) for the exact-Jaccard verifier.
+      val sig = Dedup.minhashSignatureNative(docs,
+        col("doc_id"), tokens(col("text")), k = 8)
       val cands = Dedup.lshCandidates(Dedup.lshBands(sig, k = 8))
       Dedup.jaccardOnCandidates(cands, words, col("doc_id"), col("w"))
         .where(col("jaccard") >= 0.95)
@@ -222,11 +239,16 @@ object TextQueries extends QueryModule {
     // does not compute. Oracle: recursive CTE reaching the same
     // fixpoint.
     "d_connected_components" -> { (s, dir) =>
-      val words = Tables.documents(s, dir).where(col("doc_id") < 300)
+      // r14: native one-pass signature (see d_minhash_pairs) and a
+      // truncate — bands feeds the node list AND the star-edge builder
+      // (which itself reads it twice); untruncated, the whole MinHash
+      // signature ran once per consumer per execution
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 300)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
-      val bands = Dedup.lshBands(
-        Dedup.minhashSignature(words, col("doc_id"), col("w"), k = 8), k = 8)
+      val bands = graft.core.Lineage.truncate(Dedup.lshBands(
+        Dedup.minhashSignatureNative(docs, col("doc_id"),
+          tokens(col("text")), k = 8), k = 8),
+        eager = false)
       val nodes = bands.select(col("__id").as("id"))
       Dedup.connectedComponents(Dedup.bucketStarEdges(bands), nodes)
         .select(col("id").as("doc_id"), col("component"))

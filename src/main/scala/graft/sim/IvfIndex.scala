@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
@@ -20,10 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Squared L2 distance between two array<double> columns. */
+  /** Squared L2 distance between two array<double> columns — native
+    * codegen expression (r14; same left-to-right summation as the
+    * interpreted aggregate(zip_with) fold it replaces, so the
+    * fixed-centroid oracles are unaffected). Inside the per-centroid
+    * `transform` lambda it evaluates as one tight JVM loop per
+    * centroid instead of ~3 interpreted lambda dispatches per element.
+    */
   private def l2(v: Column, c: Column): Column =
-    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.vecL2Sq(v, c)
 
   /** One-row frame: `cents` = array of (list_id, centroid) structs
     * sorted by list_id. Broadcast-joined so every corpus/query row can
@@ -44,38 +48,45 @@ object IvfIndex {
       struct(l2(v, c.getField("centroid")).as("d2"),
         c.getField("list_id").as("list_id")))
 
-  /** (listId → centroid) as a DataFrame: `list_id`, `centroid`. */
+  /** (listId → centroid) as a DataFrame: `list_id`, `centroid`.
+    *
+    * r14 shape: the centroid set is MODEL-SIZED (nlist × d doubles —
+    * the same boundary [[assign]] broadcasts), so each iteration's
+    * updated centroids are collected to the driver and re-enter the
+    * next iteration as a local relation. That replaces the previous
+    * per-iteration eager localCheckpoint — which cost one
+    * materialization job per iteration AND still left the init-window
+    * subtree to be re-evaluated under both the assign and search
+    * broadcasts — with one nlist-row collect per iteration, perfect
+    * lineage truncation, and a constant-folded centroid side
+    * everywhere downstream. Values are bit-identical: the aggregation
+    * plan over the corpus is unchanged, only where its tiny result
+    * lives changed.
+    */
   def train(corpus: DataFrame, id: Column, vec: Column,
             nlist: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
     // every Lloyd's iteration re-reads the corpus (assign is map-only
     // over it) — cache once, release on exit; spills to disk rather
     // than recompute when the corpus outgrows executor memory
     val base = corpus.select(id.as("vid"), vec.cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic init: the nlist lowest-id vectors
-    // the constant partition key (vid*0 — non-foldable, so the
-    // optimizer can't strip it like a bare literal) keeps this bounded
-    // ≤nlist-row window (pmod key: a literal or vid*0 would simplify
-    // away) out of Spark's "No Partition Defined" warning,
-    // so a REAL global window sneaking in elsewhere stays visible
-    var centroids = base.orderBy("vid").limit(nlist)
-      .withColumn("list_id",
-        row_number().over(
-          Window.partitionBy(pmod(col("vid"), lit(1))).orderBy("vid")) - 1)
-      .select(col("list_id"), col("v").as("centroid"))
+    // deterministic init: the nlist lowest-id vectors, ranked by vid —
+    // nlist rows through the driver, the model-sized boundary
+    def local(rows: Seq[(Int, Seq[Double])]): DataFrame =
+      spark.createDataFrame(rows).toDF("list_id", "centroid")
+    var cents: Seq[(Int, Seq[Double])] = base.orderBy("vid").limit(nlist)
+      .select(col("v")).collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
     (1 to iters).foreach { _ =>
-      // Lineage.truncate cuts the lineage — without it the plan
-      // embeds the previous iteration's subtree twice and grows
-      // exponentially in iters. EAGER: the blocking job per iteration
-      // is not the gate's cost (lazy checkpointing measured identical),
-      // and eager keeps the corpus persist/unpersist pairing sound —
-      // with lazy, train would unpersist the corpus before any
-      // checkpoint materialized
-      centroids = graft.core.Lineage.truncate(
-        updateStep(assign(base, centroids), centroids), eager = true)
+      cents = updateStep(assign(base, local(cents)), local(cents))
+        .select(col("list_id").cast("int"), col("centroid"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
     }
     base.unpersist(blocking = false)
-    centroids
+    local(cents)
   }
 
   /** Lloyd's run to CONVERGENCE: iterate assign→update until no

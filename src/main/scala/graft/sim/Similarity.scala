@@ -130,8 +130,20 @@ object Similarity {
   /** Sign-of-dot-product bucket signature over `nPlanes` hyperplanes,
     * as a '0'/'1' string. Vectors in the same bucket are ANN
     * candidates; expected bucket count is 2^nPlanes.
+    *
+    * r14: native codegen expression (LshSignatureExpr) — one compiled
+    * pass over the vector for all planes. The HOF form it replaces
+    * (one interpreted zip_with+aggregate fold per plane) is kept below
+    * as [[lshSignatureHof]] for the differential spec; both produce
+    * bit-identical signatures (same left-to-right sum, same Math.sin).
     */
-  def lshSignature(vec: Column, nPlanes: Int): Column = {
+  def lshSignature(vec: Column, nPlanes: Int): Column =
+    graft.functions.VectorExpressions.lshSig(vec, nPlanes)
+
+  /** The interpreted HOF form of [[lshSignature]] — differential-spec
+    * twin, not the production path.
+    */
+  def lshSignatureHof(vec: Column, nPlanes: Int): Column = {
     val v = vec.cast("array<double>")
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(

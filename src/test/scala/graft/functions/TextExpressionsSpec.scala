@@ -154,4 +154,51 @@ class TextExpressionsSpec extends SparkSpec {
         1L << 32, Long.MaxValue / 2, D)
     }
   }
+
+  test("shingleHashes ≡ xxhash64 over array_distinct(wordShingles) — both paths") {
+    import spark.implicits._
+    import graft.text.TextFunctions.wordShingles
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "")
+    val docs = Seq(
+      "",                        // split("") = [""] → below any n ≥ 2
+      "one two",                 // exactly below n=3
+      "a b c d e f g h i",       // clean window set
+      "w w w w w w w w",         // all shingles identical → ONE hash
+      "a  b c d",                // double space → empty token inside shingles
+      " lead trail "             // leading/trailing space tokens
+    ) ++ Seq.fill(40)(Seq.fill(rnd.nextInt(30))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = docs.map(Tuple1(_)).toDF("text")
+    for (n <- Seq(3, 5, 8)) {
+      def check(): Unit = {
+        val out = df.select(
+            TextExpressions.shingleHashesCol($"text", n).as("fast"),
+            transform(array_distinct(wordShingles($"text", n)),
+              s => xxhash64(s)).as("ref"))
+          .as[(Seq[Long], Seq[Long])].collect()
+        out.foreach { case (f, r) => assert(f === r, s"n=$n") }
+      }
+      check()                      // default path
+      withStrictCodegen(check())   // codegen must compile, not fall back
+    }
+  }
+
+  test("minhashSig digest memo: cache hits reproduce the uncached digests") {
+    import spark.implicits._
+    // same vocabulary across many rows (cache-hit path) and a k
+    // downgrade after a k=8 run (prefix reuse) must both equal the
+    // exploded relational reference
+    val docs = Seq.fill(30)("tok1 tok2 tok3 tok1").map(Tuple1(_)).toDF("text")
+    val toks = graft.text.TextFunctions.tokens($"text")
+    for (k <- Seq(8, 4)) {
+      val fast = docs.select(TextExpressions.minhashSigCol(toks, k).as("sig"))
+        .as[Seq[String]].collect()
+      val ref = (0 until k).map(i =>
+        array_min(transform(array_distinct(toks),
+          w => md5(concat(lit(s"s$i"), w)))))
+      val refRows = docs.select(array(ref: _*).as("sig")).as[Seq[String]].collect()
+      fast.zip(refRows).foreach { case (f, r) => assert(f === r, s"k=$k") }
+    }
+  }
 }

@@ -141,6 +141,105 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("vecL2Sq matches the interpreted fold bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (Seq.fill(60)((Array.fill(64)(rnd.nextGaussian() * 2),
+        Array.fill(64)(rnd.nextGaussian() * 2))) ++ Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0)),          // identical → 0
+      (Array(0.0), Array(3.5))                     // single element
+    )).toDF("a", "b")
+    val out = df.select(
+        VectorExpressions.vecL2Sq($"a", $"b").as("fast"),
+        aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("ref"))
+      .as[(Double, Double)].collect()
+    // BIT equality, not tolerance: the expression claims the same
+    // left-to-right summation order as the fold it replaced (the
+    // fixed-centroid IVF oracles depend on that)
+    out.foreach { case (f, r) =>
+      assert(java.lang.Double.doubleToLongBits(f)
+        === java.lang.Double.doubleToLongBits(r))
+    }
+  }
+
+  test("lshSig matches the HOF signature bit-for-bit at several plane counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (Seq.fill(80)(Array.fill(64)(rnd.nextGaussian())) ++ Seq(
+      Array.fill(64)(0.0),      // all-zero → every projection 0 → all '0'
+      Array(1e-300, -1e-300)    // short vector, denormal-adjacent
+    )).map(Tuple1(_)).toDF("v")
+    for (planes <- Seq(1, 3, 4, 7)) {
+      val out = df.select(
+          VectorExpressions.lshSig($"v", planes).as("fast"),
+          graft.sim.Similarity.lshSignatureHof($"v", planes).as("ref"))
+        .as[(String, String)].collect()
+      out.foreach { case (f, r) => assert(f === r, s"planes=$planes") }
+    }
+  }
+
+  test("upperTri matches the interpreted transform×transform bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val d = 16
+    val df = Seq.fill(40)((Array.fill(64)(rnd.nextGaussian()),
+        Array.fill(d)(rnd.nextGaussian() * 0.1))).toDF("v", "m")
+    val ref = explode(flatten(transform(sequence(lit(1), lit(d)), i =>
+      transform(sequence(i, lit(d)), j =>
+        struct(i.as("i"), j.as("j"),
+          ((element_at($"v", i) - element_at($"m", i))
+            * (element_at($"v", j) - element_at($"m", j))).as("xy"))))))
+    val fast = df.select($"v", $"m",
+        posexplode(VectorExpressions.upperTri($"v", $"m", d)).as(Seq("k", "p")))
+      .select($"v", $"m", $"k", $"p.i", $"p.j", $"p.xy")
+    val refd = df.select($"v", $"m", ref.as("p"))
+      .select($"v", $"m", $"p.i", $"p.j", $"p.xy")
+    // same (i, j) pairs, same xy bits, same order per row
+    val a = fast.orderBy(hash($"v"), $"k").select($"i", $"j", $"xy")
+      .as[(Int, Int, Double)].collect()
+    val b = refd.orderBy(hash($"v"), $"i", $"j").select($"i", $"j", $"xy")
+      .as[(Int, Int, Double)].collect()
+    assert(a.length === b.length && a.length === 40 * d * (d + 1) / 2)
+    a.zip(b).foreach { case ((i1, j1, x1), (i2, j2, x2)) =>
+      assert(i1 === i2 && j1 === j2)
+      assert(java.lang.Double.doubleToLongBits(x1)
+        === java.lang.Double.doubleToLongBits(x2))
+    }
+  }
+
+  test("upperTri out-of-range dims yield null xy like element_at") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(0.5, 0.5, 0.5))).toDF("v", "m")
+    val rows = df.select(explode(VectorExpressions.upperTri($"v", $"m", 3)).as("p"))
+      .select($"p.i", $"p.j", $"p.xy").as[(Int, Int, Option[Double])].collect()
+    assert(rows.length === 6)
+    rows.foreach { case (i, j, xy) =>
+      if (i > 2 || j > 2) assert(xy.isEmpty, s"($i,$j)")
+      else assert(xy.isDefined, s"($i,$j)")
+    }
+  }
+
+  test("strict codegen: lshSig, vecL2Sq and upperTri compile (no silent fallback)") {
+    import spark.implicits._
+    withStrictCodegen {
+      val va = array(col("one").cast("double"), lit(2.0), lit(3.0))
+      val vb = array(lit(4.0), col("one").cast("double") * 0.5, lit(-1.0))
+      val r = Seq(1).toDF("one").select(
+        VectorExpressions.vecL2Sq(va, vb).as("l2"),
+        VectorExpressions.vecL2Sq(vb, va).as("l2b"),
+        VectorExpressions.lshSig(va, 4).as("sig"),
+        VectorExpressions.lshSig(vb, 4).as("sigb"),
+        size(VectorExpressions.upperTri(va, vb, 3)).as("nt"),
+        size(VectorExpressions.upperTri(vb, va, 2)).as("nt2"))
+        .collect()(0)
+      assert(r.getDouble(0) === 9.0 + 2.25 + 16.0)
+      assert(r.getDouble(1) === r.getDouble(0))
+      assert(r.getString(2).length === 4 && r.getString(3).length === 4)
+      assert(r.getInt(4) === 6 && r.getInt(5) === 3)
+    }
+  }
+
   test("quantization bounds: every code fits int8, max_err ≤ scale/2") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
