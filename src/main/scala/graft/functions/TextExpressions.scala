@@ -287,8 +287,8 @@ object TextExpressions {
     * degrades to the uncached cost instead of an OOM.
     */
   private val tokenDigestCache =
-    ThreadLocal.withInitial[java.util.HashMap[String, Array[Array[Byte]]]](() =>
-      new java.util.HashMap[String, Array[Array[Byte]]]())
+    ThreadLocal.withInitial[java.util.HashMap[UTF8String, Array[Array[Byte]]]](() =>
+      new java.util.HashMap[UTF8String, Array[Array[Byte]]]())
 
   /** k-wide MinHash signature over a token array (called from codegen).
     * Duplicate tokens are skipped through a per-row hash set BEFORE
@@ -315,8 +315,10 @@ object TextExpressions {
       // nulls; hashing one here would NPE)
       val u = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
       if (u != null && seen.add(u)) {
-        val key = u.toString
-        var digs = cache.get(key)
+        // lookup by the transient UTF8String (no per-token String
+        // alloc on the hit path); the STORED key is a defensive copy —
+        // `u` may point into a buffer the scan reuses for later rows
+        var digs = cache.get(u)
         if (digs == null || digs.length < k) {
           val tok = u.getBytes
           digs = Array.tabulate(k) { s =>
@@ -326,7 +328,7 @@ object TextExpressions {
             md.digest()
           }
           if (cache.size() >= (1 << 16)) cache.clear()
-          cache.put(key, digs)
+          cache.put(UTF8String.fromBytes(tok), digs)
         }
         var s = 0
         while (s < k) {

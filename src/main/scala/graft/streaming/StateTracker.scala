@@ -275,10 +275,13 @@ object StateTracker {
         col("value").cast("double").as("value"))
       .withColumn("bucket", when(col("value") >= threshold, 1L).otherwise(0L))
       .withColumn("chunk", (col("us") / chunkUs).cast("long"))
-    def runs(df: DataFrame, part: Seq[String], order: Column,
+    // multi-column window order (not one struct column): same total
+    // order, but the sorter compares primitive columns instead of
+    // allocating and comparing a struct per row (r14)
+    def runs(df: DataFrame, part: Seq[String], order: Seq[Column],
              start: Column, end: Column, n: Column, sum_ : Column,
              okey: Column): DataFrame = {
-      val w = Window.partitionBy(part.map(col): _*).orderBy(order)
+      val w = Window.partitionBy(part.map(col): _*).orderBy(order: _*)
       val cum = w.rowsBetween(Window.unboundedPreceding, 0)
       df.withColumn("__new", when(lag(col("bucket"), 1).over(w).isNull
           || lag(col("bucket"), 1).over(w) =!= col("bucket"), 1).otherwise(0))
@@ -289,10 +292,10 @@ object StateTracker {
           min(okey).as("okey"))
     }
     val local = runs(base, Seq("event_type", "chunk"),
-      struct(col("us"), col("event_id")),
+      Seq(col("us"), col("event_id")),
       col("us"), col("us"), lit(1L), col("value"),
       struct(col("us"), col("event_id")))
-    runs(local, Seq("event_type"), col("okey"),
+    runs(local, Seq("event_type"), Seq(col("okey")),
         col("start_us"), col("end_us"), col("n_events"), col("sum_v"),
         col("okey"))
       .select(col("event_type"), col("bucket"), col("start_us"),
