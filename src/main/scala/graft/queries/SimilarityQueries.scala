@@ -269,12 +269,12 @@ object SimilarityQueries extends QueryModule {
     // double, so shortlist order — and therefore the result — is
     // engine-reproducible and fully oracled.
     "e_quantized_ann" -> { (s, dir) =>
-      // r14: spread the corpus side — the quantize+score scan is the
-      // per-row-heavy stage and the testdata parquet is one row group
-      // (single task unspread; measured 0.6 s single-task). The probe
-      // side broadcasts either way; TopK's (sim DESC, cid ASC) order
-      // is total, so partitioning cannot move the result.
-      Similarity.quantizedTopK(Tables.embeddingsSpread(s, dir), probes(s, dir),
+      // (r14: a corpus-side spread was measured and REJECTED — it won
+      // ~0.3 s at sf0.1's single-row-group scan but lost 0.7 s at the
+      // 10× replica probe: the quantize kernel is light enough that
+      // the repartition's sort+shuffle+stage boundary outweigh the
+      // extra parallelism as soon as the source has a few splits.)
+      Similarity.quantizedTopK(emb(s, dir), probes(s, dir),
           col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
           k = 4, shortlist = 10)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"),

@@ -135,7 +135,11 @@ class PipelineQueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash:\n$plan")
     assert(!plan.contains("BroadcastHashJoin"), "train corpus must not broadcast")
-    assert(plan.contains("xxhash64"), "join key must be the 64-bit shingle hash")
+    // r14: the hash is computed inside the native shingle_hashes
+    // expression (same xxhash64 values — TextExpressionsSpec pins the
+    // bit-equality); the join key must still be the 64-bit hash column
+    assert(plan.contains("shingle_hashes"),
+      "join key must be the 64-bit shingle hash")
   }
 
   test("minhash-pairs bound reaches the parquet scan as a pushed filter") {

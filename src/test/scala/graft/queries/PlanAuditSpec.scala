@@ -36,10 +36,16 @@ class PlanAuditSpec extends SparkSpec {
       "e_ivf_trained" -> (4, 3),
       "st_rle_sharded" -> (4, 0),
       "e_pca_project" -> (2, 0),
-      "d_cluster_embeddings" -> (8, 2),
+      // r14: 8 → 6 shuffles — bandsWithBucketMin now lineage-truncates
+      // the band rows, so the signature subtree (and its spread
+      // exchange) appears once instead of once per consumer
+      "d_cluster_embeddings" -> (6, 2),
       "t_decontaminate" -> (7, 0),
       "j7_geo_matchup" -> (4, 0),
-      "d_span_dedup" -> (6, 1),
+      // r14: 6 → 4 shuffles — the span-hash relation is truncated, so
+      // the shingle pass (and its spread exchange) runs once, not once
+      // per consumer
+      "d_span_dedup" -> (4, 1),
       "t_heavy_hitters" -> (7, 2),
       "w13_rolling_dau" -> (4, 1),
       "j1_tolerance_join" -> (3, 0),
