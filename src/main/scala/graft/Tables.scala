@@ -62,7 +62,10 @@ object Tables {
     * (any real corpus; the 10× replica probe measured the
     * unconditional shuffle at +13% on e_quantized_ann) passes through
     * untouched. Partition-count inspection is plan-time metadata — no
-    * job runs.
+    * job runs. (At defaultParallelism = 1 the spread correctly
+    * degenerates to a no-op — the old unconditional form paid a
+    * 1-partition shuffle there for nothing; plan-shape spec pins run
+    * at local[4], where a single-row-group scan always spreads.)
     */
   /** Whether `path`'s scan needs the round-robin spread, memoized per
     * (path, parallelism): inspecting the scan's split count plans a

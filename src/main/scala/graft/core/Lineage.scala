@@ -34,13 +34,36 @@ object Lineage {
     * materialization happens at the first action and the cache backs
     * the checkpoint write then.
     */
-  def truncate(df: DataFrame, eager: Boolean = true): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+  def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
+    // idempotent: a frame whose plan is already lineage-free (a prior
+    // checkpoint's RDD scan, or a local relation) gains nothing from a
+    // second checkpoint — it would only copy the blocks again. Lets
+    // composed operators each declare their own truncation without a
+    // caller-side "is it already truncated" protocol (r14: the CC gate
+    // truncates the band rows it shares across consumers, and
+    // bandsWithBucketMin declares its own for direct callers).
+    val analyzed = df.queryExecution.analyzed
+    val alreadyFlat = analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+    if (alreadyFlat) df
+    else if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // reliable path: ALWAYS eager — persist + checkpoint(lazy) would
+      // leave the CacheManager entry registered forever (one leaked
+      // MEMORY_AND_DISK cache per operator construction on a long-
+      // lived cluster service; review r14), and checkpoint-without-
+      // persist computes the plan twice. The extra blocking job per
+      // call is the price of the leak-free contract; local mode (below)
+      // keeps true laziness — localCheckpoint's RDD-level persist is
+      // reclaimed by the ContextCleaner once the plan is unreachable.
       val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
-      val out = persisted.checkpoint(eager)
-      if (eager) persisted.unpersist(blocking = false)
+      val out = persisted.checkpoint(eager = true)
+      persisted.unpersist(blocking = false)
       out
     } else df.localCheckpoint(eager)
+  }
 
   /** RDD twin of [[truncate]] — ONE definition of the deployment
     * policy (the BPE trainers iterate on RDDs). CONTRACT: the caller

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the similarity hot path: a
   * whole-stage-codegen dot product over two ARRAY<DOUBLE> columns.
@@ -143,33 +144,24 @@ case class L2DistanceExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_l2sq"
+  // the fold this replaces null-pads unequal lengths (zip_with) and
+  // nulls the whole sum on any null element — so the result is
+  // nullable even over non-null array children (review r14)
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      val t = x.getDouble(i) - y.getDouble(i)
-      s += t * t
-      i += 1
-    }
-    s
-  }
+  // null iff the HOF fold would be null: unequal lengths (zip_with
+  // pads with null) or any null element
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExpressions.l2OrNull(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      val i = ctx.freshName("i"); val t = ctx.freshName("t")
+      val boxed = ctx.freshName("boxed")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $t = $a.getDouble($i) - $b.getDouble($i);
-         |  $acc += $t * $t;
-         |}
-         |${ev.value} = $acc;
+         |Object $boxed = graft.functions.VectorExpressions.l2OrNull($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $boxed).doubleValue(); }
        """.stripMargin
     })
 
@@ -195,44 +187,12 @@ case class LshSignatureExpr(child: Expression, nPlanes: Int)
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override def prettyName: String = "lsh_signature"
 
-  override def nullSafeEval(a: Any): Any = {
-    val v = a.asInstanceOf[ArrayData]
-    val n = v.numElements()
-    val bits = new Array[Byte](nPlanes)
-    var p = 0
-    while (p < nPlanes) {
-      val p97 = (p * 97).toDouble
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        s += v.getDouble(i) * java.lang.Math.sin((p97 + i.toDouble) * 0.1)
-        i += 1
-      }
-      bits(p) = if (s > 0) '1' else '0'
-      p += 1
-    }
-    org.apache.spark.unsafe.types.UTF8String.fromBytes(bits)
-  }
+  override def nullSafeEval(a: Any): Any =
+    VectorExpressions.lshSigEval(a.asInstanceOf[ArrayData], nPlanes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val bits = ctx.freshName("bits")
-      val p = ctx.freshName("p"); val s = ctx.freshName("s")
-      val i = ctx.freshName("i"); val p97 = ctx.freshName("p97")
-      s"""
-         |int $n = $a.numElements();
-         |byte[] $bits = new byte[$nPlanes];
-         |for (int $p = 0; $p < $nPlanes; $p++) {
-         |  double $p97 = (double) ($p * 97);
-         |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += $a.getDouble($i) * java.lang.Math.sin(($p97 + (double) $i) * 0.1);
-         |  }
-         |  $bits[$p] = ($s > 0) ? (byte) '1' : (byte) '0';
-         |}
-         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($bits);
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorExpressions.lshSigEval($a, $nPlanes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -281,24 +241,34 @@ case class UpperTriProductsExpr(left: Expression, right: Expression, d: Int)
 object VectorExpressions {
 
   /** Centered upper-triangle products (called from codegen): see
-    * [[UpperTriProductsExpr]].
+    * [[UpperTriProductsExpr]]. Semantics match the element_at-based
+    * HOF form it replaced under this engine's ANSI sessions
+    * (review r14): an array SHORTER than d fails loudly (ANSI
+    * element_at throws on out-of-range — a silently nulled covariance
+    * slot would hide a corrupt short vector), while a NULL ELEMENT
+    * nulls exactly the products that touch it.
     */
   def upperTriProducts(v: ArrayData, m: ArrayData, d: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val vn = v.numElements()
     val mn = m.numElements()
+    if (vn < d || mn < d)
+      throw new ArrayIndexOutOfBoundsException(
+        s"upper_tri_products needs $d dims; vector has $vn, means has $mn " +
+          "(ANSI element_at fails the same way)")
+    def ok(a: ArrayData, idx: Int): Boolean = !a.isNullAt(idx - 1)
     val out = new Array[Any](d * (d + 1) / 2)
     var k = 0
     var i = 1
     while (i <= d) {
       // (v[i-1] − m[i-1]) hoisted per i like the HOF form's outer lambda
-      val okI = i <= vn && i <= mn
+      val okI = ok(v, i) && ok(m, i)
       val ci = if (okI) v.getDouble(i - 1) - m.getDouble(i - 1) else 0.0
       var j = i
       while (j <= d) {
-        val ok = okI && j <= vn && j <= mn
+        val okJ = okI && ok(v, j) && ok(m, j)
         val xy: Any =
-          if (ok) ci * (v.getDouble(j - 1) - m.getDouble(j - 1)) else null
+          if (okJ) ci * (v.getDouble(j - 1) - m.getDouble(j - 1)) else null
         out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](i, j, xy))
         k += 1
@@ -307,6 +277,54 @@ object VectorExpressions {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** LSH signature eval (called from codegen): any null element makes
+    * EVERY plane's projection null in the HOF form — which
+    * `when(proj > 0)` turns into an all-'0' signature — so the null
+    * scan happens once and short-circuits to the same string
+    * (review r14).
+    */
+  def lshSigEval(v: ArrayData, nPlanes: Int): UTF8String = {
+    val n = v.numElements()
+    val bits = new Array[Byte](nPlanes)
+    var anyNull = false
+    var i = 0
+    while (i < n && !anyNull) { anyNull = v.isNullAt(i); i += 1 }
+    var p = 0
+    while (p < nPlanes) {
+      var b: Byte = '0'
+      if (!anyNull) {
+        val p97 = (p * 97).toDouble
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          s += v.getDouble(j) * java.lang.Math.sin((p97 + j.toDouble) * 0.1)
+          j += 1
+        }
+        if (s > 0) b = '1'
+      }
+      bits(p) = b
+      p += 1
+    }
+    UTF8String.fromBytes(bits)
+  }
+
+  /** Boxed L2 for codegen splice: null under the exact conditions the
+    * zip_with fold nulls (unequal lengths, any null element).
+    */
+  def l2OrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val t = a.getDouble(i) - b.getDouble(i)
+      s += t * t
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
   /** Codegen'd Σ aᵢ·bᵢ over ARRAY<DOUBLE> columns. */
   def vecDot(a: Column, b: Column): Column =

@@ -18,26 +18,33 @@ object StageProf {
     case class StageRow(id: Int, name: String, tasks: Int, wallMs: Long,
                         taskTimeMs: Long, inputMb: Double,
                         shReadMb: Double, shWriteMb: Double)
-    val stages = scala.collection.mutable.ArrayBuffer.empty[StageRow]
-    val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    // listener events arrive on the bus thread while reset()/report()
+    // run on main — every access synchronizes on `this`, and jobStart
+    // entries are removed on job end so the map cannot grow across a
+    // long multi-query session (review r14)
+    private val stages = scala.collection.mutable.ArrayBuffer.empty[StageRow]
+    private val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     private val jobStart = scala.collection.mutable.Map.empty[Int, Long]
     override def onJobStart(j: SparkListenerJobStart): Unit =
-      jobStart(j.jobId) = j.time
-    override def onJobEnd(j: SparkListenerJobEnd): Unit =
+      synchronized { jobStart(j.jobId) = j.time }
+    override def onJobEnd(j: SparkListenerJobEnd): Unit = synchronized {
       jobs += ((j.jobId, j.time - jobStart.getOrElse(j.jobId, j.time)))
+      jobStart.remove(j.jobId)
+    }
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       val i = s.stageInfo
       val m = i.taskMetrics
-      stages += StageRow(i.stageId,
+      val row = StageRow(i.stageId,
         i.name.split("\n").head.take(80), i.numTasks,
         (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)).max(0L),
         m.executorRunTime,
         m.inputMetrics.bytesRead / 1e6,
         m.shuffleReadMetrics.totalBytesRead / 1e6,
         m.shuffleWriteMetrics.bytesWritten / 1e6)
+      synchronized { stages += row }
     }
-    def reset(): Unit = { stages.clear(); jobs.clear() }
-    def report(): Unit = {
+    def reset(): Unit = synchronized { stages.clear(); jobs.clear() }
+    def report(): Unit = synchronized {
       println(f"  jobs: ${jobs.size} (wall ms each: ${jobs.map(_._2).mkString(", ")})")
       stages.sortBy(-_.wallMs).take(14).foreach { s =>
         println(f"  stage ${s.id}%4d wall=${s.wallMs}%5d ms taskSum=${s.taskTimeMs}%6d ms " +

@@ -208,16 +208,16 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
-  test("upperTri out-of-range dims yield null xy like element_at") {
+  test("upperTri fails loudly on short arrays, like ANSI element_at") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(0.5, 0.5, 0.5))).toDF("v", "m")
-    val rows = df.select(explode(VectorExpressions.upperTri($"v", $"m", 3)).as("p"))
-      .select($"p.i", $"p.j", $"p.xy").as[(Int, Int, Option[Double])].collect()
-    assert(rows.length === 6)
-    rows.foreach { case (i, j, xy) =>
-      if (i > 2 || j > 2) assert(xy.isEmpty, s"($i,$j)")
-      else assert(xy.isDefined, s"($i,$j)")
+    val e = intercept[Exception] {
+      df.select(explode(VectorExpressions.upperTri($"v", $"m", 3)).as("p"))
+        .collect()
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("upper_tri_products")), e.toString)
   }
 
   test("strict codegen: lshSig, vecL2Sq and upperTri compile (no silent fallback)") {
@@ -238,6 +238,43 @@ class VectorExpressionsSpec extends SparkSpec {
       assert(r.getString(2).length === 4 && r.getString(3).length === 4)
       assert(r.getInt(4) === 6 && r.getInt(5) === 3)
     }
+  }
+
+  test("null elements and length mismatches null through like the HOF forms") {
+    import spark.implicits._
+    // vectors with a null element, plus an unequal-length pair — the
+    // native kernels must reproduce the zip_with/element_at null
+    // semantics exactly (r14 review finding)
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0))
+    ).toDF("a", "b")
+    val out = df.select(
+        VectorExpressions.vecL2Sq($"a", $"b").as("fast"),
+        aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("ref"),
+        VectorExpressions.lshSig($"a", 3).as("sig_fast"),
+        graft.sim.Similarity.lshSignatureHof($"a", 3).as("sig_ref"))
+      .as[(Option[Double], Option[Double], String, String)].collect()
+    out.foreach { case (f, r, sf, sr) =>
+      assert(f === r)
+      assert(sf === sr)
+    }
+    // upperTri: a null element nulls exactly the products touching it
+    // (equal-length rows only — short arrays THROW like ANSI
+    // element_at, covered by the dedicated test below)
+    val utDf = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, null, 6.0))
+    ).toDF("a", "b")
+    val ut = utDf.select(explode(VectorExpressions.upperTri($"a", $"b", 3)).as("p"),
+        $"a", $"b")
+      .select($"p.i", $"p.j", $"p.xy",
+        ((element_at($"a", $"p.i") - element_at($"b", $"p.i"))
+          * (element_at($"a", $"p.j") - element_at($"b", $"p.j"))).as("ref"))
+      .as[(Int, Int, Option[Double], Option[Double])].collect()
+    ut.foreach { case (i, j, xy, ref) => assert(xy === ref, s"($i,$j)") }
   }
 
   test("quantization bounds: every code fits int8, max_err ≤ scale/2") {
