@@ -29,10 +29,14 @@ object Lineage {
     * persisted first so the eager materialization and the checkpoint
     * write don't EACH compute the plan (RDD.checkpoint's documented
     * contract: checkpoint without persist runs the computation twice);
-    * the cache is dropped once the checkpoint is materialized. The
-    * lazy reliable form stays persisted — like localCheckpoint(false),
-    * materialization happens at the first action and the cache backs
-    * the checkpoint write then.
+    * the cache is dropped once the checkpoint is materialized.
+    * `eager = false` is honored only on the LOCAL path (localCheckpoint
+    * blocks are reclaimed by the ContextCleaner once the plan is
+    * unreachable); the reliable path always materializes eagerly —
+    * a lazy persist there has no unpersist hook and leaks one
+    * CacheManager entry per call on a long-lived service (r14 review).
+    * Idempotent: an already-truncated plan (checkpoint scan / local
+    * relation) passes through untouched.
     */
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
     // idempotent: a frame whose plan is already lineage-free (a prior

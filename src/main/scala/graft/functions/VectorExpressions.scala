@@ -20,14 +20,24 @@ case class DotProductExpr(left: Expression, right: Expression)
   // inputs must already be ARRAY<DOUBLE>; callers cast (vecDot does)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // same null contract as the zip_with fold (r14 review, the vec_l2sq
+  // finding applied to this sibling): unequal lengths or a null
+  // element null the whole sum — a finite prefix-dot over a corrupt
+  // vector must not silently rank it
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -36,14 +46,20 @@ case class DotProductExpr(left: Expression, right: Expression)
       // freshName locals: with non-nullable children the emitted code
       // is not block-scoped, and fixed names would collide with a
       // second instance or the enclosing codegen method (the silent-
-      // fallback class RollingHashExpr hit — see SCALING.md r8)
+      // fallback class RollingHashExpr hit — see SCALING.md r8).
+      // Null handling stays INLINE (flag + primitive accumulator) so
+      // the per-centroid/per-pair hot loop allocates nothing.
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |${ev.isNull} = ($b.numElements() != $n);
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -157,11 +173,22 @@ case class L2DistanceExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val boxed = ctx.freshName("boxed")
+      // inline null flag + primitive accumulator — no boxing on the
+      // per-centroid assignment hot loop (r14 review pass 2)
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t")
       s"""
-         |Object $boxed = graft.functions.VectorExpressions.l2OrNull($a, $b);
-         |if ($boxed == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Double) $boxed).doubleValue(); }
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |${ev.isNull} = ($b.numElements() != $n);
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $t = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $t * $t;
+         |  }
+         |}
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -207,9 +234,10 @@ case class LshSignatureExpr(child: Expression, nPlanes: Int)
   * row through three HOF layers) with one compiled double loop; the
   * per-pair doubles are bit-identical, and the downstream
   * hash-aggregate is untouched, so the oracled e_embed_covariance
-  * values cannot move. Out-of-range element_at semantics preserved:
-  * i or j beyond either array yields a null xy (the struct is still
-  * emitted).
+  * values cannot move. Semantics under this engine's ANSI sessions:
+  * an array SHORTER than d throws (like ANSI element_at — a corrupt
+  * short vector must fail loudly, not null a covariance slot), and a
+  * NULL ELEMENT nulls exactly the products that touch it.
   */
 case class UpperTriProductsExpr(left: Expression, right: Expression, d: Int)
     extends BinaryExpression {

@@ -138,7 +138,13 @@ object Similarity {
     * bit-identical signatures (same left-to-right sum, same Math.sin).
     */
   def lshSignature(vec: Column, nPlanes: Int): Column =
-    graft.functions.VectorExpressions.lshSig(vec, nPlanes)
+    // coalesce: a NULL vector gets the all-'0' signature, exactly what
+    // the HOF form produces (null projections → otherwise('0') per
+    // bit) — without it the native expression's NULL would silently
+    // drop null-embedding rows from bucket joins the HOF form keeps
+    // (r14 review pass 2)
+    coalesce(graft.functions.VectorExpressions.lshSig(vec, nPlanes),
+      lit("0" * nPlanes))
 
   /** The interpreted HOF form of [[lshSignature]] — differential-spec
     * twin, not the production path.

@@ -255,12 +255,25 @@ class VectorExpressionsSpec extends SparkSpec {
         aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x).as("ref"),
         VectorExpressions.lshSig($"a", 3).as("sig_fast"),
-        graft.sim.Similarity.lshSignatureHof($"a", 3).as("sig_ref"))
-      .as[(Option[Double], Option[Double], String, String)].collect()
-    out.foreach { case (f, r, sf, sr) =>
+        graft.sim.Similarity.lshSignatureHof($"a", 3).as("sig_ref"),
+        VectorExpressions.vecDot($"a", $"b").as("dot_fast"),
+        aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("dot_ref"))
+      .as[(Option[Double], Option[Double], String, String,
+           Option[Double], Option[Double])].collect()
+    out.foreach { case (f, r, sf, sr, df_, dr) =>
       assert(f === r)
       assert(sf === sr)
+      assert(df_ === dr)
     }
+    // a NULL vector: the production entry (Similarity.lshSignature)
+    // must produce the HOF's all-'0' signature, never a null bucket
+    val nullRow = Seq((Option.empty[Seq[Double]], 1)).toDF("a", "one")
+    val ns = nullRow.select(
+        graft.sim.Similarity.lshSignature($"a", 3).as("fast"),
+        graft.sim.Similarity.lshSignatureHof($"a", 3).as("ref"))
+      .as[(String, String)].collect()(0)
+    assert(ns._1 === ns._2 && ns._1 === "000")
     // upperTri: a null element nulls exactly the products touching it
     // (equal-length rows only — short arrays THROW like ANSI
     // element_at, covered by the dedicated test below)
