@@ -26,15 +26,67 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  private def readCached(spark: SparkSession, path: String): DataFrame = {
-    val cached = schemaCache.get(path)
-    if (cached != null) spark.read.schema(cached).parquet(path)
+  /** Per-(session, path) cache of the RESOLVED table DataFrame (r15,
+    * guide §7.3 driver overheads): even with the schema supplied,
+    * every `spark.read.parquet(path)` re-runs the analyzer's
+    * ResolveDataSource rule — relation construction + file listing —
+    * once per table reference per query construction. Measured with
+    * RuleExecutor.dumpTimeSpent over the full suite: ~0.8 s/pass, the
+    * single most expensive analysis rule. The analyzer skips
+    * already-analyzed subtrees (AnalysisHelper), so handing every
+    * gate the same resolved DataFrame object removes both the
+    * re-resolution and the subtree's share of every later analyzer
+    * traversal. Plans (and therefore results) are unchanged — this is
+    * the analyzed-plan twin of the schema cache above, and what a
+    * production metastore's cached relation provides. Sessions are
+    * WEAK keys: ScalaTest creates dozens of short-lived sessions, and
+    * a strong key would pin each one (and its SparkContext) for the
+    * JVM's lifetime.
+    */
+  private val dfCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def sessionCache(spark: SparkSession) = dfCache.synchronized {
+    var m = dfCache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+      dfCache.put(spark, m)
+    }
+    m
+  }
+
+  private def cachedDf(spark: SparkSession, key: String)
+                      (build: => DataFrame): DataFrame = {
+    val m = sessionCache(spark)
+    val hit = m.get(key)
+    if (hit != null) hit
     else {
-      val df = spark.read.parquet(path)
-      schemaCache.put(path, df.schema)
+      val df = build
+      df.queryExecution.assertAnalyzed() // memoize a fully analyzed plan
+      m.put(key, df)
       df
     }
   }
+
+  private def readCached(spark: SparkSession, path: String): DataFrame =
+    cachedDf(spark, path) {
+      val cached = schemaCache.get(path)
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val df = spark.read.parquet(path)
+        schemaCache.put(path, df.schema)
+        df
+      }
+    }
+
+  /** Resolved-relation cache for OTHER immutable parquet paths (e.g.
+    * a12b's write-once materialized tile store): same contract as
+    * [[readCached]] — the path's contents must never change within the
+    * JVM's lifetime after the first read.
+    */
+  def parquetCached(spark: SparkSession, path: String): DataFrame =
+    readCached(spark, path)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
@@ -79,7 +131,9 @@ object Tables {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val needs = needsSpreadCache.computeIfAbsent((path, p),
       _ => java.lang.Boolean.valueOf(df.rdd.getNumPartitions < p))
-    if (needs) df.repartition(p) else df
+    if (needs)
+      cachedDf(df.sparkSession, s"spread:$p:$path")(df.repartition(p))
+    else df
   }
 
   /** Documents spread across all cores (see [[spread]]): every
@@ -119,14 +173,20 @@ object Tables {
     // zone — pin it to UTC here (like nanosAsLong above) so a caller
     // with a local-zone session still gets the file's epoch values
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // schema cached AFTER the conf pins above, so the cached sniff is
-    // the same one an uncached read would produce
-    val raw = readCached(spark, s"$dir/events.parquet")
-    val ts = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts DIV 1000"))
-      case _ => col("ts").cast("timestamp")
+    // the ts-normalizing projection is memoized WITH the scan (r15):
+    // the conf pins above still run per call (they are what make the
+    // cached plan correct to execute), but the withColumn's analysis
+    // is paid once per session instead of 2-4 times per gate
+    cachedDf(spark, s"events:$dir") {
+      // schema cached AFTER the conf pins above, so the cached sniff is
+      // the same one an uncached read would produce
+      val raw = readCached(spark, s"$dir/events.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts DIV 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
+      raw.withColumn("ts", ts)
     }
-    raw.withColumn("ts", ts)
   }
 }

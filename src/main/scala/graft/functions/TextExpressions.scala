@@ -290,6 +290,22 @@ object TextExpressions {
     ThreadLocal.withInitial[java.util.HashMap[UTF8String, Array[Array[Byte]]]](() =>
       new java.util.HashMap[UTF8String, Array[Array[Byte]]]())
 
+  /** Dev measurement toggle (r15, VERDICT #7): SPARK_GRAFT_MEMO=0
+    * disables the digest memo entirely, so per-gate A/B attribution in
+    * probes is warm-order-independent (within one bench JVM the memo
+    * otherwise survives across gates and flatters whichever MinHash
+    * gate runs later). Production/driver runs never set it.
+    */
+  private val memoEnabled = !sys.env.get("SPARK_GRAFT_MEMO").contains("0")
+
+  /** Salt bytes per signature width k — pure function of k, previously
+    * re-allocated per ROW (k small byte arrays each row). */
+  private val saltCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def saltsFor(k: Int): Array[Array[Byte]] =
+    saltCache.computeIfAbsent(k, kk => Array.tabulate(kk)(s =>
+      ("s" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   /** k-wide MinHash signature over a token array (called from codegen).
     * Duplicate tokens are skipped through a per-row hash set BEFORE
     * hashing — a duplicate can't move any min, and k digests per
@@ -303,8 +319,7 @@ object TextExpressions {
     val n = tokens.numElements()
     if (n == 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val salts = Array.tabulate(k)(s =>
-      ("s" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val salts = saltsFor(k)
     val md = md5Local.get()
     val cache = tokenDigestCache.get()
     val mins = Array.fill(k)(null: Array[Byte])
@@ -318,7 +333,7 @@ object TextExpressions {
         // lookup by the transient UTF8String (no per-token String
         // alloc on the hit path); the STORED key is a defensive copy —
         // `u` may point into a buffer the scan reuses for later rows
-        var digs = cache.get(u)
+        var digs = if (memoEnabled) cache.get(u) else null
         if (digs == null || digs.length < k) {
           val tok = u.getBytes
           digs = Array.tabulate(k) { s =>
@@ -327,8 +342,24 @@ object TextExpressions {
             md.update(tok)
             md.digest()
           }
-          if (cache.size() >= (1 << 16)) cache.clear()
-          cache.put(UTF8String.fromBytes(tok), digs)
+          if (memoEnabled) {
+            // evict HALF on reaching the bound, not clear() (r15,
+            // ADVICE): a vocabulary slightly above 2^16 otherwise
+            // wipes the whole memo every few thousand puts and the
+            // hot Zipf head never survives — removing every other
+            // entry keeps the hit rate ≥ ~50% in steady state while
+            // still bounding memory
+            if (cache.size() >= (1 << 16)) {
+              val it = cache.entrySet().iterator()
+              var drop = false
+              while (it.hasNext) {
+                it.next()
+                if (drop) it.remove()
+                drop = !drop
+              }
+            }
+            cache.put(UTF8String.fromBytes(tok), digs)
+          }
         }
         var s = 0
         while (s < k) {

@@ -84,7 +84,8 @@ object GeoMatchup {
               rtMeters: Double, ttSeconds: Long,
               maxAbsLat: Double = 66.0,
               broadcastSecondary: Boolean = false,
-              geodesic: Boolean = false): DataFrame = {
+              geodesic: Boolean = false,
+              structKeys: Boolean = false): DataFrame = {
     // negative tolerances would silently return empty — fail loudly at
     // entry like the maxAbsLat contract below. tt=0 is VALID (the
     // reference's Matchup.py get_int_arg('tt') has no lower bound and
@@ -161,14 +162,36 @@ object GeoMatchup {
     }
 
     val neighbors = Seq(-1, 0, 1)
+    // Packed cell key (r15, default): (la, lo, t) encoded into ONE
+    // long — ((t * nLatTotal) + la + laOff) * nLon + lo — so the
+    // equi-join runs on a primitive bigint (LongHashedRelation build,
+    // one-long exchange hashing) instead of a three-field struct, and
+    // the ×27 neighbor explode allocates 27 longs per row instead of
+    // 27 structs. Injectivity is PLAN-TIME-PROVEN, not guarded per
+    // row: la is bounded by the latGuard/cap filters that run before
+    // the cells are computed (|lat| ≤ min(maxAbsLat, CapLat) ⇒
+    // |floor(lat/latStep)| ≤ laMax−1, ±1 neighbor included in laOff's
+    // slack), lo is pmod'ed into [0, nLon) on both sides, and the t
+    // multiplier overflows only beyond |time| ≈ 2^62/(nLat·nLon)
+    // seconds — far outside any epoch. GeoMatchupSpec pins value
+    // identity against the struct-keyed twin (structKeys = true).
+    val laMax = math.floor(CapLat / latStep).toLong + 2
+    val laOff = laMax
+    val nLatTotal = 2 * laMax + 1
+    def packCell(la: Column, lo: Column, t: Column): Column =
+      (t * nLatTotal + (la + laOff)) * nLon + lo
     // array_distinct: with few lon cells (huge tolerance) the modular
     // neighbor keys collide, and duplicate keys would duplicate pairs
+    // (distinct encoded longs ⟺ distinct cells, by injectivity)
     val pCells = explode(array_distinct(array((for {
       dLat <- neighbors; dLon <- neighbors; dT <- neighbors
-    } yield struct(
-      (cell(pLat, latStep) + dLat).as("la"),
-      pmod(lonCell(pLon) + dLon, lit(nLon.toLong)).as("lo"),
-      (cell(pTime, tCellSec) + dT).as("t"))): _*)))
+    } yield {
+      val la = cell(pLat, latStep) + dLat
+      val lo = pmod(lonCell(pLon) + dLon, lit(nLon.toLong))
+      val t = cell(pTime, tCellSec) + dT
+      if (structKeys) struct(la.as("la"), lo.as("lo"), t.as("t"))
+      else packCell(la, lo, t)
+    }): _*)))
 
     // main pass: when the cap is active, BOTH sides restrict to the
     // sub-cap domain — every pair with a capward member is owned by
@@ -177,12 +200,15 @@ object GeoMatchup {
       if (capActive)
         (primary.where(abs(pLat) <= CapLat), secondary.where(abs(sLat) <= CapLat))
       else (latGuard(primary, pLat), latGuard(secondary, sLat))
-    val mainPairs = joined(
-      pMain.withColumn("__cell", pCells),
-      sMain.withColumn("__cell", struct(
+    val sCell =
+      if (structKeys) struct(
         cell(sLat, latStep).as("la"),
         lonCell(sLon).as("lo"),
-        cell(sTime, tCellSec).as("t"))),
+        cell(sTime, tCellSec).as("t"))
+      else packCell(cell(sLat, latStep), lonCell(sLon), cell(sTime, tCellSec))
+    val mainPairs = joined(
+      pMain.withColumn("__cell", pCells),
+      sMain.withColumn("__cell", sCell),
       "__cell")
 
     if (!capActive) mainPairs
@@ -194,11 +220,17 @@ object GeoMatchup {
       // Cross-hemisphere cap pairs can never be admissible (the
       // wraps-parallel require above bounds rt far below pole-to-pole)
       def hemi(latC: Column): Column = when(latC >= 0, 1).otherwise(-1)
+      // same packed-key rationale as the main pass: (h, t) → t*2+hbit,
+      // injective since hbit ∈ {0, 1}
+      def packCap(h: Column, t: Column): Column =
+        t * 2L + when(h > 0, 1L).otherwise(0L)
+      def capKey(h: Column, t: Column): Column =
+        if (structKeys) struct(h.as("h"), t.as("t")) else packCap(h, t)
       def pKeyed(in: DataFrame): DataFrame = in.withColumn("__cap", explode(
-        array(neighbors.map(d => struct(hemi(pLat).as("h"),
-          (cell(pTime, tCellSec) + d).as("t"))): _*)))
-      def sKeyed(in: DataFrame): DataFrame = in.withColumn("__cap", struct(
-        hemi(sLat).as("h"), cell(sTime, tCellSec).as("t")))
+        array(neighbors.map(d =>
+          capKey(hemi(pLat), cell(pTime, tCellSec) + d)): _*)))
+      def sKeyed(in: DataFrame): DataFrame = in.withColumn("__cap",
+        capKey(hemi(sLat), cell(sTime, tCellSec)))
       // pass A owns every pair whose SECONDARY is in the cap; pass B
       // owns cap-primary × sub-cap-secondary. A ∩ B = ∅ (s side), and
       // neither overlaps the main pass (one member is capward).

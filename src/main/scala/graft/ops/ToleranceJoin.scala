@@ -60,6 +60,32 @@ object ToleranceJoin {
     * the exact predicate constrains a second dimension the 1-D band
     * ignores; the cell key stays a uniform shuffle key.
     */
+  /** 2-D cell encoding bounds (r15): the (b1, b2) cell pair is packed
+    * into ONE long — `b1 * 2^21 + (b2 + 2^20)` — so the equi-join key
+    * is a primitive bigint instead of a two-field struct. Effects,
+    * all measured on the j1/j2/j3 family: the shuffled-hash build
+    * becomes a LongHashedRelation (Spark's specialized long-key map)
+    * instead of a generic UnsafeRow-keyed relation, the 9-way explode
+    * allocates 9 longs per row instead of 9 two-field structs, and
+    * the exchange hashes/compares one long. The packing is INJECTIVE
+    * on the guarded domain (|b2| bounded by 2^20-2 so ±1 neighbors
+    * stay in range, |b1| below 2^41 so the product cannot overflow),
+    * which keeps the contract "every admissible pair meets in exactly
+    * one cell of the non-exploded side" — a collision could merge two
+    * distinct cells and emit a pair twice, so out-of-domain keys fail
+    * LOUDLY (raise_error) instead of wrapping. ToleranceJoinSpec pins
+    * value-identity against the struct-keyed twin.
+    */
+  private val B2Mul = 1L << 21
+  private val B2Off = 1L << 20
+  private[ops] def packGuard(b1: Column, b2: Column): Column =
+    when(abs(b2) < B2Off - 2 && abs(b1) < (1L << 41), lit(true))
+      .otherwise(raise_error(concat(
+        lit("bandJoin2: band index outside the packable domain " +
+          "(|key2/tol2| must stay below 2^20-2 and |key1/tol1| below " +
+          "2^41) — got b1="), b1.cast("string"), lit(", b2="),
+        b2.cast("string"))))
+
   def bandJoin2(left: DataFrame, right: DataFrame,
                 leftKey1: Column, rightKey1: Column, tol1: Long,
                 leftKey2: Column, rightKey2: Column, tol2: Double,
@@ -67,6 +93,33 @@ object ToleranceJoin {
     require(tol1 > 0, s"bandJoin2: tol1 must be positive, got $tol1")
     require(tol2 > 0, s"bandJoin2: tol2 must be positive, got $tol2")
     // floor for the same uniform-band-width reason as bandJoin
+    def b1(k: Column) = floor(k / tol1).cast("long")
+    def b2(k: Column) = floor(k / tol2).cast("long")
+    // the domain guard rides as one FILTER per input row (two long
+    // compares), not inside the 9-cell explode — the latGuard lesson
+    // from GeoMatchup (inline wraps evaluated per neighbor measured
+    // +25% on j7)
+    val lG = left.where(packGuard(b1(leftKey1), b2(leftKey2)))
+    val rG = right.where(packGuard(b1(rightKey1), b2(rightKey2)))
+    val cells = for { d1 <- Seq(-1, 0, 1); d2 <- Seq(-1, 0, 1) } yield
+      (b1(leftKey1) + d1) * B2Mul + (b2(leftKey2) + d2) + B2Off
+    val l = lG.withColumn("__band", explode(array(cells: _*)))
+    val rBanded = rG.withColumn("__band",
+      b1(rightKey1) * B2Mul + b2(rightKey2) + B2Off)
+    val r = if (broadcastRight) broadcast(rBanded) else rBanded.hint("shuffle_hash")
+    l.join(r, "__band").where(exact).drop("__band")
+  }
+
+  /** Struct-keyed r13 form of [[bandJoin2]], kept as the differential
+    * twin ToleranceJoinSpec compares the packed-key production form
+    * against (value identity on the same inputs).
+    */
+  private[graft] def bandJoin2Struct(left: DataFrame, right: DataFrame,
+                leftKey1: Column, rightKey1: Column, tol1: Long,
+                leftKey2: Column, rightKey2: Column, tol2: Double,
+                exact: Column, broadcastRight: Boolean = false): DataFrame = {
+    require(tol1 > 0, s"bandJoin2: tol1 must be positive, got $tol1")
+    require(tol2 > 0, s"bandJoin2: tol2 must be positive, got $tol2")
     val cells = for { d1 <- Seq(-1, 0, 1); d2 <- Seq(-1, 0, 1) } yield
       struct((floor(leftKey1 / tol1).cast("long") + d1).as("b1"),
         (floor(leftKey2 / tol2).cast("long") + d2).as("b2"))

@@ -205,25 +205,32 @@ object AggQueries extends QueryModule {
     // mixing them in one .agg forces Expand row-multiplication.
     "a17b_sketch_bounds" -> { (s, dir) =>
       val ev = Tables.eventsSpread(s, dir)
-      // exact countDistinct and the HLL sketch in SEPARATE aggregations
-      // joined on the key (r14, guide §2.3 "aggregate before you
-      // shuffle" + the known Expand trap): mixed in one .agg, Spark
-      // plans the HLL partial KEYED BY (event_type, user_id) — one
-      // 512-register buffer allocated and zeroed per DISTINCT KEY PAIR,
-      // not per group. Split, the HLL partial is keyed by event_type
-      // alone (5 buffers per task) and the exact distinct keeps its
-      // two-level shape. HLL registers are merge-order-independent
-      // (elementwise max), so the estimate is bit-identical either way.
+      // exact countDistinct SEPARATE from everything else (r14, guide
+      // §2.3 "aggregate before you shuffle" + the known Expand trap):
+      // mixed with the exact distinct in one .agg, Spark plans the HLL
+      // partial KEYED BY (event_type, user_id) — one 512-register
+      // buffer allocated and zeroed per DISTINCT KEY PAIR, not per
+      // group. r15 tightens the r14 three-branch split to TWO
+      // branches: the HLL and the percentile aggregates are all
+      // NON-distinct, so they share one .agg without any Expand — one
+      // events scan and one join fewer than the r14 shape. HLL
+      // registers are merge-order-independent (elementwise max), so
+      // the estimate is bit-identical in any of the three shapes, and
+      // the percentile booleans are band-checks designed to hold under
+      // any partial-merge order.
       val dExact = ev.groupBy(col("event_type")).agg(
         countDistinct(col("user_id")).as("n_users"))
-      val dHll = ev.groupBy(col("event_type")).agg(
-        approx_count_distinct(col("user_id")).as("hll"))
-      val d = dExact.join(dHll, "event_type")
-      val p = ev.groupBy(col("event_type")).agg(
+      val rest = ev.groupBy(col("event_type").as("__et")).agg(
+        approx_count_distinct(col("user_id")).as("hll"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
         expr("percentile(value, 0.45)").as("p45"),
         expr("percentile(value, 0.55)").as("p55"))
-      d.join(p, "event_type")
+      // null-SAFE join (r15, VERDICT/ADVICE): a NULL event_type forms a
+      // group under groupBy but an inner equi-join would silently drop
+      // it — <=> matches null to null, so the split shape emits exactly
+      // the rows the fused .agg emitted (SketchSpec pins this with a
+      // null-keyed corpus)
+      dExact.join(rest, col("event_type") <=> col("__et")).drop("__et")
         .select(col("event_type"), col("n_users"),
           (abs(col("hll") - col("n_users"))
             <= col("n_users") * lit(0.25)).as("hll_ok"),
@@ -253,19 +260,20 @@ object AggQueries extends QueryModule {
       // 18.9 s of task time in the partial stage; split, 4 buffers per
       // task. Register maxes are merge-order-independent, so the
       // estimate (and the gate's booleans) are value-identical.
+      // r15: HLL + percentiles fused into ONE non-distinct .agg (no
+      // Expand without countDistinct) and the join made null-safe —
+      // same two-branch rationale and proof as a17b above.
       val dExact = c.groupBy(col("grp")).agg(
         countDistinct(col("u")).as("n_users"))
       // rsd=0.02: 4096 registers instead of 512 — still a fixed-size
       // mergeable partial (the 100 TB shape), bought for a 2.5×
       // tighter measured band (see SketchTightBand)
-      val dHll = c.groupBy(col("grp")).agg(
-        approx_count_distinct(col("u"), 0.02).as("hll"))
-      val d = dExact.join(dHll, "grp")
-      val p = c.groupBy(col("grp")).agg(
+      val rest = c.groupBy(col("grp").as("__g")).agg(
+        approx_count_distinct(col("u"), 0.02).as("hll"),
         percentile_approx(col("v"), lit(0.5), lit(10000)).as("p50a"),
         expr("percentile(v, 0.495)").as("p495"),
         expr("percentile(v, 0.505)").as("p505"))
-      d.join(p, "grp")
+      dExact.join(rest, col("grp") <=> col("__g")).drop("__g")
         .select(col("grp"), col("n_users"),
           (abs(col("hll") - col("n_users"))
             <= col("n_users") * lit(SketchTightBand)).as("hll_tight_ok"),

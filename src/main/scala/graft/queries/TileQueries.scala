@@ -94,7 +94,12 @@ object TileQueries extends QueryModule {
       if (!new java.io.File(store, "_SUCCESS").exists())
         Ingest.writeTiles(Ingest.pointsToTiles(dense, 5.0, 5.0, "events_grid"), store)
       graft.index.SummaryPushdown
-        .dailyMeanFromSummaries(s.read.parquet(store), 0, 7.5, 0, 7.5)
+        // resolved-relation cache (r15): the store is write-once per
+        // (sf, process) — see the _SUCCESS guard above — so the scan
+        // relation is as immutable as the testdata tables; an uncached
+        // read re-listed + re-footer-read it per invocation (~0.1 s,
+        // A12bProbe)
+        .dailyMeanFromSummaries(Tables.parquetCached(s, store), 0, 7.5, 0, 7.5)
         .select(col("day_start"), col("cnt"),
           // 1e-7 nudge (vs the usual 1e-9): the two-stream combine
           // stacks enough cross-engine ulps that one sf0.1 value landed

@@ -295,9 +295,16 @@ object StateTracker {
       Seq(col("us"), col("event_id")),
       col("us"), col("us"), lit(1L), col("value"),
       struct(col("us"), col("event_id")))
-    runs(local, Seq("event_type"), Seq(col("okey")),
+      // pass-2 window order on the struct's FIELDS, not the struct
+      // (r15 — the same primitive-ordering change r14 made to pass 1):
+      // lexicographic struct order == (us, event_id) column order, but
+      // the sorter then compares two primitive columns instead of
+      // allocating and comparing a struct per run row
+      .withColumn("okey_us", col("okey.us"))
+      .withColumn("okey_id", col("okey.event_id"))
+    runs(local, Seq("event_type"), Seq(col("okey_us"), col("okey_id")),
         col("start_us"), col("end_us"), col("n_events"), col("sum_v"),
-        col("okey"))
+        struct(col("okey_us"), col("okey_id")))
       .select(col("event_type"), col("bucket"), col("start_us"),
         col("end_us"), col("n_events"),
         round(col("sum_v") / col("n_events") + lit(1e-9), 4).as("avg_v"))

@@ -75,8 +75,17 @@ object StageProf {
         val t1 = System.nanoTime()
         val n = df.queryExecution.toRdd.count()
         val t2 = System.nanoTime()
-        // listener events are async; settle before reading
-        Thread.sleep(300)
+        // listener events are async; DRAIN the bus instead of a fixed
+        // sleep (r15, ADVICE: under load events arrived later than
+        // 300 ms and rows silently dropped from the report).
+        // listenerBus/waitUntilEmpty are private[spark] — public at
+        // the bytecode level, reached via reflection; fall back to the
+        // old sleep if an upgrade moves them.
+        try {
+          val sc = spark.sparkContext
+          val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        } catch { case _: Throwable => Thread.sleep(300) }
         println(f"[$label] $name construct=${(t1 - t0) / 1e9}%.3f s exec=${(t2 - t1) / 1e9}%.3f s total=${(t2 - t0) / 1e9}%.3f s ($n rows)")
         if (report) coll.report()
       }

@@ -122,6 +122,32 @@ class GeoMatchupSpec extends SparkSpec {
     assert(ids(geodesic = true) === Set(2L))
   }
 
+  /** r15: the packed-long cell key (default) must reproduce the
+    * struct-keyed r13 form pair for pair — including modular lon
+    * wrap, the antimeridian seam, and both polar-cap passes.
+    */
+  test("packed cell keys return exactly the struct-keyed twin's pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def pts(n: Int, idBase: Long) = (0 until n).map { i =>
+      (idBase + i,
+        rnd.nextDouble() * 178 - 89,           // lat, incl. near-cap
+        rnd.nextDouble() * 360 - 180,          // lon, incl. seam
+        (rnd.nextInt(20000) - 10000).toLong)   // time
+    }
+    val primary = pts(150, 0).toDF("pid", "plat", "plon", "pt")
+    val secondary = pts(150, 1000).toDF("sid", "slat", "slon", "st")
+    def pairs(structKeys: Boolean) = GeoMatchup.matchup(
+        primary, secondary, $"plat", $"plon", $"pt", $"slat", $"slon", $"st",
+        rtMeters = 500000, ttSeconds = 3600, maxAbsLat = 90.0,
+        structKeys = structKeys)
+      .select($"pid", $"sid").as[(Long, Long)].collect().toSeq.sorted
+    val packed = pairs(structKeys = false)
+    val structK = pairs(structKeys = true)
+    assert(packed === structK)
+    assert(packed.nonEmpty)
+  }
+
   /** VERDICT r4 #8: at |lat| -> 90 the zonal cell bound degenerates;
     * the polar-cap passes must keep pairs that cross the pole (or sit
     * at wildly different longitudes near it) without disturbing the

@@ -112,6 +112,41 @@ class OpsSpec extends SparkSpec {
     assert(oneD.nonEmpty)
   }
 
+  test("packed-long bandJoin2 returns exactly the struct-keyed twin's " +
+    "pairs (r15 LongHashedRelation key packing)") {
+    import spark.implicits._
+    // denser corpus than the 1-D test: negative keys, fractional second
+    // dimension, values straddling every band boundary
+    val l = (0 until 200).map(i =>
+      (i.toLong, (i * 37 % 400 - 200).toLong, (i * 13 % 80 - 40) / 3.0))
+      .toDF("lid", "lt", "lv")
+    val r = (0 until 200).map(i =>
+      (1000L + i, (i * 53 % 400 - 200).toLong, (i * 29 % 80 - 40) / 3.0))
+      .toDF("rid", "rt", "rv")
+    val exact = abs(col("lt") - col("rt")) <= 10L &&
+      abs(col("lv") - col("rv")) <= 2.0
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    val packed = pairs(ToleranceJoin.bandJoin2(l, r, col("lt"), col("rt"), 10L,
+      col("lv"), col("rv"), 2.0, exact))
+    val structK = pairs(ToleranceJoin.bandJoin2Struct(l, r, col("lt"), col("rt"), 10L,
+      col("lv"), col("rv"), 2.0, exact))
+    assert(packed === structK) // multiset equality incl. duplicates
+    assert(packed.nonEmpty)
+  }
+
+  test("bandJoin2 fails loudly outside the packable band domain " +
+    "instead of wrapping into a silent duplicate/missing pair") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, math.pow(2, 21) * 2.0)).toDF("lid", "lt", "lv")
+    val r = Seq((2L, 0L, 0.0)).toDF("rid", "rt", "rv")
+    val e = intercept[Exception] {
+      ToleranceJoin.bandJoin2(l, r, col("lt"), col("rt"), 10L,
+        col("lv"), col("rv"), 2.0, lit(true)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("packable"))
+  }
+
   test("matchOnce keeps the nearest match per primary") {
     import spark.implicits._
     val pairs = Seq((1L, 10L, 5.0), (1L, 11L, 2.0), (1L, 12L, 9.0),

@@ -48,6 +48,55 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("split sketch aggregation preserves NULL group keys (the r14 " +
+    "inner-join shape silently dropped them; r15's <=> join must not)") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    // corpus with a NULL key group: the fused single-.agg reference
+    // emits a row for the null group; the split forms must too
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_type STRING, user_id LONG, value DOUBLE")
+    val rows = (1 to 50).flatMap { i =>
+      Seq(
+        org.apache.spark.sql.Row("a", (i % 7).toLong, i.toDouble),
+        org.apache.spark.sql.Row(null, (i % 5).toLong, i * 2.0))
+    }
+    val ev = spark.createDataFrame(rows.asJava, schema)
+    // fused reference: one .agg (the pre-r14 shape — correct on null
+    // keys, just slow at scale)
+    val fused = ev.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("hll"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("hll") - col("n_users"))
+          <= col("n_users") * lit(0.25)).as("hll_ok"),
+        (col("p50a") >= col("p45") && col("p50a") <= col("p55")).as("p50_ok"))
+      .orderBy("event_type").collect()
+    // split form: exact distinct apart, null-safe re-join — the a17b
+    // production shape applied to the same corpus
+    val dExact = ev.groupBy(col("event_type")).agg(
+      countDistinct(col("user_id")).as("n_users"))
+    val rest = ev.groupBy(col("event_type").as("__et")).agg(
+      approx_count_distinct(col("user_id")).as("hll"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+      expr("percentile(value, 0.45)").as("p45"),
+      expr("percentile(value, 0.55)").as("p55"))
+    val split = dExact.join(rest, col("event_type") <=> col("__et"))
+      .drop("__et")
+      .select(col("event_type"), col("n_users"),
+        (abs(col("hll") - col("n_users"))
+          <= col("n_users") * lit(0.25)).as("hll_ok"),
+        (col("p50a") >= col("p45") && col("p50a") <= col("p55")).as("p50_ok"))
+      .orderBy("event_type").collect()
+    assert(fused.length === 2, "corpus must form a null group + 'a'")
+    assert(split.toSeq === fused.toSeq,
+      "split+null-safe-join shape must emit exactly the fused rows, " +
+        "including the NULL-keyed group")
+  }
+
   test("rollingDauHll (the w13 extreme-scale drop-in) tracks the exact " +
     "7-day rolling distinct within HLL's error envelope on every day") {
     val exact = SeriesQueries.queries("w13_rolling_dau")(spark, dir)
