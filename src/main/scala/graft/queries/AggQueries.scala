@@ -205,32 +205,38 @@ object AggQueries extends QueryModule {
     // mixing them in one .agg forces Expand row-multiplication.
     "a17b_sketch_bounds" -> { (s, dir) =>
       val ev = Tables.eventsSpread(s, dir)
-      // exact countDistinct SEPARATE from everything else (r14, guide
-      // §2.3 "aggregate before you shuffle" + the known Expand trap):
-      // mixed with the exact distinct in one .agg, Spark plans the HLL
-      // partial KEYED BY (event_type, user_id) — one 512-register
-      // buffer allocated and zeroed per DISTINCT KEY PAIR, not per
-      // group. r15 tightens the r14 three-branch split to TWO
-      // branches: the HLL and the percentile aggregates are all
-      // NON-distinct, so they share one .agg without any Expand — one
-      // events scan and one join fewer than the r14 shape. HLL
-      // registers are merge-order-independent (elementwise max), so
-      // the estimate is bit-identical in any of the three shapes, and
-      // the percentile booleans are band-checks designed to hold under
-      // any partial-merge order.
+      // exact countDistinct and the HLL sketch in SEPARATE aggregations
+      // joined on the key (r14, guide §2.3 "aggregate before you
+      // shuffle" + the known Expand trap): mixed in one .agg, Spark
+      // plans the HLL partial KEYED BY (event_type, user_id) — one
+      // 512-register buffer allocated and zeroed per DISTINCT KEY PAIR,
+      // not per group. Split, the HLL partial is keyed by event_type
+      // alone (5 buffers per task) and the exact distinct keeps its
+      // two-level shape. HLL registers are merge-order-independent
+      // (elementwise max), so the estimate is bit-identical either way.
+      // r15 NOTE — a two-branch shape (HLL fused into the percentile
+      // .agg; both are non-distinct, so no Expand) was measured and
+      // REVERTED: the TypedImperative percentiles force
+      // ObjectHashAggregate, which runs without whole-stage codegen,
+      // and the HLL update there cost 15.6 s of task time vs 6.6 s for
+      // the two codegen-separated partials (StageProf, sf0.1; gate
+      // 0.9-1.1 s → 2.2 s). Keeping the HLL in its own HashAggregate
+      // branch is the codegen rule (§4.1) beating the fewer-scans rule.
       val dExact = ev.groupBy(col("event_type")).agg(
         countDistinct(col("user_id")).as("n_users"))
-      val rest = ev.groupBy(col("event_type").as("__et")).agg(
-        approx_count_distinct(col("user_id")).as("hll"),
+      val dHll = ev.groupBy(col("event_type").as("__et")).agg(
+        approx_count_distinct(col("user_id")).as("hll"))
+      // null-SAFE joins (r15, VERDICT/ADVICE): a NULL event_type forms
+      // a group under groupBy but an inner equi-join would silently
+      // drop it — <=> matches null to null, so the split shape emits
+      // exactly the rows the fused .agg emitted (SketchSpec pins this
+      // with a null-keyed corpus)
+      val d = dExact.join(dHll, col("event_type") <=> col("__et")).drop("__et")
+      val p = ev.groupBy(col("event_type").as("__et2")).agg(
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
         expr("percentile(value, 0.45)").as("p45"),
         expr("percentile(value, 0.55)").as("p55"))
-      // null-SAFE join (r15, VERDICT/ADVICE): a NULL event_type forms a
-      // group under groupBy but an inner equi-join would silently drop
-      // it — <=> matches null to null, so the split shape emits exactly
-      // the rows the fused .agg emitted (SketchSpec pins this with a
-      // null-keyed corpus)
-      dExact.join(rest, col("event_type") <=> col("__et")).drop("__et")
+      d.join(p, col("event_type") <=> col("__et2")).drop("__et2")
         .select(col("event_type"), col("n_users"),
           (abs(col("hll") - col("n_users"))
             <= col("n_users") * lit(0.25)).as("hll_ok"),
@@ -260,20 +266,22 @@ object AggQueries extends QueryModule {
       // 18.9 s of task time in the partial stage; split, 4 buffers per
       // task. Register maxes are merge-order-independent, so the
       // estimate (and the gate's booleans) are value-identical.
-      // r15: HLL + percentiles fused into ONE non-distinct .agg (no
-      // Expand without countDistinct) and the join made null-safe —
-      // same two-branch rationale and proof as a17b above.
+      // r15: joins made null-safe (<=>); the two-branch HLL+percentile
+      // fusion was measured-and-REVERTED for the same
+      // ObjectHashAggregate-codegen reason as a17b above.
       val dExact = c.groupBy(col("grp")).agg(
         countDistinct(col("u")).as("n_users"))
       // rsd=0.02: 4096 registers instead of 512 — still a fixed-size
       // mergeable partial (the 100 TB shape), bought for a 2.5×
       // tighter measured band (see SketchTightBand)
-      val rest = c.groupBy(col("grp").as("__g")).agg(
-        approx_count_distinct(col("u"), 0.02).as("hll"),
+      val dHll = c.groupBy(col("grp").as("__g")).agg(
+        approx_count_distinct(col("u"), 0.02).as("hll"))
+      val d = dExact.join(dHll, col("grp") <=> col("__g")).drop("__g")
+      val p = c.groupBy(col("grp").as("__g2")).agg(
         percentile_approx(col("v"), lit(0.5), lit(10000)).as("p50a"),
         expr("percentile(v, 0.495)").as("p495"),
         expr("percentile(v, 0.505)").as("p505"))
-      dExact.join(rest, col("grp") <=> col("__g")).drop("__g")
+      d.join(p, col("grp") <=> col("__g2")).drop("__g2")
         .select(col("grp"), col("n_users"),
           (abs(col("hll") - col("n_users"))
             <= col("n_users") * lit(SketchTightBand)).as("hll_tight_ok"),

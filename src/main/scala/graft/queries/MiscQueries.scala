@@ -23,9 +23,16 @@ object MiscQueries extends QueryModule {
     // (Matchup.query_edge:639-691; the JSON paging becomes a JSON
     // column parse).
     "s7_insitu_json" -> { (s, dir) =>
+      // EvalOnce barrier (r15, guide §4.4): without it the k-filter is
+      // pushed below BOTH the projection and the spread exchange,
+      // substituting the JSON parse into the filter — measured plan:
+      // THREE get_json_object parses per surviving row, two of them on
+      // the scan's single task below the repartition. Barriered, every
+      // row is parsed exactly once, after the spread, on all cores.
       Tables.eventsSpread(s, dir)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          graft.functions.EvalOnce.once(
+            get_json_object(col("props"), "$.k").cast("long")).as("k"),
           round(col("value") + lit(1e-9), 4).as("value_r"))
         .where(col("k").between(10, 50))
         .orderBy("event_id")

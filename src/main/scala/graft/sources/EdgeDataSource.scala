@@ -217,46 +217,24 @@ final class EdgeReaderFactory(schema: StructType, maxTries: Int)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val urls = p.asInstanceOf[EdgePartition].pageUrls
     new PartitionReader[InternalRow] {
-      private val om = new com.fasterxml.jackson.databind.ObjectMapper()
       private var remaining = urls.toList
-      private var page: Iterator[String] = Iterator.empty
+      private var page: Iterator[com.fasterxml.jackson.databind.JsonNode] =
+        Iterator.empty
       private var current: InternalRow = _
 
       override def next(): Boolean = {
         while (!page.hasNext && remaining.nonEmpty) {
-          page = EdgeSource.fetchPageItems(remaining.head, maxTries).iterator
+          // r15: one parse per page — the fetched body's jackson tree
+          // feeds row conversion directly (the r14 shape re-serialized
+          // every item and re-parsed it here with a per-reader mapper).
+          // Extraction semantics (type-checked, field-level NULLs) are
+          // unchanged — they moved verbatim into the shared EdgeJson.
+          page = EdgeSource.fetchPageNodes(remaining.head, maxTries).iterator
           remaining = remaining.tail
         }
         if (!page.hasNext) false
         else {
-          val node = om.readTree(page.next())
-          // type-checked extraction, NOT Jackson coercion: asLong() on
-          // a non-numeric node returns 0, fabricating values — the
-          // from_json path (EdgeSource.read) yields NULL there, and
-          // both read paths must agree on the same server data
-          val vals = schema.fields.map { f =>
-            val c = node.get(f.name)
-            if (c == null || c.isNull) null
-            else f.dataType match {
-              // isIntegralNumber too: canConvertToLong is RANGE-only,
-              // so a fractional 1430000000.7 would truncate into a
-              // fabricated integer where from_json yields NULL
-              case LongType if c.isIntegralNumber && c.canConvertToLong =>
-                c.asLong()
-              case IntegerType if c.isIntegralNumber && c.canConvertToInt =>
-                c.asInt()
-              case DoubleType if c.isNumber => c.asDouble()
-              case FloatType if c.isNumber => c.asDouble().toFloat
-              case BooleanType if c.isBoolean => c.asBoolean()
-              case StringType => UTF8String.fromString(
-                if (c.isTextual) c.asText() else c.toString)
-              case LongType | IntegerType | DoubleType | FloatType |
-                   BooleanType => null // wrong JSON type → NULL
-              case t => throw new IllegalArgumentException(
-                s"edge source: unsupported column type $t for ${f.name}")
-            }
-          }
-          current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+          current = EdgeJson.catalystRow(page.next(), schema)
           true
         }
       }

@@ -1,7 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** S7 — the in-situ EDGE source as a DISTRIBUTED paged-HTTP reader
@@ -54,6 +53,18 @@ object EdgeSource {
     */
   private[sources] def fetchPageWithRetry(url: String,
                                  maxTries: Int): (Long, Long, Seq[String]) = {
+    val root = fetchRootWithRetry(url, maxTries)
+    (envelopeTotal(root, url), envelopePerPage(root), itemStrings(root))
+  }
+
+  /** GET + parse one page body to its jackson TREE under ONE retry
+    * loop (r15: the tree is the single parse — item extraction, row
+    * conversion and envelope reads all work off it; see [[EdgeJson]]).
+    * Contract unchanged from the r14 string form: non-200 OR
+    * unparseable/ envelope-less JSON → retry up to `maxTries`.
+    */
+  private[sources] def fetchRootWithRetry(
+      url: String, maxTries: Int): com.fasterxml.jackson.databind.JsonNode = {
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofSeconds(500)).GET().build()
     var attempt = 0
@@ -63,7 +74,11 @@ object EdgeSource {
       try {
         val resp = httpClient.send(req,
           java.net.http.HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() == 200) return parsePage(resp.body())
+        if (resp.statusCode() == 200) {
+          val root = om.readTree(resp.body())
+          envelopeTotal(root, url) // envelope-less page → retried, as before
+          return root
+        }
         last = new java.io.IOException(
           s"HTTP ${resp.statusCode()} from $url")
       } catch {
@@ -122,18 +137,33 @@ object EdgeSource {
     * array elements re-serialized as standalone JSON strings
     * (jackson — already on Spark's classpath).
     */
-  private[sources] def parsePage(body: String): (Long, Long, Seq[String]) = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.readTree(body)
-    val total = Option(root.get("totalResults")).map(_.asLong())
-      .getOrElse(throw new java.io.IOException("no totalResults in page"))
-    val perPage = Option(root.get("itemsPerPage")).map(_.asLong()).getOrElse(0L)
-    val items = Option(root.get("results")) match {
-      case Some(arr) if arr.isArray =>
-        (0 until arr.size()).map(i => arr.get(i).toString)
+  // ONE ObjectMapper per JVM: thread-safe for reads; constructing one
+  // per page (r14 shape) churned allocations for zero isolation
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def envelopeTotal(root: com.fasterxml.jackson.databind.JsonNode,
+                            url: String): Long =
+    Option(root.get("totalResults")).map(_.asLong())
+      .getOrElse(throw new java.io.IOException(s"no totalResults in page $url"))
+
+  private def envelopePerPage(
+      root: com.fasterxml.jackson.databind.JsonNode): Long =
+    Option(root.get("itemsPerPage")).map(_.asLong()).getOrElse(0L)
+
+  private def itemNodes(root: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[com.fasterxml.jackson.databind.JsonNode] =
+    Option(root.get("results")) match {
+      case Some(arr) if arr.isArray => (0 until arr.size()).map(arr.get)
       case _ => Seq.empty
     }
-    (total, perPage, items)
+
+  private def itemStrings(
+      root: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    itemNodes(root).map(_.toString)
+
+  private[sources] def parsePage(body: String): (Long, Long, Seq[String]) = {
+    val root = om.readTree(body)
+    (envelopeTotal(root, "<body>"), envelopePerPage(root), itemStrings(root))
   }
 
   /** Read a full EDGE query as a DataFrame.
@@ -151,7 +181,6 @@ object EdgeSource {
            params: Map[String, String] = Map.empty,
            schema: StructType = insituSchema,
            itemsPerPage: Int = 1000, maxTries: Int = 5): DataFrame = {
-    import spark.implicits._
     val (step, starts, firstItems) = pageStarts(url, params, itemsPerPage, maxTries)
     if (starts.isEmpty)
       return spark.createDataFrame(
@@ -159,17 +188,28 @@ object EdgeSource {
     // the size-confirmation probe already carried page 0's items to
     // the driver — reuse them instead of refetching the page on an
     // executor (they are at most one page; every LATER page still goes
-    // executor-side only)
+    // executor-side only). They arrive as strings (the DSv2 planner
+    // shares pageStarts and ships offsets only), so page 0 parses here
+    // — once, like every other page.
     val rest = if (firstItems.nonEmpty) starts.drop(1) else starts
     val nParts = math.min(math.max(rest.length, 1),
       spark.sparkContext.defaultParallelism).max(1)
-    val fetched: Dataset[String] = spark.createDataset(rest)
-      .repartition(nParts)
+    // r15 (VERDICT #5): pages parse ONCE — jackson tree → Row via the
+    // shared EdgeJson converter — instead of re-serializing each item
+    // and re-parsing it with from_json (a strict 2× parse of every
+    // byte). parallelize slices the page list directly; the old
+    // createDataset(...).repartition(...) additionally paid a shuffle
+    // of the offsets for the same even spread.
+    val firstRows = firstItems.map(s => EdgeJson.externalRow(om.readTree(s), schema))
+    val restRows = spark.sparkContext.parallelize(rest, nParts)
       .mapPartitions { it =>
-        it.flatMap(s => fetchPageItems(pageUrl(url, params, step, s), maxTries))
+        it.flatMap { s =>
+          itemNodes(fetchRootWithRetry(pageUrl(url, params, step, s), maxTries))
+            .map(EdgeJson.externalRow(_, schema))
+        }
       }
-    val jsonRows = spark.createDataset(firstItems).union(fetched)
-    jsonRows.select(from_json(col("value"), schema).as("r")).select("r.*")
+    val firstRdd = spark.sparkContext.parallelize(firstRows, 1)
+    spark.createDataFrame(firstRdd.union(restRows), schema)
   }
 
   /** Driver probe: count (`itemsPerPage=0`, the reference's getCount
@@ -202,9 +242,10 @@ object EdgeSource {
       Seq("itemsPerPage" -> step.toString, "startIndex" -> startIndex.toString))
 
   /** Executor-side: fetch one page (with the retry loop) and return
-    * its result elements as standalone JSON strings.
+    * its result elements as parsed jackson nodes — the single-parse
+    * feed for both read paths (r15).
     */
-  private[sources] def fetchPageItems(pageUrl: String,
-                                      maxTries: Int): Seq[String] =
-    fetchPageWithRetry(pageUrl, maxTries)._3
+  private[sources] def fetchPageNodes(pageUrl: String, maxTries: Int)
+      : Seq[com.fasterxml.jackson.databind.JsonNode] =
+    itemNodes(fetchRootWithRetry(pageUrl, maxTries))
 }

@@ -295,13 +295,18 @@ object StateTracker {
       Seq(col("us"), col("event_id")),
       col("us"), col("us"), lit(1L), col("value"),
       struct(col("us"), col("event_id")))
-      // pass-2 window order on the struct's FIELDS, not the struct
-      // (r15 — the same primitive-ordering change r14 made to pass 1):
-      // lexicographic struct order == (us, event_id) column order, but
-      // the sorter then compares two primitive columns instead of
-      // allocating and comparing a struct per run row
-      .withColumn("okey_us", col("okey.us"))
-      .withColumn("okey_id", col("okey.event_id"))
+      // pass-2 input projected to exactly what pass 2 reads (r15): the
+      // merge window order uses the okey struct's FIELDS as primitive
+      // columns (lexicographic struct order == (us, event_id) column
+      // order — the same primitive-ordering change r14 made to pass 1)
+      // and chunk/__rid/the struct itself are dropped, so the pass-2
+      // exchange+sort moves three fewer fields per run row. (A first
+      // r15 cut that ADDED the two fields while keeping the struct
+      // measured 1.16-1.17× on both st gates — width, not compare
+      // cost, was the regression.)
+      .select(col("event_type"), col("bucket"),
+        col("start_us"), col("end_us"), col("n_events"), col("sum_v"),
+        col("okey.us").as("okey_us"), col("okey.event_id").as("okey_id"))
     runs(local, Seq("event_type"), Seq(col("okey_us"), col("okey_id")),
         col("start_us"), col("end_us"), col("n_events"), col("sum_v"),
         struct(col("okey_us"), col("okey_id")))

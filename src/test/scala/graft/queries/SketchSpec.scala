@@ -75,17 +75,19 @@ class SketchSpec extends SparkSpec {
           <= col("n_users") * lit(0.25)).as("hll_ok"),
         (col("p50a") >= col("p45") && col("p50a") <= col("p55")).as("p50_ok"))
       .orderBy("event_type").collect()
-    // split form: exact distinct apart, null-safe re-join — the a17b
-    // production shape applied to the same corpus
+    // split form: the a17b production shape (three codegen-separated
+    // branches, both re-joins null-safe) applied to the same corpus
     val dExact = ev.groupBy(col("event_type")).agg(
       countDistinct(col("user_id")).as("n_users"))
-    val rest = ev.groupBy(col("event_type").as("__et")).agg(
-      approx_count_distinct(col("user_id")).as("hll"),
+    val dHll = ev.groupBy(col("event_type").as("__et")).agg(
+      approx_count_distinct(col("user_id")).as("hll"))
+    val dJ = dExact.join(dHll, col("event_type") <=> col("__et")).drop("__et")
+    val pAgg = ev.groupBy(col("event_type").as("__et2")).agg(
       percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
       expr("percentile(value, 0.45)").as("p45"),
       expr("percentile(value, 0.55)").as("p55"))
-    val split = dExact.join(rest, col("event_type") <=> col("__et"))
-      .drop("__et")
+    val split = dJ.join(pAgg, col("event_type") <=> col("__et2"))
+      .drop("__et2")
       .select(col("event_type"), col("n_users"),
         (abs(col("hll") - col("n_users"))
           <= col("n_users") * lit(0.25)).as("hll_ok"),

@@ -125,6 +125,42 @@ class EdgeSourceSpec extends SparkSpec {
     assert(flagRestored)
   }
 
+  test("function and DSv2 paths agree record-for-record on adversarial " +
+    "payloads (single-parse converter, field-level NULL contract)") {
+    import spark.implicits._
+    // wrong-typed / fractional / missing / nested fields: the
+    // type-checked extraction must NULL the bad FIELD (not fabricate
+    // a coerced value), and both read paths must produce identical
+    // rows because they now share one converter (r15)
+    server.createContext("/weird", (ex: HttpExchange) => {
+      val items = Seq(
+        """{"id":1,"x":"not-a-number","y":-1.5,"time":1430000000.7,"platform":42,"value":3}""",
+        """{"id":2,"x":2.5,"depth":{"nested":true},"source":null,"value":"9"}""",
+        """{"id":3.5,"x":1,"y":2,"time":100,"platform":"p","value":1.25}"""
+      )
+      val body = (s"""{"totalResults":${items.size},"startIndex":0,""" +
+        s""""itemsPerPage":${items.size},"results":[${items.mkString(",")}]}""")
+        .getBytes(UTF_8)
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    val fn = EdgeSource.read(spark, base("/weird"))
+      .orderBy(col("id").asc_nulls_last, col("value"))
+      .collect().toSeq
+    val dsv2 = spark.read.format("edge").option("url", base("/weird")).load()
+      .orderBy(col("id").asc_nulls_last, col("value"))
+      .collect().toSeq
+    assert(fn === dsv2)
+    assert(fn.length === 3)
+    val r1 = fn.find(r => !r.isNullAt(0) && r.getLong(0) == 1L).get
+    assert(r1.isNullAt(1), "string in a double field must be NULL")
+    assert(r1.isNullAt(3), "fractional time must be NULL, not truncated")
+    assert(r1.getString(5) === "42", "numeric in string field keeps raw text")
+    val r3 = fn.find(_.isNullAt(0)).get // id 3.5 → NULL long
+    assert(r3.getDouble(1) === 1.0, "integral JSON number fills a double")
+  }
+
   test("zero-result query yields an empty frame with the full schema") {
     val df = EdgeSource.read(spark, base("/empty"))
     assert(df.count() === 0)
